@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_mcp_spark.functions.embedder import hash_embed
+from vector_mcp_spark.operators.semantic import semantic_topk, semantic_topk_multi
+from vector_mcp_spark.suite import docs_with_embeddings
+
+
+@pytest.fixture(scope="module")
+def coll(spark, sf_dir):
+    return docs_with_embeddings(spark, sf_dir).cache()
+
+
+def _py_cosine(a, b):
+    dot = sum(float(x) * float(y) for x, y in zip(a, b))
+    na = math.sqrt(sum(float(x) ** 2 for x in a))
+    nb = math.sqrt(sum(float(y) ** 2 for y in b))
+    return dot / (na * nb)
+
+
+def test_topk_matches_python_brute_force(coll):
+    q = hash_embed("machine learning", 64)
+    got = semantic_topk(coll, q, 5, id_col="doc_id").collect()
+    rows = coll.select("doc_id", "embedding").collect()
+    expect = sorted(
+        ((r.doc_id, _py_cosine(r.embedding, q)) for r in rows),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [r.doc_id for r in got] == [d for d, _ in expect]
+    for r, (_, s) in zip(got, expect):
+        assert abs(r.score - s) < 1e-6
+
+
+def test_topk_scores_descending_and_k_rows(coll):
+    q = hash_embed("vector database", 64)
+    got = semantic_topk(coll, q, 10, id_col="doc_id").collect()
+    assert len(got) == 10
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in scores)
+
+
+def test_distance_threshold_filters(coll):
+    q = hash_embed("machine learning", 64)
+    got = semantic_topk(coll, q, 1000, id_col="doc_id", distance_threshold=0.7).collect()
+    assert all(1.0 - r.score <= 0.7 + 1e-9 for r in got)
+    # negative threshold → skipped (base.py:189-211)
+    all_rows = semantic_topk(coll, q, 1000, id_col="doc_id", distance_threshold=-1).collect()
+    assert len(all_rows) == coll.count()
+
+
+def test_multi_query_batched(coll):
+    queries = [(0, hash_embed("alpha", 64)), (1, hash_embed("beta", 64))]
+    got = semantic_topk_multi(coll, queries, 3, id_col="doc_id").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    for qid, rows in by_q.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3]
+        single = semantic_topk(coll, dict(queries)[qid], 3, id_col="doc_id").collect()
+        assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)] == [r.doc_id for r in single]
+
+
+def test_empty_collection_returns_empty(spark, coll):
+    empty = coll.where(F.lit(False))
+    got = semantic_topk(empty, hash_embed("x", 64), 5, id_col="doc_id").collect()
+    assert got == []

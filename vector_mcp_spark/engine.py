@@ -1,0 +1,224 @@
+"""CollectionEngine — the Spark-native analogue of the reference ``Api`` +
+``VectorDatabase`` protocol (``vector_mcp/vector_api.py:195``,
+``vector_mcp/vectordb/base.py:78-253``).
+
+Collections are Parquet tables under ``root/collections/<physical>`` plus a
+``_catalog`` Parquet table mirroring ``vector_mcp_collections``
+(``vector_mcp/vectordb/postgres.py:30-35,106-115``): one row per collection
+with the physical table name (``vm_`` + sha256(name)[:24], same scheme as
+``postgres.py:33-35``) and the locked embedding dimension
+(dimension-drift rejection per ``postgres.py:164-172``).
+
+Multi-tenancy: logical name → physical ``t_<sha256(tenant)[:16]>_<name>``
+(``vector_mcp/vector_api.py:216-223``); listing filters and strips the
+prefix (``vector_api.py:455-476``).
+
+Every mutation is a bulk DataFrame write (the reference asserts 1 bulk write
+per ingest, ``tests/test_secure_backends.py:177-196``); upsert is the
+anti-join ∪ new rewrite (Delta MERGE is the documented upgrade path at
+100 TB — SURVEY §7 risk 3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+from collections.abc import Mapping, Sequence
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_mcp_spark.functions.hashing import content_hash_id
+from vector_mcp_spark.sanitize import sanitize_content_col, sanitize_metadata_col
+from vector_mcp_spark.schema import CATALOG_SCHEMA, DOCUMENT_SCHEMA
+from vector_mcp_spark.validation import (
+    EngineError,
+    validate_collection_name,
+    validate_delete_confirm,
+    validate_ingest_bounds,
+)
+
+
+def _physical_name(logical: str) -> str:
+    # postgres.py:33-35 — "vm_" + sha256(name)[:24]
+    return "vm_" + hashlib.sha256(logical.encode("utf-8")).hexdigest()[:24]
+
+
+def _tenant_prefix(tenant: str) -> str:
+    # vector_api.py:216-223 — "t_" + sha256(tenant)[:16] + "_"
+    return "t_" + hashlib.sha256(tenant.encode("utf-8")).hexdigest()[:16] + "_"
+
+
+class CollectionEngine:
+    def __init__(self, spark: SparkSession, root: str, tenant: str | None = None):
+        self.spark = spark
+        self.root = Path(root)
+        self.tenant = tenant
+        (self.root / "collections").mkdir(parents=True, exist_ok=True)
+
+    # -- catalog ------------------------------------------------------------
+
+    @property
+    def _catalog_path(self) -> str:
+        return str(self.root / "_catalog")
+
+    def _read_catalog(self) -> DataFrame:
+        path = Path(self._catalog_path)
+        if not path.exists() or not any(path.glob("*.parquet")):
+            return self.spark.createDataFrame([], CATALOG_SCHEMA)
+        return self.spark.read.schema(CATALOG_SCHEMA).parquet(self._catalog_path)
+
+    def _write_catalog(self, df: DataFrame) -> None:
+        # Tiny metadata table: coalesce(1) avoids thousands of shard files.
+        tmp = str(self.root / "_catalog_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        out = Path(self._catalog_path)
+        if out.exists():
+            shutil.rmtree(out)
+        Path(tmp).rename(out)
+
+    def _scoped(self, name: str) -> str:
+        validate_collection_name(name)
+        if self.tenant:
+            return _tenant_prefix(self.tenant) + name
+        return name
+
+    def _table_path(self, scoped_name: str) -> str:
+        return str(self.root / "collections" / _physical_name(scoped_name))
+
+    # -- S1-S4: collection DDL (base.py:88-137) -----------------------------
+
+    def create_collection(
+        self, name: str, dimension: int | None = None, overwrite: bool = False, get_or_create: bool = True
+    ) -> str:
+        scoped = self._scoped(name)
+        cat = self._read_catalog()
+        exists = cat.where(F.col("collection_name") == scoped).count() > 0
+        if exists and not overwrite:
+            if not get_or_create:
+                raise EngineError("collection_exists")  # base.py:96-99
+            return scoped
+        if exists and overwrite:
+            self.delete_collection(name, confirm=True)
+            cat = self._read_catalog()
+        row = self.spark.createDataFrame(
+            [(scoped, _physical_name(scoped), dimension, datetime.now(timezone.utc))], CATALOG_SCHEMA
+        )
+        self._write_catalog(cat.unionByName(row))
+        empty = self.spark.createDataFrame([], DOCUMENT_SCHEMA)
+        empty.write.mode("overwrite").parquet(self._table_path(scoped))
+        return scoped
+
+    def get_collections(self) -> list[str]:
+        # vector_api.py:455-476 — tenant filter + strip prefix + sort + dedup
+        cat = self._read_catalog()
+        names = [r.collection_name for r in cat.select("collection_name").collect()]
+        if self.tenant:
+            pfx = _tenant_prefix(self.tenant)
+            names = [n[len(pfx):] for n in names if n.startswith(pfx)]
+        return sorted(set(names))
+
+    def collection_exists(self, name: str) -> bool:
+        scoped = self._scoped(name)
+        return self._read_catalog().where(F.col("collection_name") == scoped).count() > 0
+
+    def _require(self, name: str) -> str:
+        scoped = self._scoped(name)
+        if not self.collection_exists(name):
+            raise EngineError("collection_not_found")  # base.py:107-117
+        return scoped
+
+    def delete_collection(self, name: str, confirm: bool = False) -> None:
+        validate_delete_confirm(confirm)  # vector_api.py:448-449
+        scoped = self._require(name)
+        cat = self._read_catalog().where(F.col("collection_name") != scoped)
+        self._write_catalog(cat)
+        path = Path(self._table_path(scoped))
+        if path.exists():
+            shutil.rmtree(path)
+
+    # -- documents ----------------------------------------------------------
+
+    def read(self, name: str) -> DataFrame:
+        scoped = self._require(name)
+        return self.spark.read.schema(DOCUMENT_SCHEMA).parquet(self._table_path(scoped))
+
+    def _overwrite_table(self, scoped: str, df: DataFrame) -> None:
+        # Parquet has no MERGE: stage to tmp dir then atomic-ish rename.
+        tmp = self._table_path(scoped) + "_stage"
+        df.write.mode("overwrite").parquet(tmp)
+        out = Path(self._table_path(scoped))
+        if out.exists():
+            shutil.rmtree(out)
+        Path(tmp).rename(out)
+
+    def add_documents(
+        self,
+        name: str,
+        contents: Sequence[str],
+        metadatas: Sequence[Mapping[str, str] | None] | None = None,
+        embeddings: Sequence[Sequence[float] | None] | None = None,
+        upsert: bool = True,
+    ) -> int:
+        """Bounded ingest: sanitize → content-hash id → dedup → upsert.
+
+        The reference pipeline at ``vector_api.py:413-439`` + ``303-317``
+        (sanitize, sha256→id, in-batch last-writer-wins dedup) and
+        ``base.py:139-172`` (upsert)."""
+        validate_ingest_bounds(contents)
+        scoped = self._require(name)
+        n = len(contents)
+        metadatas = metadatas if metadatas is not None else [None] * n
+        embeddings = embeddings if embeddings is not None else [None] * n
+        rows = [
+            ("", c, dict(m) if m else None, [float(x) for x in e] if e is not None else None)
+            for c, m, e in zip(contents, metadatas, embeddings)
+        ]
+        new = self.spark.createDataFrame(rows, DOCUMENT_SCHEMA)
+        new = new.withColumn("content", sanitize_content_col(F.col("content")))
+        new = new.withColumn("metadata", sanitize_metadata_col(F.col("metadata")))
+        new = new.withColumn("id", content_hash_id(F.col("content")))
+        # T2 in-batch dedup, last-writer-wins (vector_api.py:363-366)
+        new = new.withColumn("_ord", F.monotonically_increasing_id())
+        w_last = Window.partitionBy("id").orderBy(F.col("_ord").desc())
+        new = (
+            new.withColumn("_rn", F.row_number().over(w_last))
+            .where(F.col("_rn") == 1)
+            .drop("_ord", "_rn")
+        )
+
+        existing = self.read(name)
+        if not upsert:
+            # T8 duplicate guard (qdrant.py:176-189)
+            if existing.join(new, "id", "left_semi").count() > 0:
+                raise EngineError("document_exists")
+        merged = existing.join(new, "id", "left_anti").unionByName(new)
+        count = merged.count()
+        self._overwrite_table(scoped, merged)
+        return count
+
+    def update_documents(self, name: str, df: DataFrame) -> None:
+        """T7 upsert from a prepared Document-schema DataFrame."""
+        scoped = self._require(name)
+        existing = self.read(name)
+        merged = existing.join(df.select("id"), "id", "left_anti").unionByName(df.select(*existing.columns))
+        self._overwrite_table(scoped, merged)
+
+    def delete_documents(self, name: str, ids: Sequence[str]) -> None:
+        # T9 (base.py:174-187) — anti-join rewrite
+        scoped = self._require(name)
+        ids_df = self.spark.createDataFrame([(str(i),) for i in ids], "id string")
+        self._overwrite_table(scoped, self.read(name).join(ids_df, "id", "left_anti"))
+
+    def get_documents_by_ids(
+        self, name: str, ids: Sequence[str] | None = None, include: Sequence[str] | None = None
+    ) -> DataFrame:
+        # T10 (base.py:233-253); ids=None → full scan (chromadb.py:186-237)
+        df = self.read(name)
+        if ids is not None:
+            ids_df = self.spark.createDataFrame([(str(i),) for i in ids], "id string")
+            df = df.join(F.broadcast(ids_df), "id", "left_semi")
+        cols = ["id", *include] if include else df.columns
+        return df.select(*dict.fromkeys(cols))

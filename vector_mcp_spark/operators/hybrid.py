@@ -1,0 +1,61 @@
+"""Hybrid search — weighted Reciprocal Rank Fusion (SURVEY.md §2.3 Q6).
+
+Replicates ``vector_mcp/vector_api.py:518-566`` exactly:
+
+- run semantic + lexical legs independently, each producing a ranked top-k;
+- fused score per doc = Σ_leg weight / (rrf_k + rank), rank 1-based within
+  each leg (``vector_api.py:556-565``);
+- dedup by id (a doc appearing in both legs gets the sum of contributions);
+- global top-n = the ``heapq.nlargest`` step → here ``orderBy().limit()``
+  which Catalyst plans as TakeOrderedAndProject (same no-full-sort property).
+
+Defaults match the reference: weights 0.5/0.5, rrf_k=60
+(``vector_api.py:524-533``). Ranking ties are pinned by id ascending.
+
+Scale: each leg shuffles only (id, score); fusion is a groupBy on the union
+of two k-row frames — negligible. Payload re-attach is a broadcast join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SCORE_DECIMALS = 6
+
+
+def rrf_fuse(
+    legs: Sequence[tuple[DataFrame, float]],
+    n: int,
+    rrf_k: int = 60,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Fuse ranked legs ``[(df(id, score), weight), ...]`` by weighted RRF.
+
+    Each leg is ranked internally by (score desc, id asc) — rank is derived
+    here, not trusted from the leg, so any (id, score) frame fuses correctly.
+    Returns (id, score) with the fused score rounded to 6 dp.
+    """
+    contribs = []
+    for leg_df, weight in legs:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        contribs.append(
+            leg_df.select(id_col, score_col)
+            .withColumn("rank", F.row_number().over(w))
+            .select(
+                F.col(id_col),
+                (F.lit(float(weight)) / (F.lit(int(rrf_k)) + F.col("rank"))).alias("contrib"),
+            )
+        )
+    unioned = contribs[0]
+    for c in contribs[1:]:
+        unioned = unioned.unionByName(c)
+    return (
+        unioned.groupBy(id_col)
+        .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(n)
+    )

@@ -1,0 +1,155 @@
+"""Lexical (full-text) search — SURVEY.md §2.3 Q4/Q5.
+
+Canonical semantics chosen for cross-engine parity (SURVEY §7 risk 1):
+
+- **tf scoring** (default): score(doc) = Σ over *distinct* query terms of the
+  token-count of that term in the content — the reference native backend's
+  scan fallback (``vector_mcp/vectordb/epistemic_graph.py:352-375``,
+  ``sum(content.count(term))``) on token boundaries, casefolded with
+  ``[A-Za-z0-9_]{2,}`` (``epistemic_graph.py:55,324-326``).
+- **AND match**: all query terms must appear (PostgreSQL
+  ``plainto_tsquery`` AND-of-terms semantics, ``postgres.py:358-365``).
+- **substring match**: constant score 1.0 when content contains the raw
+  query (ChromaDB ``where_document={"$contains": q}``,
+  ``chromadb.py:259-290``; Couchbase N1QL ``LIKE '%q%'``,
+  ``couchbase.py:700``).
+- **BM25**: the ranked variant (pg ``ts_rank_cd`` analogue) built from a
+  postings aggregation — k1=1.2, b=0.75, idf = ln((N−df+0.5)/(df+0.5)+1).
+
+Scale design: tf/AND scoring is a single map-side pass over content (tokens
++ array intersect — whole-stage codegen, zero shuffle before top-k, which is
+TakeOrderedAndProject). BM25 shuffles only the exploded (doc, term) pairs
+*for query terms only* — terms are semi-join-filtered before the groupBy, so
+shuffle volume is O(matching postings), not O(corpus tokens).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_mcp_spark.functions.text import tokenize_py, tokens
+
+SCORE_DECIMALS = 6
+
+
+def _distinct_terms(query: str) -> list[str]:
+    seen: dict[str, None] = {}
+    for t in tokenize_py(query):
+        seen.setdefault(t)
+    return list(seen)
+
+
+def lexical_tf_topk(
+    docs: DataFrame,
+    query: str,
+    k: int,
+    id_col: str = "id",
+    content_col: str = "content",
+    payload_cols: tuple[str, ...] = (),
+    require_all_terms: bool = False,
+) -> DataFrame:
+    """Term-frequency ranked lexical search; ``require_all_terms=True`` gives
+    pg ``plainto_tsquery`` AND semantics. Returns (id, *payload, score)."""
+    terms = _distinct_terms(query)
+    if not terms:
+        return docs.select(id_col, *payload_cols).where(F.lit(False)).withColumn("score", F.lit(0.0))
+    terms_lit = F.array(*[F.lit(t) for t in terms])
+    toks = tokens(F.col(content_col))
+    score = F.size(F.filter(toks, lambda t: F.array_contains(terms_lit, t))).cast("double")
+    out = docs.withColumn("score", score).where(F.col("score") > 0)
+    if require_all_terms:
+        matched = F.size(F.array_intersect(F.array_distinct(tokens(F.col(content_col))), terms_lit))
+        out = out.where(matched == F.lit(len(terms)))
+    return (
+        out.select(id_col, *payload_cols, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def lexical_substring_topk(
+    docs: DataFrame,
+    query: str,
+    k: int,
+    id_col: str = "id",
+    content_col: str = "content",
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Substring containment with constant score 1.0 (chroma/couchbase
+    semantics); deterministic order by id."""
+    return (
+        docs.where(F.col(content_col).contains(query))
+        .select(id_col, *payload_cols)
+        .withColumn("score", F.lit(1.0))
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """Materializable inverted index: (term, id, tf) — the Spark analogue of
+    the pg GIN index (``postgres.py:189-196``). Partition/bucket by term when
+    persisting so query-term lookups prune partitions."""
+    return (
+        docs.select(id_col, F.explode(tokens(F.col(content_col))).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int,
+    id_col: str = "id",
+    content_col: str = "content",
+    k1: float = 1.2,
+    b: float = 0.75,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """BM25-ranked lexical search (the ``ts_rank_cd``-shaped variant, Q4).
+
+    idf = ln((N − df + 0.5)/(df + 0.5) + 1) (Lucene/ATIRE form, always ≥ 0);
+    tf_norm = tf·(k1+1)/(tf + k1·(1 − b + b·len/avg_len)). doc length is in
+    tokens. Returns (id, score) rounded to 6 dp.
+    """
+    terms = _distinct_terms(query)
+    if not terms:
+        return docs.select(id_col).where(F.lit(False)).withColumn("score", F.lit(0.0))
+    terms_lit = F.array(*[F.lit(t) for t in terms])
+
+    lengths = docs.select(id_col, F.size(tokens(F.col(content_col))).alias("doc_len"))
+    if postings is None:
+        postings = build_postings(docs, id_col, content_col)
+    qpost = postings.where(F.array_contains(terms_lit, F.col("term")))
+
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(tokens(F.col(content_col)))).alias("avg_len"),
+    )
+    df_per_term = qpost.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (
+        qpost.join(F.broadcast(df_per_term), "term")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "tf_norm",
+            (F.col("tf") * (F.lit(k1) + 1.0))
+            / (F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("doc_len") / F.col("avg_len"))),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("idf") * F.col("tf_norm")), SCORE_DECIMALS).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -1,0 +1,112 @@
+"""Semantic (cosine KNN) search — SURVEY.md §2.3 Q1/Q2/Q3/Q7/Q8.
+
+Reference semantics replicated:
+
+- score = cosine similarity (= 1 − cosine distance), the convention all the
+  reference backends return (``vector_mcp/vectordb/postgres.py:329-343``,
+  ``qdrant.py:242-270``, ``couchbase.py:339-348``).
+- optional distance threshold: keep hits with ``1 − sim <= threshold``
+  (``vector_mcp/vectordb/base.py:189-211``) — a pushdown-friendly predicate.
+- top-k: ``ORDER BY score DESC LIMIT k`` (``postgres.py:334-344``); ties
+  broken by id ascending so results are deterministic (the reference's heap
+  has unstable ties — we pin them).
+
+Scale design:
+
+- Single query: ``orderBy(desc).limit(k)`` → Catalyst plans
+  ``TakeOrderedAndProject`` — per-partition partial top-k, no global sort,
+  no shuffle of the full table.
+- Multi-query (Q7): queries live in a broadcast-joined literal DataFrame;
+  scores are computed map-side, then ONLY ``(query_id, id, score)`` —
+  not content — is shuffled for the per-query rank window. Payload columns
+  are re-attached afterwards by a broadcast semi-join on the tiny top-k id
+  set. At 100 TB this cuts shuffle bytes by ~the payload width.
+- Scores are rounded to 6 dp *after* ranking; all arithmetic is double with
+  sequential fold, matching the DuckDB oracle bit-for-bit in practice.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_mcp_spark.functions.vector import cosine_similarity, query_vector_lit
+
+SCORE_DECIMALS = 6
+
+
+def with_similarity(
+    docs: DataFrame,
+    query_vec: Sequence[float],
+    emb_col: str = "embedding",
+    out_col: str = "score",
+) -> DataFrame:
+    """Attach un-rounded cosine similarity to every row (map-side only)."""
+    return docs.withColumn(out_col, cosine_similarity(F.col(emb_col), query_vector_lit(query_vec)))
+
+
+def semantic_topk(
+    docs: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+    payload_cols: Sequence[str] = (),
+    distance_threshold: float | None = None,
+) -> DataFrame:
+    """Exact cosine top-k for one query vector.
+
+    Returns ``(id_col, *payload_cols, score)`` with score rounded to 6 dp,
+    ordered by (score desc, id asc). Plans as TakeOrderedAndProject.
+    """
+    scored = with_similarity(docs, query_vec, emb_col)
+    if distance_threshold is not None and distance_threshold >= 0:
+        # base.py:189-211 — keep cosine_distance <= threshold; skip if < 0
+        scored = scored.where(F.lit(1.0) - F.col("score") <= F.lit(float(distance_threshold)))
+    return (
+        scored.select(id_col, *payload_cols, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("score", F.round("score", SCORE_DECIMALS))
+    )
+
+
+def semantic_topk_multi(
+    docs: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+    payload_cols: Sequence[str] = (),
+    distance_threshold: float | None = None,
+) -> DataFrame:
+    """Batched multi-query KNN (Q7): one Spark job for N queries.
+
+    ``queries`` is ``[(query_id, vector), ...]``. Output:
+    ``(query_id, rank, id, *payload, score)``.
+    """
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
+        "query_id int, qvec array<double>",
+    )
+    # Broadcast the tiny query set; similarity is computed map-side.
+    scored = docs.join(F.broadcast(qdf)).withColumn(
+        "score", cosine_similarity(F.col(emb_col), F.col("qvec"))
+    )
+    if distance_threshold is not None and distance_threshold >= 0:
+        scored = scored.where(F.lit(1.0) - F.col("score") <= F.lit(float(distance_threshold)))
+
+    # Shuffle only the narrow (query_id, id, score) projection for ranking.
+    narrow = scored.select("query_id", id_col, "score")
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    topk = narrow.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+    if payload_cols:
+        payload = docs.select(id_col, *payload_cols)
+        topk = topk.join(payload, id_col, "left")
+    return topk.select(
+        "query_id", "rank", id_col, *payload_cols, F.round("score", SCORE_DECIMALS).alias("score")
+    )

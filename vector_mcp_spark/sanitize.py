@@ -1,0 +1,63 @@
+"""Content/metadata sanitization — SURVEY.md §2.2 T3/T4.
+
+Replicates the reference's observable redaction behavior
+(``vector_mcp/vector_api.py:40-46,284-301``):
+
+- filesystem-path shaped substrings → ``[REDACTED_PATH]``;
+- PII (email addresses; long digit runs shaped like phone numbers) redacted;
+- metadata keys matching
+  ``(file|filename|filepath|path|directory|dirname|uri|url|source)``
+  (case-insensitive) dropped entirely (``vector_api.py:40-43,289-293``).
+
+All of it is JVM-side: chained ``regexp_replace`` + ``map_filter`` — no
+Python UDF, so sanitization rides inside whole-stage codegen at ingest scan
+speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# vector_api.py:40-43
+PRIVATE_METADATA_KEY_PATTERN = r"(?i)^(file|filename|filepath|path|directory|dirname|uri|url|source)$"
+
+# Unix-style absolute path with at least two segments (vector_api.py:44-46 shape)
+PATH_PATTERN = r"(?:/[A-Za-z0-9._-]+){2,}/?"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?\d[\d ()-]{7,}\d"
+
+REDACTED_PATH = "[REDACTED_PATH]"
+REDACTED_PII = "[REDACTED]"
+
+
+def sanitize_text_col(col: Column) -> Column:
+    col = F.regexp_replace(col, EMAIL_PATTERN, REDACTED_PII)
+    col = F.regexp_replace(col, PATH_PATTERN, REDACTED_PATH)
+    col = F.regexp_replace(col, PHONE_PATTERN, REDACTED_PII)
+    return col
+
+
+def sanitize_content_col(col: Column) -> Column:
+    return sanitize_text_col(col)
+
+
+def sanitize_metadata_col(col: Column) -> Column:
+    """Drop private keys, then sanitize remaining values
+    (sanitizer recurses over metadata in ``vector_api.py:287-298``)."""
+    kept = F.map_filter(col, lambda k, v: ~k.rlike(PRIVATE_METADATA_KEY_PATTERN))
+    keys = F.map_keys(kept)
+    vals = F.transform(F.map_values(kept), sanitize_text_col)
+    return F.when(col.isNull(), F.lit(None).cast("map<string,string>")).otherwise(
+        F.map_from_arrays(keys, vals)
+    )
+
+
+def sanitize_text_py(text: str) -> str:
+    """Driver-side twin for query strings (``vector_api.py:548``)."""
+    import re
+
+    text = re.sub(EMAIL_PATTERN, REDACTED_PII, text)
+    text = re.sub(PATH_PATTERN, REDACTED_PATH, text)
+    text = re.sub(PHONE_PATTERN, REDACTED_PII, text)
+    return text

@@ -1,0 +1,108 @@
+"""Declared query suite: one entry per implemented operator (SURVEY.md §2).
+
+Each suite entry couples a Spark DataFrame builder ``(spark, sf_dir) ->
+DataFrame`` with the ANSI/DuckDB oracle SQL the driver hash-compares it
+against at sf0.01. Column names/aliases are kept identical on both sides;
+floats are rounded to 6 dp on both sides; every ranking is tie-broken by id
+so both engines select the same rows.
+
+The driver pre-registers views: region nation customer supplier part orders
+lineitem events documents embeddings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vector_mcp_spark.functions.embedder import hash_embed
+
+
+@dataclass
+class SuiteEntry:
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver does rows-only check
+    tags: tuple[str, ...] = field(default=())
+
+
+SUITE: dict[str, SuiteEntry] = {}
+
+
+def register(name: str, oracle: str | None, *tags: str):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        SUITE[name] = SuiteEntry(spark_fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def docs_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The working 'collection': documents joined to precomputed vectors
+    (stand-in for the embedding model per SURVEY §7 risk 6)."""
+    docs = load(spark, sf_dir, "documents")
+    embs = load(spark, sf_dir, "embeddings")
+    return docs.join(embs, docs.doc_id == embs.vec_id).select(
+        "doc_id", "text", "lang", "source", "n_chars", "embedding", "label"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared fixed parameters (must match between Spark fn and oracle SQL)
+# ---------------------------------------------------------------------------
+
+SEM_QUERY_TEXT = "machine learning"
+SEM_QUERY_VEC = hash_embed(SEM_QUERY_TEXT, 64)
+SEM_K = 10
+
+MULTI_QUERY_TEXTS = ["vector database", "stream processing", "hash join"]
+MULTI_QUERY_VECS = [(i, hash_embed(t, 64)) for i, t in enumerate(MULTI_QUERY_TEXTS)]
+
+LEX_QUERY = "spark join vector"
+LEX_K = 10
+
+DIST_THRESHOLD = 0.35
+
+RRF_K = 60
+HYBRID_N = 10
+HYBRID_W_SEM = 0.5
+HYBRID_W_LEX = 0.5
+
+
+def _vec_sql_literal(vec: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+
+
+def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
+    q = _vec_sql_literal(vec)
+    return (
+        f"list_dot_product({emb_expr}::DOUBLE[], {q}) / "
+        f"(sqrt(list_dot_product({emb_expr}::DOUBLE[], {emb_expr}::DOUBLE[])) * "
+        f"sqrt(list_dot_product({q}, {q})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1/Q8 — semantic search: exact cosine top-k (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+_SEM_ORACLE = f"""
+SELECT d.doc_id AS doc_id,
+       ROUND({_cosine_sql('e.embedding', SEM_QUERY_VEC)}, 6) AS score
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY {_cosine_sql('e.embedding', SEM_QUERY_VEC)} DESC, d.doc_id ASC
+LIMIT {SEM_K}
+"""
+
+
+@register("semantic_topk", _SEM_ORACLE, "search", "parity")
+def q_semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.semantic import semantic_topk
+
+    coll = docs_with_embeddings(spark, sf_dir)
+    return semantic_topk(coll, SEM_QUERY_VEC, SEM_K, id_col="doc_id", emb_col="embedding")
