@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns — ANN for the data pipeline.
+
+Two tiers (SURVEY.md §4 'ANN index' row):
+
+- **Exact brute-force cosine** (the correctness oracle): broadcast the query
+  set, score map-side, per-query top-k with a narrow shuffle. This is the
+  Spark analogue of the reference's couchbase fallback scan
+  (``vector_mcp/vectordb/couchbase.py:313-372``) — except distributed and
+  vectorized instead of a driver-side Python loop.
+- **LSH-bucketed approximate** (the scale path): random-hyperplane signs
+  bucket the corpus; per-query search touches only matching buckets (with
+  multi-probe on neighboring buckets), then exact re-rank inside the
+  candidate set. Mirrors the numCandidates-beam shape of the reference's
+  Mongo path (``mongodb.py:277``: beam = max(k*10, 100)).
+
+At cluster scale the bucketed table is written partitioned by bucket id so a
+query prunes partitions instead of scanning 100 TB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_mcp_spark.functions.vector import cosine_similarity
+
+SCORE_DECIMALS = 6
+
+
+def cosine_self_join_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors for every row of ``queries`` against ``corpus``.
+
+    Returns (query_id, rank, neighbor_id, score). ``queries`` is assumed
+    small relative to ``corpus`` and is broadcast.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("nvec"))
+    joined = c.join(F.broadcast(q))
+    if exclude_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.withColumn("score", cosine_similarity(F.col("nvec"), F.col("qvec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.select("query_id", "neighbor_id", "score")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("score", SCORE_DECIMALS).alias("score"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: str = "vector_mcp_spark") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from sha256 (no RNG state —
+    reproducible across sessions/engines)."""
+    planes = []
+    for p in range(n_planes):
+        vec = []
+        for i in range(dim):
+            h = hashlib.sha256(f"{seed}|{p}|{i}".encode()).digest()
+            u = int.from_bytes(h[:8], "big") / 2**64  # uniform [0,1)
+            vec.append(u - 0.5)
+        planes.append(vec)
+    return planes
+
+
+def _bucket_expr(emb_col: str, planes: Sequence[Sequence[float]]) -> F.Column:
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        prods = F.zip_with(
+            F.col(emb_col),
+            F.array(*[F.lit(float(x)) for x in plane]),
+            lambda x, y: x.cast("double") * y,
+        )
+        d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(d > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketize(
+    corpus: DataFrame, dim: int, n_planes: int = 8, emb_col: str = "embedding"
+) -> tuple[DataFrame, list[list[float]]]:
+    """Attach a random-hyperplane bucket id. Persist partitioned by
+    ``bucket`` for partition-pruned ANN at scale."""
+    planes = _hyperplanes(dim, n_planes)
+    return corpus.withColumn("bucket", _bucket_expr(emb_col, planes)), planes
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    bucketed_corpus: DataFrame,
+    planes: Sequence[Sequence[float]],
+    k: int,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k: candidates = rows in the query's bucket plus all
+    buckets within ``multiprobe_bits`` hamming distance (multi-probe LSH),
+    re-ranked by exact cosine. Returns (query_id, rank, neighbor_id, score).
+    """
+    n_planes = len(planes)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("qvec")).withColumn(
+        "qbucket", _bucket_expr("qvec", planes)
+    )
+    # Expand each query to its probe buckets (bucket ± single-bit flips).
+    probes = [F.col("qbucket")]
+    if multiprobe_bits >= 1:
+        for b in range(n_planes):
+            probes.append(F.col("qbucket").bitwiseXOR(F.lit(2**b)))
+    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+    c = bucketed_corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("nvec"), "bucket"
+    )
+    joined = c.join(F.broadcast(q), "bucket").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.withColumn("score", cosine_similarity(F.col("nvec"), F.col("qvec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.select("query_id", "neighbor_id", "score")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("score", SCORE_DECIMALS).alias("score"))
+    )
+
+
+def embedding_near_dup_blocked(
+    corpus: DataFrame,
+    threshold: float,
+    block_col: str,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup within blocks: pairs sharing
+    ``block_col`` (e.g. an upstream cluster/label id) with cosine ≥
+    threshold. Blocking keeps the self-join O(Σ block²); fully
+    deterministic, hence oracle-checkable. Returns (id_a, id_b, score)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("va"), F.col(block_col).alias("_blk"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("vb"), F.col(block_col).alias("_blk"))
+    pairs = a.join(b, "_blk").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("score", F.round(cosine_similarity(F.col("va"), F.col("vb")), SCORE_DECIMALS))
+        .where(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup: same-bucket LSH candidates verified by
+    exact cosine ≥ threshold. Returns (id_a, id_b, score)."""
+    bucketed, _ = lsh_bucketize(corpus, dim=dim, n_planes=n_planes, emb_col=emb_col)
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("va"), "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("score", F.round(cosine_similarity(F.col("va"), F.col("vb")), SCORE_DECIMALS))
+        .where(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+        .distinct()
+    )

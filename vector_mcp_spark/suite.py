@@ -39,7 +39,27 @@ def register(name: str, oracle: str | None, *tags: str):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    """Read a driver parquet table; transparently handles TIMESTAMP(NANOS)
+    columns (``events.ts``), which Spark's vectorized reader rejects —
+    they're read as long nanos and rebuilt as microsecond timestamps."""
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        from pyspark.sql import functions as F
+        import pyarrow as pa
+
+        for field in schema:
+            if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
+                df = df.withColumn(
+                    field.name, F.timestamp_micros((F.col(field.name) / 1000).cast("long"))
+                )
+        return df
 
 
 def docs_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +86,7 @@ MULTI_QUERY_VECS = [(i, hash_embed(t, 64)) for i, t in enumerate(MULTI_QUERY_TEX
 LEX_QUERY = "spark join vector"
 LEX_K = 10
 
-DIST_THRESHOLD = 0.35
+DIST_THRESHOLD = 0.8
 
 RRF_K = 60
 HYBRID_N = 10
@@ -87,22 +107,9 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
     )
 
 
-# ---------------------------------------------------------------------------
-# Q1/Q8 — semantic search: exact cosine top-k (SURVEY §2.3)
-# ---------------------------------------------------------------------------
-
-_SEM_ORACLE = f"""
-SELECT d.doc_id AS doc_id,
-       ROUND({_cosine_sql('e.embedding', SEM_QUERY_VEC)}, 6) AS score
-FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-ORDER BY {_cosine_sql('e.embedding', SEM_QUERY_VEC)} DESC, d.doc_id ASC
-LIMIT {SEM_K}
-"""
-
-
-@register("semantic_topk", _SEM_ORACLE, "search", "parity")
-def q_semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_mcp_spark.operators.semantic import semantic_topk
-
-    coll = docs_with_embeddings(spark, sf_dir)
-    return semantic_topk(coll, SEM_QUERY_VEC, SEM_K, id_col="doc_id", emb_col="embedding")
+# Query-suite modules register themselves on import (bottom import keeps the
+# registry and its helpers defined before the modules need them).
+from vector_mcp_spark import suite_search  # noqa: E402,F401
+from vector_mcp_spark import suite_mutation  # noqa: E402,F401
+from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
+from vector_mcp_spark import suite_relational  # noqa: E402,F401

@@ -1,0 +1,281 @@
+"""Declared data-pipeline queries: dedup family, similarity search, text
+analysis (the north-star LLM-training-data operators, SURVEY.md §7 M5).
+
+Every variant whose semantics are exactly reproducible in SQL carries a
+DuckDB oracle (including MinHash-LSH — the 'permutation' is a lexicographic
+min over sha256 strings precisely so the oracle can replay it). The
+random-hyperplane ANN variants are approximate by construction and are
+declared rows-only; their recall is tested in pytest against the exact
+operator instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_mcp_spark.suite import _cosine_sql, docs_with_embeddings, load, register
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9_]{2,}')"
+
+# -- T1/T2: exact dedup groups (content-hash id) ----------------------------
+
+_DEDUP_EXACT_ORACLE = """
+SELECT sha256(text) AS content_id, count(*) AS n_docs, min(doc_id) AS kept_id
+FROM documents GROUP BY sha256(text)
+"""
+
+
+@register("dedup_exact", _DEDUP_EXACT_ORACLE, "dedup", "pipeline")
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.dedup import exact_dedup_groups
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, id_col="doc_id", content_col="text")
+
+
+# -- normalized-prefix dedup -------------------------------------------------
+
+_DEDUP_NORM_ORACLE = f"""
+SELECT array_to_string(list_slice({_TOKS}, 1, 2), ' ') AS dedup_key,
+       count(*) AS n_docs, min(doc_id) AS kept_id
+FROM documents GROUP BY 1
+"""
+
+
+@register("dedup_normalized", _DEDUP_NORM_ORACLE, "dedup", "pipeline")
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.dedup import normalized_key_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return normalized_key_dedup(docs, id_col="doc_id", content_col="text", n_prefix_tokens=2)
+
+
+# -- blocked n-gram Jaccard near-dup pairs ----------------------------------
+
+_JACCARD_T = 0.95
+_PAIR_LIMIT = 200
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH dt AS (
+  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+         list_distinct({_TOKS}) AS toks
+  FROM documents
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6
+         ) AS jaccard
+  FROM dt a JOIN dt b
+    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+)
+WHERE jaccard >= {_JACCARD_T}
+ORDER BY jaccard DESC, id_a ASC, id_b ASC
+LIMIT {_PAIR_LIMIT}
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE, "dedup", "pipeline")
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 100)
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, _JACCARD_T, id_col="doc_id", content_col="text", block_cols=("lang", "len_bucket")
+    )
+    return pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(_PAIR_LIMIT)
+
+
+# -- MinHash + LSH near-dup pairs (oracle replays the banding!) --------------
+
+_MH_T = 0.9
+_MH_HASHES = 16
+_MH_BANDS = 2
+_MH_R = _MH_HASHES // _MH_BANDS
+
+_MINHASH_ORACLE = f"""
+WITH dt AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM dt),
+hp AS (
+  SELECT doc_id, p, min(sha256(CAST(p AS VARCHAR) || '|' || tok)) AS h
+  FROM ex CROSS JOIN (SELECT unnest(range({_MH_HASHES})) AS p)
+  GROUP BY doc_id, p
+),
+bands AS (
+  SELECT doc_id, CAST(p // {_MH_R} AS INT) AS band,
+         string_agg(h, '|' ORDER BY p) AS sig
+  FROM hp GROUP BY doc_id, p // {_MH_R}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT id_a, id_b,
+         ROUND(
+           CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+           (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 6
+         ) AS jaccard
+  FROM cand JOIN dt ta ON ta.doc_id = cand.id_a JOIN dt tb ON tb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= {_MH_T}
+ORDER BY jaccard DESC, id_a ASC, id_b ASC
+LIMIT {_PAIR_LIMIT}
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE, "dedup", "pipeline")
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, _MH_T, id_col="doc_id", content_col="text", num_hashes=_MH_HASHES, bands=_MH_BANDS
+    )
+    return pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(_PAIR_LIMIT)
+
+
+# -- SimHash fingerprints -----------------------------------------------------
+
+_SIMHASH_ORACLE = None  # oracle-able in principle; added as rows-only for now
+
+
+@register("simhash_fingerprints", _SIMHASH_ORACLE, "dedup", "pipeline")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.dedup import simhash
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash(docs, id_col="doc_id", content_col="text", bits=32)
+
+
+# -- exact similarity self-join: top-1 neighbor for a query subset -----------
+
+_SIM_TOP1_ORACLE = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) AS sim
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id != q.vec_id
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, ROUND(sim, 6) AS score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 1
+"""
+
+
+@register("simjoin_top1", _SIM_TOP1_ORACLE, "similarity", "pipeline")
+def q_simjoin_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.similarity import cosine_self_join_topk
+
+    embs = load(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 50)
+    return cosine_self_join_topk(queries, embs, 1, id_col="vec_id", emb_col="embedding")
+
+
+# -- approximate ANN (rows-only: approximate by construction) -----------------
+
+
+@register("ann_lsh_topk", None, "similarity", "pipeline")
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.similarity import ann_lsh_topk, lsh_bucketize
+
+    embs = load(spark, sf_dir, "embeddings")
+    bucketed, planes = lsh_bucketize(embs, dim=64, n_planes=8, emb_col="embedding")
+    queries = embs.where(F.col("vec_id") < 20)
+    return ann_lsh_topk(queries, bucketed, planes, 5, id_col="vec_id", emb_col="embedding")
+
+
+_EMB_NEARDUP_T = 0.4
+
+_EMB_NEARDUP_ORACLE = f"""
+SELECT id_a, id_b, score FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS score
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+WHERE score >= {_EMB_NEARDUP_T}
+ORDER BY score DESC, id_a ASC, id_b ASC
+LIMIT {_PAIR_LIMIT}
+"""
+
+
+@register("embedding_near_dup", _EMB_NEARDUP_ORACLE, "dedup", "pipeline")
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.similarity import embedding_near_dup_blocked
+
+    embs = load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_blocked(
+        embs, _EMB_NEARDUP_T, block_col="label", id_col="vec_id", emb_col="embedding"
+    )
+    return pairs.orderBy(F.col("score").desc(), "id_a", "id_b").limit(_PAIR_LIMIT)
+
+
+# -- text analysis: stats, quality, lang-id, fingerprint ----------------------
+
+_STOPWORDS_SQL = "('the','a','of','and','to','in','is','on','for','with')"
+_LANGS = {
+    "de": "('der','die','das','und','ist','nicht','ein','mit')",
+    "en": "('the','and','is','of','to','a','in','that')",
+    "es": "('el','la','de','que','y','los','es','un')",
+    "fr": "('le','la','et','les','des','est','une','dans')",
+}
+_LANG_SCORES = ",\n         ".join(
+    f"count(*) FILTER (WHERE tok IN {m}) AS s_{lang}" for lang, m in sorted(_LANGS.items())
+)
+_LANG_CASE = (
+    "CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 OR greatest(s_de, s_en, s_es, s_fr) IS NULL THEN 'und' "
+    + " ".join(
+        f"WHEN s_{lang} = greatest(s_de, s_en, s_es, s_fr) THEN '{lang}'" for lang in sorted(_LANGS)
+    )
+    + " END"
+)
+
+_TEXT_STATS_ORACLE = f"""
+WITH ex AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+per_doc AS (
+  SELECT doc_id,
+         count(*) AS n_toks,
+         count(*) FILTER (WHERE tok IN {_STOPWORDS_SQL}) AS n_stop,
+         {_LANG_SCORES},
+         array_to_string(list_sort(list_distinct(list(tok))), ' ') AS sorted_toks
+  FROM ex GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       CAST(COALESCE(p.n_toks, 0) AS INTEGER) AS n_tokens,
+       CAST(length(d.text) AS INTEGER) AS n_chars,
+       ROUND(CASE WHEN COALESCE(p.n_toks, 0) > 0
+                  THEN CAST(p.n_stop AS DOUBLE) / p.n_toks ELSE 0.0 END, 6) AS stop_ratio,
+       ROUND(CASE WHEN length(d.text) > 0
+                  THEN CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(d.text)
+                  ELSE 0.0 END, 6) AS alpha_ratio,
+       ROUND(0.4 * (CASE WHEN COALESCE(p.n_toks, 0) > 0
+                         THEN CAST(p.n_stop AS DOUBLE) / p.n_toks ELSE 0.0 END)
+           + 0.3 * least(CAST(COALESCE(p.n_toks, 0) AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (CASE WHEN length(d.text) > 0
+                         THEN CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(d.text)
+                         ELSE 0.0 END), 6) AS quality,
+       {_LANG_CASE} AS lang_pred,
+       md5(COALESCE(p.sorted_toks, '')) AS fingerprint
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+@register("text_stats", _TEXT_STATS_ORACLE, "textstats", "pipeline")
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.textstats import text_stats
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    return text_stats(docs, id_col="doc_id", content_col="content")

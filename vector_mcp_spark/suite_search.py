@@ -1,0 +1,285 @@
+"""Declared search queries — the reference's whole retrieval surface
+(SURVEY.md §2.3 Q1-Q8): exact cosine KNN (single / threshold / multi-query),
+lexical tf / AND / substring / BM25, hybrid RRF fusion.
+
+Every oracle mirrors the Spark plan's arithmetic: doubles, sequential array
+folds, 6-dp rounding applied at the same point, ranking ties pinned by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vector_mcp_spark.suite import (
+    DIST_THRESHOLD,
+    HYBRID_N,
+    HYBRID_W_LEX,
+    HYBRID_W_SEM,
+    LEX_K,
+    LEX_QUERY,
+    MULTI_QUERY_VECS,
+    RRF_K,
+    SEM_K,
+    SEM_QUERY_VEC,
+    _cosine_sql,
+    _vec_sql_literal,
+    docs_with_embeddings,
+    load,
+    register,
+)
+
+# ---------------------------------------------------------------------------
+# Q1/Q8 — semantic search: exact cosine top-k
+# ---------------------------------------------------------------------------
+
+_SEM_ORACLE = f"""
+SELECT d.doc_id AS doc_id,
+       ROUND({_cosine_sql('e.embedding', SEM_QUERY_VEC)}, 6) AS score
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY {_cosine_sql('e.embedding', SEM_QUERY_VEC)} DESC, d.doc_id ASC
+LIMIT {SEM_K}
+"""
+
+
+@register("semantic_topk", _SEM_ORACLE, "search", "parity")
+def q_semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.semantic import semantic_topk
+
+    coll = docs_with_embeddings(spark, sf_dir)
+    return semantic_topk(coll, SEM_QUERY_VEC, SEM_K, id_col="doc_id", emb_col="embedding")
+
+
+# ---------------------------------------------------------------------------
+# Q3 — distance-threshold semantic search (base.py:189-211 contract)
+# ---------------------------------------------------------------------------
+
+_SEM_THRESH_ORACLE = f"""
+SELECT d.doc_id AS doc_id,
+       ROUND({_cosine_sql('e.embedding', SEM_QUERY_VEC)}, 6) AS score
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE 1.0 - ({_cosine_sql('e.embedding', SEM_QUERY_VEC)}) <= {DIST_THRESHOLD}
+ORDER BY {_cosine_sql('e.embedding', SEM_QUERY_VEC)} DESC, d.doc_id ASC
+LIMIT 1000
+"""
+
+
+@register("semantic_threshold", _SEM_THRESH_ORACLE, "search", "parity")
+def q_semantic_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.semantic import semantic_topk
+
+    coll = docs_with_embeddings(spark, sf_dir)
+    return semantic_topk(
+        coll, SEM_QUERY_VEC, 1000, id_col="doc_id", emb_col="embedding",
+        distance_threshold=DIST_THRESHOLD,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — batched multi-query semantic search
+# ---------------------------------------------------------------------------
+
+_MQ_VALUES = ", ".join(f"({qid}, {_vec_sql_literal(vec)})" for qid, vec in MULTI_QUERY_VECS)
+_MQ_K = 5
+
+_MQ_ORACLE = f"""
+WITH q(query_id, qvec) AS (VALUES {_MQ_VALUES}),
+scored AS (
+  SELECT q.query_id, d.doc_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qvec) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(q.qvec, q.qvec))) AS sim
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, doc_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, ROUND(sim, 6) AS score
+FROM ranked WHERE rnk <= {_MQ_K}
+"""
+
+
+@register("semantic_multiquery", _MQ_ORACLE, "search", "parity")
+def q_semantic_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.semantic import semantic_topk_multi
+
+    coll = docs_with_embeddings(spark, sf_dir)
+    return semantic_topk_multi(coll, MULTI_QUERY_VECS, _MQ_K, id_col="doc_id", emb_col="embedding")
+
+
+# ---------------------------------------------------------------------------
+# Q5 — lexical term-frequency search (epistemic fallback semantics)
+# ---------------------------------------------------------------------------
+
+_LEX_TERMS_SQL = "('spark', 'join', 'vector')"
+
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]{2,}')) AS tok
+  FROM documents
+)"""
+
+_LEX_TF_ORACLE = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, score FROM (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS score
+  FROM toks WHERE tok IN {_LEX_TERMS_SQL}
+  GROUP BY doc_id
+) ORDER BY score DESC, doc_id ASC LIMIT {LEX_K}
+"""
+
+
+@register("lexical_tf", _LEX_TF_ORACLE, "search", "parity")
+def q_lexical_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.lexical import lexical_tf_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return lexical_tf_topk(docs, LEX_QUERY, LEX_K, id_col="doc_id", content_col="text")
+
+
+# ---------------------------------------------------------------------------
+# Q4 — lexical AND-match (pg plainto_tsquery semantics)
+# ---------------------------------------------------------------------------
+
+_LEX_AND_ORACLE = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, score FROM (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS score, count(DISTINCT tok) AS nd
+  FROM toks WHERE tok IN {_LEX_TERMS_SQL}
+  GROUP BY doc_id
+) WHERE nd = 3
+ORDER BY score DESC, doc_id ASC LIMIT {LEX_K}
+"""
+
+
+@register("lexical_and", _LEX_AND_ORACLE, "search", "parity")
+def q_lexical_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.lexical import lexical_tf_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return lexical_tf_topk(
+        docs, LEX_QUERY, LEX_K, id_col="doc_id", content_col="text", require_all_terms=True
+    ).select("doc_id", "score")
+
+
+# ---------------------------------------------------------------------------
+# Q5 — substring containment (chroma $contains / couchbase LIKE semantics)
+# ---------------------------------------------------------------------------
+
+LEX_SUB_QUERY = "merge sort"
+
+_LEX_SUB_ORACLE = f"""
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM documents WHERE contains(text, '{LEX_SUB_QUERY}')
+ORDER BY doc_id ASC LIMIT {LEX_K}
+"""
+
+
+@register("lexical_substring", _LEX_SUB_ORACLE, "search", "parity")
+def q_lexical_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.lexical import lexical_substring_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return lexical_substring_topk(docs, LEX_SUB_QUERY, LEX_K, id_col="doc_id", content_col="text")
+
+
+# ---------------------------------------------------------------------------
+# Q4 ranked variant — BM25 (pg ts_rank_cd analogue; k1=1.2, b=0.75)
+# ---------------------------------------------------------------------------
+
+_BM25_ORACLE = f"""
+WITH {_TOKS_CTE},
+lens AS (
+  SELECT d.doc_id, count(t.tok) AS doc_len
+  FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(doc_len) FROM lens) AS avg_len
+),
+post AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM toks WHERE tok IN {_LEX_TERMS_SQL}
+  GROUP BY doc_id, tok
+),
+dfreq AS (SELECT tok, count(*) AS df FROM post GROUP BY tok),
+scored AS (
+  SELECT p.doc_id,
+         SUM(
+           ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) *
+           (p.tf * (1.2 + 1.0)) /
+           (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.doc_len / s.avg_len))
+         ) AS s
+  FROM post p
+  JOIN dfreq f ON p.tok = f.tok
+  JOIN lens l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, ROUND(s, 6) AS score FROM scored
+ORDER BY ROUND(s, 6) DESC, doc_id ASC LIMIT {LEX_K}
+"""
+
+
+@register("lexical_bm25", _BM25_ORACLE, "search", "parity")
+def q_lexical_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.lexical import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return bm25_topk(docs, LEX_QUERY, LEX_K, id_col="doc_id", content_col="text")
+
+
+# ---------------------------------------------------------------------------
+# Q6 — hybrid search: weighted RRF fusion (vector_api.py:518-566)
+# ---------------------------------------------------------------------------
+
+_HYBRID_LEG_K = 20
+
+_HYBRID_ORACLE = f"""
+WITH sem_leg AS (
+  SELECT d.doc_id, {_cosine_sql('e.embedding', SEM_QUERY_VEC)} AS s
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  ORDER BY s DESC, d.doc_id ASC LIMIT {_HYBRID_LEG_K}
+),
+sem_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id ASC) AS rnk
+  FROM sem_leg
+),
+{_TOKS_CTE},
+lex_leg AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS s
+  FROM toks WHERE tok IN {_LEX_TERMS_SQL}
+  GROUP BY doc_id
+  ORDER BY s DESC, doc_id ASC LIMIT {_HYBRID_LEG_K}
+),
+lex_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rnk
+  FROM lex_leg
+),
+fused AS (
+  SELECT doc_id, SUM(contrib) AS s FROM (
+    SELECT doc_id, {HYBRID_W_SEM} / ({RRF_K} + rnk) AS contrib FROM sem_rank
+    UNION ALL
+    SELECT doc_id, {HYBRID_W_LEX} / ({RRF_K} + rnk) AS contrib FROM lex_rank
+  ) GROUP BY doc_id
+)
+SELECT doc_id, ROUND(s, 6) AS score FROM fused
+ORDER BY ROUND(s, 6) DESC, doc_id ASC LIMIT {HYBRID_N}
+"""
+
+
+@register("hybrid_rrf", _HYBRID_ORACLE, "search", "parity")
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.hybrid import rrf_fuse
+    from vector_mcp_spark.operators.lexical import lexical_tf_topk
+    from vector_mcp_spark.operators.semantic import semantic_topk
+
+    coll = docs_with_embeddings(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    sem = semantic_topk(coll, SEM_QUERY_VEC, _HYBRID_LEG_K, id_col="doc_id", emb_col="embedding")
+    lex = lexical_tf_topk(docs, LEX_QUERY, _HYBRID_LEG_K, id_col="doc_id", content_col="text")
+    return rrf_fuse(
+        [(sem, HYBRID_W_SEM), (lex, HYBRID_W_LEX)], HYBRID_N, rrf_k=RRF_K, id_col="doc_id"
+    )
