@@ -1,0 +1,70 @@
+from __future__ import annotations
+
+import pytest
+
+from vector_mcp_spark.api import VectorSearchApi
+from vector_mcp_spark.engine import CollectionEngine
+from vector_mcp_spark.validation import EngineError
+
+CORPUS = [
+    "Python is a great programming language for data work",
+    "Vector databases store embeddings for semantic search",
+    "Apache Spark processes large datasets in parallel",
+    "Databases use indexes to speed up queries",
+    "Machine learning models learn from data",
+]
+
+
+@pytest.fixture(scope="module")
+def api(spark, tmp_path_factory):
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("api_root")))
+    eng.create_collection("kb")
+    eng.add_documents("kb", CORPUS)
+    return VectorSearchApi(eng)
+
+
+def test_hybrid_search_end_to_end(api):
+    got = api.search("kb", "database search", number_results=3)
+    rows = got.collect()
+    assert 0 < len(rows) <= 3
+    assert rows[0].content is not None
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lexical_leg_drives_matching(api):
+    rows = api.search("kb", "Python programming", number_results=5).collect()
+    top_contents = [r.content for r in rows[:2]]
+    assert any("Python" in c for c in top_contents)
+
+
+def test_semantic_search_multi_query(api):
+    got = api.semantic_search("kb", ["data processing", "semantic search"], number_results=2)
+    rows = got.collect()
+    assert {r.query_id for r in rows} == {0, 1}
+    assert all(r.rank in (1, 2) for r in rows)
+
+
+def test_lexical_search_batch(api):
+    rows = api.lexical_search("kb", ["Python", "databases"], number_results=3).collect()
+    assert {r.query_id for r in rows} <= {0, 1}
+    assert all(r.score > 0 for r in rows)
+
+
+def test_validation_boundary(api):
+    with pytest.raises(EngineError, match="question_invalid"):
+        api.search("kb", "   ")
+    with pytest.raises(EngineError, match="number_results_invalid"):
+        api.search("kb", "q", number_results=0)
+    with pytest.raises(EngineError, match="number_results_invalid"):
+        api.search("kb", "q", number_results=True)
+    with pytest.raises(EngineError, match="rrf_k_invalid"):
+        api.search("kb", "q", rrf_k=0)
+    with pytest.raises(EngineError, match="hybrid_weights_invalid"):
+        api.search("kb", "q", semantic_weight=0.0, lexical_weight=0.0)
+
+
+def test_query_sanitized_before_search(api):
+    # PII in the query must not crash and must be redacted pre-embedding
+    rows = api.search("kb", "find alice@example.com data", number_results=2).collect()
+    assert len(rows) > 0

@@ -1,0 +1,101 @@
+from __future__ import annotations
+
+import pytest
+
+from vector_mcp_spark.operators.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    normalized_key_dedup,
+    simhash,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "en"),
+    (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+    (3, "the quick brown fox jumps over a lazy dog today", "en"),  # near dup
+    (4, "completely different content about databases and indexes", "en"),
+    (5, "der schnelle braune fuchs springt", "de"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string, lang string").cache()
+
+
+def _jaccard(a: str, b: str) -> float:
+    import re
+
+    tok = lambda s: set(re.findall(r"[A-Za-z0-9_]{2,}", s.lower()))  # noqa: E731
+    sa, sb = tok(a), tok(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup_groups(docs):
+    got = {r.content_id: (r.n_docs, r.kept_id) for r in
+           exact_dedup_groups(docs, id_col="doc_id", content_col="text").collect()}
+    assert len(got) == 4  # 5 docs, one exact dup pair
+    assert (2, 1) in got.values()  # dup group keeps min id
+
+
+def test_normalized_prefix_dedup(docs):
+    got = {r.dedup_key: r.n_docs for r in
+           normalized_key_dedup(docs, id_col="doc_id", content_col="text", n_prefix_tokens=2).collect()}
+    assert got["the quick"] == 3  # docs 1,2,3 share the 2-token prefix
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    got = ngram_jaccard_pairs(docs, 0.5, id_col="doc_id", content_col="text").collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in got}
+    assert pairs[(1, 2)] == 1.0
+    assert abs(pairs[(1, 3)] - _jaccard(DOCS[0][1], DOCS[2][1])) < 1e-6
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_blocking_restricts_pairs(docs):
+    blocked = ngram_jaccard_pairs(docs, 0.0, id_col="doc_id", content_col="text", block_cols=("lang",))
+    assert all(r.id_a != 5 and r.id_b != 5 or False for r in blocked.collect())
+    # doc5 is the only 'de' doc → appears in no pair
+    ids = {i for r in blocked.collect() for i in (r.id_a, r.id_b)}
+    assert 5 not in ids
+
+
+def test_bigram_jaccard(docs):
+    got = ngram_jaccard_pairs(docs, 0.99, id_col="doc_id", content_col="text", ngram=2).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}  # only exact dup survives bigrams
+
+
+def test_minhash_exact_dup_identical_signatures(docs):
+    sigs = minhash_signatures(docs, id_col="doc_id", content_col="text", num_hashes=8)
+    rows = sigs.collect()
+    s1 = sorted((r.p, r.minhash) for r in rows if r.id == 1)
+    s2 = sorted((r.p, r.minhash) for r in rows if r.id == 2)
+    assert s1 == s2 and len(s1) == 8
+
+
+def test_minhash_lsh_pipeline(docs):
+    got = minhash_lsh_pairs(docs, 0.5, id_col="doc_id", content_col="text",
+                            num_hashes=8, bands=4).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert (1, 2) in pairs  # exact dup always collides
+    for r in got:
+        assert r.jaccard >= 0.5  # verification filter holds
+
+
+def test_lsh_candidates_are_pairs_not_cross_join(docs):
+    sigs = minhash_signatures(docs, id_col="doc_id", content_col="text", num_hashes=8)
+    cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).collect()
+    assert all(r.id_a < r.id_b for r in cands)
+
+
+def test_simhash_similar_docs_close(docs):
+    got = {r.id: r.simhash for r in simhash(docs, id_col="doc_id", content_col="text", bits=32).collect()}
+    assert got[1] == got[2]  # identical text → identical fingerprint
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(got[1], got[3]) < hamming(got[1], got[4])  # near-dup closer than unrelated

@@ -1,0 +1,102 @@
+from __future__ import annotations
+
+import pytest
+
+from vector_mcp_spark.engine import CollectionEngine
+from vector_mcp_spark.validation import EngineError
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return CollectionEngine(spark, str(tmp_path), tenant="acme")
+
+
+def test_lifecycle(engine):
+    engine.create_collection("kb")
+    assert engine.get_collections() == ["kb"]
+    assert engine.collection_exists("kb")
+    engine.delete_collection("kb", confirm=True)
+    assert engine.get_collections() == []
+
+
+def test_create_existing_no_get_or_create(engine):
+    engine.create_collection("kb")
+    with pytest.raises(EngineError, match="collection_exists"):
+        engine.create_collection("kb", get_or_create=False)
+    engine.create_collection("kb")  # get-or-create default is silent
+
+
+def test_overwrite_drops_documents(engine):
+    engine.create_collection("kb")
+    engine.add_documents("kb", ["doc one text"])
+    assert engine.read("kb").count() == 1
+    engine.create_collection("kb", overwrite=True)
+    assert engine.read("kb").count() == 0
+
+
+def test_ingest_dedup_and_sanitize(engine):
+    engine.create_collection("kb")
+    n = engine.add_documents(
+        "kb",
+        ["same content", "same content", "mail bob@example.com", "see /private/x/y now"],
+        metadatas=[{"topic": "t"}, {"topic": "t"}, {"filepath": "/a/b", "kept": "v"}, None],
+    )
+    assert n == 3  # exact dup collapsed
+    rows = {r.content: r.metadata for r in engine.read("kb").collect()}
+    assert "mail [REDACTED] maybe" not in rows  # sanity: no over-redaction
+    assert any("[REDACTED]" in c for c in rows)
+    assert any("[REDACTED_PATH]" in c for c in rows)
+    meta = rows[next(c for c in rows if "[REDACTED]" in c and "PATH" not in c)]
+    assert meta == {"kept": "v"}  # filepath key dropped
+
+
+def test_content_addressed_ids_stable(engine):
+    engine.create_collection("kb")
+    engine.add_documents("kb", ["alpha"])
+    id1 = engine.read("kb").collect()[0].id
+    engine.add_documents("kb", ["alpha"])  # upsert same content
+    rows = engine.read("kb").collect()
+    assert len(rows) == 1 and rows[0].id == id1
+
+
+def test_no_upsert_duplicate_guard(engine):
+    engine.create_collection("kb")
+    engine.add_documents("kb", ["alpha"])
+    with pytest.raises(EngineError, match="document_exists"):
+        engine.add_documents("kb", ["alpha"], upsert=False)
+
+
+def test_delete_and_get_by_ids(engine):
+    engine.create_collection("kb")
+    engine.add_documents("kb", ["a text", "b text", "c text"])
+    ids = sorted(r.id for r in engine.read("kb").collect())
+    got = engine.get_documents_by_ids("kb", ids[:2], include=["content"])
+    assert got.count() == 2 and got.columns == ["id", "content"]
+    engine.delete_documents("kb", ids[:1])
+    assert engine.read("kb").count() == 2
+
+
+def test_tenant_isolation(spark, tmp_path, engine):
+    engine.create_collection("kb")
+    other = CollectionEngine(spark, str(tmp_path), tenant="other")
+    assert other.get_collections() == []
+    with pytest.raises(EngineError, match="collection_not_found"):
+        other.read("kb")
+
+
+def test_untenanted_engine(spark, tmp_path):
+    eng = CollectionEngine(spark, str(tmp_path))
+    eng.create_collection("plain")
+    assert eng.get_collections() == ["plain"]
+
+
+def test_validation_errors(engine):
+    with pytest.raises(EngineError, match="collection_name_invalid"):
+        engine.create_collection("9starts_with_digit")
+    with pytest.raises(EngineError, match="collection_name_invalid"):
+        engine.create_collection("x" * 41)
+    engine.create_collection("kb")
+    with pytest.raises(EngineError, match="delete_not_confirmed"):
+        engine.delete_collection("kb")
+    with pytest.raises(EngineError, match="ingest_too_many_documents"):
+        engine.add_documents("kb", ["x"] * 1001)

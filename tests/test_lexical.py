@@ -1,0 +1,82 @@
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from vector_mcp_spark.operators.lexical import (
+    bm25_topk,
+    build_postings,
+    lexical_substring_topk,
+    lexical_tf_topk,
+)
+
+DOCS = [
+    (1, "spark joins data with spark shuffle join"),
+    (2, "vector search with spark"),
+    (3, "nothing relevant here"),
+    (4, "join join join"),
+    (5, "Spark SPARK spark"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string").cache()
+
+
+def _tf(text: str, terms: list[str]) -> int:
+    toks = [t.casefold() for t in re.findall(r"[A-Za-z0-9_]{2,}", text)]
+    return sum(toks.count(t) for t in terms)
+
+
+def test_tf_scores_match_reference_semantics(docs):
+    got = {
+        r.doc_id: r.score
+        for r in lexical_tf_topk(docs, "spark join", 10, id_col="doc_id", content_col="text").collect()
+    }
+    expect = {d: float(_tf(t, ["spark", "join"])) for d, t in DOCS if _tf(t, ["spark", "join"]) > 0}
+    assert got == expect
+
+
+def test_tf_casefolds_both_sides(docs):
+    got = lexical_tf_topk(docs, "SPARK", 10, id_col="doc_id", content_col="text").collect()
+    assert {r.doc_id: r.score for r in got}[5] == 3.0
+
+
+def test_and_match_requires_all_terms(docs):
+    got = lexical_tf_topk(
+        docs, "spark join", 10, id_col="doc_id", content_col="text", require_all_terms=True
+    ).collect()
+    assert sorted(r.doc_id for r in got) == [1]  # only doc1 has both
+
+
+def test_duplicate_query_terms_counted_once(docs):
+    # canonical semantics: distinct query terms
+    a = lexical_tf_topk(docs, "spark spark", 10, id_col="doc_id", content_col="text").collect()
+    b = lexical_tf_topk(docs, "spark", 10, id_col="doc_id", content_col="text").collect()
+    assert {(r.doc_id, r.score) for r in a} == {(r.doc_id, r.score) for r in b}
+
+
+def test_empty_query_returns_empty(docs):
+    assert lexical_tf_topk(docs, "!!", 10, id_col="doc_id", content_col="text").collect() == []
+
+
+def test_substring_constant_score(docs):
+    got = lexical_substring_topk(docs, "join", 10, id_col="doc_id", content_col="text").collect()
+    assert all(r.score == 1.0 for r in got)
+    assert sorted(r.doc_id for r in got) == [1, 4]  # case-sensitive contains
+
+
+def test_bm25_rare_term_outranks_common(docs):
+    # 'vector' appears in 1 doc, 'spark' in 3 → doc2 (vector) should score
+    # higher on "vector" than doc3 scores on anything
+    got = bm25_topk(docs, "vector", 10, id_col="doc_id", content_col="text").collect()
+    assert got[0].doc_id == 2 and got[0].score > 0
+
+
+def test_bm25_accepts_prebuilt_postings(docs):
+    postings = build_postings(docs, id_col="doc_id", content_col="text")
+    a = bm25_topk(docs, "spark join", 5, id_col="doc_id", content_col="text").collect()
+    b = bm25_topk(docs, "spark join", 5, id_col="doc_id", content_col="text", postings=postings).collect()
+    assert [(r.doc_id, r.score) for r in a] == [(r.doc_id, r.score) for r in b]

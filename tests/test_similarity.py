@@ -1,0 +1,81 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_mcp_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_self_join_topk,
+    embedding_near_dup_blocked,
+    lsh_bucketize,
+)
+from vector_mcp_spark.suite import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return load(spark, SF_DIR, "embeddings").cache()
+
+
+def test_self_join_topk_excludes_self(embs):
+    queries = embs.where(F.col("vec_id") < 10)
+    got = cosine_self_join_topk(queries, embs, 3, id_col="vec_id").collect()
+    assert all(r.query_id != r.neighbor_id for r in got)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 10
+    for rows in by_q.values():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == [1, 2, 3]
+        scores = [r.score for r in sorted(rows, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_ann_recall_against_exact(embs):
+    """Multi-table multi-probe LSH ANN should recover most exact top-5
+    neighbors even on random (hard, low-cosine) data."""
+    queries = embs.where(F.col("vec_id") < 20)
+    exact = cosine_self_join_topk(queries, embs, 5, id_col="vec_id").collect()
+    bucketed, planes = lsh_bucketize(embs, dim=64, n_planes=6, n_tables=4)
+    approx = ann_lsh_topk(queries, bucketed, planes, 5, id_col="vec_id").collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_ann_scores_are_exact_cosine(embs):
+    """Whatever ANN returns, its scores must equal the exact operator's for
+    the same (query, neighbor) pair — re-rank is exact."""
+    queries = embs.where(F.col("vec_id") < 5)
+    bucketed, planes = lsh_bucketize(embs, dim=64, n_planes=6, n_tables=4)
+    approx = ann_lsh_topk(queries, bucketed, planes, 3, id_col="vec_id").collect()
+    exact = cosine_self_join_topk(queries, embs, 1000, id_col="vec_id").collect()
+    exact_scores = {(r.query_id, r.neighbor_id): r.score for r in exact}
+    for r in approx:
+        assert exact_scores[(r.query_id, r.neighbor_id)] == r.score
+
+
+def test_bucketize_deterministic(embs):
+    b1, p1 = lsh_bucketize(embs, dim=64, n_planes=6, n_tables=2)
+    b2, p2 = lsh_bucketize(embs, dim=64, n_planes=6, n_tables=2)
+    assert p1 == p2
+    r1 = sorted((r.vec_id, tuple(r.buckets)) for r in b1.select("vec_id", "buckets").collect())
+    r2 = sorted((r.vec_id, tuple(r.buckets)) for r in b2.select("vec_id", "buckets").collect())
+    assert r1 == r2
+    assert all(0 <= b < 64 for _, bs in r1 for b in bs)
+
+
+def test_blocked_near_dup_matches_brute_force(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], "x"),
+        (2, [0.99, 0.1, 0.0], "x"),
+        (3, [0.0, 1.0, 0.0], "x"),
+        (4, [1.0, 0.0, 0.0], "y"),  # same vector as 1 but different block
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label string")
+    got = embedding_near_dup_blocked(df, 0.9, block_col="label", id_col="vec_id").collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}  # (1,4) blocked apart, (1,3) below threshold

@@ -1,0 +1,89 @@
+from __future__ import annotations
+
+import pytest
+
+from vector_mcp_spark.sources.readers import (
+    chunk_documents,
+    inline_documents,
+    read_documents,
+    resolve_document_paths,
+)
+from vector_mcp_spark.validation import EngineError
+
+
+def test_read_text_and_html(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("plain text body")
+    (tmp_path / "b.html").write_text("<html><b>bold</b> words</html>")
+    got = {r.path.split("/")[-1]: r.content for r in read_documents(spark, [str(tmp_path)]).collect()}
+    assert got["a.txt"] == "plain text body"
+    assert "bold" in got["b.html"] and "<b>" not in got["b.html"]
+
+
+def test_stubbed_formats_raise(spark, tmp_path):
+    (tmp_path / "doc.pdf").write_bytes(b"%PDF-fake")
+    with pytest.raises(Exception, match="parser library"):
+        read_documents(spark, [str(tmp_path)]).collect()
+
+
+def test_inline_documents(spark):
+    got = inline_documents(spark, ["one", "two"]).collect()
+    assert sorted(r.content for r in got) == ["one", "two"]
+
+
+def test_path_confinement(tmp_path):
+    (tmp_path / "ok.txt").write_text("x")
+    assert resolve_document_paths(str(tmp_path), ["ok.txt"]) == [str(tmp_path / "ok.txt")]
+    with pytest.raises(EngineError, match="document_path_escapes_root"):
+        resolve_document_paths(str(tmp_path), ["../etc/passwd"])
+    with pytest.raises(EngineError, match="document_path_escapes_root"):
+        resolve_document_paths(str(tmp_path), ["/abs/path.txt"])
+    with pytest.raises(EngineError, match="document_path_url_rejected"):
+        resolve_document_paths(str(tmp_path), ["https://example.com/x.txt"])
+
+
+def test_symlink_rejected(tmp_path):
+    target = tmp_path / "real.txt"
+    target.write_text("x")
+    link = tmp_path / "link.txt"
+    link.symlink_to(target)
+    with pytest.raises(EngineError, match="document_path_symlink_rejected"):
+        resolve_document_paths(str(tmp_path), ["link.txt"])
+
+
+def test_chunking_covers_all_tokens(spark):
+    text = " ".join(f"tok{i}" for i in range(1000))
+    df = spark.createDataFrame([(1, text)], "id int, content string")
+    chunks = chunk_documents(df, chunk_tokens=512, overlap_tokens=64).collect()
+    assert len(chunks) > 1
+    # every chunk ≤ 512 tokens (the reference's chunk-size gate,
+    # tests/reproduce_chunking.py:15-20)
+    assert all(len(c.chunk_text.split()) <= 512 for c in chunks)
+    # all tokens covered
+    seen = set()
+    for c in chunks:
+        seen.update(c.chunk_text.split())
+    assert len(seen) == 1000
+    # chunk ids are doc-scoped positions
+    assert [c.chunk_id for c in sorted(chunks, key=lambda c: c.chunk_pos)][0] == "1_0"
+
+
+def test_chunking_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(20))
+    df = spark.createDataFrame([(1, text)], "id int, content string")
+    chunks = sorted(
+        chunk_documents(df, chunk_tokens=10, overlap_tokens=4).collect(), key=lambda c: c.chunk_pos
+    )
+    first, second = chunks[0].chunk_text.split(), chunks[1].chunk_text.split()
+    assert first[-4:] == second[:4]  # fixed overlap
+
+
+def test_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "just a few tokens")], "id int, content string")
+    chunks = chunk_documents(df, chunk_tokens=512, overlap_tokens=64).collect()
+    assert len(chunks) == 1 and chunks[0].chunk_id == "1_0"
+
+
+def test_invalid_overlap_raises(spark):
+    df = spark.createDataFrame([(1, "x y")], "id int, content string")
+    with pytest.raises(EngineError, match="chunk_overlap_invalid"):
+        chunk_documents(df, chunk_tokens=10, overlap_tokens=10)

@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_mcp_spark.streaming.ingest import (
+    read_event_stream,
+    run_stream_to_memory,
+    streaming_dedup_ingest,
+    windowed_event_counts,
+)
+from vector_mcp_spark.suite import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """Re-write the events fixture as a clean µs-timestamp parquet dir the
+    streaming source can read (the raw fixture has ns timestamps)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    shutil.rmtree(path, ignore_errors=True)
+    load(spark, SF_DIR, "events").write.parquet(path)
+    return path
+
+
+def test_windowed_counts_match_batch(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    assert stream.isStreaming
+    windowed = windowed_event_counts(stream, "1 day", watermark="2 days")
+    # complete mode: append would hold back windows still inside the
+    # watermark horizon at end-of-stream (correct streaming semantics,
+    # wrong harness for batch parity).
+    got = run_stream_to_memory(windowed, "win_counts", output_mode="complete")
+    batch = (
+        load(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+    g = {(r.window_start, r.event_type): (r.n_events, r.total_value, r.avg_value) for r in got.collect()}
+    b = {(r.window_start, r.event_type): (r.n_events, r.total_value, r.avg_value) for r in batch.collect()}
+    assert g == b  # streaming result == batch twin (same expressions)
+
+
+def test_sliding_windows_multiple_assignment(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    sliding = windowed_event_counts(stream, "2 days", "1 day", watermark="3 days")
+    got = run_stream_to_memory(sliding, "win_sliding", output_mode="complete").collect()
+    n_events_total = sum(r.n_events for r in got)
+    n_raw = load(spark, SF_DIR, "events").count()
+    assert n_events_total == 2 * n_raw  # every event in exactly 2 sliding windows
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = str(tmp_path / "docs_stream")
+    spark.createDataFrame(
+        [("same text",), ("same text",), ("other text",)], "content string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("content string").parquet(src)
+    deduped = streaming_dedup_ingest(stream)
+    got = run_stream_to_memory(deduped, "dedup_stream").collect()
+    assert len(got) == 2  # exact dup dropped across the stream
+    assert len({r.id for r in got}) == 2

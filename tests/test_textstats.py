@@ -1,0 +1,59 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from vector_mcp_spark.operators.textstats import text_stats
+
+DOCS = [
+    (1, "the cat and the dog are in the house"),
+    (2, "der hund und die katze sind nicht da"),
+    (3, ""),
+    (4, "x1 y2 z3 999 !!!"),
+]
+
+
+@pytest.fixture(scope="module")
+def stats(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, content string")
+    return {r.doc_id: r for r in text_stats(df, id_col="doc_id").collect()}
+
+
+def test_token_counts(stats):
+    assert stats[1].n_tokens == 9
+    assert stats[3].n_tokens == 0
+
+
+def test_stopword_ratio(stats):
+    # tokens: the cat and the dog are in the house → stops: the,and,the,in,the = 5/9
+    assert stats[1].stop_ratio == round(5 / 9, 6)
+    assert stats[3].stop_ratio == 0.0
+
+
+def test_lang_id(stats):
+    assert stats[1].lang_pred == "en"
+    assert stats[2].lang_pred == "de"
+    assert stats[3].lang_pred == "und"
+    assert stats[4].lang_pred == "und"  # no marker tokens
+
+
+def test_quality_bounds(stats):
+    for r in stats.values():
+        assert 0.0 <= r.quality <= 1.0
+    assert stats[1].quality > stats[4].quality
+
+
+def test_fingerprint_is_sorted_distinct_md5(stats):
+    toks = sorted(set("the cat and the dog are in the house".split()))
+    expect = hashlib.md5(" ".join(toks).encode()).hexdigest()
+    assert stats[1].fingerprint == expect
+    assert stats[3].fingerprint == hashlib.md5(b"").hexdigest()
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta beta")], "doc_id int, content string"
+    )
+    rows = {r.doc_id: r.fingerprint for r in text_stats(df, id_col="doc_id").collect()}
+    assert rows[1] == rows[2]

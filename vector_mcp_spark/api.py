@@ -1,0 +1,123 @@
+"""VectorSearchApi — the reference ``Api`` surface (SURVEY.md §3, Q9)
+re-expressed over CollectionEngine + DataFrame operators.
+
+Mirrors the observable behavior of ``vector_mcp/vector_api.py:195-566``:
+boundary validation (§2.5), query-text sanitization before search
+(``vector_api.py:548``), semantic/lexical legs, weighted-RRF hybrid fusion
+(``vector_api.py:518-566``), finite-score result hygiene
+(``vector_api.py:368-386``). The retriever facade of
+``retriever/retriever.py:15-101`` (`query` = semantic top-k, `bm25_query` =
+lexical) collapses into the same methods.
+
+Where the reference's steps 5-9 are Python loops + network hops, here the
+whole search is ONE lazy DataFrame DAG (two ranked subplans → union →
+groupBy-sum → TakeOrderedAndProject) executed by a single action.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_mcp_spark.engine import CollectionEngine
+from vector_mcp_spark.functions.embedder import hash_embed
+from vector_mcp_spark.operators.hybrid import rrf_fuse
+from vector_mcp_spark.operators.lexical import lexical_tf_topk
+from vector_mcp_spark.operators.semantic import semantic_topk, semantic_topk_multi
+from vector_mcp_spark.sanitize import sanitize_text_py
+from vector_mcp_spark.validation import (
+    validate_number_results,
+    validate_question,
+    validate_rrf_k,
+    validate_weights,
+)
+
+
+class VectorSearchApi:
+    def __init__(
+        self,
+        engine: CollectionEngine,
+        embed_query: Callable[[str], Sequence[float]] | None = None,
+        dim: int = 64,
+    ):
+        self.engine = engine
+        self.dim = dim
+        self._embed_query = embed_query or (lambda q: hash_embed(q, dim))
+
+    # -- retrieval (base.py:189-231 protocol) -------------------------------
+
+    def semantic_search(
+        self,
+        collection: str,
+        questions: Sequence[str],
+        number_results: int = 5,
+        distance_threshold: float | None = None,
+    ) -> DataFrame:
+        """Multi-query semantic search → (query_id, rank, id, content, score)."""
+        number_results = validate_number_results(number_results)
+        cleaned = [sanitize_text_py(validate_question(q)) for q in questions]
+        docs = self._docs(collection)
+        queries = [(i, self._embed_query(q)) for i, q in enumerate(cleaned)]
+        return semantic_topk_multi(
+            docs,
+            queries,
+            number_results,
+            id_col="id",
+            emb_col="embedding",
+            payload_cols=("content",),
+            distance_threshold=distance_threshold,
+        )
+
+    def lexical_search(
+        self, collection: str, questions: Sequence[str], number_results: int = 5
+    ) -> DataFrame:
+        """Multi-query lexical (tf) search → (query_id, id, content, score)."""
+        number_results = validate_number_results(number_results)
+        docs = self._docs(collection)
+        out = None
+        for i, q in enumerate(questions):
+            cleaned = sanitize_text_py(validate_question(q))
+            leg = lexical_tf_topk(
+                docs, cleaned, number_results, id_col="id", content_col="content",
+                payload_cols=("content",),
+            ).withColumn("query_id", F.lit(i))
+            out = leg if out is None else out.unionByName(leg)
+        return out.select("query_id", "id", "content", "score")
+
+    def search(
+        self,
+        collection: str,
+        question: str,
+        number_results: int = 5,
+        semantic_weight: float = 0.5,
+        lexical_weight: float = 0.5,
+        rrf_k: int = 60,
+    ) -> DataFrame:
+        """Hybrid RRF search (vector_api.py:518-566) → (id, content, score)."""
+        number_results = validate_number_results(number_results)
+        rrf_k = validate_rrf_k(rrf_k)
+        w_sem, w_lex = validate_weights([semantic_weight, lexical_weight])
+        cleaned = sanitize_text_py(validate_question(question))
+        docs = self._docs(collection)
+        leg_k = max(number_results * 2, 20)
+        sem = semantic_topk(docs, self._embed_query(cleaned), leg_k, id_col="id", emb_col="embedding")
+        lex = lexical_tf_topk(docs, cleaned, leg_k, id_col="id", content_col="content")
+        fused = rrf_fuse([(sem, w_sem), (lex, w_lex)], number_results, rrf_k=rrf_k, id_col="id")
+        payload = docs.select("id", "content")
+        out = fused.join(payload, "id", "left")
+        # result hygiene: drop non-finite scores (vector_api.py:368-375)
+        return out.where(
+            ~F.isnan("score") & (F.col("score") != float("inf")) & (F.col("score") != float("-inf"))
+        ).select("id", "content", "score").orderBy(F.col("score").desc(), F.col("id").asc())
+
+    def _docs(self, collection: str) -> DataFrame:
+        df = self.engine.read(collection)
+        # embed rows missing vectors at read time (the reference embeds at
+        # insert; engine.add_documents may store content-only rows)
+        from vector_mcp_spark.functions.embedder import embed_documents
+
+        if df.where(F.col("embedding").isNull()).limit(1).count() > 0:
+            df = embed_documents(df, text_col="content", out_col="embedding", dim=self.dim)
+        return df

@@ -59,18 +59,23 @@ def cosine_self_join_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: str = "vector_mcp_spark") -> list[list[float]]:
+def _hyperplanes(
+    dim: int, n_planes: int, n_tables: int, seed: str = "vector_mcp_spark"
+) -> list[list[list[float]]]:
     """Deterministic pseudo-random hyperplanes from sha256 (no RNG state —
-    reproducible across sessions/engines)."""
-    planes = []
-    for p in range(n_planes):
-        vec = []
-        for i in range(dim):
-            h = hashlib.sha256(f"{seed}|{p}|{i}".encode()).digest()
-            u = int.from_bytes(h[:8], "big") / 2**64  # uniform [0,1)
-            vec.append(u - 0.5)
-        planes.append(vec)
-    return planes
+    reproducible across sessions/engines). [table][plane][dim]."""
+    tables = []
+    for t in range(n_tables):
+        planes = []
+        for p in range(n_planes):
+            vec = []
+            for i in range(dim):
+                h = hashlib.sha256(f"{seed}|{t}|{p}|{i}".encode()).digest()
+                u = int.from_bytes(h[:8], "big") / 2**64  # uniform [0,1)
+                vec.append(u - 0.5)
+            planes.append(vec)
+        tables.append(planes)
+    return tables
 
 
 def _bucket_expr(emb_col: str, planes: Sequence[Sequence[float]]) -> F.Column:
@@ -87,46 +92,70 @@ def _bucket_expr(emb_col: str, planes: Sequence[Sequence[float]]) -> F.Column:
 
 
 def lsh_bucketize(
-    corpus: DataFrame, dim: int, n_planes: int = 8, emb_col: str = "embedding"
-) -> tuple[DataFrame, list[list[float]]]:
-    """Attach a random-hyperplane bucket id. Persist partitioned by
-    ``bucket`` for partition-pruned ANN at scale."""
-    planes = _hyperplanes(dim, n_planes)
-    return corpus.withColumn("bucket", _bucket_expr(emb_col, planes)), planes
+    corpus: DataFrame,
+    dim: int,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Attach multi-table random-hyperplane bucket ids (standard OR-of-ANDs
+    LSH: ``n_tables`` independent tables of ``n_planes`` bits each; more
+    tables → higher recall, more candidates). Output column ``buckets`` is
+    an array of per-table bucket ids. Persist exploded and partitioned by
+    (table, bucket) for partition-pruned ANN at scale."""
+    tables = _hyperplanes(dim, n_planes, n_tables)
+    buckets = F.array(*[_bucket_expr(emb_col, planes) for planes in tables])
+    return corpus.withColumn("buckets", buckets), tables
+
+
+def _explode_buckets(df: DataFrame, multiprobe_bits: int, n_planes: int) -> DataFrame:
+    """(buckets array) → one row per (tbl, bucket) probe. For queries,
+    single-bit flips per table widen the probe set (multi-probe LSH)."""
+    exploded = df.select("*", F.posexplode("buckets").alias("tbl", "bucket")).drop("buckets")
+    if multiprobe_bits >= 1:
+        probes = F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(2**b)) for b in range(n_planes)]
+        )
+        exploded = exploded.withColumn("bucket", F.explode(probes))
+    return exploded
 
 
 def ann_lsh_topk(
     queries: DataFrame,
     bucketed_corpus: DataFrame,
-    planes: Sequence[Sequence[float]],
+    planes: Sequence[Sequence[Sequence[float]]],
     k: int,
     id_col: str = "id",
     emb_col: str = "embedding",
     multiprobe_bits: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates = rows in the query's bucket plus all
-    buckets within ``multiprobe_bits`` hamming distance (multi-probe LSH),
-    re-ranked by exact cosine. Returns (query_id, rank, neighbor_id, score).
+    """Approximate top-k: candidates = corpus rows sharing any per-table
+    bucket with the query (plus single-bit-flip probe buckets), re-ranked by
+    exact cosine. Returns (query_id, rank, neighbor_id, score).
+
+    Beam-width analogue of the reference's Mongo ``numCandidates``
+    (``mongodb.py:277``): recall is tuned by (n_planes, n_tables,
+    multiprobe) instead of a candidate count.
     """
-    n_planes = len(planes)
+    n_planes = len(planes[0])
     q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("qvec")).withColumn(
-        "qbucket", _bucket_expr("qvec", planes)
+        "buckets", F.array(*[_bucket_expr("qvec", p) for p in planes])
     )
-    # Expand each query to its probe buckets (bucket ± single-bit flips).
-    probes = [F.col("qbucket")]
-    if multiprobe_bits >= 1:
-        for b in range(n_planes):
-            probes.append(F.col("qbucket").bitwiseXOR(F.lit(2**b)))
-    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+    q = _explode_buckets(q, multiprobe_bits, n_planes)
     c = bucketed_corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("nvec"), "bucket"
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("nvec"), "buckets"
     )
-    joined = c.join(F.broadcast(q), "bucket").where(F.col("query_id") != F.col("neighbor_id"))
-    scored = joined.withColumn("score", cosine_similarity(F.col("nvec"), F.col("qvec")))
+    c = c.select("neighbor_id", "nvec", F.posexplode("buckets").alias("tbl", "bucket"))
+    joined = c.join(F.broadcast(q), ["tbl", "bucket"]).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cand = joined.select("query_id", "qvec", "neighbor_id", "nvec").dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    scored = cand.withColumn("score", cosine_similarity(F.col("nvec"), F.col("qvec")))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
         scored.select("query_id", "neighbor_id", "score")
-        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("score", SCORE_DECIMALS).alias("score"))
@@ -162,12 +191,21 @@ def embedding_near_dup_pairs(
     emb_col: str = "embedding",
     n_planes: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: same-bucket LSH candidates verified by
-    exact cosine ≥ threshold. Returns (id_a, id_b, score)."""
-    bucketed, _ = lsh_bucketize(corpus, dim=dim, n_planes=n_planes, emb_col=emb_col)
-    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("va"), "bucket")
-    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("vb"), "bucket")
-    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    """Embedding-cosine near-dup: LSH candidates (any shared per-table
+    bucket) verified by exact cosine ≥ threshold. Returns (id_a, id_b, score)."""
+    bucketed, _ = lsh_bucketize(corpus, dim=dim, n_planes=n_planes, n_tables=4, emb_col=emb_col)
+    exploded = bucketed.select(
+        F.col(id_col).alias("_id"), F.col(emb_col).alias("_v"),
+        F.posexplode("buckets").alias("tbl", "bucket"),
+    )
+    a = exploded.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "tbl", "bucket")
+    b = exploded.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "tbl", "bucket")
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "va", "id_b", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
         pairs.withColumn("score", F.round(cosine_similarity(F.col("va"), F.col("vb")), SCORE_DECIMALS))
         .where(F.col("score") >= threshold)

@@ -1,0 +1,126 @@
+"""Document file ingestion — SURVEY.md §2.1 S5/S6.
+
+The reference ingests files via llama-index ``SimpleDirectoryReader``
+(``vector_mcp/vector_api.py:319-366``) with strict path confinement
+(``vector_mcp/document_inputs.py:19-147``): root-confined relative paths,
+no symlinks/URLs/traversal, per-file and total size caps.
+
+Spark-side: ``binaryFile`` scan + per-extension decoder. Rich formats
+(PDF/docx/epub) need parser libraries that aren't in this container — the
+decode seam is a ``mapInPandas`` Pandas-UDF (the right shape for Arrow
+batching at scale) with plain-text/markdown/html decoding real and the
+binary formats stubbed behind ``NotImplementedError``.
+
+Path confinement is driver-side validation (it guards the API boundary, not
+the scan) — same placement as the reference.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator, Sequence
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_mcp_spark.validation import EngineError
+
+MAX_FILE_BYTES = 64 * 1024 * 1024  # document_inputs.py:13-16
+TEXT_EXTENSIONS = {".txt", ".md", ".markdown", ".html", ".htm", ".csv", ".json"}
+STUBBED_EXTENSIONS = {".pdf", ".docx", ".epub"}
+
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def resolve_document_paths(root: str, rel_paths: Sequence[str]) -> list[str]:
+    """Root confinement (document_inputs.py:69-117): relative paths only,
+    no URLs, no traversal, no symlinks, size cap. Returns absolute paths."""
+    rootp = Path(root).resolve()
+    out: list[str] = []
+    for rel in rel_paths:
+        if re.match(r"^[a-z][a-z0-9+.-]*://", rel, re.IGNORECASE):
+            raise EngineError("document_path_url_rejected")
+        p = Path(rel)
+        if p.is_absolute() or ".." in p.parts:
+            raise EngineError("document_path_escapes_root")
+        full = rootp / p
+        if full.is_symlink():
+            raise EngineError("document_path_symlink_rejected")
+        if not full.resolve().is_relative_to(rootp):
+            raise EngineError("document_path_escapes_root")
+        if full.exists() and full.stat().st_size > MAX_FILE_BYTES:
+            raise EngineError("document_file_too_large")
+        out.append(str(full))
+    return out
+
+
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    texts: list[str | None] = []
+    for path, content in zip(pdf["path"], pdf["content"]):
+        ext = Path(path).suffix.lower()
+        if ext in STUBBED_EXTENSIONS:
+            # Parser libs (pypdf, python-docx, ebooklib) are not available in
+            # this container; the seam is real, the decode is stubbed.
+            raise NotImplementedError(f"decoder for {ext} requires a parser library")
+        text = bytes(content).decode("utf-8", errors="replace")
+        if ext in {".html", ".htm"}:
+            text = _TAG_RE.sub(" ", text)
+        texts.append(text)
+    return pd.DataFrame({"path": pdf["path"], "content": texts})
+
+
+def read_documents(
+    spark: SparkSession, paths: Sequence[str], glob: str | None = None
+) -> DataFrame:
+    """Multi-format document reader: binaryFile scan → Arrow-batched decode
+    → (path, content). The Spark analogue of SimpleDirectoryReader."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    binary = reader.load(list(paths)).select("path", "content")
+    return binary.mapInPandas(
+        lambda it: (_decode_batch(pdf) for pdf in it), schema="path string, content string"
+    )
+
+
+def inline_documents(spark: SparkSession, contents: Sequence[str]) -> DataFrame:
+    """Inline document contents (the reference's ``document_contents`` input)."""
+    return spark.createDataFrame([(c,) for c in contents], "content string")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 64,
+) -> DataFrame:
+    """T5 chunking (SURVEY.md §2.2): sliding token windows ≤ ``chunk_tokens``
+    with fixed overlap, exploded to one row per chunk.
+
+    chunk_id = ``<doc id>_<position>`` — reproducible in SQL via
+    range + list_slice, so it stays oracle-checkable. Pure Column ops
+    (sequence/transform/slice + explode) — no UDF, scales at scan speed.
+    """
+    from vector_mcp_spark.functions.text import tokens
+
+    step = chunk_tokens - overlap_tokens
+    if step <= 0:
+        raise EngineError("chunk_overlap_invalid")
+    toks = tokens(F.col(content_col))
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - F.lit(overlap_tokens)).cast("double") / F.lit(step)), F.lit(1)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(starts, lambda i: F.struct(
+        i.alias("pos"), F.array_join(F.slice(toks, i * step + 1, chunk_tokens), " ").alias("chunk")
+    ))
+    exploded = docs.withColumn("_chunk", F.explode(chunks))
+    return exploded.select(
+        *[c for c in docs.columns if c != content_col],
+        F.concat(F.col(id_col).cast("string"), F.lit("_"), F.col("_chunk.pos").cast("string")).alias("chunk_id"),
+        F.col("_chunk.pos").alias("chunk_pos"),
+        F.col("_chunk.chunk").alias("chunk_text"),
+    )

@@ -1,0 +1,103 @@
+"""Structured Streaming ingestion — north-star extension (SURVEY.md §2.4:
+the reference has NO streaming surface; this is the Spark-native upgrade).
+
+Two shapes:
+
+- **Windowed event aggregation**: ``readStream`` over an events directory →
+  watermarked tumbling/sliding windows → append sink. The batch twin
+  (``suite_relational.events_daily_windows``) is the oracle-checked
+  semantics; the streaming plan reuses the same aggregation expressions, so
+  batch parity ⇒ streaming parity (same Catalyst expressions, incremental
+  execution).
+- **Streaming collection ingest**: documents arriving as files → the same
+  sanitize → content-hash-id → dedup pipeline as batch ingest
+  (``dropDuplicates`` on id with a watermark = the reference's exact-dedup
+  T2 under streaming semantics).
+
+Scale: state store size is bounded by the watermark horizon; window state
+is keyed by (window, event_type) — small cardinality; dedup state is keyed
+by content-hash with the watermark bounding retention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    return spark.readStream.schema(EVENT_SCHEMA).format(fmt).load(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 day",
+    slide_duration: str | None = None,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Watermarked tumbling (or sliding) window aggregation per event_type.
+
+    Output: (window_start, window_end, event_type, n_events, total_value,
+    avg_value) — the streaming twin of ``events_daily_windows``.
+    """
+    win = F.window(F.col("ts"), window_duration, slide_duration or window_duration)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("window"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+def streaming_dedup_ingest(docs: DataFrame, watermark_col: str | None = None, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact-dedup ingest: sanitize → content-hash id → drop
+    duplicate ids (state bounded by watermark when an event-time column is
+    present)."""
+    from vector_mcp_spark.functions.hashing import content_hash_id
+    from vector_mcp_spark.sanitize import sanitize_content_col
+
+    out = docs.withColumn("content", sanitize_content_col(F.col("content")))
+    out = out.withColumn("id", content_hash_id(F.col("content")))
+    if watermark_col:
+        out = out.withWatermark(watermark_col, watermark)
+        return out.dropDuplicates(["id", watermark_col])
+    return out.dropDuplicates(["id"])
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> "DataFrame":
+    """Drive a stream with availableNow (process-everything-then-stop) into
+    an in-memory sink; returns the sink table DataFrame. Test harness path."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

@@ -43,23 +43,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     columns (``events.ts``), which Spark's vectorized reader rejects —
     they're read as long nanos and rebuilt as microsecond timestamps."""
     path = f"{sf_dir}/{table}.parquet"
-    try:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    schema = pq.read_schema(path)
+    ns_cols = [
+        f.name for f in schema if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+    if not ns_cols:
         return spark.read.parquet(path)
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        import pyarrow.parquet as pq
-
-        schema = pq.read_schema(path)
-        from pyspark.sql import functions as F
-        import pyarrow as pa
-
-        for field in schema:
-            if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
-                df = df.withColumn(
-                    field.name, F.timestamp_micros((F.col(field.name) / 1000).cast("long"))
-                )
-        return df
+    # Spark's vectorized reader rejects TIMESTAMP(NANOS); with nanosAsLong it
+    # reads raw int64 nanos, which we rebuild as µs timestamps. Must not rely
+    # on a read failure: once the conf is set, reads succeed with BIGINT.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for name in ns_cols:
+        if dict(df.dtypes).get(name) == "bigint":
+            df = df.withColumn(name, F.timestamp_micros((F.col(name) / 1000).cast("long")))
+    return df
 
 
 def docs_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -190,7 +190,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_mcp_spark.operators.similarity import ann_lsh_topk, lsh_bucketize
 
     embs = load(spark, sf_dir, "embeddings")
-    bucketed, planes = lsh_bucketize(embs, dim=64, n_planes=8, emb_col="embedding")
+    bucketed, planes = lsh_bucketize(embs, dim=64, n_planes=6, n_tables=4, emb_col="embedding")
     queries = embs.where(F.col("vec_id") < 20)
     return ann_lsh_topk(queries, bucketed, planes, 5, id_col="vec_id", emb_col="embedding")
 
