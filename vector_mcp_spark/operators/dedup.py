@@ -59,6 +59,51 @@ def _distinct_tokens(content_col: str) -> F.Column:
     return F.array_distinct(tokens(F.col(content_col)))
 
 
+def _hash64(col) -> F.Column:
+    """Reproducible 60-bit token hash (sha256 hex prefix → long). Jaccard
+    over hashed distinct tokens equals Jaccard over the tokens themselves
+    (collisions vanish at 2^-60), while long-array intersection is several
+    times cheaper than string-array intersection in the verify hot loop."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
+
+
+def _hashed_token_sets(
+    df: DataFrame, id_col: str, toks_expr: F.Column, out_id: str, out_toks: str, out_n: str
+) -> DataFrame:
+    hashed = F.transform(toks_expr, _hash64)
+    return df.select(
+        F.col(id_col).alias(out_id), hashed.alias(out_toks), F.size(hashed).alias(out_n)
+    )
+
+
+def _jaccard_verify(pairs: DataFrame, threshold: float) -> DataFrame:
+    """(…, toks_a, na, toks_b, nb) → (id_a, id_b, jaccard ≥ threshold).
+    The size-ratio prefilter min/max ≥ t is implied by J ≥ t, so it never
+    changes results — it just skips the intersection for hopeless pairs."""
+    sized = pairs.where(
+        F.least("na", "nb").cast("double") / F.greatest("na", "nb") >= F.lit(threshold) - 1e-6
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.col("na") + F.col("nb") - inter
+    return (
+        sized.withColumn("jaccard", F.round(inter.cast("double") / union, JACCARD_DECIMALS))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure a CPU-heavy map stage isn't starved of partitions (a small
+    collection read from one parquet file = one scan partition = one core).
+    No-op whenever the scan already has ≥ defaultParallelism partitions —
+    i.e. always at real scale, where a blind repartition would be a huge
+    unneeded shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float,
@@ -82,23 +127,55 @@ def ngram_jaccard_pairs(
             lambda i: F.array_join(F.slice(joined, i + 1, ngram), " "),
         )
         toks = F.array_distinct(grams)
-    base = df.select(F.col(id_col).alias("_id"), *block_cols, toks.alias("_toks"))
+    hashed = F.transform(toks, _hash64)
+    base = df.select(
+        F.col(id_col).alias("_id"), *block_cols, hashed.alias("_toks"), F.size(hashed).alias("_n")
+    )
     a = base.select(
-        F.col("_id").alias("id_a"), F.col("_toks").alias("toks_a"), *[F.col(c).alias(f"_ba_{c}") for c in block_cols]
+        F.col("_id").alias("id_a"), F.col("_toks").alias("toks_a"), F.col("_n").alias("na"),
+        *[F.col(c).alias(f"_ba_{c}") for c in block_cols],
     )
     b = base.select(
-        F.col("_id").alias("id_b"), F.col("_toks").alias("toks_b"), *[F.col(c).alias(f"_bb_{c}") for c in block_cols]
+        F.col("_id").alias("id_b"), F.col("_toks").alias("toks_b"), F.col("_n").alias("nb"),
+        *[F.col(c).alias(f"_bb_{c}") for c in block_cols],
     )
     cond = F.col("id_a") < F.col("id_b")
     for c in block_cols:
         cond = cond & (F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
-    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
-    union = F.size(F.col("toks_a")) + F.size(F.col("toks_b")) - inter
-    return (
-        a.join(b, cond)
-        .withColumn("jaccard", F.round(inter.cast("double") / union, JACCARD_DECIMALS))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return _jaccard_verify(a.join(b, cond), threshold)
+
+
+def minhash_signature_array(
+    df: DataFrame,
+    id_col: str = "id",
+    content_col: str = "content",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per document as one array column: (id, sigs) with
+    ``sigs[p] = min over tokens of sha256(p || '|' || tok)``.
+
+    The 'permutation' family is h_p(tok) = sha256(p || '|' || tok) with the
+    *lexicographic minimum* as the min-hash — engine-agnostic and exactly
+    reproducible in ANSI SQL (min over strings), unlike murmur-based MLlib
+    MinHashLSH.
+
+    Shape chosen for codegen: tokens explode narrowly (no shuffle), the P
+    permutation hashes are plain sha2 columns under min() aggregates —
+    whole-stage-codegen'd with map-side partial min, so only (id, P hashes)
+    per group ever crosses the one shuffle. (A nested higher-order-function
+    formulation avoids the explode but runs interpreted — measured ~2×
+    slower.) Docs with no tokens yield no row.
+    """
+    toks = _spread(df.select(F.col(id_col).alias("id"), F.col(content_col))).select(
+        "id", F.explode(_distinct_tokens(content_col)).alias("tok")
+    )
+    mins = [
+        F.min(F.sha2(F.concat(F.lit(f"{p}|"), F.col("tok")), 256)).alias(f"_h{p}")
+        for p in range(num_hashes)
+    ]
+    aggd = toks.groupBy("id").agg(*mins)
+    return aggd.select(
+        "id", F.array(*[F.col(f"_h{p}") for p in range(num_hashes)]).alias("sigs")
     )
 
 
@@ -108,29 +185,32 @@ def minhash_signatures(
     content_col: str = "content",
     num_hashes: int = 16,
 ) -> DataFrame:
-    """MinHash signature per document: (id, p, minhash) for p in [0, P).
+    """Row-per-permutation view of ``minhash_signature_array``:
+    (id, p, minhash). Docs with no tokens yield no rows."""
+    arr = minhash_signature_array(df, id_col, content_col, num_hashes)
+    return arr.select("id", F.posexplode("sigs").alias("p", "minhash")).where(
+        F.col("minhash").isNotNull()
+    )
 
-    The 'permutation' family is h_p(tok) = sha256(p || '|' || tok) with the
-    *lexicographic minimum* as the min-hash — engine-agnostic and exactly
-    reproducible in ANSI SQL (min over strings), unlike murmur-based MLlib
-    MinHashLSH.
-    """
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(_distinct_tokens(content_col)).alias("tok")
+
+def _band_sigs(sigs_col, bands: int, rows_per_band: int):
+    """Per-band signature strings from the signature array (array of
+    '|'-joined row slices — identical to string_agg ordered by p)."""
+    return F.array(
+        *[
+            F.array_join(F.slice(sigs_col, b * rows_per_band + 1, rows_per_band), "|")
+            for b in range(bands)
+        ]
     )
-    perms = exploded.select("id", "tok", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("p"))
-    hashed = perms.select(
-        "id", "p", F.sha2(F.concat(F.col("p").cast("string"), F.lit("|"), F.col("tok")), 256).alias("h")
-    )
-    return hashed.groupBy("id", "p").agg(F.min("h").alias("minhash"))
 
 
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Band the signatures and emit distinct candidate pairs (id_a < id_b)
-    sharing any band signature. Join key space is (band, sig) — small, so
-    this is an ordinary shuffle join, never a cross join."""
+    """Band the (id, p, minhash) signatures and emit distinct candidate
+    pairs (id_a < id_b) sharing any band signature. Join key space is
+    (band, sig) — small, so this is an ordinary shuffle join, never a
+    cross join."""
     banded = (
         signatures.withColumn("band", (F.col("p") / rows_per_band).cast("int"))
         .groupBy("id", "band")
@@ -162,21 +242,33 @@ def minhash_lsh_pairs(
     bands: int = 2,
 ) -> DataFrame:
     """MinHash-LSH near-dup: candidates from band collisions, verified by
-    exact Jaccard ≥ threshold. Returns (id_a, id_b, jaccard)."""
-    sigs = minhash_signatures(df, id_col, content_col, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
-    toks = df.select(F.col(id_col).alias("_tid"), _distinct_tokens(content_col).alias("_toks"))
-    pairs = (
-        cands.join(toks.select(F.col("_tid").alias("id_a"), F.col("_toks").alias("toks_a")), "id_a")
-        .join(toks.select(F.col("_tid").alias("id_b"), F.col("_toks").alias("toks_b")), "id_b")
+    exact Jaccard ≥ threshold. Returns (id_a, id_b, jaccard).
+
+    Signatures and band keys are computed map-side (one projection); the
+    only shuffles are the (band, sig) candidate equi-join and the pair
+    dedup — the minimum any LSH join needs.
+    """
+    rows_per_band = num_hashes // bands
+    arr = minhash_signature_array(df, id_col, content_col, num_hashes)
+    banded = arr.where(F.col("sigs")[0].isNotNull()).select(
+        "id", F.posexplode(_band_sigs(F.col("sigs"), bands, rows_per_band)).alias("band", "sig")
     )
-    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
-    union = F.size(F.col("toks_a")) + F.size(F.col("toks_b")) - inter
-    return (
-        pairs.withColumn("jaccard", F.round(inter.cast("double") / union, JACCARD_DECIMALS))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    cands = (
+        banded.select(F.col("id").alias("id_a"), "band", "sig")
+        .join(banded.select(F.col("id").alias("id_b"), "band", "sig"), ["band", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
+    toks = _hashed_token_sets(df, id_col, _distinct_tokens(content_col), "_tid", "_toks", "_n")
+    pairs = cands.join(
+        toks.select(F.col("_tid").alias("id_a"), F.col("_toks").alias("toks_a"), F.col("_n").alias("na")),
+        "id_a",
+    ).join(
+        toks.select(F.col("_tid").alias("id_b"), F.col("_toks").alias("toks_b"), F.col("_n").alias("nb")),
+        "id_b",
+    )
+    return _jaccard_verify(pairs, threshold)
 
 
 def simhash(df: DataFrame, id_col: str = "id", content_col: str = "content", bits: int = 32) -> DataFrame:
@@ -184,21 +276,36 @@ def simhash(df: DataFrame, id_col: str = "id", content_col: str = "content", bit
 
     Token hash = first 8 hex chars of sha256 (32 bits, cross-engine
     reproducible); bit b of the fingerprint is 1 iff the tf-weighted sum of
-    (bit_b ? +1 : −1) over tokens is positive.
+    (bit_b ? +1 : −1) over tokens is positive (iterating the full token
+    list weights each distinct token by its tf).
+
+    Map-side only: per row, token list → 32-bit hash array (sha256 once per
+    token occurrence) → per-bit signed sums via ``aggregate`` — a pure
+    projection, no explode/shuffle, so at scale the pass is scan-bound.
+    (An explode + 32-conditional-sum groupBy formulation is codegen'd but
+    its shuffles measured slower end-to-end.)
     """
-    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(content_col))).alias("tok"))
-    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
-    h32 = F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 8), 16, 10).cast("long")
-    tf = tf.withColumn("h", h32)
-    bit_cols = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
-        ).alias(f"s{b}")
+    hashes = F.transform(
+        tokens(F.col(content_col)),
+        lambda t: F.conv(F.substring(F.sha2(t, 256), 1, 8), 16, 10).cast("long"),
+    )
+    hashed = _spread(df.select(F.col(id_col).alias("id"), F.col(content_col))).select(
+        "id", hashes.alias("_h")
+    )
+
+    def _signed_sum(b: int):
+        def merge(a, h):
+            return a + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return F.aggregate(F.col("_h"), F.lit(0), merge)
+
+    terms = [
+        F.when(_signed_sum(b) > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
         for b in range(bits)
     ]
-    sums = tf.groupBy("id").agg(*bit_cols)
-    fingerprint = None
-    for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return sums.select("id", fingerprint.alias("simhash"))
+    fingerprint = terms[0]
+    for t in terms[1:]:
+        fingerprint = fingerprint + t
+    return hashed.select("id", fingerprint.alias("simhash"))

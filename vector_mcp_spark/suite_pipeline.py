@@ -143,7 +143,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- SimHash fingerprints -----------------------------------------------------
 
-_SIMHASH_ORACLE = None  # oracle-able in principle; added as rows-only for now
+# Replays the fingerprint exactly: token hash = first 8 sha256 hex chars as
+# int32; bit b set iff the occurrence-weighted ±1 sum over tokens is > 0.
+_SIMHASH_ORACLE = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(('0x' || substring(sha256(tok), 1, 8)) AS BIGINT) AS h FROM ex
+),
+bits AS (
+  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b) GROUP BY doc_id, b
+)
+SELECT doc_id AS id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
 
 
 @register("simhash_fingerprints", _SIMHASH_ORACLE, "dedup", "pipeline")
@@ -279,3 +295,69 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
     return text_stats(docs, id_col="doc_id", content_col="content")
+
+
+# -- T3 sanitize pass (content PII/path redaction) ---------------------------
+
+# Same three regexes in the same order as sanitize_text_col (T3,
+# vector_api.py:44-46,284-301 semantics); RE2/Java-regex compatible.
+_SAN_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_SAN_PATH = r"(?:/[A-Za-z0-9._-]+){2,}/?"
+_SAN_PHONE = r"\+?\d[\d ()-]{7,}\d"
+
+_SANITIZE_ORACLE = f"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_SAN_EMAIL}', '[REDACTED]', 'g'),
+           '{_SAN_PATH}', '[REDACTED_PATH]', 'g'),
+         '{_SAN_PHONE}', '[REDACTED]', 'g') AS clean_text
+FROM documents
+"""
+
+
+@register("sanitize_content", _SANITIZE_ORACLE, "pipeline", "parity")
+def q_sanitize_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.sanitize import sanitize_content_col
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", sanitize_content_col(F.col("text")).alias("clean_text"))
+
+
+# -- T5 chunking (512-token cap in prod; small windows here so the fixture's
+# short docs actually split) -------------------------------------------------
+
+_CHUNK_TOKENS = 8
+_CHUNK_OVERLAP = 2
+_CHUNK_STEP = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+n AS (
+  SELECT doc_id, toks,
+         greatest(CAST(ceil((len(toks) - {_CHUNK_OVERLAP}) / {_CHUNK_STEP}.0) AS BIGINT), 1) AS n_chunks
+  FROM t
+)
+SELECT doc_id,
+       CAST(doc_id AS VARCHAR) || '_' || CAST(p AS VARCHAR) AS chunk_id,
+       CAST(p AS INTEGER) AS chunk_pos,
+       array_to_string(list_slice(toks, p * {_CHUNK_STEP} + 1, p * {_CHUNK_STEP} + {_CHUNK_TOKENS}), ' ') AS chunk_text
+FROM n CROSS JOIN (SELECT unnest(range((SELECT max(n_chunks) FROM n))) AS p)
+WHERE p < n_chunks
+"""
+
+
+@register("chunk_documents", _CHUNK_ORACLE, "pipeline", "parity")
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.sources.readers import chunk_documents
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    return chunk_documents(
+        docs,
+        content_col="content",
+        id_col="doc_id",
+        chunk_tokens=_CHUNK_TOKENS,
+        overlap_tokens=_CHUNK_OVERLAP,
+    )
