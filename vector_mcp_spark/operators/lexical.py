@@ -153,3 +153,47 @@ def bm25_topk(
         .agg(F.round(F.sum(F.col("idf") * F.col("tf_norm")), SCORE_DECIMALS).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def lexical_tf_topk_multi(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int,
+    id_col: str = "id",
+    content_col: str = "content",
+    require_all_terms: bool = False,
+) -> DataFrame:
+    """Batched multi-query lexical search (Q7 batching applied to Q4/Q5):
+    one job for N queries. Returns (query_id, rank, id, score).
+
+    Per-query scores are map-side struct columns exploded per row — zero
+    shuffle before the per-query top-k window (which moves only matching
+    (query_id, id, score) triples, never content).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(content_col))
+    entries = []
+    for qid, qtext in queries:
+        terms = _distinct_terms(qtext)
+        if not terms:
+            continue
+        terms_lit = F.array(*[F.lit(t) for t in terms])
+        matched = F.filter(toks, lambda t: F.array_contains(terms_lit, t))
+        score = F.size(matched).cast("double")
+        if require_all_terms:
+            score = F.when(
+                F.size(F.array_distinct(matched)) == F.lit(len(terms)), score
+            ).otherwise(F.lit(None).cast("double"))
+        entries.append(F.struct(F.lit(qid).alias("query_id"), score.alias("score")))
+    scored = (
+        docs.select(F.col(id_col), F.explode(F.array(*entries)).alias("_q"))
+        .select(id_col, F.col("_q.query_id").alias("query_id"), F.col("_q.score").alias("score"))
+        .where(F.col("score") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score")
+    )

@@ -137,3 +137,49 @@ def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("event_type", "user_id", "total_value", "rank")
     )
+
+
+# -- Structured Streaming windowed aggregation (executed, not just twinned) --
+
+# The query RUNS the streaming plan (availableNow trigger → memory sink) and
+# returns the sink table; the oracle is the batch-twin SQL. Windows are
+# 1-day tumbling and complete-mode output, so end-of-stream watermark
+# holdback doesn't drop rows and streaming == batch exactly.
+_STREAM_WIN_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
+       event_type,
+       count(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+_STREAM_SINK_SEQ = iter(range(1, 1_000_000))
+
+
+@register("streaming_windowed_events", _STREAM_WIN_ORACLE, "streaming")
+def q_streaming_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from vector_mcp_spark.streaming.ingest import (
+        read_event_stream,
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    clean_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp", f"events_{sf_tag}")
+    clean_dir = os.path.abspath(clean_dir)
+    # one-time µs-timestamp re-write (the raw fixture is TIMESTAMP(NANOS),
+    # which the streaming parquet source can't read)
+    marker = os.path.join(clean_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        load(spark, sf_dir, "events").write.mode("overwrite").parquet(clean_dir)
+    stream = read_event_stream(spark, clean_dir)
+    windowed = windowed_event_counts(stream, "1 day", watermark="2 days")
+    name = f"suite_stream_win_{next(_STREAM_SINK_SEQ)}"
+    got = run_stream_to_memory(windowed, name, output_mode="complete")
+    return got.select(
+        "window_start", "window_end", "event_type", "n_events", "total_value", "avg_value"
+    )

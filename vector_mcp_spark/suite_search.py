@@ -17,6 +17,7 @@ from vector_mcp_spark.suite import (
     HYBRID_W_SEM,
     LEX_K,
     LEX_QUERY,
+    MULTI_QUERY_TEXTS,
     MULTI_QUERY_VECS,
     RRF_K,
     SEM_K,
@@ -282,4 +283,41 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = lexical_tf_topk(docs, LEX_QUERY, _HYBRID_LEG_K, id_col="doc_id", content_col="text")
     return rrf_fuse(
         [(sem, HYBRID_W_SEM), (lex, HYBRID_W_LEX)], HYBRID_N, rrf_k=RRF_K, id_col="doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 batching applied to lexical search: N queries in one job
+# ---------------------------------------------------------------------------
+
+_LEXMQ_K = 5
+_LEXMQ_PAIRS = [
+    (qid, term)
+    for qid, text in enumerate(MULTI_QUERY_TEXTS)
+    for term in dict.fromkeys(text.lower().split())
+]
+_LEXMQ_VALUES = ", ".join(f"({qid}, '{t}')" for qid, t in _LEXMQ_PAIRS)
+
+_LEX_MQ_ORACLE = f"""
+WITH q(query_id, term) AS (VALUES {_LEXMQ_VALUES}),
+{_TOKS_CTE},
+scored AS (
+  SELECT q.query_id, toks.doc_id, CAST(count(*) AS DOUBLE) AS score
+  FROM toks JOIN q ON toks.tok = q.term
+  GROUP BY q.query_id, toks.doc_id
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {_LEXMQ_K}
+"""
+
+
+@register("lexical_multiquery", _LEX_MQ_ORACLE, "search", "parity")
+def q_lexical_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.lexical import lexical_tf_topk_multi
+
+    docs = load(spark, sf_dir, "documents")
+    return lexical_tf_topk_multi(
+        docs, list(enumerate(MULTI_QUERY_TEXTS)), _LEXMQ_K, id_col="doc_id", content_col="text"
     )
