@@ -79,3 +79,30 @@ def test_blocked_near_dup_matches_brute_force(spark):
     df = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label string")
     got = embedding_near_dup_blocked(df, 0.9, block_col="label", id_col="vec_id").collect()
     assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}  # (1,4) blocked apart, (1,3) below threshold
+
+
+def test_ivf_recall_vs_exact(embs):
+    from vector_mcp_spark.operators.similarity import ann_ivf_topk, ivf_build
+
+    assigned, centroids = ivf_build(embs, n_centroids=8, id_col="vec_id", max_iter=2)
+    assert len(centroids) == 8
+    queries = embs.where(F.col("vec_id") < 10)
+    approx = ann_ivf_topk(queries, assigned, centroids, 5, nprobe=4, id_col="vec_id").collect()
+    exact = cosine_self_join_topk(queries, embs, 5, id_col="vec_id").collect()
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.5  # half the clusters probed → decent recall floor
+    # scores inside the candidate set are exact
+    exact_all = cosine_self_join_topk(queries, embs, 1000, id_col="vec_id").collect()
+    exact_scores = {(r.query_id, r.neighbor_id): r.score for r in exact_all}
+    for r in approx:
+        assert exact_scores[(r.query_id, r.neighbor_id)] == r.score
+
+
+def test_ivf_deterministic(embs):
+    from vector_mcp_spark.operators.similarity import ivf_build
+
+    _, c1 = ivf_build(embs, n_centroids=4, id_col="vec_id", max_iter=1)
+    _, c2 = ivf_build(embs, n_centroids=4, id_col="vec_id", max_iter=1)
+    assert c1 == c2

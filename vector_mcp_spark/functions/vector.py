@@ -15,6 +15,7 @@ widened values).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column
@@ -47,3 +48,63 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
 def query_vector_lit(vec: Sequence[float]) -> Column:
     """A broadcast-safe literal array column for a single query vector."""
     return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def dot_lit(col: Column | str, vec: Sequence[float]) -> Column:
+    """Dot product against a Python-literal vector as an explicit
+    element-term sum — stays inside whole-stage codegen (the higher-order
+    ``aggregate`` fold is interpreted, measured several × slower in hot
+    loops). The Add chain is left-associative, so the summation order is
+    identical to the sequential fold (and to DuckDB ``list_dot_product``):
+    results are bit-equal.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    acc: Column | None = None
+    for i, x in enumerate(vec):
+        term = col[i].cast("double") * float(x)
+        acc = term if acc is None else acc + term
+    if acc is None:
+        return F.lit(0.0)
+    return acc
+
+
+def l2_norm_lit(vec: Sequence[float]) -> Column:
+    s = 0.0
+    for x in vec:
+        s += float(x) * float(x)
+    return F.lit(math.sqrt(s))
+
+
+def l2_norm_fixed(col: Column | str, dim: int) -> Column:
+    """Codegen'd norm for a known dimension (same fold order as l2_norm)."""
+    col = F.col(col) if isinstance(col, str) else col
+    acc: Column | None = None
+    for i in range(dim):
+        x = col[i].cast("double")
+        term = x * x
+        acc = term if acc is None else acc + term
+    return F.sqrt(acc) if acc is not None else F.lit(0.0)
+
+
+def cosine_similarity_lit(col: Column | str, vec: Sequence[float]) -> Column:
+    """Codegen'd cosine against a literal query vector; bit-equal to
+    ``cosine_similarity`` with the same operands."""
+    return dot_lit(col, vec) / (l2_norm_fixed(col, len(vec)) * l2_norm_lit(vec))
+
+
+def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Codegen'd column×column dot for a known dimension; same
+    left-associative summation order as ``dot`` — bit-equal results."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    acc: Column | None = None
+    for i in range(dim):
+        term = a[i].cast("double") * b[i].cast("double")
+        acc = term if acc is None else acc + term
+    return acc if acc is not None else F.lit(0.0)
+
+
+def cosine_similarity_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Codegen'd cosine for a known dimension; bit-equal to
+    ``cosine_similarity``."""
+    return dot_fixed(a, b, dim) / (l2_norm_fixed(a, dim) * l2_norm_fixed(b, dim))

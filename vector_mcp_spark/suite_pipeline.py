@@ -195,7 +195,7 @@ def q_simjoin_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = load(spark, sf_dir, "embeddings")
     queries = embs.where(F.col("vec_id") < 50)
-    return cosine_self_join_topk(queries, embs, 1, id_col="vec_id", emb_col="embedding")
+    return cosine_self_join_topk(queries, embs, 1, id_col="vec_id", emb_col="embedding", dim=64)
 
 
 # -- approximate ANN (rows-only: approximate by construction) -----------------
@@ -234,7 +234,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = load(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_blocked(
-        embs, _EMB_NEARDUP_T, block_col="label", id_col="vec_id", emb_col="embedding"
+        embs, _EMB_NEARDUP_T, block_col="label", id_col="vec_id", emb_col="embedding", dim=64
     )
     return pairs.orderBy(F.col("score").desc(), "id_a", "id_b").limit(_PAIR_LIMIT)
 
@@ -361,3 +361,15 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_tokens=_CHUNK_TOKENS,
         overlap_tokens=_CHUNK_OVERLAP,
     )
+
+
+@register("ann_ivf_topk", None, "similarity", "pipeline")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (rows-only: approximate by construction;
+    recall pytest-gated against the exact operator in test_similarity)."""
+    from vector_mcp_spark.operators.similarity import ann_ivf_topk, ivf_build
+
+    embs = load(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(embs, n_centroids=16, id_col="vec_id", max_iter=2)
+    queries = embs.where(F.col("vec_id") < 20)
+    return ann_ivf_topk(queries, assigned, centroids, 5, nprobe=4, id_col="vec_id")
