@@ -373,3 +373,25 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, centroids = ivf_build(embs, n_centroids=16, id_col="vec_id", max_iter=2)
     queries = embs.where(F.col("vec_id") < 20)
     return ann_ivf_topk(queries, assigned, centroids, 5, nprobe=4, id_col="vec_id")
+
+
+@register("multimodal_features", None, "multimodal", "pipeline")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature extraction over binary columns (rows-only: the
+    Arrow-batched deterministic-fake decode seam; sha256-derived features,
+    so repeated runs are identical — pytest checks determinism + schema)."""
+    from vector_mcp_spark.multimodal.binary_ops import extract_features
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image")).otherwise(F.lit("audio")).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("data"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return extract_features(media, dim=8).orderBy("media_id")

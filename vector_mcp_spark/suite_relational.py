@@ -183,3 +183,68 @@ def q_streaming_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select(
         "window_start", "window_end", "event_type", "n_events", "total_value", "avg_value"
     )
+
+
+# -- grouping-sets rollup over events (hypertable-rollup-style) ---------------
+
+_EVENTS_ROLLUP_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       count(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY ROLLUP(day, event_type)
+"""
+
+
+@register("events_rollup", _EVENTS_ROLLUP_ORACLE, "relational")
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.rollup(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+# -- per-user running totals (general window functions) -----------------------
+
+_EVENTS_RUNNING_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+FROM events
+"""
+
+
+@register("events_user_running_total", _EVENTS_RUNNING_ORACLE, "relational")
+def q_events_user_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+# -- sliding-window batch twin (same expressions as the streaming plan) -------
+
+_EVENTS_SLIDING_ORACLE = """
+WITH offs AS (SELECT unnest([0, 1]) AS o)
+SELECT CAST(date_trunc('day', ts) - o * INTERVAL 1 DAY AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('day', ts) - o * INTERVAL 1 DAY + INTERVAL 2 DAY AS TIMESTAMP) AS window_end,
+       event_type, count(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value, ROUND(AVG(value), 6) AS avg_value
+FROM events CROSS JOIN offs
+GROUP BY 1, 2, 3
+"""
+
+
+@register("events_sliding_windows", _EVENTS_SLIDING_ORACLE, "relational", "streaming-twin")
+def q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.streaming.ingest import windowed_event_counts
+
+    ev = load(spark, sf_dir, "events")
+    # same operator as the streaming plan — watermark is a no-op in batch
+    return windowed_event_counts(ev, "2 days", "1 day", watermark="3 days")
