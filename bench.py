@@ -27,6 +27,10 @@ def main() -> int:
     spark = get_spark("vector_mcp_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # one trivial job to absorb session/JIT warm-up so it isn't billed to
+    # whichever query happens to run first
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     timings: dict[str, float] = {}
     for name, entry in SUITE.items():
         t0 = time.perf_counter()

@@ -395,3 +395,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return extract_features(media, dim=8).orderBy("media_id")
+
+
+# -- T6 batch embedding (the mapInPandas seam itself, oracle-replayed) --------
+
+_EMBED_DIM = 16
+
+# hash_embed(text, dim)[i] = sha256(text|i)[:8 bytes] % 1000 / 1000 — the
+# 8 unsigned bytes are parsed in two 32-bit halves (DuckDB can't cast 16 hex
+# chars straight to HUGEINT).
+_EMBED_ORACLE = f"""
+SELECT doc_id, list_transform(range({_EMBED_DIM}), i ->
+  CAST((CAST(CAST(('0x' || substring(sha256(text || '|' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) AS HUGEINT) * 4294967296
+        + CAST(('0x' || substring(sha256(text || '|' || CAST(i AS VARCHAR)), 9, 8)) AS BIGINT)) % 1000 / 1000.0 AS FLOAT)
+) AS embedding
+FROM documents
+"""
+
+
+@register("embed_documents", _EMBED_ORACLE, "pipeline", "parity")
+def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The T6 embedding transform (Arrow-batched mapInPandas, one model call
+    per batch) with the deterministic hash embedder — the full ingest-side
+    embedding path is what's under oracle check, not just its output shape."""
+    from vector_mcp_spark.functions.embedder import embed_documents
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    out = embed_documents(docs, text_col="content", out_col="embedding", dim=_EMBED_DIM)
+    return out.select("doc_id", "embedding")
