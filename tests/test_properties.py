@@ -1,0 +1,158 @@
+"""Property-based invariants (hypothesis) for the engine's core math.
+
+Spark jobs are expensive per example, so each property either checks a
+driver-side twin (pure Python) against the Column implementation on one
+batched DataFrame, or caps examples low. Deadlines are disabled — Spark
+first-job latency would trip them spuriously.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from vector_mcp_spark.functions.text import tokenize_py, tokens
+from vector_mcp_spark.functions.vector import (
+    cosine_similarity,
+    cosine_similarity_lit,
+    dot,
+    dot_lit,
+)
+
+SLOW = settings(
+    max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+texts = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=80
+)
+vectors = st.lists(
+    st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+    min_size=2,
+    max_size=8,
+)
+
+
+@SLOW
+@given(st.lists(texts, min_size=1, max_size=8))
+def test_tokenizer_column_matches_python(spark, strings):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i int, s string")
+    got = {r.i: list(r.t) for r in df.select("i", tokens(F.col("s")).alias("t")).collect()}
+    for i, s in enumerate(strings):
+        assert got[i] == tokenize_py(s)
+
+
+@SLOW
+@given(st.lists(st.tuples(vectors, vectors), min_size=1, max_size=6))
+def test_cosine_column_matches_python(spark, pairs):
+    pairs = [(a, b[: len(a)] + [0.0] * max(0, len(a) - len(b))) for a, b in pairs]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i int, a array<float>, b array<float>",
+    )
+    got = {
+        r.i: (r.d, r.c)
+        for r in df.select(
+            "i",
+            dot("a", "b").alias("d"),
+            cosine_similarity("a", "b").alias("c"),
+        ).collect()
+    }
+    import numpy as np
+
+    for i, (a, b) in enumerate(pairs):
+        a32 = np.array(a, dtype=np.float32).astype(float)
+        b32 = np.array(b, dtype=np.float32).astype(float)
+        exp_d = float(sum(x * y for x, y in zip(a32, b32)))
+        assert got[i][0] == pytest.approx(exp_d, rel=1e-9, abs=1e-9)
+        na, nb = math.sqrt(sum(x * x for x in a32)), math.sqrt(sum(y * y for y in b32))
+        if na > 0 and nb > 0:
+            assert got[i][1] == pytest.approx(exp_d / (na * nb), rel=1e-6, abs=1e-9)
+
+
+@SLOW
+@given(vectors)
+def test_dot_lit_bit_equals_hof_dot(spark, vec):
+    """The codegen'd literal expansion must be bit-identical to the HOF fold
+    (same summation order) — this is what keeps oracle hashes stable no
+    matter which form an operator picks."""
+    df = spark.createDataFrame([(vec,)], "v array<float>")
+    row = df.select(
+        dot(F.col("v"), F.array(*[F.lit(float(x)) for x in vec])).alias("hof"),
+        dot_lit(F.col("v"), vec).alias("lit"),
+        cosine_similarity(F.col("v"), F.array(*[F.lit(float(x)) for x in vec])).alias("chof"),
+        cosine_similarity_lit(F.col("v"), vec).alias("clit"),
+    ).first()
+    assert row.hof == row.lit  # bit-equal, not approx
+    if row.chof is not None and not math.isnan(row.chof):
+        assert row.chof == row.clit
+
+
+def _round6(x: float) -> float:
+    """Spark's round(): HALF_UP on the shortest decimal repr — DuckDB ROUND
+    behaves identically (verified: ROUND(0.3/64, 6) = 0.004688 in both,
+    where Python's banker's round gives 0.004687). Python round() is the
+    outlier, so the reference twin must not use it."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def _rrf_reference(legs, weights, rrf_k, n):
+    """Driver-side twin of vector_api.py:556-565 RRF accumulation."""
+    scores: dict[str, float] = {}
+    for leg, w in zip(legs, weights):
+        for rank, doc in enumerate(leg, start=1):
+            scores[doc] = scores.get(doc, 0.0) + w / (rrf_k + rank)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:n]
+
+
+@SLOW
+@given(
+    st.lists(st.integers(0, 20), min_size=1, max_size=10, unique=True),
+    st.lists(st.integers(0, 20), min_size=1, max_size=10, unique=True),
+    st.integers(1, 100),
+)
+def test_rrf_fusion_matches_reference_formula(spark, leg1, leg2, rrf_k):
+    from vector_mcp_spark.operators.hybrid import rrf_fuse
+
+    mk = lambda ids: spark.createDataFrame(
+        [(str(d), float(100 - i)) for i, d in enumerate(ids)], "id string, score double"
+    )
+    got = rrf_fuse([(mk(leg1), 0.7), (mk(leg2), 0.3)], n=5, rrf_k=rrf_k, id_col="id").collect()
+    exp = _rrf_reference([[str(d) for d in leg1], [str(d) for d in leg2]], [0.7, 0.3], rrf_k, 5)
+    assert [(r.id, r.score) for r in got] == [(d, _round6(s)) for d, s in exp]
+
+
+@SLOW
+@given(
+    st.lists(st.text(alphabet="ab ", max_size=30), min_size=2, max_size=6),
+    st.floats(min_value=0.1, max_value=1.0),
+)
+def test_jaccard_hashed_equals_plain(spark, docs, threshold):
+    """Hashed-long-token Jaccard (the verify hot path) must equal Jaccard on
+    the raw tokens for any corpus and threshold."""
+    from vector_mcp_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(docs)], "id int, content string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold, id_col="id").collect()
+    }
+    toksets = {i: set(tokenize_py(s)) for i, s in enumerate(docs)}
+    for a in toksets:
+        for b in toksets:
+            if a >= b:
+                continue
+            inter = len(toksets[a] & toksets[b])
+            union = len(toksets[a] | toksets[b])
+            j = _round6(inter / union) if union else None
+            if j is not None and j >= threshold:
+                assert got.get((a, b)) == j
+            else:
+                assert (a, b) not in got

@@ -42,7 +42,10 @@ def l2_norm(a: Column | str) -> Column:
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """similarity = 1 − cosine distance ∈ [−1, 1]; the pg/qdrant/mongo score
     convention the reference returns (``postgres.py:329-343``)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero-norm vector yields NULL (dropped by any score
+    # predicate) instead of an ANSI DIVIDE_BY_ZERO error — and NULL is
+    # exactly what DuckDB returns for x/0, so oracle parity holds
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def query_vector_lit(vec: Sequence[float]) -> Column:
@@ -89,7 +92,7 @@ def l2_norm_fixed(col: Column | str, dim: int) -> Column:
 def cosine_similarity_lit(col: Column | str, vec: Sequence[float]) -> Column:
     """Codegen'd cosine against a literal query vector; bit-equal to
     ``cosine_similarity`` with the same operands."""
-    return dot_lit(col, vec) / (l2_norm_fixed(col, len(vec)) * l2_norm_lit(vec))
+    return F.try_divide(dot_lit(col, vec), l2_norm_fixed(col, len(vec)) * l2_norm_lit(vec))
 
 
 def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
@@ -107,4 +110,4 @@ def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
 def cosine_similarity_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     """Codegen'd cosine for a known dimension; bit-equal to
     ``cosine_similarity``."""
-    return dot_fixed(a, b, dim) / (l2_norm_fixed(a, dim) * l2_norm_fixed(b, dim))
+    return F.try_divide(dot_fixed(a, b, dim), l2_norm_fixed(a, dim) * l2_norm_fixed(b, dim))

@@ -81,12 +81,15 @@ def _jaccard_verify(pairs: DataFrame, threshold: float) -> DataFrame:
     The size-ratio prefilter min/max ≥ t is implied by J ≥ t, so it never
     changes results — it just skips the intersection for hopeless pairs."""
     sized = pairs.where(
-        F.least("na", "nb").cast("double") / F.greatest("na", "nb") >= F.lit(threshold) - 1e-6
+        F.try_divide(F.least("na", "nb").cast("double"), F.greatest("na", "nb"))
+        >= F.lit(threshold) - 1e-6
     )
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.col("na") + F.col("nb") - inter
+    # try_divide: two empty token sets give union 0 → NULL jaccard → dropped
+    # by the threshold predicate (DuckDB division by zero is NULL too)
     return (
-        sized.withColumn("jaccard", F.round(inter.cast("double") / union, JACCARD_DECIMALS))
+        sized.withColumn("jaccard", F.round(F.try_divide(inter.cast("double"), union), JACCARD_DECIMALS))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
