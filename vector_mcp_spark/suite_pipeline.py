@@ -423,3 +423,32 @@ def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
     out = embed_documents(docs, text_col="content", out_col="embedding", dim=_EMBED_DIM)
     return out.select("doc_id", "embedding")
+
+
+# -- token counting: whitespace + BPE-ish subword regex (north-star ask) ------
+
+# Subword-ish pieces: letter runs are split off camelCase/digit boundaries,
+# digits count per run, punctuation runs count once — a cheap stand-in with
+# the same *shape* as a BPE pre-tokenizer (GPT-2 style \w/\d/punct classes).
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+_TOKEN_COUNTS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER) AS n_subword_tokens,
+       CAST(ceil(length(text) / 4.0) AS INTEGER) AS n_chars_div4
+FROM documents
+"""
+
+
+@register("token_counts", _TOKEN_COUNTS_ORACLE, "textstats", "pipeline")
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0)))
+    sub = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws.cast("int").alias("n_ws_tokens"),
+        sub.cast("int").alias("n_subword_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("n_chars_div4"),
+    )

@@ -248,3 +248,30 @@ def q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     # same operator as the streaming plan — watermark is a no-op in batch
     return windowed_event_counts(ev, "2 days", "1 day", watermark="3 days")
+
+
+# -- set operations (§2.4: Spark-native, pinned to the oracle) ----------------
+
+_SETOPS_ORACLE = """
+SELECT doc_id, 'both' AS src FROM (
+  SELECT doc_id FROM documents WHERE lang = 'en'
+  INTERSECT
+  SELECT doc_id FROM documents WHERE n_chars >= 200
+)
+UNION ALL
+SELECT doc_id, 'en_only' AS src FROM (
+  SELECT doc_id FROM documents WHERE lang = 'en'
+  EXCEPT
+  SELECT doc_id FROM documents WHERE n_chars >= 200
+)
+"""
+
+
+@register("set_ops_intersect_except", _SETOPS_ORACLE, "relational")
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    en = docs.where(F.col("lang") == "en").select("doc_id")
+    big = docs.where(F.col("n_chars") >= 200).select("doc_id")
+    both = en.intersect(big).withColumn("src", F.lit("both"))
+    only = en.exceptAll(big).distinct().withColumn("src", F.lit("en_only"))
+    return both.unionByName(only)
