@@ -1,0 +1,115 @@
+"""As-of join + range join edge semantics (operators/temporal.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_mcp_spark.operators.temporal import asof_join, range_join_count
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 100, 1.0),
+            (1, _ts("2024-01-01 12:00:00"), 101, 2.0),  # tie ts with 102
+            (1, _ts("2024-01-01 12:00:00"), 102, 3.0),
+            (1, _ts("2024-01-03 00:00:00"), 103, 4.0),
+            (2, _ts("2024-01-02 00:00:00"), 200, 5.0),
+        ],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:00:00")),  # before any event -> dropped
+            (1, _ts("2024-01-01 12:00:00")),  # exactly at tie -> inclusive, max id
+            (1, _ts("2024-01-02 12:00:00")),  # between -> carries 12:00 event
+            (2, _ts("2024-01-05 00:00:00")),  # long after -> matches, tolerance drops
+            (3, _ts("2024-01-01 00:00:00")),  # key with no right rows -> dropped
+        ],
+        "user_id long, qts timestamp",
+    )
+    return left, right
+
+
+def _asof(left, right, **kw):
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="qts", right_ts="ts",
+        right_cols=["event_id", "value"], tiebreak="event_id", **kw,
+    )
+    return {(r.user_id, r.qts): (r.asof_event_id, r.asof_ts, r.asof_value) for r in out.collect()}
+
+
+def test_asof_inclusive_tiebreak_and_carry(frames):
+    left, right = frames
+    got = _asof(left, right)
+    # probe before any event and keyless probe are dropped (inner)
+    assert (1, _ts("2024-01-01 09:00:00")) not in got
+    assert all(k[0] != 3 for k in got)
+    # equal-ts match is inclusive; tie at 12:00 resolved to max event_id
+    assert got[(1, _ts("2024-01-01 12:00:00"))][0] == 102
+    # carry-forward across a gap
+    assert got[(1, _ts("2024-01-02 12:00:00"))] == (102, _ts("2024-01-01 12:00:00"), 3.0)
+    assert got[(2, _ts("2024-01-05 00:00:00"))][0] == 200
+
+
+def test_asof_tolerance(frames):
+    left, right = frames
+    got = _asof(left, right, tolerance="1 DAY")
+    # match is 3 days old -> dropped by tolerance
+    assert (2, _ts("2024-01-05 00:00:00")) not in got
+    # fresh matches survive
+    assert got[(1, _ts("2024-01-01 12:00:00"))][0] == 102
+
+
+def test_asof_multiple_probes_same_ts(spark):
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), 7, 1.5)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00")), (1, _ts("2024-01-01 00:00:00"))],
+        "user_id long, qts timestamp",
+    )
+    out = _asof(left, right)
+    assert out[(1, _ts("2024-01-01 00:00:00"))][0] == 7
+
+
+def test_range_join_boundaries_and_zero(frames, spark):
+    left, right = frames
+    out = range_join_count(
+        left, right, on=["user_id"], left_ts="qts", right_ts="ts",
+        before_s=3600, after_s=3600, value_col="value",
+    )
+    got = {(r.user_id, r.qts): (r.n_in_range, r.sum_value) for r in out.collect()}
+    # every left probe is kept, zero-count included
+    assert len(got) == left.count()
+    assert got[(3, _ts("2024-01-01 00:00:00"))] == (0, 0.0)
+    # 09:00 probe: [08:00, 10:00] inclusive catches the 10:00 event exactly
+    assert got[(1, _ts("2024-01-01 09:00:00"))] == (1, 1.0)
+    # 12:00 probe catches both tie events but not 10:00 (window starts 11:00)
+    assert got[(1, _ts("2024-01-01 12:00:00"))] == (2, 5.0)
+
+
+def test_range_join_cross_bucket_match(spark):
+    # right row in bucket B(r); left probe whose window reaches back across
+    # the bucket boundary (regression: right-side 0/+1 explode missed B(r)-1)
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:59:00"), 1, 1.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 01:01:00"))], "user_id long, qts timestamp"
+    )
+    out = range_join_count(
+        left, right, on=["user_id"], left_ts="qts", right_ts="ts",
+        before_s=600, after_s=0,
+    ).collect()
+    assert out[0].n_in_range == 1

@@ -1,0 +1,170 @@
+"""Temporal join operators Spark lacks natively: as-of join and range join.
+
+The reference has no temporal surface (SURVEY.md §2.4); these are north-star
+extensions for time-series / training-data pipelines (hypertable-style
+"latest reading at time t" lookups, trailing-window feature counts).
+
+Design (Spark-first, no cross join):
+
+* ``asof_join`` uses the classic distributed merge trick — union both sides
+  tagged, sort within each key partition by timestamp, and carry the most
+  recent right-side payload forward with ``last(..., ignorenulls=True)`` over
+  an unbounded-preceding window. Cost: ONE shuffle on the join keys plus a
+  per-partition sort — the same shape as a sort-merge join, so it scales to
+  100 TB the way Spark's own SMJ does. No per-row lookups, no O(L×R)
+  intermediate (a naive ``ON l.key = r.key AND r.ts <= l.ts`` equi+range join
+  explodes to every qualifying pair before picking the max).
+
+* ``range_join_count`` aggregates right-side rows falling in
+  ``[l.ts - before, l.ts + after]`` per left row. Implemented by bucketing
+  both sides to coarse time buckets (width ≥ before+after) so the join is an
+  equi-join on (keys, bucket) over at most 2 buckets per right row — Catalyst
+  executes it as a shuffled hash/SMJ, never a broadcast-nested-loop.
+
+Skew note: one hot key (a bot user) concentrates its partition; both
+operators accept pre-salted keys (add a salt column to ``on``) since the
+window/agg composes per key tuple.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS = "__asof_ts"
+_TAG = "__asof_tag"
+_PAYLOAD = "__asof_payload"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tiebreak: str | None = None,
+    tolerance: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with ``right_ts <=
+    left_ts`` sharing the ``on`` keys (backward as-of, inclusive), like
+    DuckDB/kdb ASOF JOIN or pandas ``merge_asof``.
+
+    Right columns come back as ``{prefix}{col}`` plus ``{prefix}{right_ts}``.
+    Ties at equal ``right_ts`` pick the greatest ``tiebreak`` value so results
+    are deterministic. ``tolerance`` (an INTERVAL string, e.g. ``"2 days"``)
+    drops matches older than ``left_ts - tolerance``. Left rows with no match
+    are dropped (inner semantics).
+    """
+    on = list(on)
+    order_cols: list[Column] = [F.col(_TS).asc(), F.col(_TAG).asc()]
+    if tiebreak:
+        # right rows carry the tiebreak; left rows sort after them anyway
+        order_cols.append(F.col("__asof_tb").asc_nulls_first())
+
+    payload = F.struct(F.col(right_ts).alias(right_ts), *[F.col(c) for c in right_cols])
+    r = right.select(
+        *on,
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_TAG),
+        (F.col(tiebreak) if tiebreak else F.lit(None).cast("long")).alias("__asof_tb"),
+        payload.alias(_PAYLOAD),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        *on,
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_TAG),
+        F.lit(None).cast("long").alias("__asof_tb"),
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    # right rows (tag 0) sort before left probes (tag 1) at equal ts →
+    # the inequality is inclusive; last() carries the match forward
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("__match", F.last(_PAYLOAD, ignorenulls=True).over(w))
+        .where(F.col(_TAG) == 1)
+        .where(F.col("__match").isNotNull())
+    )
+    if tolerance:
+        matched = matched.where(
+            F.col("__match")[right_ts] >= F.col(_TS) - F.expr(f"INTERVAL {tolerance}")
+        )
+    out_left = [F.col(f"__l_{c}").alias(c) for c in left.columns if c not in on]
+    out_right = [F.col("__match")[right_ts].alias(f"{prefix}{right_ts}")] + [
+        F.col("__match")[c].alias(f"{prefix}{c}") for c in right_cols
+    ]
+    return matched.select(*on, *out_left, *out_right)
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    before_s: int,
+    after_s: int,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per left row: count (and optionally sum ``value_col`` of) right rows
+    with ``right_ts`` in ``[left_ts - before_s, left_ts + after_s]`` (bounds
+    in seconds, inclusive) and equal ``on`` keys.
+
+    Bucketed band join: time is cut into coarse buckets of width
+    ``before_s + after_s``. A left row's window ``[t-before, t+after]`` has
+    exactly that width, so it spans exactly two adjacent buckets — the left
+    probes are exploded into those two, the (big) right side keeps its single
+    bucket, and the range predicate becomes an equi-join on (keys, bucket)
+    Catalyst shuffles normally — never a broadcast-nested-loop — with the
+    residual interval filter pruning false candidates post-join. Each
+    matching pair appears exactly once (right rows live in one bucket; the
+    two left copies sit in distinct buckets). Left rows with no right rows
+    in range keep count 0 via the final left join back onto ``left``.
+    """
+    on = list(on)
+    width_us = (before_s + after_s) * 1_000_000
+    if width_us <= 0:
+        raise ValueError("before_s + after_s must be > 0")
+    lo = F.col(f"l_{left_ts}") - F.expr(f"INTERVAL {before_s} SECOND")
+    hi = F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {after_s} SECOND")
+
+    lb = (
+        left.select(*on, F.col(left_ts).alias(f"l_{left_ts}"))
+        .withColumn("__b0", F.floor((F.unix_micros(lo)) / F.lit(width_us)))
+        .withColumn("__bucket", F.explode(F.array(F.col("__b0"), F.col("__b0") + 1)))
+        .drop("__b0")
+    )
+    rb = right.select(
+        *on,
+        F.col(right_ts).alias(f"r_{right_ts}"),
+        *([F.col(value_col)] if value_col else []),
+    ).withColumn("__bucket", F.floor(F.unix_micros(F.col(f"r_{right_ts}")) / F.lit(width_us)))
+    joined = lb.join(rb, [*on, "__bucket"]).where(
+        (F.col(f"r_{right_ts}") >= lo) & (F.col(f"r_{right_ts}") <= hi)
+    )
+    aggs = [F.count("*").alias("n_in_range")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+    counted = joined.groupBy(*on, f"l_{left_ts}").agg(*aggs)
+    base = left.select(*on, F.col(left_ts).alias(f"l_{left_ts}")).distinct()
+    out = base.join(counted, [*on, f"l_{left_ts}"], "left").select(
+        *on,
+        F.col(f"l_{left_ts}").alias(left_ts),
+        F.coalesce(F.col("n_in_range"), F.lit(0)).alias("n_in_range"),
+        *(
+            [F.coalesce(F.col(f"sum_{value_col}"), F.lit(0.0)).alias(f"sum_{value_col}")]
+            if value_col
+            else []
+        ),
+    )
+    return out

@@ -60,7 +60,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = spark.read.parquet(path)
     for name in ns_cols:
         if dict(df.dtypes).get(name) == "bigint":
-            df = df.withColumn(name, F.timestamp_micros((F.col(name) / 1000).cast("long")))
+            # integer div: bigint/1000 in SQL is DOUBLE and rounds-to-nearest,
+            # off by 1µs vs DuckDB's truncating ns→µs read
+            df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
     return df
 
 

@@ -275,3 +275,86 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = en.intersect(big).withColumn("src", F.lit("both"))
     only = en.exceptAll(big).distinct().withColumn("src", F.lit("en_only"))
     return both.unionByName(only)
+
+
+# -- as-of join: latest event per (user, day-noon probe) ----------------------
+
+# Probes are each user's active days at 12:00; the operator attaches the most
+# recent event at-or-before the probe. Oracle mirrors the inclusive backward
+# semantics + (ts DESC, event_id DESC) tie-break with a row_number join.
+_ASOF_ORACLE = """
+WITH q AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('day', ts) + INTERVAL 12 HOUR AS TIMESTAMP) AS qts
+  FROM events
+), j AS (
+  SELECT q.user_id, q.qts, e.ts, e.event_id, e.value,
+         row_number() OVER (
+           PARTITION BY q.user_id, q.qts ORDER BY e.ts DESC, e.event_id DESC
+         ) AS rn
+  FROM q JOIN events e ON q.user_id = e.user_id AND e.ts <= q.qts
+)
+SELECT user_id, qts, ts AS asof_ts, event_id AS asof_event_id,
+       ROUND(value, 4) AS asof_value
+FROM j WHERE rn = 1
+"""
+
+
+@register("asof_latest_event", _ASOF_ORACLE, "temporal")
+def q_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    probes = ev.select(
+        "user_id",
+        (F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 12 HOURS")).alias("qts"),
+    ).distinct()
+    out = asof_join(
+        probes,
+        ev.select("user_id", "ts", "event_id", "value"),
+        on=["user_id"],
+        left_ts="qts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "qts", "asof_ts", "asof_event_id",
+        F.round("asof_value", 4).alias("asof_value"),
+    )
+
+
+# -- range join: events within ±12 h of each probe ----------------------------
+
+_RANGE_ORACLE = """
+WITH q AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('day', ts) + INTERVAL 12 HOUR AS TIMESTAMP) AS qts
+  FROM events
+)
+SELECT q.user_id, q.qts,
+       count(e.ts) AS n_in_range,
+       ROUND(COALESCE(SUM(e.value), 0), 4) AS sum_value
+FROM q LEFT JOIN events e
+  ON q.user_id = e.user_id
+ AND e.ts BETWEEN q.qts - INTERVAL 12 HOUR AND q.qts + INTERVAL 12 HOUR
+GROUP BY q.user_id, q.qts
+"""
+
+
+@register("range_join_event_counts", _RANGE_ORACLE, "temporal")
+def q_range_join_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.temporal import range_join_count
+
+    ev = load(spark, sf_dir, "events")
+    probes = ev.select(
+        "user_id",
+        (F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 12 HOURS")).alias("qts"),
+    ).distinct()
+    out = range_join_count(
+        probes, ev, on=["user_id"], left_ts="qts", right_ts="ts",
+        before_s=43200, after_s=43200, value_col="value",
+    )
+    return out.select(
+        "user_id", "qts", "n_in_range", F.round("sum_value", 4).alias("sum_value")
+    )
