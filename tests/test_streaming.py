@@ -67,3 +67,54 @@ def test_streaming_dedup(spark, tmp_path):
     got = run_stream_to_memory(deduped, "dedup_stream").collect()
     assert len(got) == 2  # exact dup dropped across the stream
     assert len({r.id for r in got}) == 2
+
+
+def test_streaming_sessionization_matches_batch(spark, event_dir):
+    from vector_mcp_spark.streaming.ingest import sessionized_event_stats
+
+    stream = read_event_stream(spark, event_dir)
+    got = run_stream_to_memory(
+        sessionized_event_stats(stream, "30 minutes", watermark="2 days"),
+        "sess_stream",
+        output_mode="complete",
+    )
+    batch = sessionized_event_stats(load(spark, SF_DIR, "events"), "30 minutes")
+    key = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
+
+
+def test_running_user_stats_state_across_batches(spark, tmp_path):
+    from vector_mcp_spark.streaming.ingest import running_user_stats
+
+    ev = load(spark, SF_DIR, "events").where(F.col("user_id") < 10)
+    # two files → two micro-batches with maxFilesPerTrigger=1, so per-user
+    # state must carry across batches to reach the full totals
+    path = str(tmp_path / "ev2")
+    ev.repartition(2).write.parquet(path)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    out = running_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table("running_stats")
+    # the last emission per user carries the lifetime totals
+    final = {
+        r.user_id: (r.n_events, round(r.total_value, 4))
+        for r in sink.orderBy("n_events").collect()
+    }
+    expect = {
+        r.user_id: (r.n, round(r.total, 4))
+        for r in ev.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value").alias("total")
+        ).collect()
+    }
+    assert final == expect

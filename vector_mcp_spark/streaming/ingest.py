@@ -72,6 +72,76 @@ def windowed_event_counts(
     )
 
 
+def sessionized_event_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 days"
+) -> DataFrame:
+    """Gap-based sessionization per user via native ``session_window`` —
+    stateful streaming with merging session state; the batch twin is the
+    oracle-checked ``events_sessionization`` suite query (identical
+    expressions, so batch parity ⇒ streaming parity).
+
+    Output: (user_id, session_start, session_end, n_events, total_value).
+    State per open session, closed once the watermark passes session end —
+    bounded by (active users × watermark horizon), not by stream length.
+    """
+    df = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        df.groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_USER_STATS_SCHEMA = "user_id long, n_events long, total_value double, last_ts timestamp"
+_USER_STATE_SCHEMA = "n_events long, total_value double, last_us long"
+
+
+def running_user_stats(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful operator: per-user lifetime counters maintained across
+    micro-batches with ``applyInPandasWithState`` (the escape hatch for
+    semantics windowed aggregation can't express — monotone lifetime state,
+    conditional resets, custom eviction).
+
+    Emits one updated (user_id, n_events, total_value, last_ts) row per user
+    per micro-batch. State is O(distinct users); use GroupStateTimeout +
+    ``timeout_ms`` to evict idle users on unbounded key spaces.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+        state.update((n, total, last_us))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if timeout_ms else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, _USER_STATS_SCHEMA, _USER_STATE_SCHEMA, "update", timeout
+    )
+
+
 def streaming_dedup_ingest(docs: DataFrame, watermark_col: str | None = None, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact-dedup ingest: sanitize → content-hash id → drop
     duplicate ids (state bounded by watermark when an event-time column is

@@ -358,3 +358,163 @@ def q_range_join_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "qts", "n_in_range", F.round("sum_value", 4).alias("sum_value")
     )
+
+
+# -- TPC-H Q3-shaped shipping priority (3-way join, selective filters) --------
+
+_Q3_CUTOFF = "1996-03-15 00:00:00"
+
+_TPCH_Q3_ORACLE = f"""
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("tpch_q3_shipping_priority", _TPCH_Q3_ORACLE, "relational")
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit(_Q3_CUTOFF).cast("timestamp")
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    # filters sit above the scans (pushed to parquet); the filtered customer
+    # side broadcasts so only lineitem⋈orders shuffles
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+# -- exact interpolated percentiles per event type ----------------------------
+
+# Spark `percentile` and DuckDB `quantile_cont` share the (n-1)*p linear
+# interpolation; 6-dp rounding absorbs last-bit float noise.
+_QUANTILES_ORACLE = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("events_value_quantiles", _QUANTILES_ORACLE, "relational")
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+# -- pivot: daily value matrix by event type ----------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'click'), 0), 4) AS click,
+       ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'error'), 0), 4) AS error,
+       ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'purchase'), 0), 4) AS purchase,
+       ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'signup'), 0), 4) AS signup,
+       ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'view'), 0), 4) AS view
+FROM events GROUP BY 1
+"""
+
+
+@register("events_daily_pivot", _PIVOT_ORACLE, "relational")
+def q_events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # explicit value list keeps the schema static (no extra distinct pass)
+    pivoted = (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .sum("value")
+    )
+    return pivoted.select(
+        "day", *[F.round(F.coalesce(F.col(t), F.lit(0.0)), 4).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+# -- sessionization via native session_window (30-min gap) --------------------
+
+# Spark's session_window is half-open: an event exactly gap after the previous
+# one starts a NEW session, so the oracle's new-session flag uses >=. The
+# window's end is last_event_ts + gap on both sides.
+_SESSION_ORACLE = """
+WITH flags AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, new_sess DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_no
+  FROM flags
+)
+SELECT user_id,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+       count(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+@register("events_sessionization", _SESSION_ORACLE, "relational", "streaming-twin")
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# -- multi-distinct daily aggregation ----------------------------------------
+
+_DISTINCT_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT event_type) AS n_types,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+@register("events_distinct_daily", _DISTINCT_ORACLE, "relational")
+def q_events_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count("*").alias("n_events"),
+    )
