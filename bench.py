@@ -27,9 +27,13 @@ def main() -> int:
     spark = get_spark("vector_mcp_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # one trivial job to absorb session/JIT warm-up so it isn't billed to
-    # whichever query happens to run first
+    # absorb session/JIT/read-path warm-up so it isn't billed to whichever
+    # query happens to run first: a shuffle, a parquet scan, an HOF fold,
+    # and a window — the code paths the whole suite exercises
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/nation.parquet").selectExpr(
+        "aggregate(sequence(0, 9), 0L, (a, x) -> a + x) AS s"
+    ).groupBy("s").count().collect()
 
     timings: dict[str, float] = {}
     for name, entry in SUITE.items():

@@ -100,3 +100,21 @@ def test_validation_errors(engine):
         engine.delete_collection("kb")
     with pytest.raises(EngineError, match="ingest_too_many_documents"):
         engine.add_documents("kb", ["x"] * 1001)
+
+
+def test_compact_collection(spark, tmp_path):
+    from vector_mcp_spark.engine import CollectionEngine
+
+    eng = CollectionEngine(spark, str(tmp_path / "root"))
+    eng.create_collection("compactme")
+    # several small ingest batches → several small files
+    for i in range(4):
+        eng.add_documents("compactme", [f"doc {i} {j}" for j in range(5)])
+    before = eng.read("compactme").count()
+    n_files = eng.compact_collection("compactme", target_files=1)
+    assert n_files == 1
+    after = eng.read("compactme")
+    assert after.count() == before == 20
+    # contents unchanged (ids are content hashes, so set-compare is exact)
+    ids = {r.id for r in after.collect()}
+    assert len(ids) == 20

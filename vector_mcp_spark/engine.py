@@ -199,6 +199,20 @@ class CollectionEngine:
         self._overwrite_table(scoped, merged)
         return count
 
+    def compact_collection(self, name: str, target_files: int | None = None) -> int:
+        """Rewrite the collection into ``target_files`` parquet files
+        (default: defaultParallelism). Incremental upserts accrete one small
+        file per batch; at scale the small-files problem dominates scan
+        planning, so compaction is a first-class maintenance op (the Parquet
+        stand-in for Delta OPTIMIZE). Returns the file count written."""
+        scoped = self._require(name)
+        n = target_files or self.spark.sparkContext.defaultParallelism
+        df = self.read(name)
+        # coalesce, not repartition: plain file merge, no shuffle
+        self._overwrite_table(scoped, df.coalesce(n))
+        out = Path(self._table_path(scoped))
+        return sum(1 for p in out.glob("*.parquet"))
+
     def update_documents(self, name: str, df: DataFrame) -> None:
         """T7 upsert from a prepared Document-schema DataFrame."""
         scoped = self._require(name)

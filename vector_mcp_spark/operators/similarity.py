@@ -23,6 +23,9 @@ import hashlib
 import math
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -261,17 +264,25 @@ def ivf_build(
     centroids = [[float(x) for x in r.v] for r in seed_rows]
 
     def assign(df: DataFrame, cents: list[list[float]]) -> DataFrame:
-        # nearest centroid by cosine (HOF transform over the centroid array:
-        # per-centroid expression expansion overflows codegen limits);
-        # ties go to the first matching index, deterministically
-        cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
-        sims = F.transform(cent_lit, lambda c: cosine_similarity(F.col(emb_col), c))
-        best = F.expr("array_position(transform(_sims, s -> s = array_max(_sims)), true) - 1")
-        return (
-            df.withColumn("_sims", sims)
-            .withColumn("cluster", best.cast("int"))
-            .drop("_sims")
-        )
+        # nearest centroid by cosine, as ONE Arrow-batched matmul per batch
+        # (B×d @ d×K) — the 16-way interpreted HOF fold was the build's
+        # bottleneck; ties go to the first max index (np.argmax), matching
+        # the previous array_position semantics
+        from pyspark.sql.functions import pandas_udf
+
+        cmat = np.asarray(cents, dtype=np.float64).T  # d × K
+        cnorm = np.linalg.norm(cmat, axis=0)
+        cnorm[cnorm == 0] = 1.0
+
+        @pandas_udf("int")
+        def nearest(col: pd.Series) -> pd.Series:
+            mat = np.asarray(col.tolist(), dtype=np.float64)  # B × d
+            vnorm = np.linalg.norm(mat, axis=1)
+            vnorm[vnorm == 0] = 1.0
+            sims = (mat @ cmat) / (vnorm[:, None] * cnorm[None, :])
+            return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+        return df.withColumn("cluster", nearest(F.col(emb_col)))
 
     for _ in range(max_iter):
         assigned = assign(corpus, centroids)

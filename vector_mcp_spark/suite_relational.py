@@ -518,3 +518,57 @@ def q_events_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
         F.count("*").alias("n_events"),
     )
+
+
+# -- EXISTS / semi-join aggregation (TPC-H Q4-shaped) -------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+@register("late_orders_by_priority", _Q4_ORACLE, "relational")
+def q_late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# -- trailing time-range window frame (RANGE BETWEEN INTERVAL) ----------------
+
+# Spark RANGE frames need a numeric ordering key → order by unix_micros(ts);
+# peers (equal micros) are in-frame on both engines.
+_TRAILING_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4) AS trailing_1h_value
+FROM events
+"""
+
+
+@register("events_trailing_1h_window", _TRAILING_ORACLE, "relational")
+def q_events_trailing_1h_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("trailing_1h_value")
+    )
