@@ -29,7 +29,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_mcp_spark.functions.vector import cosine_similarity
+from vector_mcp_spark.functions.vector import cosine_similarity, dot, l2_norm
+
+# Pairwise scoring below precomputes each vector's norm ONCE before the
+# join (norms ride along as a narrow double column) and divides the per-pair
+# dot by the product — bit-equal to cosine_similarity (identical folds in
+# identical order) while cutting the interpreted-HOF work per pair to the
+# dot alone.
 
 SCORE_DECIMALS = 6
 
@@ -49,14 +55,22 @@ def cosine_self_join_topk(
     small relative to ``corpus`` and is broadcast. Pass ``dim`` to use the
     codegen'd fixed-dimension cosine (bit-equal, faster).
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("qvec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("nvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("qvec"),
+        l2_norm(F.col(emb_col)).alias("qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("nvec"),
+        l2_norm(F.col(emb_col)).alias("nnorm"),
+    )
     joined = c.join(F.broadcast(q))
     if exclude_self:
         joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
-    # dim is accepted for API symmetry but the HOF cosine is used: fixed-dim
+    # dim is accepted for API symmetry but the HOF dot is used: fixed-dim
     # expansion on column×column operands regressed (tree-size blowup)
-    scored = joined.withColumn("score", cosine_similarity(F.col("nvec"), F.col("qvec")))
+    scored = joined.withColumn(
+        "score", F.try_divide(dot(F.col("nvec"), F.col("qvec")), F.col("nnorm") * F.col("qnorm"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
         scored.select("query_id", "neighbor_id", "score")
@@ -149,21 +163,25 @@ def ann_lsh_topk(
     multiprobe) instead of a candidate count.
     """
     n_planes = len(planes[0])
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("qvec")).withColumn(
-        "buckets", F.array(*[_bucket_expr("qvec", p) for p in planes])
-    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("qvec"),
+        l2_norm(F.col(emb_col)).alias("qnorm"),
+    ).withColumn("buckets", F.array(*[_bucket_expr("qvec", p) for p in planes]))
     q = _explode_buckets(q, multiprobe_bits, n_planes)
     c = bucketed_corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("nvec"), "buckets"
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("nvec"),
+        l2_norm(F.col(emb_col)).alias("nnorm"), "buckets"
     )
-    c = c.select("neighbor_id", "nvec", F.posexplode("buckets").alias("tbl", "bucket"))
+    c = c.select("neighbor_id", "nvec", "nnorm", F.posexplode("buckets").alias("tbl", "bucket"))
     joined = c.join(F.broadcast(q), ["tbl", "bucket"]).where(
         F.col("query_id") != F.col("neighbor_id")
     )
-    cand = joined.select("query_id", "qvec", "neighbor_id", "nvec").dropDuplicates(
+    cand = joined.select("query_id", "qvec", "qnorm", "neighbor_id", "nvec", "nnorm").dropDuplicates(
         ["query_id", "neighbor_id"]
     )
-    scored = cand.withColumn("score", cosine_similarity(F.col("nvec"), F.col("qvec")))
+    scored = cand.withColumn(
+        "score", F.try_divide(dot(F.col("nvec"), F.col("qvec")), F.col("nnorm") * F.col("qnorm"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
         scored.select("query_id", "neighbor_id", "score")
@@ -185,13 +203,22 @@ def embedding_near_dup_blocked(
     ``block_col`` (e.g. an upstream cluster/label id) with cosine ≥
     threshold. Blocking keeps the self-join O(Σ block²); fully
     deterministic, hence oracle-checkable. Returns (id_a, id_b, score)."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("va"), F.col(block_col).alias("_blk"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("vb"), F.col(block_col).alias("_blk"))
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(emb_col).alias("va"),
+        l2_norm(F.col(emb_col)).alias("_na"), F.col(block_col).alias("_blk"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(emb_col).alias("vb"),
+        l2_norm(F.col(emb_col)).alias("_nb"), F.col(block_col).alias("_blk"),
+    )
     pairs = a.join(b, "_blk").where(F.col("id_a") < F.col("id_b"))
-    # dim accepted for API symmetry; HOF cosine used (fixed-dim expansion
+    # dim accepted for API symmetry; HOF dot used (fixed-dim expansion
     # on column×column operands regresses — tree-size blowup)
     return (
-        pairs.withColumn("score", F.round(cosine_similarity(F.col("va"), F.col("vb")), SCORE_DECIMALS))
+        pairs.withColumn(
+            "score",
+            F.round(F.try_divide(dot(F.col("va"), F.col("vb")), F.col("_na") * F.col("_nb")), SCORE_DECIMALS),
+        )
         .where(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
@@ -210,18 +237,22 @@ def embedding_near_dup_pairs(
     bucketed, _ = lsh_bucketize(corpus, dim=dim, n_planes=n_planes, n_tables=4, emb_col=emb_col)
     exploded = bucketed.select(
         F.col(id_col).alias("_id"), F.col(emb_col).alias("_v"),
+        l2_norm(F.col(emb_col)).alias("_n"),
         F.posexplode("buckets").alias("tbl", "bucket"),
     )
-    a = exploded.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "tbl", "bucket")
-    b = exploded.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "tbl", "bucket")
+    a = exploded.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("_na"), "tbl", "bucket")
+    b = exploded.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("_nb"), "tbl", "bucket")
     pairs = (
         a.join(b, ["tbl", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "va", "id_b", "vb")
+        .select("id_a", "va", "_na", "id_b", "vb", "_nb")
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        pairs.withColumn("score", F.round(cosine_similarity(F.col("va"), F.col("vb")), SCORE_DECIMALS))
+        pairs.withColumn(
+            "score",
+            F.round(F.try_divide(dot(F.col("va"), F.col("vb")), F.col("_na") * F.col("_nb")), SCORE_DECIMALS),
+        )
         .where(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
         .distinct()
@@ -314,7 +345,10 @@ def ann_ivf_topk(
     beam-width analogue of the reference's Mongo ``numCandidates``
     (``mongodb.py:277``)."""
     cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("qvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("qvec"),
+        l2_norm(F.col(emb_col)).alias("qnorm"),
+    )
     sims = F.transform(cent_lit, lambda c: cosine_similarity(F.col("qvec"), c))
     ranked = F.expr(
         "transform(array_sort(zip_with(_csims, sequence(0, size(_csims) - 1), "
@@ -326,10 +360,13 @@ def ann_ivf_topk(
         .drop("_csims")
     )
     c = assigned_corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("nvec"), "cluster"
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("nvec"),
+        l2_norm(F.col(emb_col)).alias("nnorm"), "cluster"
     )
     joined = c.join(F.broadcast(q), "cluster").where(F.col("query_id") != F.col("neighbor_id"))
-    scored = joined.withColumn("score", cosine_similarity(F.col("nvec"), F.col("qvec")))
+    scored = joined.withColumn(
+        "score", F.try_divide(dot(F.col("nvec"), F.col("qvec")), F.col("nnorm") * F.col("qnorm"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
         scored.select("query_id", "neighbor_id", "score")
