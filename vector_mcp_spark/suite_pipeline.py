@@ -486,3 +486,66 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub.cast("int").alias("n_subword_tokens"),
         F.ceil(F.length("text") / 4.0).cast("int").alias("n_chars_div4"),
     )
+
+
+# -- corpus quality filter (the LLM-curation pre-filter, composed) ------------
+
+_CORPUS_FILTER_ORACLE = f"""
+WITH stats AS ({_TEXT_STATS_ORACLE})
+SELECT s.doc_id AS doc_id, s.quality, s.n_tokens, d.lang
+FROM stats s JOIN documents d ON s.doc_id = d.doc_id
+WHERE s.quality >= 0.55 AND d.lang IN ('en', 'de')
+  AND s.n_chars BETWEEN 100 AND 10000
+"""
+
+
+@register("corpus_quality_filter", _CORPUS_FILTER_ORACLE, "textstats", "pipeline")
+def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.textstats import text_stats
+
+    docs = load(spark, sf_dir, "documents")
+    stats = text_stats(
+        docs.select("doc_id", F.col("text").alias("content")), id_col="doc_id", content_col="content"
+    )
+    return (
+        stats.join(docs.select("doc_id", "lang"), "doc_id")
+        .where(
+            (F.col("quality") >= 0.55)
+            & F.col("lang").isin("en", "de")
+            & F.col("n_chars").between(100, 10000)
+        )
+        .select("doc_id", "quality", "n_tokens", "lang")
+    )
+
+
+# -- top bigrams across the corpus (n-gram frequency, training-data staple) ---
+
+_TOP_BIGRAMS_ORACLE = f"""
+WITH grams AS (
+  SELECT unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS bigram
+  FROM (SELECT {_TOKS} AS t FROM documents)
+)
+SELECT bigram, count(*) AS n
+FROM grams GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
+
+@register("top_bigrams", _TOP_BIGRAMS_ORACLE, "textstats", "pipeline")
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    # adjacent-pair join inside the array (0-based t[i] with x = slice elem i)
+    grams = docs.select(tokens(F.col("text")).alias("t")).select(
+        F.explode(
+            F.expr("transform(slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', t[i + 1]))")
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )

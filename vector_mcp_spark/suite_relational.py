@@ -13,6 +13,7 @@ counts are exact so rounding only ever touches the aggregated measures.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -572,3 +573,28 @@ def q_events_trailing_1h_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("trailing_1h_value")
     )
+
+
+# -- UDAF extension point: grouped-agg pandas UDF (median abs deviation) ------
+
+# The reference has no UDF/UDAF surface (§2.4); Spark's extension point is a
+# GROUPED_AGG pandas UDF. numpy's median (midpoint interpolation) matches
+# DuckDB's built-in mad() exactly.
+_MAD_ORACLE = """
+SELECT event_type, ROUND(CAST(mad(value) AS DOUBLE), 6) AS mad_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("events_mad_udaf", _MAD_ORACLE, "relational", "udaf")
+def q_events_mad_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mad(v: pd.Series) -> float:
+        m = np.median(v)
+        return float(np.median(np.abs(v - m)))
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.round(mad("value"), 6).alias("mad_value"))
