@@ -113,3 +113,19 @@ def test_range_join_cross_bucket_match(spark):
         before_s=600, after_s=0,
     ).collect()
     assert out[0].n_in_range == 1
+
+
+def test_salted_count_distinct_matches_plain(spark):
+    from vector_mcp_spark.operators.skew import salted_count_distinct
+    from vector_mcp_spark.suite import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    got = {
+        (r.event_type): r.n_distinct
+        for r in salted_count_distinct(ev, ["event_type"], "user_id", n_salts=4).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert got == want

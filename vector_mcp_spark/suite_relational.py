@@ -598,3 +598,75 @@ def q_events_mad_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(F.round(mad("value"), 6).alias("mad_value"))
+
+
+# -- JSON property extraction (native from_json over the props column) --------
+
+_JSON_EXTRACT_ORACLE = """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@register("events_json_extract", _JSON_EXTRACT_ORACLE, "relational", "json")
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("avg_k"), F.count("*").alias("n_events")
+    )
+
+
+# -- UDTF extension point: JSON props exploded to rows via LATERAL ------------
+
+_UDTF_SEQ = iter(range(1, 1_000_000))
+
+_PARSE_PROPS_ORACLE = """
+SELECT event_id, 'k' AS key, CAST(json_extract(props, '$.k') AS VARCHAR) AS value
+FROM events WHERE props IS NOT NULL
+"""
+
+
+@register("udtf_parse_props", _PARSE_PROPS_ORACLE, "relational", "udtf")
+def q_udtf_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) exploding a JSON column into
+    (event_id, key, value) rows through a LATERAL correlated call — the
+    third Spark extension point (scalar pandas UDF, grouped-agg UDAF, UDTF)
+    the reference has no equivalent of (SURVEY §2.4)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_id bigint, key string, value string")
+    class ParseProps:
+        def eval(self, event_id, props):
+            import json as _json
+
+            if props is not None:
+                for key, val in _json.loads(props).items():
+                    yield event_id, key, _json.dumps(val)
+
+    name = f"parse_props_{next(_UDTF_SEQ)}"
+    spark.udtf.register(name, ParseProps)
+    ev = load(spark, sf_dir, "events")
+    view = f"events_udtf_{name}"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT p.event_id, p.key, p.value FROM {view}, LATERAL {name}(event_id, props) p"
+    )
+
+
+# -- skew-proof exact distinct count (salted two-phase) -----------------------
+
+_SALTED_DISTINCT_ORACLE = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
+@register("events_salted_distinct", _SALTED_DISTINCT_ORACLE, "relational", "skew")
+def q_events_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.skew import salted_count_distinct
+
+    ev = load(spark, sf_dir, "events")
+    return salted_count_distinct(ev, ["event_type"], "user_id", n_salts=8)
