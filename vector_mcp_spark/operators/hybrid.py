@@ -59,3 +59,40 @@ def rrf_fuse(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(n)
     )
+
+
+def rrf_fuse_multi(
+    legs: Sequence[tuple[DataFrame, float]],
+    n: int,
+    rrf_k: int = 60,
+    id_col: str = "id",
+    score_col: str = "score",
+    query_col: str = "query_id",
+) -> DataFrame:
+    """Batched weighted-RRF fusion (Q6×Q7): every leg frame carries a
+    ``query_col``; ranking windows and the final top-n partition by it, so
+    N hybrid searches fuse in one job. Returns (query_id, rank, id, score)."""
+    contribs = []
+    for leg_df, weight in legs:
+        w = Window.partitionBy(query_col).orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        contribs.append(
+            leg_df.select(query_col, id_col, score_col)
+            .withColumn("rank", F.row_number().over(w))
+            .select(
+                query_col,
+                F.col(id_col),
+                (F.lit(float(weight)) / (F.lit(int(rrf_k)) + F.col("rank"))).alias("contrib"),
+            )
+        )
+    unioned = contribs[0]
+    for c in contribs[1:]:
+        unioned = unioned.unionByName(c)
+    fused = unioned.groupBy(query_col, id_col).agg(
+        F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score")
+    )
+    w2 = Window.partitionBy(query_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= n)
+        .select(query_col, "rank", id_col, "score")
+    )

@@ -670,3 +670,54 @@ def q_events_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return salted_count_distinct(ev, ["event_type"], "user_id", n_salts=8)
+
+
+# -- lead/lag: inter-arrival gaps per user ------------------------------------
+
+_INTERARRIVAL_ORACLE = """
+SELECT event_type,
+       ROUND(AVG(gap_s), 6) AS avg_gap_s,
+       count(*) AS n_gaps
+FROM (
+  SELECT event_type,
+         CAST(date_diff('microsecond',
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS DOUBLE)
+           / 1000000.0 AS gap_s
+  FROM events
+)
+WHERE gap_s IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("events_interarrival", _INTERARRIVAL_ORACLE, "relational")
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).cast("double") / 1e6
+    return (
+        ev.select("event_type", gap.alias("gap_s"))
+        .where(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(F.round(F.avg("gap_s"), 6).alias("avg_gap_s"), F.count("*").alias("n_gaps"))
+    )
+
+
+# -- CUBE grouping sets (all 4 combinations of (event_type, dow)) -------------
+
+_CUBE_ORACLE = """
+SELECT event_type, CAST(isodow(ts) AS INTEGER) AS dow,
+       count(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY CUBE(event_type, CAST(isodow(ts) AS INTEGER))
+"""
+
+
+@register("events_cube", _CUBE_ORACLE, "relational")
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # Spark dayofweek is 1=Sunday; ISO dow = Mon 1..Sun 7
+    iso_dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("int")
+    return ev.cube("event_type", iso_dow.alias("dow")).agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value")
+    )

@@ -321,3 +321,77 @@ def q_lexical_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_tf_topk_multi(
         docs, list(enumerate(MULTI_QUERY_TEXTS)), _LEXMQ_K, id_col="doc_id", content_col="text"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q6 × Q7 — batched hybrid search: N queries fused in one job
+# ---------------------------------------------------------------------------
+
+_HYMQ_LEG_K = 10
+_HYMQ_N = 5
+
+_HYBRID_MQ_ORACLE = f"""
+WITH qv(query_id, qvec) AS (VALUES {_MQ_VALUES}),
+sem_scored AS (
+  SELECT qv.query_id, d.doc_id,
+         list_dot_product(e.embedding::DOUBLE[], qv.qvec) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(qv.qvec, qv.qvec))) AS s
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN qv
+),
+sem_leg AS (
+  SELECT query_id, doc_id, ROUND(s, 6) AS rs,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rnk0
+  FROM sem_scored
+),
+sem_rank AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY rs DESC, doc_id ASC) AS rnk
+  FROM sem_leg WHERE rnk0 <= {_HYMQ_LEG_K}
+),
+ql(query_id, term) AS (VALUES {_LEXMQ_VALUES}),
+{_TOKS_CTE},
+lex_scored AS (
+  SELECT ql.query_id, toks.doc_id, CAST(count(*) AS DOUBLE) AS s
+  FROM toks JOIN ql ON toks.tok = ql.term
+  GROUP BY ql.query_id, toks.doc_id
+),
+lex_leg AS (
+  SELECT query_id, doc_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rnk0
+  FROM lex_scored
+),
+lex_rank AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rnk
+  FROM lex_leg WHERE rnk0 <= {_HYMQ_LEG_K}
+),
+fused AS (
+  SELECT query_id, doc_id, ROUND(SUM(contrib), 6) AS score FROM (
+    SELECT query_id, doc_id, {HYBRID_W_SEM} / ({RRF_K} + rnk) AS contrib FROM sem_rank
+    UNION ALL
+    SELECT query_id, doc_id, {HYBRID_W_LEX} / ({RRF_K} + rnk) AS contrib FROM lex_rank
+  ) GROUP BY query_id, doc_id
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM fused
+) WHERE rnk <= {_HYMQ_N}
+"""
+
+
+@register("hybrid_multiquery", _HYBRID_MQ_ORACLE, "search", "parity")
+def q_hybrid_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.hybrid import rrf_fuse_multi
+    from vector_mcp_spark.operators.lexical import lexical_tf_topk_multi
+    from vector_mcp_spark.operators.semantic import semantic_topk_multi
+
+    coll = docs_with_embeddings(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    sem = semantic_topk_multi(coll, MULTI_QUERY_VECS, _HYMQ_LEG_K, id_col="doc_id", emb_col="embedding")
+    lex = lexical_tf_topk_multi(
+        docs, list(enumerate(MULTI_QUERY_TEXTS)), _HYMQ_LEG_K, id_col="doc_id", content_col="text"
+    )
+    return rrf_fuse_multi(
+        [(sem, HYBRID_W_SEM), (lex, HYBRID_W_LEX)], _HYMQ_N, rrf_k=RRF_K, id_col="doc_id"
+    )
