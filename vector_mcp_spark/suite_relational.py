@@ -721,3 +721,33 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.cube("event_type", iso_dow.alias("dow")).agg(
         F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value")
     )
+
+
+# -- NOT EXISTS / anti-join: customers with no 1995 orders --------------------
+
+_ANTI_CUTOFF = "1996-01-01 00:00:00"
+
+_ANTI_ORACLE = f"""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate < TIMESTAMP '{_ANTI_CUTOFF}'
+)
+GROUP BY c_mktsegment
+"""
+
+
+@register("customers_without_orders", _ANTI_ORACLE, "relational")
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    early = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit(_ANTI_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(early, cust.c_custkey == early.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
