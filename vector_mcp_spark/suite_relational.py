@@ -637,7 +637,7 @@ def q_udtf_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference has no equivalent of (SURVEY §2.4)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="event_id bigint, key string, value string")
+    @udtf(returnType="event_id bigint, key string, value string", useArrow=True)
     class ParseProps:
         def eval(self, event_id, props):
             import json as _json
@@ -750,4 +750,23 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(early, cust.c_custkey == early.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# -- decimal arithmetic (exact sums, no float rounding in the compare) --------
+
+_DECIMAL_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("lineitem_decimal_totals", _DECIMAL_ORACLE, "relational", "decimal")
+def q_lineitem_decimal_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_price"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_qty"),
     )
