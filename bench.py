@@ -34,6 +34,14 @@ def main() -> int:
     spark.read.parquet(f"{sf_dir}/nation.parquet").selectExpr(
         "aggregate(sequence(0, 9), 0L, (a, x) -> a + x) AS s"
     ).groupBy("s").count().collect()
+    # run the flagship once at the smallest SF: warms the vectorized parquet
+    # reader, broadcast-join, HOF-cosine, and window codepaths end to end
+    try:
+        SUITE["semantic_topk"].spark_fn(spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:
+        pass  # warm-up is best-effort; never fail the bench
 
     timings: dict[str, float] = {}
     for name, entry in SUITE.items():

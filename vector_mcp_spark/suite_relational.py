@@ -637,7 +637,9 @@ def q_udtf_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference has no equivalent of (SURVEY §2.4)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="event_id bigint, key string, value string", useArrow=True)
+    # useArrow=False: the Arrow UDTF path measured ~10x SLOWER than the
+    # pickle batch path at sf0.1 (per-row conversion overhead in Spark 4.1)
+    @udtf(returnType="event_id bigint, key string, value string")
     class ParseProps:
         def eval(self, event_id, props):
             import json as _json
@@ -769,4 +771,22 @@ def q_lineitem_decimal_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_price"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_qty"),
+    )
+
+
+# -- array aggregation: per-user sorted distinct event types ------------------
+
+_ARRAYAGG_ORACLE = """
+SELECT user_id, list_sort(list_distinct(list(event_type))) AS types,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+@register("user_event_type_sets", _ARRAYAGG_ORACLE, "relational")
+def q_user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.count("*").alias("n_events"),
     )
