@@ -45,11 +45,15 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def _fake_features(data: bytes, dim: int) -> list[float]:
-    out = []
-    for i in range(dim):
-        h = hashlib.sha256(data + i.to_bytes(4, "big")).digest()
-        out.append(int.from_bytes(h[:8], "big") % 1000 / 1000.0)
-    return out
+    # one digest yields 16 dims (2-byte chunks); counter-extend only beyond
+    # that — the fake is a placeholder, so cheap beats fancy
+    need = 2 * dim
+    buf = b""
+    block = 0
+    while len(buf) < need:
+        buf += hashlib.sha256(data + block.to_bytes(4, "big")).digest()
+        block += 1
+    return [int.from_bytes(buf[2 * i : 2 * i + 2], "big") % 1000 / 1000.0 for i in range(dim)]
 
 
 def extract_features(
