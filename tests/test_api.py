@@ -68,3 +68,10 @@ def test_query_sanitized_before_search(api):
     # PII in the query must not crash and must be redacted pre-embedding
     rows = api.search("kb", "find alice@example.com data", number_results=2).collect()
     assert len(rows) > 0
+
+
+def test_empty_questions_rejected(api):
+    with pytest.raises(EngineError, match="question_invalid"):
+        api.lexical_search("kb", [])
+    with pytest.raises(EngineError, match="question_invalid"):
+        api.semantic_search("kb", [])

@@ -99,3 +99,15 @@ def test_simhash_similar_docs_close(docs):
         return bin(a ^ b).count("1")
 
     assert hamming(got[1], got[3]) < hamming(got[1], got[4])  # near-dup closer than unrelated
+
+
+def test_ngram_short_docs_do_not_crash(spark):
+    # a doc with fewer tokens than the gram width must yield an empty gram
+    # set, not abort the job (sequence(0,-1) -> slice crash regression)
+    df = spark.createDataFrame(
+        [(1, "word", "en"), (2, "one two three four five", "en"),
+         (3, "one two three four five", "en"), (4, "", "en")],
+        "doc_id int, text string, lang string",
+    )
+    got = ngram_jaccard_pairs(df, 0.5, id_col="doc_id", content_col="text", ngram=3).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(2, 3)}

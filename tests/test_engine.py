@@ -118,3 +118,54 @@ def test_compact_collection(spark, tmp_path):
     # contents unchanged (ids are content hashes, so set-compare is exact)
     ids = {r.id for r in after.collect()}
     assert len(ids) == 20
+
+
+def test_dimension_lock_on_recreate(spark, tmp_path):
+    # postgres.py:161-172 — get-or-create with a drifted dimension must raise
+    from vector_mcp_spark.engine import CollectionEngine
+
+    eng = CollectionEngine(spark, str(tmp_path / "dimroot"))
+    eng.create_collection("vecs", dimension=64)
+    eng.create_collection("vecs", dimension=64)  # same dim: fine
+    with pytest.raises(EngineError, match="collection_vector_schema_mismatch"):
+        eng.create_collection("vecs", dimension=128)
+    # overwrite re-locks to the new dimension
+    eng.create_collection("vecs", dimension=128, overwrite=True)
+    eng.create_collection("vecs", dimension=128)
+
+
+def test_dimension_lock_on_ingest(spark, tmp_path):
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.schema import DOCUMENT_SCHEMA
+
+    eng = CollectionEngine(spark, str(tmp_path / "dimroot2"))
+    eng.create_collection("vecs", dimension=4)
+    eng.add_documents("vecs", ["ok"], embeddings=[[1.0, 0.0, 0.0, 0.0]])
+    with pytest.raises(EngineError, match="collection_vector_schema_mismatch"):
+        eng.add_documents("vecs", ["bad"], embeddings=[[1.0, 0.0]])
+    with pytest.raises(EngineError, match="collection_vector_schema_mismatch"):
+        eng.update_documents(
+            "vecs",
+            spark.createDataFrame([("idx", "bad", None, [1.0, 0.0])], DOCUMENT_SCHEMA),
+        )
+    # rejected batches must not have partially landed
+    assert eng.read("vecs").count() == 1
+    # content-only rows (embedding null) are still accepted
+    eng.add_documents("vecs", ["no vector yet"])
+    assert eng.read("vecs").count() == 2
+
+
+def test_in_batch_last_writer_wins_order_is_list_position(spark, tmp_path):
+    # the _ord column is the caller's list position — dedup keeps the LAST
+    # occurrence's metadata regardless of partitioning
+    from vector_mcp_spark.engine import CollectionEngine
+
+    eng = CollectionEngine(spark, str(tmp_path / "ordroot"))
+    eng.create_collection("kb")
+    eng.add_documents(
+        "kb",
+        ["same text"] * 3,
+        metadatas=[{"v": "first"}, {"v": "mid"}, {"v": "last"}],
+    )
+    rows = eng.read("kb").collect()
+    assert len(rows) == 1 and rows[0].metadata == {"v": "last"}

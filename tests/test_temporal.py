@@ -129,3 +129,22 @@ def test_salted_count_distinct_matches_plain(spark):
         for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
     }
     assert got == want
+
+
+def test_range_join_duplicate_left_rows_not_inflated(spark):
+    # duplicate (key, ts) probes must not multiply counts (left is
+    # deduplicated before the bucket explode)
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00")), (1, _ts("2024-01-01 10:00:00"))],
+        "user_id long, qts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:30"), 2.0), (1, _ts("2024-01-01 10:00:45"), 3.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = range_join_count(
+        left, right, on=["user_id"], left_ts="qts", right_ts="ts",
+        before_s=60, after_s=60, value_col="value",
+    ).collect()
+    assert len(got) == 1
+    assert got[0].n_in_range == 2 and got[0].sum_value == 5.0

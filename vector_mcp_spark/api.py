@@ -24,10 +24,11 @@ from pyspark.sql import functions as F
 from vector_mcp_spark.engine import CollectionEngine
 from vector_mcp_spark.functions.embedder import hash_embed
 from vector_mcp_spark.operators.hybrid import rrf_fuse
-from vector_mcp_spark.operators.lexical import lexical_tf_topk
+from vector_mcp_spark.operators.lexical import lexical_tf_topk, lexical_tf_topk_multi
 from vector_mcp_spark.operators.semantic import semantic_topk, semantic_topk_multi
 from vector_mcp_spark.sanitize import sanitize_text_py
 from vector_mcp_spark.validation import (
+    EngineError,
     validate_number_results,
     validate_question,
     validate_rrf_k,
@@ -57,6 +58,8 @@ class VectorSearchApi:
     ) -> DataFrame:
         """Multi-query semantic search → (query_id, rank, id, content, score)."""
         number_results = validate_number_results(number_results)
+        if not questions:
+            raise EngineError("question_invalid")  # vector_api.py:548 rejects empty
         cleaned = [sanitize_text_py(validate_question(q)) for q in questions]
         docs = self._docs(collection)
         queries = [(i, self._embed_query(q)) for i, q in enumerate(cleaned)]
@@ -73,18 +76,24 @@ class VectorSearchApi:
     def lexical_search(
         self, collection: str, questions: Sequence[str], number_results: int = 5
     ) -> DataFrame:
-        """Multi-query lexical (tf) search → (query_id, id, content, score)."""
+        """Multi-query lexical (tf) search → (query_id, id, content, score).
+
+        One job for N queries (lexical_tf_topk_multi scores every query
+        map-side in a single pass), not N unioned single-query legs."""
         number_results = validate_number_results(number_results)
+        if not questions:
+            raise EngineError("question_invalid")
+        cleaned = [(i, sanitize_text_py(validate_question(q))) for i, q in enumerate(questions)]
         docs = self._docs(collection)
-        out = None
-        for i, q in enumerate(questions):
-            cleaned = sanitize_text_py(validate_question(q))
-            leg = lexical_tf_topk(
-                docs, cleaned, number_results, id_col="id", content_col="content",
-                payload_cols=("content",),
-            ).withColumn("query_id", F.lit(i))
-            out = leg if out is None else out.unionByName(leg)
-        return out.select("query_id", "id", "content", "score")
+        ranked = lexical_tf_topk_multi(
+            docs, cleaned, number_results, id_col="id", content_col="content"
+        )
+        # ranked is ≤ N*k rows — broadcast it against the (big) docs payload
+        return (
+            docs.select("id", "content")
+            .join(F.broadcast(ranked), "id")
+            .select("query_id", "id", "content", "score")
+        )
 
     def search(
         self,

@@ -29,6 +29,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from vector_mcp_spark.functions.hashing import content_hash_id
 from vector_mcp_spark.sanitize import sanitize_content_col, sanitize_metadata_col
@@ -99,6 +100,10 @@ class CollectionEngine:
         if exists and not overwrite:
             if not get_or_create:
                 raise EngineError("collection_exists")  # base.py:96-99
+            # dimension-drift rejection (postgres.py:161-172): get-or-create
+            # of an existing collection must request the locked dimension
+            if dimension is not None and self._locked_dimension(scoped) != dimension:
+                raise EngineError("collection_vector_schema_mismatch")
             return scoped
         if exists and overwrite:
             self.delete_collection(name, confirm=True)
@@ -123,6 +128,26 @@ class CollectionEngine:
     def collection_exists(self, name: str) -> bool:
         scoped = self._scoped(name)
         return self._read_catalog().where(F.col("collection_name") == scoped).count() > 0
+
+    def _locked_dimension(self, scoped: str) -> int | None:
+        row = (
+            self._read_catalog()
+            .where(F.col("collection_name") == scoped)
+            .select("dimension")
+            .collect()
+        )
+        return row[0].dimension if row else None
+
+    def _check_dimension(self, scoped: str, df: DataFrame, emb_col: str = "embedding") -> None:
+        """Reject wrong-size vectors before they reach the table
+        (postgres.py:164-172 — pgvector's VECTOR(dim) enforces this in-DDL;
+        parquet has no typed vector width, so it's an explicit gate)."""
+        dim = self._locked_dimension(scoped)
+        if dim is None:
+            return
+        bad = df.where(F.col(emb_col).isNotNull() & (F.size(F.col(emb_col)) != F.lit(dim)))
+        if bad.limit(1).count() > 0:
+            raise EngineError("collection_vector_schema_mismatch")
 
     def _require(self, name: str) -> str:
         scoped = self._scoped(name)
@@ -173,15 +198,19 @@ class CollectionEngine:
         metadatas = metadatas if metadatas is not None else [None] * n
         embeddings = embeddings if embeddings is not None else [None] * n
         rows = [
-            ("", c, dict(m) if m else None, [float(x) for x in e] if e is not None else None)
-            for c, m, e in zip(contents, metadatas, embeddings)
+            ("", c, dict(m) if m else None, [float(x) for x in e] if e is not None else None, i)
+            for i, (c, m, e) in enumerate(zip(contents, metadatas, embeddings))
         ]
-        new = self.spark.createDataFrame(rows, DOCUMENT_SCHEMA)
+        batch_schema = T.StructType(
+            [*DOCUMENT_SCHEMA.fields, T.StructField("_ord", T.IntegerType(), nullable=False)]
+        )
+        new = self.spark.createDataFrame(rows, batch_schema)
         new = new.withColumn("content", sanitize_content_col(F.col("content")))
         new = new.withColumn("metadata", sanitize_metadata_col(F.col("metadata")))
         new = new.withColumn("id", content_hash_id(F.col("content")))
-        # T2 in-batch dedup, last-writer-wins (vector_api.py:363-366)
-        new = new.withColumn("_ord", F.monotonically_increasing_id())
+        # T2 in-batch dedup, last-writer-wins (vector_api.py:363-366).
+        # _ord is the caller's list position, stamped driver-side — stable
+        # under any repartition (monotonically_increasing_id is not).
         w_last = Window.partitionBy("id").orderBy(F.col("_ord").desc())
         new = (
             new.withColumn("_rn", F.row_number().over(w_last))
@@ -189,6 +218,7 @@ class CollectionEngine:
             .drop("_ord", "_rn")
         )
 
+        self._check_dimension(scoped, new)
         existing = self.read(name)
         if not upsert:
             # T8 duplicate guard (qdrant.py:176-189)
@@ -216,6 +246,7 @@ class CollectionEngine:
     def update_documents(self, name: str, df: DataFrame) -> None:
         """T7 upsert from a prepared Document-schema DataFrame."""
         scoped = self._require(name)
+        self._check_dimension(scoped, df)
         existing = self.read(name)
         merged = existing.join(df.select("id"), "id", "left_anti").unionByName(df.select(*existing.columns))
         self._overwrite_table(scoped, merged)

@@ -125,10 +125,16 @@ def ngram_jaccard_pairs(
     toks = _distinct_tokens(content_col)
     if ngram > 1:
         joined = tokens(F.col(content_col))
-        grams = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(joined) - ngram, F.lit(-1))),
-            lambda i: F.array_join(F.slice(joined, i + 1, ngram), " "),
-        )
+        # guard: a doc with < ngram tokens yields an EMPTY gram set — an
+        # unguarded sequence(0, -1) = [0, -1] makes slice() raise and one
+        # short doc would abort the whole job
+        grams = F.when(
+            F.size(joined) >= ngram,
+            F.transform(
+                F.sequence(F.lit(0), F.size(joined) - ngram),
+                lambda i: F.array_join(F.slice(joined, i + 1, ngram), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
         toks = F.array_distinct(grams)
     hashed = F.transform(toks, _hash64)
     base = df.select(

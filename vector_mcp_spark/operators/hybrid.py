@@ -25,6 +25,12 @@ from pyspark.sql import functions as F
 
 SCORE_DECIMALS = 6
 
+# Legs are ranked with a GLOBAL window (correct for the bounded top-k frames
+# this operator contracts for — k ∈ [1,1000], validation.py:60-63). The
+# defensive TakeOrdered below pins that bound so a caller passing an unranked
+# full table cannot serialize millions of rows onto one window partition.
+MAX_LEG_ROWS = 1000
+
 
 def rrf_fuse(
     legs: Sequence[tuple[DataFrame, float]],
@@ -42,9 +48,16 @@ def rrf_fuse(
     contribs = []
     for leg_df, weight in legs:
         w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
-        contribs.append(
+        # TakeOrderedAndProject (partial top-k per partition) — bounds the
+        # global rank window to ≤ MAX_LEG_ROWS rows; no-op for the top-k
+        # frames the contract expects (same ordering, k ≤ 1000)
+        bounded = (
             leg_df.select(id_col, score_col)
-            .withColumn("rank", F.row_number().over(w))
+            .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+            .limit(MAX_LEG_ROWS)
+        )
+        contribs.append(
+            bounded.withColumn("rank", F.row_number().over(w))
             .select(
                 F.col(id_col),
                 (F.lit(float(weight)) / (F.lit(int(rrf_k)) + F.col("rank"))).alias("contrib"),

@@ -138,9 +138,12 @@ def range_join_count(
     lo = F.col(f"l_{left_ts}") - F.expr(f"INTERVAL {before_s} SECOND")
     hi = F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {after_s} SECOND")
 
+    # distinct BEFORE exploding buckets: duplicate (on, ts) left rows would
+    # each join the same matches and the groupBy below would multiply
+    # n_in_range/sum by the duplicate count
+    base = left.select(*on, F.col(left_ts).alias(f"l_{left_ts}")).distinct()
     lb = (
-        left.select(*on, F.col(left_ts).alias(f"l_{left_ts}"))
-        .withColumn("__b0", F.floor((F.unix_micros(lo)) / F.lit(width_us)))
+        base.withColumn("__b0", F.floor((F.unix_micros(lo)) / F.lit(width_us)))
         .withColumn("__bucket", F.explode(F.array(F.col("__b0"), F.col("__b0") + 1)))
         .drop("__b0")
     )
@@ -156,7 +159,6 @@ def range_join_count(
     if value_col:
         aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
     counted = joined.groupBy(*on, f"l_{left_ts}").agg(*aggs)
-    base = left.select(*on, F.col(left_ts).alias(f"l_{left_ts}")).distinct()
     out = base.join(counted, [*on, f"l_{left_ts}"], "left").select(
         *on,
         F.col(f"l_{left_ts}").alias(left_ts),

@@ -19,11 +19,21 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# vector_api.py:40-43
-PRIVATE_METADATA_KEY_PATTERN = r"(?i)^(file|filename|filepath|path|directory|dirname|uri|url|source)$"
+# vector_api.py:40-43 — the reference matches these words as
+# underscore-delimited components ANYWHERE in the key (re.search), so
+# file_path / source_url / my_path are all dropped. Used unanchored (rlike).
+PRIVATE_METADATA_KEY_PATTERN = (
+    r"(?i)(?:^|_)(?:file|filename|filepath|path|directory|dirname|uri|url|source)(?:$|_)"
+)
 
 # Unix-style absolute path with at least two segments (vector_api.py:44-46 shape)
 PATH_PATTERN = r"(?:/[A-Za-z0-9._-]+){2,}/?"
+# Windows drive-letter (C:\... or C:/...) and UNC (\\host\share...) paths
+# (vector_api.py:44-46 _LOCAL_PATH). The reference guards with a lookbehind
+# (?<![\w:]) so "http://x" isn't treated as drive "p:/"; RE2 (the DuckDB
+# oracle engine) has no lookbehind, so the guard is a captured prefix group
+# restored in the replacement — identical behavior, portable to both engines.
+WIN_PATH_PATTERN = r"(^|[^\w:])((?:[A-Za-z]:[\\/]|\\\\[^\s\\]+\\)[^\s<>\"']+)"
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_PATTERN = r"\+?\d[\d ()-]{7,}\d"
 
@@ -33,6 +43,8 @@ REDACTED_PII = "[REDACTED]"
 
 def sanitize_text_col(col: Column) -> Column:
     col = F.regexp_replace(col, EMAIL_PATTERN, REDACTED_PII)
+    # windows before unix: C:/a/b must not leave "C:" + redacted unix tail
+    col = F.regexp_replace(col, WIN_PATH_PATTERN, "$1" + REDACTED_PATH)
     col = F.regexp_replace(col, PATH_PATTERN, REDACTED_PATH)
     col = F.regexp_replace(col, PHONE_PATTERN, REDACTED_PII)
     return col
@@ -58,6 +70,7 @@ def sanitize_text_py(text: str) -> str:
     import re
 
     text = re.sub(EMAIL_PATTERN, REDACTED_PII, text)
+    text = re.sub(WIN_PATH_PATTERN, r"\g<1>" + REDACTED_PATH, text)
     text = re.sub(PATH_PATTERN, REDACTED_PATH, text)
     text = re.sub(PHONE_PATTERN, REDACTED_PII, text)
     return text

@@ -320,9 +320,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- T3 sanitize pass (content PII/path redaction) ---------------------------
 
-# Same three regexes in the same order as sanitize_text_col (T3,
-# vector_api.py:44-46,284-301 semantics); RE2/Java-regex compatible.
+# Same four regexes in the same order as sanitize_text_col (T3,
+# vector_api.py:44-46,284-301 semantics); RE2/Java-regex compatible — the
+# windows-path prefix guard is a capture group (no lookbehind in RE2).
 _SAN_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_SAN_WIN = r"(^|[^\w:])((?:[A-Za-z]:[\\/]|\\\\[^\s\\]+\\)[^\s<>\"']+)".replace("'", "''")
 _SAN_PATH = r"(?:/[A-Za-z0-9._-]+){2,}/?"
 _SAN_PHONE = r"\+?\d[\d ()-]{7,}\d"
 
@@ -330,7 +332,9 @@ _SANITIZE_ORACLE = f"""
 SELECT doc_id,
        regexp_replace(
          regexp_replace(
-           regexp_replace(text, '{_SAN_EMAIL}', '[REDACTED]', 'g'),
+           regexp_replace(
+             regexp_replace(text, '{_SAN_EMAIL}', '[REDACTED]', 'g'),
+             '{_SAN_WIN}', '\\1[REDACTED_PATH]', 'g'),
            '{_SAN_PATH}', '[REDACTED_PATH]', 'g'),
          '{_SAN_PHONE}', '[REDACTED]', 'g') AS clean_text
 FROM documents
@@ -413,7 +417,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media feature extraction over binary columns (rows-only: the
     Arrow-batched deterministic-fake decode seam; sha256-derived features,
-    so repeated runs are identical — pytest checks determinism + schema)."""
+    so repeated runs are identical — pytest checks determinism + schema).
+
+    The feature vector is projected to a JVM-side xxhash64 fingerprint —
+    the driver's canonicalizer sorts cell values, so no raw ``array<float>``
+    column may reach it (round-1 ``err``)."""
     from vector_mcp_spark.multimodal.binary_ops import extract_features
 
     docs = load(spark, sf_dir, "documents")
@@ -428,7 +436,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
-    return extract_features(media, dim=8).orderBy("media_id")
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.size("features").cast("int").alias("n_features"),
+        F.xxhash64("features").alias("features_fp"),
+    ).orderBy("media_id")
 
 
 # -- T6 batch embedding (the mapInPandas seam itself, oracle-replayed) --------
@@ -437,13 +451,15 @@ _EMBED_DIM = 16
 
 # hash_embed(text, dim)[i] = sha256(text|i)[:8 bytes] % 1000 / 1000 — the
 # 8 unsigned bytes are parsed in two 32-bit halves (DuckDB can't cast 16 hex
-# chars straight to HUGEINT).
+# chars straight to HUGEINT). Output is EXPLODED to one (doc_id, i, val) row
+# per vector element: the driver canonicalizer can't sort array<float> cells
+# (round-1 ``err``), and the element-wise shape upgrades the check to a true
+# per-value hash match.
 _EMBED_ORACLE = f"""
-SELECT doc_id, list_transform(range({_EMBED_DIM}), i ->
-  CAST((CAST(CAST(('0x' || substring(sha256(text || '|' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) AS HUGEINT) * 4294967296
-        + CAST(('0x' || substring(sha256(text || '|' || CAST(i AS VARCHAR)), 9, 8)) AS BIGINT)) % 1000 / 1000.0 AS FLOAT)
-) AS embedding
-FROM documents
+SELECT doc_id, CAST(t.i AS INTEGER) AS i,
+  CAST((CAST(CAST(('0x' || substring(sha256(text || '|' || CAST(t.i AS VARCHAR)), 1, 8)) AS BIGINT) AS HUGEINT) * 4294967296
+        + CAST(('0x' || substring(sha256(text || '|' || CAST(t.i AS VARCHAR)), 9, 8)) AS BIGINT)) % 1000 / 1000.0 AS FLOAT) AS val
+FROM documents, range({_EMBED_DIM}) t(i)
 """
 
 
@@ -456,7 +472,7 @@ def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
     out = embed_documents(docs, text_col="content", out_col="embedding", dim=_EMBED_DIM)
-    return out.select("doc_id", "embedding")
+    return out.select("doc_id", F.posexplode("embedding").alias("i", "val"))
 
 
 # -- token counting: whitespace + BPE-ish subword regex (north-star ask) ------
