@@ -103,21 +103,73 @@ def test_validation_errors(engine):
 
 
 def test_compact_collection(spark, tmp_path):
-    from vector_mcp_spark.engine import CollectionEngine
+    from pathlib import Path
+
+    from vector_mcp_spark.engine import CollectionEngine, _physical_name
 
     eng = CollectionEngine(spark, str(tmp_path / "root"))
     eng.create_collection("compactme")
-    # several small ingest batches → several small files
+    # several small ingest batches → several small files per touched bucket
     for i in range(4):
         eng.add_documents("compactme", [f"doc {i} {j}" for j in range(5)])
     before = eng.read("compactme").count()
-    n_files = eng.compact_collection("compactme", target_files=1)
-    assert n_files == 1
+    n_files = eng.compact_collection("compactme")
+    table = Path(tmp_path / "root" / "collections" / _physical_name("compactme"))
+    part_dirs = [d for d in table.iterdir() if d.name.startswith("_p=")]
+    # compaction invariant: exactly one parquet file per partition bucket
+    assert all(len(list(d.glob("*.parquet"))) == 1 for d in part_dirs)
+    assert n_files == len(part_dirs)
     after = eng.read("compactme")
     assert after.count() == before == 20
     # contents unchanged (ids are content hashes, so set-compare is exact)
     ids = {r.id for r in after.collect()}
     assert len(ids) == 20
+
+
+def test_upsert_leaves_untouched_partitions_byte_identical(spark, tmp_path):
+    """The partition-pruned MERGE contract: a batch rewrite must not read or
+    rewrite partitions its ids don't hash into — their files stay identical
+    (same paths, sizes, mtimes)."""
+    from pathlib import Path
+
+    import hashlib
+
+    from vector_mcp_spark.engine import CollectionEngine, _PART_LEN, _physical_name
+
+    eng = CollectionEngine(spark, str(tmp_path / "root"))
+    eng.create_collection("pruned")
+    docs = [f"stable doc number {i}" for i in range(40)]
+    eng.add_documents("pruned", docs)
+    table = Path(tmp_path / "root" / "collections" / _physical_name("pruned"))
+
+    def snapshot():
+        return {
+            str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+            for p in table.rglob("*.parquet")
+        }
+
+    before = snapshot()
+    new_doc = "a brand new document"
+    touched = {hashlib.sha256(new_doc.encode()).hexdigest()[:_PART_LEN]}
+    eng.add_documents("pruned", [new_doc])
+    after = snapshot()
+    untouched_before = {
+        p: v for p, v in before.items()
+        if not any(f"_p={t}/" in p or p.split("_p=")[-1].split("/")[0] == t for t in touched)
+    }
+    for p, v in untouched_before.items():
+        assert after.get(p) == v, f"untouched partition file changed: {p}"
+    assert eng.read("pruned").count() == 41
+
+    # delete prunes too: removing one doc must leave other buckets alone
+    victim_id = hashlib.sha256(docs[0].encode()).hexdigest()
+    before = snapshot()
+    eng.delete_documents("pruned", [victim_id])
+    after = snapshot()
+    for p, v in before.items():
+        if f"_p={victim_id[:_PART_LEN]}" not in p:
+            assert after.get(p) == v, f"untouched partition file changed: {p}"
+    assert eng.read("pruned").count() == 40
 
 
 def test_dimension_lock_on_recreate(spark, tmp_path):

@@ -14,9 +14,11 @@ Multi-tenancy: logical name → physical ``t_<sha256(tenant)[:16]>_<name>``
 prefix (``vector_api.py:455-476``).
 
 Every mutation is a bulk DataFrame write (the reference asserts 1 bulk write
-per ingest, ``tests/test_secure_backends.py:177-196``); upsert is the
-anti-join ∪ new rewrite (Delta MERGE is the documented upgrade path at
-100 TB — SURVEY §7 risk 3).
+per ingest, ``tests/test_secure_backends.py:177-196``). Tables are
+hive-partitioned on the first 2 hex chars of the content-hash id; upsert /
+delete / point-lookup read and rewrite ONLY the partitions the batch's ids
+hash into — O(batch) i/o per mutation instead of O(table), the Parquet
+stand-in for Delta MERGE file pruning (SURVEY §7 risk 3).
 """
 
 from __future__ import annotations
@@ -45,6 +47,21 @@ from vector_mcp_spark.validation import (
 def _physical_name(logical: str) -> str:
     # postgres.py:33-35 — "vm_" + sha256(name)[:24]
     return "vm_" + hashlib.sha256(logical.encode("utf-8")).hexdigest()[:24]
+
+
+# Collection tables are hive-partitioned on the first 2 hex chars of the
+# content-hash id (256 uniform buckets). Ingest/delete/point-lookup batches
+# touch only the partitions their ids hash into, so a mutation rewrites
+# O(batch) partitions instead of O(table) — the Parquet stand-in for Delta
+# MERGE file pruning (SURVEY §7 risk 3). At 100 TB each bucket is ~0.4% of
+# the table; a 1000-doc batch rewrites at most 256 buckets but reads/writes
+# only their bytes, never the full table.
+_PART_COL = "_p"
+_PART_LEN = 2
+
+
+def _prefix_of(id_col) -> "F.Column":
+    return F.substring(id_col, 1, _PART_LEN)
 
 
 def _tenant_prefix(tenant: str) -> str:
@@ -113,7 +130,7 @@ class CollectionEngine:
         )
         self._write_catalog(cat.unionByName(row))
         empty = self.spark.createDataFrame([], DOCUMENT_SCHEMA)
-        empty.write.mode("overwrite").parquet(self._table_path(scoped))
+        self._write_partitioned(self._table_path(scoped), empty)
         return scoped
 
     def get_collections(self) -> list[str]:
@@ -168,16 +185,59 @@ class CollectionEngine:
 
     def read(self, name: str) -> DataFrame:
         scoped = self._require(name)
-        return self.spark.read.schema(DOCUMENT_SCHEMA).parquet(self._table_path(scoped))
+        df = self.spark.read.schema(DOCUMENT_SCHEMA).parquet(self._table_path(scoped))
+        # partition discovery appends _p; project back to the document shape
+        return df.select(*DOCUMENT_SCHEMA.fieldNames())
+
+    def _write_partitioned(self, path: str, df: DataFrame) -> None:
+        (
+            df.withColumn(_PART_COL, _prefix_of(F.col("id")))
+            .write.partitionBy(_PART_COL)
+            .mode("overwrite")
+            .parquet(path)
+        )
 
     def _overwrite_table(self, scoped: str, df: DataFrame) -> None:
         # Parquet has no MERGE: stage to tmp dir then atomic-ish rename.
         tmp = self._table_path(scoped) + "_stage"
-        df.write.mode("overwrite").parquet(tmp)
+        self._write_partitioned(tmp, df)
         out = Path(self._table_path(scoped))
         if out.exists():
             shutil.rmtree(out)
         Path(tmp).rename(out)
+
+    def _read_partitions(self, scoped: str, prefixes: Sequence[str]) -> DataFrame:
+        """Read ONLY the partition directories the given id prefixes touch —
+        the table's other bytes are never opened."""
+        table = Path(self._table_path(scoped))
+        dirs = [str(table / f"{_PART_COL}={p}") for p in sorted(set(prefixes))
+                if (table / f"{_PART_COL}={p}").exists()]
+        if not dirs:
+            return self.spark.createDataFrame([], DOCUMENT_SCHEMA)
+        df = (
+            self.spark.read.schema(DOCUMENT_SCHEMA)
+            .option("basePath", str(table))
+            .parquet(*dirs)
+        )
+        return df.select(*DOCUMENT_SCHEMA.fieldNames())
+
+    def _rewrite_partitions(self, scoped: str, prefixes: Sequence[str], out: DataFrame) -> None:
+        """Swap in new contents for exactly the given partitions. ``out``
+        must contain only rows whose id prefix is in ``prefixes`` (true for
+        every caller: merges/deletes over rows read from those partitions).
+        Untouched partition directories are not read, written, or moved."""
+        table = Path(self._table_path(scoped))
+        stage = Path(str(table) + "_stage")
+        shutil.rmtree(stage, ignore_errors=True)
+        self._write_partitioned(str(stage), out)
+        for p in sorted(set(prefixes)):
+            dst = table / f"{_PART_COL}={p}"
+            src = stage / f"{_PART_COL}={p}"
+            if dst.exists():
+                shutil.rmtree(dst)
+            if src.exists():
+                src.rename(dst)
+        shutil.rmtree(stage, ignore_errors=True)
 
     def add_documents(
         self,
@@ -219,51 +279,78 @@ class CollectionEngine:
         )
 
         self._check_dimension(scoped, new)
-        existing = self.read(name)
+        new = new.select(*DOCUMENT_SCHEMA.fieldNames())
+        # the batch is driver-bounded (≤1000 docs) — its ids are collectable,
+        # and they define exactly which partitions this ingest touches
+        ids = [r.id for r in new.select("id").collect()]
+        prefixes = sorted({i[:_PART_LEN] for i in ids})
+        touched = self._read_partitions(scoped, prefixes)
         if not upsert:
-            # T8 duplicate guard (qdrant.py:176-189)
-            if existing.join(new, "id", "left_semi").count() > 0:
+            # T8 duplicate guard (qdrant.py:176-189) — only touched
+            # partitions can hold a colliding content-hash id
+            if touched.join(F.broadcast(new), "id", "left_semi").count() > 0:
                 raise EngineError("document_exists")
-        merged = existing.join(new, "id", "left_anti").unionByName(new)
-        count = merged.count()
-        self._overwrite_table(scoped, merged)
-        return count
+        merged = touched.join(F.broadcast(new), "id", "left_anti").unionByName(new)
+        self._rewrite_partitions(scoped, prefixes, merged)
+        return len(ids)
 
     def compact_collection(self, name: str, target_files: int | None = None) -> int:
-        """Rewrite the collection into ``target_files`` parquet files
-        (default: defaultParallelism). Incremental upserts accrete one small
-        file per batch; at scale the small-files problem dominates scan
-        planning, so compaction is a first-class maintenance op (the Parquet
-        stand-in for Delta OPTIMIZE). Returns the file count written."""
+        """Pack each id-prefix partition bucket into a single parquet file.
+        Incremental upserts accrete one file per batch per touched bucket; at
+        scale the small-files problem dominates scan planning, so compaction
+        is a first-class maintenance op (the Parquet stand-in for Delta
+        OPTIMIZE). ``target_files`` is retained for API compatibility; the
+        unit of compaction is the partition bucket. Returns the total parquet
+        file count after the rewrite."""
         scoped = self._require(name)
-        n = target_files or self.spark.sparkContext.defaultParallelism
         df = self.read(name)
-        # coalesce, not repartition: plain file merge, no shuffle
-        self._overwrite_table(scoped, df.coalesce(n))
+        # hash-repartition by bucket: each bucket lands wholly in one task,
+        # so the partitioned write emits exactly one file per bucket dir
+        packed = (
+            df.withColumn(_PART_COL, _prefix_of(F.col("id")))
+            .repartition(F.col(_PART_COL))
+            .drop(_PART_COL)
+        )
+        self._overwrite_table(scoped, packed)
         out = Path(self._table_path(scoped))
-        return sum(1 for p in out.glob("*.parquet"))
+        return sum(1 for _ in out.rglob("*.parquet"))
 
     def update_documents(self, name: str, df: DataFrame) -> None:
-        """T7 upsert from a prepared Document-schema DataFrame."""
+        """T7 upsert from a prepared Document-schema DataFrame (may be large —
+        prefixes are aggregated distributed-side, ≤256 distinct values)."""
         scoped = self._require(name)
         self._check_dimension(scoped, df)
-        existing = self.read(name)
-        merged = existing.join(df.select("id"), "id", "left_anti").unionByName(df.select(*existing.columns))
-        self._overwrite_table(scoped, merged)
+        df = df.select(*DOCUMENT_SCHEMA.fieldNames())
+        prefixes = [
+            r.p for r in df.select(_prefix_of(F.col("id")).alias("p")).distinct().collect()
+        ]
+        touched = self._read_partitions(scoped, prefixes)
+        merged = touched.join(df.select("id"), "id", "left_anti").unionByName(df)
+        self._rewrite_partitions(scoped, prefixes, merged)
 
     def delete_documents(self, name: str, ids: Sequence[str]) -> None:
-        # T9 (base.py:174-187) — anti-join rewrite
+        # T9 (base.py:174-187) — anti-join rewrite of ONLY the partitions the
+        # ids hash into (prefixes known driver-side, no job needed)
         scoped = self._require(name)
-        ids_df = self.spark.createDataFrame([(str(i),) for i in ids], "id string")
-        self._overwrite_table(scoped, self.read(name).join(ids_df, "id", "left_anti"))
+        ids = [str(i) for i in ids]
+        prefixes = sorted({i[:_PART_LEN] for i in ids})
+        ids_df = self.spark.createDataFrame([(i,) for i in ids], "id string")
+        touched = self._read_partitions(scoped, prefixes)
+        self._rewrite_partitions(
+            scoped, prefixes, touched.join(F.broadcast(ids_df), "id", "left_anti")
+        )
 
     def get_documents_by_ids(
         self, name: str, ids: Sequence[str] | None = None, include: Sequence[str] | None = None
     ) -> DataFrame:
-        # T10 (base.py:233-253); ids=None → full scan (chromadb.py:186-237)
-        df = self.read(name)
+        # T10 (base.py:233-253); ids=None → full scan (chromadb.py:186-237).
+        # With ids, only the partitions they hash into are opened.
         if ids is not None:
-            ids_df = self.spark.createDataFrame([(str(i),) for i in ids], "id string")
+            ids = [str(i) for i in ids]
+            df = self._read_partitions(self._require(name), sorted({i[:_PART_LEN] for i in ids}))
+            ids_df = self.spark.createDataFrame([(i,) for i in ids], "id string")
             df = df.join(F.broadcast(ids_df), "id", "left_semi")
+        else:
+            df = self.read(name)
         cols = ["id", *include] if include else df.columns
         return df.select(*dict.fromkeys(cols))

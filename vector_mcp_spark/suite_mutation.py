@@ -78,3 +78,69 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.where((F.col("doc_id") % 97 == 0) | (F.col("doc_id") >= 100000)).select(
         "doc_id", "text"
     )
+
+
+# -- S1-S4 + T8 + §2.5: the engine/catalog surface as one declared query ----
+#
+# The DDL/catalog ops (create, get-or-create, overwrite, list, delete,
+# duplicate guard, confirm gate, dimension lock) have no table-in/table-out
+# shape, so the declared query RUNS the real CollectionEngine against a
+# scratch root and returns the observable end state + the stable error codes
+# each guard raised — all deterministic, so a VALUES oracle replays it.
+# Reference: vector_api.py:413-476, postgres.py:150-186, qdrant.py:176-189.
+
+_LIFECYCLE_ORACLE = """
+SELECT * FROM (VALUES
+  ('alpha_docs', '2'),
+  ('beta_docs', '0'),
+  ('collections', 'alpha,beta'),
+  ('dim_drift', 'collection_vector_schema_mismatch'),
+  ('dup_guard', 'document_exists'),
+  ('gamma_exists', 'false'),
+  ('no_confirm', 'delete_not_confirmed')
+) AS t(item, detail)
+"""
+
+
+@register("engine_lifecycle", _LIFECYCLE_ORACLE, "engine", "parity")
+def q_engine_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.validation import EngineError
+
+    root = tempfile.mkdtemp(prefix="vm_lifecycle_")
+
+    def _code(fn):
+        try:
+            fn()
+            return "no_error"
+        except EngineError as e:
+            return str(e)
+
+    try:
+        eng = CollectionEngine(spark, root)
+        eng.create_collection("alpha", dimension=8)
+        eng.create_collection("beta", dimension=4)
+        eng.create_collection("gamma")
+        # 3 contents, 1 in-batch exact dup → 2 stored rows
+        eng.add_documents("alpha", ["doc one", "doc two", "doc one"])
+        dup = _code(lambda: eng.add_documents("alpha", ["doc one"], upsert=False))
+        drift = _code(lambda: eng.create_collection("alpha", dimension=16))
+        noconf = _code(lambda: eng.delete_collection("gamma"))
+        eng.add_documents("beta", ["to be dropped"])
+        eng.create_collection("beta", overwrite=True)  # overwrite drops docs
+        eng.delete_collection("gamma", confirm=True)
+        rows = [
+            ("alpha_docs", str(eng.read("alpha").count())),
+            ("beta_docs", str(eng.read("beta").count())),
+            ("collections", ",".join(eng.get_collections())),
+            ("dim_drift", drift),
+            ("dup_guard", dup),
+            ("gamma_exists", str(eng.collection_exists("gamma")).lower()),
+            ("no_confirm", noconf),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "item string, detail string")
