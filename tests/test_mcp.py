@@ -1,0 +1,136 @@
+"""MCP veneer dispatch + remote embedding client (offline, fake transport)."""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_mcp_spark.api import VectorSearchApi
+from vector_mcp_spark.engine import CollectionEngine
+from vector_mcp_spark.functions.embedding_client import RemoteEmbeddingClient
+from vector_mcp_spark.mcp import McpVeneer, resolve_action
+from vector_mcp_spark.validation import EngineError
+
+
+@pytest.fixture(scope="module")
+def veneer(spark, tmp_path_factory):
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("mcp_root")))
+    return McpVeneer(eng, VectorSearchApi(eng))
+
+
+def test_did_you_mean_suggestions():
+    out = resolve_action("semantic_serch", ("semantic_search", "lexical_search", "search"))
+    assert out["error"] == "action_invalid"
+    assert out["did_you_mean"][0] == "semantic_search"
+    assert resolve_action("search", ("semantic_search", "search")) == "search"
+
+
+def test_collection_management_lifecycle(veneer):
+    out = veneer.vector_collection_management(
+        "create_collection", collection_name="mcp_kb",
+        document_contents=["alpha doc", "beta doc"],
+    )
+    assert out == {"collection_name": "mcp_kb", "documents_added": 2}
+    assert "mcp_kb" in veneer.vector_collection_management("list_collections")["collections"]
+    out = veneer.vector_collection_management("add_documents", collection_name="mcp_kb")
+    assert out["error"] == "document_input_required"
+    # stable error codes, never a traceback
+    out = veneer.vector_collection_management("delete_collection", collection_name="mcp_kb")
+    assert out["error"] == "delete_not_confirmed"
+    out = veneer.vector_collection_management(
+        "delete_collection", collection_name="mcp_kb", confirm=True
+    )
+    assert out == {"deleted": "mcp_kb"}
+    out = veneer.vector_collection_management("create_colection")
+    assert out["error"] == "action_invalid" and "create_collection" in out["did_you_mean"]
+
+
+def test_search_dispatch(veneer):
+    veneer.vector_collection_management(
+        "create_collection", collection_name="mcp_search",
+        document_contents=["spark processes data", "vectors enable search", "cats sleep"],
+    )
+    for action in ("semantic_search", "lexical_search", "search"):
+        out = veneer.vector_search(action, collection_name="mcp_search", question="data search")
+        assert out["action"] == action and len(out["results"]) > 0
+    out = veneer.vector_search("search", collection_name="mcp_search", question="   ")
+    assert out["error"] == "question_invalid"
+    out = veneer.vector_search("search", collection_name="nope", question="q")
+    assert out["error"] == "collection_not_found"
+
+
+def _fake_transport(vectors_by_text):
+    def transport(url, payload, headers, timeout_s):
+        return {"data": [{"embedding": vectors_by_text[t]} for t in payload["input"]]}
+
+    return transport
+
+
+def test_embedding_client_batches_and_validates():
+    table = {f"t{i}": [float(i), 1.0] for i in range(5)}
+    calls = []
+    inner = _fake_transport(table)
+
+    def transport(url, payload, headers, timeout_s):
+        calls.append(list(payload["input"]))
+        return inner(url, payload, headers, timeout_s)
+
+    client = RemoteEmbeddingClient(
+        "http://fake/v1/embeddings", "m", batch_size=2, transport=transport
+    )
+    out = client([f"t{i}" for i in range(5)])
+    assert out == [[float(i), 1.0] for i in range(5)]
+    assert [len(c) for c in calls] == [2, 2, 1]  # chunked per batch_size
+
+
+def test_embedding_client_retries_then_fails():
+    attempts = []
+
+    def flaky(url, payload, headers, timeout_s):
+        attempts.append(1)
+        raise ConnectionError("down")
+
+    client = RemoteEmbeddingClient(
+        "http://fake", "m", max_retries=2, backoff_s=0.0, transport=flaky
+    )
+    with pytest.raises(EngineError, match="embedding_endpoint_unavailable"):
+        client(["x"])
+    assert len(attempts) == 3  # initial + 2 retries
+
+
+def test_embedding_client_rejects_bad_responses():
+    short = RemoteEmbeddingClient(
+        "http://fake", "m",
+        transport=lambda u, p, h, t: {"data": [{"embedding": [1.0]}]}, max_retries=0,
+    )
+    with pytest.raises(EngineError, match="embedding_batch_invalid"):
+        short(["a", "b"])
+    raggy = RemoteEmbeddingClient(
+        "http://fake", "m",
+        transport=lambda u, p, h, t: {
+            "data": [{"embedding": [1.0]}, {"embedding": [1.0, 2.0]}]
+        },
+        max_retries=0,
+    )
+    with pytest.raises(EngineError, match="embedding_invalid"):
+        raggy(["a", "b"])
+
+
+def test_embedding_client_env_gate():
+    assert RemoteEmbeddingClient.from_env({}) is None
+    client = RemoteEmbeddingClient.from_env(
+        {"VECTOR_MCP_SPARK_EMBED_ENDPOINT": "http://e", "VECTOR_MCP_SPARK_EMBED_BATCH_SIZE": "7"}
+    )
+    assert client is not None and client.batch_size == 7
+
+
+def test_embedding_client_plugs_into_embed_documents(spark):
+    from vector_mcp_spark.functions.embedder import embed_documents
+
+    table = {"doc a": [0.1, 0.2], "doc b": [0.3, 0.4]}
+    client = RemoteEmbeddingClient(
+        "http://fake", "m", transport=_fake_transport(table), max_retries=0
+    )
+    df = spark.createDataFrame([("1", "doc a"), ("2", "doc b")], "id string, content string")
+    got = {r.id: r.embedding for r in
+           embed_documents(df, model=client, dim=2).collect()}
+    assert got["1"] == pytest.approx([0.1, 0.2]) and got["2"] == pytest.approx([0.3, 0.4])

@@ -106,3 +106,40 @@ def test_ivf_deterministic(embs):
     _, c1 = ivf_build(embs, n_centroids=4, id_col="vec_id", max_iter=1)
     _, c2 = ivf_build(embs, n_centroids=4, id_col="vec_id", max_iter=1)
     assert c1 == c2
+
+
+def test_ann_recall_threshold_table(embs):
+    """The explicit recall contract (the beam-width analogue of the
+    reference's numCandidates, mongodb.py:277): each (config → floor) row is
+    a measured bound with margin, asserted tight so a recall regression in
+    bucketing/probing fails loudly.
+
+    Measured on this corpus: LSH 4x8 probe=1 → 1.00; IVF 16/nprobe=12 → 0.94.
+    """
+    from vector_mcp_spark.operators.similarity import ann_ivf_topk, ivf_build
+
+    queries = embs.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_self_join_topk(queries, embs, 5, id_col="vec_id").collect()
+    }
+
+    bucketed, planes = lsh_bucketize(embs, dim=64, n_planes=4, n_tables=8)
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_lsh_topk(
+            queries, bucketed, planes, 5, id_col="vec_id", multiprobe_bits=1
+        ).collect()
+    }
+    lsh_recall = len(exact & lsh) / len(exact)
+    assert lsh_recall >= 0.9, f"LSH(4 planes, 8 tables) recall@5 {lsh_recall} < 0.9"
+
+    assigned, centroids = ivf_build(embs, n_centroids=16, id_col="vec_id", max_iter=2)
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(
+            queries, assigned, centroids, 5, nprobe=12, id_col="vec_id"
+        ).collect()
+    }
+    ivf_recall = len(exact & ivf) / len(exact)
+    assert ivf_recall >= 0.85, f"IVF(16 centroids, nprobe=12) recall@5 {ivf_recall} < 0.85"

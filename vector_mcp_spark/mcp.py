@@ -1,0 +1,135 @@
+"""MCP-style action dispatch — the reference's front-door veneer without a
+server dependency.
+
+Replicates the observable routing behavior of
+``vector_mcp/mcp_server.py:85-245``: two tools
+(``vector_collection_management`` with actions create_collection /
+add_documents / delete_collection / list_collections, and ``vector_search``
+with actions semantic_search / lexical_search / search), an action resolver
+with did-you-mean suggestions for unknown actions, argument bounds identical
+to the engine's §2.5 validation, and stable snake_case error codes in the
+response dict (never a raw traceback).
+
+The transport layer (FastMCP, HTTP, auth) is deliberately out of scope —
+environment-limited and orthogonal to query semantics; this module is the
+dispatch seam a server would mount.
+"""
+
+from __future__ import annotations
+
+import difflib
+from typing import Any
+
+from vector_mcp_spark.api import VectorSearchApi
+from vector_mcp_spark.engine import CollectionEngine
+from vector_mcp_spark.validation import EngineError
+
+COLLECTION_ACTIONS = (
+    "create_collection",
+    "add_documents",
+    "delete_collection",
+    "list_collections",
+)
+SEARCH_ACTIONS = ("semantic_search", "lexical_search", "search")
+
+
+def resolve_action(action: str, allowed: tuple[str, ...]) -> str | dict:
+    """Exact match → the action; anything else → a stable error dict with
+    close-match suggestions (mcp_server.py:116-125,238-245 semantics)."""
+    if action in allowed:
+        return action
+    return {
+        "error": "action_invalid",
+        "allowed": list(allowed),
+        "did_you_mean": difflib.get_close_matches(action or "", allowed, n=3, cutoff=0.4),
+    }
+
+
+class McpVeneer:
+    """Action-string dispatch over CollectionEngine + VectorSearchApi."""
+
+    def __init__(self, engine: CollectionEngine, api: VectorSearchApi | None = None):
+        self.engine = engine
+        self.api = api or VectorSearchApi(engine)
+
+    # -- vector_collection_management (mcp_server.py:85-200) ---------------
+
+    def vector_collection_management(
+        self,
+        action: str,
+        collection_name: str | None = None,
+        overwrite: bool | None = None,
+        document_contents: list[str] | None = None,
+        confirm: bool | None = None,
+        dimension: int | None = None,
+    ) -> dict[str, Any]:
+        resolved = resolve_action(action, COLLECTION_ACTIONS)
+        if isinstance(resolved, dict):
+            return resolved
+        try:
+            if resolved == "create_collection":
+                name = self.engine.create_collection(
+                    collection_name, dimension=dimension, overwrite=bool(overwrite)
+                )
+                n = 0
+                if document_contents:
+                    n = self.engine.add_documents(collection_name, document_contents)
+                return {"collection_name": name, "documents_added": n}
+            if resolved == "add_documents":
+                if not document_contents:
+                    # mcp_server.py:151-156 — some document input is required
+                    return {"error": "document_input_required"}
+                n = self.engine.add_documents(collection_name, document_contents)
+                return {"collection_name": collection_name, "documents_added": n}
+            if resolved == "delete_collection":
+                self.engine.delete_collection(collection_name, confirm=bool(confirm))
+                return {"deleted": collection_name}
+            return {"collections": self.engine.get_collections()}
+        except EngineError as e:
+            return {"error": str(e)}
+
+    # -- vector_search (mcp_server.py:202-293) ------------------------------
+
+    def vector_search(
+        self,
+        action: str,
+        collection_name: str | None = None,
+        question: str | None = None,
+        number_results: int | None = None,
+        semantic_weight: float | None = None,
+        lexical_weight: float | None = None,
+        rrf_k: int | None = None,
+    ) -> dict[str, Any]:
+        resolved = resolve_action(action, SEARCH_ACTIONS)
+        if isinstance(resolved, dict):
+            return resolved
+        # mcp_server.py:248-257 bounds (engine validation re-checks; the
+        # veneer's job is the stable error dict, not a traceback)
+        try:
+            k = number_results if number_results is not None else 5
+            if resolved == "semantic_search":
+                df = self.api.semantic_search(collection_name, [question], number_results=k)
+                rows = [
+                    {"rank": r.rank, "id": r.id, "content": r.content, "score": r.score}
+                    for r in df.collect()
+                ]
+            elif resolved == "lexical_search":
+                df = self.api.lexical_search(collection_name, [question], number_results=k)
+                rows = [
+                    {"id": r.id, "content": r.content, "score": r.score} for r in df.collect()
+                ]
+            else:
+                kwargs: dict[str, Any] = {}
+                if semantic_weight is not None:
+                    kwargs["semantic_weight"] = semantic_weight
+                if lexical_weight is not None:
+                    kwargs["lexical_weight"] = lexical_weight
+                if rrf_k is not None:
+                    kwargs["rrf_k"] = rrf_k
+                df = self.api.search(collection_name, question, number_results=k, **kwargs)
+                rows = [
+                    {"id": r.id, "content": r.content, "score": r.score} for r in df.collect()
+                ]
+            return {"action": resolved, "collection_name": collection_name, "results": rows}
+        except EngineError as e:
+            return {"error": str(e)}
