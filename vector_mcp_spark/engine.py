@@ -77,25 +77,62 @@ class CollectionEngine:
         (self.root / "collections").mkdir(parents=True, exist_ok=True)
 
     # -- catalog ------------------------------------------------------------
+    #
+    # The catalog is DRIVER-SIDE metadata (one row per collection — the
+    # reference keeps it in an indexed SQL table, postgres.py:30-35). It is
+    # read/written with pyarrow directly: a catalog lookup must never cost a
+    # Spark job. A (mtime, rows) cache makes repeat lookups free while
+    # staying coherent across engine instances sharing a root.
 
     @property
     def _catalog_path(self) -> str:
-        return str(self.root / "_catalog")
+        return str(self.root / "_catalog.parquet")
+
+    def _catalog_rows(self) -> list[tuple]:
+        import pyarrow.parquet as pq
+
+        path = Path(self._catalog_path)
+        if not path.exists():
+            return []
+        mtime = path.stat().st_mtime_ns
+        cached = getattr(self, "_cat_cache", None)
+        if cached and cached[0] == mtime:
+            return cached[1]
+        tbl = pq.read_table(path)
+        rows = [
+            (r["collection_name"], r["table_name"], r["dimension"], r["created_at"])
+            for r in tbl.to_pylist()
+        ]
+        self._cat_cache = (mtime, rows)
+        return rows
+
+    def _write_catalog(self, rows: list[tuple]) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema(
+            [
+                ("collection_name", pa.string()),
+                ("table_name", pa.string()),
+                ("dimension", pa.int32()),
+                ("created_at", pa.timestamp("us", tz="UTC")),
+            ]
+        )
+        tbl = pa.Table.from_pylist(
+            [
+                dict(zip(("collection_name", "table_name", "dimension", "created_at"), r))
+                for r in rows
+            ],
+            schema=schema,
+        )
+        tmp = Path(self._catalog_path + ".tmp")
+        pq.write_table(tbl, tmp)
+        tmp.replace(self._catalog_path)
+        self._cat_cache = (Path(self._catalog_path).stat().st_mtime_ns, rows)
 
     def _read_catalog(self) -> DataFrame:
-        path = Path(self._catalog_path)
-        if not path.exists() or not any(path.glob("*.parquet")):
-            return self.spark.createDataFrame([], CATALOG_SCHEMA)
-        return self.spark.read.schema(CATALOG_SCHEMA).parquet(self._catalog_path)
-
-    def _write_catalog(self, df: DataFrame) -> None:
-        # Tiny metadata table: coalesce(1) avoids thousands of shard files.
-        tmp = str(self.root / "_catalog_tmp")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        out = Path(self._catalog_path)
-        if out.exists():
-            shutil.rmtree(out)
-        Path(tmp).rename(out)
+        """Catalog as a DataFrame (for callers that want to query it)."""
+        return self.spark.createDataFrame(self._catalog_rows(), CATALOG_SCHEMA)
 
     def _scoped(self, name: str) -> str:
         validate_collection_name(name)
@@ -112,8 +149,8 @@ class CollectionEngine:
         self, name: str, dimension: int | None = None, overwrite: bool = False, get_or_create: bool = True
     ) -> str:
         scoped = self._scoped(name)
-        cat = self._read_catalog()
-        exists = cat.where(F.col("collection_name") == scoped).count() > 0
+        rows = self._catalog_rows()
+        exists = any(r[0] == scoped for r in rows)
         if exists and not overwrite:
             if not get_or_create:
                 raise EngineError("collection_exists")  # base.py:96-99
@@ -124,19 +161,17 @@ class CollectionEngine:
             return scoped
         if exists and overwrite:
             self.delete_collection(name, confirm=True)
-            cat = self._read_catalog()
-        row = self.spark.createDataFrame(
-            [(scoped, _physical_name(scoped), dimension, datetime.now(timezone.utc))], CATALOG_SCHEMA
+            rows = self._catalog_rows()
+        self._write_catalog(
+            [*rows, (scoped, _physical_name(scoped), dimension, datetime.now(timezone.utc))]
         )
-        self._write_catalog(cat.unionByName(row))
-        empty = self.spark.createDataFrame([], DOCUMENT_SCHEMA)
-        self._write_partitioned(self._table_path(scoped), empty)
+        # table dir materializes lazily on first write — an empty collection
+        # is just a catalog row (no Spark job on create)
         return scoped
 
     def get_collections(self) -> list[str]:
         # vector_api.py:455-476 — tenant filter + strip prefix + sort + dedup
-        cat = self._read_catalog()
-        names = [r.collection_name for r in cat.select("collection_name").collect()]
+        names = [r[0] for r in self._catalog_rows()]
         if self.tenant:
             pfx = _tenant_prefix(self.tenant)
             names = [n[len(pfx):] for n in names if n.startswith(pfx)]
@@ -144,16 +179,13 @@ class CollectionEngine:
 
     def collection_exists(self, name: str) -> bool:
         scoped = self._scoped(name)
-        return self._read_catalog().where(F.col("collection_name") == scoped).count() > 0
+        return any(r[0] == scoped for r in self._catalog_rows())
 
     def _locked_dimension(self, scoped: str) -> int | None:
-        row = (
-            self._read_catalog()
-            .where(F.col("collection_name") == scoped)
-            .select("dimension")
-            .collect()
-        )
-        return row[0].dimension if row else None
+        for r in self._catalog_rows():
+            if r[0] == scoped:
+                return r[2]
+        return None
 
     def _check_dimension(self, scoped: str, df: DataFrame, emb_col: str = "embedding") -> None:
         """Reject wrong-size vectors before they reach the table
@@ -175,8 +207,7 @@ class CollectionEngine:
     def delete_collection(self, name: str, confirm: bool = False) -> None:
         validate_delete_confirm(confirm)  # vector_api.py:448-449
         scoped = self._require(name)
-        cat = self._read_catalog().where(F.col("collection_name") != scoped)
-        self._write_catalog(cat)
+        self._write_catalog([r for r in self._catalog_rows() if r[0] != scoped])
         path = Path(self._table_path(scoped))
         if path.exists():
             shutil.rmtree(path)
@@ -185,6 +216,9 @@ class CollectionEngine:
 
     def read(self, name: str) -> DataFrame:
         scoped = self._require(name)
+        if not Path(self._table_path(scoped)).exists():
+            # cataloged but never written to — empty collection
+            return self.spark.createDataFrame([], DOCUMENT_SCHEMA)
         df = self.spark.read.schema(DOCUMENT_SCHEMA).parquet(self._table_path(scoped))
         # partition discovery appends _p; project back to the document shape
         return df.select(*DOCUMENT_SCHEMA.fieldNames())
@@ -227,6 +261,7 @@ class CollectionEngine:
         every caller: merges/deletes over rows read from those partitions).
         Untouched partition directories are not read, written, or moved."""
         table = Path(self._table_path(scoped))
+        table.mkdir(parents=True, exist_ok=True)
         stage = Path(str(table) + "_stage")
         shutil.rmtree(stage, ignore_errors=True)
         self._write_partitioned(str(stage), out)
