@@ -111,3 +111,27 @@ def test_ngram_short_docs_do_not_crash(spark):
     )
     got = ngram_jaccard_pairs(df, 0.5, id_col="doc_id", content_col="text", ngram=3).collect()
     assert {(r.id_a, r.id_b) for r in got} == {(2, 3)}
+
+
+def test_near_dup_clusters_transitive_closure(spark):
+    from vector_mcp_spark.operators.dedup import near_dup_clusters
+
+    # chain 1-2-3-4 (transitivity), pair (20,21), singleton 30
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (21, 20)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 20, 21, 30]], "id long")
+    got = {r.id: (r.cluster_id, r.is_canonical) for r in near_dup_clusters(pairs, nodes).collect()}
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        20: (20, True), 21: (20, False), 30: (30, True),
+    }
+
+
+def test_near_dup_clusters_ring(spark):
+    from vector_mcp_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame([(5, 9), (9, 3), (3, 7), (7, 5)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in [3, 5, 7, 9]], "id long")
+    got = {r.id: r.cluster_id for r in near_dup_clusters(pairs, nodes).collect()}
+    assert got == {3: 3, 5: 3, 7: 3, 9: 3}

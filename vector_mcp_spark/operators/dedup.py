@@ -318,3 +318,83 @@ def simhash(df: DataFrame, id_col: str = "id", content_col: str = "content", bit
     for t in terms[1:]:
         fingerprint = fingerprint + t
     return hashed.select("id", fingerprint.alias("simhash"))
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    max_rounds: int = 15,
+) -> DataFrame:
+    """Connected components over near-dup ``pairs`` → (id, cluster_id,
+    is_canonical). ``cluster_id`` is the minimum id in the component —
+    the canonical representative a curation pipeline keeps
+    (``docs.join(clusters).where("is_canonical")``); every node in
+    ``nodes`` appears (singletons cluster with themselves).
+
+    The missing last step of the dedup family: minhash/jaccard emit PAIRS,
+    but keep-one-per-group needs transitive closure. Algorithm: iterative
+    min-label propagation WITH graph contraction — each round every node
+    adopts the min label among itself and its neighbors, then edges are
+    re-expressed over current labels (path compression), so chains collapse
+    in O(log diameter) rounds, not O(diameter). Each round is two
+    pairs-sized shuffles; frames are localCheckpoint()ed to keep lineage
+    (and therefore planning time) flat. At 100 TB the pair graph is the
+    small output of blocked/banded candidate generation — components are
+    tiny (dup groups), so rounds stay low and the fixpoint check exits
+    early.
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    labels = (
+        nodes.select(F.col(id_col).alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = labels.join(nbr_min, "node", "left").select(
+            "node", F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label")
+        )
+        # pointer jump (label ← label(label)): after contraction only
+        # component representatives see edges, so non-reps must chase their
+        # rep's newest label or they'd freeze one round behind
+        m = new_labels
+        new_labels = (
+            m.alias("a")
+            .join(m.alias("b"), F.col("a.label") == F.col("b.node"))
+            .select(F.col("a.node").alias("node"), F.col("b.label").alias("label"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        # contract: re-express edges over the labels found so far — the next
+        # round propagates between components, not individual nodes
+        lbl = new_labels
+        edges = (
+            edges.join(lbl.withColumnRenamed("node", "src"), "src")
+            .select(F.col("label").alias("src"), "dst")
+            .join(lbl.withColumnRenamed("node", "dst"), "dst")
+            .select("src", F.col("label").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("node")).alias("is_canonical"),
+    )

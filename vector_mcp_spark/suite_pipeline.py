@@ -565,3 +565,130 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+# -- near-dup connected components → canonical doc groups ---------------------
+#
+# The last step of a real dedup pipeline: pair emitters (jaccard/minhash)
+# give EDGES; keep-one-per-group needs the transitive closure. The Spark
+# side is iterative min-label propagation with contraction
+# (operators/dedup.py near_dup_clusters); the oracle replays it as a
+# recursive CTE (min reachable id per node = component representative).
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE dt AS (
+  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+         list_distinct({_TOKS}) AS toks
+  FROM documents
+),
+p AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS j
+    FROM dt a JOIN dt b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+  ) WHERE j >= {_JACCARD_T}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS doc_id, min(label) AS cluster_id,
+       (min(label) = node) AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
+@register("dedup_clusters", _CLUSTER_ORACLE, "dedup", "pipeline")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.dedup import near_dup_clusters, ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 100)
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, _JACCARD_T, id_col="doc_id", content_col="text", block_cols=("lang", "len_bucket")
+    )
+    return near_dup_clusters(pairs.select("id_a", "id_b"), docs, id_col="doc_id")
+
+
+# -- deterministic stratified sampling + training-shard assignment ------------
+#
+# The data-mixing staples of a training pipeline, made exactly
+# reproducible (and therefore oracle-checkable) by replacing RNG with a
+# content-independent hash draw: u = first-8-hex of sha256(salt|doc_id) as
+# an integer in [0, 16^8). Per-language rates express corpus mixing quotas;
+# shard = hash mod N gives a deterministic global shuffle + fixed shard
+# count for data-parallel training readers. Both are pure map-side
+# projections — zero shuffle for the sample, one narrow window for the
+# in-shard ordering.
+
+_SAMPLE_SALT = "mix_v1"
+_SAMPLE_RATES = {"en": 0.8, "de": 0.5}  # other langs: 0.2
+_HASH_SPACE = 16 ** 8
+
+def _rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {rate}" for lang, rate in _SAMPLE_RATES.items()
+    )
+    return f"CASE {whens} ELSE 0.2 END"
+
+
+_STRATIFIED_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(('0x' || substring(sha256('{_SAMPLE_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < {_rate_sql()} * {_HASH_SPACE}
+"""
+
+
+@register("corpus_stratified_sample", _STRATIFIED_ORACLE, "sampling", "pipeline")
+def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.sha2(F.concat(F.lit(_SAMPLE_SALT + "|"), F.col("doc_id").cast("string")), 256), 1, 8),
+        16, 10,
+    ).cast("long")
+    rate = F.lit(0.2)
+    for lang, r in _SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.where(u < rate * F.lit(float(_HASH_SPACE))).select("doc_id", "lang")
+
+
+_N_SHARDS = 8
+
+_SHARD_ORACLE = f"""
+SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos
+FROM (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substring(sha256('{_SAMPLE_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {_N_SHARDS} AS INTEGER) AS shard,
+         substring(sha256('{_SAMPLE_SALT}|' || CAST(doc_id AS VARCHAR)), 9, 16) AS h
+  FROM documents
+)
+"""
+
+
+@register("corpus_shard_assignment", _SHARD_ORACLE, "sampling", "pipeline")
+def q_corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding: shard = hash mod N; position
+    within shard = rank by an independent hash slice (the 'shuffled order' a
+    training reader consumes). One narrow shuffle of (doc_id, shard, h)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    digest = F.sha2(F.concat(F.lit(_SAMPLE_SALT + "|"), F.col("doc_id").cast("string")), 256)
+    shard = (F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % _N_SHARDS).cast("int")
+    h = F.substring(digest, 9, 16)
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"), h.alias("h"))
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .select("doc_id", "shard", "pos")
+    )
