@@ -692,3 +692,54 @@ def q_corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("int"))
         .select("doc_id", "shard", "pos")
     )
+
+
+# -- REAL executed streaming dedup ingest (batch-twin oracle) -----------------
+#
+# The T2/T3 ingest pipeline as a Structured Streaming job actually executed
+# with availableNow: sanitize → content-hash id → stateful dropDuplicates.
+# The emitted set of content ids is order-independent, so the batch oracle
+# replays it exactly — a true correctness check on a real stream, not just
+# pytest smoke.
+
+import itertools as _itertools
+
+_STREAM_DEDUP_SEQ = _itertools.count()
+
+_STREAM_DEDUP_ORACLE = f"""
+SELECT DISTINCT sha256(
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '{_SAN_EMAIL}', '[REDACTED]', 'g'),
+        '{_SAN_WIN}', '\\1[REDACTED_PATH]', 'g'),
+      '{_SAN_PATH}', '[REDACTED_PATH]', 'g'),
+    '{_SAN_PHONE}', '[REDACTED]', 'g')
+) AS id
+FROM documents
+"""
+
+
+@register("streaming_dedup_ingest", _STREAM_DEDUP_ORACLE, "streaming", "pipeline")
+def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from vector_mcp_spark.streaming.ingest import run_stream_to_memory, streaming_dedup_ingest
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    clean_dir = os.path.abspath(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp", f"docs_{sf_tag}")
+    )
+    if not os.path.exists(os.path.join(clean_dir, "_SUCCESS")):
+        load(spark, sf_dir, "documents").write.mode("overwrite").parquet(clean_dir)
+    schema = spark.read.parquet(clean_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(clean_dir)
+        .withColumnRenamed("text", "content")
+    )
+    deduped = streaming_dedup_ingest(stream)
+    got = run_stream_to_memory(
+        deduped, f"suite_stream_dedup_{next(_STREAM_DEDUP_SEQ)}", output_mode="append"
+    )
+    return got.select("id").distinct()

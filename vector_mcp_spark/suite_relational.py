@@ -790,3 +790,33 @@ def q_user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("event_type")).alias("types"),
         F.count("*").alias("n_events"),
     )
+
+
+# -- TPC-H Q14-shaped promo revenue: selective fact ⋈ broadcast dim -----------
+
+_PROMO_ORACLE = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1995-09-01' AND l.l_shipdate < DATE '1995-10-01'
+"""
+
+
+@register("promo_revenue", _PROMO_ORACLE, "relational")
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: a date-pruned fact scan joined to a broadcast dim —
+    the filter reaches the parquet scan (PushedFilters) and the join never
+    shuffles the fact side (BroadcastHashJoin; part is the small side)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01")) & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return j.agg(
+        F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"),
+        F.count("*").alias("n_lines"),
+    )
