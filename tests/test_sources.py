@@ -19,9 +19,65 @@ def test_read_text_and_html(spark, tmp_path):
     assert "bold" in got["b.html"] and "<b>" not in got["b.html"]
 
 
-def test_stubbed_formats_raise(spark, tmp_path):
-    (tmp_path / "doc.pdf").write_bytes(b"%PDF-fake")
+def _make_docx(paragraphs):
+    import io
+    import zipfile
+
+    ns = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+    body = "".join(f"<w:p><w:r><w:t>{p}</w:t></w:r></w:p>" for p in paragraphs)
+    xml = f'<?xml version="1.0"?><w:document {ns}><w:body>{body}</w:body></w:document>'
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", xml)
+    return buf.getvalue()
+
+
+def _make_epub(chapters):
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/epub+zip")
+        for i, ch in enumerate(chapters):
+            z.writestr(f"ch{i}.xhtml", f"<html><body><p>{ch}</p></body></html>")
+    return buf.getvalue()
+
+
+def _make_pdf(text_ops: bytes) -> bytes:
+    import zlib
+
+    comp = zlib.compress(text_ops)
+    return (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + comp
+        + b"\nendstream\nendobj\ntrailer\n%%EOF\n"
+    )
+
+
+def test_rich_formats_decode(spark, tmp_path):
+    (tmp_path / "d.docx").write_bytes(_make_docx(["First para", "Second para"]))
+    (tmp_path / "b.epub").write_bytes(_make_epub(["Chapter one text", "Chapter two text"]))
+    (tmp_path / "p.pdf").write_bytes(
+        _make_pdf(rb"BT /F1 12 Tf (Hello \(escaped\)) Tj [(Wo) -20 (rld)] TJ ET")
+    )
+    got = {r.path.split("/")[-1]: r.content for r in read_documents(spark, [str(tmp_path)]).collect()}
+    assert got["d.docx"] == "First para\nSecond para"
+    assert "Chapter one text" in got["b.epub"] and "Chapter two text" in got["b.epub"]
+    assert "Hello (escaped)" in got["p.pdf"] and "World" in got["p.pdf"]
+
+
+def test_undecodable_rich_formats_raise(spark, tmp_path):
+    (tmp_path / "doc.pdf").write_bytes(b"%PDF-fake no streams here")
     with pytest.raises(Exception, match="parser library"):
+        read_documents(spark, [str(tmp_path)]).collect()
+
+
+def test_encrypted_pdf_raises(spark, tmp_path):
+    (tmp_path / "enc.pdf").write_bytes(b"%PDF-1.4\n/Encrypt 1 0 R\nstream\nxx\nendstream")
+    with pytest.raises(Exception, match="encrypted"):
         read_documents(spark, [str(tmp_path)]).collect()
 
 

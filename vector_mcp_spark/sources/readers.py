@@ -5,11 +5,12 @@ The reference ingests files via llama-index ``SimpleDirectoryReader``
 (``vector_mcp/document_inputs.py:19-147``): root-confined relative paths,
 no symlinks/URLs/traversal, per-file and total size caps.
 
-Spark-side: ``binaryFile`` scan + per-extension decoder. Rich formats
-(PDF/docx/epub) need parser libraries that aren't in this container — the
-decode seam is a ``mapInPandas`` Pandas-UDF (the right shape for Arrow
-batching at scale) with plain-text/markdown/html decoding real and the
-binary formats stubbed behind ``NotImplementedError``.
+Spark-side: ``binaryFile`` scan + per-extension decoder inside a
+``mapInPandas`` Pandas-UDF (the right shape for Arrow batching at scale).
+Plain-text/markdown/html decode directly; docx/epub/simple-PDF decode via
+the pure-stdlib extractors in ``richformats.py`` (zipfile + ElementTree +
+zlib) — encrypted or undecodable rich files raise ``NotImplementedError``
+at the same seam a full parser library would fill.
 
 Path confinement is driver-side validation (it guards the API boundary, not
 the scan) — same placement as the reference.
@@ -29,7 +30,7 @@ from vector_mcp_spark.validation import EngineError
 
 MAX_FILE_BYTES = 64 * 1024 * 1024  # document_inputs.py:13-16
 TEXT_EXTENSIONS = {".txt", ".md", ".markdown", ".html", ".htm", ".csv", ".json"}
-STUBBED_EXTENSIONS = {".pdf", ".docx", ".epub"}
+RICH_EXTENSIONS = {".pdf", ".docx", ".epub"}
 
 _TAG_RE = re.compile(r"<[^>]+>")
 
@@ -57,13 +58,15 @@ def resolve_document_paths(root: str, rel_paths: Sequence[str]) -> list[str]:
 
 
 def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    from vector_mcp_spark.sources.richformats import decode_docx, decode_epub, decode_pdf
+
+    rich = {".pdf": decode_pdf, ".docx": decode_docx, ".epub": decode_epub}
     texts: list[str | None] = []
     for path, content in zip(pdf["path"], pdf["content"]):
         ext = Path(path).suffix.lower()
-        if ext in STUBBED_EXTENSIONS:
-            # Parser libs (pypdf, python-docx, ebooklib) are not available in
-            # this container; the seam is real, the decode is stubbed.
-            raise NotImplementedError(f"decoder for {ext} requires a parser library")
+        if ext in rich:
+            texts.append(rich[ext](bytes(content)))
+            continue
         text = bytes(content).decode("utf-8", errors="replace")
         if ext in {".html", ".htm"}:
             text = _TAG_RE.sub(" ", text)

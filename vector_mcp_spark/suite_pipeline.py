@@ -437,12 +437,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     feats = extract_features(media, dim=8)
+    # no orderBy: the rows-only check is order-insensitive and a global
+    # sort after the Arrow stage would be a pointless full-shuffle
     return feats.select(
         "media_id",
         "kind",
         F.size("features").cast("int").alias("n_features"),
         F.xxhash64("features").alias("features_fp"),
-    ).orderBy("media_id")
+    )
 
 
 # -- T6 batch embedding (the mapInPandas seam itself, oracle-replayed) --------
