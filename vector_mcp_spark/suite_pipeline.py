@@ -745,3 +745,32 @@ def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped, f"suite_stream_dedup_{next(_STREAM_DEDUP_SEQ)}", output_mode="append"
     )
     return got.select("id").distinct()
+
+
+# -- video frame sampling (rows-only: sha-derived fake frames) ----------------
+
+
+@register("multimodal_frame_sample", None, "multimodal", "pipeline")
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling seam over fake video rows (deterministic sha-derived
+    frames at real timestamps; one output row per sampled frame). Frames are
+    projected to a JVM-side sha2 fingerprint — binary cells stay off the
+    driver canonicalizer."""
+    from vector_mcp_spark.multimodal.binary_ops import sample_frames
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("data"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") % 5000).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    frames = sample_frames(media, every_ms=1000)
+    return frames.select(
+        "media_id", "frame_idx", "frame_ts_ms", F.sha2("frame", 256).alias("frame_sha")
+    )

@@ -820,3 +820,51 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"),
         F.count("*").alias("n_lines"),
     )
+
+
+# -- custom stateful streaming op under a REAL oracle -------------------------
+#
+# applyInPandasWithState keeps per-user lifetime counters across
+# micro-batches; its FINAL state per user is definitionally the full-history
+# aggregate, so a plain batch GROUP BY oracles the stateful machinery
+# end-to-end (state carry, merge order, eviction-free path). The update-mode
+# memory sink holds one row per (user, micro-batch); n_events is strictly
+# monotone per user, so max-n_events row = final state.
+
+_USER_RUNNING_STATS_ORACLE = """
+SELECT user_id, count(*) AS n_events, ROUND(SUM(value), 4) AS total_value,
+       CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+@register("streaming_user_running_stats", _USER_RUNNING_STATS_ORACLE, "streaming")
+def q_streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Window
+
+    from vector_mcp_spark.streaming.ingest import (
+        read_event_stream,
+        run_stream_to_memory,
+        running_user_stats,
+    )
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    clean_dir = os.path.abspath(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp", f"events_{sf_tag}")
+    )
+    if not os.path.exists(os.path.join(clean_dir, "_SUCCESS")):
+        load(spark, sf_dir, "events").write.mode("overwrite").parquet(clean_dir)
+    stream = read_event_stream(spark, clean_dir)
+    got = run_stream_to_memory(
+        running_user_stats(stream),
+        f"suite_stream_userstats_{next(_STREAM_SINK_SEQ)}",
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        got.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_value", "last_ts")
+    )
