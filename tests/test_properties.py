@@ -156,3 +156,54 @@ def test_jaccard_hashed_equals_plain(spark, docs, threshold):
                 assert got.get((a, b)) == j
             else:
                 assert (a, b) not in got
+
+
+@SLOW
+@given(st.lists(texts, min_size=1, max_size=8))
+def test_sanitize_column_matches_python_twin(spark, strings):
+    """The sanitize Column chain and the driver-side twin must agree on any
+    input — query-text sanitization (py) and content sanitization (Column)
+    claim identical behavior, and the DuckDB oracle replays the same chain."""
+    from vector_mcp_spark.sanitize import sanitize_text_col, sanitize_text_py
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i int, s string")
+    got = {r.i: r.c for r in df.select("i", sanitize_text_col(F.col("s")).alias("c")).collect()}
+    for i, s in enumerate(strings):
+        assert got[i] == sanitize_text_py(s), repr(s)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)),
+        max_size=20,
+    )
+)
+def test_clusters_match_union_find(spark, edges):
+    """near_dup_clusters agrees with a reference union-find on arbitrary
+    small graphs (nodes = all endpoints plus isolates 0..4)."""
+    from vector_mcp_spark.operators.dedup import near_dup_clusters
+
+    edges = [(a, b) for a, b in edges if a != b]
+    node_set = sorted({n for e in edges for n in e} | set(range(5)))
+
+    parent = {n: n for n in node_set}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in node_set}
+
+    pairs_df = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    if not edges:
+        pairs_df = pairs_df.limit(0)
+    nodes_df = spark.createDataFrame([(n,) for n in node_set], "id long")
+    got = {r.id: r.cluster_id for r in near_dup_clusters(pairs_df, nodes_df).collect()}
+    assert got == expect
