@@ -776,8 +776,11 @@ def q_lineitem_decimal_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- array aggregation: per-user sorted distinct event types ------------------
 
+# The set is emitted as a comma-joined string (not array<string>): the driver
+# canonicalizer sorts result cells with pandas and cannot hash list cells.
 _ARRAYAGG_ORACLE = """
-SELECT user_id, list_sort(list_distinct(list(event_type))) AS types,
+SELECT user_id,
+       list_aggregate(list_sort(list_distinct(list(event_type))), 'string_agg', ',') AS types,
        count(*) AS n_events
 FROM events GROUP BY user_id
 """
@@ -787,7 +790,7 @@ FROM events GROUP BY user_id
 def q_user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types"),
         F.count("*").alias("n_events"),
     )
 
