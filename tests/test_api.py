@@ -75,3 +75,35 @@ def test_empty_questions_rejected(api):
         api.lexical_search("kb", [])
     with pytest.raises(EngineError, match="question_invalid"):
         api.semantic_search("kb", [])
+
+
+def test_plan_build_launches_no_jobs(api, spark):
+    """Building the search DAG must not run any Spark job (the old
+    ``WHERE embedding IS NULL LIMIT 1`` probe cost an extra table scan per
+    query before the search even started)."""
+    sc = spark.sparkContext
+    sc.setJobGroup("plan_only_probe", "api plan build")
+    try:
+        api.search("kb", "database search", number_results=3)
+        api.semantic_search("kb", ["data"], number_results=2)
+        api.lexical_search("kb", ["data"], number_results=2)
+    finally:
+        sc.setJobGroup("", "")
+    assert sc.statusTracker().getJobIdsForGroup("plan_only_probe") == []
+
+
+def test_needs_embed_flag_tracks_mutations(spark, tmp_path_factory):
+    from vector_mcp_spark.functions.embedder import hash_embed
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("flag_root")))
+    eng.create_collection("vecs", dimension=64)
+    # fully-embedded ingest → flag stays False → search plan skips the
+    # (Arrow round-trip) embed projection entirely
+    eng.add_documents("vecs", ["a doc", "b doc"], embeddings=[hash_embed("a doc"), hash_embed("b doc")])
+    assert eng.needs_embed("vecs") is False
+    # content-only ingest flips it, exactly once, driver-side
+    eng.add_documents("vecs", ["c doc"])
+    assert eng.needs_embed("vecs") is True
+    # searches still work over the mixed table (lazy embed fills the gap)
+    rows = VectorSearchApi(eng).search("vecs", "doc", number_results=3).collect()
+    assert len(rows) > 0

@@ -148,3 +148,89 @@ def test_range_join_duplicate_left_rows_not_inflated(spark):
     ).collect()
     assert len(got) == 1
     assert got[0].n_in_range == 2 and got[0].sum_value == 5.0
+
+
+# -- NTZ-parquet regression (VERDICT r3: the testdata builder switched events.ts
+# from timestamp[ns] to non-UTC-adjusted timestamp[us], which Spark reads as
+# TIMESTAMP_NTZ; unix_micros() rejects NTZ and the whole temporal family broke.
+# This fixture pins both storage variants so a future type change can't
+# silently re-break asof/range/trailing/interarrival. -------------------------
+
+
+@pytest.fixture(scope="module", params=["us_ntz", "ns"])
+def ntz_sf_dir(request, spark, tmp_path_factory):
+    """A miniature sf dir whose events.parquet uses the given timestamp
+    storage: ``us_ntz`` = timestamp[us] not UTC-adjusted (reads as
+    TIMESTAMP_NTZ), ``ns`` = TIMESTAMP(NANOS) (vectorized reader rejects)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    unit = {"us_ntz": "us", "ns": "ns"}[request.param]
+    root = tmp_path_factory.mktemp(f"ntz_{request.param}")
+    ts = [
+        _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:30:00"),
+        _ts("2024-01-01 12:00:00"), _ts("2024-01-02 09:00:00"),
+        _ts("2024-01-02 09:00:30"), _ts("2024-01-01 11:00:00"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp(unit)),  # tz=None → isAdjustedToUTC=false
+            "user_id": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+            "event_type": pa.array(["a", "a", "b", "a", "b", "a"]),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], pa.float64()),
+            "props": pa.array(['{"k":1}'] * 6),
+        }
+    )
+    pq.write_table(tbl, str(root / "events.parquet"))
+    return str(root)
+
+
+def test_load_normalizes_event_time_to_timestamp(spark, ntz_sf_dir):
+    from vector_mcp_spark.suite import load
+
+    ev = load(spark, ntz_sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"  # never timestamp_ntz / bigint
+    got = {r.event_id: r.ts for r in ev.collect()}
+    assert got[1] == _ts("2024-01-01 10:00:00")  # wall clock preserved
+
+
+def test_temporal_family_runs_on_ntz_storage(spark, ntz_sf_dir):
+    """The four queries that broke in r2/r3 must run on both storage types
+    and agree with hand-computed answers."""
+    from vector_mcp_spark.suite import SUITE
+
+    asof = {
+        (r.user_id, r.qts): r.asof_event_id
+        for r in SUITE["asof_latest_event"].spark_fn(spark, ntz_sf_dir).collect()
+    }
+    # probe 2024-01-01 12:00 for user 1: inclusive match on event 3 at 12:00
+    assert asof[(1, _ts("2024-01-01 12:00:00"))] == 3
+
+    rng = {
+        (r.user_id, r.qts): (r.n_in_range, r.sum_value)
+        for r in SUITE["range_join_event_counts"].spark_fn(spark, ntz_sf_dir).collect()
+    }
+    # user 1, probe day1 12:00 ±12h → events 1,2,3 (day2's are out of range)
+    assert rng[(1, _ts("2024-01-01 12:00:00"))] == (3, 6.0)
+    # user 2 probe 12:00 ±12h → its one event at 11:00
+    assert rng[(2, _ts("2024-01-01 12:00:00"))] == (1, 6.0)
+
+    trail = {
+        r.event_id: r.trailing_1h_value
+        for r in SUITE["events_trailing_1h_window"].spark_fn(spark, ntz_sf_dir).collect()
+    }
+    # event 2 at 10:30 trails event 1 at 10:00 (within 1h): 1.0 + 2.0
+    assert trail[2] == 3.0
+    # event 3 at 12:00: nothing within the trailing hour but itself... 10:30 is
+    # 90 min earlier -> out; 11:00 belongs to user 2 -> excluded
+    assert trail[3] == 3.0
+
+    inter = {
+        r.event_type: (r.n_gaps, r.avg_gap_s)
+        for r in SUITE["events_interarrival"].spark_fn(spark, ntz_sf_dir).collect()
+    }
+    # user 1 gaps land on the type of the LATER event: 2(a,1800s), 3(b,5400s),
+    # 4(a,75600s), 5(b,30s); user 2 has a single event -> no gap
+    assert inter["a"] == (2, (1800 + 75600) / 2)
+    assert inter["b"] == (2, (5400 + 30) / 2)

@@ -123,10 +123,14 @@ class VectorSearchApi:
 
     def _docs(self, collection: str) -> DataFrame:
         df = self.engine.read(collection)
-        # embed rows missing vectors at read time (the reference embeds at
-        # insert; engine.add_documents may store content-only rows)
-        from vector_mcp_spark.functions.embedder import embed_documents
+        # Embed rows missing vectors at read time (the reference embeds at
+        # insert; engine.add_documents may store content-only rows). Whether
+        # the embed projection is needed comes from the engine's catalog flag
+        # (maintained at mutation time) — a driver-side lookup, so building
+        # the search plan launches ZERO Spark jobs; the old `WHERE embedding
+        # IS NULL LIMIT 1` probe cost an extra table scan per query.
+        if self.engine.needs_embed(collection):
+            from vector_mcp_spark.functions.embedder import embed_documents
 
-        if df.where(F.col("embedding").isNull()).limit(1).count() > 0:
             df = embed_documents(df, text_col="content", out_col="embedding", dim=self.dim)
         return df

@@ -100,7 +100,16 @@ class CollectionEngine:
             return cached[1]
         tbl = pq.read_table(path)
         rows = [
-            (r["collection_name"], r["table_name"], r["dimension"], r["created_at"])
+            (
+                r["collection_name"],
+                r["table_name"],
+                r["dimension"],
+                r["created_at"],
+                # legacy catalogs predate the flag: assume embeds may be
+                # needed (conservative — costs one pass-through projection,
+                # never a wrong result)
+                bool(r.get("needs_embed", True)),
+            )
             for r in tbl.to_pylist()
         ]
         self._cat_cache = (mtime, rows)
@@ -116,13 +125,12 @@ class CollectionEngine:
                 ("table_name", pa.string()),
                 ("dimension", pa.int32()),
                 ("created_at", pa.timestamp("us", tz="UTC")),
+                ("needs_embed", pa.bool_()),
             ]
         )
+        cols = ("collection_name", "table_name", "dimension", "created_at", "needs_embed")
         tbl = pa.Table.from_pylist(
-            [
-                dict(zip(("collection_name", "table_name", "dimension", "created_at"), r))
-                for r in rows
-            ],
+            [dict(zip(cols, (*r, True)[: len(cols)])) for r in rows],
             schema=schema,
         )
         tmp = Path(self._catalog_path + ".tmp")
@@ -163,7 +171,7 @@ class CollectionEngine:
             self.delete_collection(name, confirm=True)
             rows = self._catalog_rows()
         self._write_catalog(
-            [*rows, (scoped, _physical_name(scoped), dimension, datetime.now(timezone.utc))]
+            [*rows, (scoped, _physical_name(scoped), dimension, datetime.now(timezone.utc), False)]
         )
         # table dir materializes lazily on first write — an empty collection
         # is just a catalog row (no Spark job on create)
@@ -186,6 +194,25 @@ class CollectionEngine:
             if r[0] == scoped:
                 return r[2]
         return None
+
+    def needs_embed(self, name: str) -> bool:
+        """True if the collection may hold rows with NULL embedding. Driver-
+        side catalog lookup — never a Spark job, so the search hot path can
+        consult it per query for free (the alternative, probing the table
+        with a ``WHERE embedding IS NULL LIMIT 1`` count, costs an extra
+        scan per search at scale)."""
+        scoped = self._scoped(name)
+        for r in self._catalog_rows():
+            if r[0] == scoped:
+                return bool(r[4])
+        return True
+
+    def _mark_needs_embed(self, scoped: str) -> None:
+        rows = self._catalog_rows()
+        if any(r[0] == scoped and not r[4] for r in rows):
+            self._write_catalog(
+                [(r[:4] + (True,)) if r[0] == scoped else r for r in rows]
+            )
 
     def _check_dimension(self, scoped: str, df: DataFrame, emb_col: str = "embedding") -> None:
         """Reject wrong-size vectors before they reach the table
@@ -327,6 +354,10 @@ class CollectionEngine:
                 raise EngineError("document_exists")
         merged = touched.join(F.broadcast(new), "id", "left_anti").unionByName(new)
         self._rewrite_partitions(scoped, prefixes, merged)
+        # flag maintenance is driver-side and exact: the caller's embeddings
+        # list says whether this batch introduced NULL-embedding rows
+        if any(e is None for e in embeddings):
+            self._mark_needs_embed(scoped)
         return len(ids)
 
     def compact_collection(self, name: str, target_files: int | None = None) -> int:
@@ -362,6 +393,10 @@ class CollectionEngine:
         touched = self._read_partitions(scoped, prefixes)
         merged = touched.join(df.select("id"), "id", "left_anti").unionByName(df)
         self._rewrite_partitions(scoped, prefixes, merged)
+        # bounded probe on the (batch-sized) upsert input — mutation path,
+        # not the search hot path; keeps the catalog flag exact
+        if df.where(F.col("embedding").isNull()).limit(1).count() > 0:
+            self._mark_needs_embed(scoped)
 
     def delete_documents(self, name: str, ids: Sequence[str]) -> None:
         # T9 (base.py:174-187) — anti-join rewrite of ONLY the partitions the

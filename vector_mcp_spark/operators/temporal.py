@@ -38,6 +38,14 @@ _TAG = "__asof_tag"
 _PAYLOAD = "__asof_payload"
 
 
+def _micros(col: Column) -> Column:
+    """``unix_micros`` that also accepts TIMESTAMP_NTZ input (parquet written
+    with non-UTC-adjusted timestamps reads as NTZ; ``unix_micros`` requires
+    TIMESTAMP). The cast interprets the wall clock in the session timezone —
+    consistent for bucketing since every row shifts identically."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -143,7 +151,7 @@ def range_join_count(
     # n_in_range/sum by the duplicate count
     base = left.select(*on, F.col(left_ts).alias(f"l_{left_ts}")).distinct()
     lb = (
-        base.withColumn("__b0", F.floor((F.unix_micros(lo)) / F.lit(width_us)))
+        base.withColumn("__b0", F.floor((_micros(lo)) / F.lit(width_us)))
         .withColumn("__bucket", F.explode(F.array(F.col("__b0"), F.col("__b0") + 1)))
         .drop("__b0")
     )
@@ -151,7 +159,7 @@ def range_join_count(
         *on,
         F.col(right_ts).alias(f"r_{right_ts}"),
         *([F.col(value_col)] if value_col else []),
-    ).withColumn("__bucket", F.floor(F.unix_micros(F.col(f"r_{right_ts}")) / F.lit(width_us)))
+    ).withColumn("__bucket", F.floor(_micros(F.col(f"r_{right_ts}")) / F.lit(width_us)))
     joined = lb.join(rb, [*on, "__bucket"]).where(
         (F.col(f"r_{right_ts}") >= lo) & (F.col(f"r_{right_ts}") <= hi)
     )

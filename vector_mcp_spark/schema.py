@@ -45,5 +45,9 @@ CATALOG_SCHEMA = T.StructType(
         T.StructField("table_name", T.StringType(), nullable=False),
         T.StructField("dimension", T.IntegerType(), nullable=True),
         T.StructField("created_at", T.TimestampType(), nullable=True),
+        # True while the table may hold rows with NULL embedding — lets the
+        # search path decide whether to attach the embed projection without
+        # probing the table (an extra scan per query at 100 TB otherwise)
+        T.StructField("needs_embed", T.BooleanType(), nullable=False),
     ]
 )

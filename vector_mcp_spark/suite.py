@@ -39,9 +39,16 @@ def register(name: str, oracle: str | None, *tags: str):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Read a driver parquet table; transparently handles TIMESTAMP(NANOS)
-    columns (``events.ts``), which Spark's vectorized reader rejects —
-    they're read as long nanos and rebuilt as microsecond timestamps."""
+    """Read a driver parquet table, normalizing event-time columns to plain
+    TIMESTAMP regardless of how the testdata builder stored them:
+
+    * TIMESTAMP(NANOS) — Spark's vectorized reader rejects it; read the raw
+      int64 nanos (``nanosAsLong``) and rebuild as microsecond timestamps.
+    * timestamp[us] not UTC-adjusted — Spark reads TIMESTAMP_NTZ, which
+      ``unix_micros``/interval arithmetic reject; cast to TIMESTAMP (the
+      session runs UTC, so wall-clock values — and the DuckDB oracle's naive
+      reading of the same file — are preserved exactly).
+    """
     path = f"{sf_dir}/{table}.parquet"
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -51,18 +58,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     ns_cols = [
         f.name for f in schema if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
     ]
-    if not ns_cols:
-        return spark.read.parquet(path)
-    # Spark's vectorized reader rejects TIMESTAMP(NANOS); with nanosAsLong it
-    # reads raw int64 nanos, which we rebuild as µs timestamps. Must not rely
-    # on a read failure: once the conf is set, reads succeed with BIGINT.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if ns_cols:
+        # Must not rely on a read failure to set the conf: once set, reads
+        # succeed with BIGINT in place of the nanos column.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for name in ns_cols:
         if dict(df.dtypes).get(name) == "bigint":
             # integer div: bigint/1000 in SQL is DOUBLE and rounds-to-nearest,
             # off by 1µs vs DuckDB's truncating ns→µs read
             df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
+    for name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
     return df
 
 
@@ -113,7 +121,14 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 
 # Query-suite modules register themselves on import (bottom import keeps the
 # registry and its helpers defined before the modules need them).
+#
+# Registration order is the driver's correctness-check order, and the driver
+# verifies only the first 50 entries per round. Rotate so every entry gets an
+# oracle row across rounds: round 4 leads with the relational tail (15 entries
+# never checked in r2/r3, incl. promo_revenue / streaming_user_running_stats
+# which have never had an oracle row) + pipeline; the long-stable search /
+# mutation passers (green in r1–r3) rotate out this round.
+from vector_mcp_spark import suite_relational  # noqa: E402,F401
+from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401
 from vector_mcp_spark import suite_mutation  # noqa: E402,F401
-from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
-from vector_mcp_spark import suite_relational  # noqa: E402,F401
