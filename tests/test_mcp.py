@@ -134,3 +134,88 @@ def test_embedding_client_plugs_into_embed_documents(spark):
     got = {r.id: r.embedding for r in
            embed_documents(df, model=client, dim=2).collect()}
     assert got["1"] == pytest.approx([0.1, 0.2]) and got["2"] == pytest.approx([0.3, 0.4])
+
+
+def test_entitlement_scoped_listing(spark, tmp_path_factory):
+    """Listings pass through the identity-scoping seam: a working resolver
+    narrows the set, a broken or absent one degrades to the full set, and
+    names the resolver invents are ignored."""
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("ent_root")))
+    for name in ("alpha", "beta", "gamma"):
+        eng.create_collection(name)
+
+    def scoped(namespace, names):
+        assert namespace == "collection"
+        return [n for n in names if n.startswith(("a", "g"))] + ["invented"]
+
+    out = McpVeneer(eng, entitlements=scoped).vector_collection_management("list_collections")
+    assert out["collections"] == ["alpha", "gamma"]
+
+    def broken(namespace, names):
+        raise RuntimeError("entitlement service down")
+
+    # resolver failure must never break listing — full set comes back
+    out = McpVeneer(eng, entitlements=broken).vector_collection_management("list_collections")
+    assert out["collections"] == ["alpha", "beta", "gamma"]
+    # no resolver bound (unauthenticated/local) → full set
+    out = McpVeneer(eng).vector_collection_management("list_collections")
+    assert out["collections"] == ["alpha", "beta", "gamma"]
+
+
+# -- end-to-end through the real client seam (VERDICT r3 task 7) --------------
+#
+# The ingest→embed→search flow runs with a RemoteEmbeddingClient whose
+# transport replays recorded responses — proving T6 parity against the wire
+# seam (batching, validation, executor-side pickling through mapInPandas),
+# not only the hash_embed stand-in.
+
+
+def test_remote_client_end_to_end_search(spark, tmp_path_factory):
+    # Deterministic stand-in for the embedding endpoint: replays what a
+    # recorded server would return for each input (hash_embed vectors, the
+    # same family the offline oracle uses). Defined inside the test so
+    # cloudpickle serializes it BY VALUE into executor closures (a test-module
+    # top-level def pickles by reference, which executors can't import).
+    def _recorded_transport(url, payload, headers, timeout_s):
+        from vector_mcp_spark.functions.embedder import hash_embed
+
+        assert url == "https://fake.test/v1/embeddings"
+        assert isinstance(payload["input"], list)
+        return {"data": [{"embedding": hash_embed(t, 64)} for t in payload["input"]]}
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("e2e_root")))
+    eng.create_collection("wired")
+    eng.add_documents("wired", [
+        "spark processes data in parallel",
+        "vector search over embeddings",
+        "coffee brewing techniques",
+    ])  # content-only → the search path must embed through the client
+    client = RemoteEmbeddingClient(
+        endpoint="https://fake.test/v1/embeddings", model="fake-model",
+        batch_size=2, transport=_recorded_transport,
+    )
+    api = VectorSearchApi(eng, embed_model=client)
+    rows = api.search("wired", "vector embeddings", number_results=2).collect()
+    assert len(rows) == 2
+    # identical scores to the offline hash-embedder path: the client replays
+    # the same recorded vectors, so the seams are interchangeable
+    offline = VectorSearchApi(eng).search("wired", "vector embeddings", number_results=2).collect()
+    assert [(r.id, round(r.score, 9)) for r in rows] == [
+        (r.id, round(r.score, 9)) for r in offline
+    ]
+    # semantic leg too (query embedding goes through the client)
+    sem = api.semantic_search("wired", ["parallel data processing"], number_results=1).collect()
+    assert len(sem) == 1
+
+
+def test_env_gate_selects_remote_client(monkeypatch, spark, tmp_path_factory):
+    """VECTOR_MCP_SPARK_EMBED_ENDPOINT flips the api from the hash embedder
+    to the remote-client seam; unset env keeps the deterministic default."""
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("gate_root")))
+    monkeypatch.delenv("VECTOR_MCP_SPARK_EMBED_ENDPOINT", raising=False)
+    assert VectorSearchApi(eng)._embed_model is None
+    monkeypatch.setenv("VECTOR_MCP_SPARK_EMBED_ENDPOINT", "https://fake.test/v1/embeddings")
+    monkeypatch.setenv("VECTOR_MCP_SPARK_EMBED_MODEL", "fake-model")
+    gated = VectorSearchApi(eng)
+    assert isinstance(gated._embed_model, RemoteEmbeddingClient)
+    assert gated._embed_model.model == "fake-model"

@@ -42,10 +42,26 @@ class VectorSearchApi:
         engine: CollectionEngine,
         embed_query: Callable[[str], Sequence[float]] | None = None,
         dim: int = 64,
+        embed_model: Callable[[Sequence[str]], Sequence[Sequence[float]]] | None = None,
     ):
+        """``embed_model`` is the batched real-model seam (texts → vectors):
+        it embeds both queries and missing-vector documents, exactly like the
+        reference's one-model-for-both contract (``vectordb/base.py:34-75``).
+        When omitted, the ``VECTOR_MCP_SPARK_EMBED_ENDPOINT`` env gate may
+        supply a ``RemoteEmbeddingClient``; otherwise the deterministic hash
+        embedder keeps everything oracle-checkable offline."""
+        from vector_mcp_spark.functions.embedding_client import RemoteEmbeddingClient
+
         self.engine = engine
         self.dim = dim
-        self._embed_query = embed_query or (lambda q: hash_embed(q, dim))
+        self._embed_model = embed_model if embed_model is not None else RemoteEmbeddingClient.from_env()
+        if embed_query is not None:
+            self._embed_query = embed_query
+        elif self._embed_model is not None:
+            model = self._embed_model
+            self._embed_query = lambda q: list(model([q])[0])
+        else:
+            self._embed_query = lambda q: hash_embed(q, dim)
 
     # -- retrieval (base.py:189-231 protocol) -------------------------------
 
@@ -132,5 +148,8 @@ class VectorSearchApi:
         if self.engine.needs_embed(collection):
             from vector_mcp_spark.functions.embedder import embed_documents
 
-            df = embed_documents(df, text_col="content", out_col="embedding", dim=self.dim)
+            df = embed_documents(
+                df, text_col="content", out_col="embedding", dim=self.dim,
+                model=self._embed_model,
+            )
         return df

@@ -18,11 +18,16 @@ dispatch seam a server would mount.
 from __future__ import annotations
 
 import difflib
+from collections.abc import Callable, Iterable
 from typing import Any
 
 from vector_mcp_spark.api import VectorSearchApi
 from vector_mcp_spark.engine import CollectionEngine
 from vector_mcp_spark.validation import EngineError
+
+# An entitlement resolver maps (namespace, candidate names) -> the subset the
+# calling identity may reach, e.g. ("collection", ["a","b"]) -> ["a"].
+EntitlementResolver = Callable[[str, list[str]], Iterable[str]]
 
 COLLECTION_ACTIONS = (
     "create_collection",
@@ -46,11 +51,36 @@ def resolve_action(action: str, allowed: tuple[str, ...]) -> str | dict:
 
 
 class McpVeneer:
-    """Action-string dispatch over CollectionEngine + VectorSearchApi."""
+    """Action-string dispatch over CollectionEngine + VectorSearchApi.
 
-    def __init__(self, engine: CollectionEngine, api: VectorSearchApi | None = None):
+    ``entitlements`` is the identity-scoping seam the reference routes
+    collection listings through (``mcp_server.py:61-80,180-198``): a resolver
+    from (namespace, names) to the subset the calling identity may see. No
+    resolver (the unauthenticated/local case) or a resolver failure degrades
+    to the FULL set — an entitlement-resolution outage must never break
+    listing — while a working resolver strictly filters (it can only narrow;
+    names it invents are ignored)."""
+
+    def __init__(
+        self,
+        engine: CollectionEngine,
+        api: VectorSearchApi | None = None,
+        entitlements: EntitlementResolver | None = None,
+    ):
         self.engine = engine
         self.api = api or VectorSearchApi(engine)
+        self.entitlements = entitlements
+
+    def _entitled(self, namespace: str, names: list[str]) -> list[str]:
+        """Filter ``names`` to the calling identity's reach, preserving the
+        input order; degrade to the full set on no/broken resolver."""
+        if self.entitlements is None:
+            return list(names)
+        try:
+            allowed = set(self.entitlements(namespace, list(names)))
+        except Exception:
+            return list(names)
+        return [n for n in names if n in allowed]
 
     # -- vector_collection_management (mcp_server.py:85-200) ---------------
 
@@ -84,7 +114,9 @@ class McpVeneer:
             if resolved == "delete_collection":
                 self.engine.delete_collection(collection_name, confirm=bool(confirm))
                 return {"deleted": collection_name}
-            return {"collections": self.engine.get_collections()}
+            # mcp_server.py:180-198 — listings pass through the
+            # identity-scoped entitlement filter
+            return {"collections": self._entitled("collection", self.engine.get_collections())}
         except EngineError as e:
             return {"error": str(e)}
 
