@@ -352,6 +352,16 @@ def near_dup_clusters(
     edges = edges.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_rounds):
+        # Propagation fixpoint = no inter-component edges left after
+        # contraction: every remaining edge joins two distinct labels, so an
+        # empty edge frame means no label can decrease further. Checking the
+        # (small, shrinking, already-checkpointed) edge frame is one trivial
+        # job per round — NOT an N-sized join of old vs new labels. Label
+        # CHAINS may still be un-compressed at that point (a node can point
+        # at a now-relabeled intermediate); the compression loop below
+        # finishes those off.
+        if edges.limit(1).count() == 0:
+            break
         nbr_min = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
@@ -371,13 +381,6 @@ def near_dup_clusters(
             .select(F.col("a.node").alias("node"), F.col("b.label").alias("label"))
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
         # contract: re-express edges over the labels found so far — the next
         # round propagates between components, not individual nodes
         lbl = new_labels
@@ -391,7 +394,24 @@ def near_dup_clusters(
             .localCheckpoint(eager=True)
         )
         labels = new_labels
-        if changed == 0:
+    # Final path compression: chase remaining label chains to their roots
+    # (label values only ever decrease, so every chain ends at a self-labeled
+    # component min; each jump halves chain depth → a couple of iterations).
+    # The moved flag rides along in the same join, so the convergence check
+    # is a trivial second job on the checkpointed frame, not an extra join.
+    for _ in range(max_rounds):
+        jumped = (
+            labels.alias("a")
+            .join(labels.alias("b"), F.col("a.label") == F.col("b.node"))
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("b.label").alias("label"),
+                (F.col("a.label") != F.col("b.label")).alias("__moved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels = jumped.select("node", "label")
+        if jumped.where("__moved").limit(1).count() == 0:
             break
     return labels.select(
         F.col("node").alias(id_col),
