@@ -135,3 +135,46 @@ def test_near_dup_clusters_ring(spark):
     nodes = spark.createDataFrame([(i,) for i in [3, 5, 7, 9]], "id long")
     got = {r.id: r.cluster_id for r in near_dup_clusters(pairs, nodes).collect()}
     assert got == {3: 3, 5: 3, 7: 3, 9: 3}
+
+
+# -- winnowed rolling-hash fingerprints ---------------------------------------
+
+
+def test_winnow_guarantee_and_short_docs(spark):
+    from vector_mcp_spark.operators.dedup import winnow_fingerprints, winnow_near_dup_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"intro alpha {shared} outro beta"),
+            (2, f"completely different preamble {shared} and another ending"),
+            (3, "nothing in common with anything here at all whatsoever"),
+            (4, "too short"),  # < k + w - 1 tokens → no fingerprints
+        ],
+        "id long, content string",
+    )
+    fps = winnow_fingerprints(df, k=3, w=4)
+    by_id = {r.id for r in fps.select("id").distinct().collect()}
+    assert 4 not in by_id  # short doc winnows to nothing
+    # winnowing guarantee: a shared run of >= k+w-1 (=6) tokens must share
+    # at least one selected fingerprint → docs 1 and 2 pair up
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_near_dup_pairs(df, k=3, w=4, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_max_df_drops_boilerplate(spark):
+    from vector_mcp_spark.operators.dedup import winnow_near_dup_pairs
+
+    boiler = "standard legal disclaimer applies to every document in this corpus"
+    df = spark.createDataFrame(
+        [(i, f"unique text number {i} follows here {boiler}") for i in range(6)],
+        "id long, content string",
+    )
+    # every doc shares the boilerplate run; max_df below the corpus size
+    # kills those fingerprints so no pair survives
+    assert winnow_near_dup_pairs(df, k=3, w=4, min_shared=1, max_df=3).count() == 0
+    assert winnow_near_dup_pairs(df, k=3, w=4, min_shared=1, max_df=None).count() == 15

@@ -418,3 +418,82 @@ def near_dup_clusters(
         F.col("label").alias("cluster_id"),
         (F.col("label") == F.col("node")).alias("is_canonical"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "id",
+    content_col: str = "content",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowed rolling k-gram fingerprints → one (id, fp) row per selected
+    fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03 winnowing — the MOSS
+    algorithm; no counterpart in the reference, which stops at exact
+    content-hash dedup, ``vector_mcp/vector_api.py:303-317``).
+
+    Token k-grams are hashed with md5 (equal grams hash equal — the property
+    rolling hashes exist to provide; md5 hex compares lexicographically the
+    same in any engine, the MinHash-oracle trick) and every w-window keeps
+    its MINIMUM hash, guaranteeing any match of length ≥ k + w − 1 tokens
+    shares a fingerprint. Classic winnowing records (hash, position); for
+    distributed near-dup the distinct hash SET per doc is what joins, so
+    positions are dropped and tie-direction is moot.
+
+    Scale shape: everything up to the final explode is per-row array math
+    inside whole-stage codegen — zero shuffle, zero Python. The explode emits
+    ≈ n_tokens/w rows per doc (the winnowing density guarantee 2/(w+1)),
+    i.e. a ~w× reduction over shipping every shingle.
+    """
+    toks = tokens(F.col(content_col))
+    base = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        # sequence(0, negative) would flip descending — too-short docs have
+        # no full window and winnow to nothing, same as the oracle's WHERE
+        .where(F.size("__toks") >= k + w - 1)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("__toks")) - k),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k))),
+    )
+    with_g = base.select(id_col, grams.alias("__grams"))
+    fps = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("__grams")) - w),
+        lambda j: F.array_min(F.slice(F.col("__grams"), j + 1, w)),
+    )
+    return with_g.select(
+        id_col, F.explode(F.array_distinct(fps)).alias("fp")
+    )
+
+
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    content_col: str = "content",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowed fingerprints:
+    (id_a, id_b, n_shared) with id_a < id_b and n_shared ≥ ``min_shared``.
+
+    ``max_df`` drops fingerprints occurring in more than that many docs
+    (boilerplate/stop-shingles) BEFORE the self-join — the frequency cut
+    that keeps the join ladder O(Σ df²) over rare fingerprints instead of
+    exploding on corpus-wide templates. Both the cut and the join are
+    equi-operations on the fp hash — never a cross join.
+    """
+    fps = winnow_fingerprints(df, id_col=id_col, content_col=content_col, k=k, w=w)
+    if max_df is not None:
+        keep = fps.groupBy("fp").count().where(F.col("count") <= max_df).select("fp")
+        fps = fps.join(keep, "fp")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

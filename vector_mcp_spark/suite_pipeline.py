@@ -170,6 +170,51 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, id_col="doc_id", content_col="text", bits=32)
 
 
+# -- winnowed rolling-hash fingerprint near-dup (MOSS; SIGMOD'03) -------------
+#
+# k-gram hashes via md5 (cross-engine identical), min per w-window, distinct
+# per doc, stop-shingle cut at max_df, pair = shared-fingerprint count. The
+# oracle replays the exact winnow with DuckDB list comprehensions.
+
+_WINNOW_K, _WINNOW_W, _WINNOW_MAXDF, _WINNOW_MINSHARED = 3, 4, 50, 2
+
+_WINNOW_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         [md5(array_to_string(list_slice(t, i, i + {_WINNOW_K} - 1), ' '))
+          FOR i IN range(1, len(t) - {_WINNOW_K} + 2)] AS g
+  FROM toks WHERE len(t) >= {_WINNOW_K} + {_WINNOW_W} - 1
+),
+fps AS (
+  SELECT doc_id,
+         list_distinct([list_min(list_slice(g, j, j + {_WINNOW_W} - 1))
+                        FOR j IN range(1, len(g) - {_WINNOW_W} + 2)]) AS f
+  FROM grams
+),
+ex AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+keep AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= {_WINNOW_MAXDF}),
+fe AS (SELECT e.doc_id, e.fp FROM ex e JOIN keep k ON e.fp = k.fp)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM fe a JOIN fe b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {_WINNOW_MINSHARED}
+"""
+
+
+@register("dedup_winnow_fingerprints", _WINNOW_ORACLE, "dedup", "pipeline")
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.dedup import winnow_near_dup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_near_dup_pairs(
+        docs, id_col="doc_id", content_col="text",
+        k=_WINNOW_K, w=_WINNOW_W,
+        min_shared=_WINNOW_MINSHARED, max_df=_WINNOW_MAXDF,
+    )
+
+
 # -- exact similarity self-join: top-1 neighbor for a query subset -----------
 
 _SIM_TOP1_ORACLE = f"""
