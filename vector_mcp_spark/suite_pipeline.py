@@ -260,7 +260,52 @@ def _index_cache(sf_dir: str, name: str) -> str:
     )
 
 
-@register("ann_lsh_topk", None, "similarity", "pipeline")
+def _ann_lsh_oracle() -> str:
+    """Full SQL replay of the multi-probe LSH: the sha256-derived hyperplanes
+    are deterministic, so they inline as literals — bucket bits are CASE'd
+    dot-product signs, multi-probe is per-table ``IN (bucket, bucket XOR
+    2^b…)``, and the candidate set re-ranks by exact cosine. This upgrades
+    ANN from a rows-only check to a value-hashed oracle row: approximate in
+    recall, but a deterministic function of (data, planes) all the same."""
+    from vector_mcp_spark.operators.similarity import _hyperplanes
+
+    tables = _hyperplanes(64, 6, 4)
+
+    def dot(col: str, plane: list[float]) -> str:
+        lits = ", ".join(repr(float(x)) for x in plane)
+        return f"list_dot_product({col}::DOUBLE[], [{lits}]::DOUBLE[])"
+
+    def bucket(col: str, planes: list[list[float]]) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN {dot(col, p)} > 0 THEN {2**i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        return f"({terms})"
+
+    qb = ",\n  ".join(f"{bucket('embedding', t)} AS b{ti}" for ti, t in enumerate(tables))
+    probe_or = " OR ".join(
+        f"c.b{t} IN (q.b{t}, " + ", ".join(f"xor(q.b{t}, {2**b})" for b in range(6)) + ")"
+        for t in range(4)
+    )
+    return f"""
+WITH cb AS (SELECT vec_id, embedding, {qb} FROM embeddings),
+q AS (SELECT * FROM cb WHERE vec_id < 20),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) AS sim
+  FROM cb c, q
+  WHERE q.vec_id != c.vec_id AND ({probe_or})
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, ROUND(sim, 6) AS score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM cand
+) WHERE rnk <= 5
+"""
+
+
+@register("ann_lsh_topk", _ann_lsh_oracle(), "similarity", "pipeline")
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
