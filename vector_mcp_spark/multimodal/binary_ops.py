@@ -16,6 +16,7 @@ feature extraction output (small vectors) is what shuffles, not the media.
 
 from __future__ import annotations
 
+import base64
 import hashlib
 from collections.abc import Iterator
 
@@ -44,16 +45,27 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def _fake_seed_hex(data: bytes, tag: int) -> str:
+    """Seed digest for the fake decoders, deliberately derived through a
+    VARCHAR-friendly recipe — ``sha256(base64(data) + "|" + tag)`` — so ANSI
+    SQL (DuckDB ``sha256(base64(blob) || '|' || tag)``) can replay it and
+    the multimodal suite queries get full value oracles despite the decode
+    stub. The fake is a placeholder; its derivation is arbitrary, so pick
+    the one an oracle can check."""
+    return hashlib.sha256(
+        (base64.b64encode(data).decode("ascii") + "|" + str(tag)).encode("ascii")
+    ).hexdigest()
+
+
 def _fake_features(data: bytes, dim: int) -> list[float]:
-    # one digest yields 16 dims (2-byte chunks); counter-extend only beyond
+    # one digest yields 16 dims (2-byte hex chunks); counter-extend beyond
     # that — the fake is a placeholder, so cheap beats fancy
-    need = 2 * dim
-    buf = b""
+    hexbuf = ""
     block = 0
-    while len(buf) < need:
-        buf += hashlib.sha256(data + block.to_bytes(4, "big")).digest()
+    while len(hexbuf) < 4 * dim:
+        hexbuf += _fake_seed_hex(data, block)
         block += 1
-    return [int.from_bytes(buf[2 * i : 2 * i + 2], "big") % 1000 / 1000.0 for i in range(dim)]
+    return [int(hexbuf[4 * i : 4 * i + 4], 16) % 1000 / 1000.0 for i in range(dim)]
 
 
 def extract_features(
@@ -118,7 +130,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, deterministic_fake: bo
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(idx)
                     rows["frame_ts_ms"].append(ts)
-                    rows["frame"].append(hashlib.sha256((bytes(data or b"")) + ts.to_bytes(8, "big")).digest())
+                    rows["frame"].append(bytes.fromhex(_fake_seed_hex(bytes(data or b""), ts)))
             yield pd.DataFrame(rows)
 
     return media.where(F.col("kind") == "video").mapInPandas(

@@ -503,15 +503,32 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(queries, assigned, centroids, 5, nprobe=4, id_col="vec_id")
 
 
-@register("multimodal_features", None, "multimodal", "pipeline")
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media feature extraction over binary columns (rows-only: the
-    Arrow-batched deterministic-fake decode seam; sha256-derived features,
-    so repeated runs are identical — pytest checks determinism + schema).
+# The fake decoder derives features from sha256(base64(bytes) + "|" + block)
+# hex chunks — a VARCHAR-friendly recipe chosen precisely so DuckDB can
+# replay the whole Arrow-batched decode seam and the query gets a full value
+# oracle despite the stubbed media libs. Features are projected to exact
+# milli-unit ints (v*1000 is integral by construction) — the driver's
+# canonicalizer sorts cell values, so no raw array<float> may reach it.
+_MM_FEAT_ORACLE = """
+WITH media AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         sha256(base64(encode(text)) || '|0') AS h
+  FROM documents
+)
+SELECT media_id, kind, 8 AS n_features,
+       array_to_string(
+         [CAST(CAST('0x' || substr(h, 4 * i + 1, 4) AS INTEGER) % 1000 AS VARCHAR)
+          FOR i IN range(0, 8)], ',') AS feat_milli
+FROM media
+"""
 
-    The feature vector is projected to a JVM-side xxhash64 fingerprint —
-    the driver's canonicalizer sorts cell values, so no raw ``array<float>``
-    column may reach it (round-1 ``err``)."""
+
+@register("multimodal_features", _MM_FEAT_ORACLE, "multimodal", "pipeline")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature extraction over binary columns through the Arrow-batched
+    deterministic-fake decode seam (container has no media libs; the seam,
+    schema, batching, and partitioning are the real thing under test)."""
     from vector_mcp_spark.multimodal.binary_ops import extract_features
 
     docs = load(spark, sf_dir, "documents")
@@ -527,13 +544,64 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     feats = extract_features(media, dim=8)
-    # no orderBy: the rows-only check is order-insensitive and a global
-    # sort after the Arrow stage would be a pointless full-shuffle
+    # no orderBy: the check is order-insensitive and a global sort after the
+    # Arrow stage would be a pointless full-shuffle. v*1000 is integral by
+    # construction (v = n/1000), so the round() only undoes float32 noise.
     return feats.select(
         "media_id",
         "kind",
         F.size("features").cast("int").alias("n_features"),
-        F.xxhash64("features").alias("features_fp"),
+        F.array_join(
+            F.transform("features", lambda v: F.round(v * 1000).cast("int").cast("string")),
+            ",",
+        ).alias("feat_milli"),
+    )
+
+
+# Frame bytes are sha256(base64(data) + "|" + ts) digests — VARCHAR-friendly
+# on purpose so the oracle can rebuild every frame's hex fingerprint and the
+# executed mapInPandas seam is value-checked end to end.
+_MM_FRAME_ORACLE = """
+WITH media AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         encode(text) AS data,
+         CAST(n_chars % 5000 AS BIGINT) AS duration_ms
+  FROM documents WHERE doc_id % 5 = 0
+),
+frames AS (
+  SELECT media_id, data, unnest(range(0, duration_ms, 1000)) AS ts FROM media
+)
+SELECT media_id,
+       CAST(ts / 1000 AS INTEGER) AS frame_idx,
+       CAST(ts AS BIGINT) AS frame_ts_ms,
+       sha256(base64(data) || '|' || CAST(ts AS VARCHAR)) AS frame_hex
+FROM frames
+"""
+
+
+@register("multimodal_frame_sample", _MM_FRAME_ORACLE, "multimodal", "pipeline")
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling seam over fake video rows (deterministic sha-derived
+    frames at real timestamps; one output row per sampled frame). Frames are
+    projected to their hex — binary cells stay off the driver
+    canonicalizer, and the hex IS the sha256 the oracle rebuilds."""
+    from vector_mcp_spark.multimodal.binary_ops import sample_frames
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("data"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") % 5000).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    frames = sample_frames(media, every_ms=1000)
+    return frames.select(
+        "media_id", "frame_idx", "frame_ts_ms", F.lower(F.hex("frame")).alias("frame_hex")
     )
 
 
@@ -838,29 +906,3 @@ def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- video frame sampling (rows-only: sha-derived fake frames) ----------------
-
-
-@register("multimodal_frame_sample", None, "multimodal", "pipeline")
-def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling seam over fake video rows (deterministic sha-derived
-    frames at real timestamps; one output row per sampled frame). Frames are
-    projected to a JVM-side sha2 fingerprint — binary cells stay off the
-    driver canonicalizer."""
-    from vector_mcp_spark.multimodal.binary_ops import sample_frames
-
-    docs = load(spark, sf_dir, "documents")
-    media = docs.where(F.col("doc_id") % 5 == 0).select(
-        F.col("doc_id").cast("string").alias("media_id"),
-        F.lit("video").alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("data"),
-        F.struct(
-            F.lit("video/mp4").alias("mime"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            (F.col("n_chars") % 5000).cast("long").alias("duration_ms"),
-        ).alias("meta"),
-    )
-    frames = sample_frames(media, every_ms=1000)
-    return frames.select(
-        "media_id", "frame_idx", "frame_ts_ms", F.sha2("frame", 256).alias("frame_sha")
-    )
