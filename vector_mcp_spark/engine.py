@@ -340,11 +340,20 @@ class CollectionEngine:
             .drop("_ord", "_rn")
         )
 
-        self._check_dimension(scoped, new)
         new = new.select(*DOCUMENT_SCHEMA.fieldNames())
         # the batch is driver-bounded (≤1000 docs) — its ids are collectable,
-        # and they define exactly which partitions this ingest touches
-        ids = [r.id for r in new.select("id").collect()]
+        # and they define exactly which partitions this ingest touches. The
+        # dimension check rides the same collect (embedding sizes are tiny)
+        # instead of paying a second scan job over the batch.
+        dim = self._locked_dimension(scoped)
+        id_rows = new.select(
+            "id", F.coalesce(F.size("embedding"), F.lit(-1)).alias("_esz")
+        ).collect()
+        if dim is not None and any(r._esz not in (-1, dim) for r in id_rows):
+            # postgres.py:164-172 — pgvector's VECTOR(dim) enforces this
+            # in-DDL; parquet has no typed vector width, so explicit gate
+            raise EngineError("collection_vector_schema_mismatch")
+        ids = [r.id for r in id_rows]
         prefixes = sorted({i[:_PART_LEN] for i in ids})
         touched = self._read_partitions(scoped, prefixes)
         if not upsert:
