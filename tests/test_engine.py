@@ -221,3 +221,19 @@ def test_in_batch_last_writer_wins_order_is_list_position(spark, tmp_path):
     )
     rows = eng.read("kb").collect()
     assert len(rows) == 1 and rows[0].metadata == {"v": "last"}
+
+
+def test_empty_collection_and_nonexistent_ids_parity(spark, tmp_path_factory):
+    """Reference parity (test_all_backends.py test_empty_collection /
+    test_nonexistent_document): searching an empty collection returns zero
+    hits — not an error — and point-lookups of unknown ids return zero rows."""
+    from vector_mcp_spark.api import VectorSearchApi
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("empty_root")))
+    eng.create_collection("hollow")
+    api = VectorSearchApi(eng)
+    assert api.semantic_search("hollow", ["anything"], number_results=5).count() == 0
+    assert api.search("hollow", "anything", number_results=5).count() == 0
+    assert eng.get_documents_by_ids("hollow").count() == 0
+    eng.add_documents("hollow", ["one real doc"])
+    assert eng.get_documents_by_ids("hollow", ids=["nonexistent_id"]).count() == 0

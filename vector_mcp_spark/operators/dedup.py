@@ -161,25 +161,34 @@ def minhash_signature_array(
     num_hashes: int = 16,
 ) -> DataFrame:
     """MinHash signature per document as one array column: (id, sigs) with
-    ``sigs[p] = min over tokens of sha256(p || '|' || tok)``.
+    ``sigs[p]`` = min over tokens of the p-th 8-hex-char chunk of
+    ``sha256(tok || '|0') || sha256(tok || '|1') || …``.
 
-    The 'permutation' family is h_p(tok) = sha256(p || '|' || tok) with the
-    *lexicographic minimum* as the min-hash — engine-agnostic and exactly
-    reproducible in ANSI SQL (min over strings), unlike murmur-based MLlib
-    MinHashLSH.
+    The 'permutation' family is hash-chunking: ONE wide digest per token
+    (⌈P/8⌉ sha256 calls, each yielding eight independent 32-bit chunks)
+    instead of P per-permutation hashes — 8× less hashing for the same
+    uniform-chunk statistics, with the *lexicographic minimum* over hex as
+    the min-hash so ANSI SQL replays it exactly (min over substrings),
+    unlike murmur-based MLlib MinHashLSH.
 
-    Shape chosen for codegen: tokens explode narrowly (no shuffle), the P
-    permutation hashes are plain sha2 columns under min() aggregates —
-    whole-stage-codegen'd with map-side partial min, so only (id, P hashes)
+    Shape chosen for codegen: tokens explode narrowly (no shuffle), the
+    chunk substrings are plain columns under min() aggregates —
+    whole-stage-codegen'd with map-side partial min, so only (id, P chunks)
     per group ever crosses the one shuffle. (A nested higher-order-function
     formulation avoids the explode but runs interpreted — measured ~2×
     slower.) Docs with no tokens yield no row.
     """
-    toks = _spread(df.select(F.col(id_col).alias("id"), F.col(content_col))).select(
-        "id", F.explode(_distinct_tokens(content_col)).alias("tok")
+    n_digests = -(-num_hashes // 8)  # 8 chunks of 8 hex chars per digest
+    wide = F.concat(
+        *[F.sha2(F.concat(F.col("tok"), F.lit(f"|{d}")), 256) for d in range(n_digests)]
+    )
+    toks = (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(content_col)))
+        .select("id", F.explode(_distinct_tokens(content_col)).alias("tok"))
+        .select("id", wide.alias("_wide"))
     )
     mins = [
-        F.min(F.sha2(F.concat(F.lit(f"{p}|"), F.col("tok")), 256)).alias(f"_h{p}")
+        F.min(F.substring(F.col("_wide"), 8 * p + 1, 8)).alias(f"_h{p}")
         for p in range(num_hashes)
     ]
     aggd = toks.groupBy("id").agg(*mins)

@@ -103,7 +103,8 @@ WITH dt AS (
 ),
 ex AS (SELECT doc_id, unnest(toks) AS tok FROM dt),
 hp AS (
-  SELECT doc_id, p, min(sha256(CAST(p AS VARCHAR) || '|' || tok)) AS h
+  SELECT doc_id, p,
+         min(substring(sha256(tok || '|0') || sha256(tok || '|1'), 8 * p + 1, 8)) AS h
   FROM ex CROSS JOIN (SELECT unnest(range({_MH_HASHES})) AS p)
   GROUP BY doc_id, p
 ),
