@@ -136,22 +136,48 @@ def ngram_jaccard_pairs(
             ),
         ).otherwise(F.array().cast("array<string>"))
         toks = F.array_distinct(grams)
-    hashed = F.transform(toks, _hash64)
+    # Exact-dup collapse (same move as minhash_lsh_pairs): docs sharing a
+    # (block, gram-set) are jaccard-interchangeable — verify once per unique
+    # set pair, expand to doc pairs after. A cluster of m exact copies costs
+    # O(m) instead of m²/2 verify intersections; within-set pairs are
+    # jaccard = 1 with no intersection at all (empty sets excluded — the
+    # oracle's 0/0 division is NULL and drops them).
+    hashed = F.transform(F.array_sort(toks), _hash64)
     base = df.select(
         F.col(id_col).alias("_id"), *block_cols, hashed.alias("_toks"), F.size(hashed).alias("_n")
     )
-    a = base.select(
-        F.col("_id").alias("id_a"), F.col("_toks").alias("toks_a"), F.col("_n").alias("na"),
+    groups = (
+        base.withColumn("_key", F.sha2(F.concat_ws("\x1f", F.col("_toks").cast("array<string>")), 256))
+        .groupBy(*block_cols, "_key")
+        .agg(F.collect_list("_id").alias("_ids"), F.first("_toks").alias("_toks"), F.first("_n").alias("_n"))
+    )
+    a = groups.select(
+        F.col("_key").alias("ka"), F.col("_ids").alias("id_a"),
+        F.col("_toks").alias("toks_a"), F.col("_n").alias("na"),
         *[F.col(c).alias(f"_ba_{c}") for c in block_cols],
     )
-    b = base.select(
-        F.col("_id").alias("id_b"), F.col("_toks").alias("toks_b"), F.col("_n").alias("nb"),
+    b = groups.select(
+        F.col("_key").alias("kb"), F.col("_ids").alias("id_b"),
+        F.col("_toks").alias("toks_b"), F.col("_n").alias("nb"),
         *[F.col(c).alias(f"_bb_{c}") for c in block_cols],
     )
-    cond = F.col("id_a") < F.col("id_b")
+    cond = F.col("ka") < F.col("kb")
     for c in block_cols:
         cond = cond & (F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
-    return _jaccard_verify(a.join(b, cond), threshold)
+    ver = _jaccard_verify(a.join(b, cond), threshold)
+    cross = (
+        ver.select(F.explode("id_a").alias("a"), "id_b", "jaccard")
+        .select("a", F.explode("id_b").alias("b"), "jaccard")
+        .select(F.least("a", "b").alias("id_a"), F.greatest("a", "b").alias("id_b"), "jaccard")
+    )
+    within = (
+        groups.where((F.size("_ids") >= 2) & (F.col("_n") > 0))
+        .select(F.explode("_ids").alias("id_a"), "_ids")
+        .select("id_a", F.explode("_ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.lit(1.0))
+    )
+    return cross.unionByName(within.select("id_a", "id_b", "jaccard"))
 
 
 def minhash_signature_array(
