@@ -219,3 +219,14 @@ def test_env_gate_selects_remote_client(monkeypatch, spark, tmp_path_factory):
     gated = VectorSearchApi(eng)
     assert isinstance(gated._embed_model, RemoteEmbeddingClient)
     assert gated._embed_model.model == "fake-model"
+
+
+def test_plural_alias_resolves():
+    """Reference parity (test_action_discovery.py): a plural alias resolves
+    to the canonical singular action instead of erroring."""
+    assert resolve_action("searches", ("semantic_search", "lexical_search", "search")) == "search"
+    assert resolve_action("list_collectionses", ("list_collections",)) == "list_collections"
+    assert resolve_action("semantic_searches", ("semantic_search", "search")) == "semantic_search"
+    # a plural of nothing still errors with suggestions
+    out = resolve_action("bananas", ("search",))
+    assert out["error"] == "action_invalid"

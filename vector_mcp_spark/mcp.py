@@ -39,10 +39,17 @@ SEARCH_ACTIONS = ("semantic_search", "lexical_search", "search")
 
 
 def resolve_action(action: str, allowed: tuple[str, ...]) -> str | dict:
-    """Exact match → the action; anything else → a stable error dict with
-    close-match suggestions (mcp_server.py:116-125,238-245 semantics)."""
+    """Exact match → the action; a plural alias resolves to its canonical
+    singular ('searches' → 'search', reference
+    tests/test_action_discovery.py test_plural_alias_resolves); anything
+    else → a stable error dict with close-match suggestions
+    (mcp_server.py:116-125,238-245 semantics)."""
     if action in allowed:
         return action
+    if action:
+        for suffix in ("es", "s"):
+            if action.endswith(suffix) and action[: -len(suffix)] in allowed:
+                return action[: -len(suffix)]
     return {
         "error": "action_invalid",
         "allowed": list(allowed),
