@@ -178,3 +178,33 @@ def test_winnow_max_df_drops_boilerplate(spark):
     # kills those fingerprints so no pair survives
     assert winnow_near_dup_pairs(df, k=3, w=4, min_shared=1, max_df=3).count() == 0
     assert winnow_near_dup_pairs(df, k=3, w=4, min_shared=1, max_df=None).count() == 15
+
+
+def test_blocked_clusters_match_pair_based_clusters(docs):
+    from vector_mcp_spark.operators.dedup import near_dup_clusters, near_dup_clusters_blocked, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, 0.5, id_col="doc_id", content_col="text")
+    via_pairs = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in near_dup_clusters(pairs.select("id_a", "id_b"), docs, id_col="doc_id").collect()
+    }
+    via_sets = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in near_dup_clusters_blocked(docs, 0.5, id_col="doc_id", content_col="text").collect()
+    }
+    assert via_sets == via_pairs
+
+
+def test_blocked_clusters_empty_set_docs_are_singletons(spark):
+    from vector_mcp_spark.operators.dedup import near_dup_clusters_blocked
+
+    df = spark.createDataFrame(
+        [(1, "shared words here"), (2, "shared words here"), (3, "!!!"), (4, "???")],
+        "id long, content string",
+    )
+    got = {r.id: (r.cluster_id, r.is_canonical) for r in
+           near_dup_clusters_blocked(df, 0.9).collect()}
+    assert got[1] == (1, True) and got[2] == (1, False)  # exact dups cluster
+    # docs 3/4 tokenize to EMPTY sets — identical sets, but never paired
+    # (NULL jaccard): each is its own singleton cluster
+    assert got[3] == (3, True) and got[4] == (4, True)

@@ -122,49 +122,9 @@ def ngram_jaccard_pairs(
     O(Σ block²) instead of O(N²) — at 100 TB, blocking on cheap invariants
     is what keeps this runnable.
     """
-    toks = _distinct_tokens(content_col)
-    if ngram > 1:
-        joined = tokens(F.col(content_col))
-        # guard: a doc with < ngram tokens yields an EMPTY gram set — an
-        # unguarded sequence(0, -1) = [0, -1] makes slice() raise and one
-        # short doc would abort the whole job
-        grams = F.when(
-            F.size(joined) >= ngram,
-            F.transform(
-                F.sequence(F.lit(0), F.size(joined) - ngram),
-                lambda i: F.array_join(F.slice(joined, i + 1, ngram), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        toks = F.array_distinct(grams)
-    # Exact-dup collapse (same move as minhash_lsh_pairs): docs sharing a
-    # (block, gram-set) are jaccard-interchangeable — verify once per unique
-    # set pair, expand to doc pairs after. A cluster of m exact copies costs
-    # O(m) instead of m²/2 verify intersections; within-set pairs are
-    # jaccard = 1 with no intersection at all (empty sets excluded — the
-    # oracle's 0/0 division is NULL and drops them).
-    hashed = F.transform(F.array_sort(toks), _hash64)
-    base = df.select(
-        F.col(id_col).alias("_id"), *block_cols, hashed.alias("_toks"), F.size(hashed).alias("_n")
+    groups, ver = _ngram_set_graph(
+        df, _gram_sets(content_col, ngram), threshold, id_col, block_cols
     )
-    groups = (
-        base.withColumn("_key", F.sha2(F.concat_ws("\x1f", F.col("_toks").cast("array<string>")), 256))
-        .groupBy(*block_cols, "_key")
-        .agg(F.collect_list("_id").alias("_ids"), F.first("_toks").alias("_toks"), F.first("_n").alias("_n"))
-    )
-    a = groups.select(
-        F.col("_key").alias("ka"), F.col("_ids").alias("id_a"),
-        F.col("_toks").alias("toks_a"), F.col("_n").alias("na"),
-        *[F.col(c).alias(f"_ba_{c}") for c in block_cols],
-    )
-    b = groups.select(
-        F.col("_key").alias("kb"), F.col("_ids").alias("id_b"),
-        F.col("_toks").alias("toks_b"), F.col("_n").alias("nb"),
-        *[F.col(c).alias(f"_bb_{c}") for c in block_cols],
-    )
-    cond = F.col("ka") < F.col("kb")
-    for c in block_cols:
-        cond = cond & (F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
-    ver = _jaccard_verify(a.join(b, cond), threshold)
     cross = (
         ver.select(F.explode("id_a").alias("a"), "id_b", "jaccard")
         .select("a", F.explode("id_b").alias("b"), "jaccard")
@@ -178,6 +138,97 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", F.lit(1.0))
     )
     return cross.unionByName(within.select("id_a", "id_b", "jaccard"))
+
+
+def _gram_sets(content_col: str, ngram: int) -> F.Column:
+    """Distinct token n-gram set of a text column (ngram=1 → token set)."""
+    if ngram <= 1:
+        return _distinct_tokens(content_col)
+    joined = tokens(F.col(content_col))
+    # guard: a doc with < ngram tokens yields an EMPTY gram set — an
+    # unguarded sequence(0, -1) = [0, -1] makes slice() raise and one
+    # short doc would abort the whole job
+    grams = F.when(
+        F.size(joined) >= ngram,
+        F.transform(
+            F.sequence(F.lit(0), F.size(joined) - ngram),
+            lambda i: F.array_join(F.slice(joined, i + 1, ngram), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def _ngram_set_graph(
+    df: DataFrame,
+    toks: F.Column,
+    threshold: float,
+    id_col: str,
+    block_cols: tuple[str, ...],
+) -> tuple[DataFrame, DataFrame]:
+    """The set-level near-dup graph behind the blocked Jaccard operators.
+
+    Exact-dup collapse (same move as minhash_lsh_pairs): docs sharing a
+    (block, gram-set) are jaccard-interchangeable — verify once per unique
+    set pair. A cluster of m exact copies costs O(m) instead of m²/2 verify
+    intersections. Returns:
+
+    * ``groups``: one row per unique (block, set) — (``_node`` globally
+      unique group id, ``_ids`` member doc ids, ``_n`` set size)
+    * ``ver``: verified set pairs ≥ threshold — (``node_a``, ``node_b``,
+      ``id_a``/``id_b`` member arrays, ``jaccard``). Empty sets never pair
+      (the oracle's 0/0 division is NULL and drops them).
+    """
+    hashed = F.transform(F.array_sort(toks), _hash64)
+    base = df.select(
+        F.col(id_col).alias("_id"), *block_cols, hashed.alias("_toks"), F.size(hashed).alias("_n")
+    )
+    # the grouping key spans block AND set: the same token set in two blocks
+    # must be two distinct graph nodes (the oracle never pairs across
+    # blocks). The NODE id is the group's min member doc id — numeric
+    # (narrow CC shuffles, vs 64-char sha keys) and unique (each doc belongs
+    # to exactly one group), and a component's min node = the component's
+    # min doc id, so CC labels come out directly in cluster_id space.
+    key = F.sha2(
+        F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in block_cols],
+            F.lit("\x1e"), F.concat_ws("\x1f", F.col("_toks").cast("array<string>")),
+        ),
+        256,
+    )
+    groups = (
+        base.withColumn("_key", key)
+        .groupBy(*block_cols, "_key")
+        .agg(F.collect_list("_id").alias("_ids"), F.first("_toks").alias("_toks"), F.first("_n").alias("_n"))
+        .withColumn("_node", F.array_min("_ids"))
+    )
+    a = groups.select(
+        F.col("_node").alias("node_a"), F.col("_ids").alias("id_a"),
+        F.col("_toks").alias("toks_a"), F.col("_n").alias("na"),
+        *[F.col(c).alias(f"_ba_{c}") for c in block_cols],
+    )
+    b = groups.select(
+        F.col("_node").alias("node_b"), F.col("_ids").alias("id_b"),
+        F.col("_toks").alias("toks_b"), F.col("_n").alias("nb"),
+        *[F.col(c).alias(f"_bb_{c}") for c in block_cols],
+    )
+    cond = F.col("node_a") < F.col("node_b")
+    for c in block_cols:
+        cond = cond & (F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
+    joined = a.join(b, cond)
+    sized = joined.where(
+        F.try_divide(F.least("na", "nb").cast("double"), F.greatest("na", "nb"))
+        >= F.lit(threshold) - 1e-6
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.col("na") + F.col("nb") - inter
+    ver = (
+        sized.withColumn(
+            "jaccard", F.round(F.try_divide(inter.cast("double"), union), JACCARD_DECIMALS)
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("node_a", "node_b", "id_a", "id_b", "jaccard")
+    )
+    return groups, ver
 
 
 def minhash_signature_array(
@@ -595,3 +646,56 @@ def winnow_near_dup_pairs(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def near_dup_clusters_blocked(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    content_col: str = "content",
+    block_cols: tuple[str, ...] = (),
+    ngram: int = 1,
+    max_rounds: int = 15,
+) -> DataFrame:
+    """End-to-end blocked-Jaccard near-dup clustering with the connected
+    components computed at SET level: CC runs over unique (block, gram-set)
+    nodes — never over expanded doc pairs — and group membership expands
+    only at the end. Output is identical to
+    ``near_dup_clusters(ngram_jaccard_pairs(df, …), df)`` (the m members of
+    an exact-dup group hang off ONE graph node instead of contributing
+    m²/2 edges to every CC round). Empty-set docs are singleton clusters
+    (they never pair — the oracle's 0/0 jaccard is NULL).
+    """
+    groups, ver = _ngram_set_graph(
+        df, _gram_sets(content_col, ngram), threshold, id_col, tuple(block_cols)
+    )
+    nonempty = groups.where(F.col("_n") > 0)
+    # node ids are group-min doc ids, so the propagated min label IS the
+    # component's min doc id — membership expansion is one join, no rep
+    # re-derivation needed
+    set_labels = near_dup_clusters(
+        ver.select(F.col("node_a").alias("id_a"), F.col("node_b").alias("id_b")),
+        nonempty.select("_node"),
+        id_col="_node",
+        max_rounds=max_rounds,
+    )
+    clustered = (
+        set_labels.select("_node", "cluster_id")
+        .join(nonempty.select("_node", "_ids"), "_node")
+        .select(F.explode("_ids").alias(id_col), "cluster_id")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )
+    singletons = (
+        groups.where(F.col("_n") == 0)
+        .select(F.explode("_ids").alias(id_col))
+        .select(
+            F.col(id_col),
+            F.col(id_col).alias("cluster_id"),
+            F.lit(True).alias("is_canonical"),
+        )
+    )
+    return clustered.unionByName(singletons)

@@ -769,15 +769,18 @@ FROM reach GROUP BY node
 
 @register("dedup_clusters", _CLUSTER_ORACLE, "dedup", "pipeline")
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_mcp_spark.operators.dedup import near_dup_clusters, ngram_jaccard_pairs
+    # set-level CC: label propagation runs over unique (block, token-set)
+    # nodes, never over expanded doc pairs — an m-copy exact-dup cluster is
+    # ONE graph node instead of m²/2 edges in every round
+    from vector_mcp_spark.operators.dedup import near_dup_clusters_blocked
 
     docs = load(spark, sf_dir, "documents").withColumn(
         "len_bucket", F.floor(F.col("n_chars") / 100)
     )
-    pairs = ngram_jaccard_pairs(
-        docs, _JACCARD_T, id_col="doc_id", content_col="text", block_cols=("lang", "len_bucket")
+    return near_dup_clusters_blocked(
+        docs, _JACCARD_T, id_col="doc_id", content_col="text",
+        block_cols=("lang", "len_bucket"),
     )
-    return near_dup_clusters(pairs.select("id_a", "id_b"), docs, id_col="doc_id")
 
 
 # -- deterministic stratified sampling + training-shard assignment ------------
