@@ -479,7 +479,77 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk", None, "similarity", "pipeline")
+def _ann_ivf_oracle() -> str:
+    """Full SQL replay of the IVF index AND its query: the build is
+    deterministic end to end (init = 16 rows with smallest sha256(id);
+    2 Lloyd iterations of cosine-argmax assignment — ties to the lowest
+    centroid index, matching np.argmax — and per-dimension means ROUNDed to
+    8 dp, which absorbs cross-engine float-sum-order noise; empty clusters
+    keep their previous centroid), so DuckDB can rebuild the exact same
+    centroids, replay the final assignment, rank centroids per query, probe
+    the top nprobe clusters, and re-rank by exact cosine. With this, every
+    declared query in the suite is value-oracled."""
+
+    def norm(v: str) -> str:
+        s = f"sqrt(list_dot_product({v}, {v}))"
+        return f"(CASE WHEN {s} = 0 THEN 1 ELSE {s} END)"
+
+    def sim(a: str, b: str) -> str:
+        return f"(list_dot_product({a}, {b}) / ({norm(a)} * {norm(b)}))"
+
+    def assign_cte(name: str, cent_cte: str) -> str:
+        return f"""
+{name}_s AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, s.idx,
+         {sim("e.embedding::DOUBLE[]", "s.c")} AS sm
+  FROM embeddings e CROSS JOIN {cent_cte} s
+),
+{name} AS (
+  SELECT vec_id, v, idx AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sm DESC, idx ASC) AS rn FROM {name}_s
+  ) WHERE rn = 1
+)"""
+
+    def update_cte(name: str, assign: str, prev: str) -> str:
+        return f"""
+{name}_m AS (
+  SELECT cluster, i, ROUND(avg(v[i + 1]), 8) AS val
+  FROM {assign} CROSS JOIN (SELECT unnest(range(64)) AS i)
+  GROUP BY cluster, i
+),
+{name}_l AS (SELECT cluster AS idx, list(val ORDER BY i) AS c FROM {name}_m GROUP BY cluster),
+{name} AS (SELECT p.idx, COALESCE(n.c, p.c) AS c FROM {prev} p LEFT JOIN {name}_l n ON n.idx = p.idx)"""
+
+    return f"""
+WITH seeds AS (
+  SELECT idx, c FROM (
+    SELECT row_number() OVER (ORDER BY sha256(CAST(vec_id AS VARCHAR))) - 1 AS idx,
+           embedding::DOUBLE[] AS c
+    FROM embeddings
+  ) WHERE idx < 16
+),{assign_cte("a1", "seeds")},{update_cte("c1", "a1", "seeds")},{assign_cte("a2", "c1")},{update_cte("c2", "a2", "c1")},{assign_cte("a3", "c2")},
+q AS (SELECT vec_id, v FROM a3 WHERE vec_id < 20),
+qs AS (
+  SELECT q.vec_id AS query_id, q.v AS qe, s.idx, {sim("q.v", "s.c")} AS sm
+  FROM q CROSS JOIN c2 s
+),
+probe AS (
+  SELECT query_id, qe, idx AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sm DESC, idx ASC) AS rn FROM qs
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {sim("p.qe", "a.v")} AS sm
+  FROM probe p JOIN a3 a ON a.cluster = p.cluster AND a.vec_id != p.query_id
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, ROUND(sm, 6) AS score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sm DESC NULLS LAST, neighbor_id ASC) AS rnk
+  FROM cand
+) WHERE rnk <= 5
+"""
+
+
+@register("ann_ivf_topk", _ann_ivf_oracle(), "similarity", "pipeline")
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN (rows-only: approximate by construction;
     recall pytest-gated against the exact operator in test_similarity)."""
