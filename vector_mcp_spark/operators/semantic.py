@@ -88,16 +88,36 @@ def semantic_topk_multi(
     ``queries`` is ``[(query_id, vector), ...]``. Output:
     ``(query_id, rank, id, *payload, score)``.
     """
-    spark = docs.sparkSession
-    qdf = spark.createDataFrame(
-        [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
-        "query_id int, qvec array<double>",
-    )
-    # Broadcast the tiny query set; similarity is computed map-side (HOF
-    # cosine: fixed-dim expansion on column×column operands measured slower)
-    scored = docs.join(F.broadcast(qdf)).withColumn(
-        "score", cosine_similarity(F.col(emb_col), F.col("qvec"))
-    )
+    # Small query batches expand every cosine as a LITERAL element-term sum
+    # (codegen'd, same fold order as the HOF form — identical scores) inside
+    # one projection, skipping the query-side createDataFrame + broadcast
+    # join entirely: N scores per doc ride a struct array + explode, all
+    # map-side. Past ~512 expanded terms the generated code outgrows
+    # codegen limits (see operators/similarity.py:_bucket_expr), so large
+    # batches keep the broadcast-join + HOF path.
+    n_terms = sum(len(vec) for _, vec in queries)
+    if n_terms <= 512:
+        per_query = F.array(
+            *[
+                F.struct(
+                    F.lit(int(qid)).alias("query_id"),
+                    cosine_similarity_lit(F.col(emb_col), vec).alias("score"),
+                )
+                for qid, vec in queries
+            ]
+        )
+        scored = docs.select("*", F.explode(per_query).alias("_qs")).select(
+            "*", F.col("_qs.query_id").alias("query_id"), F.col("_qs.score").alias("score")
+        ).drop("_qs")
+    else:
+        spark = docs.sparkSession
+        qdf = spark.createDataFrame(
+            [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
+            "query_id int, qvec array<double>",
+        )
+        scored = docs.join(F.broadcast(qdf)).withColumn(
+            "score", cosine_similarity(F.col(emb_col), F.col("qvec"))
+        )
     if distance_threshold is not None and distance_threshold >= 0:
         scored = scored.where(F.lit(1.0) - F.col("score") <= F.lit(float(distance_threshold)))
 
