@@ -88,15 +88,16 @@ def semantic_topk_multi(
     ``queries`` is ``[(query_id, vector), ...]``. Output:
     ``(query_id, rank, id, *payload, score)``.
     """
-    # Small query batches expand every cosine as a LITERAL element-term sum
+    # Tiny query batches expand every cosine as a LITERAL element-term sum
     # (codegen'd, same fold order as the HOF form — identical scores) inside
     # one projection, skipping the query-side createDataFrame + broadcast
     # join entirely: N scores per doc ride a struct array + explode, all
-    # map-side. Past ~512 expanded terms the generated code outgrows
-    # codegen limits (see operators/similarity.py:_bucket_expr), so large
-    # batches keep the broadcast-join + HOF path.
+    # map-side. The cutoff is deliberately LOW: every distinct literal
+    # expansion is a fresh Janino compile (~2 s measured at 192 terms),
+    # billed per plan — for more than ~2 queries the broadcast-join + HOF
+    # path wins any single-shot run and stays well inside codegen limits.
     n_terms = sum(len(vec) for _, vec in queries)
-    if n_terms <= 512:
+    if n_terms <= 128:
         per_query = F.array(
             *[
                 F.struct(
