@@ -1,12 +1,14 @@
 """Declared data-pipeline queries: dedup family, similarity search, text
 analysis (the north-star LLM-training-data operators, SURVEY.md §7 M5).
 
-Every variant whose semantics are exactly reproducible in SQL carries a
-DuckDB oracle (including MinHash-LSH — the 'permutation' is a lexicographic
-min over sha256 strings precisely so the oracle can replay it). The
-random-hyperplane ANN variants are approximate by construction and are
-declared rows-only; their recall is tested in pytest against the exact
-operator instead.
+Every query carries a DuckDB oracle — including MinHash-LSH (the
+'permutation' is a lexicographic min over sha256 chunk substrings precisely
+so the oracle can replay it), multi-probe LSH ANN (deterministic
+hyperplanes inlined as literals), and IVF ANN (the deterministic k-means
+build rebuilt as CTE Lloyd iterations). The ANN variants are approximate in
+recall but exact functions of (data, seeds), so they hash-compare like any
+other query; recall is additionally pytest-gated against the exact
+operator.
 """
 
 from __future__ import annotations
