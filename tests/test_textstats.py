@@ -57,3 +57,31 @@ def test_fingerprint_order_insensitive(spark):
     )
     rows = {r.doc_id: r.fingerprint for r in text_stats(df, id_col="doc_id").collect()}
     assert rows[1] == rows[2]
+
+
+# -- KMV distinct sketch ------------------------------------------------------
+
+
+def test_kmv_exact_below_k_and_estimates_above(spark):
+    from vector_mcp_spark.operators.sketches import kmv_distinct
+
+    rows = [("small", f"u{i}") for i in range(10)]
+    rows += [("big", f"v{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, user string")
+    got = {r.grp: (r.n_kept, r.est_distinct) for r in
+           kmv_distinct(df, ["grp"], "user", k=64).collect()}
+    # under k distinct → exact
+    assert got["small"] == (10, 10)
+    # over k → estimate within 25% of truth at k=64 (KMV RSE ≈ 1/sqrt(k-2) ≈ 13%)
+    n_kept, est = got["big"]
+    assert n_kept == 64 and abs(est - 2000) / 2000 < 0.25
+
+
+def test_kmv_rejects_tiny_k(spark):
+    import pytest as _pytest
+
+    from vector_mcp_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame([("a", "x")], "grp string, user string")
+    with _pytest.raises(ValueError):
+        kmv_distinct(df, ["grp"], "user", k=1)

@@ -1,0 +1,67 @@
+"""Deterministic cardinality sketches for 100 TB-scale aggregation.
+
+``approx_count_distinct`` (HLL++) is Spark's built-in answer, but its
+estimates are engine-specific — no cross-engine oracle can check them. KMV
+(k-minimum-values, Bar-Yossef et al. 2002) gets the same O(k) memory /
+mergeable-sketch properties from an engine-agnostic primitive: keep the k
+smallest sha256 hashes of the distinct values; if fewer than k distinct
+values exist the count is exact, otherwise estimate (k-1) / fraction(k-th
+smallest hash). Because the hash is sha256 and the k-min selection is a
+plain rank, DuckDB replays the estimate bit-for-bit — a *deterministic*
+approximate operator (approximate in accuracy, exact as a function of the
+data). The reference has no sketch surface (SURVEY.md §2.4); this is the
+north-star extension a training-data pipeline uses for distinct-user /
+distinct-document dashboards where exact COUNT(DISTINCT) shuffles too much.
+
+Scale shape: one shuffle on (group, value) for the distinct, one narrow
+rank window over ≤ k rows per group retained — the (group, hash) rows that
+cross the wire are bounded by k per group after the rank filter, vs the
+full value set for exact distinct.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 15 hex chars = 60 bits: fits a signed long exactly, matching the DuckDB
+# replay (CAST('0x' || substring(sha256(v), 1, 15) AS BIGINT))
+_HASH_BITS = 60
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per group: KMV-estimated distinct count of ``value_col``.
+
+    Returns (group_cols…, n_kept, est_distinct) where ``n_kept`` = number
+    of retained minimum hashes (< k ⇒ the estimate is exact) and
+    ``est_distinct`` = the rounded KMV estimate.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    group_cols = list(group_cols)
+    h = F.conv(F.substring(F.sha2(F.col(value_col).cast("string"), 256), 1, 15), 16, 10).cast(
+        "long"
+    )
+    hashed = df.select(*group_cols, h.alias("_h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
+    kept = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    frac = F.col("_kth").cast("double") / F.lit(float(2**_HASH_BITS))
+    return (
+        kept.groupBy(*group_cols)
+        .agg(F.count("*").alias("n_kept"), F.max("_h").alias("_kth"))
+        .select(
+            *group_cols,
+            F.col("n_kept").cast("int").alias("n_kept"),
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+            .otherwise(F.round(F.lit(float(k - 1)) / frac))
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )

@@ -871,3 +871,49 @@ def q_streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFram
         .where(F.col("_rn") == 1)
         .select("user_id", "n_events", "total_value", "last_ts")
     )
+
+
+# -- KMV distinct-count sketch (deterministic approximate cardinality) --------
+#
+# approx_count_distinct (HLL++) can't be oracled across engines; KMV keeps
+# the k smallest sha256 hashes, so DuckDB replays the ESTIMATE bit-for-bit.
+# Exact distinct rides along to show the accuracy envelope in the same row.
+
+_KMV_K = 64
+_KMV_DENOM = float(2**60)
+
+_KMV_ORACLE = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substring(sha256(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+  FROM hashed
+),
+kept AS (
+  SELECT event_type, count(*) AS n_kept, max(h) AS kth
+  FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct FROM events GROUP BY event_type
+)
+SELECT k.event_type, CAST(k.n_kept AS INTEGER) AS n_kept,
+       CAST(CASE WHEN k.n_kept < {_KMV_K} THEN k.n_kept
+                 ELSE ROUND({_KMV_K - 1}.0 / (k.kth / {_KMV_DENOM!r})) END AS BIGINT) AS est_distinct,
+       e.exact_distinct
+FROM kept k JOIN ex e USING (event_type)
+"""
+
+
+@register("events_kmv_distinct", _KMV_ORACLE, "relational", "sketch")
+def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.sketches import kmv_distinct
+
+    ev = load(spark, sf_dir, "events")
+    est = kmv_distinct(ev, ["event_type"], "user_id", k=_KMV_K)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
