@@ -77,6 +77,47 @@ def test_kmv_exact_below_k_and_estimates_above(spark):
     assert n_kept == 64 and abs(est - 2000) / 2000 < 0.25
 
 
+def test_kmv_merge_is_lossless(spark):
+    """Merging per-part sketches must equal the sketch computed directly on
+    the union — the property that lets daily sketches answer all-time
+    distinct questions without re-scanning raw data."""
+    from vector_mcp_spark.operators.sketches import kmv_estimate, kmv_merge, kmv_sketch
+
+    rows = [("g", i % 7, f"u{i}") for i in range(500)]
+    rows += [("h", i % 3, f"u{i}") for i in range(40)]  # under k → exact path
+    df = spark.createDataFrame(rows, "grp string, part int, user string")
+
+    merged = kmv_merge(kmv_sketch(df, ["grp", "part"], "user", k=64), ["grp"], k=64)
+    direct = kmv_sketch(df, ["grp"], "user", k=64)
+    m = {r.grp: r.ks for r in merged.collect()}
+    d = {r.grp: r.ks for r in direct.collect()}
+    assert m == d  # bit-identical sketches, not just close estimates
+
+    est = {
+        r.grp: r.est
+        for r in merged.select("grp", kmv_estimate(k=64).alias("est")).collect()
+    }
+    assert est["h"] == 40  # < k distinct → exact
+    assert abs(est["g"] - 500) / 500 < 0.25
+
+
+def test_kmv_estimate_matches_kmv_distinct(spark):
+    from vector_mcp_spark.operators.sketches import kmv_distinct, kmv_estimate, kmv_sketch
+
+    rows = [("a", f"x{i}") for i in range(300)] + [("b", f"y{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "grp string, user string")
+    via_sketch = {
+        r.grp: r.est
+        for r in kmv_sketch(df, ["grp"], "user", k=64)
+        .select("grp", kmv_estimate(k=64).alias("est"))
+        .collect()
+    }
+    via_distinct = {
+        r.grp: r.est_distinct for r in kmv_distinct(df, ["grp"], "user", k=64).collect()
+    }
+    assert via_sketch == via_distinct
+
+
 def test_kmv_rejects_tiny_k(spark):
     import pytest as _pytest
 

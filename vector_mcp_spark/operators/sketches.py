@@ -65,3 +65,55 @@ def kmv_distinct(
             .alias("est_distinct"),
         )
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per group: the KMV sketch itself — (group_cols…, ks) where ``ks`` is
+    the ascending array of the ≤ k smallest value hashes. This is the
+    MERGEABLE form: sketches roll up to coarser groupings losslessly
+    (``kmv_merge``), the property that lets a 100 TB pipeline keep daily
+    sketches and answer weekly/monthly distinct questions without
+    re-scanning raw data."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    group_cols = list(group_cols)
+    h = F.conv(F.substring(F.sha2(F.col(value_col).cast("string"), 256), 1, 15), 16, 10).cast(
+        "long"
+    )
+    hashed = df.select(*group_cols, h.alias("_h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
+    kept = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return kept.groupBy(*group_cols).agg(F.array_sort(F.collect_list("_h")).alias("ks"))
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    group_cols: Sequence[str],
+    sketch_col: str = "ks",
+    k: int = 64,
+) -> DataFrame:
+    """Merge fine-grained KMV sketches to a coarser grouping: union the
+    retained hashes, keep the k smallest again. LOSSLESS: any hash among
+    the global k smallest is necessarily among its own partition's k
+    smallest, so the merged sketch equals the sketch computed directly on
+    the union — merged estimates are bit-identical to direct ones."""
+    group_cols = list(group_cols)
+    ex = sketches.select(*group_cols, F.explode(sketch_col).alias("_h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
+    kept = ex.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return kept.groupBy(*group_cols).agg(F.array_sort(F.collect_list("_h")).alias(sketch_col))
+
+
+def kmv_estimate(sketch_col: str = "ks", k: int = 64) -> F.Column:
+    """Column expr turning a KMV sketch array into the distinct estimate:
+    exact when the sketch holds fewer than k hashes."""
+    n = F.size(sketch_col)
+    frac = F.element_at(F.col(sketch_col), k).cast("double") / F.lit(float(2**_HASH_BITS))
+    return (
+        F.when(n < k, n.cast("double")).otherwise(F.round(F.lit(float(k - 1)) / frac))
+    ).cast("long")

@@ -917,3 +917,67 @@ def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_distinct")
     )
     return est.join(exact, "event_type")
+
+
+# Mergeability is the property that matters at 100 TB: keep per-day sketches,
+# answer the all-time distinct question by merging them — never re-scan raw
+# data. The merge is LOSSLESS (any hash in the global k-min set is in its own
+# partition's k-min set), so merged_est must equal direct_est bit-for-bit;
+# the oracle replays both paths and the driver hash proves the equality.
+
+_KMV_MERGE_ORACLE = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST('0x' || substring(sha256(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, h,
+         row_number() OVER (PARTITION BY event_type, day ORDER BY h ASC) AS rn
+  FROM hashed
+),
+pooled AS (
+  SELECT DISTINCT event_type, h FROM daily WHERE rn <= {_KMV_K}
+),
+merged AS (
+  SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+  FROM pooled
+),
+mk AS (
+  SELECT event_type, count(*) AS n_kept, max(h) AS kth
+  FROM merged WHERE rn <= {_KMV_K} GROUP BY event_type
+),
+direct AS (
+  SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+  FROM (SELECT DISTINCT event_type, h FROM hashed)
+),
+dk AS (
+  SELECT event_type, count(*) AS n_kept, max(h) AS kth
+  FROM direct WHERE rn <= {_KMV_K} GROUP BY event_type
+)
+SELECT m.event_type, CAST(m.n_kept AS INTEGER) AS n_kept,
+       CAST(CASE WHEN m.n_kept < {_KMV_K} THEN m.n_kept
+                 ELSE ROUND({_KMV_K - 1}.0 / (m.kth / {_KMV_DENOM!r})) END AS BIGINT) AS merged_est,
+       CAST(CASE WHEN d.n_kept < {_KMV_K} THEN d.n_kept
+                 ELSE ROUND({_KMV_K - 1}.0 / (d.kth / {_KMV_DENOM!r})) END AS BIGINT) AS direct_est
+FROM mk m JOIN dk d USING (event_type)
+"""
+
+
+@register("events_kmv_merge_rollup", _KMV_MERGE_ORACLE, "relational", "sketch")
+def q_events_kmv_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.sketches import kmv_estimate, kmv_merge, kmv_sketch
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.date_trunc("day", "ts"))
+    )
+    daily = kmv_sketch(ev, ["event_type", "day"], "user_id", k=_KMV_K)
+    merged = kmv_merge(daily, ["event_type"], k=_KMV_K)
+    direct = kmv_sketch(ev, ["event_type"], "user_id", k=_KMV_K).select(
+        "event_type", kmv_estimate(k=_KMV_K).alias("direct_est")
+    )
+    return merged.select(
+        "event_type",
+        F.size("ks").cast("int").alias("n_kept"),
+        kmv_estimate(k=_KMV_K).alias("merged_est"),
+    ).join(direct, "event_type")
