@@ -1,0 +1,168 @@
+"""Sequence packing, int8 quantization, and decontamination operators."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# -- pack_sequences -----------------------------------------------------------
+
+
+def test_pack_sequences_matches_concat_then_chunk(spark):
+    """Per-writer assignments must equal a driver-side replay of the
+    concat-then-chunk semantics."""
+    from vector_mcp_spark.operators.packing import pack_sequences
+
+    rows = [(i, 1 + (i * 7) % 90) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    got = {
+        r.doc_id: (r.writer, r.seq_id, r.seq_offset)
+        for r in pack_sequences(df, budget=100, n_writers=4).collect()
+    }
+
+    import hashlib
+
+    def writer(doc_id):
+        h = int(hashlib.sha256(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h % 4
+
+    streams: dict[int, int] = {}
+    for doc_id, n_tokens in rows:  # rows are already in doc_id order
+        w = writer(doc_id)
+        start = streams.get(w, 0)
+        assert got[doc_id] == (w, start // 100, start % 100), doc_id
+        streams[w] = start + n_tokens
+
+
+def test_pack_sequences_offsets_are_contiguous(spark):
+    """Within a writer, each doc starts exactly where the previous ended."""
+    from vector_mcp_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 10 + i % 5) for i in range(50)], "doc_id int, n_tokens int"
+    )
+    asg = pack_sequences(df, budget=64, n_writers=3).join(df, "doc_id")
+    per_writer: dict[int, list] = {}
+    for r in asg.orderBy("writer", "doc_id").collect():
+        per_writer.setdefault(r.writer, []).append(r)
+    for docs in per_writer.values():
+        pos = 0
+        for r in docs:
+            assert r.seq_id * 64 + r.seq_offset == pos
+            pos += r.n_tokens
+
+
+def test_pack_sequences_rejects_bad_params(spark):
+    from vector_mcp_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 5)], "doc_id int, n_tokens int")
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=10, n_writers=0)
+
+
+def test_packing_stats_shape(spark):
+    from vector_mcp_spark.operators.packing import pack_sequences, packing_stats
+
+    df = spark.createDataFrame(
+        [(i, 30) for i in range(40)], "doc_id int, n_tokens int"
+    )
+    stats = packing_stats(pack_sequences(df, budget=100, n_writers=2), budget=100)
+    rows = {r.writer: r for r in stats.collect()}
+    assert sum(r.n_docs for r in rows.values()) == 40
+    for r in rows.values():
+        assert r.n_seqs >= 1 and 0 < r.n_boundary_starts <= r.n_docs
+
+
+# -- int8 quantization --------------------------------------------------------
+
+
+def test_quantize_int8_bounds_and_extremes(spark):
+    from vector_mcp_spark.operators.quantize import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_int8(df).collect()}
+    # max-|x| element maps to ±127; everything within [-127, 127]
+    assert rows[1].q == [64, -127, 32, 0]
+    assert rows[1].scale == pytest.approx(1.0 / 127.0)
+    # all-zero vector: scale 0, zero q (guarded division)
+    assert rows[2].scale == 0.0 and rows[2].q == [0, 0, 0, 0]
+
+
+def test_quantization_error_is_bounded_by_half_scale(spark):
+    """Reconstruction error per element ≤ scale/2 ⇒ MSE ≤ (scale/2)^2."""
+    from vector_mcp_spark.operators.quantize import quantization_error
+
+    vals = [(i, [((i * j) % 17 - 8) / 8.0 for j in range(16)]) for i in range(1, 30)]
+    df = spark.createDataFrame(vals, "vec_id int, embedding array<float>")
+    for r in quantization_error(df).collect():
+        assert r.mse <= (r.scale_r / 2.0) ** 2 + 1e-9
+
+
+def test_dequantize_roundtrip_close(spark):
+    from vector_mcp_spark.operators.quantize import dequantize_expr, quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.9, -0.3, 0.7071, -0.111])], "vec_id int, embedding array<float>"
+    )
+    out = (
+        quantize_int8(df)
+        .select("embedding", dequantize_expr("q", "scale").alias("recon"))
+        .first()
+    )
+    for x, r in zip(out.embedding, out.recon):
+        assert abs(x - r) <= 0.9 / 127.0 / 2 + 1e-9
+
+
+# -- decontamination ----------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_contamination_flags_overlapping_docs(spark):
+    from vector_mcp_spark.operators.contamination import contamination_report
+
+    bench = _docs(spark, [(100, "alpha beta gamma delta")])
+    train = _docs(
+        spark,
+        [
+            (1, "zz alpha beta gamma yy"),  # shares 'alpha beta gamma'
+            (2, "one two three four five"),  # disjoint
+            (3, "alpha beta gamma delta"),  # fully contained
+        ],
+    )
+    rep = {r.doc_id: r for r in contamination_report(train, bench, n=3).collect()}
+    assert set(rep) == {1, 3}  # doc 2 unflagged
+    assert rep[1].n_grams == 3 and rep[1].n_shared == 1
+    assert rep[3].n_shared == 2 and rep[3].contamination == 1.0
+
+
+def test_contamination_short_docs_do_not_crash(spark):
+    """Docs shorter than n tokens yield an empty gram set (the
+    sequence(1,0)-descending guard), never phantom grams."""
+    from vector_mcp_spark.operators.contamination import ngram_set
+
+    df = _docs(spark, [(1, "one two"), (2, "")])
+    out = {
+        r.doc_id: r.g
+        for r in df.select("doc_id", ngram_set("text", 3).alias("g")).collect()
+    }
+    assert out[1] == [] and out[2] == []
+
+
+def test_decontaminate_drops_only_flagged(spark):
+    from vector_mcp_spark.operators.contamination import decontaminate
+
+    bench = _docs(spark, [(100, "alpha beta gamma")])
+    train = _docs(
+        spark,
+        [(1, "alpha beta gamma tail"), (2, "clean text entirely here")],
+    )
+    kept = [r.doc_id for r in decontaminate(train, bench, n=3).collect()]
+    assert kept == [2]

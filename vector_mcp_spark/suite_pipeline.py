@@ -53,6 +53,113 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalized_key_dedup(docs, id_col="doc_id", content_col="text", n_prefix_tokens=2)
 
 
+# -- training-sequence packing (concat-then-chunk, per-writer streams) -------
+
+_PACK_BUDGET = 256
+_PACK_WRITERS = 8
+
+_PACK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, len({_TOKS}) AS n_tokens,
+         CAST(CAST('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+              % {_PACK_WRITERS} AS INTEGER) AS writer
+  FROM documents
+),
+s AS (
+  SELECT doc_id, writer,
+         sum(n_tokens) OVER (PARTITION BY writer ORDER BY doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM d
+)
+SELECT doc_id, writer,
+       CAST(start // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST(start % {_PACK_BUDGET} AS BIGINT) AS seq_offset
+FROM s
+"""
+
+
+@register("corpus_pack_sequences", _PACK_ORACLE, "pipeline", "packing")
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.functions.text import tokens
+    from vector_mcp_spark.operators.packing import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, _PACK_BUDGET, n_writers=_PACK_WRITERS)
+
+
+# -- int8 embedding quantization (4x storage cut, per-vector scale) -----------
+
+_QUANT_ORACLE = """
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(round(x / scale, 0) AS INTEGER)) END AS qv
+  FROM s
+)
+SELECT vec_id, round(scale, 6) AS scale_r,
+       round(list_reduce([(v[i] - qv[i] * scale) ^ 2 FOR i IN range(1, len(v) + 1)],
+                         (a, b) -> a + b) / len(v), 6) AS mse,
+       array_to_string(qv, ',') AS q_str
+FROM q
+"""
+
+
+@register("embedding_quantize_int8", _QUANT_ORACLE, "pipeline", "quantize")
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.quantize import quantization_error
+
+    embs = load(spark, sf_dir, "embeddings")
+    return quantization_error(embs, include_q=True)
+
+
+# -- benchmark decontamination (n-gram overlap vs a held-out eval split) ------
+#
+# n=3 here because the synthetic corpus has a ~40-word vocabulary (real
+# corpora use 8-13); the eval split is every 50th doc_id.
+
+_CONTAM_N = 3
+
+_CONTAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i + {_CONTAM_N} - 1], ' ')
+                        FOR i IN range(1, len(t) - {_CONTAM_N} + 2)]) AS s
+  FROM toks
+),
+bench AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 50 = 0),
+train AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 50 <> 0),
+tot AS (SELECT doc_id, len(s) AS n_grams FROM sh WHERE doc_id % 50 <> 0),
+shared AS (
+  SELECT doc_id, count(*) AS n_shared FROM train
+  WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(t.n_grams AS INTEGER) AS n_grams,
+       CAST(s.n_shared AS INTEGER) AS n_shared,
+       round(CAST(s.n_shared AS DOUBLE) / t.n_grams, 6) AS contamination
+FROM tot t JOIN shared s USING (doc_id)
+"""
+
+
+@register("corpus_decontaminate", _CONTAM_ORACLE, "pipeline", "contamination")
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.contamination import contamination_report
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    return contamination_report(train, bench, n=_CONTAM_N)
+
+
 # -- blocked n-gram Jaccard near-dup pairs ----------------------------------
 
 _JACCARD_T = 0.95
