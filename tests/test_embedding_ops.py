@@ -1,0 +1,98 @@
+"""Random projection and centroid-outlier operators."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_projection_matrix_is_deterministic():
+    from vector_mcp_spark.operators.projection import projection_matrix
+
+    a = projection_matrix(8, 4)
+    b = projection_matrix(8, 4)
+    assert a == b
+    assert projection_matrix(8, 4, seed="other") != a
+    assert all(-0.5 <= x < 0.5 for row in a for x in row)
+
+
+def test_project_embeddings_matches_manual_dot(spark):
+    from vector_mcp_spark.operators.projection import (
+        project_embeddings,
+        projection_matrix,
+        projection_scale,
+    )
+
+    vec = [1.0, 0.0, -2.0, 0.5]
+    mat = projection_matrix(4, 2)
+    df = spark.createDataFrame([(1, vec)], "vec_id int, embedding array<float>")
+    got = project_embeddings(df, mat).first().proj
+    for j in range(2):
+        want = sum(v * m for v, m in zip(vec, mat[j])) * projection_scale(2)
+        assert got[j] == pytest.approx(want, abs=1e-9)
+
+
+def test_projection_distances_concentrate_near_original(spark):
+    """JL property at 64→16 with norm-preserving scaling: squared pairwise
+    distances land near their original values (RSE ≈ sqrt(2/16) ≈ 35%, so
+    the gate is loose but would catch a wrong scale or broken matrix)."""
+    from vector_mcp_spark.operators.projection import (
+        project_embeddings,
+        projection_matrix,
+    )
+    from vector_mcp_spark.suite import load
+
+    embs = load(spark, "/root/testdata/sf0.001", "embeddings").limit(40)
+    mat = projection_matrix(64, 16)
+    rows = project_embeddings(embs, mat).select("embedding", "proj").collect()
+
+    def d(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ratios = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows), 5):
+            orig = d(rows[i].embedding, rows[j].embedding)
+            if orig > 0:
+                ratios.append(d(rows[i].proj, rows[j].proj) / orig)
+    ratios.sort()
+    assert len(ratios) > 50
+    median = ratios[len(ratios) // 2]
+    assert 0.5 < median < 2.0
+    inside = sum(1 for r in ratios if 0.25 < r < 4.0)
+    assert inside / len(ratios) > 0.8
+
+
+def test_label_centroids_hand_case(spark):
+    from vector_mcp_spark.operators.centroids import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.0, 1.0]),
+            (3, 1, [2.0, 2.0]),
+        ],
+        "vec_id int, label int, embedding array<float>",
+    )
+    cents = {r.label: r.centroid for r in label_centroids(df).collect()}
+    assert cents[0] == [0.5, 0.5]
+    assert cents[1] == [2.0, 2.0]
+
+
+def test_centroid_outliers_ranks_least_similar_first(spark):
+    from vector_mcp_spark.operators.centroids import centroid_outliers
+
+    # label 0: three aligned vectors and one near-orthogonal outlier
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0, 0.0]),
+            (2, 0, [0.9, 0.1, 0.0]),
+            (3, 0, [1.0, 0.05, 0.0]),
+            (4, 0, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id int, label int, embedding array<float>",
+    )
+    out = centroid_outliers(df, k=2).collect()
+    assert [r.vec_id for r in out] == [4, 2]
+    assert out[0].rank == 1 and out[0].score < out[1].score

@@ -160,6 +160,87 @@ def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(train, bench, n=_CONTAM_N)
 
 
+# -- JL random projection (64 -> 16 dims, sha256-seeded matrix) ---------------
+
+_RP_OUT_DIM = 16
+_RP_IN_DIM = 64
+
+
+def _rp_oracle() -> str:
+    from vector_mcp_spark.operators.projection import (
+        projection_matrix,
+        projection_scale,
+    )
+
+    mat = projection_matrix(_RP_IN_DIM, _RP_OUT_DIM)
+    scale = projection_scale(_RP_OUT_DIM)
+    comps = ", ".join(
+        f"list_dot_product(v, [{', '.join(repr(x) for x in row)}]) * {scale!r}"
+        for row in mat
+    )
+    return f"""
+WITH pr AS (
+  SELECT vec_id, [{comps}] AS p
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+)
+SELECT vec_id, CAST(i AS INTEGER) AS dim, ROUND(p[CAST(i AS INTEGER) + 1], 6) AS val
+FROM pr CROSS JOIN (SELECT unnest(range({_RP_OUT_DIM})) AS i)
+"""
+
+
+@register("embedding_random_projection", _rp_oracle(), "pipeline", "projection")
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.projection import (
+        project_embeddings,
+        projection_matrix,
+    )
+
+    embs = load(spark, sf_dir, "embeddings")
+    mat = projection_matrix(_RP_IN_DIM, _RP_OUT_DIM)
+    return project_embeddings(embs, mat).select(
+        "vec_id", F.posexplode("proj").alias("dim", "v")
+    ).select("vec_id", "dim", F.round("v", 6).alias("val"))
+
+
+# -- per-label centroids + distance-to-centroid outliers ----------------------
+
+_OUTLIER_K = 5
+
+
+def _centroid_oracle() -> str:
+    def norm(v: str) -> str:
+        s = f"sqrt(list_dot_product({v}, {v}))"
+        return f"(CASE WHEN {s} = 0 THEN NULL ELSE {s} END)"
+
+    return f"""
+WITH ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (
+  SELECT label, i, ROUND(avg(v[CAST(i AS INTEGER) + 1]), 8) AS val
+  FROM ev CROSS JOIN (SELECT unnest(range(64)) AS i)
+  GROUP BY label, i
+),
+c AS (SELECT label, list(val ORDER BY i) AS cent FROM m GROUP BY label),
+s AS (
+  SELECT e.label, e.vec_id,
+         list_dot_product(e.v, c.cent) / ({norm("e.v")} * {norm("c.cent")}) AS sm
+  FROM ev e JOIN c USING (label)
+)
+SELECT label, CAST(rn AS INTEGER) AS rank, vec_id, ROUND(sm, 6) AS score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY sm ASC NULLS FIRST, vec_id ASC) AS rn
+  FROM s
+) WHERE rn <= {_OUTLIER_K}
+"""
+
+
+@register("embedding_centroid_outliers", _centroid_oracle(), "pipeline", "centroids")
+def q_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.centroids import centroid_outliers
+
+    embs = load(spark, sf_dir, "embeddings")
+    return centroid_outliers(embs, k=_OUTLIER_K)
+
+
 # -- blocked n-gram Jaccard near-dup pairs ----------------------------------
 
 _JACCARD_T = 0.95
