@@ -118,6 +118,27 @@ def test_dequantize_roundtrip_close(spark):
         assert abs(x - r) <= 0.9 / 127.0 / 2 + 1e-9
 
 
+# -- bind_once ----------------------------------------------------------------
+
+
+def test_bind_once_equals_inline_expression(spark):
+    from vector_mcp_spark.functions.expr import bind_once
+
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    inline = F.transform(
+        F.sequence(F.lit(1), F.size(F.split("text", " "))),
+        lambda i: F.element_at(F.split("text", " "), i),
+    )
+    bound = bind_once(
+        F.split("text", " "),
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.size(t)), lambda i: F.element_at(t, i)
+        ),
+    )
+    row = df.select(inline.alias("a"), bound.alias("b")).first()
+    assert row.a == row.b == ["a", "b", "c", "d"]
+
+
 # -- decontamination ----------------------------------------------------------
 
 

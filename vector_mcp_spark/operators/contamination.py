@@ -24,13 +24,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from vector_mcp_spark.functions.expr import bind_once
 from vector_mcp_spark.functions.text import tokens
 
 
-def ngram_set(content: Column | str, n: int) -> Column:
-    """Distinct space-joined token n-grams of a text column (array ops,
-    no UDF). Documents with < n tokens yield an empty set."""
-    t = tokens(content)
+def ngrams_of(tokens_col: Column | str, n: int) -> Column:
+    """Distinct space-joined n-grams of a MATERIALIZED token-array column.
+
+    The input must be a real column (pre-projected), not an inline
+    ``tokens(text)`` expression: expressions referenced inside a HOF lambda
+    are re-evaluated per element — an inline tokenizer would re-run its
+    regexp for every gram (measured 10× slower). Documents with < n tokens
+    yield an empty set."""
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - n + 1),
         lambda i: F.concat_ws(" ", F.slice(t, i, n)),
@@ -39,6 +45,12 @@ def ngram_set(content: Column | str, n: int) -> Column:
     return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def ngram_set(content: Column | str, n: int) -> Column:
+    """Single-expression form: tokenizes and builds grams in one Column.
+    bind_once keeps the tokenizer to one evaluation (see ngrams_of)."""
+    return bind_once(tokens(content), lambda t: ngrams_of(t, n))
 
 
 def contamination_report(
@@ -58,25 +70,29 @@ def contamination_report(
     if n < 1:
         raise ValueError("n must be >= 1")
     bench_grams = (
-        bench.select(F.explode(ngram_set(content_col, n)).alias("gram")).distinct()
+        bench.select(tokens(content_col).alias("_toks"))
+        .select(F.explode(ngrams_of("_toks", n)).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    ex = train.select(
-        F.col(id_col), F.explode(ngram_set(content_col, n)).alias("gram")
+    # one pass over the training grams: broadcast-mark shared grams, then a
+    # single aggregation yields both the total and the shared count (the
+    # gram sets are per-doc distinct, so count(*) IS n_grams)
+    ex = train.select(F.col(id_col), tokens(content_col).alias("_toks")).select(
+        id_col, F.explode(ngrams_of("_toks", n)).alias("gram")
     )
-    shared = (
-        ex.join(broadcast(bench_grams), "gram")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_shared"))
-    )
-    totals = train.select(
-        F.col(id_col), F.size(ngram_set(content_col, n)).alias("n_grams")
-    )
+    marked = ex.join(broadcast(bench_grams), "gram", "left")
     return (
-        totals.join(shared, id_col)
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("int").alias("n_shared"),
+        )
+        .where(F.col("n_shared") > 0)
         .select(
             id_col,
-            F.col("n_grams").cast("int").alias("n_grams"),
-            F.col("n_shared").cast("int").alias("n_shared"),
+            "n_grams",
+            "n_shared",
             F.round(F.col("n_shared").cast("double") / F.col("n_grams"), 6).alias(
                 "contamination"
             ),

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vector_mcp_spark.functions.expr import bind_once
 from vector_mcp_spark.functions.text import tokens
 
 JACCARD_DECIMALS = 6
@@ -144,18 +145,23 @@ def _gram_sets(content_col: str, ngram: int) -> F.Column:
     """Distinct token n-gram set of a text column (ngram=1 → token set)."""
     if ngram <= 1:
         return _distinct_tokens(content_col)
-    joined = tokens(F.col(content_col))
+
     # guard: a doc with < ngram tokens yields an EMPTY gram set — an
     # unguarded sequence(0, -1) = [0, -1] makes slice() raise and one
     # short doc would abort the whole job
-    grams = F.when(
-        F.size(joined) >= ngram,
-        F.transform(
-            F.sequence(F.lit(0), F.size(joined) - ngram),
-            lambda i: F.array_join(F.slice(joined, i + 1, ngram), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    def _build(joined: F.Column) -> F.Column:
+        grams = F.when(
+            F.size(joined) >= ngram,
+            F.transform(
+                F.sequence(F.lit(0), F.size(joined) - ngram),
+                lambda i: F.array_join(F.slice(joined, i + 1, ngram), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(grams)
+
+    # bind_once: an inline tokens() here would re-run the tokenizer regexp
+    # for EVERY gram inside the transform lambda (measured 10× slower)
+    return bind_once(tokens(F.col(content_col)), _build)
 
 
 def _ngram_set_graph(
