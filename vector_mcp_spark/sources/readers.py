@@ -107,23 +107,66 @@ def chunk_documents(
     range + list_slice, so it stays oracle-checkable. Pure Column ops
     (sequence/transform/slice + explode) — no UDF, scales at scan speed.
     """
+    from vector_mcp_spark.functions.expr import bind_once
     from vector_mcp_spark.functions.text import tokens
 
     step = chunk_tokens - overlap_tokens
     if step <= 0:
         raise EngineError("chunk_overlap_invalid")
-    toks = tokens(F.col(content_col))
-    n_chunks = F.greatest(
-        F.ceil((F.size(toks) - F.lit(overlap_tokens)).cast("double") / F.lit(step)), F.lit(1)
-    ).cast("int")
-    starts = F.sequence(F.lit(0), n_chunks - 1)
-    chunks = F.transform(starts, lambda i: F.struct(
-        i.alias("pos"), F.array_join(F.slice(toks, i * step + 1, chunk_tokens), " ").alias("chunk")
-    ))
-    exploded = docs.withColumn("_chunk", F.explode(chunks))
+
+    # bind_once: an inline tokens() would re-run the tokenizer regexp for
+    # every chunk inside the transform lambda — matters for long documents
+    def _chunks_of(toks: F.Column) -> F.Column:
+        n_chunks = F.greatest(
+            F.ceil((F.size(toks) - F.lit(overlap_tokens)).cast("double") / F.lit(step)),
+            F.lit(1),
+        ).cast("int")
+        starts = F.sequence(F.lit(0), n_chunks - 1)
+        return F.transform(starts, lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(F.slice(toks, i * step + 1, chunk_tokens), " ").alias("chunk"),
+        ))
+
+    exploded = docs.withColumn("_chunk", F.explode(bind_once(tokens(F.col(content_col)), _chunks_of)))
     return exploded.select(
         *[c for c in docs.columns if c != content_col],
         F.concat(F.col(id_col).cast("string"), F.lit("_"), F.col("_chunk.pos").cast("string")).alias("chunk_id"),
         F.col("_chunk.pos").alias("chunk_pos"),
         F.col("_chunk.chunk").alias("chunk_text"),
+    )
+
+
+def read_structured_documents(
+    spark: SparkSession,
+    paths: Sequence[str],
+    fmt: str = "jsonl",
+    text_field: str = "text",
+    id_field: str | None = None,
+):
+    """Line-structured corpus reader: JSONL (the training-data interchange
+    format) or headered CSV. Returns (id, content, …metadata columns).
+
+    Unlike the binaryFile whole-file path (`read_documents`), line-based
+    sources SPLIT — a 100 GB shard is scanned by many tasks in parallel,
+    which is the only viable read shape for a 100 TB corpus. Extra fields
+    ride along as metadata columns untouched. Without ``id_field`` the id
+    is the content hash (the reference's content-addressed id semantics,
+    vector_mcp/vector_api.py:303-317).
+    """
+    from vector_mcp_spark.functions.hashing import content_hash_id
+
+    if fmt == "jsonl":
+        df = spark.read.json(list(paths))
+    elif fmt == "csv":
+        df = spark.read.option("header", "true").csv(list(paths))
+    else:
+        raise EngineError("document_format_unsupported")
+    if text_field not in df.columns:
+        raise EngineError("document_text_field_missing")
+    id_expr = (
+        F.col(id_field).cast("string") if id_field else content_hash_id(F.col(text_field))
+    )
+    meta = [c for c in df.columns if c not in (text_field, id_field)]
+    return df.select(
+        id_expr.alias("id"), F.col(text_field).alias("content"), *meta
     )
