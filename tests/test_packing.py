@@ -187,3 +187,48 @@ def test_decontaminate_drops_only_flagged(spark):
     )
     kept = [r.doc_id for r in decontaminate(train, bench, n=3).collect()]
     assert kept == [2]
+
+
+# -- mixture sampling ---------------------------------------------------------
+
+
+def test_mixture_sample_rates(spark):
+    from vector_mcp_spark.operators.packing import mixture_sample
+
+    rows = [(i, "up" if i % 3 == 0 else ("down" if i % 3 == 1 else "drop")) for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = mixture_sample(df, {"up": 2.0, "down": 0.5, "drop": 0.0}).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # rate 2.0 → exactly two copies of every doc, copy ids 0 and 1
+    assert len(by_src["up"]) == 600
+    assert sorted({r.copy for r in by_src["up"]}) == [0, 1]
+    # rate 0.5 → roughly half survive (hash-draw, deterministic)
+    n_down = len(by_src["down"])
+    assert 90 < n_down < 210 and all(r.copy == 0 for r in by_src["down"])
+    # rate 0 → gone entirely
+    assert "drop" not in by_src
+
+
+def test_mixture_sample_is_deterministic(spark):
+    from vector_mcp_spark.operators.packing import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(200)], "doc_id int, source string"
+    )
+    a = sorted((r.doc_id, r.copy) for r in mixture_sample(df, {"a": 1.5}).collect())
+    b = sorted((r.doc_id, r.copy) for r in mixture_sample(df, {"a": 1.5}).collect())
+    assert a == b
+    # expectation 1.5 → total between 1.0x and 2.0x, strictly more than 1x
+    assert 220 < len(a) < 380
+
+
+def test_mixture_sample_rejects_negative_rate(spark):
+    import pytest as _pytest
+
+    from vector_mcp_spark.operators.packing import mixture_sample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id int, source string")
+    with _pytest.raises(ValueError):
+        mixture_sample(df, {"a": -0.5})

@@ -75,3 +75,56 @@ def packing_stats(assignments: DataFrame, budget: int) -> DataFrame:
             "n_boundary_starts"
         ),
     )
+
+
+def _hash_u01(id_col: str, salt: str = "mix") -> F.Column:
+    """Deterministic uniform [0, 1) draw per id (sha256-based, so the
+    DuckDB oracle replays every sampling decision)."""
+    h = F.conv(
+        F.substring(F.sha2(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)), 256), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h / F.lit(float(2**60))
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Source-weighted corpus mixing: each document appears ``rate`` times
+    in expectation, where ``rate`` is its source's mixture weight (epochs).
+
+    rate < 1 down-samples (keep iff u < rate); rate ≥ 1 duplicates —
+    floor(rate) guaranteed copies plus one more iff u < frac(rate). Output
+    adds a ``copy`` index (0-based) so downstream packing/shuffling treats
+    repeats as distinct rows. The draw is a per-id sha256 hash: the whole
+    mixture is a deterministic function of (data, rates) — reproducible
+    across runs and replayable in SQL, the property a training-data audit
+    needs.
+
+    Scale shape: a map-side projection + explode — zero shuffle, zero UDF.
+    The rates table enters as a literal CASE (mixtures have few sources);
+    at thousands of sources, broadcast-join a rates DataFrame instead.
+    """
+    for src, r in rates.items():
+        if r < 0:
+            raise ValueError(f"negative rate for {src!r}")
+    if default_rate < 0:
+        raise ValueError("negative default_rate")
+    rate = F.lit(float(default_rate))
+    for src, r in rates.items():
+        rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate)
+    u = _hash_u01(id_col)
+    n_copies = (F.floor(rate) + F.when(u < rate - F.floor(rate), 1).otherwise(0)).cast(
+        "int"
+    )
+    return (
+        df.withColumn("_n", n_copies)
+        .where(F.col("_n") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )

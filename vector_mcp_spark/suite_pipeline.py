@@ -160,6 +160,38 @@ def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(train, bench, n=_CONTAM_N)
 
 
+# -- source-weighted mixture sampling (training-epoch weights) ----------------
+
+_MIX_RATES = {"src0": 2.5, "src1": 0.5, "src2": 0.0}
+
+_MIX_ORACLE = """
+WITH r AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+                     WHEN 'src2' THEN 0.0 ELSE 1.0 END AS rate,
+         CAST('0x' || substring(sha256(CAST(doc_id AS VARCHAR) || '|mix'), 1, 15) AS BIGINT)
+           / 1152921504606846976.0 AS u
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source,
+         CAST(floor(rate) + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS INTEGER) AS nc
+  FROM r
+)
+SELECT doc_id, source, CAST(i AS INTEGER) AS copy
+FROM n CROSS JOIN (SELECT unnest(range(4)) AS i)
+WHERE nc > 0 AND i < nc
+"""
+
+
+@register("corpus_mixture_sample", _MIX_ORACLE, "pipeline", "mixing")
+def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.packing import mixture_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_sample(docs, _MIX_RATES)
+
+
 # -- JL random projection (64 -> 16 dims, sha256-seeded matrix) ---------------
 
 _RP_OUT_DIM = 16
