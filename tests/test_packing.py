@@ -68,7 +68,7 @@ def test_packing_stats_shape(spark):
     df = spark.createDataFrame(
         [(i, 30) for i in range(40)], "doc_id int, n_tokens int"
     )
-    stats = packing_stats(pack_sequences(df, budget=100, n_writers=2), budget=100)
+    stats = packing_stats(pack_sequences(df, budget=100, n_writers=2))
     rows = {r.writer: r for r in stats.collect()}
     assert sum(r.n_docs for r in rows.values()) == 40
     for r in rows.values():

@@ -207,3 +207,77 @@ def test_clusters_match_union_find(spark, edges):
     nodes_df = spark.createDataFrame([(n,) for n in node_set], "id long")
     got = {r.id: r.cluster_id for r in near_dup_clusters(pairs_df, nodes_df).collect()}
     assert got == expect
+
+
+# -- round-4 training-pipeline operators --------------------------------------
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**6), st.integers(min_value=0, max_value=500)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=300),
+)
+def test_packing_conserves_tokens_and_offsets(spark, docs, budget):
+    """Token mass is conserved: within each writer the final doc's start +
+    its tokens equals the writer's total token count (no gaps, no overlap)."""
+    from vector_mcp_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens int")
+    asg = {r.doc_id: r for r in pack_sequences(df, budget, n_writers=3).join(df, "doc_id").collect()}
+    per_writer: dict[int, list] = {}
+    for doc_id in sorted(asg):
+        r = asg[doc_id]
+        per_writer.setdefault(r.writer, []).append(r)
+    for rows in per_writer.values():
+        pos = 0
+        for r in rows:
+            assert r.seq_id * budget + r.seq_offset == pos
+            assert 0 <= r.seq_offset < budget
+            pos += r.n_tokens
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**6), st.integers(min_value=0, max_value=4)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_kmv_merge_lossless_on_random_partitions(spark, rows):
+    """kmv_merge over ANY partitioning equals the direct sketch."""
+    from vector_mcp_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    df = spark.createDataFrame([(v, p) for v, p in rows], "v long, part int")
+    direct = kmv_sketch(df.withColumn("g", F.lit("all")), ["g"], "v", k=8)
+    merged = kmv_merge(
+        kmv_sketch(df.withColumn("g", F.lit("all")), ["g", "part"], "v", k=8), ["g"], k=8
+    )
+    assert direct.first().ks == merged.first().ks
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False, width=32), min_size=3, max_size=3),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_quantize_int8_invariants(spark, vecs):
+    """q stays in [-127, 127]; reconstruction error per element ≤ scale/2."""
+    from vector_mcp_spark.operators.quantize import quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id int, embedding array<float>"
+    )
+    for r in quantize_int8(df).collect():
+        assert all(-127 <= q <= 127 for q in r.q)
+        for x, q in zip(r.embedding, r.q):
+            assert abs(x - q * r.scale) <= r.scale / 2 + 1e-9

@@ -65,7 +65,7 @@ def pack_sequences(
     )
 
 
-def packing_stats(assignments: DataFrame, budget: int) -> DataFrame:
+def packing_stats(assignments: DataFrame) -> DataFrame:
     """Per writer: sequences started, documents packed, straddle count —
     the shard-balance dashboard for a packing run. Pure partial-agg groupBy."""
     return assignments.groupBy("writer").agg(
