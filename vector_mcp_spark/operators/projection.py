@@ -65,3 +65,61 @@ def project_embeddings(
         return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x) * scale
 
     return df.withColumn(out_col, F.array(*[_component(r) for r in matrix]))
+
+
+def ann_projected_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    matrix: list[list[float]],
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: coarse cosine ranking in the PROJECTED space picks a
+    ``shortlist`` per query, then the shortlist re-ranks by exact cosine on
+    the full vectors — (query_id, rank, neighbor_id, score 6 dp).
+
+    The IVF-PQ-style shape: the expensive per-pair work (the full-dim dot)
+    runs only on shortlist·|queries| pairs; the corpus-wide pass costs
+    out_dim/in_dim of a brute-force scan (store the projected column and the
+    coarse pass reads 4× less). Both stages are deterministic functions of
+    (data, matrix), so the whole pipeline stays oracle-replayable; recall is
+    additionally pytest-gated against the exact operator.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    from vector_mcp_spark.functions.vector import cosine_similarity
+
+    proj_q = project_embeddings(queries, matrix, emb_col=emb_col, out_col="_pq").select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("_qvec"), "_pq"
+    )
+    proj_c = project_embeddings(corpus, matrix, emb_col=emb_col, out_col="_pc").select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("_nvec"), "_pc"
+    )
+    coarse = proj_c.join(broadcast(proj_q), F.col("query_id") != F.col("neighbor_id"))
+    w_coarse = Window.partitionBy("query_id").orderBy(
+        cosine_similarity("_pq", "_pc").desc(), F.col("neighbor_id").asc()
+    )
+    cand = coarse.withColumn("_crank", F.row_number().over(w_coarse)).where(
+        F.col("_crank") <= shortlist
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("_qvec", "_nvec").alias("_score"),
+        )
+        .withColumn("rank", F.row_number().over(w_exact))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            F.round("_score", 6).alias("score"),
+        )
+    )

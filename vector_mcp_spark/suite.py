@@ -141,6 +141,11 @@ from vector_mcp_spark import suite_mutation  # noqa: E402,F401
 # Fine-grained rotation: entries green in r1+r2+r3 deferred to the end of the
 # registry this round, freeing window slots for never-checked oracles without
 # moving code between modules. Round 5: swap for the next stable set.
-_DEFERRED_GREEN = ["events_daily_windows", "events_top_users", "streaming_windowed_events"]
+_DEFERRED_GREEN = [
+    "events_daily_windows",
+    "events_top_users",
+    "streaming_windowed_events",
+    "events_rollup",
+]
 for _n in _DEFERRED_GREEN:
     SUITE[_n] = SUITE.pop(_n)

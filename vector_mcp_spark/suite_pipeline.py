@@ -273,6 +273,72 @@ def q_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
     return centroid_outliers(embs, k=_OUTLIER_K)
 
 
+# -- two-stage projected ANN (coarse 64→32 rank, exact re-rank) ---------------
+
+_PANN_OUT_DIM = 32
+_PANN_SHORTLIST = 100
+_PANN_K = 10
+
+
+def _pann_oracle() -> str:
+    from vector_mcp_spark.operators.projection import (
+        projection_matrix,
+        projection_scale,
+    )
+
+    mat = projection_matrix(_RP_IN_DIM, _PANN_OUT_DIM)
+    scale = projection_scale(_PANN_OUT_DIM)
+    comps = ", ".join(
+        f"list_dot_product(v, [{', '.join(repr(x) for x in row)}]) * {scale!r}"
+        for row in mat
+    )
+
+    def sim(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+        )
+
+    return f"""
+WITH pr AS (
+  SELECT vec_id, v, [{comps}] AS p
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+),
+q AS (SELECT vec_id AS query_id, v AS qv, p AS qp FROM pr WHERE vec_id < 20),
+coarse AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, q.qv, c.v AS nv,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {sim("c.p", "q.qp")} DESC NULLS LAST,
+                                     c.vec_id ASC) AS cr
+  FROM pr c CROSS JOIN q
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, ROUND(sm, 6) AS score
+FROM (
+  SELECT query_id, neighbor_id, {sim("nv", "qv")} AS sm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {sim("nv", "qv")} DESC NULLS LAST,
+                                     neighbor_id ASC) AS rn
+  FROM coarse WHERE cr <= {_PANN_SHORTLIST}
+) WHERE rn <= {_PANN_K}
+"""
+
+
+@register("ann_projected_topk", _pann_oracle(), "similarity", "pipeline")
+def q_ann_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.projection import (
+        ann_projected_topk,
+        projection_matrix,
+    )
+
+    embs = load(spark, sf_dir, "embeddings")
+    qs = embs.where(F.col("vec_id") < 20)
+    mat = projection_matrix(_RP_IN_DIM, _PANN_OUT_DIM)
+    return ann_projected_topk(
+        qs, embs, k=_PANN_K, matrix=mat, shortlist=_PANN_SHORTLIST, id_col="vec_id"
+    )
+
+
 # -- blocked n-gram Jaccard near-dup pairs ----------------------------------
 
 _JACCARD_T = 0.95
