@@ -204,3 +204,16 @@ def test_read_structured_rejects_bad_format_and_missing_field(spark, tmp_path):
         read_structured_documents(spark, [str(p)], fmt="parquetish")
     with _pytest.raises(EngineError):
         read_structured_documents(spark, [str(p)])
+
+
+def test_suite_load_reads_directory_parquet(spark, tmp_path):
+    """suite.load must accept Spark-written (directory) parquet as well as
+    the driver's single-file tables — the schema probe resolves a part
+    file for the NTZ/nanos normalization check."""
+    from vector_mcp_spark.suite import load
+
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    out = str(tmp_path / "documents.parquet")
+    src.write.parquet(out)
+    got = load(spark, str(tmp_path), "documents")
+    assert sorted((r.doc_id, r.text) for r in got.collect()) == [(1, "a"), (2, "b")]

@@ -50,11 +50,20 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
       reading of the same file — are preserved exactly).
     """
     path = f"{sf_dir}/{table}.parquet"
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    schema = pq.read_schema(path)
+    # driver testdata is single-file parquet; Spark-written tables are
+    # directories — probe the schema from any part file in that case
+    schema_path = path
+    if os.path.isdir(path):
+        parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if parts:
+            schema_path = os.path.join(path, sorted(parts)[0])
+    schema = pq.read_schema(schema_path)
     ns_cols = [
         f.name for f in schema if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
     ]
