@@ -108,7 +108,10 @@ def _bucket_expr(emb_col: str, planes: Sequence[Sequence[float]]) -> F.Column:
     for i, plane in enumerate(planes):
         prods = F.zip_with(
             F.col(emb_col),
-            F.array(*[F.lit(float(x)) for x in plane]),
+            # expr-string literal: one py4j call + JVM parse per plane —
+            # marshalling 24×64 floats element-wise through py4j dominated
+            # fresh-plan build time ('D' pins DOUBLE, repr round-trips)
+            F.expr("array(" + ",".join(f"{float(x)!r}D" for x in plane) + ")"),
             lambda x, y: x.cast("double") * y,
         )
         d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
