@@ -126,3 +126,29 @@ def test_kmv_rejects_tiny_k(spark):
     df = spark.createDataFrame([("a", "x")], "grp string, user string")
     with _pytest.raises(ValueError):
         kmv_distinct(df, ["grp"], "user", k=1)
+
+
+# -- column profiling ---------------------------------------------------------
+
+
+def test_profile_columns_hand_case(spark):
+    from vector_mcp_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, None), (3.0, 30.0)], "a double, b double"
+    )
+    got = {r.col_name: r for r in profile_columns(df, ["a", "b"]).collect()}
+    assert got["a"].n_rows == 3 and got["a"].n_nulls == 0
+    assert (got["a"].min_val, got["a"].max_val, got["a"].sum_val) == (1.0, 3.0, 6.0)
+    assert got["a"].mean_val == 2.0
+    assert got["b"].n_nulls == 1 and got["b"].sum_val == 40.0 and got["b"].mean_val == 20.0
+
+
+def test_profile_columns_rejects_empty(spark):
+    import pytest as _pytest
+
+    from vector_mcp_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame([(1.0,)], "a double")
+    with _pytest.raises(ValueError):
+        profile_columns(df, [])

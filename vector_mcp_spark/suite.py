@@ -155,6 +155,7 @@ _DEFERRED_GREEN = [
     "events_top_users",
     "streaming_windowed_events",
     "events_rollup",
+    "events_user_running_total",
 ]
 for _n in _DEFERRED_GREEN:
     SUITE[_n] = SUITE.pop(_n)

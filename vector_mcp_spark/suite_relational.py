@@ -964,6 +964,32 @@ FROM mk m JOIN dk d USING (event_type)
 """
 
 
+# -- numeric column profiling (unpivot → one-pass grouped stats) --------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       CAST(min({c}) AS DOUBLE) AS min_val, CAST(max({c}) AS DOUBLE) AS max_val,
+       CAST(SUM(CAST({c} AS DECIMAL(28,6))) AS DOUBLE) AS sum_val,
+       ROUND(CAST(SUM(CAST({c} AS DECIMAL(28,6))) AS DOUBLE) / count({c}), 6) AS mean_val
+FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+@register("lineitem_column_profile", _profile_oracle(), "relational", "profile")
+def q_lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.profile import profile_columns
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile_columns(li, _PROFILE_COLS)
+
+
 @register("events_kmv_merge_rollup", _KMV_MERGE_ORACLE, "relational", "sketch")
 def q_events_kmv_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_mcp_spark.operators.sketches import kmv_estimate, kmv_merge, kmv_sketch
