@@ -152,3 +152,44 @@ def test_profile_columns_rejects_empty(spark):
     df = spark.createDataFrame([(1.0,)], "a double")
     with _pytest.raises(ValueError):
         profile_columns(df, [])
+
+
+# -- count-min sketch ---------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_is_tight_for_heavy_hitters(spark):
+    from vector_mcp_spark.operators.sketches import cms_build, cms_estimate
+
+    rows = [("heavy",)] * 500 + [(f"light{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "v string")
+    sk = cms_build(df, "v", depth=4, width=64)
+    items = df.distinct()
+    est = {r.v: r.est_count for r in cms_estimate(sk, items, "v", depth=4, width=64).collect()}
+    truth = {"heavy": 500, **{f"light{i}": 1 for i in range(50)}}
+    for v, t in truth.items():
+        assert est[v] >= t  # CMS overestimates only
+    # heavy hitter estimate is tight: collisions add at most the light mass
+    assert est["heavy"] <= 500 + 50
+
+
+def test_cms_counters_conserve_mass(spark):
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.sketches import cms_build
+
+    df = spark.createDataFrame([(f"u{i % 7}",) for i in range(100)], "v string")
+    sk = cms_build(df, "v", depth=3, width=32)
+    per_row = {r.row: r.total for r in sk.groupBy("row").agg(F.sum("cnt").alias("total")).collect()}
+    assert per_row == {0: 100, 1: 100, 2: 100}
+
+
+def test_cms_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from vector_mcp_spark.operators.sketches import cms_build
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with _pytest.raises(ValueError):
+        cms_build(df, "v", depth=0)
+    with _pytest.raises(ValueError):
+        cms_build(df, "v", width=1)

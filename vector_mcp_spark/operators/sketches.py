@@ -117,3 +117,79 @@ def kmv_estimate(sketch_col: str = "ks", k: int = 64) -> F.Column:
     return (
         F.when(n < k, n.cast("double")).otherwise(F.round(F.lit(float(k - 1)) / frac))
     ).cast("long")
+
+
+def _cms_bucket(value_col: str, row: int, width: int) -> F.Column:
+    """Row-salted sha256 bucket — the d independent CMS hash functions."""
+    h = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.col(value_col).cast("string"), F.lit(f"|cms{row}")), 256), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % width).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch of ``value_col`` frequencies: (row, bucket, cnt) —
+    depth×width counters, the frequency twin of the KMV distinct sketch.
+
+    Scale shape: explode to depth rows per input row, ONE hash-partitioned
+    groupBy with map-side partial counts — the shuffle carries at most
+    depth×width counter rows per partition regardless of input size, and
+    sketches MERGE by adding counters (same rollup property as kmv_merge).
+    sha256 bucketing keeps the whole structure engine-agnostic: DuckDB
+    rebuilds the identical sketch, so estimates are deterministic."""
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1 and width >= 2")
+    rows = F.array(
+        *[
+            F.struct(F.lit(r).alias("row"), _cms_bucket(value_col, r, width).alias("bucket"))
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("_rb"))
+        .select("_rb.row", "_rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate each item's frequency from the sketch: min over the
+    d counters it hashes into (classic CMS upper bound — overestimates only,
+    never under). The sketch is depth×width rows — broadcast; the probe is
+    a map-side join however large ``items`` is."""
+    from pyspark.sql.functions import broadcast
+
+    probes = items.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"), _cms_bucket(value_col, r, width).alias("bucket")
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_rb"),
+    ).select(value_col, "_rb.row", "_rb.bucket")
+    return (
+        probes.join(broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count"))
+    )

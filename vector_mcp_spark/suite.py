@@ -156,6 +156,7 @@ _DEFERRED_GREEN = [
     "streaming_windowed_events",
     "events_rollup",
     "events_user_running_total",
+    "events_sliding_windows",
 ]
 for _n in _DEFERRED_GREEN:
     SUITE[_n] = SUITE.pop(_n)

@@ -964,6 +964,53 @@ FROM mk m JOIN dk d USING (event_type)
 """
 
 
+# -- count-min sketch (frequency twin of KMV; deterministic, replayable) ------
+
+_CMS_D = 4
+_CMS_W = 256
+
+_CMS_ORACLE = f"""
+WITH pr AS (
+  SELECT user_id, r,
+         CAST(CAST('0x' || substring(sha256(CAST(user_id AS VARCHAR) || '|cms' || CAST(r AS VARCHAR)), 1, 15) AS BIGINT)
+              % {_CMS_W} AS INTEGER) AS bucket
+  FROM events CROSS JOIN (SELECT unnest(range({_CMS_D})) AS r)
+),
+sk AS (SELECT r, bucket, count(*) AS cnt FROM pr GROUP BY r, bucket),
+items AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+probes AS (
+  SELECT i.user_id, g.r,
+         CAST(CAST('0x' || substring(sha256(CAST(i.user_id AS VARCHAR) || '|cms' || CAST(g.r AS VARCHAR)), 1, 15) AS BIGINT)
+              % {_CMS_W} AS INTEGER) AS bucket
+  FROM items i CROSS JOIN (SELECT unnest(range({_CMS_D})) AS r) g
+),
+est AS (
+  SELECT p.user_id, CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) AS est_count
+  FROM probes p LEFT JOIN sk s ON s.r = p.r AND s.bucket = p.bucket
+  GROUP BY p.user_id
+),
+ex AS (SELECT user_id, count(*) AS exact_count FROM events WHERE user_id < 20 GROUP BY user_id)
+SELECT e.user_id, e.est_count, x.exact_count
+FROM est e JOIN ex x USING (user_id)
+"""
+
+
+@register("events_cms_user_counts", _CMS_ORACLE, "relational", "sketch")
+def q_events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.sketches import cms_build, cms_estimate
+
+    ev = load(spark, sf_dir, "events")
+    sk = cms_build(ev.select("user_id"), "user_id", depth=_CMS_D, width=_CMS_W)
+    items = ev.where(F.col("user_id") < 20).select("user_id").distinct()
+    est = cms_estimate(sk, items, "user_id", depth=_CMS_D, width=_CMS_W)
+    exact = (
+        ev.where(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("exact_count"))
+    )
+    return est.join(exact, "user_id")
+
+
 # -- numeric column profiling (unpivot → one-pass grouped stats) --------------
 
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
