@@ -118,3 +118,37 @@ def test_running_user_stats_state_across_batches(spark, tmp_path):
         ).collect()
     }
     assert final == expect
+
+
+def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
+    """The stream-maintained CMS must converge to the batch sketch —
+    counters are additive, state stays depth×width regardless of volume."""
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.sketches import cms_build
+    from vector_mcp_spark.streaming.ingest import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_frequency_sketch,
+    )
+
+    src = spark.createDataFrame(
+        [(i % 9,) for i in range(400)], "user_id long"
+    )
+    path = str(tmp_path / "events")
+    src.write.parquet(path)
+    stream = read_event_stream(spark, path).select("user_id")
+    got = run_stream_to_memory(
+        streaming_frequency_sketch(stream, "user_id", depth=3, width=32),
+        "test_stream_cms",
+        output_mode="update",
+    )
+    final = {
+        (r.row, r.bucket): r.cnt
+        for r in got.groupBy("row", "bucket").agg(F.max("cnt").alias("cnt")).collect()
+    }
+    batch = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_build(src, "user_id", depth=3, width=32).collect()
+    }
+    assert final == batch

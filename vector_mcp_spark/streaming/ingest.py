@@ -171,3 +171,17 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def streaming_frequency_sketch(
+    events: DataFrame, value_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch maintained BY THE STREAM: counters are an additive
+    streaming aggregation (update mode), so state is bounded at depth×width
+    rows no matter how much data flows through — the sketch property that
+    makes frequency dashboards viable over an unbounded 100 TB/day feed.
+    The final counters equal the batch ``cms_build`` over the same data
+    (counts are monotone; take the last update per (row, bucket))."""
+    from vector_mcp_spark.operators.sketches import cms_build
+
+    return cms_build(events, value_col, depth=depth, width=width)

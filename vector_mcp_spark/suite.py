@@ -157,6 +157,7 @@ _DEFERRED_GREEN = [
     "events_rollup",
     "events_user_running_total",
     "events_sliding_windows",
+    "set_ops_intersect_except",
 ]
 for _n in _DEFERRED_GREEN:
     SUITE[_n] = SUITE.pop(_n)

@@ -1011,6 +1011,49 @@ def q_events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "user_id")
 
 
+# -- streaming count-min sketch (REAL executed stream, batch-twin oracle) -----
+#
+# The sketch is maintained by a stateful streaming aggregation (update
+# mode, state bounded at depth×width counters); because counts are
+# monotone, the final value per counter is its max across emitted updates,
+# and it must equal the batch sketch — the oracle replays the batch path.
+
+
+@register("streaming_cms_user_counts", _CMS_ORACLE, "streaming", "sketch")
+def q_streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from vector_mcp_spark.operators.sketches import cms_estimate
+    from vector_mcp_spark.streaming.ingest import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_frequency_sketch,
+    )
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    clean_dir = os.path.abspath(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp", f"events_{sf_tag}")
+    )
+    if not os.path.exists(os.path.join(clean_dir, "_SUCCESS")):
+        load(spark, sf_dir, "events").write.mode("overwrite").parquet(clean_dir)
+    stream = read_event_stream(spark, clean_dir).select("user_id")
+    got = run_stream_to_memory(
+        streaming_frequency_sketch(stream, "user_id", depth=_CMS_D, width=_CMS_W),
+        f"suite_stream_cms_{next(_STREAM_SINK_SEQ)}",
+        output_mode="update",
+    )
+    sketch = got.groupBy("row", "bucket").agg(F.max("cnt").alias("cnt"))
+    ev = load(spark, sf_dir, "events")
+    items = ev.where(F.col("user_id") < 20).select("user_id").distinct()
+    est = cms_estimate(sketch, items, "user_id", depth=_CMS_D, width=_CMS_W)
+    exact = (
+        ev.where(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("exact_count"))
+    )
+    return est.join(exact, "user_id")
+
+
 # -- numeric column profiling (unpivot → one-pass grouped stats) --------------
 
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
