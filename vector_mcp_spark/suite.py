@@ -158,6 +158,7 @@ _DEFERRED_GREEN = [
     "events_user_running_total",
     "events_sliding_windows",
     "set_ops_intersect_except",
+    "asof_latest_event",
 ]
 for _n in _DEFERRED_GREEN:
     SUITE[_n] = SUITE.pop(_n)

@@ -1011,6 +1011,65 @@ def q_events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "user_id")
 
 
+# -- TPC-H Q18 shape: large-volume customers (semi-join on a HAVING agg) ------
+
+_Q18_QTY = 200
+
+_Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > {_Q18_QTY}
+)
+SELECT c.c_name, o.o_orderkey, ROUND(o.o_totalprice, 2) AS o_totalprice,
+       ROUND(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+ORDER BY ROUND(o.o_totalprice, 2) DESC, o.o_orderkey ASC
+LIMIT 100
+"""
+
+
+@register("tpch_q18_large_orders", _Q18_ORACLE, "relational", "tpch")
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18's plan shape at scale: the HAVING aggregate runs FIRST (partial
+    agg on the fact table, output is orders-sized × selectivity), then
+    semi-joins prune lineitem/orders before the final group — never a
+    fact×fact join on unfiltered inputs. The qualifying-order set is tiny
+    (~0.1% at qty>200), so it broadcasts into both probes."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    from pyspark.sql.functions import broadcast
+
+    orders = load(spark, sf_dir, "orders").join(
+        broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    cust = load(spark, sf_dir, "customer")
+    joined = (
+        li.join(broadcast(big.withColumnRenamed("l_orderkey", "_bk")),
+                F.col("l_orderkey") == F.col("_bk"), "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name", "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
 # -- streaming count-min sketch (REAL executed stream, batch-twin oracle) -----
 #
 # The sketch is maintained by a stateful streaming aggregation (update
