@@ -159,6 +159,7 @@ _DEFERRED_GREEN = [
     "events_sliding_windows",
     "set_ops_intersect_except",
     "asof_latest_event",
+    "events_value_quantiles",
 ]
 for _n in _DEFERRED_GREEN:
     SUITE[_n] = SUITE.pop(_n)

@@ -1011,6 +1011,47 @@ def q_events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "user_id")
 
 
+# -- Z-order (Morton) layout key over (user_id, value) ------------------------
+
+_Z_BITS = 16
+
+
+def _zorder_oracle() -> str:
+    top = float(2**_Z_BITS - 1)
+    terms = " + ".join(
+        f"(((nu >> {i}) & 1) << {2 * i}) + (((nv >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_Z_BITS)
+    )
+    return f"""
+WITH st AS (
+  SELECT min(CAST(user_id AS DOUBLE)) AS min_u, max(CAST(user_id AS DOUBLE)) AS max_u,
+         min(value) AS min_v, max(value) AS max_v
+  FROM events
+),
+n AS (
+  SELECT e.user_id, ROUND(e.value, 6) AS value,
+         CAST(floor(CASE WHEN s.max_u > s.min_u
+                         THEN (CAST(e.user_id AS DOUBLE) - s.min_u) / (s.max_u - s.min_u)
+                         ELSE 0 END * {top!r}) AS BIGINT) AS nu,
+         CAST(floor(CASE WHEN s.max_v > s.min_v
+                         THEN (e.value - s.min_v) / (s.max_v - s.min_v)
+                         ELSE 0 END * {top!r}) AS BIGINT) AS nv
+  FROM events e CROSS JOIN st s
+)
+SELECT user_id, value, CAST({terms} AS BIGINT) AS zkey FROM n
+"""
+
+
+@register("events_zorder_keys", _zorder_oracle(), "relational", "layout")
+def q_events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.layout import zorder_key
+
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    return zorder_key(ev, ["user_id", "value"], bits=_Z_BITS).select(
+        "user_id", F.round("value", 6).alias("value"), "zkey"
+    )
+
+
 # -- TPC-H Q18 shape: large-volume customers (semi-join on a HAVING agg) ------
 
 _Q18_QTY = 200
