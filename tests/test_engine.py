@@ -237,3 +237,22 @@ def test_empty_collection_and_nonexistent_ids_parity(spark, tmp_path_factory):
     assert eng.get_documents_by_ids("hollow").count() == 0
     eng.add_documents("hollow", ["one real doc"])
     assert eng.get_documents_by_ids("hollow", ids=["nonexistent_id"]).count() == 0
+
+
+def test_profile_collection(spark, tmp_path):
+    from vector_mcp_spark.engine import CollectionEngine
+
+    eng = CollectionEngine(spark, str(tmp_path / "root"))
+    eng.create_collection("profme")
+    eng.add_documents(
+        "profme",
+        ["short", "a rather longer document body"],
+        metadatas=[{"k": "v"}, None],
+    )
+    got = {r.col_name: r for r in eng.profile_collection("profme").collect()}
+    assert set(got) == {"content_len", "embedding_norm", "n_metadata_keys"}
+    cl = got["content_len"]
+    assert cl.n_rows == 2 and cl.n_nulls == 0
+    assert cl.min_val == 5.0 and cl.max_val == len("a rather longer document body")
+    assert got["n_metadata_keys"].max_val == 1.0 and got["n_metadata_keys"].min_val == 0.0
+    assert got["embedding_norm"].n_nulls in (0, 2)  # embedded at ingest or all null

@@ -369,6 +369,24 @@ class CollectionEngine:
             self._mark_needs_embed(scoped)
         return len(ids)
 
+    def profile_collection(self, name: str) -> DataFrame:
+        """Data-quality profile of a collection: per-signal row/null counts,
+        range, and totals over derived numeric signals (content length,
+        embedding norm, metadata key count) — the pre-training dashboard a
+        corpus owner checks before feeding a 100 TB collection downstream.
+        One unpivoted pass over the table (operators/profile.py)."""
+        from vector_mcp_spark.functions.vector import l2_norm
+        from vector_mcp_spark.operators.profile import profile_columns
+
+        df = self.read(name).select(
+            F.length("content").cast("double").alias("content_len"),
+            l2_norm(F.col("embedding")).alias("embedding_norm"),
+            F.size(F.map_keys(F.coalesce(F.col("metadata"), F.expr("map()"))))
+            .cast("double")
+            .alias("n_metadata_keys"),
+        )
+        return profile_columns(df, ["content_len", "embedding_norm", "n_metadata_keys"])
+
     def compact_collection(self, name: str, target_files: int | None = None) -> int:
         """Pack each id-prefix partition bucket into a single parquet file.
         Incremental upserts accrete one file per batch per touched bucket; at
