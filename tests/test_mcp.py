@@ -230,3 +230,46 @@ def test_plural_alias_resolves():
     # a plural of nothing still errors with suggestions
     out = resolve_action("bananas", ("search",))
     assert out["error"] == "action_invalid"
+
+
+# -- doctor (static readiness, no JVM) ----------------------------------------
+
+
+def test_doctor_reports_ready_environment():
+    from vector_mcp_spark.doctor import doctor
+
+    report = doctor()
+    assert report["ok"] is True
+    assert report["pyspark_available"] and report["java_executable"]
+    assert report["arrow_available"] and report["pandas_available"]
+    assert report["remote_embedding_configured"] is False
+
+
+def test_doctor_warehouse_probe(tmp_path):
+    from vector_mcp_spark.doctor import doctor
+
+    ok = doctor(str(tmp_path / "wh"))
+    assert ok["warehouse_writable"] is True and ok["ok"] is True
+
+
+def test_doctor_flags_bad_remote_embed_config(monkeypatch):
+    """Endpoint set but client gate rejects → ok must go false (mirrors the
+    reference's credential-reference resolution check)."""
+    from vector_mcp_spark.doctor import doctor
+
+    monkeypatch.setenv("VECTOR_MCP_SPARK_EMBED_ENDPOINT", "https://example.test/v1")
+    monkeypatch.setenv("VECTOR_MCP_SPARK_EMBED_BATCH_SIZE", "not-a-number")
+    report = doctor()
+    assert report["remote_embedding_configured"] is True
+    assert report["remote_embedding_config_valid"] is False
+    assert report["ok"] is False
+
+
+def test_doctor_main_emits_json(capsys):
+    from vector_mcp_spark.doctor import main
+
+    assert main([]) == 0
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["backend"] == "spark" and out["ok"] is True
