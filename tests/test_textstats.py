@@ -193,3 +193,46 @@ def test_cms_rejects_bad_params(spark):
         cms_build(df, "v", depth=0)
     with _pytest.raises(ValueError):
         cms_build(df, "v", width=1)
+
+
+# -- KMV row sample -----------------------------------------------------------
+
+
+def test_kmv_row_sample_is_mergeable(spark):
+    """k-min of the union == k-min of per-shard k-mins — per-shard samples
+    roll up losslessly."""
+    from vector_mcp_spark.operators.sketches import kmv_row_sample
+
+    df = spark.createDataFrame([(i, i % 5) for i in range(1000)], "id long, shard int")
+    whole = sorted(r.id for r in kmv_row_sample(df, "id", k=32).collect())
+    shards = [
+        kmv_row_sample(df.where(df.shard == s), "id", k=32) for s in range(5)
+    ]
+    pooled = shards[0]
+    for s in shards[1:]:
+        pooled = pooled.unionByName(s)
+    merged = sorted(r.id for r in kmv_row_sample(pooled, "id", k=32).collect())
+    assert whole == merged
+
+
+def test_kmv_row_sample_quantile_accuracy(spark):
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.sketches import kmv_row_sample
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10000)], "id long, v double")
+    est = kmv_row_sample(df, "id", k=400).agg(
+        F.percentile("v", F.lit(0.5)).alias("p50")
+    ).first().p50
+    # uniform 0..9999 → true median 4999.5; rank error ~ 1/sqrt(400) = 5%
+    assert abs(est - 4999.5) / 10000 < 0.12
+
+
+def test_kmv_row_sample_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from vector_mcp_spark.operators.sketches import kmv_row_sample
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError):
+        kmv_row_sample(df, "id", k=0)

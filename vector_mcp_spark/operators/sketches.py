@@ -193,3 +193,17 @@ def cms_estimate(
         .groupBy(value_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count"))
     )
+
+
+def kmv_row_sample(df: DataFrame, id_col: str, k: int = 256) -> DataFrame:
+    """Deterministic uniform row sample: the k rows whose sha256(id) ranks
+    smallest — the sampling face of the KMV sketch. Same merge property
+    (the k-min of a union is the k-min of per-shard k-mins), so per-shard
+    samples roll up losslessly; downstream, exact statistics computed on the
+    sample become mergeable estimates (quantiles, means) with ~1/sqrt(k)
+    rank error. Plans as TakeOrderedAndProject — per-partition top-k plus a
+    driver merge of k rows, never a global sort."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.sha2(F.col(id_col).cast("string"), 256)
+    return df.withColumn("_kmv_h", h).orderBy("_kmv_h").limit(k).drop("_kmv_h")

@@ -160,6 +160,7 @@ _DEFERRED_GREEN = [
     "set_ops_intersect_except",
     "asof_latest_event",
     "events_value_quantiles",
+    "tpch_q3_shipping_priority",
 ]
 for _n in _DEFERRED_GREEN:
     SUITE[_n] = SUITE.pop(_n)

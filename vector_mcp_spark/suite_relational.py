@@ -1111,6 +1111,50 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- sampled quantiles over a deterministic KMV row sample --------------------
+
+_SAMPLE_K = 256
+
+_SAMPLED_Q_ORACLE = f"""
+WITH s AS (
+  SELECT value FROM events ORDER BY sha256(CAST(event_id AS VARCHAR)) LIMIT {_SAMPLE_K}
+),
+est AS (
+  SELECT ROUND(quantile_cont(value, 0.5), 6) AS est_p50,
+         ROUND(quantile_cont(value, 0.95), 6) AS est_p95
+  FROM s
+),
+ex AS (
+  SELECT ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+         ROUND(quantile_cont(value, 0.95), 6) AS exact_p95
+  FROM events
+)
+SELECT est_p50, est_p95, exact_p50, exact_p95 FROM est, ex
+"""
+
+
+@register("events_sampled_quantiles", _SAMPLED_Q_ORACLE, "relational", "sketch")
+def q_events_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation the mergeable way: exact percentiles over a
+    deterministic k-min-hash row sample (TakeOrdered — no global sort, no
+    full-data sort for the estimate) with the full-data exact quantiles
+    alongside as the accuracy envelope; the sample is replayed in SQL."""
+    from pyspark.sql.functions import broadcast
+
+    from vector_mcp_spark.operators.sketches import kmv_row_sample
+
+    ev = load(spark, sf_dir, "events")
+    est = kmv_row_sample(ev, "event_id", k=_SAMPLE_K).agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("est_p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("est_p95"),
+    )
+    exact = ev.agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("exact_p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("exact_p95"),
+    )
+    return est.join(broadcast(exact))
+
+
 # -- streaming count-min sketch (REAL executed stream, batch-twin oracle) -----
 #
 # The sketch is maintained by a stateful streaming aggregation (update
