@@ -375,6 +375,9 @@ def minhash_lsh_pairs(
         .groupBy("_key")
         .agg(F.collect_list("_id").alias("_ids"), F.first("_toks").alias("_toks"))
     )
+    # six downstream branches re-derive this chain, but they all share the
+    # same groupBy exchange — ReuseExchange deduplicates it within the
+    # action (a localCheckpoint here measured no better)
     # signatures over unique sets (chunked wide digests, same family as
     # minhash_signature_array — the oracle replays this per doc)
     n_digests = -(-num_hashes // 8)
