@@ -232,3 +232,38 @@ def test_mixture_sample_rejects_negative_rate(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id int, source string")
     with _pytest.raises(ValueError):
         mixture_sample(df, {"a": -0.5})
+
+
+# -- weighted sampling (A-ES) -------------------------------------------------
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    from vector_mcp_spark.operators.packing import weighted_row_sample
+
+    # 100 heavy (w=50) vs 900 light (w=1): a k=100 sample should be
+    # dominated by heavy rows (inclusion prob ∝ weight)
+    rows = [(i, 50.0 if i < 100 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id int, w double")
+    got = [r.doc_id for r in weighted_row_sample(df, k=100, weight_col="w").collect()]
+    n_heavy = sum(1 for d in got if d < 100)
+    assert len(got) == 100 and n_heavy > 70
+
+
+def test_weighted_sample_deterministic_and_skips_nonpositive(spark):
+    from vector_mcp_spark.operators.packing import weighted_row_sample
+
+    rows = [(i, float(i % 5)) for i in range(200)]  # weight 0 rows excluded
+    df = spark.createDataFrame(rows, "doc_id int, w double")
+    a = sorted(r.doc_id for r in weighted_row_sample(df, k=30, weight_col="w").collect())
+    b = sorted(r.doc_id for r in weighted_row_sample(df, k=30, weight_col="w").collect())
+    assert a == b and all(d % 5 != 0 for d in a)
+
+
+def test_weighted_sample_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from vector_mcp_spark.operators.packing import weighted_row_sample
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id int, w double")
+    with _pytest.raises(ValueError):
+        weighted_row_sample(df, k=0, weight_col="w")

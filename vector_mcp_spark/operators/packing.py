@@ -128,3 +128,34 @@ def mixture_sample(
         .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
         .drop("_n")
     )
+
+
+def weighted_row_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    key = u^(1/w) with u a per-id sha256 uniform draw; the k largest keys
+    are the sample, and inclusion probability is proportional to weight —
+    the quality-weighted corpus selection step of an LLM data pipeline.
+
+    Deterministic end to end (same hash-draw discipline as
+    ``mixture_sample``) and replayable in SQL; the key is rounded to 12 dp
+    before ranking (cross-engine ``pow`` can differ in the last ulp) with
+    ties pinned by id, so both engines pick the identical sample. Rows with
+    weight ≤ 0 are never sampled. Plans as TakeOrderedAndProject —
+    per-partition top-k, no global sort.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = _hash_u01(id_col, salt="wsample")
+    key = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 12)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_aes_key", key)
+        .orderBy(F.col("_aes_key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_aes_key")
+    )

@@ -161,6 +161,7 @@ _DEFERRED_GREEN = [
     "asof_latest_event",
     "events_value_quantiles",
     "tpch_q3_shipping_priority",
+    "events_daily_pivot",
 ]
 for _n in _DEFERRED_GREEN:
     SUITE[_n] = SUITE.pop(_n)

@@ -192,6 +192,33 @@ def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(docs, _MIX_RATES)
 
 
+# -- weighted sampling without replacement (A-ES, quality-weighted corpus) ----
+
+_WS_K = 50
+
+_WS_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, n_chars,
+         CAST('0x' || substring(sha256(CAST(doc_id AS VARCHAR) || '|wsample'), 1, 15) AS BIGINT)
+           / 1152921504606846976.0 AS u
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ROUND(pow(u, 1.0 / CAST(n_chars AS DOUBLE)), 12) AS aes_key
+  FROM w
+) ORDER BY aes_key DESC, doc_id ASC LIMIT {_WS_K}
+"""
+
+
+@register("corpus_weighted_sample", _WS_ORACLE, "pipeline", "sampling")
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.packing import weighted_row_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_row_sample(docs, k=_WS_K, weight_col="n_chars")
+
+
 # -- JL random projection (64 -> 16 dims, sha256-seeded matrix) ---------------
 
 _RP_OUT_DIM = 16
