@@ -4,6 +4,16 @@ JSON line: {"metric", "value", "unit": "sec", "queries": {name: sec}, "sf"}.
 
 Each query is materialized through the noop sink so the full plan executes
 (count() would let Catalyst prune the expensive columns away).
+
+The suite runs TWICE: an untimed warm pass, then the timed pass that is
+reported. A two-pass probe (82 queries, sf0.1, local[32]) measured 124.7 s
+cold vs 92.8 s warm with no per-query slowdown anywhere in pass 2 — i.e.
+~32 s of a cold run is one-time JVM JIT / whole-stage-codegen compilation,
+Python-worker spin-up, and streaming-machinery init, billed to whichever
+query happens to touch each codepath first. That attribution is an artifact
+of suite *ordering* (it reshuffles whenever registration order rotates for
+correctness-window coverage), so the steady-state pass is the comparable
+per-query signal.
 """
 
 from __future__ import annotations
@@ -56,16 +66,22 @@ def main() -> int:
 
     # Failure-isolated: one broken query must never zero the whole perf
     # signal — record its error and keep timing the rest of the suite.
+    # Pass 0 is the untimed warm pass (see module docstring); pass 1 is
+    # the reported steady-state run.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, entry in SUITE.items():
-        t0 = time.perf_counter()
-        try:
-            df = entry.spark_fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+    for timed in (False, True):
+        for name, entry in SUITE.items():
+            if name in errors:
+                continue  # failed in the warm pass; don't pay for it twice
+            t0 = time.perf_counter()
+            try:
+                df = entry.spark_fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                if timed:
+                    timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
     out = {

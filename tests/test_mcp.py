@@ -273,3 +273,56 @@ def test_doctor_main_emits_json(capsys):
 
     out = _json.loads(capsys.readouterr().out.strip())
     assert out["backend"] == "spark" and out["ok"] is True
+
+
+# -- connector surface (reference vector_mcp/connectors/) ---------------------
+
+
+def test_tool_schema_fingerprints_are_pinned():
+    """Drift gate: a signature change to either veneer tool must be a
+    conscious, fingerprint-bumping decision (the reference pins these in
+    tool_schema_fingerprints.json per release)."""
+    from vector_mcp_spark.connectors import tool_schema_fingerprints
+
+    out = tool_schema_fingerprints()
+    assert out["algorithm"] == "vector-mcp-spark:mcp-tool-schema-compat:v1"
+    assert out["schema_version"] == "1"
+    assert sorted(out["tools"]) == ["vector_collection_management", "vector_search"]
+    # recompute is deterministic
+    assert out == tool_schema_fingerprints()
+    assert out["tools"]["vector_collection_management"] == (
+        tool_schema_fingerprints()["tools"]["vector_collection_management"]
+    )
+
+
+def test_tool_schema_fingerprint_detects_drift(monkeypatch):
+    from vector_mcp_spark import connectors
+
+    before = connectors.tool_schema_fingerprints()["tools"]["vector_search"]
+
+    def changed(self, action, extra_param=None):  # pragma: no cover - schema only
+        raise NotImplementedError
+
+    monkeypatch.setattr(connectors.McpVeneer, "vector_search", changed)
+    after = connectors.tool_schema_fingerprints()["tools"]["vector_search"]
+    assert after != before
+
+
+def test_collection_inventory_preset(spark, tmp_path_factory):
+    """The vector-collections preset exports listing records as metadata
+    documents (id/title/text = collection name, doc_type pinned) and rides
+    the entitlement-scoped listing path."""
+    from vector_mcp_spark.connectors import SOURCE_PRESETS, collection_inventory
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("inv_root")))
+    for name in ("alpha", "beta"):
+        eng.create_collection(name)
+    docs = collection_inventory(McpVeneer(eng))
+    assert docs == [
+        {"id": "alpha", "title": "alpha", "text": "alpha", "doc_type": "vector_collection"},
+        {"id": "beta", "title": "beta", "text": "beta", "doc_type": "vector_collection"},
+    ]
+    # entitlement scoping narrows the inventory the connector sees
+    scoped = McpVeneer(eng, entitlements=lambda ns, names: ["beta"])
+    assert [d["id"] for d in collection_inventory(scoped)] == ["beta"]
+    assert SOURCE_PRESETS["vector-collections"]["records_path"] == "collections"

@@ -236,3 +236,51 @@ def test_kmv_row_sample_rejects_bad_k(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with _pytest.raises(ValueError):
         kmv_row_sample(df, "id", k=0)
+
+
+# -- Gopher-style repetition signals ----------------------------------------
+
+REP_DOCS = [
+    # lines (trimmed, non-empty): "dup dup"×2, "one", "dup two" → 4 lines,
+    # 3 distinct → dup_line_frac (4-3)/4; line chars 7+7+3+7=24, chars in
+    # duplicated lines 14 → dup_line_char_frac 14/24. Tokens:
+    # dup,dup,dup,dup,one,dup,two → 7, 3 distinct → dup_token_frac 4/7;
+    # bigrams (6): "dup dup"×3, "dup one", "one dup", "dup two" → top 3/6
+    (1, "dup dup\ndup dup\n  one  \ndup two"),
+    (2, "alpha beta gamma"),  # no repetition at all
+    (3, ""),  # empty: every frac 0, keep=True
+    (4, "go go go go go go"),  # one line, all same token/bigram
+]
+
+
+@pytest.fixture(scope="module")
+def rep(spark):
+    from vector_mcp_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(REP_DOCS, "doc_id int, content string")
+    return {r.doc_id: r for r in repetition_stats(df, id_col="doc_id").collect()}
+
+
+def test_repetition_line_metrics(rep):
+    assert rep[1].n_lines == 4
+    assert rep[1].dup_line_frac == 0.25
+    assert rep[1].dup_line_char_frac == round(14 / 24, 6)
+    assert rep[2].n_lines == 1
+    assert rep[2].dup_line_frac == 0.0
+    assert rep[3].n_lines == 0 and rep[3].dup_line_frac == 0.0
+
+
+def test_repetition_token_metrics(rep):
+    assert rep[1].dup_token_frac == round(4 / 7, 6)
+    assert rep[1].top_bigram_frac == 0.5
+    assert rep[2].dup_token_frac == 0.0
+    assert rep[2].top_bigram_frac == round(1 / 2, 6)
+    assert rep[4].dup_token_frac == round(5 / 6, 6)
+    assert rep[4].top_bigram_frac == 1.0
+
+
+def test_repetition_keep_flag(rep):
+    # doc1 trips top_bigram_frac (0.5 > 0.08); doc4 trips everything
+    assert not rep[1].keep
+    assert not rep[4].keep
+    assert rep[3].keep  # empty doc passes every threshold

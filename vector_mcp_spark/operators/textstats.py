@@ -82,6 +82,109 @@ def fingerprint(content: Column) -> Column:
     return F.md5(key)
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "id",
+    content_col: str = "content",
+    line_delim: str = "\n",
+    max_dup_line_frac: float = 0.30,
+    max_dup_token_frac: float = 0.65,
+    max_top_bigram_frac: float = 0.08,
+) -> DataFrame:
+    """Gopher-style repetition signals for corpus curation (Rae et al. 2021,
+    'Scaling Language Models' §A1.1 repetition filters), as pure Column
+    expressions:
+
+    * ``dup_line_frac`` — fraction of (trimmed, non-empty) lines that are
+      duplicates of another line in the same document;
+    * ``dup_line_char_frac`` — fraction of line characters contained in
+      lines occurring more than once (all copies counted);
+    * ``dup_token_frac`` — 1 − distinct/total tokens;
+    * ``top_bigram_frac`` — occurrences of the most frequent token bigram
+      over total bigrams (count fraction; declared semantics — Gopher uses
+      the character fraction, which needs the raw text span);
+    * ``keep`` — True when every signal is at or under its threshold.
+
+    Scale notes: everything is computed map-side per document with array
+    expressions — NO shuffle, so the operator runs at scan speed over
+    100 TB. The nested count-in-array lambdas are O(L²) in lines/bigrams
+    *per document*, bounded by document size, never by corpus size. The
+    token/line arrays are materialized once as projection columns before
+    the nested lambdas touch them (an inline expression inside a lambda is
+    re-evaluated per element — the ``bind_once`` hazard)."""
+    c = F.col(content_col)
+    lines_e = F.filter(
+        F.transform(F.split(c, line_delim), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    base = df.select(F.col(id_col), tokens(c).alias("_toks"), lines_e.alias("_lines"))
+    base = base.withColumn(
+        "_bigrams",
+        F.when(
+            F.size("_toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - 2),
+                lambda i: F.array_join(F.slice(F.col("_toks"), i + 1, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+    lines, toks, bigrams = F.col("_lines"), F.col("_toks"), F.col("_bigrams")
+    zero = F.lit(0).cast("long")
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+    line_chars = F.aggregate(lines, zero, lambda a, l: a + F.length(l))
+    dup_line_chars = F.aggregate(
+        lines,
+        zero,
+        lambda a, l: a
+        + F.when(F.size(F.filter(lines, lambda x: x == l)) > 1, F.length(l).cast("long")).otherwise(
+            zero
+        ),
+    )
+    dup_line_char_frac = F.when(
+        line_chars > 0, dup_line_chars.cast("double") / line_chars
+    ).otherwise(F.lit(0.0))
+    n_tokens = F.size(toks)
+    dup_token_frac = F.when(
+        n_tokens > 0, (n_tokens - F.size(F.array_distinct(toks))).cast("double") / n_tokens
+    ).otherwise(F.lit(0.0))
+    top_bigram_n = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(bigrams),
+                lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
+            )
+        ),
+        F.lit(0),
+    )
+    top_bigram_frac = F.when(
+        F.size(bigrams) > 0, top_bigram_n.cast("double") / F.size(bigrams)
+    ).otherwise(F.lit(0.0))
+
+    dup_line_frac = F.round(dup_line_frac, 6)
+    dup_line_char_frac = F.round(dup_line_char_frac, 6)
+    dup_token_frac = F.round(dup_token_frac, 6)
+    top_bigram_frac = F.round(top_bigram_frac, 6)
+    return base.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+        n_tokens.alias("n_tokens"),
+        dup_token_frac.alias("dup_token_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        (
+            (dup_line_frac <= max_dup_line_frac)
+            & (dup_token_frac <= max_dup_token_frac)
+            & (top_bigram_frac <= max_top_bigram_frac)
+        ).alias("keep"),
+    )
+
+
 def text_stats(df: DataFrame, id_col: str = "id", content_col: str = "content") -> DataFrame:
     c = F.col(content_col)
     return df.select(

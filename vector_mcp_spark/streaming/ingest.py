@@ -157,6 +157,44 @@ def streaming_dedup_ingest(docs: DataFrame, watermark_col: str | None = None, wa
     return out.dropDuplicates(["id"])
 
 
+def interval_join_events(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner interval join: for each left event, the right
+    events of the same key strictly after it and within ``horizon``
+    (l.ts < r.ts ≤ l.ts + horizon) — the attribution-window primitive
+    (click → purchase within the hour).
+
+    Both sides carry a watermark of ``horizon``, which is exactly the
+    range condition's bound, so the state store retains each side for one
+    horizon and evicts monotonically — state is O(arrival rate × horizon)
+    per key regardless of stream length. Inner join ⇒ the availableNow
+    result equals the batch join (watermarks only bound state/lateness,
+    never drop on-time inner matches).
+
+    Output columns: key, l_<ts>, r_<ts>, l_event_id, r_event_id.
+    """
+    lw = left.withWatermark(ts_col, horizon).alias("l")
+    rw = right.withWatermark(ts_col, horizon).alias("r")
+    lts, rts = F.col(f"l.{ts_col}"), F.col(f"r.{ts_col}")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (rts > lts)
+        & (rts <= lts + F.expr(f"INTERVAL {horizon}"))
+    )
+    return lw.join(rw, cond, "inner").select(
+        F.col(f"l.{key_col}").alias(key_col),
+        lts.alias(f"l_{ts_col}"),
+        rts.alias(f"r_{ts_col}"),
+        F.col("l.event_id").alias("l_event_id"),
+        F.col("r.event_id").alias("r_event_id"),
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> "DataFrame":

@@ -724,6 +724,62 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(docs, id_col="doc_id", content_col="content")
 
 
+# -- Gopher-style repetition signals (corpus curation) -----------------------
+
+# Same metric formulas as repetition_stats: the nested count-in-list lambdas
+# replay Spark's nested HOFs one-for-one; `keep` compares the ROUNDED fracs
+# against the same literals on both sides so boundary docs can't diverge.
+_REPETITION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_TOKS} AS toks,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> length(l) > 0) AS lines
+  FROM documents
+), b AS (
+  SELECT doc_id, toks, lines,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(list_zip(toks[1:-2], toks[2:]), p -> p[1] || ' ' || p[2])
+              ELSE CAST([] AS VARCHAR[]) END AS bigrams
+  FROM t
+), s AS (
+  SELECT doc_id,
+         CAST(len(lines) AS INTEGER) AS n_lines,
+         ROUND(CASE WHEN len(lines) > 0
+               THEN (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)
+               ELSE 0.0 END, 6) AS dup_line_frac,
+         ROUND(CASE WHEN list_sum(list_transform(lines, l -> length(l))) > 0
+               THEN list_sum(list_transform(lines,
+                      l -> CASE WHEN len(list_filter(lines, x -> x = l)) > 1
+                                THEN length(l) ELSE 0 END))::DOUBLE
+                    / list_sum(list_transform(lines, l -> length(l)))
+               ELSE 0.0 END, 6) AS dup_line_char_frac,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         ROUND(CASE WHEN len(toks) > 0
+               THEN (len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks)
+               ELSE 0.0 END, 6) AS dup_token_frac,
+         ROUND(CASE WHEN len(bigrams) > 0
+               THEN COALESCE(list_max(list_transform(list_distinct(bigrams),
+                        g -> len(list_filter(bigrams, x -> x = g)))), 0)::DOUBLE / len(bigrams)
+               ELSE 0.0 END, 6) AS top_bigram_frac
+  FROM b
+)
+SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac, n_tokens,
+       dup_token_frac, top_bigram_frac,
+       (dup_line_frac <= 0.30 AND dup_token_frac <= 0.65
+        AND top_bigram_frac <= 0.08) AS keep
+FROM s
+"""
+
+
+@register("corpus_repetition_stats", _REPETITION_ORACLE, "textstats", "pipeline")
+def q_corpus_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.textstats import repetition_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_stats(docs, id_col="doc_id", content_col="text")
+
+
 # -- T3 sanitize pass (content PII/path redaction) ---------------------------
 
 # Same four regexes in the same order as sanitize_text_col (T3,
