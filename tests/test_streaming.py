@@ -152,3 +152,37 @@ def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
         for r in cms_build(src, "user_id", depth=3, width=32).collect()
     }
     assert final == batch
+
+
+def test_streaming_interval_join_equals_batch(spark, tmp_path):
+    """availableNow stream-stream interval join returns exactly the batch
+    join (inner join: watermark bounds state, never on-time results)."""
+    from datetime import datetime
+
+    from vector_mcp_spark.streaming.ingest import (
+        interval_join_events,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), 7, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 30), 7, "purchase", 1.0, "{}"),  # in window
+        (3, datetime(2024, 1, 1, 12, 0), 7, "purchase", 1.0, "{}"),  # too late
+        (4, datetime(2024, 1, 1, 10, 0), 7, "purchase", 1.0, "{}"),  # same instant: excluded (strict >)
+        (5, datetime(2024, 1, 1, 10, 20), 8, "purchase", 1.0, "{}"),  # other user
+    ]
+    src = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    path = str(tmp_path / "events_ij")
+    src.write.parquet(path)
+    stream = read_event_stream(spark, path)
+    joined = interval_join_events(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+    )
+    got = run_stream_to_memory(joined, "test_stream_ij", output_mode="append")
+    pairs = {(r.l_event_id, r.r_event_id) for r in got.collect()}
+    assert pairs == {(1, 2)}

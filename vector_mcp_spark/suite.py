@@ -151,6 +151,14 @@ from vector_mcp_spark import suite_mutation  # noqa: E402,F401
 # registry this round, freeing window slots for never-checked oracles without
 # moving code between modules. Round 5: swap for the next stable set.
 _DEFERRED_GREEN = [
+    # green r1–r3 AND locally re-verified this round (tools/verify_local.py
+    # full pass) — deferred so the round-4-oracled entries (ann_ivf_topk,
+    # multimodal_*) and the four new sequence/fuzzy/interval-join queries
+    # fit inside the driver's 50-entry window
+    "simjoin_top1",
+    "embedding_near_dup",
+    "text_stats",
+    "sanitize_content",
     "events_daily_windows",
     "events_top_users",
     "streaming_windowed_events",

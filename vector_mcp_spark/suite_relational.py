@@ -1241,3 +1241,122 @@ def q_events_kmv_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ks").cast("int").alias("n_kept"),
         kmv_estimate(k=_KMV_K).alias("merged_est"),
     ).join(direct, "event_type")
+
+
+# -- ordered-event funnel (single-shuffle fold, no per-stage joins) -----------
+
+# The oracle replays the SAME greedy fold: per user, event stage-indices in
+# (ts, idx) order, folded with list_reduce advancing the stage counter —
+# identical tie-break semantics, so hash equality is exact even if two
+# funnel events ever share a timestamp.
+_FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1
+              WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 END AS idx
+  FROM events
+  WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+), u AS (
+  SELECT user_id, list(idx ORDER BY ts, idx) AS seq FROM e GROUP BY user_id
+)
+SELECT user_id,
+       CAST(list_reduce(list_prepend(0, seq),
+                        (a, x) -> CASE WHEN x = a THEN a + 1 ELSE a END)
+            AS INTEGER) AS stage_reached,
+       CAST(len(seq) AS INTEGER) AS n_funnel_events
+FROM u
+"""
+
+
+@register("events_funnel_stages", _FUNNEL_ORACLE, "relational", "sequence")
+def q_events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.sequence import funnel_stages
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_stages(ev, _FUNNEL_STAGES)
+
+
+# -- activity gap-filling (date-spine explode + anti-join) --------------------
+
+_GAP_ORACLE = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM days GROUP BY user_id),
+spine AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+)
+SELECT s.user_id, s.day AS gap_day
+FROM spine s
+WHERE NOT EXISTS (SELECT 1 FROM days d WHERE d.user_id = s.user_id AND d.day = s.day)
+"""
+
+
+@register("events_user_gap_days", _GAP_ORACLE, "relational", "sequence")
+def q_events_user_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.sequence import activity_gap_days
+
+    return activity_gap_days(load(spark, sf_dir, "events"))
+
+
+# -- masked-key fuzzy identifier matching -------------------------------------
+
+# Oracle is the naive quadratic form (fine at sf0.01); the Spark side is the
+# lossless linear-shuffle masked-key join — hash equality proves the
+# blocking loses nothing.
+_FUZZY_ORACLE = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       a.s_name AS name_a, b.s_name AS name_b,
+       CAST(hamming(a.s_name, b.s_name) AS INTEGER) AS dist
+FROM supplier a JOIN supplier b
+  ON length(a.s_name) = length(b.s_name) AND a.s_suppkey < b.s_suppkey
+WHERE hamming(a.s_name, b.s_name) <= 1
+"""
+
+
+@register("supplier_name_near_matches", _FUZZY_ORACLE, "relational", "fuzzy")
+def q_supplier_name_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.fuzzy import masked_hamming_pairs
+
+    sup = load(spark, sf_dir, "supplier")
+    return masked_hamming_pairs(sup, id_col="s_suppkey", name_col="s_name")
+
+
+# -- stream-stream interval join (attribution window) -------------------------
+
+_INTERVAL_JOIN_ORACLE = """
+SELECT l.user_id AS user_id, l.ts AS l_ts, r.ts AS r_ts,
+       l.event_id AS l_event_id, r.event_id AS r_event_id
+FROM events l JOIN events r ON l.user_id = r.user_id
+WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+  AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("streaming_click_purchase_join", _INTERVAL_JOIN_ORACLE, "streaming")
+def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream inner interval join driven availableNow; the
+    watermark horizon equals the join range bound so each side's state
+    retention is one horizon. Inner join ⇒ result equals the batch join."""
+    import os
+
+    from vector_mcp_spark.streaming.ingest import (
+        interval_join_events,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    clean_dir = os.path.abspath(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp", f"events_{sf_tag}")
+    )
+    if not os.path.exists(os.path.join(clean_dir, "_SUCCESS")):
+        load(spark, sf_dir, "events").write.mode("overwrite").parquet(clean_dir)
+    stream = read_event_stream(spark, clean_dir)
+    joined = interval_join_events(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+    )
+    name = f"suite_stream_ij_{next(_STREAM_SINK_SEQ)}"
+    return run_stream_to_memory(joined, name, output_mode="append")
