@@ -70,3 +70,60 @@ def test_empty_collection_returns_empty(spark, coll):
     empty = coll.where(F.lit(False))
     got = semantic_topk(empty, hash_embed("x", 64), 5, id_col="doc_id").collect()
     assert got == []
+
+
+# -- MMR diversified re-rank --------------------------------------------------
+
+
+def _mmr_pool(spark, rows):
+    return spark.createDataFrame(rows, "id string, embedding array<double>, score double")
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark):
+    from vector_mcp_spark.operators.mmr import mmr_rerank
+
+    pool = _mmr_pool(spark, [
+        ("a", [1.0, 0.0], 0.9), ("b", [0.0, 1.0], 0.8), ("c", [1.0, 1.0], 0.7),
+    ])
+    got = [r.id for r in mmr_rerank(pool, 3, lam=1.0).orderBy("rank").collect()]
+    assert got == ["a", "b", "c"]
+
+
+def test_mmr_penalizes_redundant_runner_up(spark):
+    from vector_mcp_spark.operators.mmr import mmr_rerank
+
+    # b is a near-clone of the top pick; c is orthogonal with lower
+    # relevance — diversification must promote c to rank 2
+    pool = _mmr_pool(spark, [
+        ("a", [1.0, 0.0], 0.90), ("b", [1.0, 0.001], 0.89), ("c", [0.0, 1.0], 0.50),
+    ])
+    rows = {r.rank: r for r in mmr_rerank(pool, 3, lam=0.5).collect()}
+    assert [rows[i].id for i in (1, 2, 3)] == ["a", "c", "b"]
+    assert rows[1].redundancy == 0.0
+    assert rows[3].redundancy > 0.99  # b's clone penalty was the reason
+
+
+def test_mmr_tie_breaks_on_ascending_id(spark):
+    from vector_mcp_spark.operators.mmr import mmr_rerank
+
+    pool = _mmr_pool(spark, [
+        ("z", [1.0, 0.0], 0.5), ("a", [0.0, 1.0], 0.5),
+    ])
+    got = [r.id for r in mmr_rerank(pool, 2, lam=1.0).orderBy("rank").collect()]
+    assert got == ["a", "z"]
+
+
+def test_mmr_validation(spark):
+    import pytest as _pytest
+
+    from vector_mcp_spark.operators.mmr import mmr_rerank
+    from vector_mcp_spark.validation import EngineError
+
+    pool = _mmr_pool(spark, [("a", [1.0], 0.5)])
+    with _pytest.raises(EngineError, match="mmr_lambda_invalid"):
+        mmr_rerank(pool, 1, lam=1.5)
+    with _pytest.raises(EngineError, match="number_results_invalid"):
+        mmr_rerank(pool, 0)
+    big = _mmr_pool(spark, [(str(i), [1.0], 0.5) for i in range(1001)])
+    with _pytest.raises(EngineError, match="mmr_pool_too_large"):
+        mmr_rerank(big, 1)

@@ -186,3 +186,32 @@ def test_streaming_interval_join_equals_batch(spark, tmp_path):
     got = run_stream_to_memory(joined, "test_stream_ij", output_mode="append")
     pairs = {(r.l_event_id, r.r_event_id) for r in got.collect()}
     assert pairs == {(1, 2)}
+
+
+def test_stream_static_enrichment_broadcasts_and_keeps_unmatched(spark, tmp_path):
+    from datetime import datetime
+
+    from vector_mcp_spark.streaming.ingest import (
+        enrich_event_stream,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    ev = [
+        (1, datetime(2024, 1, 1), 7, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1), 999, "view", 2.0, "{}"),  # no dim row
+    ]
+    src = spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    path = str(tmp_path / "events_enrich")
+    src.write.parquet(path)
+    dim = spark.createDataFrame(
+        [(7, "Customer#7", "BUILDING")], "c_custkey long, c_name string, c_mktsegment string"
+    )
+    out = enrich_event_stream(read_event_stream(spark, path), dim)
+    got = {r.event_id: r for r in run_stream_to_memory(
+        out.select("event_id", "c_name"), "test_stream_enrich", "append"
+    ).collect()}
+    assert got[1].c_name == "Customer#7"
+    assert got[2].c_name is None  # left join: facts never dropped

@@ -21,6 +21,8 @@ by content-hash with the watermark bounding retention.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -193,6 +195,23 @@ def interval_join_events(
         F.col("l.event_id").alias("l_event_id"),
         F.col("r.event_id").alias("r_event_id"),
     )
+
+
+def enrich_event_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: Sequence[str] = ("c_name", "c_mktsegment"),
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream joins
+    against the (re-read-per-batch) static dimension — Spark broadcasts the
+    dim side under the autoBroadcastJoinThreshold, so the stream never
+    shuffles and carries NO join state (unlike stream-stream joins). Left
+    join: events with no dim row pass through with nulls — an enrichment
+    must never drop facts."""
+    d = dim.select(F.col(dim_key).alias(stream_key), *dim_cols)
+    return events.join(d, stream_key, "left")
 
 
 def run_stream_to_memory(

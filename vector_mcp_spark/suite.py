@@ -155,6 +155,8 @@ _DEFERRED_GREEN = [
     # full pass) — deferred so the round-4-oracled entries (ann_ivf_topk,
     # multimodal_*) and the four new sequence/fuzzy/interval-join queries
     # fit inside the driver's 50-entry window
+    "dedup_exact",
+    "simhash_fingerprints",
     "simjoin_top1",
     "embedding_near_dup",
     "text_stats",
@@ -173,3 +175,14 @@ _DEFERRED_GREEN = [
 ]
 for _n in _DEFERRED_GREEN:
     SUITE[_n] = SUITE.pop(_n)
+
+# Promotion: brand-new oracle-backed entries registered in late modules are
+# pulled into the driver's 50-entry window so they get verified the round
+# they land (they rotate back to natural order once green).
+_PROMOTED = ["semantic_mmr_topk"]
+_order = [n for n in SUITE if n not in _PROMOTED]
+_cut = 50 - len(_PROMOTED)
+_order = _order[:_cut] + _PROMOTED + _order[_cut:]
+_entries = {n: SUITE[n] for n in _order}
+SUITE.clear()
+SUITE.update(_entries)

@@ -1360,3 +1360,37 @@ def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFra
     )
     name = f"suite_stream_ij_{next(_STREAM_SINK_SEQ)}"
     return run_stream_to_memory(joined, name, output_mode="append")
+
+
+# -- stream-static enrichment join (broadcast dim, zero join state) -----------
+
+_ENRICH_ORACLE = """
+SELECT e.event_id, e.user_id, e.value, c.c_name, c.c_mktsegment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@register("streaming_enriched_events", _ENRICH_ORACLE, "streaming")
+def q_streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL availableNow stream left-joined to the static customer dim —
+    broadcast per micro-batch, no state store, stream side never shuffles."""
+    import os
+
+    from vector_mcp_spark.streaming.ingest import (
+        enrich_event_stream,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    clean_dir = os.path.abspath(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp", f"events_{sf_tag}")
+    )
+    if not os.path.exists(os.path.join(clean_dir, "_SUCCESS")):
+        load(spark, sf_dir, "events").write.mode("overwrite").parquet(clean_dir)
+    stream = read_event_stream(spark, clean_dir)
+    enriched = enrich_event_stream(stream, load(spark, sf_dir, "customer")).select(
+        "event_id", "user_id", "value", "c_name", "c_mktsegment"
+    )
+    name = f"suite_stream_enrich_{next(_STREAM_SINK_SEQ)}"
+    return run_stream_to_memory(enriched, name, output_mode="append")

@@ -395,3 +395,82 @@ def q_hybrid_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse_multi(
         [(sem, HYBRID_W_SEM), (lex, HYBRID_W_LEX)], _HYMQ_N, rrf_k=RRF_K, id_col="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-rank (extension beyond the reference's Q1/Q2 surface)
+# ---------------------------------------------------------------------------
+
+_MMR_POOL_N = 50
+_MMR_K = 10
+_MMR_LAM = 0.7
+
+
+def _mmr_cos_ab(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+        f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+    )
+
+
+def _mmr_oracle() -> str:
+    """The greedy MMR trajectory unrolled as k chained CTEs — each step
+    picks argmax(ROUND(λ·rel − (1−λ)·max-sim-to-selected, 6)) with id
+    tie-break, exactly the driver-side loop in operators/mmr.py."""
+    lam, om = repr(float(_MMR_LAM)), repr(1.0 - float(_MMR_LAM))
+    ctes = [
+        f"""pool AS MATERIALIZED (
+  SELECT d.doc_id AS id, e.embedding AS emb,
+         ROUND({_cosine_sql('e.embedding', SEM_QUERY_VEC)}, 6) AS rel
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  ORDER BY {_cosine_sql('e.embedding', SEM_QUERY_VEC)} DESC, d.doc_id ASC
+  LIMIT {_MMR_POOL_N})""",
+        f"""sims AS MATERIALIZED (
+  SELECT a.id AS ia, b.id AS ib, ROUND({_mmr_cos_ab('a.emb', 'b.emb')}, 6) AS s
+  FROM pool a JOIN pool b ON a.id <> b.id)""",
+        f"""sel1 AS MATERIALIZED (
+  SELECT id, rel, 0.0 AS red, ROUND({lam} * rel, 6) AS ms, 1 AS rank
+  FROM pool ORDER BY ROUND({lam} * rel, 6) DESC, id ASC LIMIT 1)""",
+        "selu1 AS MATERIALIZED (SELECT id FROM sel1)",
+    ]
+    for t in range(2, _MMR_K + 1):
+        p = t - 1
+        ctes.append(
+            f"""cand{t} AS MATERIALIZED (
+  SELECT p.id, p.rel, MAX(s.s) AS red
+  FROM pool p JOIN sims s ON s.ia = p.id JOIN selu{p} u ON s.ib = u.id
+  WHERE p.id NOT IN (SELECT id FROM selu{p})
+  GROUP BY p.id, p.rel)"""
+        )
+        ctes.append(
+            f"""sel{t} AS MATERIALIZED (
+  SELECT id, rel, red, ROUND({lam} * rel - {om} * red, 6) AS ms, {t} AS rank
+  FROM cand{t} ORDER BY ROUND({lam} * rel - {om} * red, 6) DESC, id ASC LIMIT 1)"""
+        )
+        ctes.append(f"selu{t} AS MATERIALIZED (SELECT id FROM selu{p} UNION ALL SELECT id FROM sel{t})")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(rank AS INTEGER) AS rank, CAST(id AS VARCHAR) AS id,"
+        f" rel AS relevance, red AS redundancy, ms AS mmr_score FROM sel{t}"
+        for t in range(1, _MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+@register("semantic_mmr_topk", _mmr_oracle(), "search", "diversify")
+def q_semantic_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.mmr import mmr_rerank
+    from vector_mcp_spark.operators.semantic import semantic_topk
+
+    coll = docs_with_embeddings(spark, sf_dir)
+    pool = semantic_topk(
+        coll,
+        SEM_QUERY_VEC,
+        _MMR_POOL_N,
+        id_col="doc_id",
+        emb_col="embedding",
+        payload_cols=("embedding",),
+    )
+    return mmr_rerank(
+        pool, _MMR_K, _MMR_LAM, id_col="doc_id", emb_col="embedding", rel_col="score"
+    )
