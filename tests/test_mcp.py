@@ -326,3 +326,40 @@ def test_collection_inventory_preset(spark, tmp_path_factory):
     scoped = McpVeneer(eng, entitlements=lambda ns, names: ["beta"])
     assert [d["id"] for d in collection_inventory(scoped)] == ["beta"]
     assert SOURCE_PRESETS["vector-collections"]["records_path"] == "collections"
+
+
+# -- fail-closed backend policy (reference backend_policy.py) -----------------
+
+
+def test_backend_policy_allowlist():
+    from vector_mcp_spark.backend_policy import (
+        backend_status,
+        canonical_backend,
+        ensure_backend_available,
+    )
+    from vector_mcp_spark.validation import EngineError
+
+    assert canonical_backend("  Postgres ") == "postgres"
+    # reference names are admitted as aliases of the Spark engine
+    for name in ("epistemic_graph", "MongoDB", "postgres", "QDRANT", "spark"):
+        assert ensure_backend_available(name) == name.strip().casefold()
+    with pytest.raises(EngineError, match="vector_backend_not_configured"):
+        ensure_backend_available("   ")
+    with pytest.raises(EngineError, match="vector_backend_unsupported"):
+        ensure_backend_available("sqlite")
+    st = backend_status("qdrant")
+    assert st["available"] and "Spark engine" in st["advisory"]
+    assert backend_status("spark")["advisory"] is None
+    assert not backend_status("nope")["available"]
+
+
+def test_veneer_rejects_unsupported_backend(spark, tmp_path_factory):
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("bp_root")))
+    v = McpVeneer(eng)
+    out = v.vector_collection_management("list_collections", db_type="oracledb")
+    assert out == {"error": "vector_backend_unsupported"}
+    out = v.vector_search("search", collection_name="c", question="q", db_type="duck")
+    assert out == {"error": "vector_backend_unsupported"}
+    # a valid alias proceeds to normal routing (collection missing → its code)
+    out = v.vector_search("search", collection_name="missing", question="q", db_type="postgres")
+    assert out == {"error": "collection_not_found"}

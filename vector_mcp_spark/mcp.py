@@ -22,6 +22,7 @@ from collections.abc import Callable, Iterable
 from typing import Any
 
 from vector_mcp_spark.api import VectorSearchApi
+from vector_mcp_spark.backend_policy import ensure_backend_available
 from vector_mcp_spark.engine import CollectionEngine
 from vector_mcp_spark.validation import EngineError
 
@@ -99,11 +100,16 @@ class McpVeneer:
         document_contents: list[str] | None = None,
         confirm: bool | None = None,
         dimension: int | None = None,
+        db_type: str | None = None,
     ) -> dict[str, Any]:
         resolved = resolve_action(action, COLLECTION_ACTIONS)
         if isinstance(resolved, dict):
             return resolved
         try:
+            if db_type is not None:
+                # fail-closed allow-list BEFORE any engine work
+                # (reference backend_policy.py semantics)
+                ensure_backend_available(db_type)
             if resolved == "create_collection":
                 name = self.engine.create_collection(
                     collection_name, dimension=dimension, overwrite=bool(overwrite)
@@ -138,6 +144,7 @@ class McpVeneer:
         semantic_weight: float | None = None,
         lexical_weight: float | None = None,
         rrf_k: int | None = None,
+        db_type: str | None = None,
     ) -> dict[str, Any]:
         resolved = resolve_action(action, SEARCH_ACTIONS)
         if isinstance(resolved, dict):
@@ -145,6 +152,8 @@ class McpVeneer:
         # mcp_server.py:248-257 bounds (engine validation re-checks; the
         # veneer's job is the stable error dict, not a traceback)
         try:
+            if db_type is not None:
+                ensure_backend_available(db_type)
             k = number_results if number_results is not None else 5
             if resolved == "semantic_search":
                 df = self.api.semantic_search(collection_name, [question], number_results=k)
