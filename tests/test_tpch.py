@@ -1,0 +1,103 @@
+"""TPC-H breadth module: oracle parity at sf0.001 + plan-shape guards.
+
+Every suite_tpch query is hash-compared against its DuckDB oracle by the
+driver at sf0.01; this file repeats the comparison at sf0.001 so a breakage
+shows up in pytest before the round artifact, and pins the plan properties
+each query exists to demonstrate (pushdown, broadcast, no global sort).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import duckdb
+import pytest
+
+from vector_mcp_spark.suite import SUITE
+
+TPCH_NEW = [
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_dormant_customers",
+]
+
+TABLES = "region nation customer supplier part orders lineitem".split()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{round(v, 6):.6f}"
+    return v
+
+
+def _multiset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(_norm(row[i]) for i in order) for row in rows)
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", TPCH_NEW)
+def test_matches_oracle(spark, sf_dir, oracle_con, name):
+    entry = SUITE[name]
+    sdf = entry.spark_fn(spark, sf_dir)
+    spark_rows = sdf.collect()
+    rel = oracle_con.execute(entry.oracle)
+    oracle_cols = [d[0] for d in rel.description]
+    oracle_rows = rel.fetchall()
+    assert sorted(sdf.columns) == sorted(oracle_cols)
+    assert _multiset(spark_rows, sdf.columns) == _multiset(oracle_rows, oracle_cols)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_predicates_pushed(spark, sf_dir):
+    plan = _plan(SUITE["tpch_q6_forecast_revenue"].spark_fn(spark, sf_dir))
+    # every predicate is on scanned columns → parquet row-group pruning
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0]
+    # and nothing shuffles except the final single-row agg exchange
+    assert plan.count("Exchange") <= 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["tpch_q7_volume_shipping", "tpch_q8_market_share", "tpch_q10_returned_items",
+     "tpch_q19_discounted_revenue"],
+)
+def test_dimensions_broadcast(spark, sf_dir, name):
+    plan = _plan(SUITE[name].spark_fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_topk_no_global_sort(spark, sf_dir):
+    plan = _plan(SUITE["tpch_q10_returned_items"].spark_fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q15_no_single_partition_window(spark, sf_dir):
+    plan = _plan(SUITE["tpch_q15_top_supplier"].spark_fn(spark, sf_dir))
+    assert "Window" not in plan  # max-threshold broadcast, not a global rank
+
+
+def test_q22_anti_join(spark, sf_dir):
+    plan = _plan(SUITE["tpch_q22_dormant_customers"].spark_fn(spark, sf_dir))
+    assert "LeftAnti" in plan

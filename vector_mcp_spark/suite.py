@@ -146,6 +146,7 @@ from vector_mcp_spark import suite_relational  # noqa: E402,F401
 from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401
 from vector_mcp_spark import suite_mutation  # noqa: E402,F401
+from vector_mcp_spark import suite_tpch  # noqa: E402,F401
 
 # Fine-grained rotation: entries green in r1+r2+r3 deferred to the end of the
 # registry this round, freeing window slots for never-checked oracles without
@@ -172,6 +173,18 @@ _DEFERRED_GREEN = [
     "events_value_quantiles",
     "tpch_q3_shipping_priority",
     "events_daily_pivot",
+    # deferred late in round 4 to admit the TPC-H breadth module into the
+    # window: all green in r03 itself, or (mad_udaf / json_extract) green in
+    # r01, independent of the ts-column dtype that changed after r01, and
+    # re-verified locally this round (tools/verify_local.py full pass)
+    "tpch_q1_pricing_summary",
+    "top_revenue_nations",
+    "dedup_normalized",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "chunk_documents",
+    "events_mad_udaf",
+    "events_json_extract",
 ]
 for _n in _DEFERRED_GREEN:
     SUITE[_n] = SUITE.pop(_n)
@@ -179,7 +192,17 @@ for _n in _DEFERRED_GREEN:
 # Promotion: brand-new oracle-backed entries registered in late modules are
 # pulled into the driver's 50-entry window so they get verified the round
 # they land (they rotate back to natural order once green).
-_PROMOTED = ["semantic_mmr_topk"]
+_PROMOTED = [
+    "semantic_mmr_topk",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_dormant_customers",
+]
 _order = [n for n in SUITE if n not in _PROMOTED]
 _cut = 50 - len(_PROMOTED)
 _order = _order[:_cut] + _PROMOTED + _order[_cut:]

@@ -1,0 +1,418 @@
+"""TPC-H-shaped relational breadth over the driver star schema.
+
+The reference has no relational surface (SURVEY.md §2.4) — these queries
+pin the Spark capabilities its users get "for free" when they migrate, and
+each one is chosen to exercise a distinct plan shape that matters at 100 TB:
+
+* Q6  — pure scan + fully-pushed conjunctive predicate (no shuffle at all);
+* Q7  — two independent dimension chains (supplier-nation × customer-nation)
+        broadcast onto one fact scan, grouped by derived year;
+* Q8  — market-share: conditional aggregation (share = sum(if)/sum) instead
+        of a self-join, region pruning via broadcast chain;
+* Q10 — returned-item report: quarter-bounded fact scan, top-k by revenue
+        with TakeOrderedAndProject (no global sort);
+* Q15 — top supplier via window max over an aggregated sub-result (TPC-H's
+        CREATE VIEW replaced by a rank window — one extra exchange, no view);
+* Q17 — small-quantity threshold against a per-part mean: the correlated
+        subquery becomes a broadcast of the per-part aggregate;
+* Q19 — disjunctive brand/size/quantity predicate evaluated AFTER an
+        equi-join on partkey (never a cartesian: OR terms share the join key);
+* Q22 — dormant rich customers: global scalar threshold (broadcast one-row
+        agg) + anti-join against recent orders.
+
+The driver schema lacks partsupp / l_shipmode / l_commitdate / c_phone, so
+Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21 are out of reach and Q8/Q17/Q19/Q22 substitute
+the available columns (p_type for the 3-word type, mktsegment for the phone
+prefix) — plan shape, not literal TPC-H compliance, is the point.
+
+Adapted from the public TPC-H spec; no reference-repo counterpart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_mcp_spark.suite import load, register
+
+# -- Q6: forecast revenue change — scan-bound, every predicate pushed ---------
+
+_Q6_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("tpch_q6_forecast_revenue", _Q6_ORACLE, "relational", "tpch")
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# -- Q7: volume shipping between two nations ----------------------------------
+# Supplier chain and customer chain are independent small dimensions; both
+# broadcast onto the single lineitem->orders join.
+
+_Q7_ORACLE = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+   OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("tpch_q7_volume_shipping", _Q7_ORACLE, "relational", "tpch")
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# -- Q8: national market share within a region for one part type --------------
+# share = conditional sum / total sum in ONE aggregation — the naive
+# two-query self-join is never materialized.
+
+_Q8_ORACLE = """
+SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       ROUND(
+         SUM(CASE WHEN ns.n_name = 'NATION_3'
+                  THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+         / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+JOIN region r ON nc.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+GROUP BY year(o.o_orderdate)
+ORDER BY o_year
+"""
+
+
+@register("tpch_q8_market_share", _Q8_ORACLE, "relational", "tpch")
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(region), F.col("nc_region") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# -- Q10: returned-item report — quarter scan, top-20 customers ---------------
+
+_Q10_ORACLE = """
+SELECT c.c_custkey, c.c_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       ROUND(c.c_acctbal, 2) AS c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@register("tpch_q10_returned_items", _Q10_ORACLE, "relational", "tpch")
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# -- Q15: top supplier(s) by quarterly revenue --------------------------------
+# TPC-H's CREATE VIEW + scalar-subquery-max becomes: aggregate once, reduce
+# to a one-row max, broadcast it back as the filter threshold. (A global
+# rank() window would funnel every per-supplier row through ONE partition —
+# fine at sf0.01, a straggler at 100 TB where |suppliers| is millions.)
+# Revenue is rounded BEFORE the max comparison so both engines break the
+# "who is top" tie identically.
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("tpch_q15_top_supplier", _Q15_ORACLE, "relational", "tpch")
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    top = (
+        revenue.join(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("max_rev"))
+        .drop("max_rev")
+    )
+    return (
+        F.broadcast(top)
+        .join(supp, top.supplier_no == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# -- Q17: small-quantity revenue for one brand --------------------------------
+# The correlated per-part average becomes a broadcast of the per-part agg
+# (the brand filter shrinks it to ~1/25 of parts first).
+
+_Q17_ORACLE = """
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (
+  SELECT l_partkey, 0.5 * AVG(l_quantity) AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+) t ON t.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#11' AND l.l_quantity < t.qty_threshold
+"""
+
+
+@register("tpch_q17_small_quantity", _Q17_ORACLE, "relational", "tpch")
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
+    # per-part mean over ALL lineitems of the brand's parts; semi-join the
+    # brand filter into the agg input so the broadcast stays tiny
+    brand_items = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresholds = brand_items.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.5 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        brand_items.join(
+            F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# -- Q19: disjunctive predicate after an equi-join ----------------------------
+# All three OR branches share the partkey equi-join; the disjunction is a
+# post-join filter, so the plan is broadcast-hash-join + filter, never a
+# nested loop.
+
+_Q19_ORACLE = """
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("tpch_q19_discounted_revenue", _Q19_ORACLE, "relational", "tpch")
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    # pre-prune the part side to the union of brands so the broadcast ships
+    # only candidate parts
+    part = load(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# -- Q22: dormant rich customers (phone prefix → mktsegment adaptation) -------
+# Global scalar threshold = one-row agg broadcast into the filter; "no
+# recent orders" = left-anti join against the order scan.
+
+_Q22_ORACLE = """
+WITH threshold AS (
+  SELECT AVG(c_acctbal) AS avg_bal FROM customer
+  WHERE c_acctbal > 0.0
+    AND c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+), recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+)
+SELECT c.c_mktsegment, COUNT(*) AS numcust,
+       ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+FROM customer c, threshold t
+WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+  AND c.c_acctbal > t.avg_bal
+  AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY c.c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("tpch_q22_dormant_customers", _Q22_ORACLE, "relational", "tpch")
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING", "MACHINERY")
+    )
+    orders = load(spark, sf_dir, "orders")
+    threshold = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(threshold))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
