@@ -208,3 +208,30 @@ def test_blocked_clusters_empty_set_docs_are_singletons(spark):
     # docs 3/4 tokenize to EMPTY sets — identical sets, but never paired
     # (NULL jaccard): each is its own singleton cluster
     assert got[3] == (3, True) and got[4] == (4, True)
+
+
+def test_leakage_safe_split_is_cluster_coherent(spark, sf_dir):
+    """No near-dup cluster may straddle a train/val/test boundary, every doc
+    gets exactly one split, and the draw is deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.suite import SUITE
+
+    fn = SUITE["corpus_leakage_safe_split"].spark_fn
+    out = fn(spark, sf_dir).cache()
+    try:
+        straddlers = (
+            out.groupBy("cluster_id")
+            .agg(F.countDistinct("split").alias("n_splits"))
+            .where(F.col("n_splits") > 1)
+            .count()
+        )
+        assert straddlers == 0
+        n_docs = out.count()
+        assert out.select("doc_id").distinct().count() == n_docs
+        assert out.where(F.col("split").isin("train", "val", "test")).count() == n_docs
+        # deterministic: a second build produces the identical assignment
+        again = fn(spark, sf_dir)
+        assert out.exceptAll(again).count() == 0
+    finally:
+        out.unpersist()

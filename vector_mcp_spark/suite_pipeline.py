@@ -1299,6 +1299,81 @@ def q_corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- leakage-safe train/val/test split ----------------------------------------
+#
+# Random per-document splits leak: a near-duplicate pair straddling
+# train/test inflates eval. The fix is to split by NEAR-DUP CLUSTER — every
+# member of a cluster draws the same deterministic hash ticket, so
+# duplicates can never cross the boundary. Composes the set-level
+# connected-components clustering with the same salt|key sha256 draw the
+# sampling family uses; split = draw mod 10 (0-7 train / 8 val / 9 test —
+# integer modulo, so both engines agree exactly). At 100 TB the added cost
+# over clustering itself is one map-side projection.
+
+_SPLIT_SALT = "split_v1"
+
+_LEAKAGE_SPLIT_ORACLE = f"""
+WITH RECURSIVE dt AS (
+  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+         list_distinct({_TOKS}) AS toks
+  FROM documents
+),
+p AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS j
+    FROM dt a JOIN dt b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+  ) WHERE j >= {_JACCARD_T}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+),
+clusters AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN draw < 8 THEN 'train' WHEN draw = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, cluster_id,
+         CAST(('0x' || substring(sha256('{_SPLIT_SALT}|' || cluster_id), 1, 8))
+              AS BIGINT) % 10 AS draw
+  FROM clusters
+)
+"""
+
+
+@register("corpus_leakage_safe_split", _LEAKAGE_SPLIT_ORACLE, "sampling", "dedup", "pipeline")
+def q_corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-coherent split: near-dup clusters (set-level CC) → one hash
+    ticket per cluster → split label shared by all members."""
+    from vector_mcp_spark.operators.dedup import near_dup_clusters_blocked
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 100)
+    )
+    clusters = near_dup_clusters_blocked(
+        docs, _JACCARD_T, id_col="doc_id", content_col="text",
+        block_cols=("lang", "len_bucket"),
+    ).select("doc_id", "cluster_id")
+    digest = F.sha2(F.concat(F.lit(_SPLIT_SALT + "|"), F.col("cluster_id")), 256)
+    draw = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % 10
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(draw < 8, "train").when(draw == 8, "val").otherwise("test").alias("split"),
+    )
+
+
 # -- REAL executed streaming dedup ingest (batch-twin oracle) -----------------
 #
 # The T2/T3 ingest pipeline as a Structured Streaming job actually executed
