@@ -49,3 +49,58 @@ def test_frame_sampling(media):
     assert [r.frame_ts_ms for r in sorted(got, key=lambda r: r.frame_idx)] == [0, 1000, 2000, 3000]
     assert all(r.media_id == "vid1" for r in got)
     assert len({bytes(r.frame) for r in got}) == 4  # distinct placeholder frames
+
+
+def _real_png(w: int, h: int) -> bytes:
+    """A fully valid PNG (correct CRCs, real zlib IDAT) built with stdlib."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x7f\x7f\x7f" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _real_jpeg(w: int, h: int) -> bytes:
+    """Minimal JPEG: SOI + APP0 (so the parser must WALK segments) + SOF0."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x48\x00\x48\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">HBHH", 17, 8, h, w) + b"\x03\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_parse_image_meta_real_headers(spark):
+    import struct
+
+    from vector_mcp_spark.multimodal.binary_ops import parse_image_meta
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
+    rows = [
+        ("png", _real_png(7, 9)),
+        ("jpg", _real_jpeg(640, 480)),
+        ("gif", gif),
+        ("junk", b"\x00\x01\x02 definitely not an image"),
+        ("trunc", b"\x89PNG\r\n\x1a\n\x00\x00"),
+        ("null", None),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, data binary")
+    got = {r.media_id: (r.mime, r.width, r.height) for r in parse_image_meta(media).collect()}
+    assert got == {
+        "png": ("image/png", 7, 9),
+        "jpg": ("image/jpeg", 640, 480),
+        "gif": ("image/gif", 320, 200),
+    }

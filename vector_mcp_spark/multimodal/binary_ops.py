@@ -2,8 +2,10 @@
 
 North-star extension — treat media as ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched Pandas UDFs over ``mapInPandas``. The media libraries
-(PIL/ffmpeg/librosa) are NOT in this container, so the decode kernels are
+Arrow-batched Pandas UDFs over ``mapInPandas``. Header-level decode is
+REAL — ``parse_image_meta`` reads PNG/JPEG/GIF dimensions straight from
+the bytes with stdlib ``struct``. The pixel-level media libraries
+(PIL/ffmpeg/librosa) are NOT in this container, so those kernels are
 stubbed — ``deterministic_fake=True`` produces a seeded fake feature vector
 (sha256 of the bytes) so the Spark-side plumbing (schema, batching,
 partitioning) is fully real and testable; ``deterministic_fake=False``
@@ -87,6 +89,70 @@ def extract_features(
             )
 
     return media.mapInPandas(_decode, schema="media_id string, kind string, features array<float>")
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _image_dims(b: bytes) -> tuple[str, int, int] | None:
+    """REAL header decode — pure stdlib, no media libs needed. Returns
+    (mime, width, height) for PNG / JPEG / GIF bytes, None for anything
+    else (including truncated headers). Only the header is touched; pixel
+    decode stays behind the ``deterministic_fake`` seam."""
+    import struct
+
+    if len(b) >= 24 and b[:8] == _PNG_SIG and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("image/png", w, h)
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("image/gif", w, h)
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        # walk JFIF segments to the first start-of-frame marker
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF:
+                if i + 9 <= len(b):
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    return ("image/jpeg", w, h)
+                return None
+            i += 2 + seg_len
+    return None
+
+
+def parse_image_meta(media: DataFrame) -> DataFrame:
+    """Image metadata extraction that actually decodes the binary header:
+    (media_id, mime, width, height), one row per image whose header parses.
+    Arrow-batched mapInPandas; bytes never leave the executor and only the
+    small metadata tuple shuffles onward — exactly the access pattern a
+    100 TB media catalog scan needs (combine with
+    ``spark.sql.files.maxPartitionBytes`` to bound scan partitions)."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "mime": [], "width": [], "height": []}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                parsed = _image_dims(bytes(data) if data is not None else b"")
+                if parsed is None:
+                    continue
+                mime, w, h = parsed
+                rows["media_id"].append(mid)
+                rows["mime"].append(mime)
+                rows["width"].append(w)
+                rows["height"].append(h)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        _parse, schema="media_id string, mime string, width int, height int"
+    )
 
 
 def resize_images(media: DataFrame, width: int, height: int, deterministic_fake: bool = True) -> DataFrame:

@@ -1047,6 +1047,55 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- REAL image-header decode (no fake: dimensions parsed from the bytes) -----
+#
+# The binary column carries genuine PNG / JPEG structures synthesized as
+# Column expressions (unhex of the magic + big-endian dims), and
+# parse_image_meta recovers mime/width/height by actually walking the
+# header — stdlib struct, no media libs. The oracle recomputes the planted
+# dimensions from the source columns, so a parser that misreads a single
+# byte order or segment offset hash-mismatches.
+
+_MM_DIMS_ORACLE = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+       CAST(n_chars % 1024 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 512 + 1 AS INTEGER) AS height
+FROM documents
+"""
+
+
+@register("multimodal_image_dims", _MM_DIMS_ORACLE, "multimodal", "pipeline")
+def q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.multimodal.binary_ops import parse_image_meta
+
+    docs = load(spark, sf_dir, "documents")
+    w = (F.col("n_chars") % 1024 + 1).cast("int")
+    h = (F.col("doc_id") % 512 + 1).cast("int")
+
+    def be(col, hex_digits):
+        return F.unhex(F.lpad(F.hex(col), hex_digits, "0"))
+
+    # PNG: signature + IHDR(len=13) + W(be4) + H(be4) + depth/color/etc + CRC
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),
+        be(w, 8), be(h, 8),
+        F.unhex(F.lit("080200000000000000")),
+    )
+    # JPEG: SOI + SOF0(len=0x11, precision 8) + H(be2) + W(be2) + 3 component
+    # specs + EOI — a real segment walk is needed to find the dims
+    jpg = F.concat(
+        F.unhex(F.lit("FFD8FFC0001108")),
+        be(h, 4), be(w, 4),
+        F.unhex(F.lit("03011100021100031100FFD9")),
+    )
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpg).alias("data"),
+    )
+    return parse_image_meta(media)
+
+
 # -- T6 batch embedding (the mapInPandas seam itself, oracle-replayed) --------
 
 _EMBED_DIM = 16
