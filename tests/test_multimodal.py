@@ -104,3 +104,32 @@ def test_parse_image_meta_real_headers(spark):
         "jpg": ("image/jpeg", 640, 480),
         "gif": ("image/gif", 320, 200),
     }
+
+
+def _real_wav(channels: int, rate: int, n_samples: int) -> bytes:
+    """A complete valid WAV with a LIST chunk BEFORE data (walk required)."""
+    import struct
+
+    body = b"\x00\x00" * channels * n_samples
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    data = b"data" + struct.pack("<I", len(body)) + body
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt + lst + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def test_parse_audio_meta_real_wav(spark):
+    from vector_mcp_spark.multimodal.binary_ops import parse_audio_meta
+
+    rows = [
+        ("mono8k", _real_wav(1, 8000, 4000)),     # 4000 samples @ 8k = 500 ms
+        ("stereo44", _real_wav(2, 44100, 44100)),  # 1 s
+        ("junk", b"RIFFxxxxNOPE"),
+        ("null", None),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, data binary")
+    got = {
+        r.media_id: (r.channels, r.sample_rate, r.duration_ms)
+        for r in parse_audio_meta(media).collect()
+    }
+    assert got == {"mono8k": (1, 8000, 500), "stereo44": (2, 44100, 1000)}

@@ -155,6 +155,61 @@ def parse_image_meta(media: DataFrame) -> DataFrame:
     )
 
 
+def _wav_meta(b: bytes) -> tuple[int, int, int] | None:
+    """REAL RIFF/WAVE header walk — (channels, sample_rate, duration_ms) or
+    None. Chunks are scanned generically (LIST/fact chunks before data are
+    fine); duration derives from the declared data size and byte rate, both
+    integer math so it is exactly reproducible."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    channels = rate = byte_rate = data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        tag = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if tag == b"fmt " and i + 24 <= len(b):
+            _fmt, channels, rate, byte_rate = struct.unpack("<HHII", b[i + 8 : i + 20])
+        elif tag == b"data":
+            data_size = size
+        if channels is not None and data_size is not None:
+            break
+        i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if channels is None or data_size is None or not byte_rate:
+        return None
+    return (channels, rate, data_size * 1000 // byte_rate)
+
+
+def parse_audio_meta(media: DataFrame) -> DataFrame:
+    """Audio metadata from real WAV headers: (media_id, mime, channels,
+    sample_rate, duration_ms). Same scale contract as ``parse_image_meta`` —
+    Arrow batches executor-side, only the metadata tuple shuffles."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "mime": [], "channels": [],
+                "sample_rate": [], "duration_ms": [],
+            }
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                parsed = _wav_meta(bytes(data) if data is not None else b"")
+                if parsed is None:
+                    continue
+                ch, rate, dur = parsed
+                rows["media_id"].append(mid)
+                rows["mime"].append("audio/wav")
+                rows["channels"].append(ch)
+                rows["sample_rate"].append(rate)
+                rows["duration_ms"].append(dur)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        _parse,
+        schema="media_id string, mime string, channels int, sample_rate int, duration_ms long",
+    )
+
+
 def resize_images(media: DataFrame, width: int, height: int, deterministic_fake: bool = True) -> DataFrame:
     """Image resize seam: returns (media_id, data binary, meta) with updated
     dimensions. Fake mode passes bytes through and rewrites meta (the

@@ -1096,6 +1096,65 @@ def q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_image_meta(media)
 
 
+# Audio twin: complete RIFF/WAVE files (fmt chunk + real zero-sample data
+# body) synthesized from Column expressions; the parser's chunk walk and
+# little-endian decode recover channels/rate, and duration falls out of
+# exact integer math both engines replay.
+
+_WAV_RATES = {0: 8000, 1: 16000, 2: 44100}
+
+_MM_AUDIO_ORACLE = f"""
+SELECT CAST(doc_id AS VARCHAR) AS media_id, 'audio/wav' AS mime,
+       CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+            AS INTEGER) AS sample_rate,
+       CAST((n_chars * 4 * 1000)
+            // ((CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)
+                * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_ms
+FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+@register("multimodal_audio_meta", _MM_AUDIO_ORACLE, "multimodal", "pipeline")
+def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.multimodal.binary_ops import parse_audio_meta
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    channels = (1 + F.col("doc_id") % 2).cast("int")
+    rate = (
+        F.when(F.col("doc_id") % 3 == 0, 8000)
+        .when(F.col("doc_id") % 3 == 1, 16000)
+        .otherwise(44100)
+        .cast("int")
+    )
+    byte_rate = rate * channels * 2
+    data_size = (F.col("n_chars") * 4).cast("int")
+
+    def le4(col):
+        h = F.lpad(F.hex(col.cast("bigint")), 8, "0")
+        return F.unhex(
+            F.concat(
+                F.substring(h, 7, 2), F.substring(h, 5, 2),
+                F.substring(h, 3, 2), F.substring(h, 1, 2),
+            )
+        )
+
+    def le2(col):
+        h = F.lpad(F.hex(col.cast("bigint")), 4, "0")
+        return F.unhex(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)))
+
+    wav = F.concat(
+        F.encode(F.lit("RIFF"), "utf-8"), le4(data_size + 36),
+        F.encode(F.lit("WAVEfmt "), "utf-8"), le4(F.lit(16)),
+        le2(F.lit(1)), le2(channels), le4(rate), le4(byte_rate),
+        le2(channels * 2), le2(F.lit(16)),
+        F.encode(F.lit("data"), "utf-8"), le4(data_size),
+        F.unhex(F.repeat(F.lit("00"), data_size)),  # real zero-sample body
+    )
+    media = docs.select(F.col("doc_id").cast("string").alias("media_id"), wav.alias("data"))
+    return parse_audio_meta(media)
+
+
 # -- T6 batch embedding (the mapInPandas seam itself, oracle-replayed) --------
 
 _EMBED_DIM = 16
