@@ -281,3 +281,29 @@ def test_quantize_int8_invariants(spark, vecs):
         assert all(-127 <= q <= 127 for q in r.q)
         for x, q in zip(r.embedding, r.q):
             assert abs(x - q * r.scale) <= r.scale / 2 + 1e-9
+
+
+@given(
+    sa=st.sets(st.integers(min_value=0, max_value=10_000), min_size=0, max_size=40),
+    sb=st.sets(st.integers(min_value=0, max_value=10_000), min_size=0, max_size=40),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_kmv_set_estimates_exact_below_k(spark, sa, sb):
+    """With |A ∪ B| < k every hash is retained, so the union and
+    intersection 'estimates' must equal the true set cardinalities."""
+    from vector_mcp_spark.operators.sketches import kmv_set_estimates, kmv_sketch
+
+    k = 128
+    rows = [("a", v) for v in sa] + [("b", v) for v in sb]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "grp string, v long")
+    sk = kmv_sketch(df, ["grp"], "v", k=k)
+    got = {r.grp: r.ks for r in sk.collect()}
+    pairs = spark.createDataFrame(
+        [("a", "b", got.get("a", []), got.get("b", []))],
+        "type_a string, type_b string, ks_a array<long>, ks_b array<long>",
+    )
+    row = kmv_set_estimates(pairs, k=k).collect()[0]
+    assert row.est_union == len(sa | sb)
+    assert row.est_intersect == len(sa & sb)

@@ -119,6 +119,50 @@ def kmv_estimate(sketch_col: str = "ks", k: int = 64) -> F.Column:
     ).cast("long")
 
 
+def kmv_set_estimates(
+    pairs: DataFrame,
+    a_col: str = "ks_a",
+    b_col: str = "ks_b",
+    k: int = 64,
+) -> DataFrame:
+    """Set algebra on pairs of KMV sketches: appends ``est_union`` and
+    ``est_intersect`` (both BIGINT) to each row.
+
+    The merged k smallest hashes of A ∪ B form a valid KMV sketch of the
+    union, so ``est_union`` is the plain KMV estimate on it; the fraction
+    of those merged hashes present in BOTH input sketches is an unbiased
+    estimate of the Jaccard index, and ``est_intersect`` = ρ · est_union
+    (Beyer et al., "On Synopses for Distinct-Value Estimation Under
+    Multiset Operations", SIGMOD'07). Pure array expressions over already-
+    tiny sketch rows — the 100 TB data never re-enters the picture; any
+    pairwise overlap question is answered from k·8-byte sketches."""
+    m = F.slice(F.array_sort(F.array_union(a_col, b_col)), 1, k)
+    with_m = pairs.withColumn("_m", m)
+    n = F.size("_m")
+    union_est = (
+        F.when(n < k, n.cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1))
+                / (F.element_at(F.col("_m"), k).cast("double") / F.lit(float(2**_HASH_BITS)))
+            )
+        )
+        .cast("long")
+    )
+    with_union = with_m.withColumn("est_union", union_est)
+    inter = F.size(F.array_intersect(F.array_intersect(F.col("_m"), F.col(a_col)), F.col(b_col)))
+    inter_est = (
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                inter.cast("double") * F.col("est_union").cast("double") / n.cast("double")
+            )
+        )
+        .cast("long")
+    )
+    return with_union.withColumn("est_intersect", inter_est).drop("_m")
+
+
 def _cms_bucket(value_col: str, row: int, width: int) -> F.Column:
     """Row-salted sha256 bucket — the d independent CMS hash functions."""
     h = F.conv(

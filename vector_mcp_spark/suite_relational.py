@@ -1243,6 +1243,65 @@ def q_events_kmv_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(direct, "event_type")
 
 
+# KMV set algebra: union AND intersection cardinality for every pair of
+# event-type audiences, answered entirely from the k-hash sketches (Beyer
+# et al. SIGMOD'07). The pair join is a broadcast over ~|event_types| sketch
+# rows — the events table is scanned once to build sketches and never again.
+
+_KMV_SETOPS_ORACLE = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substring(sha256(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+  FROM hashed
+),
+ks AS (
+  SELECT event_type, list(h ORDER BY h ASC) AS ks
+  FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.ks AS ks_a, b.ks AS ks_b
+  FROM ks a JOIN ks b ON a.event_type < b.event_type
+),
+calc AS (
+  SELECT type_a, type_b, ks_a, ks_b,
+         list_sort(list_distinct(list_concat(ks_a, ks_b)))[1:{_KMV_K}] AS m
+  FROM pairs
+),
+u AS (
+  SELECT type_a, type_b, ks_a, ks_b, m,
+         CAST(CASE WHEN len(m) < {_KMV_K} THEN len(m)
+                   ELSE ROUND({_KMV_K - 1}.0 / (m[{_KMV_K}] / {_KMV_DENOM!r})) END
+              AS BIGINT) AS est_union
+  FROM calc
+)
+SELECT type_a, type_b, est_union,
+       CAST(CASE WHEN len(m) = 0 THEN 0.0
+                 ELSE ROUND(len(list_intersect(list_intersect(m, ks_a), ks_b))
+                            * CAST(est_union AS DOUBLE) / len(m)) END
+            AS BIGINT) AS est_intersect
+FROM u
+"""
+
+
+@register("events_kmv_set_ops", _KMV_SETOPS_ORACLE, "relational", "sketch")
+def q_events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.sketches import kmv_set_estimates, kmv_sketch
+
+    ev = load(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=_KMV_K)
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("ks").alias("ks_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("ks").alias("ks_b"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    return kmv_set_estimates(pairs, "ks_a", "ks_b", k=_KMV_K).select(
+        "type_a", "type_b", "est_union", "est_intersect"
+    )
+
+
 # -- ordered-event funnel (single-shuffle fold, no per-stage joins) -----------
 
 # The oracle replays the SAME greedy fold: per user, event stage-indices in
