@@ -234,3 +234,33 @@ def test_temporal_family_runs_on_ntz_storage(spark, ntz_sf_dir):
     # 4(a,75600s), 5(b,30s); user 2 has a single event -> no gap
     assert inter["a"] == (2, (1800 + 75600) / 2)
     assert inter["b"] == (2, (5400 + 30) / 2)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """One hot key (90% of the big side) — the salted join must produce
+    row-identical results to the plain join while spreading the hot key
+    over n_salts merge tasks."""
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.skew import salted_join, with_salt
+
+    big = spark.createDataFrame(
+        [(i, 1 if i % 10 else i % 7, float(i)) for i in range(1000)],
+        "row_id long, key long, v double",
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim_{k}") for k in range(8)], "key2 long, name string"
+    )
+    plain = big.join(small, big.key == small.key2).select("row_id", "key", "v", "name")
+    salted = salted_join(
+        big.hint("merge"), small.hint("merge"),
+        big_key="key", small_key="key2", salt_from="row_id", n_salts=8,
+    ).select("row_id", "key", "v", "name")
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    # the hot key really is spread: its rows occupy every salt bucket
+    spread = (
+        with_salt(big.where(F.col("key") == 1), "row_id", 8)
+        .select("_salt").distinct().count()
+    )
+    assert spread == 8

@@ -26,6 +26,36 @@ def with_salt(df: DataFrame, from_col: str, n_salts: int = 8, out: str = "_salt"
     return df.withColumn(out, F.pmod(F.xxhash64(F.col(from_col)), F.lit(n_salts)))
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_from: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: replicate the small side ``n_salts`` times and
+    spread the big side's hot keys over ``n_salts`` reducers.
+
+    AQE's skew splitting handles MOST skewed joins at runtime; the manual
+    form still matters when (a) the skew is known and extreme (one bot user
+    = 30% of a 100 TB fact table pins one task), and (b) the small side is
+    too big to broadcast, so the join is sort-merge and one merge task
+    drowns. The big side's salt derives deterministically from
+    ``salt_from`` (any well-distributed column — an event id), the small
+    side carries every salt value, so each big row matches its partner
+    exactly once: the result is row-identical to the unsalted join at the
+    cost of an ``n_salts``× small-side replication.
+    """
+    b = with_salt(big, salt_from, n_salts)
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
+    )
+    out = b.join(s, (b[big_key] == s[small_key]) & (b["_salt"] == s["_salt"]), how)
+    return out.drop("_salt")
+
+
 def salted_count_distinct(
     df: DataFrame,
     key_cols: Sequence[str],

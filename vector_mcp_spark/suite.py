@@ -192,6 +192,13 @@ _DEFERRED_GREEN = [
 for _n in _DEFERRED_GREEN:
     SUITE[_n] = SUITE.pop(_n)
 
+# Entries added after the round-4 window was finalized: registered, locally
+# verified (tools/verify_local.py + pytest), and queued to lead the round-5
+# window — moved to the registry tail so the curated first-50 stays fixed.
+_QUEUED_NEXT_WINDOW = ["events_salted_enrich_join"]
+for _n in _QUEUED_NEXT_WINDOW:
+    SUITE[_n] = SUITE.pop(_n)
+
 # Promotion: brand-new oracle-backed entries registered in late modules are
 # pulled into the driver's 50-entry window so they get verified the round
 # they land (they rotate back to natural order once green).

@@ -1302,6 +1302,45 @@ def q_events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- salted skew join (replicate-small-side; result identical to plain join) --
+#
+# The merge hints force the sort-merge path (the case the operator exists
+# for — small side too big to broadcast, big side skewed): the exchange
+# keys become (key, salt), spreading any hot key over n_salts merge tasks.
+# The oracle is the PLAIN join — salting must be invisible in the result.
+
+_SALTED_JOIN_ORACLE = """
+SELECT c.c_mktsegment, count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       ROUND(SUM(e.value), 4) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("events_salted_enrich_join", _SALTED_JOIN_ORACLE, "relational", "skew")
+def q_events_salted_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        ev.hint("merge"), cust.hint("merge"),
+        big_key="user_id", small_key="c_custkey",
+        salt_from="event_id", n_salts=8,
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # -- ordered-event funnel (single-shuffle fold, no per-stage joins) -----------
 
 # The oracle replays the SAME greedy fold: per user, event stage-indices in
