@@ -143,3 +143,27 @@ def test_ann_recall_threshold_table(embs):
     }
     ivf_recall = len(exact & ivf) / len(exact)
     assert ivf_recall >= 0.85, f"IVF(16 centroids, nprobe=12) recall@5 {ivf_recall} < 0.85"
+
+
+def test_hard_negatives_exclude_same_label(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.similarity import hard_negative_mine
+    from vector_mcp_spark.suite import load
+
+    embs = load(spark, sf_dir, "embeddings")
+    anchors = embs.where(F.col("vec_id") % 25 == 0)
+    out = hard_negative_mine(anchors, embs, 3, id_col="vec_id", emb_col="embedding")
+    labels = {r.vec_id: r.label for r in embs.select("vec_id", "label").collect()}
+    rows = out.collect()
+    assert rows, "expected at least one anchor with negatives"
+    per_anchor = {}
+    for r in rows:
+        # every mined negative carries a different label than its anchor
+        assert labels[r.negative_id] != labels[r.anchor_id]
+        per_anchor.setdefault(r.anchor_id, []).append((r.rank, r.score))
+    for ranked in per_anchor.values():
+        ranked.sort()
+        assert [rk for rk, _ in ranked] == list(range(1, len(ranked) + 1))
+        scores = [s for _, s in ranked]
+        assert scores == sorted(scores, reverse=True)  # descending similarity

@@ -80,6 +80,56 @@ def cosine_self_join_topk(
     )
 
 
+def hard_negative_mine(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard negatives for contrastive retrieval training: for each anchor,
+    the ``k`` highest-cosine corpus rows whose ``label_col`` DIFFERS from
+    the anchor's — near the anchor in embedding space but semantically
+    wrong, the examples that actually move a ranker.
+
+    Returns (anchor_id, rank, negative_id, score). Anchors broadcast onto
+    one corpus scan + a per-anchor rank shuffle (TakeOrdered shape); at
+    100 TB put ``ann_lsh_topk``/``ann_ivf_topk`` candidate generation in
+    front and re-rank the shortlist with this exact scorer.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(emb_col).alias("avec"),
+        F.col(label_col).alias("alabel"),
+        l2_norm(F.col(emb_col)).alias("anorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(emb_col).alias("nvec"),
+        F.col(label_col).alias("nlabel"),
+        l2_norm(F.col(emb_col)).alias("nnorm"),
+    )
+    scored = (
+        c.join(F.broadcast(a))
+        .where(F.col("nlabel") != F.col("alabel"))
+        .withColumn(
+            "score",
+            F.try_divide(dot(F.col("nvec"), F.col("avec")), F.col("nnorm") * F.col("anorm")),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("score").desc(), F.col("negative_id").asc())
+    return (
+        scored.select("anchor_id", "negative_id", "score")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "anchor_id", "rank", "negative_id",
+            F.round("score", SCORE_DECIMALS).alias("score"),
+        )
+    )
+
+
 def _hyperplanes(
     dim: int, n_planes: int, n_tables: int, seed: str = "vector_mcp_spark"
 ) -> list[list[list[float]]]:

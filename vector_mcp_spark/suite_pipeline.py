@@ -559,6 +559,43 @@ def q_simjoin_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_self_join_topk(queries, embs, 1, id_col="vec_id", emb_col="embedding", dim=64)
 
 
+# -- hard-negative mining (contrastive-training staple) -----------------------
+#
+# For each anchor: the k nearest-by-cosine vectors with a DIFFERENT label —
+# close in embedding space, semantically wrong, exactly what a retrieval
+# trainer pairs against the positive. Exact scorer here; at scale the ANN
+# index feeds the shortlist and this re-ranks it.
+
+_HARDNEG_K = 5
+
+_HARDNEG_ORACLE = f"""
+WITH a AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 25 = 0),
+scored AS (
+  SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+         list_dot_product(c.embedding::DOUBLE[], a.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))) AS sim
+  FROM embeddings c CROSS JOIN a
+  WHERE c.label != a.label
+)
+SELECT anchor_id, CAST(rnk AS INTEGER) AS rank, negative_id, ROUND(sim, 6) AS score FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, negative_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {_HARDNEG_K}
+"""
+
+
+@register("embedding_hard_negatives", _HARDNEG_ORACLE, "similarity", "pipeline")
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.similarity import hard_negative_mine
+
+    embs = load(spark, sf_dir, "embeddings")
+    anchors = embs.where(F.col("vec_id") % 25 == 0)
+    return hard_negative_mine(
+        anchors, embs, _HARDNEG_K, id_col="vec_id", emb_col="embedding", label_col="label"
+    )
+
+
 # -- approximate ANN (rows-only: approximate by construction) -----------------
 
 # ANN indexes are built offline and queried many times — at 100 TB the
