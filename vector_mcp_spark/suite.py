@@ -195,7 +195,11 @@ for _n in _DEFERRED_GREEN:
 # Entries added after the round-4 window was finalized: registered, locally
 # verified (tools/verify_local.py + pytest), and queued to lead the round-5
 # window — moved to the registry tail so the curated first-50 stays fixed.
-_QUEUED_NEXT_WINDOW = ["events_salted_enrich_join", "embedding_hard_negatives"]
+_QUEUED_NEXT_WINDOW = [
+    "events_salted_enrich_join",
+    "embedding_hard_negatives",
+    "corpus_source_overlap",
+]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)
 

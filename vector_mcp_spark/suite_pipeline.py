@@ -1519,6 +1519,100 @@ def q_corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- cross-source overlap matrix (KMV set algebra over shingle sketches) ------
+#
+# "How much does source A duplicate source B?" — the data-governance
+# question behind licensing audits and mixture design. Per source: KMV
+# sketch of its distinct 3-gram shingle universe (ONE corpus scan, k longs
+# per source); every pair then gets union/intersection/Jaccard estimates
+# from sketches alone via kmv_set_estimates. At 100 TB the pairwise stage
+# costs |sources|² sketch rows — independent of corpus size.
+
+_OVERLAP_K = 128
+
+_SRC_OVERLAP_ORACLE = f"""
+WITH toks AS (
+  SELECT source, regexp_extract_all(lower(text), '[a-z0-9_]{{2,}}') AS t
+  FROM documents
+),
+sh AS (
+  SELECT source,
+         unnest(CASE WHEN len(t) >= 3
+                     THEN [array_to_string(t[i+1:i+3], ' ') FOR i IN range(0, len(t) - 2)]
+                     ELSE [] END) AS shingle
+  FROM toks
+),
+hashed AS (
+  SELECT DISTINCT source,
+         CAST('0x' || substring(sha256(shingle), 1, 15) AS BIGINT) AS h
+  FROM sh
+),
+ranked AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+  FROM hashed
+),
+ks AS (
+  SELECT source, list(h ORDER BY h ASC) AS ks
+  FROM ranked WHERE rn <= {_OVERLAP_K} GROUP BY source
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.ks AS ks_a, b.ks AS ks_b
+  FROM ks a JOIN ks b ON a.source < b.source
+),
+calc AS (
+  SELECT source_a, source_b, ks_a, ks_b,
+         list_sort(list_distinct(list_concat(ks_a, ks_b)))[1:{_OVERLAP_K}] AS m
+  FROM pairs
+),
+u AS (
+  SELECT source_a, source_b, ks_a, ks_b, m,
+         CAST(CASE WHEN len(m) < {_OVERLAP_K} THEN len(m)
+                   ELSE ROUND({_OVERLAP_K - 1}.0 / (m[{_OVERLAP_K}] / {float(2**60)!r})) END
+              AS BIGINT) AS est_union
+  FROM calc
+),
+i AS (
+  SELECT source_a, source_b, est_union,
+         CAST(CASE WHEN len(m) = 0 THEN 0.0
+                   ELSE ROUND(len(list_intersect(list_intersect(m, ks_a), ks_b))
+                              * CAST(est_union AS DOUBLE) / len(m)) END
+              AS BIGINT) AS est_intersect
+  FROM u
+)
+SELECT source_a, source_b, est_union, est_intersect,
+       ROUND(CAST(est_intersect AS DOUBLE) / est_union, 6) AS jaccard_est
+FROM i
+"""
+
+
+@register("corpus_source_overlap", _SRC_OVERLAP_ORACLE, "sketch", "dedup", "pipeline")
+def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.functions.text import tokens
+    from vector_mcp_spark.operators.sketches import kmv_set_estimates, kmv_sketch
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select("source", F.explode(shingles).alias("shingle"))
+    sk = kmv_sketch(ex, ["source"], "shingle", k=_OVERLAP_K)
+    a = sk.select(F.col("source").alias("source_a"), F.col("ks").alias("ks_a"))
+    b = sk.select(F.col("source").alias("source_b"), F.col("ks").alias("ks_b"))
+    pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    est = kmv_set_estimates(pairs, "ks_a", "ks_b", k=_OVERLAP_K)
+    return est.select(
+        "source_a", "source_b", "est_union", "est_intersect",
+        F.round(
+            F.col("est_intersect").cast("double") / F.col("est_union"), 6
+        ).alias("jaccard_est"),
+    )
+
+
 # -- REAL executed streaming dedup ingest (batch-twin oracle) -----------------
 #
 # The T2/T3 ingest pipeline as a Structured Streaming job actually executed
