@@ -235,3 +235,31 @@ def test_leakage_safe_split_is_cluster_coherent(spark, sf_dir):
         assert out.exceptAll(again).count() == 0
     finally:
         out.unpersist()
+
+
+def test_incremental_near_dup_matches_full_lsh_cross_pairs(spark, sf_dir):
+    """Incremental screen (incoming vs corpus) must find exactly the
+    full-LSH pairs that cross the batch boundary — nothing more, nothing
+    less — and never emit corpus-corpus or incoming-incoming pairs."""
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.dedup import incremental_near_dup, minhash_lsh_pairs
+    from vector_mcp_spark.suite import load
+
+    docs = load(spark, sf_dir, "documents")
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    inc = {
+        (r.in_id, r.corpus_id, r.jaccard)
+        for r in incremental_near_dup(
+            incoming, corpus, 0.8, id_col="doc_id", content_col="text"
+        ).collect()
+    }
+    full = minhash_lsh_pairs(docs, 0.8, id_col="doc_id", content_col="text").collect()
+    crossing = set()
+    for r in full:
+        if r.id_a % 2 != r.id_b % 2:  # one odd (incoming), one even (corpus)
+            a, b = (r.id_a, r.id_b) if r.id_a % 2 == 1 else (r.id_b, r.id_a)
+            crossing.add((a, b, r.jaccard))
+    assert inc == crossing
+    assert all(a % 2 == 1 and b % 2 == 0 for a, b, _ in inc)

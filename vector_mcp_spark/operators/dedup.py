@@ -447,6 +447,56 @@ def minhash_lsh_pairs(
     return cross.unionByName(within.select("id_a", "id_b", "jaccard"))
 
 
+def incremental_near_dup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    content_col: str = "content",
+    num_hashes: int = 16,
+    bands: int = 2,
+) -> DataFrame:
+    """Near-dup screen of an incoming batch AGAINST an existing corpus —
+    the steady-state ingest path. Candidates come from CROSS-TABLE band
+    collisions (incoming band signatures equi-join corpus band signatures),
+    so the corpus is never self-joined: a daily drop dedups against a
+    100 TB collection at O(|batch| signatures + collisions). Returns
+    (in_id, corpus_id, jaccard ≥ threshold), exact-verified.
+
+    At scale the corpus side of this join is a precomputed signature table
+    partitioned by (band, sig) — build it once with
+    ``minhash_signature_array`` at ingest and this screen touches only the
+    colliding partitions; here both sides derive inline.
+    """
+    rows_per_band = num_hashes // bands
+
+    def _banded(df: DataFrame, out: str) -> DataFrame:
+        sigs = minhash_signature_array(df, id_col, content_col, num_hashes)
+        return sigs.select(
+            F.col("id").alias(out),
+            F.posexplode(_band_sigs(F.col("sigs"), bands, rows_per_band)).alias(
+                "band", "sig"
+            ),
+        )
+
+    cands = (
+        _banded(incoming, "_in")
+        .join(_banded(corpus, "_cand"), ["band", "sig"])
+        .select(F.col("_in").alias("id_a"), F.col("_cand").alias("id_b"))
+        .distinct()
+    )
+    ta = _hashed_token_sets(
+        incoming, id_col, _distinct_tokens(content_col), "id_a", "toks_a", "na"
+    )
+    tb = _hashed_token_sets(
+        corpus, id_col, _distinct_tokens(content_col), "id_b", "toks_b", "nb"
+    )
+    verified = _jaccard_verify(cands.join(ta, "id_a").join(tb, "id_b"), threshold)
+    return verified.select(
+        F.col("id_a").alias("in_id"), F.col("id_b").alias("corpus_id"), "jaccard"
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "id", content_col: str = "content", bits: int = 32) -> DataFrame:
     """SimHash fingerprint per doc: (id, simhash long).
 

@@ -199,6 +199,7 @@ _QUEUED_NEXT_WINDOW = [
     "events_salted_enrich_join",
     "embedding_hard_negatives",
     "corpus_source_overlap",
+    "dedup_incremental_lsh",
 ]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)

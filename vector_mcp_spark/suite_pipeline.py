@@ -457,6 +457,63 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(_PAIR_LIMIT)
 
 
+# -- incremental near-dup: incoming batch vs existing corpus ------------------
+#
+# The production ingest path: odd doc_ids play the incoming drop, even ones
+# the standing collection. Candidates come from cross-table band collisions
+# only — no corpus self-join — then exact-verify. The oracle replays the
+# per-doc banding and the cross-table join.
+
+_INC_ORACLE = f"""
+WITH dt AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM dt),
+hp AS (
+  SELECT doc_id, p,
+         min(substring(sha256(tok || '|0') || sha256(tok || '|1'), 8 * p + 1, 8)) AS h
+  FROM ex CROSS JOIN (SELECT unnest(range({_MH_HASHES})) AS p)
+  GROUP BY doc_id, p
+),
+bands AS (
+  SELECT doc_id, CAST(p // {_MH_R} AS INT) AS band,
+         string_agg(h, '|' ORDER BY p) AS sig
+  FROM hp GROUP BY doc_id, p // {_MH_R}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS corpus_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+),
+ver AS (
+  SELECT in_id, corpus_id,
+         ROUND(
+           CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+           (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 6
+         ) AS jaccard
+  FROM cand JOIN dt ta ON ta.doc_id = cand.in_id JOIN dt tb ON tb.doc_id = cand.corpus_id
+)
+SELECT in_id, corpus_id, jaccard FROM ver WHERE jaccard >= {_MH_T}
+ORDER BY jaccard DESC, in_id ASC, corpus_id ASC
+LIMIT {_PAIR_LIMIT}
+"""
+
+
+@register("dedup_incremental_lsh", _INC_ORACLE, "dedup", "pipeline")
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.dedup import incremental_near_dup
+
+    docs = load(spark, sf_dir, "documents")
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    pairs = incremental_near_dup(
+        incoming, corpus, _MH_T,
+        id_col="doc_id", content_col="text",
+        num_hashes=_MH_HASHES, bands=_MH_BANDS,
+    )
+    return pairs.orderBy(F.col("jaccard").desc(), "in_id", "corpus_id").limit(_PAIR_LIMIT)
+
+
 # -- SimHash fingerprints -----------------------------------------------------
 
 # Replays the fingerprint exactly: token hash = first 8 sha256 hex chars as
