@@ -215,3 +215,46 @@ def test_stream_static_enrichment_broadcasts_and_keeps_unmatched(spark, tmp_path
     ).collect()}
     assert got[1].c_name == "Customer#7"
     assert got[2].c_name is None  # left join: facts never dropped
+
+
+def test_stream_ingest_into_collection_effectively_once(spark, tmp_path):
+    """Streamed docs land in the collection through the engine's upsert;
+    re-running the same stream with a FRESH checkpoint (a full replay, the
+    worst recovery case) leaves the table state identical."""
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.schema import DOCUMENT_SCHEMA
+    from vector_mcp_spark.streaming.ingest import (
+        stream_ingest_into_collection,
+        streaming_dedup_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    raw = spark.createDataFrame(
+        # two exact duplicates (same content) collapse to one id
+        [("doc one alpha",), ("doc two beta",), ("doc one alpha",)],
+        "content string",
+    )
+    raw.write.mode("overwrite").parquet(src)
+
+    engine = CollectionEngine(spark, str(tmp_path / "warehouse"))
+    engine.create_collection("stream_sink")
+
+    def run(tag: str) -> None:
+        stream = spark.readStream.schema("content string").parquet(src)
+        docs = streaming_dedup_ingest(stream).select(
+            "id", "content",
+            F.lit(None).cast(DOCUMENT_SCHEMA["metadata"].dataType).alias("metadata"),
+            F.lit(None).cast(DOCUMENT_SCHEMA["embedding"].dataType).alias("embedding"),
+        )
+        stream_ingest_into_collection(
+            docs, engine, "stream_sink", str(tmp_path / f"ckpt_{tag}")
+        )
+
+    run("first")
+    first = {(r.id, r.content) for r in engine.read("stream_sink").collect()}
+    assert len(first) == 2  # dedup collapsed the exact duplicate
+    run("replay")
+    second = {(r.id, r.content) for r in engine.read("stream_sink").collect()}
+    assert second == first  # idempotent sink: full replay changes nothing

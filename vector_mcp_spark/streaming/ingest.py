@@ -159,6 +159,40 @@ def streaming_dedup_ingest(docs: DataFrame, watermark_col: str | None = None, wa
     return out.dropDuplicates(["id"])
 
 
+def stream_ingest_into_collection(
+    stream_docs: DataFrame,
+    engine,
+    collection: str,
+    checkpoint_dir: str,
+):
+    """End-to-end streaming ingest INTO a collection: each micro-batch of a
+    (already sanitized/deduped — compose ``streaming_dedup_ingest``
+    upstream) Document-schema stream merges through the engine's
+    partition-pruned upsert inside ``foreachBatch``.
+
+    Effectively-once: the sink's write is an idempotent id-keyed upsert, so
+    a batch replayed after a checkpoint-recovery produces the identical
+    table state — the standard Structured Streaming exactly-once recipe of
+    checkpointed offsets + idempotent sink (reference ingest semantics
+    ``vector_mcp/vectordb/base.py:139-172``, continuous form). Runs
+    availableNow and blocks until the backlog is drained.
+    """
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        engine.update_documents(collection, batch_df)
+
+    q = (
+        stream_docs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def interval_join_events(
     left: DataFrame,
     right: DataFrame,
