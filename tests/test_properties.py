@@ -307,3 +307,18 @@ def test_kmv_set_estimates_exact_below_k(spark, sa, sb):
     row = kmv_set_estimates(pairs, k=k).collect()[0]
     assert row.est_union == len(sa | sb)
     assert row.est_intersect == len(sa & sb)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=100_000), min_size=1, max_size=300),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_kmv_presalt_sketch_bit_identical(spark, vals):
+    """The two-phase (pre-salted) sketch must equal the single-phase sketch
+    exactly — the lossless-merge property that lets heavy groups scale."""
+    from vector_mcp_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v long")
+    plain = kmv_sketch(df, ["grp"], "v", k=32).collect()[0].ks
+    salted = kmv_sketch(df, ["grp"], "v", k=32, presalt=8).collect()[0].ks
+    assert salted == plain

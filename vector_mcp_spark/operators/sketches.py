@@ -72,13 +72,23 @@ def kmv_sketch(
     group_cols: Sequence[str],
     value_col: str,
     k: int = 64,
+    presalt: int | None = None,
 ) -> DataFrame:
     """Per group: the KMV sketch itself — (group_cols…, ks) where ``ks`` is
     the ascending array of the ≤ k smallest value hashes. This is the
     MERGEABLE form: sketches roll up to coarser groupings losslessly
     (``kmv_merge``), the property that lets a 100 TB pipeline keep daily
     sketches and answer weekly/monthly distinct questions without
-    re-scanning raw data."""
+    re-scanning raw data.
+
+    ``presalt=N`` computes the sketch in two phases — partial sketches per
+    (group, hash-derived salt), then a lossless merge — so a heavy group's
+    rank never funnels through ONE reducer (the plain window sends every
+    distinct hash of a group to a single task: fine for thousands, a
+    straggler for billions). The merge is exact (any global k-min hash is
+    its own salt bucket's k-min), so the result is BIT-IDENTICAL to the
+    single-phase sketch — callers flip it on for scale without touching
+    any downstream estimate or oracle."""
     if k < 2:
         raise ValueError("k must be >= 2")
     group_cols = list(group_cols)
@@ -86,6 +96,16 @@ def kmv_sketch(
         "long"
     )
     hashed = df.select(*group_cols, h.alias("_h")).distinct()
+    if presalt and presalt > 1:
+        salted = hashed.withColumn("_salt", F.pmod(F.col("_h"), F.lit(presalt)))
+        w1 = Window.partitionBy(*group_cols, "_salt").orderBy(F.col("_h").asc())
+        partial = (
+            salted.withColumn("_rn", F.row_number().over(w1))
+            .where(F.col("_rn") <= k)
+            .groupBy(*group_cols, "_salt")
+            .agg(F.array_sort(F.collect_list("_h")).alias("ks"))
+        )
+        return kmv_merge(partial, group_cols, k=k)
     w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
     kept = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
     return kept.groupBy(*group_cols).agg(F.array_sort(F.collect_list("_h")).alias("ks"))

@@ -1657,7 +1657,10 @@ def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     ex = docs.select("source", F.explode(shingles).alias("shingle"))
-    sk = kmv_sketch(ex, ["source"], "shingle", k=_OVERLAP_K)
+    # presalt: a source's distinct-shingle universe is corpus-sized — the
+    # two-phase sketch keeps every reducer bounded at k rows per salt and
+    # is bit-identical to the single-phase result (lossless merge)
+    sk = kmv_sketch(ex, ["source"], "shingle", k=_OVERLAP_K, presalt=16)
     a = sk.select(F.col("source").alias("source_a"), F.col("ks").alias("ks_a"))
     b = sk.select(F.col("source").alias("source_b"), F.col("ks").alias("ks_b"))
     pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
