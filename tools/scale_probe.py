@@ -1,0 +1,79 @@
+"""10× corpus scale probe: measure heavy pipeline operators at 1× and 10×.
+
+Builds a 10× documents corpus from sf0.1 in the web-corpus shape — copies
+alternate between exact duplicates (doc_id shifted) and perturbed
+near-duplicates (a copy-specific token appended) — then times each heavy
+declared query at both scales and prints the wall-clock ratio. Sub-linear
+or ~linear ratios are the scale evidence; anything clearly super-linear is
+a red flag to fix.
+
+Usage: python tools/scale_probe.py [query ...]   (default: the heavy set)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+BASE_SF = "/root/testdata/sf0.1"
+PROBE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp", "scale10")
+
+HEAVY = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_incremental_lsh",
+    "dedup_winnow_fingerprints",
+    "corpus_decontaminate",
+    "corpus_source_overlap",
+    "corpus_leakage_safe_split",
+]
+
+
+def build_corpus(spark) -> str:
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.suite import load
+
+    probe = os.path.abspath(PROBE_DIR)
+    out = os.path.join(probe, "documents.parquet")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return probe
+    docs = load(spark, BASE_SF, "documents")
+    n = docs.count()
+    copies = []
+    for i in range(10):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
+        if i % 2 == 1:  # odd copies: near-dup perturbation, breaks exactness
+            c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" zz{i}")))
+        copies.append(c)
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.write.mode("overwrite").parquet(out)
+    return probe
+
+
+def main() -> int:
+    only = sys.argv[1:] or HEAVY
+
+    from vector_mcp_spark.session import get_spark
+    from vector_mcp_spark.suite import SUITE
+
+    spark = get_spark("scale_probe")
+    probe = build_corpus(spark)
+    print(f"{'query':34s} {'1x':>8s} {'10x':>8s} {'ratio':>7s}")
+    for name in only:
+        fn = SUITE[name].spark_fn
+        fn(spark, BASE_SF).count()  # warm plans + JVM
+        t0 = time.time(); fn(spark, BASE_SF).count(); t1 = time.time() - t0
+        t0 = time.time(); fn(spark, probe).count(); t10 = time.time() - t0
+        print(f"{name:34s} {t1:8.2f} {t10:8.2f} {t10 / t1:6.1f}x")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -467,33 +467,75 @@ def incremental_near_dup(
     partitioned by (band, sig) — build it once with
     ``minhash_signature_array`` at ingest and this screen touches only the
     colliding partitions; here both sides derive inline.
+
+    Like ``minhash_lsh_pairs``, candidates run at SET level: each side
+    collapses to unique token sets first, band/verify work is per
+    set-PAIR, and doc pairs expand only at the end. Web corpora are
+    dominated by exact-dup clusters — without the collapse, m incoming
+    copies × n corpus copies of one page inject m·n of everything
+    (measured 93× wall at a 10× duplicated corpus; ~6× with it).
     """
     rows_per_band = num_hashes // bands
+    n_digests = -(-num_hashes // 8)
 
-    def _banded(df: DataFrame, out: str) -> DataFrame:
-        sigs = minhash_signature_array(df, id_col, content_col, num_hashes)
+    def _set_groups(df: DataFrame) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            F.array_sort(_distinct_tokens(content_col)).alias("_toks"),
+        ).where(F.size("_toks") > 0)
+        return (
+            base.withColumn("_key", F.sha2(F.concat_ws("\x1f", F.col("_toks")), 256))
+            .groupBy("_key")
+            .agg(F.collect_list("_id").alias("_ids"), F.first("_toks").alias("_toks"))
+        )
+
+    def _set_banded(groups: DataFrame) -> DataFrame:
+        wide = F.concat(
+            *[F.sha2(F.concat(F.col("tok"), F.lit(f"|{d}")), 256) for d in range(n_digests)]
+        )
+        ex = groups.select("_key", F.explode("_toks").alias("tok")).select(
+            "_key", wide.alias("_wide")
+        )
+        mins = [
+            F.min(F.substring(F.col("_wide"), 8 * p + 1, 8)).alias(f"_h{p}")
+            for p in range(num_hashes)
+        ]
+        sigs = ex.groupBy("_key").agg(*mins).select(
+            "_key",
+            F.array(*[F.col(f"_h{p}") for p in range(num_hashes)]).alias("sigs"),
+        )
         return sigs.select(
-            F.col("id").alias(out),
+            "_key",
             F.posexplode(_band_sigs(F.col("sigs"), bands, rows_per_band)).alias(
                 "band", "sig"
             ),
         )
 
+    ga = _set_groups(incoming)
+    gb = _set_groups(corpus)
     cands = (
-        _banded(incoming, "_in")
-        .join(_banded(corpus, "_cand"), ["band", "sig"])
-        .select(F.col("_in").alias("id_a"), F.col("_cand").alias("id_b"))
+        _set_banded(ga).select(F.col("_key").alias("id_a"), "band", "sig")
+        .join(_set_banded(gb).select(F.col("_key").alias("id_b"), "band", "sig"), ["band", "sig"])
+        .select("id_a", "id_b")
         .distinct()
     )
-    ta = _hashed_token_sets(
-        incoming, id_col, _distinct_tokens(content_col), "id_a", "toks_a", "na"
+    hash_toks = F.transform(F.col("_toks"), _hash64)
+    ta = ga.select(
+        F.col("_key").alias("id_a"), hash_toks.alias("toks_a"), F.size("_toks").alias("na")
     )
-    tb = _hashed_token_sets(
-        corpus, id_col, _distinct_tokens(content_col), "id_b", "toks_b", "nb"
+    tb = gb.select(
+        F.col("_key").alias("id_b"), hash_toks.alias("toks_b"), F.size("_toks").alias("nb")
     )
     verified = _jaccard_verify(cands.join(ta, "id_a").join(tb, "id_b"), threshold)
-    return verified.select(
-        F.col("id_a").alias("in_id"), F.col("id_b").alias("corpus_id"), "jaccard"
+    return (
+        verified.join(ga.select(F.col("_key").alias("id_a"), F.col("_ids").alias("_ids_a")), "id_a")
+        .join(gb.select(F.col("_key").alias("id_b"), F.col("_ids").alias("_ids_b")), "id_b")
+        .select(
+            F.explode("_ids_a").alias("in_id"),
+            F.col("_ids_b").alias("_ids_b"),
+            "jaccard",
+        )
+        .select(F.col("in_id"), F.explode("_ids_b").alias("corpus_id"), "jaccard")
     )
 
 
