@@ -200,6 +200,7 @@ _QUEUED_NEXT_WINDOW = [
     "embedding_hard_negatives",
     "corpus_source_overlap",
     "dedup_incremental_lsh",
+    "corpus_manifest",
 ]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)

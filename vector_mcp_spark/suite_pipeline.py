@@ -457,6 +457,51 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(_PAIR_LIMIT)
 
 
+# -- corpus manifest: the dataset card a snapshot publishes -------------------
+#
+# One row per (source, lang): doc/token volume, size profile, and the
+# bag-fingerprint dup fraction — the summary a training-data release ships
+# so mixture design can weigh sources without touching raw data. Pure
+# scan + one grouped aggregation.
+
+_MANIFEST_ORACLE = f"""
+WITH per_doc AS (
+  SELECT source, lang, n_chars,
+         len({_TOKS}) AS ntok,
+         md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+  FROM documents
+)
+SELECT source, lang, count(*) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       ROUND(AVG(n_chars), 6) AS avg_chars,
+       CAST(count(DISTINCT fp) AS BIGINT) AS distinct_docs,
+       ROUND(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_frac
+FROM per_doc GROUP BY source, lang
+"""
+
+
+@register("corpus_manifest", _MANIFEST_ORACLE, "textstats", "pipeline")
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.functions.text import tokens
+    from vector_mcp_spark.operators.textstats import fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source", "lang", "n_chars",
+        F.size(tokens("text")).alias("ntok"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    return per_doc.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.countDistinct("fp").cast("long").alias("distinct_docs"),
+        F.round(
+            1.0 - F.countDistinct("fp").cast("double") / F.count("*"), 6
+        ).alias("dup_frac"),
+    )
+
+
 # -- incremental near-dup: incoming batch vs existing corpus ------------------
 #
 # The production ingest path: odd doc_ids play the incoming drop, even ones
