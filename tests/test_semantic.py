@@ -127,3 +127,33 @@ def test_mmr_validation(spark):
     big = _mmr_pool(spark, [(str(i), [1.0], 0.5) for i in range(1001)])
     with _pytest.raises(EngineError, match="mmr_pool_too_large"):
         mmr_rerank(big, 1)
+
+
+def test_late_interaction_maxsim_reference(spark):
+    """MaxSim on a tiny corpus equals the hand-computed score: per query
+    token take the best vector in the group, then sum."""
+    import math
+
+    from vector_mcp_spark.operators.semantic import late_interaction_topk
+
+    groups = {
+        "g1": [[1.0, 0.0], [0.0, 1.0]],
+        "g2": [[0.7, 0.7], [1.0, 0.1]],
+        "g3": [[-1.0, 0.0]],
+    }
+    rows = [(g, v) for g, vecs in groups.items() for v in vecs]
+    df = spark.createDataFrame(rows, "label string, embedding array<float>")
+    q = [[1.0, 0.0], [0.0, 1.0]]
+    got = {r.label: r.score for r in late_interaction_topk(df, q, 3).collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(y * y for y in b))
+        return d / (na * nb)
+
+    for g, vecs in groups.items():
+        expected = sum(max(cos(t, v) for v in vecs) for t in q)
+        assert got[g] == pytest.approx(expected, abs=1e-5)
+    ranked = sorted(got.items(), key=lambda kv: -kv[1])
+    assert ranked[0][0] in ("g1", "g2")  # g3 is anti-aligned, must be last
+    assert ranked[-1][0] == "g3"

@@ -133,3 +133,47 @@ def semantic_topk_multi(
     return topk.select(
         "query_id", "rank", id_col, *payload_cols, F.round("score", SCORE_DECIMALS).alias("score")
     )
+
+
+def late_interaction_topk(
+    corpus: DataFrame,
+    query_vecs: Sequence[Sequence[float]],
+    k: int,
+    group_col: str = "label",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ColBERT-style MaxSim late interaction: the query is a SET of token
+    vectors and a document is a GROUP of vectors (chunks / passage tokens);
+    score(doc) = Σ over query tokens of the max cosine across the doc's
+    vectors (Khattab & Zaharia, SIGIR'20). Returns (group, rank, score).
+
+    Plan shape: the per-token cosines are literal-expanded projections on
+    ONE corpus scan, the per-group maxes partial-aggregate map-side, and
+    the top-k is TakeOrderedAndProject — scoring never shuffles anything
+    wider than (group, |query| doubles) no matter how many vectors a
+    document holds.
+    """
+    from vector_mcp_spark.functions.vector import cosine_similarity_lit
+
+    n = len(query_vecs)
+    per_vec = corpus.select(
+        F.col(group_col).alias("grp"),
+        *[
+            cosine_similarity_lit(F.col(emb_col), vec).alias(f"_c{t}")
+            for t, vec in enumerate(query_vecs)
+        ],
+    )
+    maxes = per_vec.groupBy("grp").agg(
+        *[F.max(f"_c{t}").alias(f"_m{t}") for t in range(n)]
+    )
+    total = maxes.select(
+        F.col("grp").alias(group_col),
+        F.round(sum(F.col(f"_m{t}") for t in range(n)), SCORE_DECIMALS).alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(group_col).asc())
+    return (
+        total.orderBy(F.col("score").desc(), F.col(group_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select(group_col, "rank", "score")
+    )

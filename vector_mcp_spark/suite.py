@@ -201,6 +201,7 @@ _QUEUED_NEXT_WINDOW = [
     "corpus_source_overlap",
     "dedup_incremental_lsh",
     "corpus_manifest",
+    "semantic_late_interaction",
 ]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)

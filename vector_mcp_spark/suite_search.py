@@ -474,3 +474,42 @@ def q_semantic_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         pool, _MMR_K, _MMR_LAM, id_col="doc_id", emb_col="embedding", rel_col="score"
     )
+
+
+# ---------------------------------------------------------------------------
+# Late interaction (ColBERT MaxSim): query = a SET of token vectors, doc = a
+# GROUP of vectors (label plays the document here; its member vectors are
+# the passage tokens). One scan, map-side partial max, TakeOrdered top-k.
+# ---------------------------------------------------------------------------
+
+_LI_K = 5
+
+
+def _li_oracle() -> str:
+    maxes = ",\n         ".join(
+        f"max({_cosine_sql('embedding', vec)}) AS m{t}"
+        for t, (_, vec) in enumerate(MULTI_QUERY_VECS)
+    )
+    total = " + ".join(f"m{t}" for t in range(len(MULTI_QUERY_VECS)))
+    return f"""
+WITH maxes AS (
+  SELECT label,
+         {maxes}
+  FROM embeddings GROUP BY label
+),
+scored AS (SELECT label, ROUND({total}, 6) AS score FROM maxes)
+SELECT label, CAST(row_number() OVER (ORDER BY score DESC, label ASC) AS INTEGER) AS rank, score
+FROM scored ORDER BY score DESC, label ASC LIMIT {_LI_K}
+"""
+
+
+@register("semantic_late_interaction", _li_oracle(), "search", "multivector")
+def q_semantic_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.semantic import late_interaction_topk
+
+    embs = load(spark, sf_dir, "embeddings")
+    out = late_interaction_topk(
+        embs, [vec for _, vec in MULTI_QUERY_VECS], _LI_K,
+        group_col="label", emb_col="embedding",
+    )
+    return out.select("label", "rank", "score")
