@@ -127,3 +127,35 @@ def test_ann_projected_topk_recall_gate(spark):
     }
     assert len(exact) == 100
     assert len(approx & exact) / len(exact) >= 0.75
+
+
+def test_pq_perfectly_clustered_corpus_zero_error(spark):
+    """Two exact subvector patterns, k=2 per subspace: after one Lloyd
+    round the codebook IS the patterns, reconstruction error is 0, and
+    same-pattern vectors share codes."""
+    from vector_mcp_spark.operators.pq import pq_build
+
+    import hashlib
+
+    a = [1.0, 2.0, 1.0, 2.0]
+    b = [-3.0, 0.5, -3.0, 0.5]
+    # the two sha-ordered seed rows must cover BOTH patterns or k-means
+    # (correctly) can't reach zero error — assign patterns accordingly
+    ids = list(range(40))
+    by_sha = sorted(ids, key=lambda i: hashlib.sha256(str(i).encode()).hexdigest())
+    pattern = {i: i % 2 for i in ids}
+    pattern[by_sha[0]], pattern[by_sha[1]] = 0, 1
+    rows = [(i, a if pattern[i] == 0 else b) for i in ids]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    encoded, codebooks = pq_build(df, m=2, n_codes=2, id_col="id", iters=1)
+    got = encoded.select("id", "codes", "mse").collect()
+    assert all(r.mse == 0.0 for r in got)
+    by_pattern = {0: set(), 1: set()}
+    for r in got:
+        by_pattern[pattern[r.id]].add(tuple(r.codes))
+    assert len(by_pattern[0]) == 1 and len(by_pattern[1]) == 1
+    assert by_pattern[0] != by_pattern[1]
+    assert len(codebooks) == 2 and all(len(cb) == 2 for cb in codebooks)
+    # determinism: a rebuild produces identical codes
+    again = {r.id: tuple(r.codes) for r in pq_build(df, m=2, n_codes=2, id_col="id", iters=1)[0].collect()}
+    assert again == {r.id: tuple(r.codes) for r in got}

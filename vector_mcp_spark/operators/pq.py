@@ -1,0 +1,116 @@
+"""Product quantization: m-subspace codebook compression for embeddings.
+
+PQ (Jégou et al., TPAMI'11) splits a d-dim vector into m subvectors and
+replaces each with the id of its nearest codebook centroid — d floats
+become m small ints (64-dim float32 → 4 bytes here, 64×), the memory tier
+that makes billion-vector ANN feasible. Complements the existing ladder:
+int8 (4×, `operators/quantize.py`) → PQ (this) → IVF cluster pruning
+(`operators/similarity.py`).
+
+Determinism contract (same family as `ivf_build`): codebook init = the
+n_codes rows with the smallest sha256(id); Lloyd updates use per-dimension
+means ROUNDed to 8 dp; assignment ties go to the lowest code index
+(np.argmin) — so ANSI SQL can rebuild the identical codebooks and replay
+every code and the reconstruction error.
+
+Scale shape: assignment is one Arrow-batched matmul-ish kernel per batch
+(vectors never shuffle); the Lloyd update shuffles only (subspace, code,
+partial sums); the codebook itself (m·k·d/m floats) broadcasts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_mcp_spark.functions.vector import dot
+
+
+def pq_build(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+    iters: int = 1,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Build PQ codebooks and encode the corpus.
+
+    Returns (encoded, codebooks): ``encoded`` = corpus + ``codes``
+    (array<int>, length m) + ``mse`` (6-dp per-vector reconstruction error),
+    ``codebooks[s][j]`` = centroid j of subspace s.
+    """
+    first = corpus.select(F.size(F.col(emb_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    d = int(first.d)
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+
+    seed_rows = (
+        corpus.select(
+            F.col(emb_col).alias("v"), F.sha2(F.col(id_col).cast("string"), 256).alias("h")
+        )
+        .orderBy("h")
+        .limit(n_codes)
+        .collect()
+    )
+    if len(seed_rows) < n_codes:
+        raise ValueError("corpus smaller than n_codes")
+    codebooks = [
+        [[float(x) for x in r.v[s * sub : (s + 1) * sub]] for r in seed_rows]
+        for s in range(m)
+    ]
+
+    def assign(df: DataFrame, cbs: list[list[list[float]]]) -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+
+        cents = [np.asarray(cb, dtype=np.float64) for cb in cbs]  # m × (k × sub)
+
+        @pandas_udf("array<int>")
+        def codes_of(col: pd.Series) -> pd.Series:
+            mat = np.asarray(col.tolist(), dtype=np.float64)  # B × d
+            out = np.empty((len(mat), m), dtype=np.int32)
+            for s in range(m):
+                x = mat[:, s * sub : (s + 1) * sub]  # B × sub
+                diff = x[:, None, :] - cents[s][None, :, :]  # B × k × sub
+                d2 = np.einsum("bks,bks->bk", diff, diff)
+                out[:, s] = np.argmin(d2, axis=1)  # ties → lowest code
+            return pd.Series(list(out))
+
+        return df.withColumn("codes", codes_of(F.col(emb_col)))
+
+    for _ in range(iters):
+        assigned = assign(corpus, codebooks)
+        ex = assigned.select(
+            F.posexplode("codes").alias("s", "code"), F.col(emb_col).alias("v")
+        ).withColumn("subv", F.expr(f"slice(v, s * {sub} + 1, {sub})"))
+        agg = (
+            ex.groupBy("s", "code")
+            .agg(
+                F.array(
+                    *[F.round(F.avg(F.col("subv")[i]), 8) for i in range(sub)]
+                ).alias("c")
+            )
+            .collect()
+        )
+        new = {(r.s, r.code): [float(x) for x in r.c] for r in agg}
+        codebooks = [
+            [new.get((s, j), codebooks[s][j]) for j in range(n_codes)] for s in range(m)
+        ]
+
+    encoded = assign(corpus, codebooks)
+    total = None
+    for s in range(m):
+        cb_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in codebooks[s]]
+        )
+        cent = F.element_at(cb_lit, F.col("codes")[s] + 1)
+        subv = F.slice(F.col(emb_col), s * sub + 1, sub)
+        diff = F.zip_with(subv, cent, lambda x, y: x - y)
+        sq = dot(diff, diff)  # same fold as the SQL list_dot_product replay
+        total = sq if total is None else total + sq
+    return encoded.withColumn("mse", F.round(total / F.lit(float(d)), 6)), codebooks

@@ -202,6 +202,7 @@ _QUEUED_NEXT_WINDOW = [
     "dedup_incremental_lsh",
     "corpus_manifest",
     "semantic_late_interaction",
+    "embedding_pq_codes",
 ]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)

@@ -457,6 +457,86 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(_PAIR_LIMIT)
 
 
+# -- product quantization: m-subspace codebook compression --------------------
+#
+# 64-dim float32 → 4 code bytes (64×), the memory tier under billion-vector
+# ANN. Build is deterministic (sha-ordered seeds, 8-dp-rounded Lloyd means,
+# argmin ties to the lowest code), so the oracle rebuilds both codebook
+# generations and replays every code and the reconstruction error — the
+# same replay discipline as the IVF oracle.
+
+_PQ_M, _PQ_SUB, _PQ_K, _PQ_D = 4, 16, 16, 64
+
+
+def _pq_oracle() -> str:
+    def assign_cte(name: str, cb: str) -> str:
+        return f"""
+{name}_d AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, cb.s, cb.code,
+         [ (e.embedding::DOUBLE[])[cb.s * {_PQ_SUB} + i + 1] - cb.c[i + 1]
+           FOR i IN range(0, {_PQ_SUB}) ] AS diff
+  FROM embeddings e CROSS JOIN {cb} cb
+),
+{name} AS (
+  SELECT vec_id, v, s, code, dist FROM (
+    SELECT vec_id, v, s, code, list_dot_product(diff, diff) AS dist,
+           row_number() OVER (
+             PARTITION BY vec_id, s
+             ORDER BY list_dot_product(diff, diff) ASC, code ASC) AS rn
+    FROM {name}_d
+  ) WHERE rn = 1
+)"""
+
+    def update_cte(name: str, assign: str, prev: str) -> str:
+        return f"""
+{name}_m AS (
+  SELECT a.s, a.code, i.i, ROUND(avg(a.v[a.s * {_PQ_SUB} + i.i + 1]), 8) AS val
+  FROM {assign} a CROSS JOIN (SELECT unnest(range({_PQ_SUB})) AS i) i
+  GROUP BY a.s, a.code, i.i
+),
+{name}_l AS (SELECT s, code, list(val ORDER BY i) AS c FROM {name}_m GROUP BY s, code),
+{name} AS (
+  SELECT p.s, p.code, COALESCE(n.c, p.c) AS c
+  FROM {prev} p LEFT JOIN {name}_l n ON n.s = p.s AND n.code = p.code
+)"""
+
+    return f"""
+WITH seedv AS (
+  SELECT code, v FROM (
+    SELECT row_number() OVER (ORDER BY sha256(CAST(vec_id AS VARCHAR))) - 1 AS code,
+           embedding::DOUBLE[] AS v
+    FROM embeddings
+  ) WHERE code < {_PQ_K}
+),
+cb0 AS (
+  SELECT s.s, seedv.code,
+         v[s.s * {_PQ_SUB} + 1 : s.s * {_PQ_SUB} + {_PQ_SUB}] AS c
+  FROM seedv CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) s
+),{assign_cte("a1", "cb0")},{update_cte("cb1", "a1", "cb0")},{assign_cte("a2", "cb1")}
+SELECT vec_id,
+       array_to_string(list(code ORDER BY s), ',') AS codes_str,
+       ROUND(SUM(dist) / {_PQ_D}, 6) AS mse
+FROM a2 GROUP BY vec_id
+"""
+
+
+@register("embedding_pq_codes", _pq_oracle(), "similarity", "pipeline")
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.pq import pq_build
+
+    embs = load(spark, sf_dir, "embeddings")
+    encoded, _ = pq_build(
+        embs, m=_PQ_M, n_codes=_PQ_K, id_col="vec_id", emb_col="embedding", iters=1
+    )
+    return encoded.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",").alias(
+            "codes_str"
+        ),
+        "mse",
+    )
+
+
 # -- corpus manifest: the dataset card a snapshot publishes -------------------
 #
 # One row per (source, lang): doc/token volume, size profile, and the
