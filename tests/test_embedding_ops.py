@@ -159,3 +159,25 @@ def test_pq_perfectly_clustered_corpus_zero_error(spark):
     # determinism: a rebuild produces identical codes
     again = {r.id: tuple(r.codes) for r in pq_build(df, m=2, n_codes=2, id_col="id", iters=1)[0].collect()}
     assert again == {r.id: tuple(r.codes) for r in got}
+
+
+def test_pq_adc_ranks_by_reconstruction_distance(spark, sf_dir):
+    """ADC distances must equal the exact L2^2 between the query and each
+    vector's PQ reconstruction — table lookups lose nothing vs decoding."""
+    import math
+
+    from vector_mcp_spark.operators.pq import pq_adc_topk, pq_build
+    from vector_mcp_spark.suite import SEM_QUERY_VEC, load
+
+    embs = load(spark, sf_dir, "embeddings")
+    encoded, cbs = pq_build(embs, m=4, n_codes=16, id_col="vec_id", iters=1)
+    got = pq_adc_topk(encoded, cbs, SEM_QUERY_VEC, 5, id_col="vec_id").collect()
+    assert [r.rank for r in got] == [1, 2, 3, 4, 5]
+    codes = {r.vec_id: r.codes for r in encoded.select("vec_id", "codes").collect()}
+    sub = 16
+    for r in got:
+        recon = [x for s in range(4) for x in cbs[s][codes[r.vec_id][s]]]
+        exact = sum(
+            (float(q) - float(x)) ** 2 for q, x in zip(SEM_QUERY_VEC, recon)
+        )
+        assert math.isclose(r.adc_dist, exact, rel_tol=0, abs_tol=5e-7)

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_mcp_spark.functions.vector import dot
@@ -114,3 +114,50 @@ def pq_build(
         sq = dot(diff, diff)  # same fold as the SQL list_dot_product replay
         total = sq if total is None else total + sq
     return encoded.withColumn("mse", F.round(total / F.lit(float(d)), 6)), codebooks
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int,
+    id_col: str = "id",
+) -> DataFrame:
+    """Asymmetric distance computation — the search mode PQ exists for:
+    the query stays exact, each corpus vector is its m code bytes, and
+    distance = Σ_s table_s[code_s] where table_s holds the query
+    subvector's squared L2 to every centroid of subspace s.
+
+    The m·k-entry tables are computed driver-side and inlined as literals,
+    so scoring a vector is m array lookups + a sum — no vector data is
+    read at all. Returns (id, rank, adc_dist). At billion scale this scans
+    the 4-byte code column only; chain an exact re-rank over the shortlist
+    when recall matters.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    tables = []
+    for s in range(m):
+        qs = [float(x) for x in query_vec[s * sub : (s + 1) * sub]]
+        row = []
+        for c in codebooks[s]:
+            d = [qs[i] - c[i] for i in range(sub)]
+            row.append(sum(x * x for x in d))  # sequential, mirrors list_dot_product
+        tables.append(row)
+    score = None
+    for s in range(m):
+        t_lit = F.array(*[F.lit(float(x)) for x in tables[s]])
+        term = F.element_at(t_lit, F.col("codes")[s] + 1)
+        score = term if score is None else score + term
+    return (
+        encoded.select(F.col(id_col), F.round(score, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+            ),
+        )
+        .select(id_col, "rank", "adc_dist")
+    )

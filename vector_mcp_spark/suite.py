@@ -203,6 +203,7 @@ _QUEUED_NEXT_WINDOW = [
     "corpus_manifest",
     "semantic_late_interaction",
     "embedding_pq_codes",
+    "embedding_pq_adc_topk",
 ]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)

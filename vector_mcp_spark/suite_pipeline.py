@@ -537,6 +537,59 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ADC search over the codes — the point of PQ: the query stays exact, each
+# corpus vector is its m code bytes, distance = m table lookups. The oracle
+# extends the codebook replay with the query's distance tables (one UNION
+# branch per subspace, the query subvector inlined as literals).
+
+_PQ_ADC_K = 10
+
+
+def _pq_adc_oracle() -> str:
+    from vector_mcp_spark.suite import SEM_QUERY_VEC, _vec_sql_literal
+
+    branches = []
+    for s in range(_PQ_M):
+        qs = _vec_sql_literal(
+            [float(x) for x in SEM_QUERY_VEC[s * _PQ_SUB : (s + 1) * _PQ_SUB]]
+        )
+        branches.append(f"""
+  SELECT {s} AS s, code,
+         list_dot_product(d, d) AS t FROM (
+    SELECT code, [ ({qs})[i + 1] - c[i + 1] FOR i IN range(0, {_PQ_SUB}) ] AS d
+    FROM cb1 WHERE s = {s}
+  )""")
+    qtab = " UNION ALL ".join(branches)
+    base = _pq_oracle()
+    # reuse the full codebook/assignment chain; swap the final SELECT
+    chain = base[: base.rindex("SELECT vec_id,")]
+    return f"""{chain.rstrip()},
+qtab AS ({qtab}),
+scored AS (
+  SELECT a2.vec_id, ROUND(SUM(q.t), 6) AS adc_dist
+  FROM a2 JOIN qtab q ON q.s = a2.s AND q.code = a2.code
+  GROUP BY a2.vec_id
+)
+SELECT vec_id, CAST(rnk AS INTEGER) AS rank, adc_dist FROM (
+  SELECT vec_id, adc_dist,
+         row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {_PQ_ADC_K}
+"""
+
+
+@register("embedding_pq_adc_topk", _pq_adc_oracle(), "similarity", "pipeline")
+def q_embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.pq import pq_adc_topk, pq_build
+    from vector_mcp_spark.suite import SEM_QUERY_VEC
+
+    embs = load(spark, sf_dir, "embeddings")
+    encoded, codebooks = pq_build(
+        embs, m=_PQ_M, n_codes=_PQ_K, id_col="vec_id", emb_col="embedding", iters=1
+    )
+    return pq_adc_topk(encoded, codebooks, SEM_QUERY_VEC, _PQ_ADC_K, id_col="vec_id")
+
+
 # -- corpus manifest: the dataset card a snapshot publishes -------------------
 #
 # One row per (source, lang): doc/token volume, size profile, and the
