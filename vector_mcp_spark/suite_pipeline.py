@@ -520,14 +520,37 @@ FROM a2 GROUP BY vec_id
 """
 
 
-@register("embedding_pq_codes", _pq_oracle(), "similarity", "pipeline")
-def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_cached(spark: SparkSession, sf_dir: str):
+    """PQ index is built offline and queried many times (same contract as
+    the LSH/IVF caches): encoded codes parquet + codebooks JSON per sf."""
+    import json
+    import os
+
     from vector_mcp_spark.operators.pq import pq_build
 
     embs = load(spark, sf_dir, "embeddings")
-    encoded, _ = pq_build(
-        embs, m=_PQ_M, n_codes=_PQ_K, id_col="vec_id", emb_col="embedding", iters=1
-    )
+    cache = _index_cache(sf_dir, f"pq_{_PQ_M}x{_PQ_K}")
+    cb_path = os.path.join(cache, "codebooks.json")
+    codes_path = os.path.join(cache, "encoded")
+    if not (
+        os.path.exists(cb_path)
+        and os.path.exists(os.path.join(codes_path, "_SUCCESS"))
+    ):
+        encoded, codebooks = pq_build(
+            embs, m=_PQ_M, n_codes=_PQ_K, id_col="vec_id", emb_col="embedding", iters=1
+        )
+        encoded.write.mode("overwrite").parquet(codes_path)
+        os.makedirs(cache, exist_ok=True)
+        with open(cb_path, "w") as f:
+            json.dump(codebooks, f)
+    with open(cb_path) as f:
+        codebooks = json.load(f)
+    return spark.read.parquet(codes_path), codebooks
+
+
+@register("embedding_pq_codes", _pq_oracle(), "similarity", "pipeline")
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    encoded, _ = _pq_cached(spark, sf_dir)
     return encoded.select(
         "vec_id",
         F.array_join(F.transform("codes", lambda c: c.cast("string")), ",").alias(
@@ -580,13 +603,10 @@ SELECT vec_id, CAST(rnk AS INTEGER) AS rank, adc_dist FROM (
 
 @register("embedding_pq_adc_topk", _pq_adc_oracle(), "similarity", "pipeline")
 def q_embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_mcp_spark.operators.pq import pq_adc_topk, pq_build
+    from vector_mcp_spark.operators.pq import pq_adc_topk
     from vector_mcp_spark.suite import SEM_QUERY_VEC
 
-    embs = load(spark, sf_dir, "embeddings")
-    encoded, codebooks = pq_build(
-        embs, m=_PQ_M, n_codes=_PQ_K, id_col="vec_id", emb_col="embedding", iters=1
-    )
+    encoded, codebooks = _pq_cached(spark, sf_dir)
     return pq_adc_topk(encoded, codebooks, SEM_QUERY_VEC, _PQ_ADC_K, id_col="vec_id")
 
 
