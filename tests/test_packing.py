@@ -267,3 +267,41 @@ def test_weighted_sample_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, 1.0)], "doc_id int, w double")
     with _pytest.raises(ValueError):
         weighted_row_sample(df, k=0, weight_col="w")
+
+
+def test_bloom_no_false_negatives_and_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_words,
+    )
+
+    vals = [f"gram_{i}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "g string")
+    words = bloom_words(bloom_build(df, "g", n_bits=4096))
+    probe = spark.createDataFrame(
+        [(v,) for v in vals] + [(f"absent_{i}",) for i in range(500)], "g string"
+    )
+    got = {
+        r.g: r.hit
+        for r in probe.select(
+            "g", bloom_might_contain(F.col("g"), words, n_bits=4096).alias("hit")
+        ).collect()
+    }
+    # a Bloom filter NEVER misses a member
+    assert all(got[v] for v in vals)
+    # and at this load factor the absent set is mostly rejected
+    fp = sum(1 for i in range(500) if got[f"absent_{i}"])
+    assert fp < 100
+
+    # mergeable: OR of two half-filters == filter of the union
+    half1 = bloom_build(df.where(F.col("g") < "gram_3"), "g", n_bits=4096)
+    half2 = bloom_build(df.where(~(F.col("g") < "gram_3")), "g", n_bits=4096)
+    merged = (
+        half1.unionByName(half2)
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    assert bloom_words(merged, n_bits=4096) == words

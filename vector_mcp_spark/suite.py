@@ -204,6 +204,7 @@ _QUEUED_NEXT_WINDOW = [
     "semantic_late_interaction",
     "embedding_pq_codes",
     "embedding_pq_adc_topk",
+    "corpus_bloom_decontaminate",
 ]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)

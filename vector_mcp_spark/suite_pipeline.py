@@ -150,6 +150,111 @@ FROM tot t JOIN shared s USING (doc_id)
 """
 
 
+# Bloom-prefiltered decontamination: the eval-set gram broadcast becomes a
+# fixed n_bits/8-byte filter (mergeable via bit_or), and the exact check
+# runs beside it so the deterministic false-positive overcount is visible.
+# Build, probe, and FP behavior all replay in SQL bit-for-bit.
+
+_BLOOM_BITS = 16384  # ~2 KB filter; ≈1% FP at the bench's ~1.2k grams
+_BLOOM_HASHES = 3
+
+
+def _bloom_oracle() -> str:
+    def pos(val: str, j: int) -> str:
+        return (
+            f"((CAST('0x' || substring(sha256({val} || '|b{j}'), 1, 15) AS BIGINT)"
+            f" % {_BLOOM_BITS} + {_BLOOM_BITS}) % {_BLOOM_BITS})"
+        )
+
+    probe_join = []
+    for j in range(_BLOOM_HASHES):
+        probe_join.append(f"""
+  SELECT doc_id, gram, {j} AS j, {pos("gram", j)} AS pos FROM train""")
+    probes = " UNION ALL ".join(probe_join)
+    build = " UNION ALL ".join(
+        f"SELECT {pos('gram', j)} AS pos FROM bench" for j in range(_BLOOM_HASHES)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i + {_CONTAM_N} - 1], ' ')
+                        FOR i IN range(1, len(t) - {_CONTAM_N} + 2)]) AS s
+  FROM toks
+),
+bench AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 50 = 0),
+train AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 50 <> 0),
+allpos AS ({build}),
+words AS (
+  SELECT CAST(pos // 32 AS INT) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM allpos GROUP BY pos // 32
+),
+probes AS ({probes}),
+checks AS (
+  SELECT p.doc_id, p.gram,
+         min(CASE WHEN (COALESCE(w.bits, 0) >> CAST(p.pos % 32 AS INT)) & 1 = 1
+                  THEN 1 ELSE 0 END) AS hit
+  FROM probes p LEFT JOIN words w ON w.word_idx = CAST(p.pos // 32 AS INT)
+  GROUP BY p.doc_id, p.gram
+),
+agg AS (
+  SELECT c.doc_id,
+         count(*) AS n_grams,
+         SUM(c.hit) AS n_bloom,
+         SUM(CASE WHEN c.gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END) AS n_exact
+  FROM checks c GROUP BY c.doc_id
+)
+SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+       CAST(n_bloom AS INTEGER) AS n_bloom,
+       CAST(n_exact AS INTEGER) AS n_exact
+FROM agg WHERE n_bloom > 0
+"""
+
+
+@register("corpus_bloom_decontaminate", _bloom_oracle(), "pipeline", "contamination")
+def q_corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_words,
+    )
+    from vector_mcp_spark.operators.contamination import ngram_set
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", ngram_set(F.col("text"), _CONTAM_N).alias("s")
+    )
+    bench = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.explode("s").alias("gram")
+    ).distinct()
+    words = bloom_words(
+        bloom_build(bench, "gram", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES),
+        n_bits=_BLOOM_BITS,
+    )
+    train = docs.where(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.explode("s").alias("gram")
+    )
+    flagged = train.withColumn(
+        "hit",
+        bloom_might_contain(
+            F.col("gram"), words, n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES
+        ).cast("int"),
+    ).join(
+        F.broadcast(bench.withColumn("_in_bench", F.lit(1))), "gram", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_grams"),
+            F.sum("hit").cast("int").alias("n_bloom"),
+            F.sum(F.coalesce(F.col("_in_bench"), F.lit(0))).cast("int").alias("n_exact"),
+        )
+        .where(F.col("n_bloom") > 0)
+    )
+
+
 @register("corpus_decontaminate", _CONTAM_ORACLE, "pipeline", "contamination")
 def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_mcp_spark.operators.contamination import contamination_report
