@@ -205,6 +205,7 @@ _QUEUED_NEXT_WINDOW = [
     "embedding_pq_codes",
     "embedding_pq_adc_topk",
     "corpus_bloom_decontaminate",
+    "events_retention_cohorts",
 ]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)

@@ -1341,6 +1341,61 @@ def q_events_salted_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- cohort retention (D1 / D7) -----------------------------------------------
+#
+# The product-analytics staple: cohort = a user's first activity day;
+# retention@k = fraction of the cohort active exactly k days later. Two
+# narrow shuffles (per-user min, then per-cohort conditional counts over
+# the distinct user-day activity set) — no self-join per offset.
+
+_RETENTION_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+cohorts AS (
+  SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+),
+joined AS (
+  SELECT c.cohort_day, a.user_id, date_diff('day', c.cohort_day, a.day) AS k
+  FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+)
+SELECT cohort_day,
+       count(DISTINCT user_id) AS cohort_size,
+       count(DISTINCT CASE WHEN k = 1 THEN user_id END) AS retained_d1,
+       count(DISTINCT CASE WHEN k = 7 THEN user_id END) AS retained_d7,
+       ROUND(CAST(count(DISTINCT CASE WHEN k = 1 THEN user_id END) AS DOUBLE)
+             / count(DISTINCT user_id), 6) AS retention_d1,
+       ROUND(CAST(count(DISTINCT CASE WHEN k = 7 THEN user_id END) AS DOUBLE)
+             / count(DISTINCT user_id), 6) AS retention_d7
+FROM joined GROUP BY cohort_day
+"""
+
+
+@register("events_retention_cohorts", _RETENTION_ORACLE, "relational", "analytics")
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = activity.join(cohorts, "user_id").select(
+        "cohort_day", "user_id", F.datediff("day", "cohort_day").alias("k")
+    )
+    d1 = F.when(F.col("k") == 1, F.col("user_id"))
+    d7 = F.when(F.col("k") == 7, F.col("user_id"))
+    return joined.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_size"),
+        F.countDistinct(d1).alias("retained_d1"),
+        F.countDistinct(d7).alias("retained_d7"),
+        F.round(
+            F.countDistinct(d1).cast("double") / F.countDistinct("user_id"), 6
+        ).alias("retention_d1"),
+        F.round(
+            F.countDistinct(d7).cast("double") / F.countDistinct("user_id"), 6
+        ).alias("retention_d7"),
+    )
+
+
 # -- ordered-event funnel (single-shuffle fold, no per-stage joins) -----------
 
 # The oracle replays the SAME greedy fold: per user, event stage-indices in
