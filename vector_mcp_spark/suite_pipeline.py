@@ -1947,19 +1947,16 @@ FROM i
 
 @register("corpus_source_overlap", _SRC_OVERLAP_ORACLE, "sketch", "dedup", "pipeline")
 def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_mcp_spark.functions.text import tokens
+    from vector_mcp_spark.operators.contamination import ngram_set
     from vector_mcp_spark.operators.sketches import kmv_set_estimates, kmv_sketch
 
     docs = load(spark, sf_dir, "documents")
-    toks = tokens("text")
-    shingles = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ex = docs.select("source", F.explode(shingles).alias("shingle"))
+    # ngram_set binds the tokenizer ONCE before the gram lambda (an inline
+    # tokens() inside the HOF re-runs the regexp per element — measured
+    # ~2.5× on this query) and already dedups per doc
+    ex = docs.select(
+        "source", F.explode(ngram_set(F.col("text"), 3)).alias("shingle")
+    )
     # presalt: a source's distinct-shingle universe is corpus-sized — the
     # two-phase sketch keeps every reducer bounded at k rows per salt and
     # is bit-identical to the single-phase result (lossless merge)
