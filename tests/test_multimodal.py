@@ -133,3 +133,38 @@ def test_parse_audio_meta_real_wav(spark):
         for r in parse_audio_meta(media).collect()
     }
     assert got == {"mono8k": (1, 8000, 500), "stereo44": (2, 44100, 1000)}
+
+
+def test_header_parsers_roundtrip_property(spark):
+    """Synthesize → parse round-trip across the parameter space (hypothesis
+    over dims/channels/rates): the parser must recover exactly what was
+    planted, for every format."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from vector_mcp_spark.multimodal.binary_ops import _image_dims, _wav_meta
+
+    @given(
+        w=st.integers(min_value=1, max_value=2**20),
+        h=st.integers(min_value=1, max_value=2**20),
+        ch=st.integers(min_value=1, max_value=8),
+        rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+        n=st.integers(min_value=0, max_value=100_000),
+    )
+    @settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+    def check(w, h, ch, rate, n):
+        import struct
+
+        assert _image_dims(_real_png(w, h) if w * h < 10_000 else
+                           # skip body for big dims — header-only is enough
+                           b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                           + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+                           ) == ("image/png", w, h)
+        if w < 2**16 and h < 2**16:
+            assert _image_dims(_real_jpeg(w, h)) == ("image/jpeg", w, h)
+            gif = (b"GIF89a" + struct.pack("<HH", w, h))
+            assert _image_dims(gif + b"\x00" * 4) == ("image/gif", w, h)
+        wav = _real_wav(ch, rate, n)
+        assert _wav_meta(wav) == (ch, rate, (len(b"\x00\x00") * ch * n) * 1000 // (rate * ch * 2))
+
+    check()
