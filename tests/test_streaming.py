@@ -258,3 +258,54 @@ def test_stream_ingest_into_collection_effectively_once(spark, tmp_path):
     run("replay")
     second = {(r.id, r.content) for r in engine.read("stream_sink").collect()}
     assert second == first  # idempotent sink: full replay changes nothing
+
+
+def test_stream_index_maintenance_matches_batch_assignment(spark, tmp_path):
+    """New vectors streamed through index maintenance get exactly the
+    cluster and PQ codes the batch kernels produce, land partitioned by
+    cluster, and a checkpointed re-run appends nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.pq import pq_build, pq_encode_with
+    from vector_mcp_spark.operators.similarity import assign_clusters, ivf_build
+    from vector_mcp_spark.streaming.ingest import stream_index_maintenance
+    from vector_mcp_spark.suite import load
+
+    embs = load(spark, "/root/testdata/sf0.001", "embeddings")
+    base = embs.where(F.col("vec_id") < 80)
+    newbatch = embs.where(F.col("vec_id") >= 80)
+    _, centroids = ivf_build(base, n_centroids=8, id_col="vec_id", max_iter=1)
+    _, codebooks = pq_build(base, m=4, n_codes=8, id_col="vec_id", iters=1)
+
+    src = str(tmp_path / "src")
+    newbatch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(newbatch.schema).parquet(src)
+    index_dir = str(tmp_path / "index")
+    stream_index_maintenance(
+        stream, centroids, codebooks, index_dir, str(tmp_path / "ckpt"),
+        id_col="vec_id", emb_col="embedding",
+    )
+    got = spark.read.parquet(index_dir)
+    batch_twin = pq_encode_with(
+        assign_clusters(newbatch, centroids), codebooks
+    )
+    want = {
+        r.vec_id: (r.cluster, tuple(r.codes))
+        for r in batch_twin.select("vec_id", "cluster", "codes").collect()
+    }
+    have = {
+        r.vec_id: (r.cluster, tuple(r.codes))
+        for r in got.select("vec_id", "cluster", "codes").collect()
+    }
+    assert have == want
+    # physically partitioned by cluster
+    assert any(p.startswith("cluster=") for p in os.listdir(index_dir))
+    # exactly-once: same checkpoint re-run appends nothing
+    stream2 = spark.readStream.schema(newbatch.schema).parquet(src)
+    stream_index_maintenance(
+        stream2, centroids, codebooks, index_dir, str(tmp_path / "ckpt"),
+        id_col="vec_id", emb_col="embedding",
+    )
+    assert spark.read.parquet(index_dir).count() == len(want)

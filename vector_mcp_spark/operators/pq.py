@@ -28,6 +28,33 @@ from pyspark.sql import functions as F
 from vector_mcp_spark.functions.vector import dot
 
 
+def pq_encode_with(
+    df: DataFrame, codebooks: list[list[list[float]]], emb_col: str = "embedding"
+) -> DataFrame:
+    """Encode against FROZEN codebooks (adds ``codes`` array<int>): the
+    serving-path half of PQ, shared by the offline build's Lloyd loop and
+    online streaming index maintenance. Ties go to the lowest code index
+    (np.argmin), keeping the SQL replay exact."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cents = [np.asarray(cb, dtype=np.float64) for cb in codebooks]  # m × (k × sub)
+
+    @pandas_udf("array<int>")
+    def codes_of(col: pd.Series) -> pd.Series:
+        mat = np.asarray(col.tolist(), dtype=np.float64)  # B × d
+        out = np.empty((len(mat), m), dtype=np.int32)
+        for s in range(m):
+            x = mat[:, s * sub : (s + 1) * sub]  # B × sub
+            diff = x[:, None, :] - cents[s][None, :, :]  # B × k × sub
+            d2 = np.einsum("bks,bks->bk", diff, diff)
+            out[:, s] = np.argmin(d2, axis=1)  # ties → lowest code
+        return pd.Series(list(out))
+
+    return df.withColumn("codes", codes_of(F.col(emb_col)))
+
+
 def pq_build(
     corpus: DataFrame,
     m: int = 4,
@@ -66,22 +93,7 @@ def pq_build(
     ]
 
     def assign(df: DataFrame, cbs: list[list[list[float]]]) -> DataFrame:
-        from pyspark.sql.functions import pandas_udf
-
-        cents = [np.asarray(cb, dtype=np.float64) for cb in cbs]  # m × (k × sub)
-
-        @pandas_udf("array<int>")
-        def codes_of(col: pd.Series) -> pd.Series:
-            mat = np.asarray(col.tolist(), dtype=np.float64)  # B × d
-            out = np.empty((len(mat), m), dtype=np.int32)
-            for s in range(m):
-                x = mat[:, s * sub : (s + 1) * sub]  # B × sub
-                diff = x[:, None, :] - cents[s][None, :, :]  # B × k × sub
-                d2 = np.einsum("bks,bks->bk", diff, diff)
-                out[:, s] = np.argmin(d2, axis=1)  # ties → lowest code
-            return pd.Series(list(out))
-
-        return df.withColumn("codes", codes_of(F.col(emb_col)))
+        return pq_encode_with(df, cbs, emb_col=emb_col)
 
     for _ in range(iters):
         assigned = assign(corpus, codebooks)

@@ -317,6 +317,32 @@ def embedding_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def assign_clusters(
+    df: DataFrame, centroids: list[list[float]], emb_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid-by-cosine assignment as ONE Arrow-batched matmul
+    per batch (B×d @ d×K) — the 16-way interpreted HOF fold was the
+    build's bottleneck; ties go to the first max index (np.argmax),
+    matching array_position semantics. Shared by the offline IVF build and
+    online streaming index maintenance (assignment against frozen
+    centroids is the serving-path operation)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=np.float64).T  # d × K
+    cnorm = np.linalg.norm(cmat, axis=0)
+    cnorm[cnorm == 0] = 1.0
+
+    @pandas_udf("int")
+    def nearest(col: pd.Series) -> pd.Series:
+        mat = np.asarray(col.tolist(), dtype=np.float64)  # B × d
+        vnorm = np.linalg.norm(mat, axis=1)
+        vnorm[vnorm == 0] = 1.0
+        sims = (mat @ cmat) / (vnorm[:, None] * cnorm[None, :])
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    return df.withColumn("cluster", nearest(F.col(emb_col)))
+
+
 def ivf_build(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -348,25 +374,7 @@ def ivf_build(
     centroids = [[float(x) for x in r.v] for r in seed_rows]
 
     def assign(df: DataFrame, cents: list[list[float]]) -> DataFrame:
-        # nearest centroid by cosine, as ONE Arrow-batched matmul per batch
-        # (B×d @ d×K) — the 16-way interpreted HOF fold was the build's
-        # bottleneck; ties go to the first max index (np.argmax), matching
-        # the previous array_position semantics
-        from pyspark.sql.functions import pandas_udf
-
-        cmat = np.asarray(cents, dtype=np.float64).T  # d × K
-        cnorm = np.linalg.norm(cmat, axis=0)
-        cnorm[cnorm == 0] = 1.0
-
-        @pandas_udf("int")
-        def nearest(col: pd.Series) -> pd.Series:
-            mat = np.asarray(col.tolist(), dtype=np.float64)  # B × d
-            vnorm = np.linalg.norm(mat, axis=1)
-            vnorm[vnorm == 0] = 1.0
-            sims = (mat @ cmat) / (vnorm[:, None] * cnorm[None, :])
-            return pd.Series(np.argmax(sims, axis=1).astype("int32"))
-
-        return df.withColumn("cluster", nearest(F.col(emb_col)))
+        return assign_clusters(df, cents, emb_col=emb_col)
 
     for _ in range(max_iter):
         assigned = assign(corpus, centroids)

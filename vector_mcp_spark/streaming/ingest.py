@@ -193,6 +193,46 @@ def stream_ingest_into_collection(
     return q
 
 
+def stream_index_maintenance(
+    stream_vecs: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+):
+    """ANN index maintenance as a stream: each micro-batch of new vectors
+    gets its IVF cluster assignment AND its PQ codes (against the FROZEN
+    codebooks — the standard serving pattern: rebuild offline, assign
+    online) and appends to the index table partitioned by cluster, so
+    queries keep pruning partitions as data arrives. The assignment kernels
+    are the same Arrow-batched ones the batch builders use; nothing here
+    shuffles — partitionBy on write routes rows to their cluster files.
+
+    Runs availableNow and blocks; re-running with the same checkpoint is a
+    no-op (exactly-once file-sink semantics).
+    """
+    from vector_mcp_spark.operators.pq import pq_encode_with
+    from vector_mcp_spark.operators.similarity import assign_clusters
+
+    def _prep(df: DataFrame) -> DataFrame:
+        assigned = assign_clusters(df, centroids, emb_col=emb_col)
+        return pq_encode_with(assigned, codebooks, emb_col=emb_col)
+
+    q = (
+        _prep(stream_vecs)
+        .writeStream.format("parquet")
+        .option("path", index_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("cluster")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def interval_join_events(
     left: DataFrame,
     right: DataFrame,

@@ -206,6 +206,7 @@ _QUEUED_NEXT_WINDOW = [
     "embedding_pq_adc_topk",
     "corpus_bloom_decontaminate",
     "events_retention_cohorts",
+    "tpch_q13_custdist",
 ]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)

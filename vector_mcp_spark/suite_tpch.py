@@ -225,6 +225,38 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Q13: customer order-count distribution -----------------------------------
+# Double aggregation: per-customer order counts (outer join keeps the
+# zero-order customers), then the histogram of those counts. The second
+# aggregate's input is |customers| rows — the first shuffle does the
+# heavy lifting, the second is near-free.
+
+_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("tpch_q13_custdist", _Q13_ORACLE, "relational", "tpch")
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
 # -- Q15: top supplier(s) by quarterly revenue --------------------------------
 # TPC-H's CREATE VIEW + scalar-subquery-max becomes: aggregate once, reduce
 # to a one-row max, broadcast it back as the filter threshold. (A global
