@@ -284,3 +284,33 @@ def test_repetition_keep_flag(rep):
     assert not rep[1].keep
     assert not rep[4].keep
     assert rep[3].keep  # empty doc passes every threshold
+
+
+def test_expectation_report_counts_each_violation_kind(spark):
+    from vector_mcp_spark.operators.expectations import expectation_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "ok", 5),
+            (1, "ok", 5),        # duplicate id
+            (2, None, 5),        # null text
+            (3, "bad-lang", -1), # out-of-range value
+        ],
+        "id long, text string, v long",
+    )
+    rows = {
+        r.rule: (r.violations, r.passed)
+        for r in expectation_report(
+            df,
+            [
+                ("not_null", "text"),
+                ("range", "v", 0, 10),
+                ("unique", "id"),
+                ("expr", "v_lt_100", "v < 100"),
+            ],
+        ).collect()
+    }
+    assert rows["not_null:text"] == (1, False)
+    assert rows["range:v"] == (1, False)
+    assert rows["unique:id"] == (1, False)
+    assert rows["expr:v_lt_100"] == (0, True)

@@ -207,6 +207,7 @@ _QUEUED_NEXT_WINDOW = [
     "corpus_bloom_decontaminate",
     "events_retention_cohorts",
     "tpch_q13_custdist",
+    "corpus_expectations",
 ]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)

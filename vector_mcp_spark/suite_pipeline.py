@@ -715,6 +715,63 @@ def q_embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(encoded, codebooks, SEM_QUERY_VEC, _PQ_ADC_K, id_col="vec_id")
 
 
+# -- data-quality expectations: the gate before promoting a snapshot ----------
+#
+# All row-level rules evaluate in ONE conditional-aggregation scan; the
+# uniqueness rule adds one grouped pass. Violation counts are plain data —
+# diffable across snapshots, usable as a write gate.
+
+_EXPECT_ORACLE = """
+SELECT 'not_null:text' AS rule,
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM documents
+UNION ALL
+SELECT 'in_set:lang',
+       CAST(SUM(CASE WHEN lang NOT IN ('en','de','fr','es','zz') OR lang IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN lang NOT IN ('en','de','fr','es','zz') OR lang IS NULL
+                THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'range:n_chars',
+       CAST(SUM(CASE WHEN n_chars NOT BETWEEN 1 AND 100000 OR n_chars IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN n_chars NOT BETWEEN 1 AND 100000 OR n_chars IS NULL
+                THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'expr:n_chars_matches_text',
+       CAST(SUM(CASE WHEN NOT COALESCE(n_chars = length(text), FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN NOT COALESCE(n_chars = length(text), FALSE)
+                THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'unique:doc_id',
+       CAST(COALESCE(SUM(c - 1), 0) AS BIGINT),
+       COALESCE(SUM(c - 1), 0) = 0
+FROM (SELECT doc_id, count(*) AS c FROM documents GROUP BY doc_id) WHERE c > 1
+"""
+
+
+@register("corpus_expectations", _EXPECT_ORACLE, "validation", "pipeline")
+def q_corpus_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.expectations import expectation_report
+
+    docs = load(spark, sf_dir, "documents")
+    return expectation_report(
+        docs,
+        [
+            ("not_null", "text"),
+            ("in_set", "lang", ["en", "de", "fr", "es", "zz"]),
+            ("range", "n_chars", 1, 100000),
+            ("expr", "n_chars_matches_text", "n_chars = length(text)"),
+            ("unique", "doc_id"),
+        ],
+    )
+
+
 # -- corpus manifest: the dataset card a snapshot publishes -------------------
 #
 # One row per (source, lang): doc/token volume, size profile, and the
