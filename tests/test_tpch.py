@@ -17,6 +17,7 @@ import pytest
 from vector_mcp_spark.suite import SUITE
 
 TPCH_NEW = [
+    "tpch_q5_local_supplier",
     "tpch_q13_custdist",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",

@@ -208,6 +208,7 @@ _QUEUED_NEXT_WINDOW = [
     "events_retention_cohorts",
     "tpch_q13_custdist",
     "corpus_expectations",
+    "tpch_q5_local_supplier",
 ]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)
