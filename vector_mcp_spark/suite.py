@@ -209,6 +209,7 @@ _QUEUED_NEXT_WINDOW = [
     "tpch_q13_custdist",
     "corpus_expectations",
     "tpch_q5_local_supplier",
+    "events_daily_trend",
 ]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)

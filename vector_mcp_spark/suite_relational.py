@@ -1341,6 +1341,56 @@ def q_events_salted_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- daily trend per event type (OLS slope via covariance aggregates) ---------
+#
+# Trend detection without a UDF: slope = covar_samp(day_idx, total) /
+# var_samp(day_idx) — both built-in partial-aggregating JVM functions, so
+# the fit costs exactly one grouped pass over the daily rollup.
+
+_TREND_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(value) AS total
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+idx AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1995-01-01', day) AS DOUBLE) AS x,
+         total AS y
+  FROM daily
+)
+SELECT event_type,
+       CAST(count(*) AS INTEGER) AS n_days,
+       ROUND(covar_samp(x, y) / var_samp(x), 6) AS slope,
+       ROUND(AVG(y) - (covar_samp(x, y) / var_samp(x)) * AVG(x), 4) AS intercept
+FROM idx GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_daily_trend", _TREND_ORACLE, "relational", "analytics")
+def q_events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum("value").alias("y"))
+    idx = daily.select(
+        "event_type",
+        F.datediff("day", F.lit("1995-01-01").cast("date")).cast("double").alias("x"),
+        "y",
+    )
+    slope = F.covar_samp("x", "y") / F.var_samp("x")
+    return (
+        idx.groupBy("event_type")
+        .agg(
+            F.count("*").cast("int").alias("n_days"),
+            F.round(slope, 6).alias("slope"),
+            F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # -- cohort retention (D1 / D7) -----------------------------------------------
 #
 # The product-analytics staple: cohort = a user's first activity day;
