@@ -137,14 +137,17 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 # never checked in r2/r3, incl. promo_revenue / streaming_user_running_stats
 # which have never had an oracle row) + pipeline; the long-stable search /
 # mutation passers (green in r1–r3) rotate out this round.
-# ROUND 5 TODO: reverse — lead with (a) the round-4 additions left outside
-# the window (multimodal_frame_sample, multimodal_image_dims,
-# multimodal_audio_meta, corpus_leakage_safe_split — all verified by
-# tools/verify_local.py this round, but no driver row yet), then (b)
-# search/mutation + the pipeline entries past the window (token_counts,
-# corpus_quality_filter, top_bigrams, dedup_clusters,
-# corpus_stratified_sample, corpus_shard_assignment, streaming_dedup_ingest)
-# so everything outside round 4's window regains fresh oracle rows.
+# ROUND 5 TODO: reverse — lead with (a) every round-4 addition left outside
+# the window: multimodal_frame_sample / multimodal_image_dims /
+# multimodal_audio_meta / corpus_leakage_safe_split plus the whole
+# _QUEUED_NEXT_WINDOW list below — all green under tools/verify_local.py
+# this round, but no driver row yet; then (b) search/mutation + the
+# pipeline entries past the window (token_counts, corpus_quality_filter,
+# top_bigrams, dedup_clusters, corpus_stratified_sample,
+# corpus_shard_assignment, streaming_dedup_ingest) so everything outside
+# round 4's window regains fresh oracle rows. That is > 50 entries total,
+# so the rotation spans rounds 5 AND 6 — queue order below is the
+# priority order.
 from vector_mcp_spark import suite_relational  # noqa: E402,F401
 from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401
