@@ -80,3 +80,24 @@ def test_bm25_accepts_prebuilt_postings(docs):
     a = bm25_topk(docs, "spark join", 5, id_col="doc_id", content_col="text").collect()
     b = bm25_topk(docs, "spark join", 5, id_col="doc_id", content_col="text", postings=postings).collect()
     assert [(r.doc_id, r.score) for r in a] == [(r.doc_id, r.score) for r in b]
+
+
+def test_fuzzy_term_matches_one_edit_only(spark):
+    from vector_mcp_spark.operators.lexical import fuzzy_term_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "vector vector store"),
+            (2, "vektor database"),
+            (3, "victor works here"),   # 2 edits from 'vektor' — excluded
+            (4, "completely unrelated"),
+        ],
+        "id long, content string",
+    )
+    got = {r.id: (r.matched_terms, r.score) for r in fuzzy_term_topk(df, "vektor", 10).collect()}
+    assert got[1] == ("vector", 2)   # tf-weighted
+    assert got[2] == ("vektor", 1)   # exact hit
+    assert 3 not in got and 4 not in got
+    # ranking: highest total tf first
+    order = [r.id for r in fuzzy_term_topk(df, "vektor", 10).collect()]
+    assert order[0] == 1

@@ -197,3 +197,43 @@ def lexical_tf_topk_multi(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "score")
     )
+
+
+def fuzzy_term_topk(
+    docs: DataFrame,
+    query_term: str,
+    k: int,
+    max_edits: int = 1,
+    id_col: str = "id",
+    content_col: str = "content",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Typo-tolerant term search: match any VOCABULARY term within
+    ``max_edits`` Levenshtein edits of the query term, then rank documents
+    by their total tf over the matched terms (ties by id).
+
+    Scale shape: the edit-distance computation runs once per DISTINCT
+    vocabulary term — never per posting, never per document — and is
+    pre-pruned by the length band |len(term) − len(q)| ≤ max_edits (an
+    upper-bound consequence of edit distance, so it loses nothing). The
+    matched-term set is tiny and broadcasts into the postings join.
+    Returns (id, matched_terms, score).
+    """
+    q = query_term.lower().strip()
+    if postings is None:
+        postings = build_postings(docs, id_col, content_col)
+    vocab = postings.select("term").distinct()
+    matched = vocab.where(
+        (F.abs(F.length("term") - F.lit(len(q))) <= max_edits)
+        & (F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
+    )
+    return (
+        postings.join(F.broadcast(matched), "term")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("term")), ",").alias("matched_terms"),
+            F.sum("tf").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

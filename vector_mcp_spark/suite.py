@@ -213,6 +213,7 @@ _QUEUED_NEXT_WINDOW = [
     "corpus_expectations",
     "tpch_q5_local_supplier",
     "events_daily_trend",
+    "lexical_fuzzy_term",
 ]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)

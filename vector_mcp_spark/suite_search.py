@@ -9,6 +9,7 @@ folds, 6-dp rounding applied at the same point, ranking ties pinned by id.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from vector_mcp_spark.suite import (
     DIST_THRESHOLD,
@@ -513,3 +514,44 @@ def q_semantic_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="label", emb_col="embedding",
     )
     return out.select("label", "rank", "score")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (typo-tolerant) term search: Levenshtein runs once per DISTINCT
+# vocabulary term inside a length band, matched terms broadcast into the
+# postings join. Query 'vektor' reaches 'vector' at one edit.
+# ---------------------------------------------------------------------------
+
+_FUZZY_TERM = "vektor"
+_FUZZY_K = 10
+
+_FUZZY_ORACLE = f"""
+WITH postings AS (
+  SELECT doc_id, tok AS term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]{{2,}}')) AS tok
+    FROM documents
+  ) GROUP BY doc_id, tok
+),
+matched AS (
+  SELECT DISTINCT term FROM postings
+  WHERE abs(length(term) - {len(_FUZZY_TERM)}) <= 1
+    AND levenshtein(term, '{_FUZZY_TERM}') <= 1
+)
+SELECT doc_id,
+       array_to_string(list_sort(list(DISTINCT p.term)), ',') AS matched_terms,
+       SUM(p.tf) AS score
+FROM postings p JOIN matched m ON p.term = m.term
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {_FUZZY_K}
+"""
+
+
+@register("lexical_fuzzy_term", _FUZZY_ORACLE, "search", "lexical")
+def q_lexical_fuzzy_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.lexical import fuzzy_term_topk
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("text").alias("content")
+    )
+    return fuzzy_term_topk(docs, _FUZZY_TERM, _FUZZY_K, id_col="doc_id")
