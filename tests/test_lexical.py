@@ -101,3 +101,23 @@ def test_fuzzy_term_matches_one_edit_only(spark):
     # ranking: highest total tf first
     order = [r.id for r in fuzzy_term_topk(df, "vektor", 10).collect()]
     assert order[0] == 1
+
+
+def test_snippet_window_and_position(spark):
+    from vector_mcp_spark.operators.lexical import snippet_extract
+
+    long_pad = "x" * 100
+    df = spark.createDataFrame(
+        [
+            (1, f"{long_pad} vector appears here"),
+            (2, "vector at the very start"),
+            (3, "no match at all"),
+        ],
+        "id long, content string",
+    )
+    got = {r.id: r for r in snippet_extract(df, ["vector", "join"], width=10).collect()}
+    assert 3 not in got
+    assert got[2].hit_pos == 1 and got[2].snippet.startswith("vector")
+    r1 = got[1]
+    assert r1.hit_pos == 102  # 1-based: after 100 x's + space
+    assert "vector" in r1.snippet and len(r1.snippet) <= 20

@@ -237,3 +237,34 @@ def fuzzy_term_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def snippet_extract(
+    docs: DataFrame,
+    terms: list[str],
+    width: int = 30,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Result-snippet projection: the context window around the FIRST
+    occurrence of any query term (case-insensitive substring match, earliest
+    position wins; ties between terms resolve to the longer term so nested
+    matches like 'join'/'joins' are stable). Pure per-row projection —
+    runs at scan speed on whatever (small) result set the ranker produced.
+    Returns (id, hit_pos, snippet); rows with no occurrence are dropped.
+    """
+    _BIG = 1 << 30
+    lowered = F.lower(F.col(content_col))
+    # evaluate positions once per term; 0 (absent) → sentinel
+    pos_cols = [
+        F.coalesce(F.nullif(F.instr(lowered, t.lower()), F.lit(0)), F.lit(_BIG))
+        for t in sorted(terms, key=lambda t: (-len(t), t))
+    ]
+    first = F.least(*pos_cols) if len(pos_cols) > 1 else pos_cols[0]
+    with_pos = docs.withColumn("hit_pos", first).where(F.col("hit_pos") < _BIG)
+    start = F.greatest(F.lit(1), F.col("hit_pos") - width)
+    return with_pos.select(
+        id_col,
+        F.col("hit_pos").cast("int").alias("hit_pos"),
+        F.substring(F.col(content_col), start, 2 * width).alias("snippet"),
+    )

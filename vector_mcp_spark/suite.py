@@ -214,6 +214,7 @@ _QUEUED_NEXT_WINDOW = [
     "tpch_q5_local_supplier",
     "events_daily_trend",
     "lexical_fuzzy_term",
+    "lexical_snippets",
 ]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)

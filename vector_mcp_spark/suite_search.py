@@ -555,3 +555,39 @@ def q_lexical_fuzzy_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), F.col("text").alias("content")
     )
     return fuzzy_term_topk(docs, _FUZZY_TERM, _FUZZY_K, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Result snippets: context window around the first query-term occurrence —
+# a pure per-row projection that runs on the ranked result set.
+# ---------------------------------------------------------------------------
+
+_SNIP_WIDTH = 30
+
+
+def _snippet_oracle() -> str:
+    terms = sorted(set(LEX_QUERY.lower().split()))
+    big = 1 << 30
+    pos_exprs = ", ".join(
+        f"COALESCE(NULLIF(instr(lower(text), '{t}'), 0), {big})" for t in terms
+    )
+    return f"""
+WITH hits AS (
+  SELECT doc_id, LEAST({pos_exprs}) AS hit_pos, text FROM documents
+)
+SELECT doc_id, CAST(hit_pos AS INTEGER) AS hit_pos,
+       substring(text, CAST(GREATEST(1, hit_pos - {_SNIP_WIDTH}) AS INT), {2 * _SNIP_WIDTH}) AS snippet
+FROM hits WHERE hit_pos < {big}
+"""
+
+
+@register("lexical_snippets", _snippet_oracle(), "search", "lexical")
+def q_lexical_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.lexical import snippet_extract
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("text").alias("content")
+    )
+    return snippet_extract(
+        docs, sorted(set(LEX_QUERY.lower().split())), width=_SNIP_WIDTH, id_col="doc_id"
+    )
