@@ -215,6 +215,7 @@ _QUEUED_NEXT_WINDOW = [
     "events_daily_trend",
     "lexical_fuzzy_term",
     "lexical_snippets",
+    "corpus_unigram_logprob",
 ]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)

@@ -715,6 +715,55 @@ def q_embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(encoded, codebooks, SEM_QUERY_VEC, _PQ_ADC_K, id_col="vec_id")
 
 
+# -- unigram log-probability quality scoring (CCNet-style proxy) --------------
+#
+# CCNet filters web text by LM perplexity; the distributable stand-in is
+# the corpus's own unigram model: token log-probabilities from one global
+# count (broadcast — vocab-sized), then mean log-prob per doc in the same
+# explode pass the token stats already use. Low scores = surprising token
+# mix = extraction noise or boilerplate soup.
+
+_UNI_ORACLE = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok, count(*) AS c FROM ex GROUP BY tok
+),
+total AS (SELECT SUM(c) AS n FROM vocab),
+scored AS (
+  SELECT e.doc_id, ln(v.c / t.n) AS lp
+  FROM ex e JOIN vocab v ON e.tok = v.tok CROSS JOIN total t
+)
+SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+       ROUND(AVG(lp), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("corpus_unigram_logprob", _UNI_ORACLE, "textstats", "pipeline")
+def q_corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    vocab = ex.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    # vocab is NOT force-broadcast: a web-scale vocabulary outgrows the
+    # broadcast budget, and AQE picks broadcast automatically while it
+    # fits; at the largest scales cut to top-K tokens + an OOV floor
+    # probability. The one-row total always broadcasts.
+    scored = (
+        ex.join(vocab, "tok")
+        .join(F.broadcast(total))
+        .withColumn("lp", F.log(F.col("c") / F.col("n")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
 # -- data-quality expectations: the gate before promoting a snapshot ----------
 #
 # All row-level rules evaluate in ONE conditional-aggregation scan; the
