@@ -30,6 +30,11 @@ HEAVY = [
     "corpus_decontaminate",
     "corpus_source_overlap",
     "corpus_leakage_safe_split",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_pq_adc_topk",
+    "embedding_near_dup",
+    "semantic_late_interaction",
 ]
 
 
@@ -40,20 +45,41 @@ def build_corpus(spark) -> str:
 
     probe = os.path.abspath(PROBE_DIR)
     out = os.path.join(probe, "documents.parquet")
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
-        return probe
-    docs = load(spark, BASE_SF, "documents")
-    n = docs.count()
-    copies = []
-    for i in range(10):
-        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
-        if i % 2 == 1:  # odd copies: near-dup perturbation, breaks exactness
-            c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" zz{i}")))
-        copies.append(c)
-    big = copies[0]
-    for c in copies[1:]:
-        big = big.unionByName(c)
-    big.write.mode("overwrite").parquet(out)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs = load(spark, BASE_SF, "documents")
+        n = docs.count()
+        copies = []
+        for i in range(10):
+            c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
+            if i % 2 == 1:  # odd copies: near-dup perturbation, breaks exactness
+                c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" zz{i}")))
+            copies.append(c)
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionByName(c)
+        big.write.mode("overwrite").parquet(out)
+    eout = os.path.join(probe, "embeddings.parquet")
+    if not os.path.exists(os.path.join(eout, "_SUCCESS")):
+        embs = load(spark, BASE_SF, "embeddings")
+        n = embs.count()
+        copies = []
+        for i in range(10):
+            c = embs.withColumn("vec_id", F.col("vec_id") + F.lit(i * n))
+            if i % 2 == 1:
+                # deterministic small perturbation: flip the sign of one
+                # dimension per copy — near-dup in cosine, not identical
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda v, j: F.when(j == i % 64, -v).otherwise(v),
+                    ),
+                )
+            copies.append(c)
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionByName(c)
+        big.write.mode("overwrite").parquet(eout)
     return probe
 
 

@@ -255,26 +255,64 @@ def embedding_near_dup_blocked(
     """Exact embedding-cosine near-dup within blocks: pairs sharing
     ``block_col`` (e.g. an upstream cluster/label id) with cosine ≥
     threshold. Blocking keeps the self-join O(Σ block²); fully
-    deterministic, hence oracle-checkable. Returns (id_a, id_b, score)."""
-    a = corpus.select(
-        F.col(id_col).alias("id_a"), F.col(emb_col).alias("va"),
-        l2_norm(F.col(emb_col)).alias("_na"), F.col(block_col).alias("_blk"),
+    deterministic, hence oracle-checkable. Returns (id_a, id_b, score).
+
+    Exact-duplicate vectors collapse BEFORE the pair join (same argument
+    as the text-side MinHash collapse): an m-copy vector is ONE node, the
+    cosine runs once per unique pair, and member pairs expand at the end —
+    intra-group pairs are score 1.0 by construction (cosine of identical
+    non-zero vectors rounds to 1.0 at 6 dp; zero vectors give NULL and are
+    dropped, matching the oracle). Duplicated corpora otherwise square the
+    verify stage: probe-measured 16.6× wall at a 10× half-duplicated
+    corpus, 7.5× after the collapse (the residual is real near-dup OUTPUT
+    growth from the perturbed copies, not wasted verify work)."""
+    g = (
+        corpus.groupBy(F.col(block_col).alias("_blk"), F.col(emb_col).alias("_v"))
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
+        .withColumn("_n", l2_norm(F.col("_v")))
     )
-    b = corpus.select(
-        F.col(id_col).alias("id_b"), F.col(emb_col).alias("vb"),
-        l2_norm(F.col(emb_col)).alias("_nb"), F.col(block_col).alias("_blk"),
+    a = g.select(
+        "_blk", F.col("_v").alias("va"), F.col("_n").alias("_na"),
+        F.col("_ids").alias("ids_a"), F.element_at("_ids", 1).alias("_ka"),
     )
-    pairs = a.join(b, "_blk").where(F.col("id_a") < F.col("id_b"))
+    b = g.select(
+        "_blk", F.col("_v").alias("vb"), F.col("_n").alias("_nb"),
+        F.col("_ids").alias("ids_b"), F.element_at("_ids", 1).alias("_kb"),
+    )
     # dim accepted for API symmetry; HOF dot used (fixed-dim expansion
     # on column×column operands regresses — tree-size blowup)
-    return (
-        pairs.withColumn(
+    cross = (
+        a.join(b, "_blk")
+        .where(F.col("_ka") < F.col("_kb"))
+        .withColumn(
             "score",
-            F.round(F.try_divide(dot(F.col("va"), F.col("vb")), F.col("_na") * F.col("_nb")), SCORE_DECIMALS),
+            F.round(
+                F.try_divide(dot(F.col("va"), F.col("vb")), F.col("_na") * F.col("_nb")),
+                SCORE_DECIMALS,
+            ),
         )
         .where(F.col("score") >= threshold)
-        .select("id_a", "id_b", "score")
+        .select("ids_a", "ids_b", "score")
+        .select(F.explode("ids_a").alias("_ia"), "ids_b", "score")
+        .select("_ia", F.explode("ids_b").alias("_ib"), "score")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "score",
+        )
     )
+    intra = (
+        g.where((F.size("_ids") > 1) & (F.col("_n") > 0))
+        .select(F.col("_ids").alias("ids"))
+        .select(F.explode("ids").alias("_ia"), "ids")
+        .select("_ia", F.explode("ids").alias("_ib"))
+        .where(F.col("_ia") < F.col("_ib"))
+        .select(
+            F.col("_ia").alias("id_a"), F.col("_ib").alias("id_b"),
+            F.lit(1.0).alias("score"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def embedding_near_dup_pairs(
