@@ -1,6 +1,9 @@
 """Declared search queries — the reference's whole retrieval surface
 (SURVEY.md §2.3 Q1-Q8): exact cosine KNN (single / threshold / multi-query),
-lexical tf / AND / substring / BM25, hybrid RRF fusion.
+lexical tf / AND / substring / BM25, hybrid RRF fusion — plus the retrieval
+extensions a reference user gains on migration: MMR diversified re-rank,
+ColBERT-style MaxSim late interaction, typo-tolerant fuzzy term search,
+and result-snippet extraction.
 
 Every oracle mirrors the Spark plan's arithmetic: doubles, sequential array
 folds, 6-dp rounding applied at the same point, ranking ties pinned by id.
