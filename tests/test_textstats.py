@@ -314,3 +314,20 @@ def test_expectation_report_counts_each_violation_kind(spark):
     assert rows["range:v"] == (1, False)
     assert rows["unique:id"] == (1, False)
     assert rows["expr:v_lt_100"] == (0, True)
+
+
+def test_group_robust_outliers_hand_case(spark):
+    from vector_mcp_spark.operators.robust import group_robust_outliers
+
+    rows = [("a", i, float(v)) for i, v in enumerate([1, 2, 3, 4, 100])] + [
+        ("b", 10, 5.0),
+        ("b", 11, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, value double")
+    got = {(r.grp, r.id): r for r in group_robust_outliers(df, "grp", "id", "value").collect()}
+    # group a: median 3, MAD = median(|v-3|) = median([2,1,0,1,97]) = 1
+    assert got[("a", 0)].med == 3.0 and got[("a", 0)].mad == 1.0
+    assert got[("a", 4)].is_outlier  # |100-3| > 3*1
+    assert not got[("a", 0)].is_outlier  # |1-3| = 2 <= 3
+    # group b: constant values → MAD 0, nothing flagged (0 > 0 false)
+    assert not got[("b", 10)].is_outlier and got[("b", 10)].mad == 0.0

@@ -216,6 +216,7 @@ _QUEUED_NEXT_WINDOW = [
     "lexical_fuzzy_term",
     "lexical_snippets",
     "corpus_unigram_logprob",
+    "events_robust_outliers",
 ]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)

@@ -1341,6 +1341,37 @@ def q_events_salted_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- robust outlier labeling (applyInPandas grouped-map, per-row output) ------
+#
+# Median/MAD per event_type, every event labeled — the per-row output a
+# grouped AGGREGATE can't produce, via the Arrow grouped-map seam. The
+# flag compares raw values; rounding touches only the reported med/mad.
+
+_ROBUST_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_type, e.event_id, e.value,
+       ROUND(m.med, 6) AS med, ROUND(d.mad, 6) AS mad,
+       abs(e.value - m.med) > 3.0 * d.mad AS is_outlier
+FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+"""
+
+
+@register("events_robust_outliers", _ROBUST_ORACLE, "relational", "analytics")
+def q_events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.robust import group_robust_outliers
+
+    ev = load(spark, sf_dir, "events")
+    return group_robust_outliers(
+        ev, group_col="event_type", id_col="event_id", value_col="value", z=3.0
+    )
+
+
 # -- daily trend per event type (OLS slope via covariance aggregates) ---------
 #
 # Trend detection without a UDF: slope = covar_samp(day_idx, total) /
