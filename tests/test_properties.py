@@ -322,3 +322,43 @@ def test_kmv_presalt_sketch_bit_identical(spark, vals):
     plain = kmv_sketch(df, ["grp"], "v", k=32).collect()[0].ks
     salted = kmv_sketch(df, ["grp"], "v", k=32, presalt=8).collect()[0].ks
     assert salted == plain
+
+
+def test_cms_never_undercounts_and_bounds_error(spark):
+    """The count-min guarantee: est ≥ exact for EVERY key, and the
+    overcount is bounded by the collision mass (here: generous 2N/width)."""
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.sketches import cms_build, cms_estimate
+    from vector_mcp_spark.suite import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    n = ev.count()
+    width = 256
+    sk = cms_build(ev, "user_id", depth=4, width=width)
+    keys = ev.select("user_id").distinct()
+    est = cms_estimate(sk, keys, "user_id", depth=4, width=width)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact"))
+    joined = est.join(exact, "user_id").collect()
+    assert joined
+    for r in joined:
+        assert r.est_count >= r.exact
+        assert r.est_count - r.exact <= 2 * n / width
+
+
+def test_kmv_estimate_error_tolerance(spark):
+    """Beyond-k regime: KMV's distinct estimate lands within the expected
+    ~1/sqrt(k) band on real data (k=64 → assert a generous ±40%)."""
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.sketches import kmv_distinct
+    from vector_mcp_spark.suite import load
+
+    ev = load(spark, "/root/testdata/sf0.01", "events")
+    est = {r.event_type: r.est_distinct for r in kmv_distinct(ev, ["event_type"], "user_id", k=64).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for t, e in exact.items():
+        assert abs(est[t] - e) / e <= 0.4, (t, est[t], e)
