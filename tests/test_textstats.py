@@ -331,3 +331,15 @@ def test_group_robust_outliers_hand_case(spark):
     assert not got[("a", 0)].is_outlier  # |1-3| = 2 <= 3
     # group b: constant values → MAD 0, nothing flagged (0 > 0 false)
     assert not got[("b", 10)].is_outlier and got[("b", 10)].mad == 0.0
+
+
+def test_expectation_ref_rule_counts_orphans(spark):
+    from vector_mcp_spark.operators.expectations import expectation_report
+
+    df = spark.createDataFrame([(1,), (2,), (9,)], "k long")
+    dim = spark.createDataFrame([(1,), (2,)], "pk long")
+    rows = {
+        r.rule: (r.violations, r.passed)
+        for r in expectation_report(df, [("ref", "k", dim, "pk")]).collect()
+    }
+    assert rows["ref:k"] == (1, False)  # 9 has no parent

@@ -14,6 +14,9 @@ Rules:
 * ``("in_set", col, values)`` — col ∈ values (NULL counts as violation)
 * ``("range", col, lo, hi)`` — lo ≤ col ≤ hi (NULL counts as violation)
 * ``("expr", name, sql_bool)`` — arbitrary boolean SQL; False/NULL = violation
+* ``("ref", col, other_df, other_col)`` — referential integrity: every
+  ``col`` value must exist in ``other_df[other_col]`` (left-anti count;
+  one extra pass per ref rule)
 """
 
 from __future__ import annotations
@@ -28,6 +31,7 @@ def expectation_report(df: DataFrame, rules: list[tuple]) -> DataFrame:
     row_aggs = []
     row_names = []
     unique_cols = []
+    ref_rules = []
     for rule in rules:
         kind = rule[0]
         if kind == "not_null":
@@ -47,6 +51,9 @@ def expectation_report(df: DataFrame, rules: list[tuple]) -> DataFrame:
             bad = ~F.coalesce(F.expr(sql), F.lit(False))
         elif kind == "unique":
             unique_cols.append(rule[1])
+            continue
+        elif kind == "ref":
+            ref_rules.append((rule[1], rule[2], rule[3]))
             continue
         else:
             raise ValueError(f"unknown expectation kind: {kind}")
@@ -71,6 +78,14 @@ def expectation_report(df: DataFrame, rules: list[tuple]) -> DataFrame:
             .select(F.lit(f"unique:{col}").alias("rule"), "violations")
         )
         parts.append(dupes)
+    for col, other_df, other_col in ref_rules:
+        orphans = (
+            df.select(F.col(col))
+            .join(other_df.select(F.col(other_col).alias(col)), col, "left_anti")
+            .agg(F.count("*").alias("violations"))
+            .select(F.lit(f"ref:{col}").alias("rule"), "violations")
+        )
+        parts.append(orphans)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

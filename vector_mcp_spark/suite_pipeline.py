@@ -801,6 +801,11 @@ SELECT 'unique:doc_id',
        CAST(COALESCE(SUM(c - 1), 0) AS BIGINT),
        COALESCE(SUM(c - 1), 0) = 0
 FROM (SELECT doc_id, count(*) AS c FROM documents GROUP BY doc_id) WHERE c > 1
+UNION ALL
+SELECT 'ref:doc_id',
+       CAST(count(*) AS BIGINT),
+       count(*) = 0
+FROM documents d WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
 """
 
 
@@ -809,6 +814,7 @@ def q_corpus_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_mcp_spark.operators.expectations import expectation_report
 
     docs = load(spark, sf_dir, "documents")
+    embs = load(spark, sf_dir, "embeddings")
     return expectation_report(
         docs,
         [
@@ -817,6 +823,7 @@ def q_corpus_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("range", "n_chars", 1, 100000),
             ("expr", "n_chars_matches_text", "n_chars = length(text)"),
             ("unique", "doc_id"),
+            ("ref", "doc_id", embs, "vec_id"),
         ],
     )
 
