@@ -181,3 +181,51 @@ def test_pq_adc_ranks_by_reconstruction_distance(spark, sf_dir):
             (float(q) - float(x)) ** 2 for q, x in zip(SEM_QUERY_VEC, recon)
         )
         assert math.isclose(r.adc_dist, exact, rel_tol=0, abs_tol=5e-7)
+
+
+def test_ivf_pq_adc_composed_pipeline_recall(spark):
+    """The classic IVF-PQ serving composition, end to end: probe nprobe
+    clusters (IVF), score ONLY those candidates from PQ codes (ADC),
+    exact re-rank the shortlist — and hold recall@5 ≥ 0.6 vs the exact
+    scorer on hash-random worst-case vectors (ADC is the weak stage there;
+    shortlist 150 of ~300 probed measured 0.72 at pin time)."""
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.pq import pq_adc_topk, pq_build
+    from vector_mcp_spark.operators.similarity import (
+        cosine_self_join_topk,
+        ivf_build,
+    )
+    from vector_mcp_spark.suite import load
+
+    embs = load(spark, "/root/testdata/sf0.01", "embeddings")
+    assigned, cents = ivf_build(embs, n_centroids=16, id_col="vec_id", max_iter=2)
+    encoded, cbs = pq_build(assigned, m=4, n_codes=16, id_col="vec_id", iters=1)
+    queries = {r.vec_id: list(r.embedding) for r in embs.where(F.col("vec_id") < 10).collect()}
+
+    import numpy as np
+
+    cmat = np.asarray(cents, dtype=np.float64)
+    hits = set()
+    for qid, qv in queries.items():
+        q = np.asarray(qv, dtype=np.float64)
+        sims = cmat @ q / (np.linalg.norm(cmat, axis=1) * np.linalg.norm(q) + 1e-12)
+        probe = set(int(i) for i in np.argsort(-sims)[:8])
+        cand = encoded.where(
+            F.col("cluster").isin(*probe) & (F.col("vec_id") != qid)
+        )
+        short_ids = [r.vec_id for r in pq_adc_topk(cand, cbs, qv, 150, id_col="vec_id").collect()]
+        rer = cosine_self_join_topk(
+            embs.where(F.col("vec_id") == qid),
+            embs.where(F.col("vec_id").isin(short_ids)),
+            5, id_col="vec_id", emb_col="embedding",
+        )
+        hits |= {(r.query_id, r.neighbor_id) for r in rer.collect()}
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_self_join_topk(
+            embs.where(F.col("vec_id") < 10), embs, 5, id_col="vec_id", emb_col="embedding"
+        ).collect()
+    }
+    assert len(exact) == 50
+    assert len(hits & exact) / len(exact) >= 0.6
