@@ -217,6 +217,7 @@ _QUEUED_NEXT_WINDOW = [
     "lexical_snippets",
     "corpus_unigram_logprob",
     "events_robust_outliers",
+    "corpus_lexical_diversity",
 ]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)

@@ -715,6 +715,58 @@ def q_embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(encoded, codebooks, SEM_QUERY_VEC, _PQ_ADC_K, id_col="vec_id")
 
 
+# -- lexical diversity per source (type-token ratio + Shannon entropy) --------
+#
+# Corpus-analysis staples for mixture design: a source whose entropy
+# collapses is template spam; TTR tracks vocabulary breadth. One explode +
+# two grouped passes (token counts, then per-source aggregation) — the
+# same scan family the token stats use.
+
+_DIVERSITY_ORACLE = f"""
+WITH ex AS (
+  SELECT source, unnest({_TOKS}) AS tok FROM documents
+),
+tc AS (
+  SELECT source, tok, count(*) AS c FROM ex GROUP BY source, tok
+),
+tot AS (
+  SELECT source, SUM(c) AS n, count(*) AS n_types FROM tc GROUP BY source
+)
+SELECT t.source,
+       CAST(t.n AS BIGINT) AS n_tokens,
+       CAST(t.n_types AS BIGINT) AS n_types,
+       ROUND(CAST(t.n_types AS DOUBLE) / t.n, 6) AS ttr,
+       ROUND(-SUM((c.c / t.n) * ln(c.c / t.n)), 6) AS entropy
+FROM tc c JOIN tot t USING (source)
+GROUP BY t.source, t.n, t.n_types
+"""
+
+
+@register("corpus_lexical_diversity", _DIVERSITY_ORACLE, "textstats", "pipeline")
+def q_corpus_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    tc = ex.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    tot = tc.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_types")
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        tc.join(tot, "source")
+        .groupBy("source", "n", "n_types")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.round(F.col("n_types").cast("double") / F.col("n"), 6).alias("ttr"),
+            "entropy",
+        )
+    )
+
+
 # -- unigram log-probability quality scoring (CCNet-style proxy) --------------
 #
 # CCNet filters web text by LM perplexity; the distributable stand-in is
