@@ -218,6 +218,7 @@ _QUEUED_NEXT_WINDOW = [
     "corpus_unigram_logprob",
     "events_robust_outliers",
     "corpus_lexical_diversity",
+    "events_key_skew_report",
 ]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)

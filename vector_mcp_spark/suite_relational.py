@@ -1302,6 +1302,59 @@ def q_events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- key-skew diagnosis (when to reach for the salted operators) --------------
+#
+# The report that justifies salting: per candidate join/group key column,
+# cardinality, heaviest-key share, and the max/mean frequency ratio. One
+# grouped count per key column, then a one-row summary — cheap enough to
+# run before any big join at 100 TB.
+
+_SKEW_ORACLE = """
+WITH f AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY user_id),
+s AS (
+  SELECT count(*) AS n_keys, SUM(c) AS n_rows, max(c) AS max_c,
+         AVG(c) AS mean_c, median(c) AS p50_c
+  FROM f
+),
+top AS (SELECT k FROM f ORDER BY c DESC, k ASC LIMIT 1)
+SELECT 'user_id' AS key_col,
+       CAST(s.n_keys AS BIGINT) AS n_keys,
+       CAST(s.max_c AS BIGINT) AS max_freq,
+       ROUND(s.p50_c, 6) AS p50_freq,
+       ROUND(s.max_c / s.mean_c, 6) AS skew_ratio,
+       ROUND(s.max_c / CAST(s.n_rows AS DOUBLE), 6) AS top_key_share,
+       CAST((SELECT k FROM top) AS BIGINT) AS heaviest_key
+FROM s
+"""
+
+
+@register("events_key_skew_report", _SKEW_ORACLE, "relational", "skew")
+def q_events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    f = ev.groupBy(F.col("user_id").alias("k")).agg(F.count("*").alias("c"))
+    heaviest = (
+        f.orderBy(F.col("c").desc(), F.col("k").asc())
+        .limit(1)
+        .select(F.col("k").alias("heaviest_key"))
+    )
+    summary = f.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_c"),
+        F.avg("c").alias("mean_c"),
+        F.median("c").alias("p50_c"),
+    )
+    return summary.join(F.broadcast(heaviest)).select(
+        F.lit("user_id").alias("key_col"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("max_c").cast("long").alias("max_freq"),
+        F.round("p50_c", 6).alias("p50_freq"),
+        F.round(F.col("max_c") / F.col("mean_c"), 6).alias("skew_ratio"),
+        F.round(F.col("max_c") / F.col("n_rows").cast("double"), 6).alias("top_key_share"),
+        F.col("heaviest_key").cast("long").alias("heaviest_key"),
+    )
+
+
 # -- salted skew join (replicate-small-side; result identical to plain join) --
 #
 # The merge hints force the sort-merge path (the case the operator exists
