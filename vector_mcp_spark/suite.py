@@ -219,6 +219,7 @@ _QUEUED_NEXT_WINDOW = [
     "events_robust_outliers",
     "corpus_lexical_diversity",
     "events_key_skew_report",
+    "events_value_histogram",
 ]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)

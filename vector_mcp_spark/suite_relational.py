@@ -1302,6 +1302,48 @@ def q_events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- fixed-bin value histogram per event type ---------------------------------
+#
+# Observability staple: bins are FIXED literals (width 25 over [0, 500)),
+# so per-partition bin counts partial-aggregate map-side and histograms
+# from different data slices are additive — unlike quantile-based bins,
+# which need a pre-pass. Out-of-range values clamp into the edge bins.
+
+_HIST_WIDTH = 25.0
+_HIST_BINS = 20
+
+_HIST_ORACLE = f"""
+SELECT event_type,
+       CAST(LEAST(GREATEST(CAST(floor(value / {_HIST_WIDTH}) AS INT), 0),
+                  {_HIST_BINS - 1}) AS INTEGER) AS bin,
+       ROUND(LEAST(GREATEST(CAST(floor(value / {_HIST_WIDTH}) AS INT), 0),
+                  {_HIST_BINS - 1}) * {_HIST_WIDTH}, 2) AS bin_lo,
+       count(*) AS n
+FROM events
+GROUP BY event_type, bin, bin_lo
+"""
+
+
+@register("events_value_histogram", _HIST_ORACLE, "relational", "analytics")
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / _HIST_WIDTH).cast("int"), F.lit(0)),
+        F.lit(_HIST_BINS - 1),
+    )
+    return (
+        ev.select("event_type", bin_.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            F.round(F.col("bin") * _HIST_WIDTH, 2).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
 # -- key-skew diagnosis (when to reach for the salted operators) --------------
 #
 # The report that justifies salting: per candidate join/group key column,
