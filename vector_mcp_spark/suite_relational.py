@@ -1317,7 +1317,7 @@ SELECT event_type,
        CAST(LEAST(GREATEST(CAST(floor(value / {_HIST_WIDTH}) AS INT), 0),
                   {_HIST_BINS - 1}) AS INTEGER) AS bin,
        ROUND(LEAST(GREATEST(CAST(floor(value / {_HIST_WIDTH}) AS INT), 0),
-                  {_HIST_BINS - 1}) * {_HIST_WIDTH}, 2) AS bin_lo,
+                  {_HIST_BINS - 1}) * CAST({_HIST_WIDTH} AS DOUBLE), 2) AS bin_lo,
        count(*) AS n
 FROM events
 GROUP BY event_type, bin, bin_lo
