@@ -220,6 +220,8 @@ _QUEUED_NEXT_WINDOW = [
     "corpus_lexical_diversity",
     "events_key_skew_report",
     "events_value_histogram",
+    "events_hourly_seasonality",
+    "events_ab_readout",
 ]
 for _n in _QUEUED_NEXT_WINDOW:
     SUITE[_n] = SUITE.pop(_n)

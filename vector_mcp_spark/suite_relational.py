@@ -1302,6 +1302,92 @@ def q_events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- hour-of-day seasonality profile ------------------------------------------
+
+_SEASONALITY_ORACLE = """
+SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+       count(*) AS n_events,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY event_type, hour(ts)
+"""
+
+
+@register("events_hourly_seasonality", _SEASONALITY_ORACLE, "relational", "analytics")
+def q_events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+# -- experiment readout: variant lift + Welch t-statistic ---------------------
+#
+# The A/B answer sheet from closed-form aggregates only (means, sample
+# variances, counts — all partial-aggregating): lift and the Welch
+# t-statistic per event type for a deterministic hash split of users.
+# No UDF, one grouped pass after the variant tag.
+
+_AB_ORACLE = """
+WITH tagged AS (
+  SELECT event_type, value,
+         CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant
+  FROM events
+),
+g AS (
+  SELECT event_type, variant, count(*) AS n, AVG(value) AS mean_v,
+         var_samp(value) AS var_v
+  FROM tagged GROUP BY event_type, variant
+)
+SELECT c.event_type,
+       CAST(c.n AS BIGINT) AS n_control, CAST(t.n AS BIGINT) AS n_treatment,
+       ROUND(c.mean_v, 6) AS mean_control,
+       ROUND(t.mean_v, 6) AS mean_treatment,
+       ROUND(t.mean_v - c.mean_v, 6) AS lift,
+       ROUND((t.mean_v - c.mean_v) /
+             sqrt(t.var_v / t.n + c.var_v / c.n), 6) AS welch_t
+FROM g c JOIN g t USING (event_type)
+WHERE c.variant = 'control' AND t.variant = 'treatment'
+"""
+
+
+@register("events_ab_readout", _AB_ORACLE, "relational", "analytics")
+def q_events_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type", "value",
+        F.when(F.col("user_id") % 2 == 0, "control").otherwise("treatment").alias("variant"),
+    )
+    g = tagged.groupBy("event_type", "variant").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("mean_v"),
+        F.var_samp("value").alias("var_v"),
+    )
+    c = g.where(F.col("variant") == "control").select(
+        "event_type", F.col("n").alias("n_control"),
+        F.col("mean_v").alias("mc"), F.col("var_v").alias("vc"),
+    )
+    t = g.where(F.col("variant") == "treatment").select(
+        "event_type", F.col("n").alias("n_treatment"),
+        F.col("mean_v").alias("mt"), F.col("var_v").alias("vt"),
+    )
+    return c.join(t, "event_type").select(
+        "event_type",
+        F.col("n_control").cast("long").alias("n_control"),
+        F.col("n_treatment").cast("long").alias("n_treatment"),
+        F.round("mc", 6).alias("mean_control"),
+        F.round("mt", 6).alias("mean_treatment"),
+        F.round(F.col("mt") - F.col("mc"), 6).alias("lift"),
+        F.round(
+            (F.col("mt") - F.col("mc"))
+            / F.sqrt(F.col("vt") / F.col("n_treatment") + F.col("vc") / F.col("n_control")),
+            6,
+        ).alias("welch_t"),
+    )
+
+
 # -- fixed-bin value histogram per event type ---------------------------------
 #
 # Observability staple: bins are FIXED literals (width 25 over [0, 500)),
