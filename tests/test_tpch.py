@@ -103,3 +103,35 @@ def test_q15_no_single_partition_window(spark, sf_dir):
 def test_q22_anti_join(spark, sf_dir):
     plan = _plan(SUITE["tpch_q22_dormant_customers"].spark_fn(spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_q5_cycle_constraint_filters(spark, sf_dir):
+    """The local-supplier predicate must actually bite: Q5 revenue is a
+    strict subset of the same query without the same-nation constraint."""
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.suite import SUITE, load
+
+    with_cycle = (
+        SUITE["tpch_q5_local_supplier"].spark_fn(spark, sf_dir)
+        .agg(F.sum("revenue").alias("r")).first().r or 0.0
+    )
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    without = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+        .first().r or 0.0
+    )
+    assert 0 < with_cycle < without
