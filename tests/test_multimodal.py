@@ -168,3 +168,23 @@ def test_header_parsers_roundtrip_property(spark):
         assert _wav_meta(wav) == (ch, rate, (len(b"\x00\x00") * ch * n) * 1000 // (rate * ch * 2))
 
     check()
+
+
+def test_image_dims_jpeg_fill_bytes_and_sof_less():
+    """Spec-legal 0xFF fill-byte padding before a marker must be skipped, and
+    a JPEG whose scan starts (or that ends) before any SOF must return None
+    instead of misparsing (ADVICE r4)."""
+    import struct
+
+    from vector_mcp_spark.multimodal.binary_ops import _image_dims
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x48\x00\x48\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">HBHH", 17, 8, 33, 44) + b"\x03\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    # fill bytes between segments: 0xFF 0xFF 0xFF then the real marker
+    padded = b"\xff\xd8" + app0 + b"\xff\xff" + sof0 + b"\xff\xd9"
+    assert _image_dims(padded) == ("image/jpeg", 44, 33)
+    # EOI straight after APP0 — no SOF anywhere: None, not a bogus-length walk
+    assert _image_dims(b"\xff\xd8" + app0 + b"\xff\xd9") is None
+    # SOS before any SOF (corrupt): stop, don't treat 0xDA as length-bearing SOF
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    assert _image_dims(b"\xff\xd8" + app0 + sos) is None

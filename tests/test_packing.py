@@ -305,3 +305,16 @@ def test_bloom_no_false_negatives_and_mergeable(spark):
         .agg(F.bit_or("bits").alias("bits"))
     )
     assert bloom_words(merged, n_bits=4096) == words
+
+
+def test_bloom_words_n_bits_mismatch_raises(spark):
+    """Collecting with a smaller n_bits than the build used must fail loudly,
+    not silently truncate the filter (ADVICE r4)."""
+    import pytest
+
+    from vector_mcp_spark.operators.bloom import bloom_build, bloom_words
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(64)], "g string")
+    built = bloom_build(df, "g", n_bits=4096)
+    with pytest.raises(ValueError, match="n_bits"):
+        bloom_words(built, n_bits=64)

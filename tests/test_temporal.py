@@ -264,3 +264,17 @@ def test_salted_join_equals_plain_join(spark):
         .select("_salt").distinct().count()
     )
     assert spread == 8
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    """Right/full outer would duplicate unmatched small-side rows n_salts
+    times; the helper must reject those modes up front (ADVICE r4)."""
+    import pytest
+
+    from vector_mcp_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 1)], "row_id long, key long")
+    small = spark.createDataFrame([(1, "x")], "key2 long, name string")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "key", "key2", "row_id", n_salts=4, how=how)

@@ -343,3 +343,13 @@ def test_expectation_ref_rule_counts_orphans(spark):
         for r in expectation_report(df, [("ref", "k", dim, "pk")]).collect()
     }
     assert rows["ref:k"] == (1, False)  # 9 has no parent
+
+
+def test_expectation_report_empty_rules_raises(spark):
+    from vector_mcp_spark.operators.expectations import expectation_report
+
+    df = spark.createDataFrame([(1,)], "x long")
+    import pytest
+
+    with pytest.raises(ValueError, match="no rules"):
+        expectation_report(df, [])

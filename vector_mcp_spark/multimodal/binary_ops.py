@@ -114,10 +114,17 @@ def _image_dims(b: bytes) -> tuple[str, int, int] | None:
         while i + 4 <= len(b):
             if b[i] != 0xFF:
                 return None
+            # spec-legal 0xFF fill bytes may pad before any marker byte
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > len(b):
+                return None
             marker = b[i + 1]
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                 i += 2  # standalone markers carry no length
                 continue
+            if marker in (0xD9, 0xDA):
+                return None  # EOI / start-of-scan: no SOF seen, stop the walk
             seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
             if marker in _JPEG_SOF:
                 if i + 9 <= len(b):

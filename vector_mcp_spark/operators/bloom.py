@@ -56,6 +56,11 @@ def bloom_words(built: DataFrame, n_bits: int = 4096) -> list[int]:
     list for broadcasting as literals."""
     words = [0] * (n_bits // WORD_BITS)
     for r in built.collect():
+        if r.word_idx >= len(words):
+            raise ValueError(
+                f"bloom_words: word_idx {r.word_idx} out of range for n_bits={n_bits} "
+                "— pass the same n_bits used in bloom_build"
+            )
         words[r.word_idx] = int(r.bits)
     return words
 

@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 def expectation_report(df: DataFrame, rules: list[tuple]) -> DataFrame:
     """Evaluate rules → (rule, violations bigint, passed boolean), one scan
     for row-level rules + one grouped pass per set of unique rules."""
+    if not rules:
+        raise ValueError("expectation_report: no rules given")
     row_aggs = []
     row_names = []
     unique_cols = []

@@ -47,7 +47,16 @@ def salted_join(
     side carries every salt value, so each big row matches its partner
     exactly once: the result is row-identical to the unsalted join at the
     cost of an ``n_salts``× small-side replication.
+
+    Only ``inner`` and ``left``/``left_outer`` are row-identical: a right or
+    full outer join would emit every unmatched small-side row once per salt
+    replica, so those modes are rejected rather than silently wrong.
     """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left'|'left_outer', got {how!r}: "
+            "outer modes would duplicate unmatched small-side rows n_salts times"
+        )
     b = with_salt(big, salt_from, n_salts)
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))

@@ -133,72 +133,31 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 #
 # Registration order is the driver's correctness-check order, and the driver
 # verifies only the first 50 entries per round. Rotate so every entry gets an
-# oracle row across rounds: round 4 leads with the relational tail (15 entries
-# never checked in r2/r3, incl. promo_revenue / streaming_user_running_stats
-# which have never had an oracle row) + pipeline; the long-stable search /
-# mutation passers (green in r1–r3) rotate out this round.
-# ROUND 5 TODO: reverse — lead with (a) every round-4 addition left outside
-# the window: multimodal_frame_sample / multimodal_image_dims /
-# multimodal_audio_meta / corpus_leakage_safe_split plus the whole
-# _QUEUED_NEXT_WINDOW list below — all green under tools/verify_local.py
-# this round, but no driver row yet; then (b) search/mutation + the
-# pipeline entries past the window (token_counts, corpus_quality_filter,
-# top_bigrams, dedup_clusters, corpus_stratified_sample,
-# corpus_shard_assignment, streaming_dedup_ingest) so everything outside
-# round 4's window regains fresh oracle rows. That is > 50 entries total,
-# so the rotation spans rounds 5 AND 6 — queue order below is the
-# priority order.
+# oracle row across rounds. Round 5 executes the plan recorded at the end of
+# round 4: lead with every entry that has NEVER had a driver row (the 26
+# round-4 additions left outside the window), then the one red row from r4
+# (lineitem_decimal_totals — now canonicalizer-safe VARCHAR output), then
+# backfill the stalest historical greens (r1: mad_udaf/json_extract; r3:
+# search + mutation + pipeline tail). The remaining r3 greens (upsert_merge,
+# engine_lifecycle, dedup_* window block, chunk_documents, …) rotate back in
+# round 6.
+# ROUND 6 TODO: lead with everything in _ROUND6_BACKFILL below (r3-green,
+# locally re-verified, displaced from this round's window by the
+# never-checked queue), then any round-5 promoted entries' follow-ups.
 from vector_mcp_spark import suite_relational  # noqa: E402,F401
 from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401
 from vector_mcp_spark import suite_mutation  # noqa: E402,F401
 from vector_mcp_spark import suite_tpch  # noqa: E402,F401
 
-# Fine-grained rotation: entries green in r1+r2+r3 deferred to the end of the
-# registry this round, freeing window slots for never-checked oracles without
-# moving code between modules. Round 5: swap for the next stable set.
-_DEFERRED_GREEN = [
-    # green r1–r3 AND locally re-verified this round (tools/verify_local.py
-    # full pass) — deferred so the round-4-oracled entries (ann_ivf_topk,
-    # multimodal_*) and the four new sequence/fuzzy/interval-join queries
-    # fit inside the driver's 50-entry window
-    "dedup_exact",
-    "simhash_fingerprints",
-    "simjoin_top1",
-    "embedding_near_dup",
-    "text_stats",
-    "sanitize_content",
-    "events_daily_windows",
-    "events_top_users",
-    "streaming_windowed_events",
-    "events_rollup",
-    "events_user_running_total",
-    "events_sliding_windows",
-    "set_ops_intersect_except",
-    "asof_latest_event",
-    "events_value_quantiles",
-    "tpch_q3_shipping_priority",
-    "events_daily_pivot",
-    # deferred late in round 4 to admit the TPC-H breadth module into the
-    # window: all green in r03 itself, or (mad_udaf / json_extract) green in
-    # r01, independent of the ts-column dtype that changed after r01, and
-    # re-verified locally this round (tools/verify_local.py full pass)
-    "tpch_q1_pricing_summary",
-    "top_revenue_nations",
-    "dedup_normalized",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "chunk_documents",
-    "events_mad_udaf",
-    "events_json_extract",
-]
-for _n in _DEFERRED_GREEN:
-    SUITE[_n] = SUITE.pop(_n)
-
-# Entries added after the round-4 window was finalized: registered, locally
-# verified (tools/verify_local.py + pytest), and queued to lead the round-5
-# window — moved to the registry tail so the curated first-50 stays fixed.
-_QUEUED_NEXT_WINDOW = [
+# --- Round-5 window --------------------------------------------------------
+# (a) The 26 entries registered in round 4 that have NEVER had a driver
+# correctness row (all green under tools/verify_local.py at the end of r4 and
+# again at the start of r5).
+_NEVER_CHECKED = [
+    "multimodal_image_dims",
+    "multimodal_audio_meta",
+    "corpus_leakage_safe_split",
     "events_salted_enrich_join",
     "embedding_hard_negatives",
     "corpus_source_overlap",
@@ -223,26 +182,76 @@ _QUEUED_NEXT_WINDOW = [
     "events_hourly_seasonality",
     "events_ab_readout",
 ]
-for _n in _QUEUED_NEXT_WINDOW:
-    SUITE[_n] = SUITE.pop(_n)
 
-# Promotion: brand-new oracle-backed entries registered in late modules are
-# pulled into the driver's 50-entry window so they get verified the round
-# they land (they rotate back to natural order once green).
-_PROMOTED = [
-    "semantic_mmr_topk",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_dormant_customers",
+# (b) New round-5 operators are appended here as they land so they get a
+# driver row the round they ship; each promotion displaces one backfill slot
+# from the tail of _STALE_BACKFILL (those are historically green and simply
+# wait for round 6).
+_PROMOTED_R5: list[str] = []
+
+# (c) The one red row from round 4 (fixed: VARCHAR decimal output) plus the
+# entries whose newest driver row is oldest (r1/r3), in staleness order.
+_STALE_BACKFILL = [
+    "lineitem_decimal_totals",
+    "events_mad_udaf",
+    "events_json_extract",
+    "multimodal_frame_sample",
+    "embed_documents",
+    "token_counts",
+    "corpus_quality_filter",
+    "top_bigrams",
+    "dedup_clusters",
+    "corpus_stratified_sample",
+    "corpus_shard_assignment",
+    "streaming_dedup_ingest",
+    "semantic_topk",
+    "semantic_threshold",
+    "semantic_multiquery",
+    "lexical_tf",
+    "lexical_and",
+    "lexical_substring",
+    "lexical_bm25",
+    "hybrid_rrf",
+    "lexical_multiquery",
+    "hybrid_multiquery",
+    "get_by_ids",
+    "delete_by_ids",
 ]
-_order = [n for n in SUITE if n not in _PROMOTED]
-_cut = 50 - len(_PROMOTED)
-_order = _order[:_cut] + _PROMOTED + _order[_cut:]
+
+# Round-6 leads: r3-green entries displaced from this round's window.
+_ROUND6_BACKFILL = [
+    "upsert_merge",
+    "engine_lifecycle",
+    "dedup_exact",
+    "simhash_fingerprints",
+    "simjoin_top1",
+    "embedding_near_dup",
+    "text_stats",
+    "sanitize_content",
+    "events_daily_windows",
+    "events_top_users",
+    "streaming_windowed_events",
+    "events_rollup",
+    "events_user_running_total",
+    "events_sliding_windows",
+    "set_ops_intersect_except",
+    "asof_latest_event",
+    "events_value_quantiles",
+    "tpch_q3_shipping_priority",
+    "events_daily_pivot",
+    "tpch_q1_pricing_summary",
+    "top_revenue_nations",
+    "dedup_normalized",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "chunk_documents",
+]
+
+_window = (_NEVER_CHECKED + _PROMOTED_R5 + _STALE_BACKFILL)[:50]
+_missing = [n for n in _window if n not in SUITE]
+if _missing:  # fail loudly at import so a typo can't silently shrink coverage
+    raise RuntimeError(f"rotation names not in SUITE: {_missing}")
+_order = _window + [n for n in SUITE if n not in _window]
 _entries = {n: SUITE[n] for n in _order}
 SUITE.clear()
 SUITE.update(_entries)

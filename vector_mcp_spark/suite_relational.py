@@ -757,10 +757,14 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- decimal arithmetic (exact sums, no float rounding in the compare) --------
 
+# The aggregation is exact DECIMAL(18,2) arithmetic on both engines; the
+# result is emitted as VARCHAR because the driver's pandas canonicalizer
+# hashes Decimal objects and float64 differently (r4 red row) — stringifying
+# preserves exactness while giving both sides the identical byte sequence.
 _DECIMAL_ORACLE = """
 SELECT l_returnflag,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS total_price,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS total_qty
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -769,8 +773,14 @@ FROM lineitem GROUP BY l_returnflag
 def q_lineitem_decimal_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_price"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("total_price"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("total_qty"),
     )
 
 
