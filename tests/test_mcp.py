@@ -363,3 +363,114 @@ def test_veneer_rejects_unsupported_backend(spark, tmp_path_factory):
     # a valid alias proceeds to normal routing (collection missing → its code)
     out = v.vector_search("search", collection_name="missing", question="q", db_type="postgres")
     assert out == {"error": "collection_not_found"}
+
+
+# -- live network seam: loopback HTTP server (ADVICE r4 #4) -------------------
+#
+# The fake-transport tests above prove batching/validation logic; this one
+# proves the DEFAULT stdlib urllib transport over a real TCP connection —
+# request headers, JSON wire shape, retry-on-5xx, and the error mapping when
+# the server misbehaves. The server is a stdlib ThreadingHTTPServer bound to
+# 127.0.0.1:0; in local-mode Spark the executor threads reach it the same
+# way a cluster executor would reach a real endpoint.
+
+
+@pytest.fixture()
+def embed_server():
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from vector_mcp_spark.functions.embedder import hash_embed
+
+    state = {"batches": [], "auth": [], "fail_next": 0, "mode": "ok"}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            state["batches"].append(len(body["input"]))
+            state["auth"].append(self.headers.get("Authorization"))
+            if state["fail_next"] > 0:
+                state["fail_next"] -= 1
+                self.send_response(503)
+                self.end_headers()
+                return
+            if state["mode"] == "short":
+                data = [{"embedding": hash_embed(t, 64)} for t in body["input"][:-1]]
+            elif state["mode"] == "ragged":
+                data = [
+                    {"embedding": hash_embed(t, 64 if i % 2 else 32)}
+                    for i, t in enumerate(body["input"])
+                ]
+            else:
+                data = [{"embedding": hash_embed(t, 64)} for t in body["input"]]
+            payload = json.dumps({"data": data}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}/v1/embeddings", state
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_live_loopback_search_end_to_end(spark, tmp_path_factory, embed_server):
+    url, state = embed_server
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("live_root")))
+    eng.create_collection("live")
+    eng.add_documents("live", [
+        "spark processes data in parallel",
+        "vector search over embeddings",
+        "coffee brewing techniques",
+    ])
+    client = RemoteEmbeddingClient(
+        endpoint=url, model="fake-model", api_key="sekret",
+        batch_size=2, backoff_s=0.01,
+    )
+    api = VectorSearchApi(eng, embed_model=client)
+    rows = api.search("live", "vector embeddings", number_results=2).collect()
+    assert len(rows) == 2
+    # wire-identical to the offline hash-embedder path
+    offline = VectorSearchApi(eng).search("live", "vector embeddings", number_results=2).collect()
+    assert [(r.id, round(r.score, 9)) for r in rows] == [
+        (r.id, round(r.score, 9)) for r in offline
+    ]
+    # batching respected over the wire and the key reached the server
+    assert all(b <= 2 for b in state["batches"])
+    assert "Bearer sekret" in state["auth"]
+
+
+def test_live_loopback_retry_and_error_mapping(embed_server):
+    url, state = embed_server
+    client = RemoteEmbeddingClient(
+        endpoint=url, model="m", batch_size=8, max_retries=2, backoff_s=0.01
+    )
+    # one 503 then success: the retry path recovers over real TCP
+    state["fail_next"] = 1
+    vecs = client(["a", "b", "c"])
+    assert len(vecs) == 3 and all(len(v) == 64 for v in vecs)
+    # count-mismatch response → embedding_batch_invalid
+    state["mode"] = "short"
+    with pytest.raises(EngineError, match="embedding_batch_invalid"):
+        client(["a", "b", "c"])
+    # inconsistent dimensions → embedding_invalid (dimension lock)
+    state["mode"] = "ragged"
+    with pytest.raises(EngineError, match="embedding_invalid"):
+        client(["a", "b", "c"])
+    # endpoint gone → embedding_endpoint_unavailable after retries
+    dead = RemoteEmbeddingClient(
+        endpoint="http://127.0.0.1:9/v1/embeddings", model="m",
+        max_retries=0, timeout_s=0.5,
+    )
+    with pytest.raises(EngineError, match="embedding_endpoint_unavailable"):
+        dead(["a"])

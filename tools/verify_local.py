@@ -6,6 +6,11 @@ multiset (floats rounded to 6 dp before compare, mirroring the rounding both
 sides already apply).
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
+
+The comparison core (`verify_entries`) is importable so the test suite can
+run the same gate over the FULL registry at sf0.001 each round — entries
+outside the driver's 50-entry window can't silently rot between their
+driver rounds (ADVICE r4 #3).
 """
 
 from __future__ import annotations
@@ -13,8 +18,6 @@ from __future__ import annotations
 import math
 import sys
 from collections import Counter
-
-sys.path.insert(0, ".")
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -36,51 +39,67 @@ def _multiset(rows, cols):
     return Counter(tuple(_norm_cell(row[i]) for i in order) for row in rows)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
+def duckdb_connection(sf_dir: str):
+    """A DuckDB connection with the standard tables registered as views."""
     import duckdb
 
-    from vector_mcp_spark.session import get_spark
-    from vector_mcp_spark.suite import SUITE
-
-    spark = get_spark("verify_local")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
 
+
+def verify_entry(spark, con, entry, sf_dir: str) -> tuple[bool, int, str]:
+    """Run one suite entry both ways. Returns (ok, spark_rows, detail)."""
+    sdf = entry.spark_fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+    if entry.oracle is None:
+        return True, len(srows), "rows-only check [no oracle]"
+    ocur = con.execute(entry.oracle)
+    ocols = [d[0] for d in ocur.description]
+    orows = ocur.fetchall()
+    if sorted(scols) != sorted(ocols):
+        return False, len(srows), f"SCHEMA MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}"
+    if len(srows) != len(orows):
+        return False, len(srows), f"ROWCOUNT MISMATCH spark={len(srows)} oracle={len(orows)}"
+    sm, om = _multiset(srows, scols), _multiset(orows, ocols)
+    if sm != om:
+        diff_s = list((sm - om).items())[:3]
+        diff_o = list((om - sm).items())[:3]
+        return False, len(srows), f"VALUE MISMATCH\n  spark-only: {diff_s}\n  oracle-only: {diff_o}"
+    return True, len(srows), "OK"
+
+
+def verify_entries(spark, sf_dir: str, names=None, verbose: bool = True) -> list[str]:
+    """Run the driver-style gate over `names` (default: whole SUITE).
+    Returns the list of failing entry names."""
+    from vector_mcp_spark.suite import SUITE
+
+    con = duckdb_connection(sf_dir)
     failures = []
     for name, entry in SUITE.items():
-        if only and name not in only:
+        if names is not None and name not in names:
             continue
-        sdf = entry.spark_fn(spark, sf_dir)
-        srows = [tuple(r) for r in sdf.collect()]
-        scols = list(sdf.columns)
-        if entry.oracle is None:
-            print(f"{name}: rows-only check, spark={len(srows)} rows  [no oracle]")
-            continue
-        ocur = con.execute(entry.oracle)
-        ocols = [d[0] for d in ocur.description]
-        orows = ocur.fetchall()
-        ok = True
-        if sorted(scols) != sorted(ocols):
-            print(f"{name}: SCHEMA MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}")
-            ok = False
-        if len(srows) != len(orows):
-            print(f"{name}: ROWCOUNT MISMATCH spark={len(srows)} oracle={len(orows)}")
-            ok = False
-        if ok:
-            sm, om = _multiset(srows, scols), _multiset(orows, ocols)
-            if sm != om:
-                diff_s = list((sm - om).items())[:3]
-                diff_o = list((om - sm).items())[:3]
-                print(f"{name}: VALUE MISMATCH\n  spark-only: {diff_s}\n  oracle-only: {diff_o}")
-                ok = False
-        print(f"{name}: {'OK' if ok else 'FAIL'} ({len(srows)} rows)")
+        ok, n_rows, detail = verify_entry(spark, con, entry, sf_dir)
+        if verbose:
+            if detail not in ("OK",):
+                print(f"{name}: {detail}")
+            print(f"{name}: {'OK' if ok else 'FAIL'} ({n_rows} rows)")
         if not ok:
             failures.append(name)
+    return failures
 
+
+def main() -> int:
+    sys.path.insert(0, ".")
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:]) or None
+
+    from vector_mcp_spark.session import get_spark
+
+    spark = get_spark("verify_local")
+    failures = verify_entries(spark, sf_dir, only)
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
