@@ -474,3 +474,95 @@ def test_live_loopback_retry_and_error_mapping(embed_server):
     )
     with pytest.raises(EngineError, match="embedding_endpoint_unavailable"):
         dead(["a"])
+
+
+# -- A2A agent card + auth'd dispatch (ADVICE r4 #6) --------------------------
+
+
+def _fake_identity(allowed_skills=None, allowed_actions=None):
+    """Entitlement resolver for a fake authenticated identity."""
+    def resolver(namespace, names):
+        if namespace == "skill" and allowed_skills is not None:
+            return [n for n in names if n in allowed_skills]
+        if namespace == "action" and allowed_actions is not None:
+            return [n for n in names if n in allowed_actions]
+        return names
+    return resolver
+
+
+def test_agent_card_full_catalog_when_unauthenticated(veneer):
+    from vector_mcp_spark.agent_card import AgentCardVeneer
+
+    card = AgentCardVeneer(veneer).card()
+    assert card["name"] and card["description"] and card["version"]
+    assert [s["id"] for s in card["skills"]] == [
+        "vector-collection-management", "vector-hybrid-search",
+        "vector-backend-operations",
+    ]
+    assert "vector_search" in card["tools"]
+    assert "search" in card["skills"][1]["actions"]
+
+
+def test_agent_card_entitlement_filtered(veneer):
+    from vector_mcp_spark.agent_card import AgentCardVeneer
+
+    ident = _fake_identity(
+        allowed_skills={"vector-hybrid-search", "vector-backend-operations"},
+        allowed_actions={"semantic_search", "search", "doctor", "backend_status"},
+    )
+    card = AgentCardVeneer(veneer, entitlements=ident).card()
+    assert [s["id"] for s in card["skills"]] == [
+        "vector-hybrid-search", "vector-backend-operations",
+    ]
+    # the action list inside a granted skill narrows too
+    assert card["skills"][0]["actions"] == ["semantic_search", "search"]
+    # a skill whose actions are all denied would drop entirely
+    none_allowed = _fake_identity(allowed_actions=set())
+    assert AgentCardVeneer(veneer, entitlements=none_allowed).card()["skills"] == []
+    # resolver outage degrades to the full catalog, like listings
+    def broken(ns, names):
+        raise RuntimeError("idp down")
+    assert len(AgentCardVeneer(veneer, entitlements=broken).card()["skills"]) == 3
+
+
+def test_agent_dispatch_routes_and_enforces(spark, tmp_path_factory):
+    from vector_mcp_spark.agent_card import AgentCardVeneer
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("a2a_root")))
+    agent = AgentCardVeneer(McpVeneer(eng, VectorSearchApi(eng)))
+    out = agent.dispatch(
+        "vector_collection_management", "create_collection",
+        collection_name="a2a", document_contents=["alpha doc", "beta doc"],
+    )
+    assert out == {"collection_name": "a2a", "documents_added": 2}
+    res = agent.dispatch(
+        "vector_search", "search", collection_name="a2a",
+        question="alpha", number_results=1,
+    )
+    assert res["action"] == "search" and len(res["results"]) == 1
+    # backend ops route with the same stable shapes
+    assert agent.dispatch("vector_backend_operations", "backend_status",
+                          db_type="qdrant")["available"] is True
+    assert agent.dispatch("vector_backend_operations", "doctor")["ok"] in (True, False)
+    assert agent.dispatch("vector_backend_operations", "reboot")["error"] == "action_invalid"
+    # unknown tool → stable error with suggestions, not a traceback
+    bad = agent.dispatch("vector_searhc", "search")
+    assert bad["error"] == "tool_invalid" and "vector_search" in bad["did_you_mean"]
+    # underlying veneer codes surface unchanged (no confirm → stable code)
+    err = agent.dispatch("vector_collection_management", "delete_collection",
+                         collection_name="a2a")
+    assert err == {"error": "delete_not_confirmed"}
+
+
+def test_agent_dispatch_forbidden_action(spark, tmp_path_factory):
+    from vector_mcp_spark.agent_card import AgentCardVeneer
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("a2a_auth")))
+    ident = _fake_identity(allowed_actions={"list_collections", "search"})
+    agent = AgentCardVeneer(McpVeneer(eng), entitlements=ident)
+    out = agent.dispatch("vector_collection_management", "create_collection",
+                         collection_name="nope")
+    assert out == {"error": "action_forbidden", "action": "create_collection"}
+    assert agent.dispatch("vector_collection_management", "list_collections") == {
+        "collections": []
+    }

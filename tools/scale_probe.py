@@ -34,6 +34,7 @@ HEAVY = [
     "ann_ivf_topk",
     "embedding_pq_adc_topk",
     "embedding_near_dup",
+    "embedding_hard_negatives",
     "semantic_late_interaction",
 ]
 

@@ -1,0 +1,152 @@
+"""A2A-style agent card + authenticated action dispatch.
+
+Mirrors the observable surface of the reference's agent server
+(``vector_mcp/agent_server.py:1-98`` + ``auth.py:1-15``): an agent announces
+an identity card — name, description, version, and the skill/capability
+catalog (``vector_mcp/skills/*``) — and dispatches tool actions on behalf of
+an authenticated identity. The reference delegates transport, identity
+loading, and serving to an external agent framework; here the same contract
+is a framework-free veneer over :class:`~vector_mcp_spark.mcp.McpVeneer`:
+
+- ``card()`` — the discovery document. The skill list is filtered through
+  the identity's entitlement resolver (namespace ``"skill"``), exactly like
+  collection listings (``mcp_server.py:61-80``): no resolver or a broken
+  resolver degrades to the full catalog, a working resolver strictly
+  narrows it.
+- ``dispatch(tool, action, ...)`` — auth'd action routing with the same
+  stable snake_case error codes as the MCP veneer (never a traceback):
+  ``tool_invalid`` with did-you-mean suggestions for unknown tools,
+  ``action_forbidden`` when the identity's entitlements (namespace
+  ``"action"``) exclude the action, and the underlying veneer's own codes
+  for everything below that.
+
+An A2A/HTTP server would serialize ``card()`` at its well-known endpoint
+and call ``dispatch`` per request; both are transport-free and testable
+with a fake identity.
+"""
+
+from __future__ import annotations
+
+import difflib
+from typing import Any
+
+from vector_mcp_spark import __version__
+from vector_mcp_spark.mcp import (
+    COLLECTION_ACTIONS,
+    SEARCH_ACTIONS,
+    EntitlementResolver,
+    McpVeneer,
+)
+
+DEFAULT_AGENT_NAME = "Vector MCP Spark"
+DEFAULT_AGENT_DESCRIPTION = (
+    "Agent for vector-store operations on a PySpark engine: collection "
+    "lifecycle, bounded document ingestion, and semantic / lexical / "
+    "hybrid-RRF retrieval."
+)
+
+# The reference ships four skills (vector_mcp/skills/*); each card entry is
+# (id, description, tool, actions) in this engine's own words.
+SKILL_CATALOG: tuple[dict[str, Any], ...] = (
+    {
+        "id": "vector-collection-management",
+        "description": "Create, list, and delete collections; ingest "
+        "documents with bounds and dedup on write.",
+        "tool": "vector_collection_management",
+        "actions": list(COLLECTION_ACTIONS),
+    },
+    {
+        "id": "vector-hybrid-search",
+        "description": "Semantic, lexical, and hybrid-RRF retrieval over a "
+        "collection with tunable weights and rrf_k.",
+        "tool": "vector_search",
+        "actions": list(SEARCH_ACTIONS),
+    },
+    {
+        "id": "vector-backend-operations",
+        "description": "Backend readiness: doctor report and fail-closed "
+        "db_type policy checks.",
+        "tool": "vector_backend_operations",
+        "actions": ["doctor", "backend_status"],
+    },
+)
+
+TOOLS: tuple[str, ...] = tuple(s["tool"] for s in SKILL_CATALOG)
+
+
+class AgentCardVeneer:
+    """Identity-scoped agent card + dispatch over the MCP veneer."""
+
+    def __init__(
+        self,
+        veneer: McpVeneer,
+        name: str = DEFAULT_AGENT_NAME,
+        description: str = DEFAULT_AGENT_DESCRIPTION,
+        entitlements: EntitlementResolver | None = None,
+    ):
+        self.veneer = veneer
+        self.name = name
+        self.description = description
+        # default to the veneer's resolver so one identity scopes both
+        # listings and the card
+        self.entitlements = entitlements if entitlements is not None else veneer.entitlements
+
+    def _entitled(self, namespace: str, names: list[str]) -> list[str]:
+        if self.entitlements is None:
+            return list(names)
+        try:
+            allowed = set(self.entitlements(namespace, list(names)))
+        except Exception:  # resolver outage must never break discovery
+            return list(names)
+        return [n for n in names if n in allowed]
+
+    def card(self) -> dict[str, Any]:
+        """The discovery document: identity + entitlement-filtered skills."""
+        skill_ids = self._entitled("skill", [s["id"] for s in SKILL_CATALOG])
+        skills = []
+        for s in SKILL_CATALOG:
+            if s["id"] not in skill_ids:
+                continue
+            actions = self._entitled("action", list(s["actions"]))
+            if not actions:
+                continue
+            skills.append({**s, "actions": actions})
+        return {
+            "name": self.name,
+            "description": self.description,
+            "version": __version__,
+            "skills": skills,
+            "tools": [s["tool"] for s in skills],
+        }
+
+    def dispatch(self, tool: str, action: str, **kwargs: Any) -> dict[str, Any]:
+        """Route one authenticated action; stable error dicts throughout."""
+        if tool not in TOOLS:
+            return {
+                "error": "tool_invalid",
+                "allowed": list(TOOLS),
+                "did_you_mean": difflib.get_close_matches(tool or "", TOOLS, n=3, cutoff=0.4),
+            }
+        if action not in self._entitled("action", [action]):
+            return {"error": "action_forbidden", "action": action}
+        if tool == "vector_collection_management":
+            return self.veneer.vector_collection_management(action, **kwargs)
+        if tool == "vector_search":
+            return self.veneer.vector_search(action, **kwargs)
+        return self._backend_operations(action, **kwargs)
+
+    def _backend_operations(self, action: str, **kwargs: Any) -> dict[str, Any]:
+        from vector_mcp_spark.backend_policy import backend_status
+        from vector_mcp_spark.doctor import doctor
+
+        if action == "doctor":
+            return doctor(kwargs.get("warehouse_root"))
+        if action == "backend_status":
+            return dict(backend_status(kwargs.get("db_type")))
+        return {
+            "error": "action_invalid",
+            "allowed": ["doctor", "backend_status"],
+            "did_you_mean": difflib.get_close_matches(
+                action or "", ["doctor", "backend_status"], n=3, cutoff=0.4
+            ),
+        }
