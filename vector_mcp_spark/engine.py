@@ -71,9 +71,15 @@ def _tenant_prefix(tenant: str) -> str:
 
 class CollectionEngine:
     def __init__(self, spark: SparkSession, root: str, tenant: str | None = None):
+        from vector_mcp_spark.operators.transactional import transactional_format
+
         self.spark = spark
         self.root = Path(root)
         self.tenant = tenant
+        # VECTOR_MCP_SPARK_TABLE_FORMAT=delta|iceberg routes T7/T9 mutations
+        # through transactional MERGE/DELETE (operators/transactional.py);
+        # unset keeps the partition-pruned parquet rewrite path
+        self._table_format = transactional_format()
         (self.root / "collections").mkdir(parents=True, exist_ok=True)
 
     # -- catalog ------------------------------------------------------------
@@ -414,6 +420,13 @@ class CollectionEngine:
         scoped = self._require(name)
         self._check_dimension(scoped, df)
         df = df.select(*DOCUMENT_SCHEMA.fieldNames())
+        if self._table_format is not None:
+            from vector_mcp_spark.operators.transactional import merge_upsert
+
+            merge_upsert(self.spark, self._table_format, self._table_path(scoped), df)
+            if df.where(F.col("embedding").isNull()).limit(1).count() > 0:
+                self._mark_needs_embed(scoped)
+            return
         prefixes = [
             r.p for r in df.select(_prefix_of(F.col("id")).alias("p")).distinct().collect()
         ]
@@ -432,6 +445,11 @@ class CollectionEngine:
         ids = [str(i) for i in ids]
         prefixes = sorted({i[:_PART_LEN] for i in ids})
         ids_df = self.spark.createDataFrame([(i,) for i in ids], "id string")
+        if self._table_format is not None:
+            from vector_mcp_spark.operators.transactional import merge_delete
+
+            merge_delete(self.spark, self._table_format, self._table_path(scoped), ids_df)
+            return
         touched = self._read_partitions(scoped, prefixes)
         self._rewrite_partitions(
             scoped, prefixes, touched.join(F.broadcast(ids_df), "id", "left_anti")
