@@ -27,6 +27,13 @@ TPCH_NEW = [
     "tpch_q17_small_quantity",
     "tpch_q19_discounted_revenue",
     "tpch_q22_dormant_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_ship_latency",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_part_share_suppliers",
+    "tpch_q21_waiting_supplier",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem".split()
@@ -135,3 +142,46 @@ def test_q5_cycle_constraint_filters(spark, sf_dir):
         .first().r or 0.0
     )
     assert 0 < with_cycle < without
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
+     "tpch_q11_important_parts", "tpch_q20_part_share_suppliers",
+     "tpch_q21_waiting_supplier"],
+)
+def test_round5_dimensions_broadcast(spark, sf_dir, name):
+    plan = _plan(SUITE[name].spark_fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_rank_window_partitioned_by_part(spark, sf_dir):
+    """The correlated-min is a per-part window, never a global sort: the
+    window spec partitions by partkey."""
+    plan = _plan(SUITE["tpch_q2_min_cost_supplier"].spark_fn(spark, sf_dir))
+    assert "row_number" in plan
+    assert "TakeOrderedAndProject" in plan  # LIMIT 100 never sorts globally
+
+
+def test_q11_scalar_threshold_broadcast(spark, sf_dir):
+    """The 0.1% global-total cutoff joins as a broadcast one-row aggregate,
+    not a second scan-and-shuffle of the grouped side."""
+    plan = _plan(SUITE["tpch_q11_important_parts"].spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q12_single_fact_pass(spark, sf_dir):
+    """Q12 is one fact⋈orders join + conditional agg: no window, no
+    cartesian, shipdate pushed to the scan."""
+    plan = _plan(SUITE["tpch_q12_ship_latency"].spark_fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_q21_aggregate_formulation_no_self_joins(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS pair collapses into ONE per-order aggregate:
+    the fact table appears in the plan at most twice (late lines + the
+    per-order aggregate), not three times as in the textbook plan."""
+    plan = _plan(SUITE["tpch_q21_waiting_supplier"].spark_fn(spark, sf_dir))
+    assert plan.count("lineitem.parquet") <= 2

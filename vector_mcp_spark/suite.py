@@ -187,7 +187,15 @@ _NEVER_CHECKED = [
 # driver row the round they ship; each promotion displaces one backfill slot
 # from the tail of _STALE_BACKFILL (those are historically green and simply
 # wait for round 6).
-_PROMOTED_R5: list[str] = []
+_PROMOTED_R5: list[str] = [
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_ship_latency",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_part_share_suppliers",
+    "tpch_q21_waiting_supplier",
+]
 
 # (c) The one red row from round 4 (fixed: VARCHAR decimal output) plus the
 # entries whose newest driver row is oldest (r1/r3), in staleness order.
