@@ -93,7 +93,15 @@ def main() -> int:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # The driver keeps only the last 2000 chars of stdout; with 130+ queries
+    # the JSON line outgrows that, so also persist the full result in-repo —
+    # tools/bench_compare.py reads these for the per-round regression ritual.
+    try:
+        Path(__file__).resolve().parent.joinpath("BENCH_LOCAL_LAST.json").write_text(line)
+    except OSError:
+        pass  # read-only checkout must not fail the bench
     return 0
 
 
