@@ -1,0 +1,85 @@
+"""Graph analytics over DataFrames — weighted PageRank by power iteration.
+
+Complements the connected-components operator in ``operators/dedup.py``
+(near-dup clustering) with the other workhorse graph primitive a corpus
+pipeline needs: ranking nodes of a derived co-occurrence graph (entities
+sharing documents, event types sharing users, domains sharing links) by
+stationary importance. Brin & Page 1998; damped power iteration with a
+fixed iteration count keeps the computation deterministic and oracle-
+replayable (an unrolled CTE per iteration).
+
+Scale shape: each iteration is one join of the edge list against the
+current rank vector plus one groupBy(dst) — shuffles sized by |edges|,
+state sized by |nodes|. No collect anywhere: the node count (for the
+teleport term) rides a broadcast one-row aggregate. Danging-mass
+redistribution is skipped because every caller derives symmetric
+co-occurrence edges (an edge implies out-weight on both endpoints);
+isolated nodes keep the teleport floor (1−d)/N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """(node, pr) after ``iters`` damped power iterations from uniform.
+
+    ``edges`` is a weighted directed edge list; pass both directions for an
+    undirected graph. pr_{t+1}(v) = (1−d)/N + d·Σ_u pr_t(u)·w(u,v)/W(u),
+    W(u) = Σ_v w(u,v)."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).cast("double").alias("w")
+    )
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    n_total = nodes.agg(F.count("*").alias("n"))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # fraction of u's rank flowing along each edge — iteration-invariant
+    frac = e.join(out_w, "src").select("src", "dst", (F.col("w") / F.col("out_w")).alias("f"))
+    pr = nodes.join(F.broadcast(n_total)).select("node", (F.lit(1.0) / F.col("n")).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            frac.join(pr, frac.src == pr.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("f")).alias("inflow"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .join(F.broadcast(n_total))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr
+
+
+def cooccurrence_edges(
+    pairs: DataFrame, item_col: str = "item", group_col: str = "grp"
+) -> DataFrame:
+    """Symmetric co-occurrence edge list from (group, item) membership:
+    weight(a, b) = number of distinct groups containing both. The self-join
+    is blocked on the group key (each group contributes |items|² pairs —
+    bounded by per-group cardinality, never corpus-quadratic; cap pathological
+    groups upstream with a HAVING on group size)."""
+    m = pairs.select(F.col(group_col).alias("g"), F.col(item_col).alias("a")).distinct()
+    other = m.select(F.col("g"), F.col("a").alias("b"))
+    return (
+        m.join(other, "g")
+        .where(F.col("a") != F.col("b"))
+        .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )

@@ -268,3 +268,59 @@ def snippet_extract(
         F.col("hit_pos").cast("int").alias("hit_pos"),
         F.substring(F.col(content_col), start, 2 * width).alias("snippet"),
     )
+
+
+def build_postings(
+    docs: DataFrame,
+    id_col: str = "id",
+    content_col: str = "content",
+    top_docs: int = 10,
+) -> DataFrame:
+    """Materialized inverted index: (term, df, cf, postings) per vocab term.
+
+    The lexical operators above score by scanning the corpus per query; a
+    serving deployment amortizes that by materializing the index once —
+    this is the reference's "the engine keeps a text index" capability
+    (e.g. pg tsvector GIN, ``postgres.py`` lexical path) as an explicit
+    table build. ``df`` = document frequency, ``cf`` = collection
+    frequency, ``postings`` = the top ``top_docs`` documents by term
+    frequency (ties → lower id), serialized ``id:tf`` comma-joined so the
+    row stays bounded no matter how common the term is — the full postings
+    list shards naturally by writing the pre-truncation (term, id, tf)
+    table partitioned by term hash instead.
+
+    Scale shape: one tokenize+explode pass, one groupBy(term, id) with
+    map-side partial aggregation, one window per term for the top slice
+    (partitioned — never a global sort), one groupBy(term). Everything
+    shuffles on uniform term/doc keys.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(content_col))).alias("term"))
+        .groupBy("term", "id")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("id").asc())
+    ranked = tf.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rk") <= top_docs,
+                                F.struct(F.col("rk"), F.col("id"), F.col("tf")),
+                            )
+                        )
+                    ),
+                    lambda s: F.concat_ws(":", s.id.cast("string"), s.tf.cast("string")),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )

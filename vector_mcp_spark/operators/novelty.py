@@ -1,0 +1,79 @@
+"""Cross-corpus span novelty — the C4 repeated-span signal, scored not cut.
+
+C4 (Raffel et al. 2020, §2.2 "we discard all but one of any three-sentence
+span occurring more than once in the data set") removes repeated spans
+corpus-wide. The distributable form scores each document by how much of it
+was already seen: the fraction of its distinct token n-gram spans whose
+first occurrence (minimum doc id) lies in an EARLIER document. A score of
+1.0 = entirely novel; near 0 = boilerplate already present upstream.
+Downstream, filtering/trimming is a WHERE on the score — policy stays out
+of the operator.
+
+Scale shape: tokenize once per row (`bind_once` pins the tokenizer against
+per-element HOF re-evaluation), build distinct spans map-side, hash each
+span to a 60-bit sha prefix BEFORE the shuffle so the first-occurrence
+groupBy exchanges 8-byte keys instead of raw span strings, then one
+aggregate back per document. Two shuffles total (span → first-doc, doc →
+counts), both on uniform hashed keys — no all-pairs stage anywhere, so the
+pass stays linear in corpus size at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_mcp_spark.functions.expr import bind_once
+from vector_mcp_spark.functions.text import tokens
+
+
+def _span_hashes(text_col: str, n: int):
+    """Distinct n-gram spans of the token list, each as a 60-bit sha prefix."""
+
+    def build(toks):
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.conv(
+                    F.substring(F.sha2(F.array_join(F.slice(toks, i + 1, n), " "), 256), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        return F.array_distinct(grams)
+
+    return bind_once(tokens(F.col(text_col)), build)
+
+
+def span_novelty(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_spans, n_repeated, novelty) per document with ≥1 span.
+
+    ``n_repeated`` counts this doc's distinct spans first seen in an earlier
+    document (global min-id ownership, ties to the earliest id — so the
+    first copy of any duplicated span is never penalized for it);
+    ``novelty`` = 1 − n_repeated / n_spans, rounded to 6 dp."""
+    spans = docs.select(
+        F.col(id_col).alias("id"), F.explode(_span_hashes(text_col, n)).alias("span_h")
+    )
+    first_seen = spans.groupBy("span_h").agg(F.min("id").alias("first_id"))
+    return (
+        spans.join(first_seen, "span_h")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("first_id") < F.col("id")).cast("long")).alias("n_repeated"),
+        )
+        .select(
+            "id",
+            "n_spans",
+            "n_repeated",
+            F.round(1.0 - F.col("n_repeated") / F.col("n_spans"), 6).alias("novelty"),
+        )
+    )

@@ -149,6 +149,7 @@ from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401
 from vector_mcp_spark import suite_mutation  # noqa: E402,F401
 from vector_mcp_spark import suite_tpch  # noqa: E402,F401
+from vector_mcp_spark import suite_mining  # noqa: E402,F401
 
 # --- Round-5 window --------------------------------------------------------
 # (a) The 26 entries registered in round 4 that have NEVER had a driver
@@ -195,6 +196,10 @@ _PROMOTED_R5: list[str] = [
     "tpch_q16_supplier_cnt",
     "tpch_q20_part_share_suppliers",
     "tpch_q21_waiting_supplier",
+    "corpus_span_novelty",
+    "corpus_dsir_weights",
+    "lexical_postings_index",
+    "graph_pagerank_event_types",
 ]
 
 # (c) The one red row from round 4 (fixed: VARCHAR decimal output) plus the

@@ -1,0 +1,178 @@
+"""Corpus-mining breadth: span novelty, DSIR weights, postings, PageRank.
+
+Round-5 additions to the LLM-data-pipeline surface (SURVEY.md §2 extension
+set): the C4 repeated-span signal as a per-doc novelty score, DSIR
+importance weights for targeted selection, an explicit inverted-index
+build, and weighted PageRank over a derived co-occurrence graph. Every
+entry carries a full DuckDB oracle — the sha-derived span/bucket hashes are
+chosen precisely so ANSI SQL replays them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_mcp_spark.suite import load, register
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9_]{2,}')"
+
+# -- C4-style cross-doc span novelty ------------------------------------------
+
+_SPAN_N = 5
+
+_NOVELTY_ORACLE = f"""
+WITH dt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+spans AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substring(sha256(
+           array_to_string(toks[i + 1 : i + {_SPAN_N}], ' ')), 1, 15) AS BIGINT) AS span_h
+  FROM dt, UNNEST(range(len(toks) - {_SPAN_N - 1})) AS t(i)
+),
+first_seen AS (SELECT span_h, min(doc_id) AS first_id FROM spans GROUP BY span_h)
+SELECT s.doc_id AS id, count(*) AS n_spans,
+       SUM(CASE WHEN f.first_id < s.doc_id THEN 1 ELSE 0 END) AS n_repeated,
+       ROUND(1.0 - SUM(CASE WHEN f.first_id < s.doc_id THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM spans s JOIN first_seen f USING (span_h)
+GROUP BY s.doc_id
+"""
+
+
+@register("corpus_span_novelty", _NOVELTY_ORACLE, "dedup", "textstats", "pipeline")
+def q_corpus_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.novelty import span_novelty
+
+    docs = load(spark, sf_dir, "documents")
+    return span_novelty(docs, n=_SPAN_N, id_col="doc_id", text_col="text")
+
+
+# -- DSIR importance weights (target = src0) ----------------------------------
+
+_DSIR_BUCKETS = 1024
+
+_DSIR_ORACLE = f"""
+WITH ex AS (
+  SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS t,
+         unnest({_TOKS}) AS tok
+  FROM documents
+),
+b AS (
+  SELECT doc_id, t,
+         CAST('0x' || substring(sha256(tok), 1, 15) AS BIGINT) % {_DSIR_BUCKETS} AS bucket
+  FROM ex
+),
+counts AS (SELECT bucket, count(*) AS c_raw, SUM(t) AS c_tgt FROM b GROUP BY bucket),
+tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM counts),
+r AS (
+  SELECT bucket,
+         ln((c_tgt + 1.0) / (n_tgt + {_DSIR_BUCKETS}.0))
+         - ln((c_raw + 1.0) / (n_raw + {_DSIR_BUCKETS}.0)) AS lr
+  FROM counts CROSS JOIN tot
+)
+SELECT b.doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(r.lr), 6) AS weight
+FROM b JOIN r USING (bucket)
+GROUP BY b.doc_id
+"""
+
+
+@register("corpus_dsir_weights", _DSIR_ORACLE, "sampling", "textstats", "pipeline")
+def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.dsir import importance_weights
+
+    docs = load(spark, sf_dir, "documents")
+    return importance_weights(
+        docs,
+        is_target=F.col("source") == "src0",
+        n_buckets=_DSIR_BUCKETS,
+        id_col="doc_id",
+        text_col="text",
+    )
+
+
+# -- materialized inverted index (top slice) ----------------------------------
+
+_POSTINGS_TOP_DOCS = 10
+_POSTINGS_TOP_TERMS = 200
+
+_POSTINGS_ORACLE = f"""
+WITH tf AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+  GROUP BY term, doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rk
+  FROM tf
+)
+SELECT term, count(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+       string_agg(CASE WHEN rk <= {_POSTINGS_TOP_DOCS}
+                       THEN doc_id || ':' || tf END, ',' ORDER BY rk) AS postings
+FROM ranked
+GROUP BY term
+ORDER BY df DESC, term
+LIMIT {_POSTINGS_TOP_TERMS}
+"""
+
+
+@register("lexical_postings_index", _POSTINGS_ORACLE, "lexical", "pipeline")
+def q_lexical_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.lexical import build_postings
+
+    docs = load(spark, sf_dir, "documents")
+    idx = build_postings(docs, id_col="doc_id", content_col="text", top_docs=_POSTINGS_TOP_DOCS)
+    return idx.orderBy(F.col("df").desc(), "term").limit(_POSTINGS_TOP_TERMS)
+
+
+# -- weighted PageRank over the event-type co-occurrence graph ---------------
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    base = f"""
+WITH m AS (SELECT DISTINCT user_id AS g, event_type AS a FROM events),
+e AS (
+  SELECT m.a AS src, o.b AS dst, count(*) AS w
+  FROM m JOIN (SELECT g, a AS b FROM m) o USING (g)
+  WHERE m.a <> o.b
+  GROUP BY m.a, o.b
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+ow AS (SELECT src, SUM(w) AS out_w FROM e GROUP BY src),
+frac AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / ow.out_w AS f
+         FROM e JOIN ow USING (src)),
+it0 AS (SELECT node, 1.0 / nt.n AS pr FROM nodes CROSS JOIN nt)"""
+    for k in range(1, _PR_ITERS + 1):
+        base += f""",
+it{k} AS (
+  SELECT nodes.node,
+         (1 - {_PR_DAMPING}) / nt.n
+         + {_PR_DAMPING} * COALESCE(inf.s, 0) AS pr
+  FROM nodes CROSS JOIN nt
+  LEFT JOIN (
+    SELECT f.dst, SUM(p.pr * f.f) AS s
+    FROM frac f JOIN it{k - 1} p ON p.node = f.src
+    GROUP BY f.dst
+  ) inf ON inf.dst = nodes.node
+)"""
+    return base + f"""
+SELECT node AS event_type, ROUND(pr, 6) AS pr
+FROM it{_PR_ITERS}
+ORDER BY pr DESC, event_type
+"""
+
+
+@register("graph_pagerank_event_types", _pagerank_oracle(), "graph", "relational")
+def q_graph_pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.graph import cooccurrence_edges, pagerank
+
+    ev = load(spark, sf_dir, "events")
+    edges = cooccurrence_edges(ev, item_col="event_type", group_col="user_id")
+    pr = pagerank(edges, damping=_PR_DAMPING, iters=_PR_ITERS)
+    return pr.select(
+        F.col("node").alias("event_type"), F.round("pr", 6).alias("pr")
+    ).orderBy(F.col("pr").desc(), "event_type")
