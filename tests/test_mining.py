@@ -50,13 +50,13 @@ def test_dsir_weights_separate_target_like_docs(spark):
 
 
 def test_build_postings_exact_counts_and_truncation(spark):
-    from vector_mcp_spark.operators.lexical import build_postings
+    from vector_mcp_spark.operators.lexical import postings_index_summary
 
     docs = spark.createDataFrame(
         [(1, "apple apple pear"), (2, "apple pear pear pear"), (3, "apple kiwi")],
         "id long, content string",
     )
-    idx = {r.term: r for r in build_postings(docs, top_docs=2).collect()}
+    idx = {r.term: r for r in postings_index_summary(docs, top_docs=2).collect()}
     assert idx["apple"].df == 3 and idx["apple"].cf == 4
     # top-2 by tf desc then id asc: doc1 (tf 2), then doc2/doc3 (tf 1, id asc)
     assert idx["apple"].postings == "1:2,2:1"

@@ -36,6 +36,9 @@ HEAVY = [
     "embedding_near_dup",
     "embedding_hard_negatives",
     "semantic_late_interaction",
+    "corpus_span_novelty",
+    "corpus_dsir_weights",
+    "lexical_postings_index",
 ]
 
 

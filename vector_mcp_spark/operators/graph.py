@@ -39,13 +39,29 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).cast("double").alias("w")
     )
-    nodes = e.select(F.col("src").alias("node")).union(
-        e.select(F.col("dst").alias("node"))
-    ).distinct()
+    # Iteration-invariant tables and each iteration's rank vector are
+    # localCheckpoint()ed (the same lineage-truncation the connected-
+    # components fixpoint in operators/dedup.py uses): without it every
+    # iteration's lineage re-derives edges/nodes from the source relation
+    # and the final plan re-scans the input O(iters²) times (measured: 44
+    # scans / 121 exchanges for 3 iterations on the co-occurrence suite
+    # entry vs 3 materializations checkpointed). Checkpointed state is
+    # |nodes| + |edges| rows — the working set any Pregel-style runtime
+    # keeps resident.
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_total = nodes.agg(F.count("*").alias("n"))
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # fraction of u's rank flowing along each edge — iteration-invariant
-    frac = e.join(out_w, "src").select("src", "dst", (F.col("w") / F.col("out_w")).alias("f"))
+    frac = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("f"))
+        .localCheckpoint(eager=True)
+    )
     pr = nodes.join(F.broadcast(n_total)).select("node", (F.lit(1.0) / F.col("n")).alias("pr"))
     for _ in range(iters):
         contrib = (
@@ -63,6 +79,7 @@ def pagerank(
                     + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("pr"),
             )
+            .localCheckpoint(eager=True)
         )
     return pr
 

@@ -270,24 +270,22 @@ def snippet_extract(
     )
 
 
-def build_postings(
+def postings_index_summary(
     docs: DataFrame,
     id_col: str = "id",
     content_col: str = "content",
     top_docs: int = 10,
 ) -> DataFrame:
-    """Materialized inverted index: (term, df, cf, postings) per vocab term.
+    """Dictionary view of the inverted index: (term, df, cf, postings).
 
-    The lexical operators above score by scanning the corpus per query; a
-    serving deployment amortizes that by materializing the index once —
-    this is the reference's "the engine keeps a text index" capability
-    (e.g. pg tsvector GIN, ``postgres.py`` lexical path) as an explicit
-    table build. ``df`` = document frequency, ``cf`` = collection
+    ``build_postings`` above is the raw (term, id, tf) index table the
+    scoring operators consume; this summarizes it per vocab term for
+    serving/inspection: ``df`` = document frequency, ``cf`` = collection
     frequency, ``postings`` = the top ``top_docs`` documents by term
     frequency (ties → lower id), serialized ``id:tf`` comma-joined so the
     row stays bounded no matter how common the term is — the full postings
-    list shards naturally by writing the pre-truncation (term, id, tf)
-    table partitioned by term hash instead.
+    list shards naturally by writing the raw table partitioned by term
+    hash instead.
 
     Scale shape: one tokenize+explode pass, one groupBy(term, id) with
     map-side partial aggregation, one window per term for the top slice
@@ -296,11 +294,7 @@ def build_postings(
     """
     from pyspark.sql import Window
 
-    tf = (
-        docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(content_col))).alias("term"))
-        .groupBy("term", "id")
-        .agg(F.count("*").alias("tf"))
-    )
+    tf = build_postings(docs, id_col, content_col).withColumnRenamed(id_col, "id")
     w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("id").asc())
     ranked = tf.withColumn("rk", F.row_number().over(w))
     return (

@@ -118,10 +118,10 @@ LIMIT {_POSTINGS_TOP_TERMS}
 
 @register("lexical_postings_index", _POSTINGS_ORACLE, "lexical", "pipeline")
 def q_lexical_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_mcp_spark.operators.lexical import build_postings
+    from vector_mcp_spark.operators.lexical import postings_index_summary
 
     docs = load(spark, sf_dir, "documents")
-    idx = build_postings(docs, id_col="doc_id", content_col="text", top_docs=_POSTINGS_TOP_DOCS)
+    idx = postings_index_summary(docs, id_col="doc_id", content_col="text", top_docs=_POSTINGS_TOP_DOCS)
     return idx.orderBy(F.col("df").desc(), "term").limit(_POSTINGS_TOP_TERMS)
 
 
