@@ -229,3 +229,47 @@ def test_ivf_pq_adc_composed_pipeline_recall(spark):
     }
     assert len(exact) == 50
     assert len(hits & exact) / len(exact) >= 0.6
+
+
+def test_sign_pack_invariants(spark):
+    """Identical vectors → Hamming 0; a sign-flipped vector → Hamming 64;
+    packed halves reproduce the per-dimension sign bits exactly."""
+    from vector_mcp_spark.operators.quantize import sign_pack
+
+    v = [(1.0 if i % 3 else -1.0) for i in range(64)]
+    neg = [-x for x in v]
+    df = spark.createDataFrame(
+        [(0, v), (1, v), (2, neg)], "vec_id long, embedding array<double>"
+    )
+    rows = {r.vec_id: r for r in sign_pack(df).collect()}
+    assert (rows[0].lo, rows[0].hi) == (rows[1].lo, rows[1].hi)
+    expected_lo = sum(1 << i for i in range(32) if v[i] > 0)
+    expected_hi = sum(1 << i for i in range(32) if v[32 + i] > 0)
+    assert (rows[0].lo, rows[0].hi) == (expected_lo, expected_hi)
+    ham = bin(rows[0].lo ^ rows[2].lo).count("1") + bin(rows[0].hi ^ rows[2].hi).count("1")
+    assert ham == 64
+
+
+def test_binary_sign_topk_recall_gate(spark):
+    """1-bit sign quantization + Hamming shortlist (100 of 6000) + exact
+    re-rank must hold recall@5 ≥ 0.6 vs the exact operator on hash-random
+    embeddings — the hardest input for sign quantization (no dominant
+    directions). Measured at pin time; see RECALL.md."""
+    from vector_mcp_spark.operators.quantize import binary_hamming_topk
+    from vector_mcp_spark.operators.similarity import cosine_self_join_topk
+    from vector_mcp_spark.suite import load
+
+    embs = load(spark, "/root/testdata/sf0.01", "embeddings")
+    qs = embs.where(F.col("vec_id") < 20)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in binary_hamming_topk(qs, embs, k=5, shortlist=100, id_col="vec_id").collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_self_join_topk(
+            qs, embs, k=5, id_col="vec_id", emb_col="embedding"
+        ).collect()
+    }
+    assert len(exact) == 100
+    assert len(approx & exact) / len(exact) >= 0.6

@@ -79,3 +79,104 @@ def quantization_error(
     if include_q:
         cols.append(F.array_join("q", ",").alias("q_str"))
     return quant.select(*cols)
+
+
+# -- 1-bit (sign) quantization + Hamming search -------------------------------
+#
+# The most aggressive rung of the compression ladder (int8 → PQ → sign):
+# keep only the sign bit of every dimension — 64 dims pack into 8 bytes, a
+# 32× cut — and shortlist neighbors by Hamming distance, which for
+# mean-centered embeddings approximates angular distance (Charikar 2002
+# sign-random-projection LSH with the identity projection). Shortlist
+# scoring is two XOR+popcount instructions per candidate on the packed
+# longs; exact cosine re-ranks only the shortlist.
+
+
+def _half_bits(vec, lo_bit: int):
+    """Sum of disjoint power-of-two literals — equals the bitwise OR, stays
+    in whole-stage codegen, and an ANSI CASE-sum replays it exactly."""
+    terms = [
+        F.when(F.element_at(vec, lo_bit + i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(32)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def sign_pack(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, lo, hi, vec): sign bits of dims 0–31 / 32–63 packed into two
+    longs (two halves avoid the signed-64 top-bit overflow on BOTH engines —
+    sums of disjoint 2^i literals stay positive)."""
+    vec = F.col(vec_col)
+    return df.select(
+        id_col,
+        _half_bits(vec, 0).alias("lo"),
+        _half_bits(vec, 32).alias("hi"),
+        vec_col,
+    )
+
+
+def binary_hamming_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage sign-quantized ANN: Hamming shortlist on the packed bits
+    (ties → lower id), exact-cosine re-rank — (query_id, rank, neighbor_id,
+    score 6 dp).
+
+    The coarse pass reads 8 bytes/vector instead of 256 and its shuffle
+    rows are (query_id, neighbor_id, hamming) — vectors rejoin only for
+    the shortlist·|queries| re-rank."""
+    from pyspark.sql import Window
+
+    from vector_mcp_spark.functions.vector import dot, l2_norm
+
+    c = sign_pack(corpus, vec_col=emb_col, id_col=id_col)
+    q = sign_pack(queries, vec_col=emb_col, id_col=id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+        F.col(emb_col).alias("_qv"),
+    )
+    ham = F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo"))) + F.bit_count(
+        F.col("hi").bitwiseXOR(F.col("qhi"))
+    )
+    coarse = (
+        c.join(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            ham.alias("hamming"),
+            F.col(emb_col).alias("_nv"),
+            "_qv",
+        )
+    )
+    w_coarse = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    short = coarse.withColumn("_cr", F.row_number().over(w_coarse)).where(
+        F.col("_cr") <= shortlist
+    )
+    sim = dot(F.col("_nv"), F.col("_qv")) / (l2_norm(F.col("_nv")) * l2_norm(F.col("_qv")))
+    w_fine = Window.partitionBy("query_id").orderBy(
+        F.col("_s").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        short.withColumn("_s", sim)
+        .withColumn("rank", F.row_number().over(w_fine))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int"), "neighbor_id", F.round("_s", 6).alias("score"))
+    )

@@ -200,6 +200,7 @@ _PROMOTED_R5: list[str] = [
     "corpus_dsir_weights",
     "lexical_postings_index",
     "graph_pagerank_event_types",
+    "embedding_binary_sign_topk",
 ]
 
 # (c) The one red row from round 4 (fixed: VARCHAR decimal output) plus the

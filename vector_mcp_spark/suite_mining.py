@@ -176,3 +176,58 @@ def q_graph_pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("event_type"), F.round("pr", 6).alias("pr")
     ).orderBy(F.col("pr").desc(), "event_type")
+
+
+# -- 1-bit sign quantization + Hamming-shortlist ANN --------------------------
+
+_BSQ_K = 5
+_BSQ_SHORTLIST = 100
+
+
+def _bsq_oracle() -> str:
+    def half(lo_bit: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN v[{lo_bit + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(32)
+        )
+
+    sim = (
+        "(list_dot_product(c.v, q.qv) / "
+        "(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))))"
+    )
+    return f"""
+WITH packed AS (
+  SELECT vec_id, v, CAST({half(0)} AS BIGINT) AS lo, CAST({half(32)} AS BIGINT) AS hi
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+),
+q AS (SELECT vec_id AS query_id, v AS qv, lo AS qlo, hi AS qhi
+      FROM packed WHERE vec_id < 20),
+coarse AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.v, q.qv,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY bit_count(xor(c.lo, q.qlo))
+                                     + bit_count(xor(c.hi, q.qhi)) ASC,
+                                     c.vec_id ASC) AS cr
+  FROM packed c CROSS JOIN q
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, ROUND(sm, 6) AS score
+FROM (
+  SELECT query_id, neighbor_id, {sim.replace('c.v', 'coarse.v').replace('q.qv', 'coarse.qv')} AS sm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {sim.replace('c.v', 'coarse.v').replace('q.qv', 'coarse.qv')} DESC NULLS LAST,
+                                     neighbor_id ASC) AS rn
+  FROM coarse WHERE cr <= {_BSQ_SHORTLIST}
+) WHERE rn <= {_BSQ_K}
+"""
+
+
+@register("embedding_binary_sign_topk", _bsq_oracle(), "similarity", "pipeline")
+def q_embedding_binary_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.quantize import binary_hamming_topk
+
+    embs = load(spark, sf_dir, "embeddings")
+    qs = embs.where(F.col("vec_id") < 20)
+    return binary_hamming_topk(
+        qs, embs, k=_BSQ_K, shortlist=_BSQ_SHORTLIST, id_col="vec_id"
+    )
