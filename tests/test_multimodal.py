@@ -188,3 +188,56 @@ def test_image_dims_jpeg_fill_bytes_and_sof_less():
     # SOS before any SOF (corrupt): stop, don't treat 0xDA as length-bearing SOF
     sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
     assert _image_dims(b"\xff\xd8" + app0 + sos) is None
+
+
+def _real_mp4(w: int, h: int, timescale: int, dur: int, mvhd_v1: bool = False) -> bytes:
+    import struct
+
+    matrix = bytes.fromhex(
+        "000100000000000000000000000000000001000000000000000000000000000040000000"
+    )
+    ftyp = bytes.fromhex("000000106674797069736f6d00000000")
+    if mvhd_v1:
+        body = (b"\x01" + bytes(3) + bytes(16)
+                + struct.pack(">IQ", timescale, dur)
+                + bytes.fromhex("00010000") + bytes.fromhex("0100") + bytes(10)
+                + matrix + bytes(24) + struct.pack(">I", 2))
+    else:
+        body = (bytes(4) + bytes(8) + struct.pack(">II", timescale, dur)
+                + bytes.fromhex("00010000") + bytes.fromhex("0100") + bytes(10)
+                + matrix + bytes(24) + struct.pack(">I", 2))
+    mvhd = struct.pack(">I4s", 8 + len(body), b"mvhd") + body
+    tb = (bytes(1) + b"\x00\x00\x07" + bytes(8) + struct.pack(">I", 1) + bytes(4)
+          + struct.pack(">I", dur & 0xFFFFFFFF) + bytes(8) + bytes(8) + matrix
+          + struct.pack(">II", w << 16, h << 16))
+    tkhd = struct.pack(">I4s", 8 + len(tb), b"tkhd") + tb
+    trak = struct.pack(">I4s", 8 + len(tkhd), b"trak") + tkhd
+    moov = struct.pack(">I4s", 8 + len(mvhd) + len(trak), b"moov") + mvhd + trak
+    return ftyp + moov
+
+
+def test_mp4_meta_roundtrip_property():
+    """Planted (w, h, timescale, duration) must be recovered exactly from
+    both mvhd versions; garbage and truncations return None."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vector_mcp_spark.multimodal.binary_ops import _mp4_meta
+
+    @given(
+        w=st.integers(min_value=1, max_value=2**16 - 1),
+        h=st.integers(min_value=1, max_value=2**16 - 1),
+        ts=st.sampled_from([600, 1000, 90000]),
+        dur=st.integers(min_value=0, max_value=2**31 - 1),
+        v1=st.booleans(),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(w, h, ts, dur, v1):
+        b = _real_mp4(w, h, ts, dur, mvhd_v1=v1)
+        assert _mp4_meta(b) == (w, h, dur * 1000 // ts)
+        assert _mp4_meta(b[:20]) is None  # moov truncated away
+        assert _mp4_meta(b"\x00" * 40) is None
+
+    check()
+    from vector_mcp_spark.multimodal.binary_ops import _mp4_meta as m
+    assert m(b"RIFFxxxxWAVE") is None  # wrong container entirely

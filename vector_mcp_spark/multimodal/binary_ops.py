@@ -217,6 +217,89 @@ def parse_audio_meta(media: DataFrame) -> DataFrame:
     )
 
 
+def _mp4_meta(b: bytes) -> tuple[int | None, int | None, int] | None:
+    """REAL ISO-BMFF (MP4) header walk — pure stdlib. Returns (width,
+    height, duration_ms) from the moov box's mvhd (timescale/duration) and
+    the first trak's tkhd (16.16 fixed-point dims), or None for anything
+    that is not a well-formed ftyp+moov prefix. Only box headers and the
+    two leaf boxes are touched; sample data (mdat) is never read — the
+    access pattern that lets a 100 TB video catalog scan stream metadata
+    without decoding a frame."""
+    import struct
+
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    i = 0
+    moov = None
+    while i + 8 <= len(b):
+        size, typ = struct.unpack(">I4s", b[i : i + 8])
+        if size < 8:
+            return None
+        if typ == b"moov":
+            moov = b[i + 8 : i + size]
+            break
+        i += size
+    if moov is None:
+        return None
+    timescale = duration = width = height = None
+    j = 0
+    while j + 8 <= len(moov):
+        size, typ = struct.unpack(">I4s", moov[j : j + 8])
+        if size < 8:
+            return None
+        body = moov[j + 8 : j + size]
+        if typ == b"mvhd" and len(body) >= 20:
+            if body[0] == 0:
+                timescale, duration = struct.unpack(">II", body[12:20])
+            elif len(body) >= 32:  # version 1: 64-bit create/modify/duration
+                (timescale,) = struct.unpack(">I", body[20:24])
+                (duration,) = struct.unpack(">Q", body[24:32])
+        elif typ == b"trak" and width is None:
+            k = 0
+            while k + 8 <= len(body):
+                s2, t2 = struct.unpack(">I4s", body[k : k + 8])
+                if s2 < 8:
+                    return None
+                if t2 == b"tkhd" and s2 >= 92 and body[k + 8] == 0:
+                    tb = body[k + 8 : k + s2]
+                    w_fx, h_fx = struct.unpack(">II", tb[76:84])
+                    width, height = w_fx >> 16, h_fx >> 16
+                k += s2
+        j += size
+    if not timescale or duration is None:
+        return None
+    return (width, height, duration * 1000 // timescale)
+
+
+def parse_video_meta(media: DataFrame) -> DataFrame:
+    """Video metadata from real MP4 headers: (media_id, mime, width,
+    height, duration_ms). Same scale contract as ``parse_image_meta`` —
+    Arrow batches executor-side, only the metadata tuple shuffles."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "mime": [], "width": [],
+                "height": [], "duration_ms": [],
+            }
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                parsed = _mp4_meta(bytes(data) if data is not None else b"")
+                if parsed is None:
+                    continue
+                w, h, dur = parsed
+                rows["media_id"].append(mid)
+                rows["mime"].append("video/mp4")
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["duration_ms"].append(dur)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        _parse,
+        schema="media_id string, mime string, width int, height int, duration_ms long",
+    )
+
+
 def resize_images(media: DataFrame, width: int, height: int, deterministic_fake: bool = True) -> DataFrame:
     """Image resize seam: returns (media_id, data binary, meta) with updated
     dimensions. Fake mode passes bytes through and rewrites meta (the

@@ -201,6 +201,7 @@ _PROMOTED_R5: list[str] = [
     "lexical_postings_index",
     "graph_pagerank_event_types",
     "embedding_binary_sign_topk",
+    "multimodal_video_meta",
 ]
 
 # (c) The one red row from round 4 (fixed: VARCHAR decimal output) plus the
@@ -232,8 +233,23 @@ _STALE_BACKFILL = [
     "delete_by_ids",
 ]
 
-# Round-6 leads: r3-green entries displaced from this round's window.
+# Round-6 leads: entries displaced from this round's window. The 12
+# round-5 promotions pushed the tail of _STALE_BACKFILL (search/mutation,
+# r3-green, locally re-verified) past slot 50 — those go FIRST in round 6,
+# then the r3 block below.
 _ROUND6_BACKFILL = [
+    "semantic_topk",
+    "semantic_threshold",
+    "semantic_multiquery",
+    "lexical_tf",
+    "lexical_and",
+    "lexical_substring",
+    "lexical_bm25",
+    "hybrid_rrf",
+    "lexical_multiquery",
+    "hybrid_multiquery",
+    "get_by_ids",
+    "delete_by_ids",
     "upsert_merge",
     "engine_lifecycle",
     "dedup_exact",

@@ -231,3 +231,64 @@ def q_embedding_binary_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_hamming_topk(
         qs, embs, k=_BSQ_K, shortlist=_BSQ_SHORTLIST, id_col="vec_id"
     )
+
+
+# -- REAL MP4 (ISO-BMFF) header decode ----------------------------------------
+#
+# Complete ftyp+moov(mvhd+trak/tkhd) structures synthesized as Column
+# expressions with planted dimensions and a timescale-600 duration;
+# parse_video_meta recovers width/height (16.16 fixed point) and
+# duration_ms by actually walking the box tree — misread one box size or
+# fixed-point shift and the hash mismatches. Completes the real-header
+# modality set: PNG/JPEG/GIF (image), RIFF/WAVE (audio), ISO-BMFF (video).
+
+_MM_VIDEO_ORACLE = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id, 'video/mp4' AS mime,
+       CAST(n_chars % 1920 + 16 AS INTEGER) AS width,
+       CAST(doc_id % 1080 + 16 AS INTEGER) AS height,
+       CAST(n_chars * 3 * 1000 // 600 AS BIGINT) AS duration_ms
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+_MP4_MATRIX_HEX = (
+    "000100000000000000000000000000000001000000000000000000000000000040000000"
+)
+
+
+@register("multimodal_video_meta", _MM_VIDEO_ORACLE, "multimodal", "pipeline")
+def q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.multimodal.binary_ops import parse_video_meta
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    w = (F.col("n_chars") % 1920 + 16).cast("bigint")
+    h = (F.col("doc_id") % 1080 + 16).cast("bigint")
+    dur = (F.col("n_chars") * 3).cast("bigint")
+
+    def be4(col):
+        return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+    ftyp = F.unhex(F.lit("000000106674797069736F6D00000000"))
+    mvhd = F.concat(
+        F.unhex(F.lit("0000006C6D766864")),          # size 108 + 'mvhd'
+        F.unhex(F.lit("00000000" + "00000000" + "00000000" + "00000258")),
+        be4(dur),                                     # duration (timescale 600)
+        F.unhex(F.lit("00010000" + "0100" + "0" * 20)),
+        F.unhex(F.lit(_MP4_MATRIX_HEX + "0" * 48 + "00000002")),
+    )
+    tkhd = F.concat(
+        F.unhex(F.lit("0000005C746B6864")),          # size 92 + 'tkhd'
+        F.unhex(F.lit("00000007" + "00000000" + "00000000" + "00000001" + "00000000")),
+        be4(dur),
+        F.unhex(F.lit("0" * 16 + "0000" + "0000" + "0000" + "0000")),
+        F.unhex(F.lit(_MP4_MATRIX_HEX)),
+        # 16.16 fixed point: integer part in the high 16 bits, zero fraction
+        F.unhex(F.concat(F.lpad(F.hex(w), 4, "0"), F.lit("0000"))),
+        F.unhex(F.concat(F.lpad(F.hex(h), 4, "0"), F.lit("0000"))),
+    )
+    trak = F.concat(F.unhex(F.lit("000000647472616B")), tkhd)
+    moov = F.concat(F.unhex(F.lit("000000D86D6F6F76")), mvhd, trak)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.concat(ftyp, moov).alias("data"),
+    )
+    return parse_video_meta(media)
