@@ -309,3 +309,49 @@ def test_stream_index_maintenance_matches_batch_assignment(spark, tmp_path):
         id_col="vec_id", emb_col="embedding",
     )
     assert spark.read.parquet(index_dir).count() == len(want)
+
+
+def test_continuous_aggregate_incremental_merge(spark, tmp_path):
+    """Two availableNow runs over a growing source dir: the second run must
+    merge ONLY the new files into the standing rollup, and the final table
+    must equal the one-shot batch aggregate. A third run with nothing new
+    changes nothing (checkpoint + applied markers = effectively-once)."""
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.streaming.ingest import (
+        read_event_stream,
+        stream_continuous_aggregate,
+    )
+    from vector_mcp_spark.suite import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    first, second = ev.where(F.col("event_id") % 2 == 0), ev.where(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    first.write.mode("overwrite").parquet(src)
+    stream_continuous_aggregate(read_event_stream(spark, src), rollup, ckpt)
+    mid = spark.read.parquet(rollup).agg(F.sum("n_events")).first()[0]
+    assert mid == first.count()
+
+    second.write.mode("append").parquet(src)
+    stream_continuous_aggregate(read_event_stream(spark, src), rollup, ckpt)
+    got = {
+        (r.day, r.event_type): (r.n_events, round(r.total_value, 4))
+        for r in spark.read.parquet(rollup).collect()
+    }
+    want = {
+        (r.day, r.event_type): (r.n_events, round(r.total_value, 4))
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value")).collect()
+    }
+    assert got == want
+
+    stream_continuous_aggregate(read_event_stream(spark, src), rollup, ckpt)
+    again = {
+        (r.day, r.event_type): (r.n_events, round(r.total_value, 4))
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert again == want

@@ -316,3 +316,64 @@ def streaming_frequency_sketch(
     from vector_mcp_spark.operators.sketches import cms_build
 
     return cms_build(events, value_col, depth=depth, width=width)
+
+
+def stream_continuous_aggregate(
+    events: DataFrame,
+    rollup_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Incrementally-maintained day × event_type rollup — the continuous-
+    aggregate / materialized-view-maintenance pattern (TimescaleDB's
+    continuous aggregates, Databricks' incremental MVs) on foreachBatch.
+
+    Each micro-batch is aggregated to partial (day, event_type, n_events,
+    total_value) rows and MERGED into the standing rollup table by summing
+    with the previous state: per-batch cost is O(batch + |rollup|), never a
+    rescan of history — at 100 TB/day the rollup table stays dashboard-
+    sized while the raw feed streams past. Counts/sums are algebraic
+    (mergeable) aggregates; avg derives at read time.
+
+    Effectively-once: the checkpoint prevents re-delivery across restarts,
+    and an applied-batch marker directory makes the merge idempotent if a
+    batch IS retried after a mid-write crash (the reprocessed batch sees
+    its marker and skips). Replaying from scratch requires clearing table +
+    markers + checkpoint together.
+    """
+    import shutil
+    from pathlib import Path
+
+    spark = events.sparkSession
+    applied = Path(rollup_path + "_applied")
+    applied.mkdir(parents=True, exist_ok=True)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        marker = applied / str(batch_id)
+        if marker.exists():
+            return
+        part = batch_df.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        ).agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        out = Path(rollup_path)
+        if (out / "_SUCCESS").exists():
+            old = spark.read.parquet(rollup_path)
+            part = (
+                old.unionByName(part)
+                .groupBy("day", "event_type")
+                .agg(F.sum("n_events").alias("n_events"), F.sum("total_value").alias("total_value"))
+            )
+        stage = Path(rollup_path + "_stage")
+        part.write.mode("overwrite").parquet(str(stage))
+        if out.exists():
+            shutil.rmtree(out)
+        stage.rename(out)
+        marker.touch()
+
+    q = (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -202,6 +202,7 @@ _PROMOTED_R5: list[str] = [
     "graph_pagerank_event_types",
     "embedding_binary_sign_topk",
     "multimodal_video_meta",
+    "streaming_continuous_aggregate",
 ]
 
 # (c) The one red row from round 4 (fixed: VARCHAR decimal output) plus the

@@ -292,3 +292,54 @@ def q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(ftyp, moov).alias("data"),
     )
     return parse_video_meta(media)
+
+
+# -- continuous aggregate: REAL executed stream maintaining a rollup ----------
+#
+# The stream runs (availableNow → foreachBatch merge into a standing
+# parquet rollup); the oracle is the batch twin over the full table — the
+# incremental merge of algebraic partials must land on exactly the numbers
+# one global groupBy produces.
+
+_CONT_AGG_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       count(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY day, event_type
+"""
+
+_CONT_AGG_SEQ = iter(range(1, 1_000_000))
+
+
+@register("streaming_continuous_aggregate", _CONT_AGG_ORACLE, "streaming", "pipeline")
+def q_streaming_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from vector_mcp_spark.streaming.ingest import (
+        read_event_stream,
+        stream_continuous_aggregate,
+    )
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    clean_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".tmp", f"events_{sf_tag}"
+    )
+    clean_dir = os.path.abspath(clean_dir)
+    if not os.path.exists(os.path.join(clean_dir, "_SUCCESS")):
+        load(spark, sf_dir, "events").write.mode("overwrite").parquet(clean_dir)
+    run = tempfile.mkdtemp(prefix=f"cont_agg_{next(_CONT_AGG_SEQ)}_")
+    rollup = os.path.join(run, "rollup")
+    try:
+        stream = read_event_stream(spark, clean_dir)
+        stream_continuous_aggregate(stream, rollup, os.path.join(run, "ckpt"))
+        got = spark.read.parquet(rollup)
+        return spark.createDataFrame(
+            got.select(
+                "day", "event_type", "n_events",
+                F.round("total_value", 4).alias("total_value"),
+            ).collect(),
+            "day timestamp, event_type string, n_events bigint, total_value double",
+        )
+    finally:
+        shutil.rmtree(run, ignore_errors=True)
