@@ -278,3 +278,49 @@ def test_salted_join_rejects_outer_modes(spark):
     for how in ("right", "right_outer", "full", "full_outer", "outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(big, small, "key", "key2", "row_id", n_salts=4, how=how)
+
+
+def test_snapshot_diff_classifies_all_cases(spark):
+    from vector_mcp_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),        # unchanged
+         (2, "b", 9.0),        # changed value
+         (3, "c", 0.0),        # NULL → value: changed (null-safe compare)
+         (5, "e", 5.0)],       # inserted; 4 deleted
+        "id long, s string, v double",
+    )
+    got = {r.id: r.change for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "changed", 4: "deleted", 5: "inserted"}
+
+
+def test_scd2_intervals_runs_and_currency(spark):
+    from datetime import datetime
+
+    from vector_mcp_spark.operators.cdc import scd2_intervals
+
+    t = lambda d: datetime(2026, 1, d)
+    obs = spark.createDataFrame(
+        [(1, "free", t(1)), (1, "free", t(2)), (1, "pro", t(3)),
+         (1, "pro", t(4)), (1, "free", t(5)),
+         (2, "pro", t(1))],
+        "user long, plan string, ts timestamp",
+    )
+    rows = sorted(
+        scd2_intervals(obs, "user", "plan").collect(),
+        key=lambda r: (r.key, r.valid_from),
+    )
+    assert [(r.key, r.state, r.valid_from.day,
+             r.valid_to.day if r.valid_to else None, r.is_current) for r in rows] == [
+        (1, "free", 1, 3, False),   # repeat observation merged into one run
+        (1, "pro", 3, 5, False),
+        (1, "free", 5, None, True), # state can recur as a NEW interval
+        (2, "pro", 1, None, True),
+    ]
+    # intervals tile: each valid_to equals the next valid_from per key
+    u1 = [r for r in rows if r.key == 1]
+    assert all(a.valid_to == b.valid_from for a, b in zip(u1, u1[1:]))

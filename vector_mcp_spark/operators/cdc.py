@@ -1,0 +1,95 @@
+"""Change tracking: snapshot diff and SCD2 validity intervals.
+
+Two warehouse primitives every 100 TB lake needs around its tables:
+
+- ``snapshot_diff`` — what changed between two snapshots of a keyed table
+  (the audit before promoting a rewrite, the CDC feed when the source has
+  none). One full outer join on the key; change detection compares a
+  content hash of the tracked columns, so wide rows never shuffle twice.
+- ``scd2_intervals`` — collapse an event stream of observed states into
+  slowly-changing-dimension type-2 validity intervals: one row per
+  (key, state) RUN with [valid_from, valid_to) bounds, current rows open
+  (null valid_to). Pure window functions over (key, ts) — one shuffle,
+  state never leaves the executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "id",
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """(id, change) with change ∈ inserted | deleted | changed | unchanged.
+
+    ``compare_cols`` defaults to every non-key column of ``new``. Rows
+    compare by a sha256 over the stringified tracked columns (null-safe:
+    NULL encodes as a sentinel distinct from any value), so the join
+    carries (id, 64-hex) — never the full row."""
+    cols = list(compare_cols) if compare_cols is not None else [
+        c for c in new.columns if c != id_col
+    ]
+
+    def fingerprint(df: DataFrame) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols
+        ]
+        return df.select(
+            F.col(id_col).alias("id"), F.sha2(F.concat_ws("\x01", *parts), 256).alias("fp")
+        )
+
+    o = fingerprint(old).withColumnRenamed("fp", "fp_old")
+    n = fingerprint(new).withColumnRenamed("fp", "fp_new")
+    joined = o.join(n, "id", "full_outer")
+    change = (
+        F.when(F.col("fp_old").isNull(), "inserted")
+        .when(F.col("fp_new").isNull(), "deleted")
+        .when(F.col("fp_old") != F.col("fp_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select("id", change.alias("change"))
+
+
+def scd2_intervals(
+    observations: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(key, state, valid_from, valid_to, is_current) — one row per state
+    RUN in each key's timeline.
+
+    Consecutive observations with the same state merge into one interval
+    (run-start detection via lag); ``valid_to`` is the next run's start
+    (half-open, so intervals tile without overlap); the last run per key
+    is open-ended with ``is_current`` true. Ties on ts within a key order
+    by state for determinism."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(state_col).asc())
+    runs = (
+        observations.select(key_col, state_col, ts_col)
+        .withColumn("_prev", F.lag(state_col).over(w))
+        .withColumn(
+            "_start",
+            (F.col("_prev").isNull() | (F.col("_prev") != F.col(state_col))).cast("int"),
+        )
+    )
+    starts = runs.where(F.col("_start") == 1).select(
+        F.col(key_col).alias("key"),
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+    )
+    w2 = Window.partitionBy("key").orderBy(F.col("valid_from").asc(), F.col("state").asc())
+    return starts.withColumn("valid_to", F.lead("valid_from").over(w2)).select(
+        "key",
+        "state",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

@@ -203,6 +203,8 @@ _PROMOTED_R5: list[str] = [
     "embedding_binary_sign_topk",
     "multimodal_video_meta",
     "streaming_continuous_aggregate",
+    "events_snapshot_diff",
+    "events_scd2_intervals",
 ]
 
 # (c) The one red row from round 4 (fixed: VARCHAR decimal output) plus the

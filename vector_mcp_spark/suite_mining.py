@@ -343,3 +343,85 @@ def q_streaming_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFr
         )
     finally:
         shutil.rmtree(run, ignore_errors=True)
+
+
+# -- snapshot diff (CDC without a CDC feed) -----------------------------------
+#
+# Old snapshot is derived from events (drop the %11 ids → "inserted" in the
+# new one, bump value on %13 ids → "changed", add shifted ids → "deleted");
+# the operator classifies via sha256 fingerprints of the tracked columns,
+# while the oracle classifies by direct null-safe column comparison — two
+# mechanisms, same semantics, so a fingerprint bug (column order, null
+# encoding) shows up as a hash mismatch.
+
+_SNAP_DIFF_ORACLE = """
+WITH old AS (
+  SELECT event_id, ts, user_id, event_type,
+         value + (CASE WHEN event_id % 13 = 0 THEN 1.0 ELSE 0.0 END) AS value,
+         props
+  FROM events WHERE event_id % 11 <> 0
+  UNION ALL
+  SELECT event_id + 1000000000, ts, user_id, event_type, value, props
+  FROM events WHERE event_id % 17 = 0
+),
+new AS (SELECT * FROM events)
+SELECT COALESCE(o.event_id, n.event_id) AS id,
+       CASE WHEN o.event_id IS NULL THEN 'inserted'
+            WHEN n.event_id IS NULL THEN 'deleted'
+            WHEN o.ts IS NOT DISTINCT FROM n.ts
+             AND o.user_id IS NOT DISTINCT FROM n.user_id
+             AND o.event_type IS NOT DISTINCT FROM n.event_type
+             AND o.value IS NOT DISTINCT FROM n.value
+             AND o.props IS NOT DISTINCT FROM n.props THEN 'unchanged'
+            ELSE 'changed' END AS change
+FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+"""
+
+
+@register("events_snapshot_diff", _SNAP_DIFF_ORACLE, "cdc", "relational")
+def q_events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.cdc import snapshot_diff
+
+    ev = load(spark, sf_dir, "events")
+    old = ev.where(F.col("event_id") % 11 != 0).withColumn(
+        "value",
+        F.col("value") + F.when(F.col("event_id") % 13 == 0, 1.0).otherwise(0.0),
+    )
+    ghosts = ev.where(F.col("event_id") % 17 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(1_000_000_000)
+    )
+    old = old.unionByName(ghosts)
+    return snapshot_diff(
+        old, ev, id_col="event_id",
+        compare_cols=["ts", "user_id", "event_type", "value", "props"],
+    )
+
+
+# -- SCD2 validity intervals from an observation stream -----------------------
+
+_SCD2_ORACLE = """
+WITH runs AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_type ASC) AS prev
+  FROM events
+),
+starts AS (
+  SELECT user_id AS key, event_type AS state, ts AS valid_from
+  FROM runs WHERE prev IS NULL OR prev <> event_type
+)
+SELECT key, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY key
+                              ORDER BY valid_from ASC, state ASC) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY key
+                              ORDER BY valid_from ASC, state ASC) IS NULL AS is_current
+FROM starts
+"""
+
+
+@register("events_scd2_intervals", _SCD2_ORACLE, "cdc", "temporal", "relational")
+def q_events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.cdc import scd2_intervals
+
+    ev = load(spark, sf_dir, "events")
+    return scd2_intervals(ev, key_col="user_id", state_col="event_type", ts_col="ts")
