@@ -236,11 +236,15 @@ _STALE_BACKFILL = [
     "delete_by_ids",
 ]
 
-# Round-6 leads: entries displaced from this round's window. The 12
-# round-5 promotions pushed the tail of _STALE_BACKFILL (search/mutation,
-# r3-green, locally re-verified) past slot 50 — those go FIRST in round 6,
-# then the r3 block below.
+# Round-6 leads: entries displaced from this round's window. The 18
+# round-5 promotions pushed the tail of _STALE_BACKFILL (dedup/sampling/
+# search/mutation — all green r1–r4 and locally re-verified) past slot 50 —
+# those go FIRST in round 6, then the r3 block below.
 _ROUND6_BACKFILL = [
+    "dedup_clusters",
+    "corpus_stratified_sample",
+    "corpus_shard_assignment",
+    "streaming_dedup_ingest",
     "semantic_topk",
     "semantic_threshold",
     "semantic_multiquery",
