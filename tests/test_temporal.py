@@ -324,3 +324,25 @@ def test_scd2_intervals_runs_and_currency(spark):
     # intervals tile: each valid_to equals the next valid_from per key
     u1 = [r for r in rows if r.key == 1]
     assert all(a.valid_to == b.valid_from for a, b in zip(u1, u1[1:]))
+
+
+def test_time_weighted_average_hand_case(spark):
+    """Value 10 held for 90s then value 0 for 10s: TWAP = 9.0 — a plain
+    AVG says 5 and is wrong on irregular series. Single-observation groups
+    have zero span and NULL twap but are emitted."""
+    from datetime import datetime
+
+    from vector_mcp_spark.operators.temporal import time_weighted_average
+
+    from datetime import timedelta
+
+    t = lambda s: datetime(2026, 1, 1) + timedelta(seconds=s)
+    df = spark.createDataFrame(
+        [(1, t(0), 10.0), (1, t(30), 10.0), (1, t(90), 0.0), (1, t(100), 7.0),
+         (2, t(5), 3.0)],
+        "user long, ts timestamp, value double",
+    )
+    rows = {r.user: r for r in time_weighted_average(df, ["user"]).collect()}
+    assert rows[1].span_seconds == 100.0 and rows[1].n_obs == 4
+    assert abs(rows[1].twap - 9.0) < 1e-9  # (10*30 + 10*60 + 0*10 + 7*0) / 100
+    assert rows[2].twap is None and rows[2].span_seconds == 0.0

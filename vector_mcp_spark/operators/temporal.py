@@ -178,3 +178,43 @@ def range_join_count(
         ),
     )
     return out
+
+
+def time_weighted_average(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    horizon_col: str | None = None,
+) -> DataFrame:
+    """TWAP per key group: each observation holds its value until the next
+    observation (duration-weighted mean), the last one until the group's
+    max timestamp — so a value that stood for an hour counts 60× one that
+    stood for a minute, which a plain AVG gets wrong on irregular series.
+
+    One window pass (lead + max over the key partition), one grouped agg.
+    Output: key columns + (twap, n_obs, span_seconds). Groups whose
+    observations all share one timestamp have zero span and a NULL twap
+    (no duration to weight by — emitted, not dropped, so the caller sees
+    them). ``horizon_col`` optionally supplies a per-row group end bound
+    instead of the observed max."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), F.col(value_col).asc())
+    wall = Window.partitionBy(*keys)
+    end = F.col(horizon_col) if horizon_col else F.max(ts_col).over(wall)
+    nxt = F.coalesce(F.lead(ts_col).over(w), end)
+    dur = (_micros(nxt) - _micros(F.col(ts_col))).cast("double") / 1e6
+    weighted = df.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        dur.alias("_dur"),
+    )
+    return weighted.groupBy(*keys).agg(
+        (F.sum(F.col("_v") * F.col("_dur")) / F.nullif(F.sum("_dur"), F.lit(0.0))).alias(
+            "twap"
+        ),
+        F.count("*").alias("n_obs"),
+        F.round(F.sum("_dur"), 6).alias("span_seconds"),
+    )

@@ -141,9 +141,12 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 # search + mutation + pipeline tail). The remaining r3 greens (upsert_merge,
 # engine_lifecycle, dedup_* window block, chunk_documents, …) rotate back in
 # round 6.
-# ROUND 6 TODO: lead with everything in _ROUND6_BACKFILL below (r3-green,
-# locally re-verified, displaced from this round's window by the
-# never-checked queue), then any round-5 promoted entries' follow-ups.
+# ROUND 6 TODO: lead with everything in _ROUND6_BACKFILL below (green in
+# earlier rounds, locally re-verified, displaced from this round's window
+# by the never-checked queue + 18 promotions), THEN the round-5 entries
+# registered after the window froze (corpus_pii_report,
+# events_twap_user_day, and anything later in suite_mining) — all locally
+# green, no driver row yet.
 from vector_mcp_spark import suite_relational  # noqa: E402,F401
 from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401

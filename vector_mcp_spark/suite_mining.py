@@ -425,3 +425,103 @@ def q_events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return scd2_intervals(ev, key_col="user_id", state_col="event_type", ts_col="ts")
+
+
+# -- PII compliance report (planted PII, counted per source) ------------------
+#
+# The sanitize module redacts; compliance wants the COUNTS before redaction
+# (which sources leak, how much, trending). PII is planted into the
+# synthetic corpus from Column expressions (the corpus itself is clean) so
+# the regex counters have known ground truth; patterns are the RE2-portable
+# ones sanitize.py already uses, so Spark and DuckDB count identically.
+
+_PII_ORACLE = r"""
+WITH t AS (
+  SELECT source,
+         text || (CASE doc_id % 5
+                  WHEN 0 THEN ' contact bob@example.com or ann@test.org'
+                  WHEN 1 THEN ' call +1 (555) 123-4567'
+                  WHEN 2 THEN ' log at /var/log/app/server.log'
+                  ELSE '' END) AS text2
+  FROM documents
+),
+c AS (
+  SELECT source,
+         len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+         len(regexp_extract_all(text2, '\+?\d[\d ()-]{7,}\d')) AS p,
+         len(regexp_extract_all(text2, '(?:/[A-Za-z0-9._-]+){2,}/?')) AS f
+  FROM t
+)
+SELECT source,
+       CAST(SUM(e) AS BIGINT) AS n_emails,
+       CAST(SUM(p) AS BIGINT) AS n_phones,
+       CAST(SUM(f) AS BIGINT) AS n_paths,
+       CAST(SUM(CASE WHEN e + p + f > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       count(*) AS n_docs
+FROM c GROUP BY source
+"""
+
+
+@register("corpus_pii_report", _PII_ORACLE, "governance", "textstats", "pipeline")
+def q_corpus_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.sanitize import EMAIL_PATTERN, PATH_PATTERN, PHONE_PATTERN
+
+    docs = load(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, " contact bob@example.com or ann@test.org")
+        .when(F.col("doc_id") % 5 == 1, " call +1 (555) 123-4567")
+        .when(F.col("doc_id") % 5 == 2, " log at /var/log/app/server.log")
+        .otherwise(""),
+    )
+
+    def n(pattern):
+        return F.size(F.regexp_extract_all(planted, F.lit(pattern), F.lit(0)))
+
+    counted = docs.select(
+        "source",
+        n(EMAIL_PATTERN).alias("e"),
+        n(PHONE_PATTERN).alias("p"),
+        n(PATH_PATTERN).alias("f"),
+    )
+    return counted.groupBy("source").agg(
+        F.sum("e").alias("n_emails"),
+        F.sum("p").alias("n_phones"),
+        F.sum("f").alias("n_paths"),
+        F.sum((F.col("e") + F.col("p") + F.col("f") > 0).cast("long")).alias("n_docs_with_pii"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+# -- time-weighted average (TWAP) per user-day --------------------------------
+
+_TWAP_ORACLE = """
+WITH obs AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, ts, value,
+         COALESCE(
+           lead(ts) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                          ORDER BY ts ASC, value ASC),
+           max(ts) OVER (PARTITION BY user_id, date_trunc('day', ts))
+         ) AS nxt
+  FROM events
+),
+w AS (
+  SELECT user_id, day, value, epoch(nxt) - epoch(ts) AS dur FROM obs
+)
+SELECT user_id, day,
+       ROUND(SUM(value * dur) / NULLIF(SUM(dur), 0), 4) AS twap,
+       count(*) AS n_obs,
+       ROUND(SUM(dur), 6) AS span_seconds
+FROM w GROUP BY user_id, day
+"""
+
+
+@register("events_twap_user_day", _TWAP_ORACLE, "temporal", "relational")
+def q_events_twap_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.temporal import time_weighted_average
+
+    ev = load(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", "ts"))
+    out = time_weighted_average(ev, ["user_id", "day"], ts_col="ts", value_col="value")
+    return out.select(
+        "user_id", "day", F.round("twap", 4).alias("twap"), "n_obs", "span_seconds"
+    )
