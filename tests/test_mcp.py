@@ -566,3 +566,127 @@ def test_agent_dispatch_forbidden_action(spark, tmp_path_factory):
     assert agent.dispatch("vector_collection_management", "list_collections") == {
         "collections": []
     }
+
+
+# -- cross-encoder rerank seam ------------------------------------------------
+
+
+def test_rerank_score_twins_agree(spark):
+    from vector_mcp_spark.functions.rerank import rerank_score_col, rerank_score_py
+
+    texts = ["alpha beta", "gamma delta", "epsilon"]
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    got = [r.s for r in df.select(rerank_score_col("content", "my query").alias("s")).collect()]
+    want = [rerank_score_py(t, "my query") for t in texts]
+    assert got == pytest.approx(want, abs=0)
+    assert all(0.0 <= s < 1.0 for s in got)
+
+
+def test_rerank_search_offline_and_with_client(spark, tmp_path_factory):
+    from vector_mcp_spark.functions.rerank import rerank_score_py
+    from vector_mcp_spark.functions.rerank_client import RemoteRerankClient
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("rr_root")))
+    eng.create_collection("rr")
+    eng.add_documents("rr", [f"document number {i} about topic {i % 3}" for i in range(30)])
+    api = VectorSearchApi(eng)
+    offline = api.rerank_search("rr", "topic 1", number_results=5, shortlist=20).collect()
+    assert len(offline) == 5
+    assert all(offline[i].score >= offline[i + 1].score for i in range(4))
+
+    # a recorded-transport client replaying the SAME deterministic scorer
+    # must land on identical ids+scores — the seams are interchangeable
+    def transport(url, payload, headers, timeout_s):
+        return {"results": [
+            {"index": i, "relevance_score": rerank_score_py(t, payload["query"])}
+            for i, t in enumerate(payload["documents"])
+        ]}
+
+    client = RemoteRerankClient(endpoint="https://fake.test/v1/rerank",
+                                model="fake", batch_size=7, transport=transport)
+    wired = VectorSearchApi(eng, rerank_model=client)
+    got = wired.rerank_search("rr", "topic 1", number_results=5, shortlist=20).collect()
+    assert [(r.id, round(r.score, 9)) for r in got] == [
+        (r.id, round(r.score, 9)) for r in offline
+    ]
+    # bounds: shortlist must dominate k
+    with pytest.raises(EngineError, match="number_results_invalid"):
+        api.rerank_search("rr", "q", number_results=10, shortlist=5)
+
+
+def test_rerank_client_validation_and_env_gate():
+    from vector_mcp_spark.functions.rerank_client import RemoteRerankClient
+
+    # duplicate/missing indexes → rerank_batch_invalid
+    def bad_transport(url, payload, headers, timeout_s):
+        return {"results": [{"index": 0, "relevance_score": 0.5}] * len(payload["documents"])}
+
+    c = RemoteRerankClient(endpoint="https://x/v1/rerank", model="m",
+                           max_retries=0, transport=bad_transport)
+    with pytest.raises(EngineError, match="rerank_batch_invalid"):
+        c("q", ["a", "b"])
+
+    def nan_transport(url, payload, headers, timeout_s):
+        return {"results": [{"index": i, "relevance_score": float("nan")}
+                            for i in range(len(payload["documents"]))]}
+
+    c2 = RemoteRerankClient(endpoint="https://x/v1/rerank", model="m",
+                            max_retries=0, transport=nan_transport)
+    with pytest.raises(EngineError, match="rerank_invalid"):
+        c2("q", ["a"])
+
+    assert RemoteRerankClient.from_env({}) is None
+    gated = RemoteRerankClient.from_env(
+        {"VECTOR_MCP_SPARK_RERANK_ENDPOINT": "https://x/v1/rerank",
+         "VECTOR_MCP_SPARK_RERANK_MODEL": "mm"}
+    )
+    assert gated is not None and gated.model == "mm"
+
+
+def test_rerank_live_loopback(spark, tmp_path_factory):
+    """The default urllib transport over a real TCP loopback server, with
+    batching and a 503 retry — mirrors the embedding-client live test."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from vector_mcp_spark.functions.rerank import rerank_score_py
+    from vector_mcp_spark.functions.rerank_client import RemoteRerankClient
+
+    state = {"batches": [], "fail_next": 1}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            body = _json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            state["batches"].append(len(body["documents"]))
+            if state["fail_next"] > 0:
+                state["fail_next"] -= 1
+                self.send_response(503)
+                self.end_headers()
+                return
+            payload = _json.dumps({"results": [
+                {"index": i, "relevance_score": rerank_score_py(t, body["query"])}
+                for i, t in enumerate(body["documents"])
+            ]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        client = RemoteRerankClient(
+            endpoint=f"http://127.0.0.1:{srv.server_address[1]}/v1/rerank",
+            model="m", batch_size=4, backoff_s=0.01,
+        )
+        texts = [f"text {i}" for i in range(10)]
+        scores = client("the query", texts)
+        assert scores == [rerank_score_py(t, "the query") for t in texts]
+        assert all(b <= 4 for b in state["batches"])
+    finally:
+        srv.shutdown()
+        srv.server_close()

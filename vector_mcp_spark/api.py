@@ -43,6 +43,7 @@ class VectorSearchApi:
         embed_query: Callable[[str], Sequence[float]] | None = None,
         dim: int = 64,
         embed_model: Callable[[Sequence[str]], Sequence[Sequence[float]]] | None = None,
+        rerank_model: Callable[[str, Sequence[str]], Sequence[float]] | None = None,
     ):
         """``embed_model`` is the batched real-model seam (texts → vectors):
         it embeds both queries and missing-vector documents, exactly like the
@@ -52,9 +53,12 @@ class VectorSearchApi:
         embedder keeps everything oracle-checkable offline."""
         from vector_mcp_spark.functions.embedding_client import RemoteEmbeddingClient
 
+        from vector_mcp_spark.functions.rerank_client import RemoteRerankClient
+
         self.engine = engine
         self.dim = dim
         self._embed_model = embed_model if embed_model is not None else RemoteEmbeddingClient.from_env()
+        self._rerank_model = rerank_model if rerank_model is not None else RemoteRerankClient.from_env()
         if embed_query is not None:
             self._embed_query = embed_query
         elif self._embed_model is not None:
@@ -136,6 +140,44 @@ class VectorSearchApi:
         return out.where(
             ~F.isnan("score") & (F.col("score") != float("inf")) & (F.col("score") != float("-inf"))
         ).select("id", "content", "score").orderBy(F.col("score").desc(), F.col("id").asc())
+
+    def rerank_search(
+        self,
+        collection: str,
+        question: str,
+        number_results: int = 5,
+        shortlist: int = 50,
+    ) -> DataFrame:
+        """Two-stage retrieval: bi-encoder semantic shortlist, cross-encoder
+        rerank — (id, content, score). The rerank stage scores the BOUNDED
+        shortlist (k ≤ shortlist ≤ 1000, the reference's fusion-loop
+        contract): with a ``RemoteRerankClient`` configured the texts go to
+        the model endpoint driver-side; otherwise the deterministic hash
+        scorer keeps the pipeline oracle-checkable offline and stays fully
+        distributed (a Column expression, no collect)."""
+        from vector_mcp_spark.functions.rerank import rerank_score_col
+
+        number_results = validate_number_results(number_results)
+        shortlist = validate_number_results(shortlist)
+        if shortlist < number_results:
+            raise EngineError("number_results_invalid")
+        cleaned = sanitize_text_py(validate_question(question))
+        docs = self._docs(collection)
+        short = (
+            semantic_topk(docs, self._embed_query(cleaned), shortlist, id_col="id", emb_col="embedding")
+            .select("id")
+            .join(docs.select("id", "content"), "id")
+        )
+        if self._rerank_model is not None:
+            rows = short.select("id", "content").collect()  # bounded ≤1000
+            scores = self._rerank_model(cleaned, [r.content for r in rows])
+            scored = self.engine.spark.createDataFrame(
+                [(r.id, float(sc)) for r, sc in zip(rows, scores)], "id string, score double"
+            )
+            out = docs.select("id", "content").join(F.broadcast(scored), "id")
+        else:
+            out = short.select("id", "content", rerank_score_col("content", cleaned).alias("score"))
+        return out.orderBy(F.col("score").desc(), F.col("id").asc()).limit(number_results)
 
     def _docs(self, collection: str) -> DataFrame:
         df = self.engine.read(collection)

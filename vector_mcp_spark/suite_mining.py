@@ -525,3 +525,56 @@ def q_events_twap_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "day", F.round("twap", 4).alias("twap"), "n_obs", "span_seconds"
     )
+
+
+# -- two-stage retrieval: bi-encoder shortlist → cross-encoder rerank ---------
+#
+# The rerank stage uses the deterministic hash scorer (functions/rerank.py)
+# — the same stand-in role hash_embed plays for the embedding seam — so the
+# full shortlist→rerank pipeline is value-verified; a RemoteRerankClient
+# drops into the identical position in api.rerank_search for production.
+
+_RR_SHORTLIST = 20
+_RR_K = 10
+
+
+def _rerank_oracle() -> str:
+    from vector_mcp_spark.functions.rerank import rerank_sql
+    from vector_mcp_spark.suite import SEM_QUERY_TEXT, SEM_QUERY_VEC, _cosine_sql
+
+    sim = _cosine_sql("e.embedding", SEM_QUERY_VEC)
+    score = rerank_sql("d.text", f"'{SEM_QUERY_TEXT}'")
+    return f"""
+WITH short AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  ORDER BY ROUND({sim}, 6) DESC, d.doc_id ASC
+  LIMIT {_RR_SHORTLIST}
+)
+SELECT doc_id, ROUND({score.replace('d.text', 'text')}, 6) AS score
+FROM short
+ORDER BY score DESC, doc_id ASC
+LIMIT {_RR_K}
+"""
+
+
+@register("semantic_rerank_crossencoder", _rerank_oracle(), "search", "pipeline")
+def q_semantic_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.functions.rerank import rerank_score_col
+    from vector_mcp_spark.operators.semantic import semantic_topk
+    from vector_mcp_spark.suite import SEM_QUERY_TEXT, SEM_QUERY_VEC, docs_with_embeddings
+
+    docs = docs_with_embeddings(spark, sf_dir)
+    short = (
+        semantic_topk(docs, SEM_QUERY_VEC, _RR_SHORTLIST, id_col="doc_id", emb_col="embedding")
+        .select("doc_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
+    return (
+        short.select(
+            "doc_id",
+            F.round(rerank_score_col("text", SEM_QUERY_TEXT), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(_RR_K)
+    )
