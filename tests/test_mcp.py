@@ -690,3 +690,29 @@ def test_rerank_live_loopback(spark, tmp_path_factory):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_veneer_rerank_action_and_doctor_gate(spark, tmp_path_factory, monkeypatch):
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("rrv_root")))
+    v = McpVeneer(eng)
+    v.vector_collection_management(
+        "create_collection", collection_name="rv",
+        document_contents=["alpha beta", "gamma delta", "alpha gamma"],
+    )
+    out = v.vector_search("rerank_search", collection_name="rv",
+                          question="alpha", number_results=2)
+    assert out["action"] == "rerank_search" and len(out["results"]) == 2
+    # plural alias resolves like the other actions
+    assert v.vector_search("rerank_searches", collection_name="rv",
+                           question="alpha")["action"] == "rerank_search"
+    # doctor reports the optional rerank config and flags malformed shape
+    from vector_mcp_spark.doctor import doctor
+
+    monkeypatch.delenv("VECTOR_MCP_SPARK_RERANK_ENDPOINT", raising=False)
+    assert doctor()["remote_rerank_configured"] is False
+    monkeypatch.setenv("VECTOR_MCP_SPARK_RERANK_ENDPOINT", "https://x/v1/rerank")
+    d = doctor()
+    assert d["remote_rerank_configured"] is True and d["remote_rerank_config_valid"] is True
+    monkeypatch.setenv("VECTOR_MCP_SPARK_RERANK_BATCH_SIZE", "not-a-number")
+    d2 = doctor()
+    assert d2["remote_rerank_config_valid"] is False and d2["ok"] is False

@@ -89,6 +89,19 @@ def doctor(warehouse_root: str | None = None) -> dict[str, Any]:
         status["remote_embedding_config_valid"] = configured_ok
         checks.append(configured_ok)
 
+    # remote rerank endpoint follows the same optional-but-complete contract
+    from vector_mcp_spark.functions.rerank_client import RemoteRerankClient
+
+    rr_endpoint = os.environ.get("VECTOR_MCP_SPARK_RERANK_ENDPOINT", "")
+    status["remote_rerank_configured"] = bool(rr_endpoint)
+    if rr_endpoint:
+        try:
+            rr_ok = RemoteRerankClient.from_env(dict(os.environ)) is not None
+        except (ValueError, TypeError):
+            rr_ok = False
+        status["remote_rerank_config_valid"] = rr_ok
+        checks.append(rr_ok)
+
     status["ok"] = all(checks)
     return status
 

@@ -36,7 +36,7 @@ COLLECTION_ACTIONS = (
     "delete_collection",
     "list_collections",
 )
-SEARCH_ACTIONS = ("semantic_search", "lexical_search", "search")
+SEARCH_ACTIONS = ("semantic_search", "lexical_search", "search", "rerank_search")
 
 
 def resolve_action(action: str, allowed: tuple[str, ...]) -> str | dict:
@@ -163,6 +163,11 @@ class McpVeneer:
                 ]
             elif resolved == "lexical_search":
                 df = self.api.lexical_search(collection_name, [question], number_results=k)
+                rows = [
+                    {"id": r.id, "content": r.content, "score": r.score} for r in df.collect()
+                ]
+            elif resolved == "rerank_search":
+                df = self.api.rerank_search(collection_name, question, number_results=k)
                 rows = [
                     {"id": r.id, "content": r.content, "score": r.score} for r in df.collect()
                 ]
