@@ -322,3 +322,66 @@ def test_engine_flag_routes_to_merge_and_fails_closed(spark, tmp_path_factory, m
     eng2.create_collection("plain")
     eng2.update_documents("plain", docs)
     assert eng2.read("plain").count() == 1
+
+
+def test_search_index_build_serve_staleness(spark, tmp_path_factory):
+    """Build → fresh; indexed search result-identical to the scan operator
+    with partition pruning on term buckets; any mutation → stale and the
+    serve path refuses rather than returning stale results."""
+    import pytest
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.operators.lexical import lexical_tf_topk
+    from vector_mcp_spark.validation import EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("idx_root")))
+    eng.create_collection("idx")
+    eng.add_documents("idx", [
+        "spark joins data", "vector spark search", "coffee and tea",
+        "spark spark spark", "data pipelines at scale",
+    ])
+    assert eng.index_status("idx") == "absent"
+    with pytest.raises(EngineError, match="index_not_fresh"):
+        eng.indexed_lexical_search("idx", "spark data")
+
+    info = eng.build_search_index("idx")
+    assert info["n_vectors"] == 5 and info["n_terms"] > 0
+    assert eng.index_status("idx") == "fresh"
+
+    served = eng.indexed_lexical_search("idx", "spark data", k=5)
+    scan = lexical_tf_topk(eng.read("idx"), "spark data", 5)
+    assert [(r.id, r.score) for r in served.collect()] == [
+        (r.id, r.score) for r in scan.collect()
+    ]
+    # the scan opens only the query terms' hash-bucket partitions
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan
+
+    # any mutation flips freshness; serving refuses until rebuild
+    eng.add_documents("idx", ["fresh new doc about spark"])
+    assert eng.index_status("idx") == "stale"
+    with pytest.raises(EngineError, match="index_not_fresh"):
+        eng.indexed_lexical_search("idx", "spark")
+    eng.build_search_index("idx")
+    assert eng.index_status("idx") == "fresh"
+    assert eng.indexed_lexical_search("idx", "fresh").count() == 1
+
+
+def test_indexed_semantic_search_matches_exact(spark, tmp_path_factory):
+    """With shortlist = corpus size the Hamming-served search must equal the
+    exact cosine top-k over the same served representation."""
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions.embedder import hash_embed
+    from vector_mcp_spark.operators.semantic import semantic_topk
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("idxv_root")))
+    eng.create_collection("v")
+    eng.add_documents("v", [f"doc {i} text body {i % 7}" for i in range(40)])
+    eng.build_search_index("v")
+    qv = hash_embed("doc 3 text", 64)
+    served = eng.indexed_semantic_search("v", qv, k=5, shortlist=40).collect()
+    from vector_mcp_spark.functions.embedder import embed_documents
+
+    docs = embed_documents(eng.read("v"), text_col="content", out_col="embedding")
+    exact = semantic_topk(docs, qv, 5, id_col="id", emb_col="embedding").collect()
+    assert [r.id for r in served] == [r.id for r in exact]

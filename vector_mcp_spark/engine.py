@@ -375,6 +375,126 @@ class CollectionEngine:
             self._mark_needs_embed(scoped)
         return len(ids)
 
+    # -- persistent search index (build offline / serve online) -------------
+    #
+    # The reference's engines keep server-side text/vector indexes (pg GIN,
+    # qdrant HNSW); the Spark analogue is a MATERIALIZED index the engine
+    # builds offline and queries prune into: a postings table partitioned by
+    # term-hash bucket (lexical) and a sign-packed bits table (Hamming
+    # vector shortlist). Freshness is tracked against a table fingerprint so
+    # mutations flip the status to stale instead of silently serving old
+    # results — rebuild-offline / serve-online, the same contract as the
+    # streaming ANN index maintenance.
+
+    def _index_root(self, scoped: str) -> Path:
+        return Path(self._table_path(scoped) + "_index")
+
+    def _table_fingerprint(self, scoped: str) -> str:
+        table = Path(self._table_path(scoped))
+        if not table.exists():
+            return "empty"
+        stamps = sorted(
+            f"{p.relative_to(table)}:{p.stat().st_mtime_ns}"
+            for p in table.rglob("*.parquet")
+        )
+        import hashlib
+
+        return hashlib.sha256("\n".join(stamps).encode()).hexdigest()
+
+    def build_search_index(self, name: str) -> dict:
+        """Materialize the lexical postings + packed sign bits for a
+        collection. Returns {"n_terms", "n_vectors", "fingerprint"}."""
+        from vector_mcp_spark.operators.lexical import build_postings, term_bucket
+        from vector_mcp_spark.operators.quantize import sign_pack
+
+        scoped = self._require(name)
+        df = self.read(name)
+        if self.needs_embed(name):
+            # index the SERVED representation: rows stored content-only get
+            # their vectors from the same embed seam the search path uses
+            from vector_mcp_spark.functions.embedder import embed_documents
+
+            df = embed_documents(df, text_col="content", out_col="embedding")
+        root = self._index_root(scoped)
+        postings = build_postings(df.select("id", "content"), "id", "content").withColumn(
+            "term_bucket", term_bucket("term")
+        )
+        postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            str(root / "postings")
+        )
+        signs = sign_pack(df.where(F.col("embedding").isNotNull()), "embedding", "id")
+        signs.select("id", "lo", "hi").write.mode("overwrite").parquet(str(root / "signs"))
+        n_terms = self.spark.read.parquet(str(root / "postings")).select("term").distinct().count()
+        n_vectors = self.spark.read.parquet(str(root / "signs")).count()
+        fp = self._table_fingerprint(scoped)
+        (root / "manifest.json").write_text(
+            __import__("json").dumps(
+                {"fingerprint": fp, "n_terms": n_terms, "n_vectors": n_vectors}
+            )
+        )
+        return {"n_terms": n_terms, "n_vectors": n_vectors, "fingerprint": fp}
+
+    def index_status(self, name: str) -> str:
+        """'absent' | 'fresh' | 'stale' — stale when the table changed after
+        the index was built (any mutation rewrites partition files)."""
+        scoped = self._require(name)
+        manifest = self._index_root(scoped) / "manifest.json"
+        if not manifest.exists():
+            return "absent"
+        import json
+
+        built = json.loads(manifest.read_text())["fingerprint"]
+        return "fresh" if built == self._table_fingerprint(scoped) else "stale"
+
+    def indexed_lexical_search(self, name: str, query: str, k: int = 5) -> DataFrame:
+        """Serve a lexical query from the materialized index; refuses with
+        ``index_not_fresh`` when the index is absent or stale (never serve
+        silently wrong results — rebuild first)."""
+        from vector_mcp_spark.operators.lexical import indexed_lexical_topk
+
+        scoped = self._require(name)
+        if self.index_status(name) != "fresh":
+            raise EngineError("index_not_fresh")
+        return indexed_lexical_topk(
+            self.spark, str(self._index_root(scoped) / "postings"), query, k
+        )
+
+    def indexed_semantic_search(
+        self, name: str, question_vec, k: int = 5, shortlist: int = 100
+    ) -> DataFrame:
+        """Serve a vector query from the sign-bit index: Hamming shortlist
+        over the 16-byte-per-vector signs table (the full vector column is
+        read only for the shortlist re-rank). Refuses when not fresh."""
+        from vector_mcp_spark.functions.vector import dot, l2_norm
+        from vector_mcp_spark.operators.quantize import sign_pack_py
+
+        scoped = self._require(name)
+        if self.index_status(name) != "fresh":
+            raise EngineError("index_not_fresh")
+        qlo, qhi = sign_pack_py(list(question_vec))
+        signs = self.spark.read.parquet(str(self._index_root(scoped) / "signs"))
+        ham = F.bit_count(F.col("lo").bitwiseXOR(F.lit(qlo))) + F.bit_count(
+            F.col("hi").bitwiseXOR(F.lit(qhi))
+        )
+        short = (
+            signs.select("id", ham.alias("hamming"))
+            .orderBy(F.col("hamming").asc(), F.col("id").asc())
+            .limit(shortlist)
+        )
+        df = self.read(name)
+        if self.needs_embed(name):
+            from vector_mcp_spark.functions.embedder import embed_documents
+
+            df = embed_documents(df, text_col="content", out_col="embedding")
+        qv = F.array(*[F.lit(float(x)) for x in question_vec])
+        sim = dot(F.col("embedding"), qv) / (l2_norm(F.col("embedding")) * l2_norm(qv))
+        return (
+            df.join(F.broadcast(short), "id")
+            .select("id", "content", F.round(sim, 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(k)
+        )
+
     def profile_collection(self, name: str) -> DataFrame:
         """Data-quality profile of a collection: per-signal row/null counts,
         range, and totals over derived numeric signals (content length,

@@ -180,3 +180,10 @@ def binary_hamming_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int"), "neighbor_id", F.round("_s", 6).alias("score"))
     )
+
+
+def sign_pack_py(vec) -> tuple[int, int]:
+    """Driver-side twin of ``sign_pack`` for query vectors: (lo, hi)."""
+    lo = sum(1 << i for i in range(32) if vec[i] > 0)
+    hi = sum(1 << i for i in range(32) if vec[32 + i] > 0)
+    return lo, hi
