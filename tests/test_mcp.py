@@ -716,3 +716,24 @@ def test_veneer_rerank_action_and_doctor_gate(spark, tmp_path_factory, monkeypat
     monkeypatch.setenv("VECTOR_MCP_SPARK_RERANK_BATCH_SIZE", "not-a-number")
     d2 = doctor()
     assert d2["remote_rerank_config_valid"] is False and d2["ok"] is False
+
+
+def test_veneer_index_actions(spark, tmp_path_factory):
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("vidx_root")))
+    v = McpVeneer(eng)
+    v.vector_collection_management(
+        "create_collection", collection_name="vi",
+        document_contents=["spark engine", "query plans"],
+    )
+    assert v.vector_collection_management("index_status", collection_name="vi") == {
+        "collection_name": "vi", "status": "absent",
+    }
+    out = v.vector_collection_management("build_search_index", collection_name="vi")
+    assert out["collection_name"] == "vi" and out["n_vectors"] == 2
+    assert v.vector_collection_management("index_status", collection_name="vi")[
+        "status"
+    ] == "fresh"
+    # stable error dict for a missing collection, never a traceback
+    assert v.vector_collection_management("index_status", collection_name="nope") == {
+        "error": "collection_not_found"
+    }

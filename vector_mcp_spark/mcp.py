@@ -35,6 +35,8 @@ COLLECTION_ACTIONS = (
     "add_documents",
     "delete_collection",
     "list_collections",
+    "build_search_index",
+    "index_status",
 )
 SEARCH_ACTIONS = ("semantic_search", "lexical_search", "search", "rerank_search")
 
@@ -127,6 +129,14 @@ class McpVeneer:
             if resolved == "delete_collection":
                 self.engine.delete_collection(collection_name, confirm=bool(confirm))
                 return {"deleted": collection_name}
+            if resolved == "build_search_index":
+                info = self.engine.build_search_index(collection_name)
+                return {"collection_name": collection_name, **info}
+            if resolved == "index_status":
+                return {
+                    "collection_name": collection_name,
+                    "status": self.engine.index_status(collection_name),
+                }
             # mcp_server.py:180-198 — listings pass through the
             # identity-scoped entitlement filter
             return {"collections": self._entitled("collection", self.engine.get_collections())}
