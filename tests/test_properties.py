@@ -362,3 +362,107 @@ def test_kmv_estimate_error_tolerance(spark):
     }
     for t, e in exact.items():
         assert abs(est[t] - e) / e <= 0.4, (t, est[t], e)
+
+
+@given(
+    vec=st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+        min_size=64, max_size=64,
+    )
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+def test_sign_pack_column_matches_python(spark, vec):
+    """The packed sign bits computed by the Column expression equal the
+    driver-side twin for arbitrary vectors (zeros pack as 0-bits on both)."""
+    from vector_mcp_spark.operators.quantize import sign_pack, sign_pack_py
+
+    row = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<double>")
+    got = sign_pack(row).collect()[0]
+    lo, hi = sign_pack_py(vec)
+    assert (got.lo, got.hi) == (lo, hi)
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),          # key
+            st.sampled_from(["a", "b", "c"]),               # state
+            st.integers(min_value=0, max_value=10_000),     # minute offset
+        ),
+        min_size=1, max_size=25, unique=True,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+def test_scd2_intervals_tile_and_cover(spark, obs):
+    """For any observation set: per key, intervals are disjoint, ordered,
+    tile exactly (each valid_to = next valid_from), exactly one open
+    current interval, and the first interval starts at the key's earliest
+    observation."""
+    from datetime import datetime, timedelta
+
+    from vector_mcp_spark.operators.cdc import scd2_intervals
+
+    base = datetime(2026, 1, 1)
+    rows = [(k, s, base + timedelta(minutes=m)) for k, s, m in obs]
+    df = spark.createDataFrame(rows, "k long, s string, ts timestamp")
+    out = scd2_intervals(df, "k", "s")
+    by_key = {}
+    for r in out.collect():
+        by_key.setdefault(r.key, []).append(r)
+    keys_seen = {k for k, _, _ in obs}
+    assert set(by_key) == keys_seen
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in ivs if r.is_current) == 1 and ivs[-1].is_current
+        assert all(a.valid_to == b.valid_from for a, b in zip(ivs, ivs[1:]))
+        first_ts = min(ts for kk, _, ts in rows if kk == k)
+        assert ivs[0].valid_from == first_ts
+        # consecutive intervals never share a state (runs are maximal)
+        assert all(a.state != b.state for a, b in zip(ivs, ivs[1:]))
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3600),  # second offset
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=2, max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+def test_twap_bounded_by_value_range(spark, vals):
+    """TWAP of any series lies within [min(value), max(value)] of the
+    observations that carry nonzero duration, and the span equals
+    max(ts) − min(ts)."""
+    from datetime import datetime, timedelta
+
+    from vector_mcp_spark.operators.temporal import time_weighted_average
+
+    base = datetime(2026, 1, 1)
+    rows = [(1, base + timedelta(seconds=s), v) for s, v in vals]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, value double")
+    r = time_weighted_average(df, ["k"]).collect()[0]
+    secs = sorted(s for s, _ in vals)
+    assert r.span_seconds == float(secs[-1] - secs[0])
+    lo, hi = min(v for _, v in vals), max(v for _, v in vals)
+    assert lo - 1e-9 <= r.twap <= hi + 1e-9
+
+
+def test_snapshot_diff_identity_and_symmetry(spark):
+    """diff(x, x) is all-unchanged; swapping sides swaps inserted/deleted
+    and preserves changed."""
+    from vector_mcp_spark.operators.cdc import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0)], "id long, s string, v double"
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 9.0), (4, "w", 4.0)], "id long, s string, v double"
+    )
+    assert {r.change for r in snapshot_diff(a, a).collect()} == {"unchanged"}
+    fwd = {r.id: r.change for r in snapshot_diff(a, b).collect()}
+    rev = {r.id: r.change for r in snapshot_diff(b, a).collect()}
+    flip = {"inserted": "deleted", "deleted": "inserted"}
+    assert rev == {i: flip.get(c, c) for i, c in fwd.items()}
