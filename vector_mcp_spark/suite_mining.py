@@ -578,3 +578,73 @@ def q_semantic_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(_RR_K)
     )
+
+
+# -- equi-depth histogram (quantile bucketing via ntile) ----------------------
+#
+# The fixed-bin histogram (events_value_histogram) shows shape; equi-depth
+# buckets show WHERE the mass is — the statistics a cost-based optimizer
+# or a curriculum sampler actually wants. ntile ties break on event_id so
+# both engines assign identical buckets.
+
+_EQUIDEPTH_ORACLE = """
+WITH t AS (
+  SELECT value, ntile(8) OVER (ORDER BY value ASC, event_id ASC) AS bucket
+  FROM events
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n,
+       ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
+FROM t GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register("events_equidepth_histogram", _EQUIDEPTH_ORACLE, "relational")
+def q_events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("bucket", F.ntile(8).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# -- lexical scoring served FROM the postings representation ------------------
+#
+# The scan-based lexical_tf scores by filtering each row's token array;
+# this entry scores from the inverted (term, id, tf) representation — the
+# aggregation path `engine.indexed_lexical_search` serves from its
+# persisted index. Same semantics, different plan family; the oracle uses
+# the unnested-token formulation, so the two must agree.
+
+_IDX_TF_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+SELECT doc_id, CAST(count(*) AS DOUBLE) AS score
+FROM toks WHERE term IN ('spark', 'join', 'vector')
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+@register("lexical_indexed_tf", _IDX_TF_ORACLE, "lexical", "search")
+def q_lexical_indexed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.lexical import build_postings
+
+    docs = load(spark, sf_dir, "documents")
+    postings = build_postings(docs, id_col="doc_id", content_col="text")
+    return (
+        postings.where(F.col("term").isin("spark", "join", "vector"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
