@@ -648,3 +648,55 @@ def q_lexical_indexed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+# -- language confusion matrix: declared vs detected --------------------------
+#
+# The corpus carries a declared `lang` column; the heuristic detector says
+# what the TEXT looks like. The (declared, detected) matrix is the data-
+# quality view that catches mislabeled slices before a mixture samples by
+# declared language. Reuses the exact marker/argmax SQL the text_stats
+# oracle established.
+
+_CONF_ORACLE = """
+WITH ex AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z0-9_]{2,}')) AS tok
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         count(*) FILTER (WHERE tok IN ('der','die','das','und','ist','nicht','ein','mit')) AS s_de,
+         count(*) FILTER (WHERE tok IN ('the','and','is','of','to','a','in','that')) AS s_en,
+         count(*) FILTER (WHERE tok IN ('el','la','de','que','y','los','es','un')) AS s_es,
+         count(*) FILTER (WHERE tok IN ('le','la','et','les','des','est','une','dans')) AS s_fr
+  FROM ex GROUP BY doc_id, lang
+),
+pred AS (
+  SELECT lang AS declared,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+              WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+              END AS detected
+  FROM scored
+)
+SELECT declared, detected, count(*) AS n_docs
+FROM pred GROUP BY declared, detected
+"""
+
+
+@register("corpus_lang_confusion", _CONF_ORACLE, "textstats", "governance", "pipeline")
+def q_corpus_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.textstats import lang_id
+
+    docs = load(spark, sf_dir, "documents")
+    # docs with zero tokens are absent from the oracle's explode; mirror
+    # that by filtering to non-empty token lists (the corpus has none, but
+    # semantics should not depend on it)
+    return (
+        docs.where(F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9_]{2,}', 0)")) > 0)
+        .select(F.col("lang").alias("declared"), lang_id(F.col("text")).alias("detected"))
+        .groupBy("declared", "detected")
+        .agg(F.count("*").alias("n_docs"))
+    )
