@@ -355,3 +355,39 @@ def test_continuous_aggregate_incremental_merge(spark, tmp_path):
         for r in spark.read.parquet(rollup).collect()
     }
     assert again == want
+
+
+def test_streaming_distinct_sketch_equals_batch_kmv(spark, tmp_path):
+    """The stream-maintained KMV state (last update per group) must be
+    bit-identical to the batch kmv_sketch over the same data, and the
+    estimate must match the batch estimator."""
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.sketches import kmv_estimate, kmv_sketch
+    from vector_mcp_spark.streaming.ingest import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_distinct_sketch,
+    )
+    from vector_mcp_spark.suite import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    ev.write.mode("overwrite").parquet(src)
+    got = run_stream_to_memory(
+        streaming_distinct_sketch(read_event_stream(spark, src), "event_type", "user_id", k=32),
+        "stream_kmv_sink",
+        output_mode="update",
+    )
+    # last update per group is the final state
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.size("ks").desc())
+    final = {r.g: (list(r.ks), r.est_distinct) for r in
+             got.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).collect()}
+    batch = kmv_sketch(ev, ["event_type"], "user_id", k=32)
+    expected = {
+        r.event_type: (list(r.ks), r.est)
+        for r in batch.withColumn("est", kmv_estimate("ks", k=32)).collect()
+    }
+    assert final == expected

@@ -377,3 +377,57 @@ def stream_continuous_aggregate(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_distinct_sketch(
+    events: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """KMV distinct-count sketch maintained BY THE STREAM — the distinct-
+    count twin of ``streaming_frequency_sketch``: per group the state is
+    the ≤ k smallest 60-bit value hashes, so distinct-user dashboards run
+    over an unbounded feed with k·8 bytes of state per group, forever.
+
+    The value hash is computed as a Column expression BEFORE the stateful
+    operator — the exact sha-derived hash the batch ``kmv_sketch`` uses —
+    so the stream's final state is bit-identical to the batch sketch over
+    the same data (min-k is a monotone, order-insensitive fold). Emits one
+    updated (group, ks, est_distinct) row per group per micro-batch.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    h = F.conv(
+        F.substring(F.sha2(F.col(value_col).cast("string"), 256), 1, 15), 16, 10
+    ).cast("long")
+    hashed = events.select(F.col(group_col).alias("g"), h.alias("_h"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("g", hashed.schema["g"].dataType),
+            T.StructField("ks", T.ArrayType(T.LongType())),
+            T.StructField("est_distinct", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("ks", T.ArrayType(T.LongType()))])
+
+    def update(key, pdfs, state):
+        kept = list(state.get[0]) if state.exists else []
+        seen = set(kept)
+        for pdf in pdfs:
+            for v in pdf["_h"]:
+                iv = int(v)
+                if iv not in seen:
+                    seen.add(iv)
+                    kept.append(iv)
+        kept = sorted(set(kept))[:k]
+        state.update((kept,))
+        if len(kept) < k:
+            est = len(kept)
+        else:
+            est = round((k - 1) / (kept[k - 1] / float(2**60)))
+        yield pd.DataFrame({"g": [key[0]], "ks": [kept], "est_distinct": [int(est)]})
+
+    return hashed.groupBy("g").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -700,3 +700,68 @@ def q_corpus_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("declared", "detected")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# -- streaming KMV distinct sketch (REAL executed stream) ---------------------
+#
+# Distinct-count twin of streaming_cms_user_counts: the stateful operator
+# maintains each group's k smallest value hashes across micro-batches; the
+# oracle replays the batch KMV in SQL (min-k is an order-insensitive fold,
+# so stream state ≡ batch sketch — a pytest pins bit-identity too).
+
+_SKMV_K = 32
+
+_SKMV_ORACLE = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substring(sha256(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+  FROM hashed
+),
+kept AS (
+  SELECT event_type, count(*) AS n_kept, max(h) AS kth
+  FROM ranked WHERE rn <= {_SKMV_K} GROUP BY event_type
+)
+SELECT event_type, CAST(n_kept AS INTEGER) AS n_kept,
+       CAST(CASE WHEN n_kept < {_SKMV_K} THEN n_kept
+                 ELSE ROUND({_SKMV_K - 1}.0 / (kth / {float(2**60)!r})) END AS BIGINT) AS est_distinct
+FROM kept
+"""
+
+_SKMV_SEQ = iter(range(1, 1_000_000))
+
+
+@register("streaming_kmv_distinct", _SKMV_ORACLE, "streaming", "sketch")
+def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from vector_mcp_spark.streaming.ingest import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_distinct_sketch,
+    )
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    clean_dir = os.path.abspath(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp", f"events_{sf_tag}")
+    )
+    if not os.path.exists(os.path.join(clean_dir, "_SUCCESS")):
+        load(spark, sf_dir, "events").write.mode("overwrite").parquet(clean_dir)
+    stream = read_event_stream(spark, clean_dir).select("event_type", "user_id")
+    got = run_stream_to_memory(
+        streaming_distinct_sketch(stream, "event_type", "user_id", k=_SKMV_K),
+        f"suite_stream_kmv_{next(_SKMV_SEQ)}",
+        output_mode="update",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.size("ks").desc())
+    final = got.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return final.select(
+        F.col("g").alias("event_type"),
+        F.size("ks").cast("int").alias("n_kept"),
+        F.col("est_distinct").cast("long").alias("est_distinct"),
+    )
