@@ -17,5 +17,23 @@ Design stance (see SURVEY.md §7):
 from vector_mcp_spark.engine import CollectionEngine
 from vector_mcp_spark.session import get_spark
 
-__all__ = ["CollectionEngine", "get_spark"]
+
+def __getattr__(name):
+    # heavier surfaces load lazily so `import vector_mcp_spark` stays cheap
+    if name == "VectorSearchApi":
+        from vector_mcp_spark.api import VectorSearchApi
+
+        return VectorSearchApi
+    if name == "McpVeneer":
+        from vector_mcp_spark.mcp import McpVeneer
+
+        return McpVeneer
+    if name == "AgentCardVeneer":
+        from vector_mcp_spark.agent_card import AgentCardVeneer
+
+        return AgentCardVeneer
+    raise AttributeError(name)
+
+
+__all__ = ["CollectionEngine", "get_spark", "VectorSearchApi", "McpVeneer", "AgentCardVeneer"]
 __version__ = "0.1.0"

@@ -425,7 +425,11 @@ def streaming_distinct_sketch(
         if len(kept) < k:
             est = len(kept)
         else:
-            est = round((k - 1) / (kept[k - 1] / float(2**60)))
+            # half-up like Spark F.round / SQL ROUND (python round() is
+            # banker's rounding and would diverge on exact .5 boundaries)
+            import math
+
+            est = math.floor((k - 1) / (kept[k - 1] / float(2**60)) + 0.5)
         yield pd.DataFrame({"g": [key[0]], "ks": [kept], "est_distinct": [int(est)]})
 
     return hashed.groupBy("g").applyInPandasWithState(
