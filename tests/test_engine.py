@@ -385,3 +385,17 @@ def test_indexed_semantic_search_matches_exact(spark, tmp_path_factory):
     docs = embed_documents(eng.read("v"), text_col="content", out_col="embedding")
     exact = semantic_topk(docs, qv, 5, id_col="id", emb_col="embedding").collect()
     assert [r.id for r in served] == [r.id for r in exact]
+
+
+def test_search_index_on_empty_collection(spark, tmp_path_factory):
+    """Building and serving against an empty collection must work (zero
+    terms/vectors, fresh status, empty results) — not crash on parquet
+    schema inference over marker-only directories."""
+    from vector_mcp_spark.engine import CollectionEngine
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("empty_idx")))
+    eng.create_collection("empty")
+    info = eng.build_search_index("empty")
+    assert info["n_terms"] == 0 and info["n_vectors"] == 0
+    assert eng.index_status("empty") == "fresh"
+    assert eng.indexed_lexical_search("empty", "anything").count() == 0

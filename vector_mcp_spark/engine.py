@@ -424,8 +424,11 @@ class CollectionEngine:
         )
         signs = sign_pack(df.where(F.col("embedding").isNotNull()), "embedding", "id")
         signs.select("id", "lo", "hi").write.mode("overwrite").parquet(str(root / "signs"))
-        n_terms = self.spark.read.parquet(str(root / "postings")).select("term").distinct().count()
-        n_vectors = self.spark.read.parquet(str(root / "signs")).count()
+        # counts come from the source plans, not a read-back: an EMPTY
+        # collection writes only _SUCCESS markers, which parquet cannot
+        # re-read without a schema
+        n_terms = postings.select("term").distinct().count()
+        n_vectors = signs.count()
         fp = self._table_fingerprint(scoped)
         (root / "manifest.json").write_text(
             __import__("json").dumps(

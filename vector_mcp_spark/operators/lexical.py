@@ -346,9 +346,11 @@ def indexed_lexical_topk(
         empty = spark.createDataFrame([], "id string, score double")
         return empty
     buckets = sorted({hashlib.sha256(t.encode()).hexdigest()[:2] for t in terms})
-    idx = spark.read.parquet(postings_path).where(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(list(terms))
-    )
+    # explicit schema: an empty index dir holds only a _SUCCESS marker,
+    # which schema inference cannot read
+    idx = spark.read.schema("term string, id string, tf bigint, term_bucket string").parquet(
+        postings_path
+    ).where(F.col("term_bucket").isin(buckets) & F.col("term").isin(list(terms)))
     return (
         idx.groupBy("id")
         .agg(F.sum("tf").cast("double").alias("score"))
