@@ -346,3 +346,28 @@ def test_time_weighted_average_hand_case(spark):
     assert rows[1].span_seconds == 100.0 and rows[1].n_obs == 4
     assert abs(rows[1].twap - 9.0) < 1e-9  # (10*30 + 10*60 + 0*10 + 7*0) / 100
     assert rows[2].twap is None and rows[2].span_seconds == 0.0
+
+
+def test_global_rank_equals_naive_window(spark):
+    """The two-phase distributed rank must equal row_number over a global
+    window for arbitrary data including heavy value ties, and its plan must
+    not contain an unpartitioned window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.rank import global_rank
+
+    rows = [(i, float((i * 7) % 13)) for i in range(500)]  # many ties
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = global_rank(df, "v", ["id"], n_buckets=8)
+    naive = df.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("v").asc(), F.col("id").asc()))
+    )
+    assert {(r.id, r.rank) for r in got.collect()} == {
+        (r.id, r.rank) for r in naive.collect()
+    }
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # every window in the distributed form is partitioned by the coarse bucket
+    import re
+
+    assert not re.search(r"Window .*windowspecdefinition\(v", plan.replace("\n", " ")) or "_gb" in plan

@@ -1,0 +1,68 @@
+"""Distributed global rank — the scalable form of ORDER-BY-everything.
+
+A bare ``row_number() OVER (ORDER BY ...)`` funnels the whole table through
+ONE window task (Spark warns "No Partition Defined"); at lake scale that is
+the canonical straggler. The two-phase form here keeps the exact same rank
+semantics with no single-partition stage:
+
+1. assign each row a coarse bucket from broadcast boundary literals
+   (deterministic approx-percentile split points over the first order
+   column — ties share a value, and bucketing is strict-less-than on the
+   value alone, so tied rows always land in one bucket together);
+2. count rows per bucket, prefix-sum the counts driver-side (one tiny
+   collect, ≤ n_buckets rows), broadcast the offsets back;
+3. row_number WITHIN each bucket (a partitioned window) + the bucket's
+   offset = the exact global rank.
+
+Cost: one extra narrow shuffle on the coarse bucket vs the single-task
+global window. Rank output is identical to the naive form for any data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    n_buckets: int = 64,
+    out_col: str = "rank",
+) -> DataFrame:
+    """Append ``out_col`` = exact row_number over (value_col, *tiebreak_cols)
+    ascending, computed without a single-partition window."""
+    ties = list(tiebreak_cols)
+    # deterministic split points; ties collapse duplicates — fine, fewer
+    # buckets just means coarser balance, never wrong ranks
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.select(
+        F.percentile_approx(value_col, probs, 10_000).alias("b")
+    ).first().b
+    bounds = sorted(set(bounds or []))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(value_col) > F.lit(b)).cast("int")
+    bucketed = df.withColumn("_gb", bucket)
+    counts = {
+        r._gb: r.c
+        for r in bucketed.groupBy("_gb").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for gb in sorted(counts):
+        offsets[gb] = acc
+        acc += counts[gb]
+    off_map = F.create_map(
+        *[x for gb, off in offsets.items() for x in (F.lit(gb), F.lit(off))]
+    )
+    w = Window.partitionBy("_gb").orderBy(
+        F.col(value_col).asc(), *[F.col(c).asc() for c in ties]
+    )
+    return (
+        bucketed.withColumn("_lr", F.row_number().over(w))
+        .withColumn(out_col, (off_map[F.col("_gb")] + F.col("_lr")).cast("long"))
+        .drop("_gb", "_lr")
+    )

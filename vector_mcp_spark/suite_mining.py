@@ -587,12 +587,18 @@ def q_semantic_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFram
 # or a curriculum sampler actually wants. ntile ties break on event_id so
 # both engines assign identical buckets.
 
+# Bucket = floor((rank-1) * 8 / n): rank-balanced like ntile, but computed
+# through the distributed global_rank (coarse percentile buckets + offset +
+# partitioned window) — no single-partition ORDER-BY-everything stage; the
+# oracle keeps the naive one-window formulation, so the two must agree.
 _EQUIDEPTH_ORACLE = """
 WITH t AS (
-  SELECT value, ntile(8) OVER (ORDER BY value ASC, event_id ASC) AS bucket
+  SELECT value,
+         row_number() OVER (ORDER BY value ASC, event_id ASC) AS rnk,
+         count(*) OVER () AS n
   FROM events
 )
-SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n,
+SELECT CAST((rnk - 1) * 8 // n + 1 AS INTEGER) AS bucket, count(*) AS n,
        ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
 FROM t GROUP BY bucket
 ORDER BY bucket
@@ -601,12 +607,17 @@ ORDER BY bucket
 
 @register("events_equidepth_histogram", _EQUIDEPTH_ORACLE, "relational")
 def q_events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from vector_mcp_spark.operators.rank import global_rank
 
     ev = load(spark, sf_dir, "events")
-    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    ranked = global_rank(ev.select("value", "event_id"), "value", ["event_id"])
+    n_total = ranked.count()
     return (
-        ev.withColumn("bucket", F.ntile(8).over(w))
+        ranked.withColumn(
+            "bucket",
+            # integer floor-div: no float boundary can misplace a row
+            (F.expr(f"CAST((rank - 1) * 8 DIV {n_total} AS INT) + 1")),
+        )
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n"),
