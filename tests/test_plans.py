@@ -36,3 +36,30 @@ def test_no_row_udf_no_cartesian(spark, name):
         f"{name}: row-at-a-time Python UDF in plan"
     )
     assert "CartesianProduct" not in plan, f"{name}: unbroadcast cartesian product in plan"
+
+
+@pytest.mark.parametrize("name", [n for n in SUITE if n not in _SKIP])
+def test_unpartitioned_windows_only_over_bounded_sets(spark, name):
+    """A row_number over an unpartitioned ORDER BY funnels its input through
+    ONE task — allowed ONLY above a limit (ranking an already-bounded top-k,
+    the TakeOrdered-then-rank pattern). An unbounded global window anywhere
+    is the canonical lake-scale straggler; the distributed form is
+    operators/rank.py global_rank."""
+    df = SUITE[name].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    for line in plan.splitlines():
+        ls = line.strip()
+        if " Window [" not in f" {ls}" or "windowspecdefinition" not in ls:
+            continue
+        # partitioned windows print [exprs], [partcols], [ordercols];
+        # partition-only (no order) prints two lists but its spec starts
+        # with the partition columns, not ASC/DESC order columns
+        if ls.count("], [") >= 2:
+            continue
+        spec = ls.split("windowspecdefinition(", 1)[1]
+        head = spec.split(",")[0] + "," + (spec.split(",")[1] if "," in spec else "")
+        if "ASC" not in head and "DESC" not in head:
+            continue  # partition-only window (e.g. max over partition)
+        assert "GlobalLimit" in plan or "TakeOrdered" in plan, (
+            f"{name}: unpartitioned ordered window with no bounding limit:\n  {ls[:160]}"
+        )
