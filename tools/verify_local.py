@@ -5,7 +5,8 @@ DuckDB, then compares row count + column names + an order-insensitive value
 multiset (floats rounded to 6 dp before compare, mirroring the rounding both
 sides already apply).
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--window] [sf_dir] [query ...]
+(--window = verify exactly the driver's 50-entry correctness window)
 
 The comparison core (`verify_entries`) is importable so the test suite can
 run the same gate over the FULL registry at sf0.001 each round — entries
@@ -93,8 +94,17 @@ def verify_entries(spark, sf_dir: str, names=None, verbose: bool = True) -> list
 
 def main() -> int:
     sys.path.insert(0, ".")
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:]) or None
+    args = sys.argv[1:]
+    window_only = "--window" in args
+    if window_only:
+        args = [a for a in args if a != "--window"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:]) or None
+    if window_only:
+        # exactly what the driver will check this round: the first 50
+        from vector_mcp_spark.suite import SUITE
+
+        only = set(list(SUITE)[:50])
 
     from vector_mcp_spark.session import get_spark
 
