@@ -776,3 +776,96 @@ def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ks").cast("int").alias("n_kept"),
         F.col("est_distinct").cast("long").alias("est_distinct"),
     )
+
+
+# -- curriculum sampling: DSIR weights → rank tiers → per-tier draw -----------
+#
+# The end-use composition of three round-5 primitives: score every document
+# by target-likeness (DSIR), cut the corpus into 4 equi-depth tiers by
+# rank (distributed global_rank — no single-task sort), and keep a
+# deterministic per-tier fraction (sha draw), most-target-like tier
+# sampled hardest. Output is the per-tier readout a mixture designer
+# checks before writing shards.
+
+_CURR_RATES = {1: 10, 2: 20, 3: 40, 4: 80}  # keep-percent by tier
+
+
+def _curriculum_oracle() -> str:
+    rate_case = " ".join(f"WHEN {t} THEN {r}" for t, r in _CURR_RATES.items())
+    return f"""
+WITH ex AS (
+  SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS t,
+         unnest({_TOKS}) AS tok
+  FROM documents
+),
+b AS (
+  SELECT doc_id, t,
+         CAST('0x' || substring(sha256(tok), 1, 15) AS BIGINT) % {_DSIR_BUCKETS} AS bucket
+  FROM ex
+),
+counts AS (SELECT bucket, count(*) AS c_raw, SUM(t) AS c_tgt FROM b GROUP BY bucket),
+tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM counts),
+r AS (
+  SELECT bucket,
+         ln((c_tgt + 1.0) / (n_tgt + {_DSIR_BUCKETS}.0))
+         - ln((c_raw + 1.0) / (n_raw + {_DSIR_BUCKETS}.0)) AS lr
+  FROM counts CROSS JOIN tot
+),
+weights AS (
+  SELECT b.doc_id AS id, ROUND(SUM(r.lr), 6) AS weight
+  FROM b JOIN r USING (bucket) GROUP BY b.doc_id
+),
+ranked AS (
+  SELECT id, weight,
+         row_number() OVER (ORDER BY weight ASC, id ASC) AS rnk,
+         count(*) OVER () AS n
+  FROM weights
+),
+tiers AS (
+  SELECT id, weight, CAST((rnk - 1) * 4 // n + 1 AS INTEGER) AS tier,
+         CAST('0x' || substring(sha256(CAST(id AS VARCHAR) || '|cur'), 1, 15) AS BIGINT)
+           % 100 AS draw
+  FROM ranked
+)
+SELECT tier, count(*) AS n_docs,
+       CAST(SUM(CASE WHEN draw < (CASE tier {rate_case} END) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       ROUND(AVG(weight), 4) AS avg_weight
+FROM tiers GROUP BY tier
+ORDER BY tier
+"""
+
+
+@register("corpus_curriculum_sample", _curriculum_oracle(), "sampling", "pipeline")
+def q_corpus_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.dsir import importance_weights
+    from vector_mcp_spark.operators.rank import global_rank
+
+    docs = load(spark, sf_dir, "documents")
+    weights = importance_weights(
+        docs, is_target=F.col("source") == "src0",
+        n_buckets=_DSIR_BUCKETS, id_col="doc_id", text_col="text",
+    ).select("id", "weight")
+    ranked = global_rank(weights, "weight", ["id"])
+    n_total = ranked.count()
+    draw = F.pmod(
+        F.conv(
+            F.substring(F.sha2(F.concat(F.col("id").cast("string"), F.lit("|cur")), 256), 1, 15),
+            16, 10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    rate = F.create_map(
+        *[x for t, r in _CURR_RATES.items() for x in (F.lit(t), F.lit(r))]
+    )
+    return (
+        ranked.withColumn("tier", F.expr(f"CAST((rank - 1) * 4 DIV {n_total} AS INT) + 1"))
+        .withColumn("kept", (draw < rate[F.col("tier")]).cast("long"))
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.avg("weight"), 4).alias("avg_weight"),
+        )
+        .orderBy("tier")
+    )
