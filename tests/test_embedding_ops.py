@@ -273,3 +273,24 @@ def test_binary_sign_topk_recall_gate(spark):
     }
     assert len(exact) == 100
     assert len(approx & exact) / len(exact) >= 0.6
+
+
+def test_isotropy_report_hand_cases(spark):
+    """Identical vectors → avg pairwise cosine 1 and mean_cos_ratio 1;
+    a perfectly balanced ± pair → cosine −1 and zero mean vector."""
+    from vector_mcp_spark.operators.diagnostics import isotropy_report
+
+    same = spark.createDataFrame(
+        [(i, [3.0, 4.0] + [0.0] * 62) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    r = isotropy_report(same).collect()[0]
+    assert r.n == 4 and r.avg_norm == 5.0
+    assert r.avg_pairwise_cosine == 1.0 and r.mean_cos_ratio == 1.0
+
+    v = [1.0] * 64
+    anti = spark.createDataFrame(
+        [(0, v), (1, [-x for x in v])], "vec_id long, embedding array<double>"
+    )
+    r2 = isotropy_report(anti).collect()[0]
+    assert r2.avg_pairwise_cosine == -1.0 and r2.mean_vec_norm == 0.0

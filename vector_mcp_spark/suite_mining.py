@@ -869,3 +869,35 @@ def q_corpus_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# -- embedding-space isotropy diagnostics --------------------------------------
+#
+# Mean pairwise cosine computed EXACTLY from one pass via
+# Σ_{i≠j} u_i·u_j = ||Σu||² − n over unit vectors — no pair materialized,
+# state is O(dim). The oracle replays the identity with lateral unnest.
+
+_ISO_ORACLE = """
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+ex AS (
+  SELECT i, v[i + 1] AS x_raw, v[i + 1] / norm AS x_unit
+  FROM b, UNNEST(range(len(v))) AS t(i)
+),
+dims AS (SELECT i, SUM(x_raw) AS s_raw, SUM(x_unit) AS s_unit FROM ex GROUP BY i),
+sums AS (SELECT SUM(s_raw * s_raw) AS ss_raw, SUM(s_unit * s_unit) AS ss_unit FROM dims),
+stats AS (SELECT count(*) AS n, AVG(norm) AS avg_norm FROM b)
+SELECT n, ROUND(avg_norm, 4) AS avg_norm,
+       ROUND(sqrt(ss_raw) / n, 4) AS mean_vec_norm,
+       ROUND(sqrt(ss_raw) / n / avg_norm, 4) AS mean_cos_ratio,
+       ROUND((ss_unit - n) / (n * (n - 1.0)), 4) AS avg_pairwise_cosine
+FROM stats CROSS JOIN sums
+"""
+
+
+@register("embedding_isotropy_report", _ISO_ORACLE, "similarity", "governance", "pipeline")
+def q_embedding_isotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.diagnostics import isotropy_report
+
+    embs = load(spark, sf_dir, "embeddings")
+    return isotropy_report(embs)
