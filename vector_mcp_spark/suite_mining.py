@@ -901,3 +901,169 @@ def q_embedding_isotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = load(spark, sf_dir, "embeddings")
     return isotropy_report(embs)
+
+
+# -- BPE vocabulary induction (Sennrich 2016) ---------------------------------
+
+# The learning loop itself is oracled: the DuckDB SQL below UNROLLS the
+# merge rounds as generated CTE stages — each stage recounts adjacent
+# pairs, picks the same (cnt DESC, a, b) argmax, and applies the same
+# wrapped-symbol `replace` — so the oracle learns the merges from scratch
+# and must agree with Spark's loop bit-for-bit. See operators/bpe.py for
+# why the ·a··b· representation makes plain REPLACE exactly BPE.
+
+_BPE_MERGES = 10
+
+
+def _bpe_oracle_stages(n: int) -> str:
+    stages = ["""
+words0 AS (
+  SELECT COUNT(*) AS freq,
+         '·' || array_to_string(string_split(w, ''), '··') || '·' AS s
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+  GROUP BY w
+)"""]
+    for k in range(1, n + 1):
+        stages.append(f"""
+pairs{k} AS (
+  SELECT p[1] AS a, p[2] AS b, SUM(freq) AS cnt
+  FROM (SELECT freq, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+        FROM (SELECT freq, string_split(trim(s, '·'), '··') AS l FROM words{k - 1}))
+  GROUP BY a, b
+),
+best{k} AS (SELECT {k} AS rank, a, b, cnt FROM pairs{k} ORDER BY cnt DESC, a, b LIMIT 1),
+words{k} AS (
+  SELECT freq, replace(s, '·' || m.a || '··' || m.b || '·', '·' || m.a || m.b || '·') AS s
+  FROM words{k - 1} CROSS JOIN best{k} m
+)""")
+    return ",".join(stages)
+
+
+def _bpe_merges_oracle() -> str:
+    union = "\n  UNION ALL ".join(
+        f"SELECT rank, a, b, cnt FROM best{k}" for k in range(1, _BPE_MERGES + 1)
+    )
+    return f"""
+WITH {_bpe_oracle_stages(_BPE_MERGES)}
+SELECT CAST(rank AS INTEGER) AS rank, a AS left_sym, b AS right_sym,
+       a || b AS merged, CAST(cnt AS BIGINT) AS pair_count
+FROM ({union})
+ORDER BY rank
+"""
+
+
+@register("corpus_bpe_merges", _bpe_merges_oracle(), "textstats", "pipeline")
+def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.bpe import learn_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, _BPE_MERGES)
+    return spark.createDataFrame(
+        [(r, a, b, a + b, c) for r, a, b, c in merges],
+        "rank int, left_sym string, right_sym string, merged string, pair_count long",
+    )
+
+
+_BPE_TOPK = 25
+
+
+def _bpe_tokens_oracle() -> str:
+    return f"""
+WITH {_bpe_oracle_stages(_BPE_MERGES)}
+SELECT token, CAST(SUM(freq) AS BIGINT) AS total_freq
+FROM (SELECT freq, unnest(string_split(trim(s, '·'), '··')) AS token FROM words{_BPE_MERGES})
+GROUP BY token
+ORDER BY total_freq DESC, token ASC
+LIMIT {_BPE_TOPK}
+"""
+
+
+@register("corpus_bpe_top_tokens", _bpe_tokens_oracle(), "textstats", "pipeline")
+def q_corpus_bpe_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.bpe import bpe_token_freqs, learn_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, _BPE_MERGES)
+    return (
+        bpe_token_freqs(docs, merges)
+        .orderBy(F.col("total_freq").desc(), F.col("token").asc())
+        .limit(_BPE_TOPK)
+    )
+
+
+# -- PCA: covariance cells + power-iteration top component --------------------
+
+# Full-oracle PCA: the covariance is an exact SQL replay, and the top
+# principal component runs a FIXED 8-step power iteration from v0 = 1/sqrt(d)
+# on the 6dp-rounded covariance — both engines iterate identical inputs, so
+# the unrolled SQL stages agree far below the 6 dp output rounding. The
+# Spark side deliberately uses the mapInPandas Gramian path (the 100 TB
+# strategy) so the scale path itself is what the oracle checks.
+
+_PCA_DIM = 64
+_PCA_ITERS = 8
+
+_COV_CORE = """
+e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+m AS (SELECT i.i AS i, AVG(e.v[i.i]) AS mu FROM e, idx i GROUP BY i.i)
+"""
+
+_COV_CELLS_ORACLE = f"""
+WITH {_COV_CORE},
+cells AS (
+  SELECT a.i AS i, b.i AS j, SUM(e.v[a.i] * e.v[b.i]) AS sxy, COUNT(*) AS n
+  FROM e, idx a, idx b WHERE a.i <= b.i GROUP BY a.i, b.i
+)
+SELECT CAST(c.i - 1 AS INTEGER) AS i, CAST(c.j - 1 AS INTEGER) AS j,
+       ROUND(c.sxy / c.n - ma.mu * mb.mu, 6) + 0.0 AS cov
+FROM cells c JOIN m ma ON ma.i = c.i JOIN m mb ON mb.i = c.j
+"""
+# the + 0.0 normalizes IEEE -0.0 to +0.0 (ROUND of a tiny negative yields
+# -0.0 whose formatted value hashes differently) — applied on BOTH sides.
+
+
+@register("embedding_covariance_cells", _COV_CELLS_ORACLE, "similarity", "governance", "pipeline")
+def q_embedding_covariance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.pca import embedding_covariance
+
+    embs = load(spark, sf_dir, "embeddings")
+    cov = embedding_covariance(embs).where(F.col("i") <= F.col("j"))
+    return cov.withColumn("cov", F.col("cov") + F.lit(0.0))
+
+
+def _top_pc_oracle() -> str:
+    stages = [f"""
+cov AS (
+  SELECT t.i AS i, t.j AS j, ROUND(t.sxy / t.n - ma.mu * mb.mu, 6) AS c
+  FROM (SELECT a.i AS i, b.i AS j, SUM(e.v[a.i] * e.v[b.i]) AS sxy, COUNT(*) AS n
+        FROM e, idx a, idx b GROUP BY a.i, b.i) t
+  JOIN m ma ON ma.i = t.i JOIN m mb ON mb.i = t.j
+),
+v0 AS (SELECT i.i AS i, 1.0 / sqrt({_PCA_DIM}.0) AS x FROM idx i)"""]
+    for k in range(1, _PCA_ITERS + 1):
+        stages.append(f"""
+w{k} AS (SELECT c.i AS i, SUM(c.c * v.x) AS w FROM cov c JOIN v{k - 1} v ON v.i = c.j GROUP BY c.i),
+v{k} AS (SELECT w{k}.i AS i, w{k}.w / n{k}.nrm AS x
+         FROM w{k}, (SELECT sqrt(SUM(w * w)) AS nrm FROM w{k}) n{k})""")
+    last = f"v{_PCA_ITERS}"
+    return f"""
+WITH {_COV_CORE},{",".join(stages)},
+lam AS (SELECT SUM(a.x * c.c * b.x) AS l FROM cov c JOIN {last} a ON a.i = c.i JOIN {last} b ON b.i = c.j)
+SELECT CAST(v.i - 1 AS INTEGER) AS idx, ROUND(v.x, 6) + 0.0 AS loading,
+       ROUND(l.l, 6) + 0.0 AS eigenvalue
+FROM {last} v CROSS JOIN lam l
+"""
+
+
+@register("embedding_top_pc", _top_pc_oracle(), "similarity", "governance", "pipeline")
+def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.pca import embedding_covariance, top_pc_power_iteration
+
+    embs = load(spark, sf_dir, "embeddings")
+    cov = embedding_covariance(embs, dim=_PCA_DIM, via_pandas=True)
+    v, lam = top_pc_power_iteration(cov, _PCA_DIM, iters=_PCA_ITERS)
+    return spark.createDataFrame(
+        [(i, round(x, 6) + 0.0, round(lam, 6) + 0.0) for i, x in enumerate(v)],
+        "idx int, loading double, eigenvalue double",
+    )
