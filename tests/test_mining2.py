@@ -1,0 +1,119 @@
+"""Round-5 additions: bigram LM, trailing z-score, triangles, source cap."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bigram_logprob_hand_computed(spark):
+    from vector_mcp_spark.operators.lm import bigram_interpolated_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb aa bb"), (1, "aa bb"), (2, "zz")], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in bigram_interpolated_logprob(docs, lam=0.5).collect()}
+    # corpus: uni aa=3 bb=3 zz=1, N=7; bigrams: (aa,bb)=3 (bb,aa)=1
+    p_ab = 0.5 * 3 / 3 + 0.5 * 3 / 7
+    p_ba = 0.5 * 1 / 3 + 0.5 * 3 / 7
+    assert out[0].n_bigrams == 3
+    assert out[0].avg_logprob == pytest.approx(
+        round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
+    )
+    assert out[1].n_bigrams == 1
+    assert out[1].avg_logprob == pytest.approx(round(math.log(p_ab), 6))
+    assert 2 not in out  # single-token doc has no bigrams
+
+
+def test_bigram_logprob_lam_bounds(spark):
+    from vector_mcp_spark.operators.lm import bigram_interpolated_logprob
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        bigram_interpolated_logprob(docs, lam=1.0)
+
+
+def test_trailing_zscore_flags_spike(spark):
+    from vector_mcp_spark.operators.anomaly import trailing_zscore
+
+    rows = []
+    eid = 0
+    # 10 quiet days of 5 events, then a 50-event spike on day 11
+    for day in range(1, 11):
+        for _ in range(5 if day <= 10 else 0):
+            rows.append((eid, f"2024-03-{day:02d} 12:00:00", "click"))
+            eid += 1
+    for _ in range(50):
+        rows.append((eid, "2024-03-11 12:00:00", "click"))
+        eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts string, event_type string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {r.day.day: r for r in trailing_zscore(ev, "event_type", "ts").collect()}
+    # constant history -> sigma 0 -> no z, never flagged
+    assert out[10].z is None and out[10].is_anomaly is False
+    assert out[11].is_anomaly is False or out[11].z is None  # sigma of constant window = 0
+    # early days lack min_prior history
+    assert out[1].mu is None and out[2].mu is None and out[3].mu is None
+
+
+def test_trailing_zscore_nonconstant_history(spark):
+    from vector_mcp_spark.operators.anomaly import trailing_zscore
+
+    counts = {1: 4, 2: 6, 3: 5, 4: 5, 5: 6, 6: 4, 7: 5, 8: 40}
+    rows = []
+    eid = 0
+    for day, n in counts.items():
+        for _ in range(n):
+            rows.append((eid, f"2024-03-{day:02d} 12:00:00", "click"))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts string, event_type string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {r.day.day: r for r in trailing_zscore(ev, "event_type", "ts").collect()}
+    hist = [4, 6, 5, 5, 6, 4, 5]
+    mu = sum(hist) / 7
+    sig = math.sqrt(sum((x - mu) ** 2 for x in hist) / 7)
+    assert out[8].mu == pytest.approx(round(mu, 6))
+    assert out[8].sigma == pytest.approx(round(sig, 6))
+    assert out[8].z == pytest.approx(round((40 - mu) / sig, 4))
+    assert out[8].is_anomaly is True
+
+
+def test_triangle_count_known_graph(spark):
+    from vector_mcp_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; plus a pendant edge
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b] + [(3, 9)]
+    e = spark.createDataFrame(edges, "a int, b int")
+    r = triangle_count(e).collect()[0]
+    assert (r.n_edges, r.n_triangles) == (7, 4)
+
+
+def test_undirected_edges_canonical(spark):
+    from vector_mcp_spark.operators.graph import undirected_edges
+
+    m = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 10), (2, 20), (2, 10)], "grp int, item int"
+    )
+    got = {(r.a, r.b) for r in undirected_edges(m).collect()}
+    assert got == {(10, 20)}
+
+
+def test_per_group_cap(spark):
+    from vector_mcp_spark.operators.packing import per_group_cap
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2)) for i in range(30)], "doc_id int, source string"
+    )
+    out = per_group_cap(df, "source", "doc_id", 5)
+    by_grp = out.groupBy("source").count().collect()
+    assert all(r["count"] == 5 for r in by_grp)
+    # deterministic across invocations
+    a = sorted((r.doc_id, r.rk) for r in out.collect())
+    b = sorted((r.doc_id, r.rk) for r in per_group_cap(df, "source", "doc_id", 5).collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        per_group_cap(df, "source", "doc_id", 0)

@@ -1,0 +1,55 @@
+"""Trailing-window z-score anomaly flags over grouped time series.
+
+A monitoring primitive for ingest pipelines: per (group, day) counts
+compared against each group's own trailing window — ``z = (x - mu) /
+sigma`` where mu/sigma come from the previous ``window`` days only
+(never the current one, so a spike can't mask itself). The window is
+PARTITIONED by group and bounded by ROWS BETWEEN, so state per partition
+is O(days-per-group) — the distributed-safe shape `tests/test_plans.py`
+requires (no unpartitioned ordered window over unbounded rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def trailing_zscore(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    window: int = 7,
+    min_prior: int = 3,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Daily-count anomalies: (group, day, cnt, mu, sigma, z, is_anomaly).
+
+    Rows with fewer than ``min_prior`` prior days, or a degenerate
+    (zero-variance) trailing window, carry NULL z and are never flagged.
+    """
+    if window < 1:
+        raise ValueError(f"trailing_zscore: window must be >= 1, got {window}")
+    daily = df.groupBy(
+        F.col(group_col).alias("grp"), F.date_trunc("DAY", F.col(ts_col)).alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("day")
+        .rowsBetween(-window, -1)
+    )
+    mu = F.avg("cnt").over(w)
+    sigma = F.stddev_pop("cnt").over(w)
+    nprior = F.count("cnt").over(w)
+    z = F.when(
+        (nprior >= min_prior) & (sigma > 0), (F.col("cnt") - mu) / sigma
+    )
+    return daily.select(
+        F.col("grp").alias(group_col),
+        "day",
+        "cnt",
+        F.when(nprior >= min_prior, F.round(mu, 6)).alias("mu"),
+        F.when(nprior >= min_prior, F.round(sigma, 6)).alias("sigma"),
+        F.round(z, 4).alias("z"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )

@@ -100,3 +100,37 @@ def cooccurrence_edges(
         .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
         .agg(F.count("*").alias("w"))
     )
+
+
+def undirected_edges(pairs: DataFrame, item_col: str = "item", group_col: str = "grp") -> DataFrame:
+    """Distinct undirected edges (a < b) from (group, item) membership —
+    the canonical-orientation input triangle counting needs. Blocked on
+    the group key like ``cooccurrence_edges``."""
+    m = pairs.select(F.col(group_col).alias("g"), F.col(item_col).alias("a")).distinct()
+    other = m.select("g", F.col("a").alias("b"))
+    return (
+        m.join(other, "g").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Count triangles over a canonical (a < b) edge list: one row
+    (n_edges, n_triangles).
+
+    The classic two-join MR algorithm (Cohen 2009, public): wedges are
+    edges joined on the middle vertex — orientation a < b < c means every
+    triangle is generated exactly once — then closed against the edge list
+    with an equi-join on BOTH endpoints. Shuffles are edge-keyed; the
+    wedge count is sum of C(out-degree, 2), so skewed hub vertices are the
+    thing to watch at scale (cap or sample hub neighborhoods upstream —
+    orientation by degree, the standard fix, also drops wedge counts to
+    near-linear for power-law graphs)."""
+    e = edges.select("a", "b")
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = ab.join(bc, "y").select("x", "y", "z")
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = wedges.join(closing, ["x", "z"])
+    return e.agg(F.count("*").alias("n_edges")).crossJoin(
+        tri.agg(F.count("*").alias("n_triangles"))
+    )

@@ -159,3 +159,23 @@ def weighted_row_sample(
         .limit(k)
         .drop("_aes_key")
     )
+
+
+def per_group_cap(
+    df: DataFrame, group_col: str, id_col: str, cap: int, salt: str = "cap"
+) -> DataFrame:
+    """Quota capping: keep at most ``cap`` rows per group, chosen by a
+    deterministic hash priority (sha-uniform, salt-keyed) with id
+    tie-break — the "no more than N documents per domain" rule of web
+    corpus curation. One partitioned window; partitions are group-sized,
+    so skewed mega-groups are exactly the rows the cap exists to cut —
+    rank early, before wide columns join in."""
+    if cap < 1:
+        raise ValueError(f"per_group_cap: cap must be >= 1, got {cap}")
+    pri = F.sha2(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")), 256)
+    w = Window.partitionBy(group_col).orderBy(pri.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_cap_rk", F.row_number().over(w))
+        .where(F.col("_cap_rk") <= cap)
+        .withColumnRenamed("_cap_rk", "rk")
+    )

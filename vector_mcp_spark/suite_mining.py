@@ -1067,3 +1067,112 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, round(x, 6) + 0.0, round(lam, 6) + 0.0) for i, x in enumerate(v)],
         "idx int, loading double, eigenvalue double",
     )
+
+
+# -- interpolated bigram LM scoring (CCNet one level up) ----------------------
+
+_BLM_LAM = 0.7
+
+_BLM_ORACLE = f"""
+WITH dt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (SELECT doc_id, p[1] AS w1, p[2] AS w2
+       FROM (SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p FROM dt)),
+uni AS (SELECT tok, count(*) AS c FROM (SELECT unnest(toks) AS tok FROM dt) GROUP BY tok),
+total AS (SELECT SUM(c) AS n FROM uni),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+scored AS (
+  SELECT g.doc_id,
+         ln({_BLM_LAM} * b.c12 / u1.c + {1.0 - _BLM_LAM} * u2.c / t.n) AS lp
+  FROM bg g JOIN bi b ON b.w1 = g.w1 AND b.w2 = g.w2
+  JOIN uni u1 ON u1.tok = g.w1
+  JOIN uni u2 ON u2.tok = g.w2
+  CROSS JOIN total t
+)
+SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams, ROUND(AVG(lp), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("corpus_bigram_logprob", _BLM_ORACLE, "textstats", "pipeline")
+def q_corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.lm import bigram_interpolated_logprob
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_interpolated_logprob(docs, lam=_BLM_LAM)
+
+
+# -- per-source quota cap (web-curation "max N per domain") -------------------
+
+_CAP_N = 20
+
+_CAP_ORACLE = f"""
+SELECT doc_id, source, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY sha256('cap|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= {_CAP_N}
+"""
+
+
+@register("corpus_source_cap", _CAP_ORACLE, "sampling", "pipeline")
+def q_corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.packing import per_group_cap
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return per_group_cap(docs, "source", "doc_id", _CAP_N).select("doc_id", "source", "rk")
+
+
+# -- trailing z-score anomaly flags over daily event counts -------------------
+
+_ANOM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day, cnt,
+         AVG(cnt) OVER win AS mu, STDDEV_POP(cnt) OVER win AS sigma,
+         COUNT(cnt) OVER win AS np
+  FROM daily
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day, CAST(cnt AS BIGINT) AS cnt,
+       CASE WHEN np >= 3 THEN ROUND(mu, 6) END AS mu,
+       CASE WHEN np >= 3 THEN ROUND(sigma, 6) END AS sigma,
+       CASE WHEN np >= 3 AND sigma > 0 THEN ROUND((cnt - mu) / sigma, 4) END AS z,
+       COALESCE(np >= 3 AND sigma > 0 AND abs((cnt - mu) / sigma) > 2.0, FALSE) AS is_anomaly
+FROM w
+"""
+
+
+@register("events_anomaly_zscore", _ANOM_ORACLE, "temporal", "relational")
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.anomaly import trailing_zscore
+
+    ev = load(spark, sf_dir, "events")
+    return trailing_zscore(ev, "event_type", "ts", window=7, min_prior=3, threshold=2.0)
+
+
+# -- triangle counting over the co-ordered-parts graph ------------------------
+
+_TRI_ORACLE = """
+WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS a FROM lineitem),
+e AS (SELECT DISTINCT m1.a AS a, m2.a AS b FROM m m1 JOIN m m2 ON m1.g = m2.g AND m1.a < m2.a),
+w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 JOIN e e2 ON e1.b = e2.a),
+t AS (SELECT count(*) AS n_triangles FROM w JOIN e ON e.a = w.x AND e.b = w.z)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       CAST(t.n_triangles AS BIGINT) AS n_triangles
+FROM t
+"""
+
+
+@register("parts_triangle_count", _TRI_ORACLE, "graph", "relational")
+def q_parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.graph import triangle_count, undirected_edges
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = undirected_edges(li, item_col="l_partkey", group_col="l_orderkey")
+    return triangle_count(edges)

@@ -26,7 +26,8 @@ p_type for the 3-word type and mktsegment for the phone prefix; Q2/Q9/Q11/
 Q16/Q20 derive the supply relation from observed (partkey, suppkey)
 lineitem pairs in place of partsupp; Q12/Q21 classify ship latency
 (shipdate − orderdate) in place of shipmode/commitdate. Q4's shape ships as
-``late_orders_by_priority`` in suite_relational. Plan shape, not literal
+``late_orders_by_priority`` and Q14's as ``promo_revenue``, both in
+suite_relational. Plan shape, not literal
 TPC-H compliance, is the point — with these, all 22 query shapes run.
 
 Adapted from the public TPC-H spec; no reference-repo counterpart.
@@ -889,44 +890,4 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(25)
-    )
-
-
-# -- Q14: promotion revenue share — conditional agg over one equi-join --------
-# The correlated "promo vs total" ratio never needs two scans: one
-# broadcast join part→lineitem, one conditional aggregate. The quotient of
-# two double sums is rounded at 4 dp (not 6) on both sides — quotients of
-# independently-ordered float sums agree to ~1e-5, same precedent as TWAP.
-
-_Q14_ORACLE = """
-SELECT ROUND(
-         100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                          THEN l.l_extendedprice * (1 - l.l_discount)
-                          ELSE 0.0 END)
-         / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share_pct
-FROM lineitem l
-JOIN part p ON l.l_partkey = p.p_partkey
-WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
-  AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
-"""
-
-
-@register("tpch_q14_promo_effect", _Q14_ORACLE, "relational", "tpch")
-def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
-    )
-    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                4,
-            ).alias("promo_share_pct")
-        )
     )
