@@ -113,9 +113,14 @@ def undirected_edges(pairs: DataFrame, item_col: str = "item", group_col: str = 
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     """Count triangles over a canonical (a < b) edge list: one row
     (n_edges, n_triangles).
+
+    The edge list participates four times (both wedge sides, the closing
+    join, the edge count); ``materialize=True`` localCheckpoints it so the
+    upstream derivation runs once instead of four times — at scale the
+    edge list would be a materialized table anyway.
 
     The classic two-join MR algorithm (Cohen 2009, public): wedges are
     edges joined on the middle vertex — orientation a < b < c means every
@@ -126,6 +131,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     orientation by degree, the standard fix, also drops wedge counts to
     near-linear for power-law graphs)."""
     e = edges.select("a", "b")
+    if materialize:
+        e = e.localCheckpoint(eager=True)
     ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
     wedges = ab.join(bc, "y").select("x", "y", "z")
