@@ -117,3 +117,48 @@ def test_per_group_cap(spark):
     assert a == b
     with pytest.raises(ValueError):
         per_group_cap(df, "source", "doc_id", 0)
+
+
+def test_winsorize_hand_case(spark):
+    from vector_mcp_spark.operators.robust import winsorize_stats
+
+    vals = list(range(1, 11)) + [1000]  # one wild outlier
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "grp string, value double")
+    r = winsorize_stats(df, "grp", "value", lo=0.0, hi=0.90).collect()[0]
+    # p90 of 11 sorted values (type-7): idx 0.9*10 = 9.0 -> exactly 10.0
+    assert r.p_hi == 10.0 and r.p_lo == 1.0
+    assert r.n_clipped_hi == 1 and r.n_clipped_lo == 0
+    assert r.mean_winsorized == pytest.approx(round((sum(range(1, 11)) + 10) / 11, 6))
+    with pytest.raises(ValueError):
+        winsorize_stats(df, "grp", "value", lo=0.5, hi=0.5)
+
+
+def test_chi2_independent_and_dependent(spark):
+    from vector_mcp_spark.operators.assoc import crosstab_chi2
+
+    # perfectly independent 2x2: chi2 = 0
+    rows = [("en", "s1")] * 10 + [("en", "s2")] * 10 + [("de", "s1")] * 10 + [("de", "s2")] * 10
+    df = spark.createDataFrame(rows, "lang string, source string")
+    r = crosstab_chi2(df, "lang", "source").collect()[0]
+    assert (r.n, r.r, r.c, r.dof) == (40, 2, 2, 1)
+    assert r.chi2 == 0.0 and r.cramers_v == 0.0
+    # perfectly dependent 2x2: chi2 = n, cramers_v = 1
+    rows = [("en", "s1")] * 10 + [("de", "s2")] * 10
+    r = crosstab_chi2(
+        spark.createDataFrame(rows, "lang string, source string"), "lang", "source"
+    ).collect()[0]
+    assert r.chi2 == pytest.approx(20.0)
+    assert r.cramers_v == pytest.approx(1.0)
+
+
+def test_pmi_prefers_exclusive_pairs(spark):
+    from vector_mcp_spark.operators.assoc import collocation_pmi
+
+    # "zig zag" always adjacent and exclusive; "the cat" frequent but 'the' everywhere
+    text = " ".join(["zig zag"] * 5 + ["the cat"] * 5 + ["the dog"] * 5 + ["the end"] * 5)
+    docs = spark.createDataFrame([(0, text)], "doc_id int, text string")
+    out = collocation_pmi(docs, min_count=5, k=3).collect()
+    assert (out[0].w1, out[0].w2) == ("zig", "zag")
+    assert out[0].pmi > out[-1].pmi
+    with pytest.raises(ValueError):
+        collocation_pmi(docs, min_count=0)

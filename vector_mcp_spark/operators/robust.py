@@ -67,3 +67,42 @@ def group_robust_outliers(
         F.round("mad", 6).alias("mad"),
         "is_outlier",
     )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization report: exact [lo, hi] percentile fences,
+    clip counts, and the mean of the clipped values.
+
+    Exact interpolated percentiles via the grouped ``percentile``
+    aggregate (sort-based within each group — groups are the unit of
+    parallelism; for corpus-sized single groups switch to
+    ``approx_percentile``, same call shape). The fences join back as a
+    broadcast (|groups| rows) so the clip pass is map-side."""
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"winsorize_stats: need 0 <= lo < hi <= 1, got ({lo}, {hi})")
+    v = F.col(value_col).cast("double")
+    fences = df.groupBy(group_col).agg(
+        F.percentile(v, F.lit(lo)).alias("p_lo"),
+        F.percentile(v, F.lit(hi)).alias("p_hi"),
+    )
+    clipped = df.join(F.broadcast(fences), group_col).select(
+        group_col,
+        v.alias("v"),
+        "p_lo",
+        "p_hi",
+        F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi")).alias("w"),
+    )
+    return clipped.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.round(F.first("p_lo"), 6).alias("p_lo"),
+        F.round(F.first("p_hi"), 6).alias("p_hi"),
+        F.sum((F.col("v") < F.col("p_lo")).cast("long")).alias("n_clipped_lo"),
+        F.sum((F.col("v") > F.col("p_hi")).cast("long")).alias("n_clipped_hi"),
+        F.round(F.avg("w"), 6).alias("mean_winsorized"),
+    )

@@ -1176,3 +1176,87 @@ def q_parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = undirected_edges(li, item_col="l_partkey", group_col="l_orderkey")
     return triangle_count(edges)
+
+
+# -- winsorized robust scaling fences per event type --------------------------
+
+_WINS_ORACLE = """
+WITH f AS (
+  SELECT event_type,
+         quantile_cont(value::DOUBLE, 0.05) AS p_lo,
+         quantile_cont(value::DOUBLE, 0.95) AS p_hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       ROUND(ANY_VALUE(f.p_lo), 6) AS p_lo, ROUND(ANY_VALUE(f.p_hi), 6) AS p_hi,
+       CAST(SUM(CASE WHEN e.value < f.p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(SUM(CASE WHEN e.value > f.p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       ROUND(AVG(LEAST(GREATEST(e.value::DOUBLE, f.p_lo), f.p_hi)), 6) AS mean_winsorized
+FROM events e JOIN f USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@register("events_value_winsorized", _WINS_ORACLE, "relational", "governance")
+def q_events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.robust import winsorize_stats
+
+    ev = load(spark, sf_dir, "events")
+    return winsorize_stats(ev, "event_type", "value", lo=0.05, hi=0.95)
+
+
+# -- chi-square independence: lang x source -----------------------------------
+
+_CHI2_ORACLE = """
+WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o FROM documents GROUP BY 1, 2),
+ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY a),
+cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY b),
+tot AS (SELECT SUM(o) AS n, count(DISTINCT a) AS r, count(DISTINCT b) AS c FROM cells),
+e AS (
+  SELECT COALESCE(c.o, 0) AS o, ra.ra * cb.cb / tot.n AS exp, tot.n, tot.r, tot.c
+  FROM ra CROSS JOIN cb
+  LEFT JOIN cells c ON c.a = ra.a AND c.b = cb.b
+  CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(r AS INTEGER) AS r, CAST(c AS INTEGER) AS c,
+       ROUND(SUM(pow(o - exp, 2) / exp), 6) AS chi2,
+       CAST((r - 1) * (c - 1) AS INTEGER) AS dof,
+       ROUND(sqrt(SUM(pow(o - exp, 2) / exp) / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v
+FROM e GROUP BY n, r, c
+"""
+
+
+@register("corpus_lang_source_chi2", _CHI2_ORACLE, "governance", "textstats", "pipeline")
+def q_corpus_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.assoc import crosstab_chi2
+
+    docs = load(spark, sf_dir, "documents")
+    return crosstab_chi2(docs, "lang", "source")
+
+
+# -- PMI collocations (Church & Hanks 1990) -----------------------------------
+
+_PMI_MIN = 5
+_PMI_K = 20
+
+_PMI_ORACLE = f"""
+WITH dt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (SELECT p[1] AS w1, p[2] AS w2
+       FROM (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p FROM dt)),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2 HAVING count(*) >= {_PMI_MIN}),
+uni AS (SELECT tok, count(*) AS c FROM (SELECT unnest(toks) AS tok FROM dt) GROUP BY tok),
+total AS (SELECT SUM(c) AS n FROM uni)
+SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS pair_count,
+       ROUND(ln(b.c12 * t.n / (u1.c * u2.c)), 6) AS pmi
+FROM bi b JOIN uni u1 ON u1.tok = b.w1 JOIN uni u2 ON u2.tok = b.w2 CROSS JOIN total t
+ORDER BY pmi DESC, w1, w2
+LIMIT {_PMI_K}
+"""
+
+
+@register("corpus_collocations_pmi", _PMI_ORACLE, "textstats", "pipeline")
+def q_corpus_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.assoc import collocation_pmi
+
+    docs = load(spark, sf_dir, "documents")
+    return collocation_pmi(docs, min_count=_PMI_MIN, k=_PMI_K)
