@@ -162,3 +162,48 @@ def test_pmi_prefers_exclusive_pairs(spark):
     assert out[0].pmi > out[-1].pmi
     with pytest.raises(ValueError):
         collocation_pmi(docs, min_count=0)
+
+
+def test_markov_transitions_hand_case(spark):
+    from vector_mcp_spark.operators.sequence import markov_transitions
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 00:01:00", "b"),
+        (3, 1, "2024-01-01 00:02:00", "a"),
+        (4, 1, "2024-01-01 00:03:00", "c"),
+        (5, 2, "2024-01-01 00:00:00", "a"),
+        (6, 2, "2024-01-01 00:01:00", "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id int, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {(r.src, r.dst): (r.n, r.p) for r in markov_transitions(ev).collect()}
+    # from 'a': ->b twice, ->c once; from 'b': ->a once
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "c")] == (1, round(1 / 3, 6))
+    assert got[("b", "a")] == (1, 1.0)
+    # no cross-user transition (user 2 ends at 'b'; user 1's 'b'->'a' is the only one)
+    assert ("c", "a") not in got
+
+
+def test_heldout_ppl_oov_and_ordering(spark):
+    from vector_mcp_spark.operators.lm import bigram_heldout_logprob
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat " * 5)], "doc_id int, text string"
+    )
+    ev = spark.createDataFrame(
+        [(100, "the cat sat"), (101, "qq zz xx")], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in bigram_heldout_logprob(train, ev).collect()}
+    # in-domain text scores far better than pure-OOV gibberish
+    assert out[100].avg_logprob > out[101].avg_logprob
+    assert out[100].ppl < out[101].ppl
+    assert out[101].n_bigrams == 2
+    import math
+
+    # pure-OOV bigram prob = 0.3 * 1/(N+V+1) exactly
+    n, v = 30, 5  # 30 train tokens; vocab {the, cat, sat, on, mat}
+    want = math.log(0.3 * 1.0 / (n + v + 1))
+    assert out[101].avg_logprob == pytest.approx(round(want, 6))

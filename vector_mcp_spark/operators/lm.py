@@ -70,3 +70,62 @@ def bigram_interpolated_logprob(
         F.count("*").cast("int").alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
     )
+
+
+def bigram_heldout_logprob(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score held-out documents against a bigram model of a REFERENCE
+    corpus — the actual CCNet shape (train on the reference, rank the
+    candidates by perplexity): (id, n_bigrams, avg_logprob, ppl).
+
+    Unseen mass is handled by add-one smoothing on the unigram backoff,
+    P_uni(w) = (c(w) + 1) / (N + V + 1), with V the train vocabulary size
+    (the +1 in the denominator is the OOV class), so every eval bigram has
+    positive probability:
+
+        P(w2 | w1) = lam * c12/c1  [0 when w1 or the pair is unseen]
+                   + (1 - lam) * P_uni(w2)
+
+    Model joins are left joins with coalesce-to-zero — an eval token never
+    has to exist in the model. ppl = exp(-avg_logprob)."""
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"bigram_heldout_logprob: lam must be in (0, 1), got {lam}")
+    ex = train_docs.select(F.explode(tokens(text_col)).alias("tok"))
+    uni = ex.groupBy("tok").agg(F.count("*").alias("c"))
+    consts = uni.agg(
+        F.sum("c").alias("n_train"), F.count("*").alias("v_train")
+    )
+    bi = (
+        _doc_bigrams(train_docs, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    eg = _doc_bigrams(eval_docs, id_col, text_col)
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    p_bi = F.coalesce(F.col("c12") / F.col("c1"), F.lit(0.0))
+    p_uni = (F.coalesce(F.col("c2"), F.lit(0)) + 1.0) / (
+        F.col("n_train") + F.col("v_train") + 1.0
+    )
+    scored = (
+        eg.join(bi, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .join(F.broadcast(consts))
+        .withColumn("lp", F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        F.avg("lp").alias("_alp"),
+    )
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        F.round("_alp", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("_alp")), 4).alias("ppl"),
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -76,4 +76,32 @@ def activity_gap_days(
     )
     return spine.join(days, [key_col, "day"], "left_anti").select(
         F.col(key_col), F.col("day").alias("gap_day")
+    )
+
+
+def markov_transitions(
+    df: DataFrame,
+    group_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-group event sequences:
+    (src, dst, n, p) with p row-normalized over src.
+
+    One partitioned lag window builds the (state, next-state) pairs — the
+    same single-shuffle shape as the funnel/gap operators; the pair counts
+    are |states|²-bounded so the normalization join broadcasts. Ordering
+    ties break on ``tiebreak_col`` to keep the matrix deterministic."""
+    w = Window.partitionBy(group_col).orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    pairs = (
+        df.withColumn("_nxt", F.lead(state_col).over(w))
+        .where(F.col("_nxt").isNotNull())
+        .groupBy(F.col(state_col).alias("src"), F.col("_nxt").alias("dst"))
+        .agg(F.count("*").alias("n"))
+    )
+    row_tot = pairs.groupBy("src").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(row_tot), "src")
+        .select("src", "dst", "n", F.round(F.col("n") / F.col("tot"), 6).alias("p"))
     )

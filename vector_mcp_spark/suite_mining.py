@@ -1260,3 +1260,70 @@ def q_corpus_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return collocation_pmi(docs, min_count=_PMI_MIN, k=_PMI_K)
+
+
+# -- first-order Markov transition matrix over user event sequences -----------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS src, nxt AS dst, count(*) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+rt AS (SELECT src, SUM(n) AS tot FROM pairs GROUP BY src)
+SELECT pr.src, pr.dst, CAST(pr.n AS BIGINT) AS n, ROUND(pr.n / rt.tot, 6) AS p
+FROM pairs pr JOIN rt USING (src)
+"""
+
+
+@register("events_markov_transitions", _MARKOV_ORACLE, "temporal", "relational")
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.sequence import markov_transitions
+
+    ev = load(spark, sf_dir, "events")
+    return markov_transitions(ev)
+
+
+# -- held-out bigram perplexity: train on src!=src0, score src0 ---------------
+
+_HOPPL_LAM = 0.7
+
+_HOPPL_ORACLE = f"""
+WITH tr AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE source <> 'src0'),
+ev AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE source = 'src0'),
+uni AS (SELECT tok, count(*) AS c FROM (SELECT unnest(toks) AS tok FROM tr) GROUP BY tok),
+consts AS (SELECT SUM(c) AS n_train, count(*) AS v_train FROM uni),
+bi AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12
+       FROM (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p FROM tr)
+       GROUP BY 1, 2),
+eg AS (SELECT doc_id, p[1] AS w1, p[2] AS w2
+       FROM (SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p FROM ev)),
+scored AS (
+  SELECT e.doc_id,
+         ln({_HOPPL_LAM} * COALESCE(b.c12 / u1.c, 0.0)
+            + {1.0 - _HOPPL_LAM} * (COALESCE(u2.c, 0) + 1.0)
+              / (t.n_train + t.v_train + 1.0)) AS lp
+  FROM eg e
+  LEFT JOIN bi b ON b.w1 = e.w1 AND b.w2 = e.w2
+  LEFT JOIN uni u1 ON u1.tok = e.w1
+  LEFT JOIN uni u2 ON u2.tok = e.w2
+  CROSS JOIN consts t
+)
+SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams, ROUND(AVG(lp), 6) AS avg_logprob,
+       ROUND(exp(-AVG(lp)), 4) AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("corpus_bigram_heldout_ppl", _HOPPL_ORACLE, "textstats", "pipeline")
+def q_corpus_bigram_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.lm import bigram_heldout_logprob
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(F.col("source") != "src0")
+    ev = docs.where(F.col("source") == "src0")
+    return bigram_heldout_logprob(train, ev, lam=_HOPPL_LAM)
