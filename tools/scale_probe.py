@@ -39,6 +39,12 @@ HEAVY = [
     "corpus_span_novelty",
     "corpus_dsir_weights",
     "lexical_postings_index",
+    "corpus_bpe_merges",
+    "corpus_bigram_logprob",
+    "corpus_bigram_heldout_ppl",
+    "corpus_collocations_pmi",
+    "embedding_covariance_cells",
+    "embedding_top_pc",
 ]
 
 

@@ -144,9 +144,18 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 # ROUND 6 TODO: lead with everything in _ROUND6_BACKFILL below (green in
 # earlier rounds, locally re-verified, displaced from this round's window
 # by the never-checked queue + 18 promotions), THEN the round-5 entries
-# registered after the window froze (corpus_pii_report,
-# events_twap_user_day, and anything later in suite_mining) — all locally
-# green, no driver row yet.
+# registered after the window froze — all locally green, no driver row yet:
+#   corpus_pii_report, events_twap_user_day, semantic_rerank_crossencoder,
+#   events_equidepth_histogram, lexical_indexed_tf, corpus_lang_confusion,
+#   streaming_kmv_distinct, corpus_curriculum_sample,
+#   embedding_isotropy_report, and the late-round-5 batch:
+#   corpus_bpe_merges, corpus_bpe_top_tokens, embedding_covariance_cells,
+#   embedding_top_pc, corpus_bigram_logprob, corpus_source_cap,
+#   events_anomaly_zscore, parts_triangle_count, events_value_winsorized,
+#   corpus_lang_source_chi2, corpus_collocations_pmi,
+#   events_markov_transitions, corpus_bigram_heldout_ppl.
+# That is >50 total: never-checked entries take priority over backfill —
+# split the backfill across rounds 6 and 7 if needed.
 from vector_mcp_spark import suite_relational  # noqa: E402,F401
 from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401
