@@ -122,22 +122,54 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     upstream derivation runs once instead of four times — at scale the
     edge list would be a materialized table anyway.
 
-    The classic two-join MR algorithm (Cohen 2009, public): wedges are
-    edges joined on the middle vertex — orientation a < b < c means every
-    triangle is generated exactly once — then closed against the edge list
-    with an equi-join on BOTH endpoints. Shuffles are edge-keyed; the
-    wedge count is sum of C(out-degree, 2), so skewed hub vertices are the
-    thing to watch at scale (cap or sample hub neighborhoods upstream —
-    orientation by degree, the standard fix, also drops wedge counts to
-    near-linear for power-law graphs)."""
+    Degree-oriented compact-forward counting (Latapy 2008 / Cohen 2009,
+    public): each edge is re-oriented from its lower-(degree, id) endpoint
+    to the higher one, wedges are pairs of out-edges at their common
+    source, and each candidate closes against the canonical edge list.
+    Every triangle has exactly one vertex that out-points to the other two
+    under a total order, so it is generated once. The payoff is the wedge
+    count: Σ C(out-degree, 2) with out-degree ≤ O(√m) under degree
+    orientation versus Σ C(degree, 2) unoriented — on the dense co-order
+    graph this is the difference between 148 M and ~35 M wedge rows, and
+    on power-law graphs it is the difference between quadratic-in-hub and
+    near-linear. The degree table is |V|-sized (AQE broadcasts it while it
+    fits)."""
     e = edges.select("a", "b")
     if materialize:
         e = e.localCheckpoint(eager=True)
-    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    wedges = ab.join(bc, "y").select("x", "y", "z")
-    closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = wedges.join(closing, ["x", "z"])
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    # orient lower (deg, id) -> higher (deg, id); ties by id are strict
+    fwd_ab = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oe = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(fwd_ab, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(fwd_ab, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    o1 = oe.select("src", F.col("dst").alias("d1"))
+    o2 = oe.select("src", F.col("dst").alias("d2"))
+    # each unordered out-neighbor pair once, re-canonicalized by id so it
+    # can close against the (a < b) edge list
+    wedges = (
+        o1.join(o2, "src")
+        .where(F.col("d1") < F.col("d2"))
+        .select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    )
+    # inner join, not semi: distinct wedges may share (a, b) — each is a
+    # different apex, hence a different triangle; e is distinct so at most
+    # one match per wedge row
+    tri = wedges.join(e, ["a", "b"])
     return e.agg(F.count("*").alias("n_edges")).crossJoin(
         tri.agg(F.count("*").alias("n_triangles"))
     )

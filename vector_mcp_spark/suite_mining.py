@@ -1159,7 +1159,9 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- triangle counting over the co-ordered-parts graph ------------------------
 
 _TRI_ORACLE = """
-WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS a FROM lineitem),
+WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS a FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
 e AS (SELECT DISTINCT m1.a AS a, m2.a AS b FROM m m1 JOIN m m2 ON m1.g = m2.g AND m1.a < m2.a),
 w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 JOIN e e2 ON e1.b = e2.a),
 t AS (SELECT count(*) AS n_triangles FROM w JOIN e ON e.a = w.x AND e.b = w.z)
@@ -1173,7 +1175,14 @@ FROM t
 def q_parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_mcp_spark.operators.graph import triangle_count, undirected_edges
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey")
+    )
     edges = undirected_edges(li, item_col="l_partkey", group_col="l_orderkey")
     return triangle_count(edges)
 
