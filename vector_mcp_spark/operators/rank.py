@@ -32,10 +32,18 @@ def global_rank(
     tiebreak_cols: Sequence[str] = (),
     n_buckets: int = 64,
     out_col: str = "rank",
+    materialize: bool = True,
 ) -> DataFrame:
     """Append ``out_col`` = exact row_number over (value_col, *tiebreak_cols)
-    ascending, computed without a single-partition window."""
+    ascending, computed without a single-partition window.
+
+    The input feeds three jobs (split-point estimate, bucket counts, the
+    ranked output), so ``materialize=True`` localCheckpoints it first —
+    rank inputs are narrow (id, value) projections by construction, and
+    without this an expensive upstream (e.g. DSIR weights) runs 3×."""
     ties = list(tiebreak_cols)
+    if materialize:
+        df = df.localCheckpoint(eager=True)
     # deterministic split points; ties collapse duplicates — fine, fewer
     # buckets just means coarser balance, never wrong ranks
     probs = [i / n_buckets for i in range(1, n_buckets)]
