@@ -207,3 +207,58 @@ def test_heldout_ppl_oov_and_ordering(spark):
     n, v = 30, 5  # 30 train tokens; vocab {the, cat, sat, on, mat}
     want = math.log(0.3 * 1.0 / (n + v + 1))
     assert out[101].avg_logprob == pytest.approx(round(want, 6))
+
+
+def test_label_propagation_two_cliques(spark):
+    from vector_mcp_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one edge: LPA should find two communities
+    tri1 = [(1, 2), (1, 3), (2, 3)]
+    tri2 = [(10, 11), (10, 12), (11, 12)]
+    e = spark.createDataFrame(tri1 + tri2 + [(3, 10)], "a int, b int")
+    labels = {r.node: r.label for r in label_propagation(e, iters=4).collect()}
+    assert labels[1] == labels[2] == labels[3]
+    assert labels[10] == labels[11] == labels[12]
+    assert labels[1] != labels[10]
+    from vector_mcp_spark.operators.graph import label_propagation as lp
+
+    with pytest.raises(ValueError):
+        lp(e, iters=0)
+
+
+def test_cusum_finds_level_shift(spark):
+    from vector_mcp_spark.operators.anomaly import cusum_changepoint
+
+    # level shift after day 10: 5/day then 15/day
+    rows = []
+    eid = 0
+    for day in range(1, 21):
+        for _ in range(5 if day <= 10 else 15):
+            rows.append((eid, f"2024-03-{day:02d} 12:00:00", "click"))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts string, event_type string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    r = cusum_changepoint(ev, "event_type", "ts").collect()[0]
+    assert r.n_days == 20 and r.mean_cnt == 10.0
+    # |S| peaks exactly at the last pre-shift day (day 10): |10*(5-10)| = 50
+    assert r.cp_day.day == 10 and r.max_abs_cusum == 50.0
+
+
+def test_theil_sen_ignores_outlier_day(spark):
+    from vector_mcp_spark.operators.robust import theil_sen_trend
+
+    # perfect slope 2/day with one wild outlier day
+    counts = {d: 2 * d for d in range(1, 11)}
+    counts[5] = 500
+    rows = []
+    eid = 0
+    for day, n in counts.items():
+        for _ in range(n):
+            rows.append((eid, f"2024-03-{day:02d} 12:00:00", "click"))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts string, event_type string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    r = theil_sen_trend(ev, "event_type", "ts").collect()[0]
+    assert r.slope == pytest.approx(2.0, abs=0.2)  # OLS here would be ~ -8

@@ -53,3 +53,37 @@ def trailing_zscore(
         F.round(z, 4).alias("z"),
         F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame, group_col: str, ts_col: str
+) -> DataFrame:
+    """CUSUM changepoint screen over daily counts (Page 1954, public):
+    per group, S_t = Σ_{u≤t}(cnt_u − mean), the most likely single level
+    shift sits at argmax|S| — returns (group, n_days, mean_cnt, max_abs_cusum,
+    cp_day) with ties on the earliest day.
+
+    Two partitioned windows (running sum + argmax), both bounded by the
+    group's day count; the mean rides a broadcast join-back."""
+    daily = df.groupBy(
+        F.col(group_col).alias("grp"), F.date_trunc("DAY", F.col(ts_col)).alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    means = daily.groupBy("grp").agg(
+        F.avg("cnt").alias("mu"), F.count("*").alias("n_days")
+    )
+    wsum = Window.partitionBy("grp").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s = daily.join(F.broadcast(means), "grp").withColumn(
+        "cusum", F.sum(F.col("cnt") - F.col("mu")).over(wsum)
+    )
+    wmax = Window.partitionBy("grp").orderBy(F.abs("cusum").desc(), F.col("day").asc())
+    return (
+        s.withColumn("_rn", F.row_number().over(wmax))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round("mu", 6).alias("mean_cnt"),
+            F.round(F.abs("cusum"), 6).alias("max_abs_cusum"),
+            F.col("day").alias("cp_day"),
+        )
+    )

@@ -19,7 +19,7 @@ isolated nodes keep the teleport floor (1−d)/N.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -173,3 +173,42 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     return e.agg(F.count("*").alias("n_edges")).crossJoin(
         tri.agg(F.count("*").alias("n_triangles"))
     )
+
+
+def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Synchronous label propagation communities (Raghavan 2007, public)
+    over an undirected (a, b) edge list: (node, label) after ``iters``
+    rounds. Deterministic: labels start as node ids and each round every
+    node adopts the most frequent label among its neighbors, ties broken
+    by smallest label — a pure function of the graph, so unrolled SQL
+    replays it. Each round is one edge-keyed shuffle plus a node-keyed
+    argmax; localCheckpoint per round keeps lineage O(1) (the CC fixpoint
+    discipline)."""
+    if not 1 <= iters <= 16:
+        raise ValueError(f"label_propagation: iters must be in [1, 16], got {iters}")
+    e = edges.select("a", "b").localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        nb = (
+            e.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "label")
+            .unionAll(
+                e.join(labels.withColumnRenamed("node", "a"), "a")
+                .select(F.col("b").alias("node"), "label")
+            )
+        )
+        cnt = nb.groupBy("node", "label").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
+        labels = (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

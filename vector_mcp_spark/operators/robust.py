@@ -106,3 +106,39 @@ def winsorize_stats(
         F.sum((F.col("v") > F.col("p_hi")).cast("long")).alias("n_clipped_hi"),
         F.round(F.avg("w"), 6).alias("mean_winsorized"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame, group_col: str, ts_col: str
+) -> DataFrame:
+    """Theil–Sen robust slope of daily counts per group (Theil 1950, Sen
+    1968, public): median over all pairwise slopes (cnt_j − cnt_i)/(d_j −
+    d_i), i < j, with days indexed by date difference from each group's
+    first day. Outlier days move the OLS slope; they barely move this one.
+
+    The pairwise stage is blocked per group — C(days, 2) pairs, bounded by
+    the series length, never corpus-sized. Returns (group, n_days, slope)
+    with the exact interpolated median."""
+    daily = df.groupBy(
+        F.col(group_col).alias("grp"), F.date_trunc("DAY", F.col(ts_col)).alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    mins = daily.groupBy("grp").agg(F.min("day").alias("d0"), F.count("*").alias("n_days"))
+    idx = daily.join(F.broadcast(mins), "grp").select(
+        "grp", "n_days", F.datediff("day", "d0").alias("d"), "cnt"
+    )
+    a = idx.select("grp", "n_days", F.col("d").alias("di"), F.col("cnt").alias("ci"))
+    b = idx.select("grp", F.col("d").alias("dj"), F.col("cnt").alias("cj"))
+    slopes = (
+        a.join(b, "grp")
+        .where(F.col("di") < F.col("dj"))
+        .select(
+            "grp",
+            "n_days",
+            ((F.col("cj") - F.col("ci")) / (F.col("dj") - F.col("di"))).alias("s"),
+        )
+    )
+    return slopes.groupBy("grp", "n_days").agg(
+        F.round(F.median("s"), 6).alias("slope")
+    ).select(
+        F.col("grp").alias(group_col), F.col("n_days").cast("long").alias("n_days"), "slope"
+    )

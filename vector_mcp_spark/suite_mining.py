@@ -1336,3 +1336,115 @@ def q_corpus_bigram_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.where(F.col("source") != "src0")
     ev = docs.where(F.col("source") == "src0")
     return bigram_heldout_logprob(train, ev, lam=_HOPPL_LAM)
+
+
+# -- label propagation communities on the co-order graph ----------------------
+
+_LPA_ITERS = 4
+
+_TRI_GRAPH_CTE = """
+m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS a FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+e AS (SELECT DISTINCT m1.a AS a, m2.a AS b FROM m m1 JOIN m m2 ON m1.g = m2.g AND m1.a < m2.a)
+"""
+
+
+def _lpa_oracle() -> str:
+    stages = ["""
+nodes AS (SELECT DISTINCT v AS node FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)),
+it0 AS (SELECT node, node AS label FROM nodes)"""]
+    for k in range(1, _LPA_ITERS + 1):
+        stages.append(f"""
+nb{k} AS (SELECT e.a AS node, l.label FROM e JOIN it{k - 1} l ON l.node = e.b
+          UNION ALL
+          SELECT e.b AS node, l.label FROM e JOIN it{k - 1} l ON l.node = e.a),
+it{k} AS (SELECT node, label FROM (
+  SELECT node, label,
+         row_number() OVER (PARTITION BY node ORDER BY count(*) DESC, label ASC) AS rn
+  FROM nb{k} GROUP BY node, label) WHERE rn = 1)""")
+    return f"""
+WITH {_TRI_GRAPH_CTE},{",".join(stages)}
+SELECT CAST(label AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS size
+FROM it{_LPA_ITERS}
+GROUP BY label ORDER BY size DESC, community ASC LIMIT 10
+"""
+
+
+@register("parts_label_propagation", _lpa_oracle(), "graph", "relational")
+def q_parts_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.graph import label_propagation, undirected_edges
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    edges = undirected_edges(li, item_col="l_partkey", group_col="l_orderkey")
+    labels = label_propagation(edges, iters=_LPA_ITERS)
+    return (
+        labels.groupBy(F.col("label").cast("long").alias("community"))
+        .agg(F.count("*").alias("size"))
+        .orderBy(F.col("size").desc(), F.col("community").asc())
+        .limit(10)
+    )
+
+
+# -- CUSUM changepoint screen over daily event counts -------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS grp, date_trunc('day', ts) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+means AS (SELECT grp, AVG(cnt) AS mu, count(*) AS n_days FROM daily GROUP BY grp),
+s AS (
+  SELECT d.grp, d.day, m.mu, m.n_days,
+         SUM(d.cnt - m.mu) OVER (PARTITION BY d.grp ORDER BY d.day
+                                 ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM daily d JOIN means m USING (grp)
+)
+SELECT grp AS event_type, CAST(n_days AS BIGINT) AS n_days, ROUND(mu, 6) AS mean_cnt,
+       ROUND(abs(cusum), 6) AS max_abs_cusum, CAST(day AS TIMESTAMP) AS cp_day
+FROM (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY abs(cusum) DESC, day ASC) AS rn
+      FROM s)
+WHERE rn = 1
+"""
+
+
+@register("events_cusum_changepoint", _CUSUM_ORACLE, "temporal", "relational")
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.anomaly import cusum_changepoint
+
+    ev = load(spark, sf_dir, "events")
+    return cusum_changepoint(ev, "event_type", "ts")
+
+
+# -- Theil-Sen robust daily trend ---------------------------------------------
+
+_TS_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS grp, date_trunc('day', ts) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+mins AS (SELECT grp, MIN(day) AS d0, count(*) AS n_days FROM daily GROUP BY grp),
+idx AS (SELECT d.grp, m.n_days, date_diff('day', m.d0, d.day) AS di, d.cnt
+        FROM daily d JOIN mins m USING (grp)),
+slopes AS (
+  SELECT a.grp, a.n_days, (b.cnt - a.cnt) * 1.0 / (b.di - a.di) AS s
+  FROM idx a JOIN idx b ON a.grp = b.grp AND a.di < b.di
+)
+SELECT grp AS event_type, CAST(n_days AS BIGINT) AS n_days, ROUND(median(s), 6) AS slope
+FROM slopes GROUP BY grp, n_days
+"""
+
+
+@register("events_theil_sen_trend", _TS_ORACLE, "temporal", "relational")
+def q_events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.robust import theil_sen_trend
+
+    ev = load(spark, sf_dir, "events")
+    return theil_sen_trend(ev, "event_type", "ts")
