@@ -1448,3 +1448,111 @@ def q_events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return theil_sen_trend(ev, "event_type", "ts")
+
+
+# -- the composed curation funnel: filter → dedup → cap → sample --------------
+#
+# The end-to-end recipe a corpus curator actually runs, as ONE declarative
+# plan: quality gate (length + language) → exact dedup (keep the smallest
+# id per content hash) → per-source quota cap (sha priority) → 50 %
+# deterministic hash draw — reported as a per-source funnel so each
+# stage's attrition is visible. Every stage is a Column expression or a
+# partitioned window; the whole funnel is five aggregates joined on
+# source. Demonstrates that the primitives compose without materializing
+# intermediates.
+
+_FUNNEL_CAP = 20
+_FUNNEL_PCT = 50
+
+_FUNNEL_ORACLE = f"""
+WITH base AS (SELECT doc_id, source, n_chars, lang, text FROM documents),
+filt AS (
+  SELECT doc_id, source, sha256(text) AS h FROM base
+  WHERE n_chars BETWEEN 100 AND 10000 AND lang IN ('en', 'de')
+),
+canon AS (
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source, MIN(doc_id) OVER (PARTITION BY h) AS minid FROM filt
+  ) WHERE doc_id = minid
+),
+capped AS (
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY sha256('cap|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM canon
+  ) WHERE rk <= {_FUNNEL_CAP}
+),
+sampled AS (
+  SELECT doc_id, source FROM capped
+  WHERE CAST('0x' || substring(sha256(CAST(doc_id AS VARCHAR) || '|funnel'), 1, 15) AS BIGINT)
+        % 100 < {_FUNNEL_PCT}
+)
+SELECT b.source,
+       CAST(count(*) AS BIGINT) AS n_input,
+       CAST(COALESCE(ANY_VALUE(f.n), 0) AS BIGINT) AS n_filtered,
+       CAST(COALESCE(ANY_VALUE(c.n), 0) AS BIGINT) AS n_canonical,
+       CAST(COALESCE(ANY_VALUE(p.n), 0) AS BIGINT) AS n_capped,
+       CAST(COALESCE(ANY_VALUE(s.n), 0) AS BIGINT) AS n_sampled
+FROM base b
+LEFT JOIN (SELECT source, count(*) AS n FROM filt GROUP BY source) f USING (source)
+LEFT JOIN (SELECT source, count(*) AS n FROM canon GROUP BY source) c USING (source)
+LEFT JOIN (SELECT source, count(*) AS n FROM capped GROUP BY source) p USING (source)
+LEFT JOIN (SELECT source, count(*) AS n FROM sampled GROUP BY source) s USING (source)
+GROUP BY b.source
+"""
+
+
+@register("corpus_curation_funnel", _FUNNEL_ORACLE, "pipeline", "sampling", "dedup")
+def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", "n_chars", "lang", "text")
+    filt = base.where(
+        F.col("n_chars").between(100, 10000) & F.col("lang").isin("en", "de")
+    ).withColumn("h", F.sha2(F.col("text"), 256))
+    canon = (
+        filt.withColumn("minid", F.min("doc_id").over(Window.partitionBy("h")))
+        .where(F.col("doc_id") == F.col("minid"))
+        .select("doc_id", "source")
+    )
+    pri = F.sha2(F.concat(F.lit("cap|"), F.col("doc_id").cast("string")), 256)
+    capped = (
+        canon.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())),
+        )
+        .where(F.col("rk") <= _FUNNEL_CAP)
+        .select("doc_id", "source")
+    )
+    draw = F.pmod(
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit("|funnel")), 256), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    sampled = capped.where(draw < _FUNNEL_PCT)
+
+    def per_source(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count("*").alias(name))
+
+    return (
+        per_source(base, "n_input")
+        .join(per_source(filt, "n_filtered"), "source", "left")
+        .join(per_source(canon, "n_canonical"), "source", "left")
+        .join(per_source(capped, "n_capped"), "source", "left")
+        .join(per_source(sampled, "n_sampled"), "source", "left")
+        .select(
+            "source",
+            "n_input",
+            F.coalesce("n_filtered", F.lit(0)).alias("n_filtered"),
+            F.coalesce("n_canonical", F.lit(0)).alias("n_canonical"),
+            F.coalesce("n_capped", F.lit(0)).alias("n_capped"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+    )
