@@ -391,3 +391,64 @@ def test_streaming_distinct_sketch_equals_batch_kmv(spark, tmp_path):
         for r in batch.withColumn("est", kmv_estimate("ks", k=32)).collect()
     }
     assert final == expected
+
+
+def test_interval_join_left_outer_sentinel_flush(spark, tmp_path):
+    """Left-outer stream-stream interval join: unmatched left rows emit
+    once sentinel batches push the watermark past the real data."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.streaming.ingest import interval_join_events, run_stream_to_memory
+
+    d = str(tmp_path / "oj_events")
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:05:00", 2, "click", 1.0, "{}"),  # no purchase: abandoned
+        (101, "2024-01-01 10:30:00", 1, "purchase", 5.0, "{}"),
+    ]
+    schema = "event_id long, ts string, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(rows, schema).withColumn("ts", F.col("ts").cast("timestamp")) \
+        .coalesce(1).write.mode("overwrite").parquet(d)
+    import glob
+
+    base_files = glob.glob(os.path.join(d, "part-*.parquet"))
+    now = time.time()
+    for i, hours in enumerate((3, 6)):
+        sent = [
+            (-900 - i, f"2024-01-01 {13 + 3 * i}:00:00", -1, "click", 0.0, "{}"),
+            (-950 - i, f"2024-01-01 {13 + 3 * i}:00:00", -1, "purchase", 0.0, "{}"),
+        ]
+        tmp = str(tmp_path / f"s{i}")
+        spark.createDataFrame(sent, schema).withColumn("ts", F.col("ts").cast("timestamp")) \
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"zz-sentinel-{i}.parquet")
+        os.replace(src, dst)
+        os.utime(dst, (now + 10 * (i + 1),) * 2)
+
+    from vector_mcp_spark.streaming.ingest import read_event_stream
+
+    stream = read_event_stream(spark, d, options={"maxFilesPerTrigger": len(base_files)})
+    j = interval_join_events(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+        how="leftOuter",
+    )
+    got = run_stream_to_memory(j, "t_oj_sentinel", output_mode="append")
+    out = {(r.user_id, r.l_event_id): r.r_event_id for r in got.where("user_id >= 0").collect()}
+    assert out == {(1, 1): 101, (2, 2): None}
+
+
+def test_interval_join_how_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.streaming.ingest import interval_join_events
+
+    df = spark.createDataFrame([], "event_id long, ts timestamp, user_id long")
+    with pytest.raises(ValueError):
+        interval_join_events(df, df, how="fullOuter")

@@ -39,8 +39,13 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
-    return spark.readStream.schema(EVENT_SCHEMA).format(fmt).load(path)
+def read_event_stream(
+    spark: SparkSession, path: str, fmt: str = "parquet", options: dict | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(EVENT_SCHEMA).format(fmt)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
 
 
 def windowed_event_counts(
@@ -239,9 +244,10 @@ def interval_join_events(
     key_col: str = "user_id",
     ts_col: str = "ts",
     horizon: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner interval join: for each left event, the right
-    events of the same key strictly after it and within ``horizon``
+    """Stream-stream interval join: for each left event, the right events
+    of the same key strictly after it and within ``horizon``
     (l.ts < r.ts ≤ l.ts + horizon) — the attribution-window primitive
     (click → purchase within the hour).
 
@@ -252,8 +258,18 @@ def interval_join_events(
     result equals the batch join (watermarks only bound state/lateness,
     never drop on-time inner matches).
 
+    ``how="leftOuter"`` adds the abandonment rows (left events with no
+    match, right columns NULL) — but an unmatched row only EMITS once the
+    watermark passes its join window, and the watermark only advances
+    between micro-batches. A finite availableNow run therefore withholds
+    the tail unless the caller appends sentinel batches that push the
+    watermark past the real data (see the suite's sentinel-flush helper);
+    on a true continuous stream the tail is simply late by one horizon.
+
     Output columns: key, l_<ts>, r_<ts>, l_event_id, r_event_id.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"interval_join_events: how must be inner|leftOuter, got {how!r}")
     lw = left.withWatermark(ts_col, horizon).alias("l")
     rw = right.withWatermark(ts_col, horizon).alias("r")
     lts, rts = F.col(f"l.{ts_col}"), F.col(f"r.{ts_col}")
@@ -262,7 +278,7 @@ def interval_join_events(
         & (rts > lts)
         & (rts <= lts + F.expr(f"INTERVAL {horizon}"))
     )
-    return lw.join(rw, cond, "inner").select(
+    return lw.join(rw, cond, how).select(
         F.col(f"l.{key_col}").alias(key_col),
         lts.alias(f"l_{ts_col}"),
         rts.alias(f"r_{ts_col}"),

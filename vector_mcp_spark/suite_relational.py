@@ -1819,3 +1819,92 @@ def q_streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"suite_stream_enrich_{next(_STREAM_SINK_SEQ)}"
     return run_stream_to_memory(enriched, name, output_mode="append")
+
+
+# -- stream-stream LEFT OUTER interval join (abandonment detection) -----------
+#
+# The outer variant of the attribution join: clicks with NO purchase inside
+# the horizon surface with NULL right columns. Outer emission is watermark-
+# gated, and a finite run's watermark stops at (max event time − delay) —
+# so the suite drives the stream through a SENTINEL-FLUSHED copy of the
+# events table: two far-future sentinel batches (non-matching user −1, one
+# click + one purchase each, mtime-ordered files, maxFilesPerTrigger
+# pinned to the base file count) push the watermark past every real row
+# between micro-batches. After the flush, availableNow output ≡ the batch
+# left join on the real rows — which is exactly what the oracle replays.
+
+_ABANDON_ORACLE = """
+SELECT l.user_id AS user_id, CAST(l.ts AS TIMESTAMP) AS l_ts,
+       CAST(r.ts AS TIMESTAMP) AS r_ts,
+       l.event_id AS l_event_id, r.event_id AS r_event_id
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+"""
+
+
+def _sentineled_events_dir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Events re-write plus two sentinel batches; returns (dir, n_base_files).
+
+    Sentinel files get strictly increasing mtimes (os.utime) so the file
+    stream source batches them AFTER the base data."""
+    import glob
+    import os
+    import time
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    d = os.path.abspath(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp", f"events_outer_{sf_tag}")
+    )
+    marker = os.path.join(d, "_flushed")
+    if not os.path.exists(marker):
+        ev = load(spark, sf_dir, "events")
+        ev.write.mode("overwrite").parquet(d)
+        base_files = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+        now = time.time()
+        for f in base_files:
+            os.utime(f, (now, now))
+        max_ts = ev.agg(F.max("ts").alias("m")).collect()[0].m
+        for i, hours in enumerate((3, 6)):
+            s_ts = max_ts + __import__("datetime").timedelta(hours=hours)
+            sent = spark.createDataFrame(
+                [
+                    (-(900 + i), s_ts, -1, "click", 0.0, "{}"),
+                    (-(950 + i), s_ts, -1, "purchase", 0.0, "{}"),
+                ],
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+            )
+            tmp = d + f"_s{i}"
+            sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"zz-sentinel-{i}.parquet")
+            os.replace(src, dst)
+            os.utime(dst, (now + 10 * (i + 1), now + 10 * (i + 1)))
+        with open(marker, "w") as fh:
+            fh.write(str(len(base_files)))
+    with open(marker) as fh:
+        n_base = int(fh.read().strip())
+    return d, n_base
+
+
+@register("streaming_abandoned_clicks", _ABANDON_ORACLE, "streaming", "temporal")
+def q_streaming_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL availableNow left-outer interval join through the sentinel
+    flush; sentinel rows (user_id < 0) filter out of the result."""
+    from vector_mcp_spark.streaming.ingest import (
+        interval_join_events,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    d, n_base = _sentineled_events_dir(spark, sf_dir)
+    stream = read_event_stream(spark, d, options={"maxFilesPerTrigger": n_base})
+    joined = interval_join_events(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+        how="leftOuter",
+    )
+    name = f"suite_stream_oj_{next(_STREAM_SINK_SEQ)}"
+    got = run_stream_to_memory(joined, name, output_mode="append")
+    return got.where(F.col("user_id") >= 0)
