@@ -1908,3 +1908,29 @@ def q_streaming_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"suite_stream_oj_{next(_STREAM_SINK_SEQ)}"
     got = run_stream_to_memory(joined, name, output_mode="append")
     return got.where(F.col("user_id") >= 0)
+
+
+# -- REAL streaming session windows through the sentinel flush ----------------
+#
+# events_sessionization pins the session_window EXPRESSIONS in batch; this
+# entry executes the STREAMING state machinery — merging session state,
+# watermark-gated closure, append emission — through the same sentinel-
+# flushed source the outer join uses, so every real session closes before
+# the query stops and the availableNow output equals the batch twin. The
+# oracle is the identical gap-island SQL the batch entry replays.
+
+
+@register("streaming_session_windows", _SESSION_ORACLE, "streaming", "temporal")
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.streaming.ingest import (
+        read_event_stream,
+        run_stream_to_memory,
+        sessionized_event_stats,
+    )
+
+    d, n_base = _sentineled_events_dir(spark, sf_dir)
+    stream = read_event_stream(spark, d, options={"maxFilesPerTrigger": n_base})
+    sess = sessionized_event_stats(stream, "30 minutes", watermark="2 hours")
+    name = f"suite_stream_sess_{next(_STREAM_SINK_SEQ)}"
+    got = run_stream_to_memory(sess, name, output_mode="append")
+    return got.where(F.col("user_id") >= 0)
