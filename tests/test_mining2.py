@@ -262,3 +262,34 @@ def test_theil_sen_ignores_outlier_day(spark):
     )
     r = theil_sen_trend(ev, "event_type", "ts").collect()[0]
     assert r.slope == pytest.approx(2.0, abs=0.2)  # OLS here would be ~ -8
+
+
+def test_seasonal_decomposition_identity_and_pattern(spark):
+    from vector_mcp_spark.operators.anomaly import seasonal_decomposition
+
+    # pure weekly pattern over 4 weeks: weekday counts 10, weekend 30
+    import datetime
+
+    rows = []
+    eid = 0
+    d0 = datetime.date(2024, 3, 4)  # a Monday
+    for i in range(28):
+        day = d0 + datetime.timedelta(days=i)
+        n = 30 if day.weekday() >= 5 else 10
+        for _ in range(n):
+            rows.append((eid, f"{day} 12:00:00", "click"))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts string, event_type string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = seasonal_decomposition(ev, "event_type", "ts").collect()
+    assert len(out) == 28
+    for r in out:
+        # additive identity holds to rounding
+        assert abs(r.cnt - (r.trend + r.seasonal + r.residual)) < 2e-6
+    # weekend seasonal component is clearly positive, midweek negative
+    by_dow = {}
+    for r in out:
+        by_dow.setdefault(r.day.weekday(), []).append(r.seasonal)
+    assert min(by_dow[5]) > 0 and min(by_dow[6]) > 0
+    assert max(by_dow[1]) < 0

@@ -87,3 +87,45 @@ def cusum_changepoint(
             F.col("day").alias("cp_day"),
         )
     )
+
+
+def seasonal_decomposition(
+    df: DataFrame, group_col: str, ts_col: str, period_window: int = 3
+) -> DataFrame:
+    """Additive seasonal decomposition of daily counts per group:
+    cnt = trend + seasonal + residual, with
+
+    * trend: centered (2·period_window+1)-day moving average (edges use
+      the partial window — deterministic, no NULL band);
+    * seasonal: mean detrended value per (group, weekday 0=Mon);
+    * residual: what's left.
+
+    One partitioned bounded window plus one weekday-keyed aggregate —
+    the classical-decomposition shape (Macaulay 1931) without the STL
+    loess loops, which keeps every value an exact function both engines
+    replay. Returns (group, day, cnt, trend, seasonal, residual)."""
+    daily = df.groupBy(
+        F.col(group_col).alias("grp"), F.date_trunc("DAY", F.col(ts_col)).alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("day")
+        .rowsBetween(-period_window, period_window)
+    )
+    t = daily.withColumn("trend", F.avg("cnt").over(w)).withColumn(
+        "dow", F.weekday("day")
+    )
+    seas = t.groupBy("grp", "dow").agg(
+        F.avg(F.col("cnt") - F.col("trend")).alias("seasonal")
+    )
+    return (
+        t.join(F.broadcast(seas), ["grp", "dow"])
+        .select(
+            F.col("grp").alias(group_col),
+            "day",
+            "cnt",
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(F.col("cnt") - F.col("trend") - F.col("seasonal"), 6).alias("residual"),
+        )
+    )

@@ -305,19 +305,35 @@ def enrich_event_stream(
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+    stream_df: DataFrame, query_name: str, output_mode: str = "append",
+    state_partitions: int | None = None,
 ) -> "DataFrame":
     """Drive a stream with availableNow (process-everything-then-stop) into
-    an in-memory sink; returns the sink table DataFrame. Test harness path."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(query_name)
+    an in-memory sink; returns the sink table DataFrame. Test harness path.
+
+    ``state_partitions`` temporarily overrides shuffle partitions for the
+    run: stateful streaming pays a per-(state store × micro-batch) fixed
+    cost — checkpoint, maintenance, provider open — so a multi-batch
+    sentinel-flushed query over a modest keyspace wants FEWER, larger
+    state partitions than a batch shuffle would (on a real cluster this is
+    sized once per deployment; the conf restores after the run)."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(query_name)
 
 
 def streaming_frequency_sketch(

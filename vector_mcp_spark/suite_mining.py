@@ -1556,3 +1556,33 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
         )
     )
+
+
+# -- additive seasonal decomposition of daily event counts --------------------
+
+_DECOMP_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS grp, date_trunc('day', ts) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT grp, day, cnt,
+         AVG(cnt) OVER (PARTITION BY grp ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+         isodow(day) - 1 AS dow
+  FROM daily
+),
+seas AS (SELECT grp, dow, AVG(cnt - trend) AS seasonal FROM t GROUP BY grp, dow)
+SELECT t.grp AS event_type, CAST(t.day AS TIMESTAMP) AS day, CAST(t.cnt AS BIGINT) AS cnt,
+       ROUND(t.trend, 6) AS trend, ROUND(s.seasonal, 6) AS seasonal,
+       ROUND(t.cnt - t.trend - s.seasonal, 6) AS residual
+FROM t JOIN seas s ON s.grp = t.grp AND s.dow = t.dow
+"""
+
+
+@register("events_seasonal_decomposition", _DECOMP_ORACLE, "temporal", "relational")
+def q_events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.anomaly import seasonal_decomposition
+
+    ev = load(spark, sf_dir, "events")
+    return seasonal_decomposition(ev, "event_type", "ts", period_window=3)

@@ -1784,7 +1784,7 @@ def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFra
         horizon="1 hour",
     )
     name = f"suite_stream_ij_{next(_STREAM_SINK_SEQ)}"
-    return run_stream_to_memory(joined, name, output_mode="append")
+    return run_stream_to_memory(joined, name, output_mode="append", state_partitions=8)
 
 
 # -- stream-static enrichment join (broadcast dim, zero join state) -----------
@@ -1906,7 +1906,7 @@ def q_streaming_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="leftOuter",
     )
     name = f"suite_stream_oj_{next(_STREAM_SINK_SEQ)}"
-    got = run_stream_to_memory(joined, name, output_mode="append")
+    got = run_stream_to_memory(joined, name, output_mode="append", state_partitions=8)
     return got.where(F.col("user_id") >= 0)
 
 
@@ -1932,5 +1932,5 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, d, options={"maxFilesPerTrigger": n_base})
     sess = sessionized_event_stats(stream, "30 minutes", watermark="2 hours")
     name = f"suite_stream_sess_{next(_STREAM_SINK_SEQ)}"
-    got = run_stream_to_memory(sess, name, output_mode="append")
+    got = run_stream_to_memory(sess, name, output_mode="append", state_partitions=8)
     return got.where(F.col("user_id") >= 0)
