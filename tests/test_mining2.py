@@ -293,3 +293,30 @@ def test_seasonal_decomposition_identity_and_pattern(spark):
         by_dow.setdefault(r.day.weekday(), []).append(r.seasonal)
     assert min(by_dow[5]) > 0 and min(by_dow[6]) > 0
     assert max(by_dow[1]) < 0
+
+
+def test_nearest_centroid_separable_labels(spark):
+    from vector_mcp_spark.operators.centroids import nearest_centroid_confusion
+
+    # two cleanly separated label clusters -> perfect diagonal
+    rows = []
+    for i in range(20):
+        rows.append((i, 0, [10.0 + (i % 3) * 0.1, 0.0, 0.0]))
+        rows.append((100 + i, 1, [0.0, 10.0 + (i % 3) * 0.1, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id int, label int, embedding array<double>")
+    out = {(r.true_label, r.pred_label): r.n for r in nearest_centroid_confusion(df).collect()}
+    assert out == {(0, 0): 20, (1, 1): 20}
+
+
+def test_doc_keywords_idf_zero_for_ubiquitous_terms(spark):
+    from vector_mcp_spark.suite import SUITE
+
+    import os
+
+    # exercised via the suite fn on the real fixture: a term present in
+    # every doc has idf ln(1) = 0 and cannot outrank any rarer term
+    fn = SUITE["corpus_doc_keywords"].spark_fn
+    out = fn(spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"))
+    assert out.where("score < 0").count() == 0
+    per_doc = out.groupBy("doc_id").count().agg(F.max("count").alias("m")).collect()[0].m
+    assert per_doc <= 5

@@ -72,3 +72,31 @@ def centroid_outliers(
             F.round("sim", 6).alias("score"),
         )
     )
+
+
+def nearest_centroid_confusion(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid classification self-eval: assign every vector to
+    its most cosine-similar label centroid and report the confusion matrix
+    (true_label, pred_label, n). The diagonal mass is a one-number check
+    of label/embedding coherence before training on the labels.
+
+    Centroids are labels-sized and broadcast; the assignment pass is
+    map-side (|labels| similarities per row). Ties break on the smaller
+    predicted label; the 8 dp centroid rounding (IVF k-means convention)
+    keeps both engines assigning from identical inputs."""
+    cents = label_centroids(df, label_col=label_col, emb_col=emb_col).select(
+        F.col(label_col).alias("pred"), "centroid"
+    )
+    scored = df.select(id_col, label_col, emb_col).crossJoin(broadcast(cents)).withColumn(
+        "sim", cosine_similarity(F.col(emb_col).cast("array<double>"), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("pred").asc())
+    best = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return best.groupBy(
+        F.col(label_col).alias("true_label"), F.col("pred").alias("pred_label")
+    ).agg(F.count("*").alias("n"))

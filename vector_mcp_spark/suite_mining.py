@@ -1586,3 +1586,84 @@ def q_events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFra
 
     ev = load(spark, sf_dir, "events")
     return seasonal_decomposition(ev, "event_type", "ts", period_window=3)
+
+
+# -- per-doc TF-IDF keywords --------------------------------------------------
+
+_KW_K = 5
+
+_KW_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents) GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, ROUND(t.tf * ln(nn.n / d.df), 6) AS score
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN nn
+)
+SELECT doc_id, CAST(rk AS INTEGER) AS rank, term, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+) WHERE rk <= {_KW_K}
+"""
+
+
+@register("corpus_doc_keywords", _KW_ORACLE, "textstats", "lexical", "pipeline")
+def q_corpus_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nn = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(nn))
+        .select(
+            "doc_id", "term",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KW_K)
+        .select("doc_id", "rank", "term", "score")
+    )
+
+
+# -- nearest-centroid classification self-eval --------------------------------
+
+_NC_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+m AS (SELECT label, i.i AS i, ROUND(AVG(e.v[i.i]), 8) AS m FROM e, idx i GROUP BY label, i.i),
+c AS (SELECT label AS pred, list(m ORDER BY i) AS centroid FROM m GROUP BY label),
+s AS (
+  SELECT e.vec_id, e.label, c.pred,
+         list_dot_product(e.v, c.centroid)
+         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centroid, c.centroid))) AS sim
+  FROM e CROSS JOIN c
+),
+b AS (SELECT vec_id, label, pred FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, pred ASC) AS rn
+        FROM s) WHERE rn = 1)
+SELECT label AS true_label, pred AS pred_label, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
+@register("embedding_nearest_centroid_eval", _NC_ORACLE, "similarity", "governance", "pipeline")
+def q_embedding_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.centroids import nearest_centroid_confusion
+
+    embs = load(spark, sf_dir, "embeddings")
+    return nearest_centroid_confusion(embs)
