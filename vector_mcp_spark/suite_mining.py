@@ -1667,3 +1667,135 @@ def q_embedding_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataF
 
     embs = load(spark, sf_dir, "embeddings")
     return nearest_centroid_confusion(embs)
+
+
+# -- item-item similarity from co-order counts (cheap CF) ---------------------
+
+_ITEMSIM_K = 20
+
+_ITEMSIM_ORACLE = """
+WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS a FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+pc AS (SELECT a, count(*) AS c FROM m GROUP BY a),
+co AS (SELECT m1.a AS a, m2.a AS b, count(*) AS c_ab
+       FROM m m1 JOIN m m2 ON m1.g = m2.g AND m1.a < m2.a GROUP BY m1.a, m2.a)
+SELECT co.a AS item_a, co.b AS item_b, CAST(co.c_ab AS BIGINT) AS n_co,
+       ROUND(co.c_ab / sqrt(pa.c * pb.c), 6) AS sim
+FROM co JOIN pc pa ON pa.a = co.a JOIN pc pb ON pb.a = co.b
+ORDER BY sim DESC, item_a ASC, item_b ASC
+LIMIT 20
+"""
+
+
+@register("parts_item_similarity", _ITEMSIM_ORACLE, "graph", "similarity", "relational")
+def q_parts_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine over order-membership vectors — sim(a,b) =
+    c_ab/√(c_a·c_b), the memory-based collaborative-filtering kernel.
+    Co-counts come from the group-blocked self-join (order-bounded, never
+    corpus-quadratic); item counts broadcast back."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    m = li.select(F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("a")).distinct()
+    pc = m.groupBy("a").agg(F.count("*").alias("c"))
+    other = m.select("g", F.col("a").alias("b"))
+    co = (
+        m.join(other, "g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    pa = pc.select(F.col("a"), F.col("c").alias("ca"))
+    pb = pc.select(F.col("a").alias("b"), F.col("c").alias("cb"))
+    return (
+        co.join(F.broadcast(pa), "a")
+        .join(F.broadcast(pb), "b")
+        .select(
+            F.col("a").alias("item_a"),
+            F.col("b").alias("item_b"),
+            F.col("c_ab").alias("n_co"),
+            F.round(F.col("c_ab") / F.sqrt(F.col("ca") * F.col("cb")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("item_a").asc(), F.col("item_b").asc())
+        .limit(_ITEMSIM_K)
+    )
+
+
+# -- diagonal-Mahalanobis embedding outliers ----------------------------------
+#
+# The multivariate cousin of the per-column z-score: score = Σ_i ((v_i −
+# μ_i)/σ_i)², with μ/σ the corpus per-dim stats (8 dp, the centroid
+# convention). Both engines fold the sum in INDEX ORDER (Spark `aggregate`
+# HOF / DuckDB list_sum over list_transform) from identical rounded
+# inputs, so the scores match bit-for-bit well under the 6 dp rounding.
+
+_MAHA_K = 20
+
+_MAHA_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+st AS (SELECT i.i AS i, ROUND(AVG(e.v[i.i]), 8) AS mu,
+              ROUND(STDDEV_POP(e.v[i.i]), 8) AS sd
+       FROM e, idx i GROUP BY i.i),
+params AS (SELECT list(mu ORDER BY i) AS mus, list(sd ORDER BY i) AS sds FROM st),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, 65),
+           i -> pow((e.v[i] - p.mus[i]) / p.sds[i], 2))) AS score
+  FROM e CROSS JOIN params p
+)
+SELECT vec_id, CAST(rk AS INTEGER) AS rank, ROUND(score, 6) AS score FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rk FROM scored
+) WHERE rk <= 20
+"""
+
+
+@register("embedding_diag_mahalanobis", _MAHA_ORACLE, "similarity", "governance", "pipeline")
+def q_embedding_diag_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = load(spark, sf_dir, "embeddings")
+    e = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    st = (
+        e.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.round(F.avg("x"), 8).alias("mu"),
+            F.round(F.stddev_pop("x"), 8).alias("sd"),
+        )
+    )
+    params = st.groupBy().agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("i", "mu"))), lambda s: s["mu"]).alias("mus"),
+        F.transform(F.array_sort(F.collect_list(F.struct("i", "sd"))), lambda s: s["sd"]).alias("sds"),
+    )
+    scored = e.crossJoin(F.broadcast(params)).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.zip_with(F.col("v"), F.col("mus"), lambda x, mu: x - mu),
+                F.col("sds"),
+                lambda d, sd: (d / sd) * (d / sd),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    # rank window runs over the already-LIMITed 20-row set (bounded, the
+    # plan guard's sanctioned unpartitioned-window shape)
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(_MAHA_K)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("vec_id").asc()))
+            .alias("rank"),
+            F.round("score", 6).alias("score"),
+        )
+    )
