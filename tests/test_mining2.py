@@ -20,10 +20,10 @@ def test_bigram_logprob_hand_computed(spark):
     p_ba = 0.5 * 1 / 3 + 0.5 * 3 / 7
     assert out[0].n_bigrams == 3
     assert out[0].avg_logprob == pytest.approx(
-        round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
+        round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 4)
     )
     assert out[1].n_bigrams == 1
-    assert out[1].avg_logprob == pytest.approx(round(math.log(p_ab), 6))
+    assert out[1].avg_logprob == pytest.approx(round(math.log(p_ab), 4))
     assert 2 not in out  # single-token doc has no bigrams
 
 
@@ -206,7 +206,7 @@ def test_heldout_ppl_oov_and_ordering(spark):
     # pure-OOV bigram prob = 0.3 * 1/(N+V+1) exactly
     n, v = 30, 5  # 30 train tokens; vocab {the, cat, sat, on, mat}
     want = math.log(0.3 * 1.0 / (n + v + 1))
-    assert out[101].avg_logprob == pytest.approx(round(want, 6))
+    assert out[101].avg_logprob == pytest.approx(round(want, 4))
 
 
 def test_label_propagation_two_cliques(spark):
@@ -285,8 +285,8 @@ def test_seasonal_decomposition_identity_and_pattern(spark):
     out = seasonal_decomposition(ev, "event_type", "ts").collect()
     assert len(out) == 28
     for r in out:
-        # additive identity holds to rounding
-        assert abs(r.cnt - (r.trend + r.seasonal + r.residual)) < 2e-6
+        # additive identity holds to rounding (seasonal/residual at 4 dp)
+        assert abs(r.cnt - (r.trend + r.seasonal + r.residual)) < 2e-4
     # weekend seasonal component is clearly positive, midweek negative
     by_dow = {}
     for r in out:
@@ -320,3 +320,31 @@ def test_doc_keywords_idf_zero_for_ubiquitous_terms(spark):
     assert out.where("score < 0").count() == 0
     per_doc = out.groupBy("doc_id").count().agg(F.max("count").alias("m")).collect()[0].m
     assert per_doc <= 5
+
+
+def test_chi2_null_category_counts(spark):
+    from vector_mcp_spark.operators.assoc import crosstab_chi2
+
+    # NULL is a real level: perfectly dependent once NULL rows are matched
+    rows = [("en", "s1")] * 10 + [(None, "s2")] * 10
+    r = crosstab_chi2(
+        spark.createDataFrame(rows, "lang string, source string"), "lang", "source"
+    ).collect()[0]
+    assert (r.n, r.r, r.c) == (20, 2, 2)
+    assert r.chi2 == pytest.approx(20.0)  # NULL cell observed, not zeroed
+    assert r.cramers_v == pytest.approx(1.0)
+
+
+def test_bigram_ops_survive_empty_docs(spark):
+    from vector_mcp_spark.operators.assoc import collocation_pmi
+    from vector_mcp_spark.operators.lm import bigram_heldout_logprob, bigram_interpolated_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb aa bb cc"), (1, ""), (2, "! 1 ?"), (3, "solo")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id for r in bigram_interpolated_logprob(docs).collect()}
+    assert got == {0}
+    assert collocation_pmi(docs, min_count=2, k=5).count() >= 1
+    ho = bigram_heldout_logprob(docs, docs)
+    assert {r.doc_id for r in ho.collect()} == {0}

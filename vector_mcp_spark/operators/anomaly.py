@@ -125,7 +125,7 @@ def seasonal_decomposition(
             "day",
             "cnt",
             F.round("trend", 6).alias("trend"),
-            F.round("seasonal", 6).alias("seasonal"),
-            F.round(F.col("cnt") - F.col("trend") - F.col("seasonal"), 6).alias("residual"),
+            F.round("seasonal", 4).alias("seasonal"),
+            F.round(F.col("cnt") - F.col("trend") - F.col("seasonal"), 4).alias("residual"),
         )
     )

@@ -28,12 +28,29 @@ def crosstab_chi2(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     )
     ra = cells.groupBy("a").agg(F.sum("o").alias("ra"))
     cb = cells.groupBy("b").agg(F.sum("o").alias("cb"))
-    tot = cells.agg(F.sum("o").alias("n"), F.countDistinct("a").alias("r"),
-                    F.countDistinct("b").alias("c"))
-    grid = ra.crossJoin(cb)  # marginals are category-count-sized: broadcast territory
+    # countDistinct ignores NULL, but NULL is a level of the table — add it
+    # back so r/c (and the dof / Cramér denominator) count the NULL row/col
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        (F.countDistinct("a") + F.max(F.col("a").isNull().cast("int"))).alias("r"),
+        (F.countDistinct("b") + F.max(F.col("b").isNull().cast("int"))).alias("c"),
+    )
+    grid = ra.crossJoin(cb).alias("g")  # marginals are category-count-sized
+    # null-safe match: NULL is a legitimate category level — a plain
+    # equi-join would leave NULL-keyed observed counts permanently at 0
+    # while their marginal mass still inflates the expected counts.
+    # (grid derives from cells, so the self-join needs explicit aliases.)
+    obs = cells.alias("c")
+    cond = F.col("g.a").eqNullSafe(F.col("c.a")) & F.col("g.b").eqNullSafe(F.col("c.b"))
     e = (
-        grid.join(cells, ["a", "b"], "left")
-        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        grid.join(obs, cond, "left")
+        .select(
+            F.col("g.a").alias("a"),
+            F.col("g.b").alias("b"),
+            "ra",
+            "cb",
+            F.coalesce(F.col("c.o"), F.lit(0)).alias("o"),
+        )
         .crossJoin(F.broadcast(tot))
         .withColumn("exp", F.col("ra") * F.col("cb") / F.col("n"))
         .withColumn("cell", F.pow(F.col("o") - F.col("exp"), 2) / F.col("exp"))
@@ -44,10 +61,15 @@ def crosstab_chi2(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.col("c").cast("int").alias("c"),
         F.round("chi2_raw", 6).alias("chi2"),
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("int").alias("dof"),
-        F.round(
-            F.sqrt(F.col("chi2_raw") / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))),
-            6,
-        ).alias("cramers_v"),
+        F.when(
+            F.least(F.col("r") - 1, F.col("c") - 1) > 0,
+            F.round(
+                F.sqrt(
+                    F.col("chi2_raw") / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+                ),
+                6,
+            ),
+        ).alias("cramers_v"),  # NULL for a single-level column (V undefined)
     )
 
 
@@ -62,9 +84,12 @@ def collocation_pmi(
     (AQE-broadcast while it fits). TakeOrdered top-k — no global sort."""
     if min_count < 1 or k < 1:
         raise ValueError(f"collocation_pmi: min_count and k must be >= 1, got ({min_count}, {k})")
-    arr = tokens(text_col)
+    # filter < 2-token docs BEFORE slicing: slice length n-1 < 0 aborts the
+    # job for a single empty doc (same guard as lm._doc_bigrams)
+    base = docs.select(tokens(text_col).alias("_toks")).where(F.size("_toks") >= 2)
+    arr = F.col("_toks")
     n_ = F.size(arr)
-    bg = docs.select(
+    bg = base.select(
         F.explode(
             F.arrays_zip(F.slice(arr, 1, n_ - 1).alias("w1"), F.slice(arr, 2, n_ - 1).alias("w2"))
         ).alias("b")

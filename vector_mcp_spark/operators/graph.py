@@ -102,15 +102,41 @@ def cooccurrence_edges(
     )
 
 
-def undirected_edges(pairs: DataFrame, item_col: str = "item", group_col: str = "grp") -> DataFrame:
-    """Distinct undirected edges (a < b) from (group, item) membership —
-    the canonical-orientation input triangle counting needs. Blocked on
-    the group key like ``cooccurrence_edges``."""
+def co_membership_counts(
+    pairs: DataFrame, item_col: str = "item", group_col: str = "grp"
+) -> DataFrame:
+    """Weighted canonical co-occurrence: (a, b, c_ab) for a < b, c_ab =
+    number of distinct groups containing both items. THE one copy of the
+    group-blocked membership self-join (each group contributes
+    C(|items|, 2) pairs — bounded by per-group cardinality, never
+    corpus-quadratic); ``undirected_edges`` and the item-similarity
+    entries derive from it, so a future group-size cap lands once."""
     m = pairs.select(F.col(group_col).alias("g"), F.col(item_col).alias("a")).distinct()
     other = m.select("g", F.col("a").alias("b"))
     return (
-        m.join(other, "g").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+        m.join(other, "g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
     )
+
+
+def membership_counts(
+    pairs: DataFrame, item_col: str = "item", group_col: str = "grp"
+) -> DataFrame:
+    """(item, c) = number of distinct groups containing the item."""
+    return (
+        pairs.select(F.col(group_col).alias("g"), F.col(item_col).alias("a"))
+        .distinct()
+        .groupBy("a")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def undirected_edges(pairs: DataFrame, item_col: str = "item", group_col: str = "grp") -> DataFrame:
+    """Distinct undirected edges (a < b) from (group, item) membership —
+    the canonical-orientation input triangle counting needs."""
+    return co_membership_counts(pairs, item_col, group_col).select("a", "b")
 
 
 def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:

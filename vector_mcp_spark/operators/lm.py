@@ -26,9 +26,15 @@ from vector_mcp_spark.functions.text import tokens
 
 
 def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    arr = tokens(text_col)
+    # pre-filter docs with < 2 tokens: slice(arr, 1, n-1) with n = 0 is an
+    # illegal negative length and would abort the whole job for one empty
+    # doc (the dedup.py:159 hazard); such docs have no bigrams anyway
+    base = docs.select(F.col(id_col), tokens(text_col).alias("_toks")).where(
+        F.size("_toks") >= 2
+    )
+    arr = F.col("_toks")
     n = F.size(arr)
-    return docs.select(
+    return base.select(
         F.col(id_col),
         F.explode(
             F.arrays_zip(F.slice(arr, 1, n - 1).alias("w1"), F.slice(arr, 2, n - 1).alias("w2"))
@@ -42,7 +48,9 @@ def bigram_interpolated_logprob(
     """Per-doc mean interpolated bigram log-prob: (id, n_bigrams, avg_logprob).
 
     Docs with fewer than two tokens have no bigrams and drop out (no
-    score is defined for them); round at 6 dp for oracle comparison.
+    score is defined for them); the mean log-prob rounds at 4 dp — it is a
+    quotient of an order-dependent float sum, the rounding class where
+    cross-engine 6 dp comparisons flake (the TWAP precedent).
     """
     if not 0.0 < lam < 1.0:
         raise ValueError(f"bigram_interpolated_logprob: lam must be in (0, 1), got {lam}")
@@ -68,7 +76,7 @@ def bigram_interpolated_logprob(
     )
     return scored.groupBy(id_col).agg(
         F.count("*").cast("int").alias("n_bigrams"),
-        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
     )
 
 
@@ -126,6 +134,6 @@ def bigram_heldout_logprob(
     return agg.select(
         id_col,
         "n_bigrams",
-        F.round("_alp", 6).alias("avg_logprob"),
+        F.round("_alp", 4).alias("avg_logprob"),
         F.round(F.exp(-F.col("_alp")), 4).alias("ppl"),
     )

@@ -153,7 +153,13 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 #   embedding_top_pc, corpus_bigram_logprob, corpus_source_cap,
 #   events_anomaly_zscore, parts_triangle_count, events_value_winsorized,
 #   corpus_lang_source_chi2, corpus_collocations_pmi,
-#   events_markov_transitions, corpus_bigram_heldout_ppl.
+#   events_markov_transitions, corpus_bigram_heldout_ppl,
+#   parts_label_propagation, events_cusum_changepoint,
+#   events_theil_sen_trend, corpus_curation_funnel,
+#   streaming_abandoned_clicks, streaming_session_windows,
+#   events_seasonal_decomposition, corpus_doc_keywords,
+#   embedding_nearest_centroid_eval, parts_item_similarity,
+#   embedding_diag_mahalanobis.
 # That is >50 total: never-checked entries take priority over backfill —
 # split the backfill across rounds 6 and 7 if needed.
 from vector_mcp_spark import suite_relational  # noqa: E402,F401

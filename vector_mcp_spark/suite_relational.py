@@ -1859,8 +1859,15 @@ def _sentineled_events_dir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     marker = os.path.join(d, "_flushed")
     if not os.path.exists(marker):
         ev = load(spark, sf_dir, "events")
-        ev.write.mode("overwrite").parquet(d)
+        # ONE base file: the file source fills each trigger up to
+        # maxFilesPerTrigger from the oldest unprocessed files, so with
+        # n_base >= 2 both sentinels would share a batch and the second
+        # watermark advance (the one that flushes the tail) would depend on
+        # a trailing no-data micro-batch. A single base file pins the batch
+        # sequence to exactly [base], [sentinel-0], [sentinel-1].
+        ev.coalesce(1).write.mode("overwrite").parquet(d)
         base_files = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+        assert len(base_files) == 1, base_files
         now = time.time()
         for f in base_files:
             os.utime(f, (now, now))
