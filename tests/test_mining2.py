@@ -348,3 +348,35 @@ def test_bigram_ops_survive_empty_docs(spark):
     assert collocation_pmi(docs, min_count=2, k=5).count() >= 1
     ho = bigram_heldout_logprob(docs, docs)
     assert {r.doc_id for r in ho.collect()} == {0}
+
+
+def test_sorted_neighborhood_finds_near_dups(spark):
+    from vector_mcp_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),     # near-dup of 1, same prefix
+        (3, "completely different words here"),
+        (4, "alpha beta gamma delta epsilon"),  # exact dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           sorted_neighborhood_pairs(docs, window=3, threshold=0.5,
+                                     id_col="doc_id", content_col="text").collect()}
+    assert got[(1, 4)] == 1.0
+    assert got[(1, 2)] == pytest.approx(round(4 / 6, 6))
+    assert not any(3 in p for p in got)
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(docs, window=0)
+
+
+def test_prefix_sort_key_orders_like_strings(spark):
+    from vector_mcp_spark.operators.dedup import _prefix_sort_key
+
+    words = ["", "a", "ab", "ab1", "abc", "b", "z9", "zzzzzzzzzzzzzz"]
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)], "i int, t string")
+    out = df.select("t", _prefix_sort_key("t").alias("k")).collect()
+    ks = {r.t: r.k for r in out}
+    # '0'-padded base-36 ordering == string ordering for [a-z0-9] prefixes
+    padded = sorted(words, key=lambda w: (w[:12] + "0" * 12)[:12])
+    assert sorted(words, key=lambda w: ks[w]) == padded

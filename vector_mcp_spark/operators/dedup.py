@@ -809,3 +809,79 @@ def near_dup_clusters_blocked(
         )
     )
     return clustered.unionByName(singletons)
+
+
+def _prefix_sort_key(content_col: str, prefix_len: int = 12):
+    """Order-preserving numeric key for the normalized text prefix:
+    base-36 encoding of the first ``prefix_len`` [a-z0-9] chars ('0'-padded,
+    36^12 < 2^63). Numeric so the distributed global_rank's
+    percentile-approx split points work; both engines compute the same
+    unrolled expression, so ranks agree exactly."""
+    norm = F.rpad(
+        F.regexp_replace(F.lower(F.col(content_col)), "[^a-z0-9]", ""), prefix_len, "0"
+    )
+    acc = F.lit(0).cast("long")
+    for i in range(prefix_len):
+        ch = F.substring(norm, i + 1, 1)
+        code = F.when(ch.between("0", "9"), F.ascii(ch) - 48).otherwise(F.ascii(ch) - 87)
+        acc = acc * 36 + code
+    return acc
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    window: int = 10,
+    threshold: float = 0.5,
+    id_col: str = "id",
+    content_col: str = "content",
+    prefix_len: int = 12,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates (Hernández & Stolfo 1995,
+    public): rank the corpus by a normalized-prefix sort key, compare each
+    row only against the next ``window`` ranks, verify candidates by token
+    Jaccard ≥ ``threshold``. Output (id_a, id_b, jaccard), ids canonical.
+
+    The third blocking family next to hash blocks (ngram_jaccard) and LSH
+    bands (minhash): candidates are O(N·window) by construction, and the
+    global ordering comes from operators/rank.py global_rank — coarse
+    percentile buckets + partitioned windows, never a single-task sort.
+    The rank-adjacency self-join blocks on ``floor(rank/window)`` so each
+    row joins at most two rank buckets."""
+    if window < 1:
+        raise ValueError(f"sorted_neighborhood_pairs: window must be >= 1, got {window}")
+    from vector_mcp_spark.functions.text import tokens
+    from vector_mcp_spark.operators.rank import global_rank
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _prefix_sort_key(content_col, prefix_len).alias("k"),
+        F.array_distinct(tokens(content_col)).alias("toks"),
+    )
+    ranked = global_rank(base, "k", ["id"]).withColumn(
+        "bkt", F.floor((F.col("rank") - 1) / window)
+    )
+    r1 = ranked.select(
+        F.col("id").alias("id1"), F.col("rank").alias("rk1"),
+        F.col("toks").alias("t1"), F.col("bkt").alias("b1"),
+    )
+    r2 = ranked.select(
+        F.col("id").alias("id2"), F.col("rank").alias("rk2"),
+        F.col("toks").alias("t2"), F.col("bkt").alias("b2"),
+    )
+    cand = r1.join(
+        r2,
+        ((F.col("b2") == F.col("b1")) | (F.col("b2") == F.col("b1") + 1))
+        & (F.col("rk2") > F.col("rk1"))
+        & (F.col("rk2") - F.col("rk1") <= window),
+    )
+    inter = F.size(F.array_intersect(F.col("t1"), F.col("t2")))
+    union = F.size("t1") + F.size("t2") - inter
+    jac = F.when(union > 0, inter.cast("double") / union)
+    return (
+        cand.select(
+            F.least("id1", "id2").alias("id_a"),
+            F.greatest("id1", "id2").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1815,3 +1815,84 @@ def q_embedding_diag_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("score"),
         )
     )
+
+
+# -- sorted-neighborhood near-dup (third blocking family) ---------------------
+
+_SN_WINDOW = 10
+_SN_T = 0.5
+_SN_PREFIX = 12
+
+
+def _sn_oracle() -> str:
+    nrm = "rpad(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 12, '0')"
+    terms = []
+    for i in range(_SN_PREFIX):
+        c = f"substring(nrm, {i + 1}, 1)"
+        code = f"(CASE WHEN {c} BETWEEN '0' AND '9' THEN ascii({c}) - 48 ELSE ascii({c}) - 87 END)"
+        terms.append(f"CAST({36 ** (_SN_PREFIX - 1 - i)} AS BIGINT) * {code}")
+    keynum = " + ".join(terms)
+    return f"""
+WITH nn AS (SELECT doc_id, {nrm} AS nrm, list_distinct({_TOKS}) AS toks FROM documents),
+kk AS (SELECT doc_id, toks, {keynum} AS k FROM nn),
+ranked AS (SELECT doc_id, toks, row_number() OVER (ORDER BY k, doc_id) AS rk FROM kk),
+cand AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb,
+         len(list_intersect(a.toks, b.toks)) AS inter,
+         len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS un
+  FROM ranked a JOIN ranked b
+    ON b.rk > a.rk AND b.rk <= a.rk + {_SN_WINDOW}
+)
+SELECT LEAST(ida, idb) AS id_a, GREATEST(ida, idb) AS id_b,
+       ROUND(CAST(inter AS DOUBLE) / un, 6) AS jaccard
+FROM cand WHERE un > 0 AND CAST(inter AS DOUBLE) / un >= {_SN_T}
+"""
+
+
+@register("dedup_sorted_neighborhood", _sn_oracle(), "dedup", "pipeline")
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        docs, window=_SN_WINDOW, threshold=_SN_T,
+        id_col="doc_id", content_col="text", prefix_len=_SN_PREFIX,
+    )
+
+
+# -- per-source quality percentile normalization ------------------------------
+#
+# Quality scores are not comparable across sources (a mid-tier web page
+# outscores a top-tier forum post on raw heuristics); rank-normalizing
+# WITHIN source makes one global threshold meaningful. percent_rank over a
+# source-partitioned window — group-bounded, no global sort.
+
+from vector_mcp_spark.suite_pipeline import _TEXT_STATS_ORACLE  # noqa: E402
+
+_QPCT_ORACLE = f"""
+WITH stats AS ({_TEXT_STATS_ORACLE}),
+j AS (SELECT s.doc_id AS doc_id, d.source, s.quality
+      FROM stats s JOIN documents d ON d.doc_id = s.doc_id)
+SELECT doc_id, source, quality,
+       ROUND(percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id), 6)
+         AS quality_pct
+FROM j
+"""
+
+
+@register("corpus_quality_percentile_by_source", _QPCT_ORACLE, "textstats", "sampling", "pipeline")
+def q_corpus_quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from vector_mcp_spark.operators.textstats import text_stats
+
+    docs = load(spark, sf_dir, "documents")
+    stats = text_stats(
+        docs.select("doc_id", F.col("text").alias("content")), id_col="doc_id", content_col="content"
+    ).select("doc_id", "quality")
+    j = stats.join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(F.col("quality").asc(), F.col("doc_id").asc())
+    return j.select(
+        "doc_id", "source", "quality",
+        F.round(F.percent_rank().over(w), 6).alias("quality_pct"),
+    )
