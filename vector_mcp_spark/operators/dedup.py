@@ -860,19 +860,21 @@ def sorted_neighborhood_pairs(
     ranked = global_rank(base, "k", ["id"]).withColumn(
         "bkt", F.floor((F.col("rank") - 1) / window)
     )
+    # EQUI-join on the bucket key: the left side explodes into its own and
+    # the next bucket, so every within-window pair meets on one key. An
+    # `(b2 = b1) OR (b2 = b1 + 1)` condition would plan as a nested-loop
+    # join — quadratic, the exact failure the 10× probe caught.
     r1 = ranked.select(
         F.col("id").alias("id1"), F.col("rank").alias("rk1"),
-        F.col("toks").alias("t1"), F.col("bkt").alias("b1"),
+        F.col("toks").alias("t1"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("jb"),
     )
     r2 = ranked.select(
         F.col("id").alias("id2"), F.col("rank").alias("rk2"),
-        F.col("toks").alias("t2"), F.col("bkt").alias("b2"),
+        F.col("toks").alias("t2"), F.col("bkt").alias("jb"),
     )
-    cand = r1.join(
-        r2,
-        ((F.col("b2") == F.col("b1")) | (F.col("b2") == F.col("b1") + 1))
-        & (F.col("rk2") > F.col("rk1"))
-        & (F.col("rk2") - F.col("rk1") <= window),
+    cand = r1.join(r2, "jb").where(
+        (F.col("rk2") > F.col("rk1")) & (F.col("rk2") - F.col("rk1") <= window)
     )
     inter = F.size(F.array_intersect(F.col("t1"), F.col("t2")))
     union = F.size("t1") + F.size("t2") - inter
