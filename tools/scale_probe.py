@@ -45,6 +45,10 @@ HEAVY = [
     "corpus_collocations_pmi",
     "embedding_covariance_cells",
     "embedding_top_pc",
+    "dedup_sorted_neighborhood",
+    "corpus_doc_keywords",
+    "embedding_nearest_centroid_eval",
+    "corpus_curation_funnel",
 ]
 
 
