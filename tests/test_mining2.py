@@ -380,3 +380,35 @@ def test_prefix_sort_key_orders_like_strings(spark):
     # '0'-padded base-36 ordering == string ordering for [a-z0-9] prefixes
     padded = sorted(words, key=lambda w: (w[:12] + "0" * 12)[:12])
     assert sorted(words, key=lambda w: ks[w]) == padded
+
+
+def test_skyline_hand_case_and_duplicates(spark):
+    from vector_mcp_spark.operators.skyline import skyline
+
+    pts = [
+        (1, 5.0, 1.0),
+        (2, 4.0, 4.0),
+        (3, 1.0, 5.0),
+        (4, 3.0, 3.0),   # dominated by 2
+        (5, 5.0, 1.0),   # duplicate of 1: both survive
+        (6, 5.0, 0.5),   # dominated by 1 (same x, lower y)
+        (7, 4.0, 4.0),   # duplicate of 2
+    ]
+    df = spark.createDataFrame(pts, "id int, a double, b double").repartition(3)
+    got = {r.id for r in skyline(df, ["a", "b"], "id").collect()}
+    assert got == {1, 2, 3, 5, 7}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        skyline(df, [], "id")
+
+
+def test_skyline_2d_matches_nd(spark):
+    import random
+
+    from vector_mcp_spark.operators.skyline import _skyline_mask_2d, _skyline_mask_nd
+    import numpy as np
+
+    rng = random.Random(11)
+    vals = np.array([[rng.randint(0, 20) / 2, rng.randint(0, 20) / 2] for _ in range(300)])
+    assert sorted(_skyline_mask_2d(vals)) == sorted(_skyline_mask_nd(vals))

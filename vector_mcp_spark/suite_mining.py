@@ -1896,3 +1896,39 @@ def q_corpus_quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> D
         "doc_id", "source", "quality",
         F.round(F.percent_rank().over(w), 6).alias("quality_pct"),
     )
+
+
+# -- skyline / Pareto frontier (preference query) -----------------------------
+#
+# The oracle deliberately uses a DIFFERENT exact mechanism than the Spark
+# two-phase mapInPandas: the 2-D window formulation (group max per price,
+# running max over strictly higher prices) — two independent algorithms
+# must land on the identical frontier.
+
+_SKY_ORACLE = """
+WITH pts AS (
+  SELECT l_orderkey * 10 + l_linenumber AS id,
+         l_extendedprice::DOUBLE AS price, l_discount::DOUBLE AS discount
+  FROM lineitem
+),
+g AS (SELECT price, MAX(discount) AS gmax FROM pts GROUP BY price),
+o AS (SELECT price, gmax,
+             MAX(gmax) OVER (ORDER BY price DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_before
+      FROM g),
+sky AS (SELECT price, gmax FROM o WHERE best_before IS NULL OR gmax > best_before)
+SELECT p.id, p.price, p.discount
+FROM pts p JOIN sky s ON p.price = s.price AND p.discount = s.gmax
+"""
+
+
+@register("lineitem_price_discount_skyline", _SKY_ORACLE, "relational", "governance")
+def q_lineitem_price_discount_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.skyline import skyline
+
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("discount"),
+    )
+    return skyline(li, maximize=["price", "discount"], id_col="id")
