@@ -1932,3 +1932,147 @@ def q_lineitem_price_discount_skyline(spark: SparkSession, sf_dir: str) -> DataF
         F.col("l_discount").alias("discount"),
     )
     return skyline(li, maximize=["price", "discount"], id_col="id")
+
+
+# -- trajectory similarity search (REPOSE/EDBT theme from PAPERS.md) ----------
+#
+# Each user's trajectory = the first-letter string of their first
+# _TRAJ_CAP events in time order; similarity = Levenshtein distance to a
+# query pattern; output the top-k closest users. One partitioned window
+# caps the sequence (state bounded per user), one map-side levenshtein —
+# the "similarity search over sequences" family next to the vector and
+# lexical ones. Both engines implement the same unit-cost edit distance.
+
+_TRAJ_CAP = 50
+_TRAJ_QUERY = "cpcvcpcv"  # click,purchase,click,view,...
+_TRAJ_K = 10
+
+_TRAJ_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS ch,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+traj AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY rn) AS trajectory
+  FROM seq WHERE rn <= {_TRAJ_CAP} GROUP BY user_id
+)
+SELECT user_id, trajectory,
+       CAST(levenshtein(trajectory, '{_TRAJ_QUERY}') AS INTEGER) AS edit_dist
+FROM traj
+ORDER BY edit_dist ASC, user_id ASC
+LIMIT {_TRAJ_K}
+"""
+
+
+@register("events_trajectory_similarity", _TRAJ_ORACLE, "temporal", "search", "relational")
+def q_events_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "user_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= _TRAJ_CAP)
+    traj = seq.groupBy("user_id").agg(
+        F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list(F.struct("rn", "ch"))), lambda s: s["ch"])
+        ).alias("trajectory")
+    )
+    return (
+        traj.select(
+            "user_id",
+            "trajectory",
+            F.levenshtein("trajectory", F.lit(_TRAJ_QUERY)).cast("int").alias("edit_dist"),
+        )
+        .orderBy(F.col("edit_dist").asc(), F.col("user_id").asc())
+        .limit(_TRAJ_K)
+    )
+
+
+# -- top-k influential communities (PAPERS.md VLDB'18 theme) ------------------
+#
+# Communities from label propagation, influence from weighted PageRank,
+# composed: score(community) = Σ member pagerank. The oracle regenerates
+# BOTH unrolled iterative computations (4 LPA rounds + 3 PR iterations)
+# over the shared 1996 co-order graph and must agree with Spark's two
+# checkpointed loops end-to-end.
+
+_TCOMM_K = 5
+
+
+def _top_communities_oracle() -> str:
+    lpa = ["""
+nodes AS (SELECT DISTINCT v AS node FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)),
+lp0 AS (SELECT node, node AS label FROM nodes)"""]
+    for k in range(1, _LPA_ITERS + 1):
+        lpa.append(f"""
+nb{k} AS (SELECT e.a AS node, l.label FROM e JOIN lp{k - 1} l ON l.node = e.b
+          UNION ALL
+          SELECT e.b AS node, l.label FROM e JOIN lp{k - 1} l ON l.node = e.a),
+lp{k} AS (SELECT node, label FROM (
+  SELECT node, label,
+         row_number() OVER (PARTITION BY node ORDER BY count(*) DESC, label ASC) AS rn
+  FROM nb{k} GROUP BY node, label) WHERE rn = 1)""")
+    pr = [f"""
+de AS (SELECT m1.a AS src, m2.a AS dst, count(*) AS w
+       FROM m m1 JOIN m m2 ON m1.g = m2.g AND m1.a <> m2.a GROUP BY m1.a, m2.a),
+nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+ow AS (SELECT src, SUM(w) AS out_w FROM de GROUP BY src),
+frac AS (SELECT de.src, de.dst, CAST(de.w AS DOUBLE) / ow.out_w AS f FROM de JOIN ow USING (src)),
+it0 AS (SELECT node, 1.0 / nt.n AS pr FROM nodes CROSS JOIN nt)"""]
+    for k in range(1, _PR_ITERS + 1):
+        pr.append(f"""
+it{k} AS (
+  SELECT nodes.node,
+         (1 - {_PR_DAMPING}) / nt.n + {_PR_DAMPING} * COALESCE(inf.s, 0) AS pr
+  FROM nodes CROSS JOIN nt
+  LEFT JOIN (SELECT f.dst, SUM(p.pr * f.f) AS s
+             FROM frac f JOIN it{k - 1} p ON p.node = f.src GROUP BY f.dst) inf
+    ON inf.dst = nodes.node
+)""")
+    return f"""
+WITH {_TRI_GRAPH_CTE},{",".join(lpa)},{",".join(pr)}
+SELECT CAST(l.label AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS n_members,
+       ROUND(SUM(p.pr), 6) AS score
+FROM lp{_LPA_ITERS} l JOIN it{_PR_ITERS} p USING (node)
+GROUP BY l.label
+ORDER BY score DESC, community ASC
+LIMIT {_TCOMM_K}
+"""
+
+
+@register("parts_top_communities", _top_communities_oracle(), "graph", "relational")
+def q_parts_top_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.graph import (
+        cooccurrence_edges,
+        label_propagation,
+        pagerank,
+        undirected_edges,
+    )
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    labels = label_propagation(
+        undirected_edges(li, item_col="l_partkey", group_col="l_orderkey"), iters=_LPA_ITERS
+    )
+    pr = pagerank(
+        cooccurrence_edges(li, item_col="l_partkey", group_col="l_orderkey"),
+        damping=_PR_DAMPING,
+        iters=_PR_ITERS,
+    )
+    return (
+        labels.join(pr, "node")
+        .groupBy(F.col("label").cast("long").alias("community"))
+        .agg(F.count("*").alias("n_members"), F.round(F.sum("pr"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("community").asc())
+        .limit(_TCOMM_K)
+    )
