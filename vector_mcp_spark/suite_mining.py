@@ -2047,10 +2047,9 @@ LIMIT {_TCOMM_K}
 @register("parts_top_communities", _top_communities_oracle(), "graph", "relational")
 def q_parts_top_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_mcp_spark.operators.graph import (
-        cooccurrence_edges,
+        co_membership_counts,
         label_propagation,
         pagerank,
-        undirected_edges,
     )
 
     li = (
@@ -2061,14 +2060,19 @@ def q_parts_top_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_partkey")
     )
-    labels = label_propagation(
-        undirected_edges(li, item_col="l_partkey", group_col="l_orderkey"), iters=_LPA_ITERS
+    # ONE membership self-join feeds both views of the graph: the
+    # undirected edge list for LPA and (weights are symmetric) the
+    # directed weighted list for PageRank as canonical ∪ swapped
+    co = co_membership_counts(li, item_col="l_partkey", group_col="l_orderkey").localCheckpoint(
+        eager=True
     )
-    pr = pagerank(
-        cooccurrence_edges(li, item_col="l_partkey", group_col="l_orderkey"),
-        damping=_PR_DAMPING,
-        iters=_PR_ITERS,
+    labels = label_propagation(co.select("a", "b"), iters=_LPA_ITERS)
+    directed = co.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.col("c_ab").alias("w")
+    ).unionAll(
+        co.select(F.col("b").alias("src"), F.col("a").alias("dst"), F.col("c_ab").alias("w"))
     )
+    pr = pagerank(directed, damping=_PR_DAMPING, iters=_PR_ITERS)
     return (
         labels.join(pr, "node")
         .groupBy(F.col("label").cast("long").alias("community"))
