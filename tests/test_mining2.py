@@ -412,3 +412,38 @@ def test_skyline_2d_matches_nd(spark):
     rng = random.Random(11)
     vals = np.array([[rng.randint(0, 20) / 2, rng.randint(0, 20) / 2] for _ in range(300)])
     assert sorted(_skyline_mask_2d(vals)) == sorted(_skyline_mask_nd(vals))
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from vector_mcp_spark.operators.bootstrap import bootstrap_mean_ci
+
+    rows = [(i, "g", float(100 + (i % 21) - 10)) for i in range(400)]
+    df = spark.createDataFrame(rows, "event_id long, grp string, value double").withColumn(
+        "_row_id", F.col("event_id")
+    )
+    r1 = bootstrap_mean_ci(df, "grp", "value", replicates=30).collect()[0]
+    r2 = bootstrap_mean_ci(df, "grp", "value", replicates=30).collect()[0]
+    assert (r1.ci_lo, r1.ci_hi) == (r2.ci_lo, r2.ci_hi)  # hash draws: deterministic
+    assert r1.ci_lo <= r1.mean <= r1.ci_hi
+    # CI width ~ 2*1.65*sd/sqrt(n) with sd~6.06, n=400 -> ~1.0; sanity band
+    assert 0.2 < (r1.ci_hi - r1.ci_lo) < 3.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bootstrap_mean_ci(df, "grp", "value", replicates=1)
+    with _pt.raises(ValueError):
+        bootstrap_mean_ci(df.drop("_row_id"), "grp", "value")
+
+
+def test_poisson1_multiplicities_distribution(spark):
+    from vector_mcp_spark.operators.bootstrap import POISSON1_CDF, _poisson1, _u01
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "i long")
+    ks = df.select(_poisson1(_u01(["i"], "t")).alias("k")).groupBy("k").count().collect()
+    freq = {r.k: r["count"] / 5000 for r in ks}
+    import math
+
+    assert freq[0] == pytest.approx(math.exp(-1), abs=0.03)
+    assert freq[1] == pytest.approx(math.exp(-1), abs=0.03)
+    assert freq.get(2, 0) == pytest.approx(math.exp(-1) / 2, abs=0.02)
+    assert POISSON1_CDF[0] == pytest.approx(math.exp(-1), abs=1e-9)

@@ -2080,3 +2080,43 @@ def q_parts_top_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("community").asc())
         .limit(_TCOMM_K)
     )
+
+
+# -- Poisson bootstrap confidence intervals (Chamandy 2012) -------------------
+
+_BOOT_B = 20
+
+
+def _bootstrap_oracle() -> str:
+    from vector_mcp_spark.operators.bootstrap import POISSON1_CDF
+
+    case = "CASE " + " ".join(
+        f"WHEN u < {POISSON1_CDF[k]} THEN {k}" for k in range(6)
+    ) + " ELSE 6 END"
+    return f"""
+WITH reps AS (
+  SELECT event_type AS grp, value::DOUBLE AS v, b.b AS b,
+         CAST('0x' || substring(sha256(
+           'boot|' || CAST(event_id AS VARCHAR) || '|' || CAST(b.b AS VARCHAR)), 1, 15)
+           AS BIGINT) / 1152921504606846976.0 AS u
+  FROM events CROSS JOIN (SELECT unnest(range(1, {_BOOT_B + 1})) AS b) b
+),
+kk AS (SELECT grp, b, v, {case} AS k FROM reps),
+rm AS (SELECT grp, b, SUM(k * v) / SUM(k) AS m FROM kk GROUP BY grp, b),
+ci AS (SELECT grp, ROUND(quantile_cont(m, 0.05), 4) AS ci_lo,
+              ROUND(quantile_cont(m, 0.95), 4) AS ci_hi
+       FROM rm GROUP BY grp),
+base AS (SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
+                ROUND(AVG(value::DOUBLE), 4) AS mean
+         FROM events GROUP BY 1)
+SELECT base.grp AS event_type, base.n, base.mean, ci.ci_lo, ci.ci_hi
+FROM base JOIN ci USING (grp)
+"""
+
+
+@register("events_bootstrap_mean_ci", _bootstrap_oracle(), "relational", "governance", "sketch")
+def q_events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.bootstrap import bootstrap_mean_ci
+
+    ev = load(spark, sf_dir, "events").withColumn("_row_id", F.col("event_id"))
+    return bootstrap_mean_ci(ev, "event_type", "value", replicates=_BOOT_B)
