@@ -67,8 +67,11 @@ def bootstrap_mean_ci(
         F.col(group_col).alias("grp"), v.alias("v"), "_row_id",
         F.explode(F.sequence(F.lit(1), F.lit(replicates))).alias("b"),
     ).withColumn("k", _poisson1(_u01(["_row_id", "b"], salt)))
+    # try_divide: ANSI mode is on (Spark 4 default) — a zero-weight
+    # replicate must yield NULL-and-drop (matching the oracle's x/0 -> NULL),
+    # not DIVIDE_BY_ZERO
     rep_means = reps.groupBy("grp", "b").agg(
-        (F.sum(F.col("k") * F.col("v")) / F.sum("k")).alias("m")
+        F.try_divide(F.sum(F.col("k") * F.col("v")), F.sum("k")).alias("m")
     )
     ci = rep_means.groupBy("grp").agg(
         F.round(F.percentile(F.col("m"), F.lit(lo)), 4).alias("ci_lo"),

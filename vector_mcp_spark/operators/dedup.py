@@ -818,8 +818,11 @@ def _prefix_sort_key(content_col: str, prefix_len: int = 12):
     percentile-approx split points work; both engines compute the same
     unrolled expression, so ranks agree exactly."""
     norm = F.rpad(
-        F.regexp_replace(F.lower(F.col(content_col)), "[^a-z0-9]", ""), prefix_len, "0"
-    )
+        F.regexp_replace(F.lower(F.coalesce(F.col(content_col), F.lit(""))), "[^a-z0-9]", ""),
+        prefix_len,
+        "0",
+    )  # NULL content ranks as the empty string: a NULL key would surface as
+    # a None bucket inside global_rank's offset dict and crash the driver
     acc = F.lit(0).cast("long")
     for i in range(prefix_len):
         ch = F.substring(norm, i + 1, 1)
@@ -857,8 +860,13 @@ def sorted_neighborhood_pairs(
         _prefix_sort_key(content_col, prefix_len).alias("k"),
         F.array_distinct(tokens(content_col)).alias("toks"),
     )
-    ranked = global_rank(base, "k", ["id"]).withColumn(
-        "bkt", F.floor((F.col("rank") - 1) / window)
+    # ranked feeds BOTH sides of the self-join; checkpoint so the bucket +
+    # window rank stage runs once, not twice (global_rank materializes its
+    # input, not its output)
+    ranked = (
+        global_rank(base, "k", ["id"])
+        .withColumn("bkt", F.floor((F.col("rank") - 1) / window))
+        .localCheckpoint(eager=True)
     )
     # EQUI-join on the bucket key: the left side explodes into its own and
     # the next bucket, so every within-window pair meets on one key. An
@@ -876,9 +884,11 @@ def sorted_neighborhood_pairs(
     cand = r1.join(r2, "jb").where(
         (F.col("rk2") > F.col("rk1")) & (F.col("rk2") - F.col("rk1") <= window)
     )
+    # verify on raw token arrays (not the _hashed_token_sets fast path) so
+    # the oracle replays the identical lists; try_divide matches its x/0→NULL
     inter = F.size(F.array_intersect(F.col("t1"), F.col("t2")))
     union = F.size("t1") + F.size("t2") - inter
-    jac = F.when(union > 0, inter.cast("double") / union)
+    jac = F.try_divide(inter.cast("double"), union)
     return (
         cand.select(
             F.least("id1", "id2").alias("id_a"),

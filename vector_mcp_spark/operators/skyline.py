@@ -89,10 +89,15 @@ def skyline(df: DataFrame, maximize: list[str], id_col: str) -> DataFrame:
 
     Duplicate criterion vectors: all copies survive (none strictly
     dominates its equal), matching the NOT EXISTS formulation the oracle
-    uses. Output = input columns, frontier rows only."""
+    uses. Output schema is (id_col, *maximize) with the criteria cast to
+    double — join back on id_col for payload columns. Rows with a NULL
+    criterion carry no preference information and are dropped up front
+    (a NaN would also wedge the 2-D sort-scan's group loop)."""
     if not maximize:
         raise ValueError("skyline: maximize must name at least one column")
     proj = df.select(id_col, *[F.col(c).cast("double").alias(c) for c in maximize])
+    for c in maximize:
+        proj = proj.where(F.col(c).isNotNull() & ~F.isnan(c))
     schema = proj.schema
     local = proj.mapInPandas(_local_skyline(list(maximize)), schema)
     # phase 2: the candidate set is the union of partition skylines —

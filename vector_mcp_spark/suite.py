@@ -159,7 +159,10 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 #   streaming_abandoned_clicks, streaming_session_windows,
 #   events_seasonal_decomposition, corpus_doc_keywords,
 #   embedding_nearest_centroid_eval, parts_item_similarity,
-#   embedding_diag_mahalanobis.
+#   embedding_diag_mahalanobis, dedup_sorted_neighborhood,
+#   corpus_quality_percentile_by_source, lineitem_price_discount_skyline,
+#   events_trajectory_similarity, parts_top_communities,
+#   events_bootstrap_mean_ci.
 # That is >50 total: never-checked entries take priority over backfill —
 # split the backfill across rounds 6 and 7 if needed.
 from vector_mcp_spark import suite_relational  # noqa: E402,F401

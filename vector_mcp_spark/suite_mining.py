@@ -1843,9 +1843,11 @@ cand AS (
   FROM ranked a JOIN ranked b
     ON b.rk > a.rk AND b.rk <= a.rk + {_SN_WINDOW}
 )
-SELECT LEAST(ida, idb) AS id_a, GREATEST(ida, idb) AS id_b,
-       ROUND(CAST(inter AS DOUBLE) / un, 6) AS jaccard
-FROM cand WHERE un > 0 AND CAST(inter AS DOUBLE) / un >= {_SN_T}
+SELECT id_a, id_b, jaccard FROM (
+  SELECT LEAST(ida, idb) AS id_a, GREATEST(ida, idb) AS id_b,
+         ROUND(CAST(inter AS DOUBLE) / un, 6) AS jaccard
+  FROM cand WHERE un > 0
+) WHERE jaccard >= {_SN_T}
 """
 
 
