@@ -33,6 +33,8 @@ def _u01(cols, salt: str):
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / float(16**15)
 
 
+
+
 def _poisson1(u):
     k = F.lit(6)
     for kk in range(5, -1, -1):
@@ -63,10 +65,35 @@ def bootstrap_mean_ci(
     if "_row_id" not in df.columns:
         raise ValueError("bootstrap_mean_ci: df must carry a unique _row_id column")
     v = F.col(value_col).cast("double")
-    reps = df.select(
-        F.col(group_col).alias("grp"), v.alias("v"), "_row_id",
-        F.explode(F.sequence(F.lit(1), F.lit(replicates))).alias("b"),
-    ).withColumn("k", _poisson1(_u01(["_row_id", "b"], salt)))
+    # the resample explode is ×B, and sha256 per DRAW would dominate it at
+    # corpus scale — slice 8 draws of 32 bits each from one shared digest
+    # (digest index (b-1) div 8, hex offset ((b-1) mod 8)·8 + 1): a row
+    # pays ceil(B/8) hashes instead of B, and the slice arithmetic is
+    # plain SQL so the oracle replays every draw bit-for-bit
+    reps = (
+        df.select(
+            F.col(group_col).alias("grp"), v.alias("v"), "_row_id",
+            F.explode(F.sequence(F.lit(1), F.lit(replicates))).alias("b"),
+        )
+        .withColumn("_d", ((F.col("b") - 1) / 8).cast("int"))
+        .withColumn(
+            "_h",
+            F.sha2(
+                F.concat_ws(
+                    "|", F.lit(salt), F.col("_row_id").cast("string"),
+                    F.lit("d"), F.col("_d").cast("string"),
+                ),
+                256,
+            ),
+        )
+        .withColumn("_off", ((F.col("b") - 1) % 8) * 8 + 1)
+        .withColumn(
+            "_u",
+            F.conv(F.expr("substring(_h, cast(_off AS int), 8)"), 16, 10).cast("double")
+            / float(2**32),
+        )
+        .withColumn("k", _poisson1(F.col("_u")))
+    )
     # try_divide: ANSI mode is on (Spark 4 default) — a zero-weight
     # replicate must yield NULL-and-drop (matching the oracle's x/0 -> NULL),
     # not DIVIDE_BY_ZERO

@@ -2099,8 +2099,9 @@ def _bootstrap_oracle() -> str:
 WITH reps AS (
   SELECT event_type AS grp, value::DOUBLE AS v, b.b AS b,
          CAST('0x' || substring(sha256(
-           'boot|' || CAST(event_id AS VARCHAR) || '|' || CAST(b.b AS VARCHAR)), 1, 15)
-           AS BIGINT) / 1152921504606846976.0 AS u
+           'boot|' || CAST(event_id AS VARCHAR) || '|d|' || CAST((b.b - 1) // 8 AS VARCHAR)),
+           ((b.b - 1) % 8) * 8 + 1, 8)
+           AS BIGINT) / 4294967296.0 AS u
   FROM events CROSS JOIN (SELECT unnest(range(1, {_BOOT_B + 1})) AS b) b
 ),
 kk AS (SELECT grp, b, v, {case} AS k FROM reps),
