@@ -399,3 +399,46 @@ def test_search_index_on_empty_collection(spark, tmp_path_factory):
     assert info["n_terms"] == 0 and info["n_vectors"] == 0
     assert eng.index_status("empty") == "fresh"
     assert eng.indexed_lexical_search("empty", "anything").count() == 0
+
+
+def test_catalog_concurrent_write_fails_loudly(spark, tmp_path_factory):
+    """Two engine instances sharing a root: a write based on a stale catalog
+    read raises EngineError('catalog_conflict') instead of silently dropping
+    the other instance's row (ADVICE r5 — unserialized read-modify-write)."""
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+
+    root = str(tmp_path_factory.mktemp("cat_race"))
+    a, b = CollectionEngine(spark, root), CollectionEngine(spark, root)
+    a.create_collection("from_a")
+    stale = b._catalog_rows()  # b's read caches a's mtime (the CAS base)
+    a.create_collection("second_from_a")  # advances the catalog under b
+    with _pytest.raises(EngineError, match="catalog_conflict"):
+        b._write_catalog(stale)  # the write the old code let silently win
+    # nothing was dropped, and a re-read refreshes the CAS base
+    assert sorted(b.get_collections()) == ["from_a", "second_from_a"]
+    b.create_collection("from_b", get_or_create=False)
+    assert sorted(a.get_collections()) == ["from_a", "from_b", "second_from_a"]
+
+
+def test_catalog_write_lock_blocks_second_writer(spark, tmp_path_factory):
+    """A held .lock file makes a concurrent writer fail loudly, never merge
+    blindly."""
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+
+    root = str(tmp_path_factory.mktemp("cat_lock"))
+    eng = CollectionEngine(spark, root)
+    lock = Path(eng._catalog_path + ".lock")
+    lock.touch()
+    try:
+        with _pytest.raises(EngineError, match="catalog_locked"):
+            eng.create_collection("blocked")
+    finally:
+        lock.unlink()
+    eng.create_collection("unblocked")
+    assert eng.get_collections() == ["unblocked"]

@@ -568,6 +568,25 @@ def test_agent_dispatch_forbidden_action(spark, tmp_path_factory):
     }
 
 
+def test_agent_dispatch_fails_closed_on_resolver_outage(spark, tmp_path_factory):
+    """A resolver outage must DENY actions (fail closed) even though the same
+    outage degrades card()/discovery to the full catalog (fail open) — an IdP
+    blip must never grant delete_collection."""
+    from vector_mcp_spark.agent_card import AgentCardVeneer
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("a2a_outage")))
+
+    def broken(ns, names):
+        raise RuntimeError("idp down")
+
+    agent = AgentCardVeneer(McpVeneer(eng), entitlements=broken)
+    out = agent.dispatch("vector_collection_management", "delete_collection",
+                         collection_name="x", confirm=True)
+    assert out == {"error": "entitlements_unavailable", "action": "delete_collection"}
+    # discovery still fail-opens so the outage doesn't blank the card
+    assert len(agent.card()["skills"]) == 3
+
+
 # -- cross-encoder rerank seam ------------------------------------------------
 
 

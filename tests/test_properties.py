@@ -382,6 +382,20 @@ def test_sign_pack_column_matches_python(spark, vec):
     assert (got.lo, got.hi) == (lo, hi)
 
 
+@pytest.mark.parametrize("dim", [0, 1, 31, 32, 33, 63, 64, 96])
+def test_sign_pack_py_matches_column_for_any_dimension(spark, dim):
+    """sign_pack_py mirrors element_at's NULL→0 semantics: short vectors
+    zero-pad instead of raising IndexError, dims past 64 are ignored on both
+    paths (ADVICE r5 — collections with dimension != 64)."""
+    from vector_mcp_spark.operators.quantize import sign_pack, sign_pack_py
+
+    vec = [1.0 if i % 3 else -1.0 for i in range(dim)]
+    lo, hi = sign_pack_py(vec)  # must not raise
+    row = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<double>")
+    got = sign_pack(row).collect()[0]
+    assert (got.lo, got.hi) == (lo, hi)
+
+
 @given(
     obs=st.lists(
         st.tuples(

@@ -356,6 +356,16 @@ def test_continuous_aggregate_incremental_merge(spark, tmp_path):
     }
     assert again == want
 
+    # Applied-batch markers are committed ATOMICALLY with the rollup: they
+    # live inside the table directory (staged before the rename), so there
+    # is no crash window where the merge landed without its marker, and the
+    # full marker history is carried across merges so any older retried
+    # batch still skips (ADVICE r5 — double-count on restart).
+    import pathlib
+
+    markers = sorted(p.name for p in pathlib.Path(rollup).glob("_applied_*"))
+    assert markers == ["_applied_0", "_applied_1"]
+
 
 def test_streaming_distinct_sketch_equals_batch_kmv(spark, tmp_path):
     """The stream-maintained KMV state (last update per group) must be

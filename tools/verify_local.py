@@ -50,6 +50,25 @@ def duckdb_connection(sf_dir: str):
     return con
 
 
+# DuckDB output types the driver's canonicalizer hashes differently from any
+# Spark type (VERDICT r5: bare SUM(int) → HUGEINT red despite equal values;
+# r4: DECIMAL). Oracles must cast these away (BIGINT / DOUBLE / VARCHAR).
+_BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def lint_oracle_types(con, oracle_sql: str) -> list[tuple[str, str]]:
+    """Return (column, type) pairs whose DuckDB output type would hash
+    differently from the Spark side at the driver. Planning-only: builds the
+    relation without executing it."""
+    rel = con.sql(oracle_sql)
+    bad = []
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        if any(t.startswith(b) for b in _BANNED_ORACLE_TYPES):
+            bad.append((col, t))
+    return bad
+
+
 def verify_entry(spark, con, entry, sf_dir: str) -> tuple[bool, int, str]:
     """Run one suite entry both ways. Returns (ok, spark_rows, detail)."""
     sdf = entry.spark_fn(spark, sf_dir)
@@ -57,6 +76,12 @@ def verify_entry(spark, con, entry, sf_dir: str) -> tuple[bool, int, str]:
     scols = list(sdf.columns)
     if entry.oracle is None:
         return True, len(srows), "rows-only check [no oracle]"
+    bad_types = lint_oracle_types(con, entry.oracle)
+    if bad_types:
+        return False, len(srows), (
+            f"ORACLE TYPE LINT {bad_types} — cast to BIGINT/DOUBLE/VARCHAR; the "
+            "driver canonicalizer hashes these differently from Spark"
+        )
     ocur = con.execute(entry.oracle)
     ocols = [d[0] for d in ocur.description]
     orows = ocur.fetchall()

@@ -127,8 +127,16 @@ class AgentCardVeneer:
                 "allowed": list(TOOLS),
                 "did_you_mean": difflib.get_close_matches(tool or "", TOOLS, n=3, cutoff=0.4),
             }
-        if action not in self._entitled("action", [action]):
-            return {"error": "action_forbidden", "action": action}
+        # Authorization fails CLOSED: a resolver outage must deny actions
+        # (including delete_collection), unlike discovery where _entitled
+        # fail-opens so an outage never blanks the card.
+        if self.entitlements is not None:
+            try:
+                allowed = set(self.entitlements("action", [action]))
+            except Exception:
+                return {"error": "entitlements_unavailable", "action": action}
+            if action not in allowed:
+                return {"error": "action_forbidden", "action": action}
         if tool == "vector_collection_management":
             return self.veneer.vector_collection_management(action, **kwargs)
         if tool == "vector_search":

@@ -139,10 +139,31 @@ class CollectionEngine:
             [dict(zip(cols, (*r, True)[: len(cols)])) for r in rows],
             schema=schema,
         )
-        tmp = Path(self._catalog_path + ".tmp")
-        pq.write_table(tbl, tmp)
-        tmp.replace(self._catalog_path)
-        self._cat_cache = (Path(self._catalog_path).stat().st_mtime_ns, rows)
+        # Catalog writes are read-modify-write over a shared file; serialize
+        # them with an O_EXCL lock file and compare-and-swap on the mtime the
+        # modification was based on, so two engine instances mutating the same
+        # root fail loudly ("catalog_conflict") instead of silently dropping
+        # one instance's row. Readers need no lock (tmp+replace is atomic).
+        import os
+
+        lock = Path(self._catalog_path + ".lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise EngineError("catalog_locked") from None
+        try:
+            path = Path(self._catalog_path)
+            expected = getattr(self, "_cat_cache", (None, None))[0]
+            current = path.stat().st_mtime_ns if path.exists() else None
+            if expected is not None and current is not None and current != expected:
+                raise EngineError("catalog_conflict")
+            tmp = Path(self._catalog_path + ".tmp")
+            pq.write_table(tbl, tmp)
+            tmp.replace(self._catalog_path)
+            self._cat_cache = (path.stat().st_mtime_ns, rows)
+        finally:
+            os.close(fd)
+            lock.unlink(missing_ok=True)
 
     def _read_catalog(self) -> DataFrame:
         """Catalog as a DataFrame (for callers that want to query it)."""
@@ -467,7 +488,13 @@ class CollectionEngine:
     ) -> DataFrame:
         """Serve a vector query from the sign-bit index: Hamming shortlist
         over the 16-byte-per-vector signs table (the full vector column is
-        read only for the shortlist re-rank). Refuses when not fresh."""
+        read only for the shortlist re-rank). Refuses when not fresh.
+
+        The sign packing covers the FIRST 64 dimensions on both the index
+        and the query path (shorter vectors zero-pad, extra dims don't
+        contribute to the shortlist); the exact-cosine re-rank always uses
+        the full vectors, so recall degrades gracefully — it never errors —
+        for dimensions other than 64."""
         from vector_mcp_spark.functions.vector import dot, l2_norm
         from vector_mcp_spark.operators.quantize import sign_pack_py
 

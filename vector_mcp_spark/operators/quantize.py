@@ -94,9 +94,11 @@ def quantization_error(
 
 def _half_bits(vec, lo_bit: int):
     """Sum of disjoint power-of-two literals — equals the bitwise OR, stays
-    in whole-stage codegen, and an ANSI CASE-sum replays it exactly."""
+    in whole-stage codegen, and an ANSI CASE-sum replays it exactly.
+    try_element_at (NULL past the end, even under ANSI) zero-pads vectors
+    shorter than 64 dims instead of erroring."""
     terms = [
-        F.when(F.element_at(vec, lo_bit + i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(
+        F.when(F.try_element_at(vec, F.lit(lo_bit + i + 1)) > 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         for i in range(32)
@@ -183,7 +185,13 @@ def binary_hamming_topk(
 
 
 def sign_pack_py(vec) -> tuple[int, int]:
-    """Driver-side twin of ``sign_pack`` for query vectors: (lo, hi)."""
-    lo = sum(1 << i for i in range(32) if vec[i] > 0)
-    hi = sum(1 << i for i in range(32) if vec[32 + i] > 0)
+    """Driver-side twin of ``sign_pack`` for query vectors: (lo, hi).
+
+    Mirrors ``_half_bits``'s element_at semantics exactly: dimensions past
+    len(vec) read as 0 (element_at returns NULL → bit unset), and dimensions
+    beyond 64 are ignored on BOTH paths — the packed index covers the first
+    64 dims only (documented at engine.indexed_semantic_search)."""
+    n = len(vec)
+    lo = sum(1 << i for i in range(32) if i < n and vec[i] > 0)
+    hi = sum(1 << i for i in range(32) if 32 + i < n and vec[32 + i] > 0)
     return lo, hi

@@ -367,28 +367,30 @@ def stream_continuous_aggregate(
     (mergeable) aggregates; avg derives at read time.
 
     Effectively-once: the checkpoint prevents re-delivery across restarts,
-    and an applied-batch marker directory makes the merge idempotent if a
-    batch IS retried after a mid-write crash (the reprocessed batch sees
-    its marker and skips). Replaying from scratch requires clearing table +
-    markers + checkpoint together.
+    and applied-batch markers make the merge idempotent if a batch IS
+    retried after a mid-write crash. The markers live INSIDE the rollup
+    directory (``_applied_<batch_id>`` files — parquet readers skip
+    underscore-prefixed names), staged alongside the new data so the
+    directory rename commits rollup + marker atomically: there is no window
+    where the merge landed but its marker didn't, so a retry can never
+    double-count. Replaying from scratch = clear table + checkpoint.
     """
     import shutil
     from pathlib import Path
 
     spark = events.sparkSession
-    applied = Path(rollup_path + "_applied")
-    applied.mkdir(parents=True, exist_ok=True)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        marker = applied / str(batch_id)
-        if marker.exists():
+        out = Path(rollup_path)
+        if (out / f"_applied_{batch_id}").exists():
             return
         part = batch_df.groupBy(
             F.date_trunc("day", F.col("ts")).alias("day"),
             F.col("event_type"),
         ).agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
-        out = Path(rollup_path)
+        prior_markers = []
         if (out / "_SUCCESS").exists():
+            prior_markers = [p.name for p in out.glob("_applied_*")]
             old = spark.read.parquet(rollup_path)
             part = (
                 old.unionByName(part)
@@ -397,10 +399,12 @@ def stream_continuous_aggregate(
             )
         stage = Path(rollup_path + "_stage")
         part.write.mode("overwrite").parquet(str(stage))
+        for name in prior_markers:  # carry history so older retries still skip
+            (stage / name).touch()
+        (stage / f"_applied_{batch_id}").touch()
         if out.exists():
             shutil.rmtree(out)
         stage.rename(out)
-        marker.touch()
 
     q = (
         events.writeStream.foreachBatch(_merge)

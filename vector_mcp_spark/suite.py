@@ -133,134 +133,82 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 #
 # Registration order is the driver's correctness-check order, and the driver
 # verifies only the first 50 entries per round. Rotate so every entry gets an
-# oracle row across rounds. Round 5 executes the plan recorded at the end of
-# round 4: lead with every entry that has NEVER had a driver row (the 26
-# round-4 additions left outside the window), then the one red row from r4
-# (lineitem_decimal_totals — now canonicalizer-safe VARCHAR output), then
-# backfill the stalest historical greens (r1: mad_udaf/json_extract; r3:
-# search + mutation + pipeline tail). The remaining r3 greens (upsert_merge,
-# engine_lifecycle, dedup_* window block, chunk_documents, …) rotate back in
-# round 6.
-# ROUND 6 TODO: lead with everything in _ROUND6_BACKFILL below (green in
-# earlier rounds, locally re-verified, displaced from this round's window
-# by the never-checked queue + 18 promotions), THEN the round-5 entries
-# registered after the window froze — all locally green, no driver row yet:
-#   corpus_pii_report, events_twap_user_day, semantic_rerank_crossencoder,
-#   events_equidepth_histogram, lexical_indexed_tf, corpus_lang_confusion,
-#   streaming_kmv_distinct, corpus_curriculum_sample,
-#   embedding_isotropy_report, and the late-round-5 batch:
-#   corpus_bpe_merges, corpus_bpe_top_tokens, embedding_covariance_cells,
-#   embedding_top_pc, corpus_bigram_logprob, corpus_source_cap,
-#   events_anomaly_zscore, parts_triangle_count, events_value_winsorized,
-#   corpus_lang_source_chi2, corpus_collocations_pmi,
-#   events_markov_transitions, corpus_bigram_heldout_ppl,
-#   parts_label_propagation, events_cusum_changepoint,
-#   events_theil_sen_trend, corpus_curation_funnel,
-#   streaming_abandoned_clicks, streaming_session_windows,
-#   events_seasonal_decomposition, corpus_doc_keywords,
-#   embedding_nearest_centroid_eval, parts_item_similarity,
-#   embedding_diag_mahalanobis, dedup_sorted_neighborhood,
-#   corpus_quality_percentile_by_source, lineitem_price_discount_skyline,
-#   events_trajectory_similarity, parts_top_communities,
-#   events_bootstrap_mean_ci.
-# That is >50 total: never-checked entries take priority over backfill —
-# split the backfill across rounds 6 and 7 if needed.
+# oracle row across rounds. Round 6 window (see lists below the imports):
+# the three fixed round-5 reds first, then the 39 never-driver-checked
+# late-round-5 registrations, then as many _ROUND6_BACKFILL greens as fit.
+# ROUND 7 TODO: lead with the _ROUND6_BACKFILL tail that missed slot 50 this
+# round (compute as _ROUND6_BACKFILL minus CORRECTNESS_r06 keys), then any
+# round-6 additions without a driver row, then the stalest remaining greens.
 from vector_mcp_spark import suite_relational  # noqa: E402,F401
 from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401
 from vector_mcp_spark import suite_mutation  # noqa: E402,F401
 from vector_mcp_spark import suite_tpch  # noqa: E402,F401
 from vector_mcp_spark import suite_mining  # noqa: E402,F401
-
-# --- Round-5 window --------------------------------------------------------
-# (a) The 26 entries registered in round 4 that have NEVER had a driver
-# correctness row (all green under tools/verify_local.py at the end of r4 and
-# again at the start of r5).
-_NEVER_CHECKED = [
-    "multimodal_image_dims",
-    "multimodal_audio_meta",
-    "corpus_leakage_safe_split",
-    "events_salted_enrich_join",
-    "embedding_hard_negatives",
-    "corpus_source_overlap",
-    "dedup_incremental_lsh",
-    "corpus_manifest",
-    "semantic_late_interaction",
-    "embedding_pq_codes",
-    "embedding_pq_adc_topk",
-    "corpus_bloom_decontaminate",
-    "events_retention_cohorts",
-    "tpch_q13_custdist",
-    "corpus_expectations",
-    "tpch_q5_local_supplier",
-    "events_daily_trend",
+# --- Round-6 window --------------------------------------------------------
+# (a) The three round-5 driver-reds — all were oracle-TYPING bugs (bare
+# SUM(int) typed HUGEINT by DuckDB, hashed differently from Spark's BIGINT by
+# the driver canonicalizer), fixed with CAST(... AS BIGINT) and guarded by the
+# new output-type lint in tools/verify_local.py + tests/test_full_oracle.py.
+# They lead the window so CORRECTNESS_r6 records them green.
+_FIXED_REDS_R6 = [
     "lexical_fuzzy_term",
-    "lexical_snippets",
-    "corpus_unigram_logprob",
-    "events_robust_outliers",
-    "corpus_lexical_diversity",
-    "events_key_skew_report",
-    "events_value_histogram",
-    "events_hourly_seasonality",
-    "events_ab_readout",
-]
-
-# (b) New round-5 operators are appended here as they land so they get a
-# driver row the round they ship; each promotion displaces one backfill slot
-# from the tail of _STALE_BACKFILL (those are historically green and simply
-# wait for round 6).
-_PROMOTED_R5: list[str] = [
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
     "tpch_q12_ship_latency",
-    "tpch_q16_supplier_cnt",
-    "tpch_q20_part_share_suppliers",
-    "tpch_q21_waiting_supplier",
     "corpus_span_novelty",
-    "corpus_dsir_weights",
-    "lexical_postings_index",
-    "graph_pagerank_event_types",
-    "embedding_binary_sign_topk",
-    "multimodal_video_meta",
-    "streaming_continuous_aggregate",
-    "events_snapshot_diff",
-    "events_scd2_intervals",
 ]
 
-# (c) The one red row from round 4 (fixed: VARCHAR decimal output) plus the
-# entries whose newest driver row is oldest (r1/r3), in staleness order.
-_STALE_BACKFILL = [
-    "lineitem_decimal_totals",
-    "events_mad_udaf",
-    "events_json_extract",
-    "multimodal_frame_sample",
-    "embed_documents",
-    "token_counts",
-    "corpus_quality_filter",
-    "top_bigrams",
-    "dedup_clusters",
-    "corpus_stratified_sample",
-    "corpus_shard_assignment",
-    "streaming_dedup_ingest",
-    "semantic_topk",
-    "semantic_threshold",
-    "semantic_multiquery",
-    "lexical_tf",
-    "lexical_and",
-    "lexical_substring",
-    "lexical_bm25",
-    "hybrid_rrf",
-    "lexical_multiquery",
-    "hybrid_multiquery",
-    "get_by_ids",
-    "delete_by_ids",
+# (b) Every entry that has NEVER had a driver correctness row (the 39
+# late-round-5 registrations; verified against CORRECTNESS_r01..r05). All
+# locally green under tools/verify_local.py at sf0.01.
+_NEVER_CHECKED_R6 = [
+    "streaming_abandoned_clicks",
+    "streaming_session_windows",
+    "corpus_pii_report",
+    "events_twap_user_day",
+    "semantic_rerank_crossencoder",
+    "events_equidepth_histogram",
+    "lexical_indexed_tf",
+    "corpus_lang_confusion",
+    "streaming_kmv_distinct",
+    "corpus_curriculum_sample",
+    "embedding_isotropy_report",
+    "corpus_bpe_merges",
+    "corpus_bpe_top_tokens",
+    "embedding_covariance_cells",
+    "embedding_top_pc",
+    "corpus_bigram_logprob",
+    "corpus_source_cap",
+    "events_anomaly_zscore",
+    "parts_triangle_count",
+    "events_value_winsorized",
+    "corpus_lang_source_chi2",
+    "corpus_collocations_pmi",
+    "events_markov_transitions",
+    "corpus_bigram_heldout_ppl",
+    "parts_label_propagation",
+    "events_cusum_changepoint",
+    "events_theil_sen_trend",
+    "corpus_curation_funnel",
+    "events_seasonal_decomposition",
+    "corpus_doc_keywords",
+    "embedding_nearest_centroid_eval",
+    "parts_item_similarity",
+    "embedding_diag_mahalanobis",
+    "dedup_sorted_neighborhood",
+    "corpus_quality_percentile_by_source",
+    "lineitem_price_discount_skyline",
+    "events_trajectory_similarity",
+    "parts_top_communities",
+    "events_bootstrap_mean_ci",
 ]
 
-# Round-6 leads: entries displaced from this round's window. The 18
-# round-5 promotions pushed the tail of _STALE_BACKFILL (dedup/sampling/
-# search/mutation — all green r1–r4 and locally re-verified) past slot 50 —
-# those go FIRST in round 6, then the r3 block below.
+# (c) New round-6 operators are appended here as they land so they get a
+# driver row the round they ship (each displaces one backfill slot).
+_PROMOTED_R6: list[str] = []
+
+# (d) Displaced historical greens (r1-r4 rows, locally re-verified). 3+39
+# above leave ~8 slots; the rest of this list is the ROUND 7 lead —
+# everything here beyond slot 50 MUST head the round-7 window.
 _ROUND6_BACKFILL = [
     "dedup_clusters",
     "corpus_stratified_sample",
@@ -305,7 +253,7 @@ _ROUND6_BACKFILL = [
     "chunk_documents",
 ]
 
-_window = (_NEVER_CHECKED + _PROMOTED_R5 + _STALE_BACKFILL)[:50]
+_window = (_FIXED_REDS_R6 + _NEVER_CHECKED_R6 + _PROMOTED_R6 + _ROUND6_BACKFILL)[:50]
 _missing = [n for n in _window if n not in SUITE]
 if _missing:  # fail loudly at import so a typo can't silently shrink coverage
     raise RuntimeError(f"rotation names not in SUITE: {_missing}")

@@ -31,7 +31,7 @@ spans AS (
 ),
 first_seen AS (SELECT span_h, min(doc_id) AS first_id FROM spans GROUP BY span_h)
 SELECT s.doc_id AS id, count(*) AS n_spans,
-       SUM(CASE WHEN f.first_id < s.doc_id THEN 1 ELSE 0 END) AS n_repeated,
+       CAST(SUM(CASE WHEN f.first_id < s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
        ROUND(1.0 - SUM(CASE WHEN f.first_id < s.doc_id THEN 1 ELSE 0 END)
                    / CAST(count(*) AS DOUBLE), 6) AS novelty
 FROM spans s JOIN first_seen f USING (span_h)

@@ -542,7 +542,7 @@ matched AS (
 )
 SELECT doc_id,
        array_to_string(list_sort(list(DISTINCT p.term)), ',') AS matched_terms,
-       SUM(p.tf) AS score
+       CAST(SUM(p.tf) AS BIGINT) AS score
 FROM postings p JOIN matched m ON p.term = m.term
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
