@@ -69,3 +69,20 @@ def test_private_metadata_key_components(spark, key, dropped):
     df = spark.createDataFrame([({key: "v", "keep_me": "w"},)], "m map<string,string>")
     got = df.select(sanitize_metadata_col(F.col("m")).alias("m")).collect()[0].m
     assert ("keep_me" in got) and (key in got) is not dropped
+
+
+def test_sanitize_metadata_py_twin_matches_column(spark):
+    """The driver-side metadata twin (used by the bounded-ingest fast path in
+    engine.add_documents) drops and redacts exactly what the Column form does."""
+    from vector_mcp_spark.sanitize import sanitize_metadata_py
+
+    meta = {
+        "file_path": "/etc/secret",
+        "topic": "mail me at a@b.co or /var/log/x/y",
+        "source_url": "http://x",
+        "note": "call +1 (415) 555-0100 now",
+    }
+    df = spark.createDataFrame([(meta,)], "m map<string,string>")
+    col_side = df.select(sanitize_metadata_col(F.col("m")).alias("m")).collect()[0].m
+    assert sanitize_metadata_py(meta) == dict(col_side)
+    assert sanitize_metadata_py(None) is None

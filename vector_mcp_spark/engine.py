@@ -29,12 +29,10 @@ from collections.abc import Mapping, Sequence
 from datetime import datetime, timezone
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from vector_mcp_spark.functions.hashing import content_hash_id
-from vector_mcp_spark.sanitize import sanitize_content_col, sanitize_metadata_col
+from vector_mcp_spark.sanitize import sanitize_metadata_py, sanitize_text_py
 from vector_mcp_spark.schema import CATALOG_SCHEMA, DOCUMENT_SCHEMA
 from vector_mcp_spark.validation import (
     EngineError,
@@ -346,41 +344,31 @@ class CollectionEngine:
         n = len(contents)
         metadatas = metadatas if metadatas is not None else [None] * n
         embeddings = embeddings if embeddings is not None else [None] * n
-        rows = [
-            ("", c, dict(m) if m else None, [float(x) for x in e] if e is not None else None, i)
-            for i, (c, m, e) in enumerate(zip(contents, metadatas, embeddings))
-        ]
-        batch_schema = T.StructType(
-            [*DOCUMENT_SCHEMA.fields, T.StructField("_ord", T.IntegerType(), nullable=False)]
-        )
-        new = self.spark.createDataFrame(rows, batch_schema)
-        new = new.withColumn("content", sanitize_content_col(F.col("content")))
-        new = new.withColumn("metadata", sanitize_metadata_col(F.col("metadata")))
-        new = new.withColumn("id", content_hash_id(F.col("content")))
-        # T2 in-batch dedup, last-writer-wins (vector_api.py:363-366).
-        # _ord is the caller's list position, stamped driver-side — stable
-        # under any repartition (monotonically_increasing_id is not).
-        w_last = Window.partitionBy("id").orderBy(F.col("_ord").desc())
-        new = (
-            new.withColumn("_rn", F.row_number().over(w_last))
-            .where(F.col("_rn") == 1)
-            .drop("_ord", "_rn")
-        )
-
-        new = new.select(*DOCUMENT_SCHEMA.fieldNames())
-        # the batch is driver-bounded (≤1000 docs) — its ids are collectable,
-        # and they define exactly which partitions this ingest touches. The
-        # dimension check rides the same collect (embedding sizes are tiny)
-        # instead of paying a second scan job over the batch.
+        # The batch is driver-bounded (≤1000 docs, validate_ingest_bounds),
+        # so sanitize → sha256 id → last-writer-wins dedup run driver-side
+        # via the Column twins' Python counterparts (sanitize_text_py /
+        # sanitize_metadata_py, parity-tested) — the table-side merge below
+        # stays distributed. This removes an entire Spark job per ingest
+        # (the old batch-prep collect): the batch never needs a cluster.
+        prepped: dict[str, tuple] = {}
+        for c, m, e in zip(contents, metadatas, embeddings):
+            content = sanitize_text_py(c)
+            meta = sanitize_metadata_py(dict(m)) if m else None
+            emb = [float(x) for x in e] if e is not None else None
+            # T2 in-batch dedup, last-writer-wins (vector_api.py:363-366):
+            # dict assignment keeps the final writer's row per content id
+            prepped[hashlib.sha256(content.encode("utf-8")).hexdigest()] = (content, meta, emb)
         dim = self._locked_dimension(scoped)
-        id_rows = new.select(
-            "id", F.coalesce(F.size("embedding"), F.lit(-1)).alias("_esz")
-        ).collect()
-        if dim is not None and any(r._esz not in (-1, dim) for r in id_rows):
+        if dim is not None and any(e is not None and len(e) != dim for _, _, e in prepped.values()):
             # postgres.py:164-172 — pgvector's VECTOR(dim) enforces this
             # in-DDL; parquet has no typed vector width, so explicit gate
             raise EngineError("collection_vector_schema_mismatch")
-        ids = [r.id for r in id_rows]
+        ids = list(prepped)
+        # plain createDataFrame keeps the batch a LocalRelation →
+        # LocalTableScan (no parallelize slices, no coalesce barrier)
+        new = self.spark.createDataFrame(
+            [(i, c, m, e) for i, (c, m, e) in prepped.items()], DOCUMENT_SCHEMA
+        )
         prefixes = sorted({i[:_PART_LEN] for i in ids})
         touched = self._read_partitions(scoped, prefixes)
         if not upsert:

@@ -74,3 +74,17 @@ def sanitize_text_py(text: str) -> str:
     text = re.sub(PATH_PATTERN, REDACTED_PATH, text)
     text = re.sub(PHONE_PATTERN, REDACTED_PII, text)
     return text
+
+
+def sanitize_metadata_py(meta) -> dict | None:
+    """Driver-side twin of ``sanitize_metadata_col`` for bounded ingest
+    batches: drop private keys, sanitize remaining values."""
+    import re
+
+    if meta is None:
+        return None
+    return {
+        k: sanitize_text_py(v)
+        for k, v in meta.items()
+        if not re.search(PRIVATE_METADATA_KEY_PATTERN, k)
+    }
