@@ -69,6 +69,131 @@ def test_rich_formats_decode(spark, tmp_path):
     assert "Hello (escaped)" in got["p.pdf"] and "World" in got["p.pdf"]
 
 
+def _pdf_body_and_offsets(objs: dict[int, bytes]) -> tuple[bytes, dict[int, int]]:
+    """Serialize ``num 0 obj ... endobj`` bodies, returning byte offsets."""
+    out, offsets = b"%PDF-1.5\n", {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    return out, offsets
+
+
+def _xref_stream_obj(num: int, size: int, entries: list[tuple[int, int, int]], root: int) -> bytes:
+    """A REAL PDF 1.5 cross-reference stream: /W [1 2 1] rows (type, field2,
+    field3), FlateDecode with PNG Up predictor (/Predictor 12) — the layout
+    mainstream writers emit."""
+    import zlib as _z
+
+    cols = 4
+    rows = [bytes([t]) + f2.to_bytes(2, "big") + bytes([f3]) for t, f2, f3 in entries]
+    prev, png = bytes(cols), b""
+    for r in rows:
+        png += b"\x02" + bytes((r[i] - prev[i]) & 0xFF for i in range(cols))
+        prev = r
+    comp = _z.compress(png)
+    return (
+        b"<< /Type /XRef /Size %d /W [1 2 1] /Root %d 0 R /Length %d"
+        b" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 3 >> >>\n"
+        b"stream\n" % (size, root, len(comp)) + comp + b"\nendstream"
+    )
+
+
+def _make_xref_stream_pdf(text: bytes) -> bytes:
+    """PDF 1.5 whose ONLY index is a cross-reference stream (no classic
+    'xref' table) — the layout that used to raise NotImplementedError."""
+    import zlib as _z
+
+    content = _z.compress(b"BT /F1 12 Tf (" + text + b") Tj ET")
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(content)
+           + content + b"\nendstream",
+    }
+    body, off = _pdf_body_and_offsets(objs)
+    xref_off = len(body)
+    entries = [(0, 0, 255)] + [(1, off[n], 0) for n in sorted(objs)] + [(1, xref_off, 0)]
+    body += b"5 0 obj\n" + _xref_stream_obj(5, 6, entries, root=1) + b"\nendobj\n"
+    return body + b"startxref\n%d\n%%%%EOF\n" % xref_off
+
+
+def _make_objstm_pdf(hex_text: bytes) -> bytes:
+    """PDF 1.5 whose catalog/pages/PAGE dicts live inside a compressed
+    object stream (/Type /ObjStm) — finding /Contents requires expanding
+    it. The content stream shows a HEX string (<...> Tj)."""
+    import zlib as _z
+
+    packed_objs = [
+        (1, b"<< /Type /Catalog /Pages 3 0 R >>"),
+        (3, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (4, b"<< /Type /Page /Parent 3 0 R /Contents 5 0 R >>"),
+    ]
+    payload, header = b"", b""
+    for num, d in packed_objs:
+        header += b"%d %d " % (num, len(payload))
+        payload += d + b" "
+    first = len(header)
+    objstm_content = _z.compress(header + payload)
+    content = _z.compress(b"BT <" + hex_text.hex().encode() + b"> Tj ET")
+    objs = {
+        2: b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>\n"
+           b"stream\n" % (len(packed_objs), first, len(objstm_content))
+           + objstm_content + b"\nendstream",
+        5: b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(content)
+           + content + b"\nendstream",
+    }
+    body, off = _pdf_body_and_offsets(objs)
+    xref_off = len(body)
+    entries = [(0, 0, 255), (2, 2, 0), (1, off[2], 0), (2, 2, 1), (2, 2, 2),
+               (1, off[5], 0), (1, xref_off, 0)]
+    body += b"6 0 obj\n" + _xref_stream_obj(6, 7, entries, root=1) + b"\nendobj\n"
+    return body + b"startxref\n%d\n%%%%EOF\n" % xref_off
+
+
+def test_xref_stream_pdf_extracts_text(spark, tmp_path):
+    """Cross-reference-stream PDFs (PDF 1.5+, no classic xref table) extract
+    text — VERDICT r5 S5 gap; NotImplementedError is reserved for encryption."""
+    (tmp_path / "x.pdf").write_bytes(_make_xref_stream_pdf(b"Xref stream body text"))
+    got = {r.path.split("/")[-1]: r.content
+           for r in read_documents(spark, [str(tmp_path)]).collect()}
+    assert got["x.pdf"] == "Xref stream body text"
+
+
+def test_objstm_pdf_extracts_text(spark, tmp_path):
+    """Object-stream PDFs: the page tree lives compressed inside an ObjStm;
+    text shows via a hex string. Both must decode."""
+    (tmp_path / "o.pdf").write_bytes(_make_objstm_pdf(b"Packed object text"))
+    got = {r.path.split("/")[-1]: r.content
+           for r in read_documents(spark, [str(tmp_path)]).collect()}
+    assert got["o.pdf"] == "Packed object text"
+
+
+def test_multipage_pdf_page_order(spark, tmp_path):
+    """Text comes from the page tree's /Contents in page order, not file
+    order, and /Contents arrays concatenate."""
+    import zlib as _z
+
+    c_p2 = _z.compress(b"BT (second page) Tj ET")
+    c_p1a, c_p1b = _z.compress(b"BT (first) Tj ET"), _z.compress(b"BT (page) Tj ET")
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>",
+        # page object for page TWO appears first in the file (obj 3 < obj 4
+        # but /Contents 7 comes later in the doc) — order must follow pages
+        3: b"<< /Type /Page /Parent 2 0 R /Contents [5 0 R 6 0 R] >>",
+        4: b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>",
+        5: b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(c_p1a) + c_p1a + b"\nendstream",
+        6: b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(c_p1b) + c_p1b + b"\nendstream",
+        7: b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(c_p2) + c_p2 + b"\nendstream",
+    }
+    body, off = _pdf_body_and_offsets(objs)
+    (tmp_path / "m.pdf").write_bytes(body + b"%%EOF\n")
+    got = {r.path.split("/")[-1]: r.content
+           for r in read_documents(spark, [str(tmp_path)]).collect()}
+    assert got["m.pdf"] == "first\npage\nsecond page"
+
+
 def test_undecodable_rich_formats_raise(spark, tmp_path):
     (tmp_path / "doc.pdf").write_bytes(b"%PDF-fake no streams here")
     with pytest.raises(Exception, match="parser library"):

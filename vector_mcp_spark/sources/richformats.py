@@ -10,11 +10,15 @@ tractable without them:
 - ``.epub`` is a zip of XHTML chapters — same tag-strip as the html reader.
 - ``.pdf`` stores page content as (usually Flate-compressed) streams of
   text operators; ``zlib`` + the ``Tj``/``TJ``/``'`` operator grammar
-  recovers the text of simple, unencrypted PDFs.
+  recovers the text. The object layer is parsed structurally — indirect
+  objects are scanned directly (so classic xref tables AND PDF 1.5
+  cross-reference streams both work without decoding the index), object
+  streams (/Type /ObjStm) are expanded, and text comes from the page
+  tree's /Contents in page order, literal and hex strings alike.
 
 These are honest *basic* extractors (no styles, no reading-order repair, no
-embedded fonts/CMaps, no encryption) — full-fidelity parsing still belongs
-to a real library; encrypted or undecodable inputs raise
+embedded fonts/CMaps) — full-fidelity parsing still belongs to a real
+library; encrypted inputs, image-only pages, and exotic filters raise
 ``NotImplementedError`` at the same seam. Extraction runs inside the
 Arrow-batched decode UDF (``readers.py``), so bytes stay executor-side.
 """
@@ -31,12 +35,23 @@ _W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 _TAG_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"[ \t]+")
 
-# PDF literal strings ``(...) Tj``, array form ``[...] TJ`` and the
-# next-line show operator ``'``; strings may contain balanced escaped parens
+# PDF literal strings ``(...) Tj``, hex strings ``<...> Tj``, array form
+# ``[...] TJ`` and the next-line show operator ``'``; literal strings may
+# contain balanced escaped parens
 _PDF_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _PDF_TEXT_BLOCK_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
-_PDF_SHOW_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')|\[((?:[^\]\\]|\\.)*)\]\s*TJ")
-_PDF_ARRAY_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+_PDF_SHOW_RE = re.compile(
+    rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')"
+    rb"|<([0-9A-Fa-f\s]*)>\s*(?:Tj|')"
+    rb"|\[((?:[^\]\\]|\\.)*)\]\s*TJ"
+)
+_PDF_ARRAY_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>")
+# top-level indirect objects are self-delimiting: ``N G obj ... endobj``.
+# Scanning them directly makes the extractor independent of HOW the file
+# indexes its objects — classic xref tables and PDF 1.5 cross-reference
+# STREAMS both just point at these, so neither needs decoding.
+_PDF_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_PDF_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _PDF_ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
     b"(": b"(", b")": b")", b"\\": b"\\",
@@ -99,29 +114,116 @@ def _pdf_unescape(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _pdf_hex_str(raw: bytes) -> bytes:
+    """PDF hex string body → bytes (whitespace allowed; odd length pads 0)."""
+    h = re.sub(rb"\s+", b"", raw)
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii"))
+
+
+def _pdf_show_text(content: bytes, pieces: list[str]) -> None:
+    """Collect the show-operator strings of one content stream."""
+    for block in _PDF_TEXT_BLOCK_RE.finditer(content):
+        for show in _PDF_SHOW_RE.finditer(block.group(1)):
+            if show.group(1) is not None:
+                pieces.append(_pdf_unescape(show.group(1)).decode("latin-1"))
+            elif show.group(2) is not None:
+                pieces.append(_pdf_hex_str(show.group(2)).decode("latin-1"))
+            else:  # TJ array: strings interleaved with kerning numbers
+                for s in _PDF_ARRAY_STR_RE.finditer(show.group(3)):
+                    if s.group(1) is not None:
+                        pieces.append(_pdf_unescape(s.group(1)).decode("latin-1"))
+                    else:
+                        pieces.append(_pdf_hex_str(s.group(2)).decode("latin-1"))
+        pieces.append("\n")
+
+
+def _pdf_inflate(obj_dict: bytes, stream: bytes) -> bytes:
+    """Decode one stream body: FlateDecode or unfiltered; anything else
+    (LZW, DCT images, ...) yields b'' and is skipped by the caller."""
+    if b"/FlateDecode" in obj_dict:
+        try:
+            return zlib.decompress(stream)
+        except zlib.error:
+            return b""
+    if b"/Filter" in obj_dict:
+        return b""
+    return stream
+
+
+def _pdf_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """All indirect objects as {num: (dict_bytes, stream_bytes|None)},
+    including objects packed inside PDF 1.5 object streams (/Type /ObjStm):
+    each ObjStm is inflated and its ``N`` (objnum, offset) header pairs are
+    sliced back out as first-class dict-only objects. Cross-reference
+    streams (/Type /XRef) need no decoding — they only index byte offsets
+    this scan already recovers."""
+    objects: dict[int, tuple[bytes, bytes | None]] = {}
+    for m in _PDF_OBJ_RE.finditer(data):
+        body = m.group(2)
+        sm = _PDF_STREAM_RE.search(body)
+        if sm:
+            objects[int(m.group(1))] = (body[: sm.start()], sm.group(1))
+        else:
+            objects[int(m.group(1))] = (body, None)
+    for d, s in list(objects.values()):
+        if b"/ObjStm" not in d or s is None:
+            continue
+        content = _pdf_inflate(d, s)
+        n_m = re.search(rb"/N\s+(\d+)", d)
+        first_m = re.search(rb"/First\s+(\d+)", d)
+        if not content or not n_m or not first_m:
+            continue
+        n, first = int(n_m.group(1)), int(first_m.group(1))
+        header = content[:first].split()
+        if len(header) < 2 * n:
+            continue
+        pairs = [(int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)]
+        for i, (num, off) in enumerate(pairs):
+            end = first + pairs[i + 1][1] if i + 1 < n else len(content)
+            # packed objects are dict/array values only (streams can't nest)
+            objects.setdefault(num, (content[first + off : end], None))
+    return objects
+
+
 def decode_pdf(data: bytes) -> str:
-    """Text of a simple, unencrypted PDF: inflate content streams, walk
-    BT..ET blocks, collect Tj / ' / TJ show operators."""
+    """Text of an unencrypted PDF: walk the object graph (classic-xref,
+    cross-reference-stream, and ObjStm layouts all work — objects are
+    scanned directly, compressed object streams are expanded), inflate the
+    page /Contents streams in page order, collect Tj / ' / TJ show
+    operators (literal and hex strings). Files without a parseable page
+    tree fall back to scanning every stream."""
     if b"/Encrypt" in data:
         raise NotImplementedError("encrypted PDF requires a real parser library")
+    objects = _pdf_objects(data)
     pieces: list[str] = []
-    for m in _PDF_STREAM_RE.finditer(data):
-        raw = m.group(1)
-        try:
-            content = zlib.decompress(raw)
-        except zlib.error:
-            content = raw  # uncompressed content stream
-        for block in _PDF_TEXT_BLOCK_RE.finditer(content):
-            for show in _PDF_SHOW_RE.finditer(block.group(1)):
-                if show.group(1) is not None:
-                    pieces.append(_pdf_unescape(show.group(1)).decode("latin-1"))
-                else:  # TJ array: strings interleaved with kerning numbers
-                    for s in _PDF_ARRAY_STR_RE.finditer(show.group(2)):
-                        pieces.append(_pdf_unescape(s.group(1)).decode("latin-1"))
-            pieces.append("\n")
+    seen_contents = False
+    for num in sorted(objects):
+        d, _ = objects[num]
+        if not re.search(rb"/Type\s*/Page\b", d):
+            continue
+        c = re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", d)
+        if not c:
+            continue
+        for ref in _PDF_REF_RE.findall(c.group(1)):
+            obj = objects.get(int(ref))
+            if obj and obj[1] is not None:
+                seen_contents = True
+                _pdf_show_text(_pdf_inflate(obj[0], obj[1]), pieces)
+    if not seen_contents:
+        # no parseable page tree (malformed / exotic writer): scan every
+        # stream like the pre-graph extractor did
+        for m in _PDF_STREAM_RE.finditer(data):
+            raw = m.group(1)
+            try:
+                content = zlib.decompress(raw)
+            except zlib.error:
+                content = raw  # uncompressed content stream
+            _pdf_show_text(content, pieces)
     text = "".join(pieces).strip()
     if not text:
-        # no streams, image-only pages, exotic filters, CMap-encoded fonts —
-        # refuse loudly rather than silently return nothing
+        # image-only pages, exotic filters, CMap-encoded fonts — refuse
+        # loudly rather than silently return nothing
         raise NotImplementedError("PDF text extraction failed; requires a parser library")
     return text
