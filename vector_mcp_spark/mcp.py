@@ -10,9 +10,10 @@ with did-you-mean suggestions for unknown actions, argument bounds identical
 to the engine's §2.5 validation, and stable snake_case error codes in the
 response dict (never a raw traceback).
 
-The transport layer (FastMCP, HTTP, auth) is deliberately out of scope —
-environment-limited and orthogonal to query semantics; this module is the
-dispatch seam a server would mount.
+The stdio transport lives in ``mcp_stdio.py`` (``python -m
+vector_mcp_spark.mcp --root ...`` serves these tools over newline-delimited
+JSON-RPC, mirroring ``mcp_server.py:321-336``'s ``--transport stdio``);
+HTTP/SSE transports and auth middleware remain out of scope.
 """
 
 from __future__ import annotations
@@ -196,3 +197,11 @@ class McpVeneer:
             return {"action": resolved, "collection_name": collection_name, "results": rows}
         except EngineError as e:
             return {"error": str(e)}
+
+
+if __name__ == "__main__":  # python -m vector_mcp_spark.mcp --root ...
+    import sys as _sys
+
+    from vector_mcp_spark.mcp_stdio import main as _stdio_main
+
+    raise SystemExit(_stdio_main(_sys.argv[1:]))

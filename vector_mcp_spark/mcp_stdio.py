@@ -1,0 +1,157 @@
+"""Stdio MCP transport — newline-delimited JSON-RPC 2.0 over stdin/stdout.
+
+The reference serves its tools through FastMCP's stdio transport
+(``vector_mcp/mcp_server.py:321-336``, tool registration ``:202-225``).
+This module is the Spark-side equivalent: the same three action-routed
+tools (``vector_collection_management``, ``vector_search``,
+``vector_backend_operations``) served over the MCP wire protocol's stdio
+framing — one JSON-RPC message per line — with the dispatch and stable
+error codes delegated to :class:`~vector_mcp_spark.agent_card.AgentCardVeneer`.
+
+Run it with ``python -m vector_mcp_spark.mcp --root /path/to/warehouse``.
+The loop itself is transport-pure (file-like in/out injected), so tests can
+drive it in-process or over a real subprocess pipe.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, TextIO
+
+MCP_PROTOCOL_VERSION = "2024-11-05"
+
+# JSON-RPC 2.0 error codes
+PARSE_ERROR = -32700
+INVALID_REQUEST = -32600
+METHOD_NOT_FOUND = -32601
+INVALID_PARAMS = -32602
+INTERNAL_ERROR = -32603
+
+
+def _error(msg_id: Any, code: int, message: str) -> dict:
+    return {"jsonrpc": "2.0", "id": msg_id, "error": {"code": code, "message": message}}
+
+
+def _result(msg_id: Any, result: dict) -> dict:
+    return {"jsonrpc": "2.0", "id": msg_id, "result": result}
+
+
+def tool_listing() -> list[dict]:
+    """The MCP ``tools/list`` payload, derived from the same skill catalog
+    the agent card serves (one schema per action-routed tool)."""
+    from vector_mcp_spark.agent_card import SKILL_CATALOG
+
+    tools = []
+    for skill in SKILL_CATALOG:
+        tools.append(
+            {
+                "name": skill["tool"],
+                "description": skill["description"],
+                "inputSchema": {
+                    "type": "object",
+                    "properties": {
+                        "action": {"type": "string", "enum": list(skill["actions"])},
+                    },
+                    "required": ["action"],
+                    "additionalProperties": True,
+                },
+            }
+        )
+    return tools
+
+
+def handle_message(agent, msg: Any) -> dict | None:
+    """One JSON-RPC message → response dict, or None for notifications.
+
+    ``agent`` is anything with ``.dispatch(tool, action, **kwargs)`` and
+    ``.card()`` (AgentCardVeneer in production, a stub in tests)."""
+    if not isinstance(msg, dict) or msg.get("jsonrpc") != "2.0" or "method" not in msg:
+        msg_id = msg.get("id") if isinstance(msg, dict) else None
+        return _error(msg_id, INVALID_REQUEST, "not a JSON-RPC 2.0 request")
+    method = msg["method"]
+    msg_id = msg.get("id")
+    is_notification = "id" not in msg
+    try:
+        if method == "initialize":
+            card = agent.card()
+            return _result(
+                msg_id,
+                {
+                    "protocolVersion": MCP_PROTOCOL_VERSION,
+                    "capabilities": {"tools": {}},
+                    "serverInfo": {"name": card["name"], "version": card["version"]},
+                    "instructions": card["description"],
+                },
+            )
+        if method.startswith("notifications/"):
+            return None
+        if method == "ping":
+            return _result(msg_id, {})
+        if method == "tools/list":
+            return _result(msg_id, {"tools": tool_listing()})
+        if method == "tools/call":
+            params = msg.get("params") or {}
+            name = params.get("name")
+            arguments = dict(params.get("arguments") or {})
+            if not isinstance(name, str) or "action" not in arguments:
+                return _error(msg_id, INVALID_PARAMS, "tools/call needs name and arguments.action")
+            action = arguments.pop("action")
+            out = agent.dispatch(name, action, **arguments)
+            # MCP tool results carry the payload as text content; the stable
+            # snake_case error dicts ride through as isError results — a bad
+            # action is a TOOL-level outcome, not a protocol failure
+            return _result(
+                msg_id,
+                {
+                    "content": [{"type": "text", "text": json.dumps(out, default=str)}],
+                    "isError": bool(isinstance(out, dict) and "error" in out),
+                },
+            )
+        if is_notification:
+            return None
+        return _error(msg_id, METHOD_NOT_FOUND, f"unknown method: {method}")
+    except Exception as e:  # dispatch must never leak a traceback onto the wire
+        return _error(msg_id, INTERNAL_ERROR, f"{type(e).__name__}: {e}")
+
+
+def serve(agent, stdin: TextIO, stdout: TextIO) -> None:
+    """Blocking newline-delimited JSON-RPC loop until EOF on ``stdin``."""
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            msg = json.loads(line)
+        except json.JSONDecodeError:
+            resp: dict | None = _error(None, PARSE_ERROR, "invalid JSON")
+        else:
+            resp = handle_message(agent, msg)
+        if resp is not None:
+            stdout.write(json.dumps(resp) + "\n")
+            stdout.flush()
+
+
+def main(argv: list[str] | None = None) -> int:
+    """``python -m vector_mcp_spark.mcp`` — build the Spark-backed agent and
+    serve MCP over stdio (mcp_server.py:321-336's ``--transport stdio``)."""
+    import argparse
+    import sys
+
+    parser = argparse.ArgumentParser(prog="vector_mcp_spark.mcp")
+    parser.add_argument("--root", required=True, help="collection warehouse root directory")
+    parser.add_argument("--tenant", default=None)
+    parser.add_argument("--transport", default="stdio", choices=["stdio"])
+    args = parser.parse_args(argv)
+
+    from vector_mcp_spark.agent_card import AgentCardVeneer
+    from vector_mcp_spark.api import VectorSearchApi
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.mcp import McpVeneer
+    from vector_mcp_spark.session import get_spark
+
+    spark = get_spark("vector-mcp-stdio")
+    engine = CollectionEngine(spark, args.root, tenant=args.tenant)
+    agent = AgentCardVeneer(McpVeneer(engine, VectorSearchApi(engine)))
+    print(f"vector-mcp-spark MCP serving stdio (root={args.root})", file=sys.stderr, flush=True)
+    serve(agent, sys.stdin, sys.stdout)
+    return 0
