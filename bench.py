@@ -68,10 +68,15 @@ def main() -> int:
     # signal — record its error and keep timing the rest of the suite.
     # Pass 0 is the untimed warm pass (see module docstring); pass 1 is
     # the reported steady-state run.
+    # Canonical ALPHABETICAL execution order, independent of SUITE's
+    # registration order: registration rotates every round for correctness-
+    # window coverage, and r6 showed per-query times moving >2x with no code
+    # change when the rotation reshuffled who runs early — a fixed order
+    # (plus the warm pass) makes per-query numbers comparable across rounds.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for timed in (False, True):
-        for name, entry in SUITE.items():
+        for name, entry in sorted(SUITE.items()):
             if name in errors:
                 continue  # failed in the warm pass; don't pay for it twice
             t0 = time.perf_counter()

@@ -133,91 +133,24 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 #
 # Registration order is the driver's correctness-check order, and the driver
 # verifies only the first 50 entries per round. Rotate so every entry gets an
-# oracle row across rounds. Round 6 window (see lists below the imports):
-# the three fixed round-5 reds first, then the 39 never-driver-checked
-# late-round-5 registrations, then as many _ROUND6_BACKFILL greens as fit.
-# ROUND 7 TODO: lead with the _ROUND6_BACKFILL tail that missed slot 50 this
-# round (compute as _ROUND6_BACKFILL minus CORRECTNESS_r06 keys), then any
-# round-6 additions without a driver row, then the stalest remaining greens.
+# oracle row across rounds. Round 7 window (see lists below the imports):
+# the 33 _ROUND6_BACKFILL entries that missed slot 50 last round (their
+# newest driver rows are r3), then new round-7 operators (_PROMOTED_R7),
+# then the stalest remaining greens (r4 rows) up to 50.
+# ROUND 8 TODO: lead with _ROUND7_FILL entries displaced past slot 50 by
+# _PROMOTED_R7 plus the remaining r4/r5-latest entries (compute as all
+# entries minus CORRECTNESS_r0{6,7} keys, sorted by latest driver row).
 from vector_mcp_spark import suite_relational  # noqa: E402,F401
 from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401
 from vector_mcp_spark import suite_mutation  # noqa: E402,F401
 from vector_mcp_spark import suite_tpch  # noqa: E402,F401
 from vector_mcp_spark import suite_mining  # noqa: E402,F401
-# --- Round-6 window --------------------------------------------------------
-# (a) The three round-5 driver-reds — all were oracle-TYPING bugs (bare
-# SUM(int) typed HUGEINT by DuckDB, hashed differently from Spark's BIGINT by
-# the driver canonicalizer), fixed with CAST(... AS BIGINT) and guarded by the
-# new output-type lint in tools/verify_local.py + tests/test_full_oracle.py.
-# They lead the window so CORRECTNESS_r6 records them green.
-_FIXED_REDS_R6 = [
-    "lexical_fuzzy_term",
-    "tpch_q12_ship_latency",
-    "corpus_span_novelty",
-]
-
-# (b) Every entry that has NEVER had a driver correctness row (the 39
-# late-round-5 registrations; verified against CORRECTNESS_r01..r05). All
-# locally green under tools/verify_local.py at sf0.01.
-_NEVER_CHECKED_R6 = [
-    "streaming_abandoned_clicks",
-    "streaming_session_windows",
-    "corpus_pii_report",
-    "events_twap_user_day",
-    "semantic_rerank_crossencoder",
-    "events_equidepth_histogram",
-    "lexical_indexed_tf",
-    "corpus_lang_confusion",
-    "streaming_kmv_distinct",
-    "corpus_curriculum_sample",
-    "embedding_isotropy_report",
-    "corpus_bpe_merges",
-    "corpus_bpe_top_tokens",
-    "embedding_covariance_cells",
-    "embedding_top_pc",
-    "corpus_bigram_logprob",
-    "corpus_source_cap",
-    "events_anomaly_zscore",
-    "parts_triangle_count",
-    "events_value_winsorized",
-    "corpus_lang_source_chi2",
-    "corpus_collocations_pmi",
-    "events_markov_transitions",
-    "corpus_bigram_heldout_ppl",
-    "parts_label_propagation",
-    "events_cusum_changepoint",
-    "events_theil_sen_trend",
-    "corpus_curation_funnel",
-    "events_seasonal_decomposition",
-    "corpus_doc_keywords",
-    "embedding_nearest_centroid_eval",
-    "parts_item_similarity",
-    "embedding_diag_mahalanobis",
-    "dedup_sorted_neighborhood",
-    "corpus_quality_percentile_by_source",
-    "lineitem_price_discount_skyline",
-    "events_trajectory_similarity",
-    "parts_top_communities",
-    "events_bootstrap_mean_ci",
-]
-
-# (c) New round-6 operators are appended here as they land so they get a
-# driver row the round they ship (each displaces one backfill slot).
-_PROMOTED_R6: list[str] = []
-
-# (d) Displaced historical greens (r1-r4 rows, locally re-verified). 3+39
-# above leave ~8 slots; the rest of this list is the ROUND 7 lead —
-# everything here beyond slot 50 MUST head the round-7 window.
-_ROUND6_BACKFILL = [
-    "dedup_clusters",
-    "corpus_stratified_sample",
-    "corpus_shard_assignment",
-    "streaming_dedup_ingest",
-    "semantic_topk",
-    "semantic_threshold",
-    "semantic_multiquery",
-    "lexical_tf",
+# --- Round-7 window --------------------------------------------------------
+# (a) The 33 _ROUND6_BACKFILL entries that fell past slot 50 in round 6
+# (newest driver rows r3; all re-verified locally at sf0.01 and by
+# tests/test_full_oracle.py at sf0.001 each round since).
+_ROUND7_LEAD = [
     "lexical_and",
     "lexical_substring",
     "lexical_bm25",
@@ -253,7 +186,37 @@ _ROUND6_BACKFILL = [
     "chunk_documents",
 ]
 
-_window = (_FIXED_REDS_R6 + _NEVER_CHECKED_R6 + _PROMOTED_R6 + _ROUND6_BACKFILL)[:50]
+# (b) New round-7 operators are appended here as they land so they get a
+# driver row the round they ship (each displaces one _ROUND7_FILL slot).
+_PROMOTED_R7: list[str] = [
+    "federated_search",
+    "rag_eval_metrics",
+    "events_time_travel",
+]
+
+# (c) Stalest remaining greens (latest driver rows r4, alphabetical within
+# round). Entries displaced past slot 50 here head the ROUND-8 window.
+_ROUND7_FILL = [
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_projected_topk",
+    "corpus_decontaminate",
+    "corpus_mixture_sample",
+    "corpus_pack_sequences",
+    "corpus_repetition_stats",
+    "corpus_weighted_sample",
+    "customers_without_orders",
+    "dedup_winnow_fingerprints",
+    "embedding_centroid_outliers",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "events_cms_user_counts",
+    "events_cube",
+    "events_distinct_daily",
+    "events_funnel_stages",
+]
+
+_window = (_ROUND7_LEAD + _PROMOTED_R7 + _ROUND7_FILL)[:50]
 _missing = [n for n in _window if n not in SUITE]
 if _missing:  # fail loudly at import so a typo can't silently shrink coverage
     raise RuntimeError(f"rotation names not in SUITE: {_missing}")
