@@ -756,3 +756,219 @@ def test_veneer_index_actions(spark, tmp_path_factory):
     assert v.vector_collection_management("index_status", collection_name="nope") == {
         "error": "collection_not_found"
     }
+
+
+# ---------------------------------------------------------------------------
+# MCP transports: stdio (newline JSON-RPC) and streamable-http.
+# Mirrors the reference's in-process client ring
+# (/root/reference/tests/test_mcp_server.py:44-217): initialize → tools/list
+# → create/add/search via tools/call → protocol errors → notification silence.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def transport_agent(spark, tmp_path_factory):
+    from vector_mcp_spark.agent_card import AgentCardVeneer
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("mcp_stdio_root")))
+    return AgentCardVeneer(McpVeneer(eng, VectorSearchApi(eng)))
+
+
+def _rpc(method, msg_id=None, **params):
+    msg = {"jsonrpc": "2.0", "method": method}
+    if msg_id is not None:
+        msg["id"] = msg_id
+    if params:
+        msg["params"] = params
+    return msg
+
+
+def _tool_text(resp):
+    import json
+
+    assert "error" not in resp, resp
+    return json.loads(resp["result"]["content"][0]["text"])
+
+
+def test_stdio_handle_message_full_ring(transport_agent):
+    from vector_mcp_spark import mcp_stdio as t
+
+    # initialize
+    resp = t.handle_message(transport_agent, _rpc("initialize", 1))
+    assert resp["id"] == 1
+    assert resp["result"]["protocolVersion"] == t.MCP_PROTOCOL_VERSION
+    assert resp["result"]["serverInfo"]["name"]
+    # tools/list exposes the three action-routed tools with action enums
+    resp = t.handle_message(transport_agent, _rpc("tools/list", 2))
+    tools = {tl["name"]: tl for tl in resp["result"]["tools"]}
+    assert "vector_collection_management" in tools and "vector_search" in tools
+    assert "create_collection" in tools["vector_collection_management"][
+        "inputSchema"]["properties"]["action"]["enum"]
+    # create → add → search through tools/call
+    out = _tool_text(t.handle_message(transport_agent, _rpc(
+        "tools/call", 3, name="vector_collection_management",
+        arguments={"action": "create_collection", "collection_name": "ring_kb",
+                   "document_contents": ["spark processes data", "vectors enable search"]},
+    )))
+    assert out == {"collection_name": "ring_kb", "documents_added": 2}
+    resp = t.handle_message(transport_agent, _rpc(
+        "tools/call", 4, name="vector_search",
+        arguments={"action": "search", "collection_name": "ring_kb",
+                   "question": "data search"},
+    ))
+    assert resp["result"]["isError"] is False
+    out = _tool_text(resp)
+    assert out["action"] == "search" and len(out["results"]) > 0
+    # tool-level failure rides through as isError result, not protocol error
+    resp = t.handle_message(transport_agent, _rpc(
+        "tools/call", 5, name="vector_search",
+        arguments={"action": "search", "collection_name": "nope", "question": "q"},
+    ))
+    assert resp["result"]["isError"] is True
+    assert _tool_text(resp)["error"] == "collection_not_found"
+    # ping
+    assert t.handle_message(transport_agent, _rpc("ping", 6))["result"] == {}
+
+
+def test_stdio_protocol_errors(transport_agent):
+    from vector_mcp_spark import mcp_stdio as t
+
+    # invalid request envelope
+    resp = t.handle_message(transport_agent, {"id": 1, "method": "ping"})
+    assert resp["error"]["code"] == t.INVALID_REQUEST
+    resp = t.handle_message(transport_agent, ["not", "a", "dict"])
+    assert resp["error"]["code"] == t.INVALID_REQUEST
+    # unknown method
+    resp = t.handle_message(transport_agent, _rpc("resources/list", 2))
+    assert resp["error"]["code"] == t.METHOD_NOT_FOUND
+    # tools/call without name/action
+    resp = t.handle_message(transport_agent, _rpc("tools/call", 3, arguments={}))
+    assert resp["error"]["code"] == t.INVALID_PARAMS
+    # dispatch exception → INTERNAL_ERROR envelope, no traceback leak
+    class Boom:
+        def card(self):
+            raise RuntimeError("kaboom")
+
+    resp = t.handle_message(Boom(), _rpc("initialize", 4))
+    assert resp["error"]["code"] == t.INTERNAL_ERROR
+    assert "kaboom" in resp["error"]["message"]
+
+
+def test_stdio_notifications_are_silent(transport_agent):
+    """JSON-RPC 2.0 forbids responding to id-less requests — even known
+    methods and even errors (ADVICE r6: id:null replies broke strict clients)."""
+    from vector_mcp_spark import mcp_stdio as t
+
+    for method in ("initialize", "ping", "tools/list", "notifications/initialized",
+                   "no/such/method"):
+        assert t.handle_message(transport_agent, _rpc(method)) is None
+    # side effects of an id-less tools/call still run
+    assert t.handle_message(transport_agent, _rpc(
+        "tools/call", name="vector_collection_management",
+        arguments={"action": "create_collection", "collection_name": "notif_kb",
+                   "document_contents": ["silent doc"]},
+    )) is None
+    resp = t.handle_message(transport_agent, _rpc(
+        "tools/call", 9, name="vector_collection_management",
+        arguments={"action": "list_collections"},
+    ))
+    assert "notif_kb" in _tool_text(resp)["collections"]
+
+
+def test_stdio_serve_loop(transport_agent):
+    """Drive serve() end-to-end over in-memory pipes: one JSON line per
+    response, parse errors answered, blank lines and notifications skipped."""
+    import io
+    import json
+
+    from vector_mcp_spark import mcp_stdio as t
+
+    lines = [
+        json.dumps(_rpc("initialize", 1)),
+        "",  # blank line skipped
+        "this is not json",  # → parse error with id null
+        json.dumps(_rpc("notifications/initialized")),  # silent
+        json.dumps(_rpc("tools/list", 2)),
+    ]
+    out = io.StringIO()
+    t.serve(transport_agent, io.StringIO("\n".join(lines) + "\n"), out)
+    resps = [json.loads(ln) for ln in out.getvalue().splitlines()]
+    assert [r.get("id") for r in resps] == [1, None, 2]
+    assert resps[1]["error"]["code"] == t.PARSE_ERROR
+    assert {tl["name"] for tl in resps[2]["result"]["tools"]} >= {
+        "vector_collection_management", "vector_search"}
+
+
+@pytest.fixture()
+def http_mcp_server(transport_agent):
+    import threading
+
+    from vector_mcp_spark.mcp_http import start_http
+
+    server = start_http(transport_agent, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        yield f"http://127.0.0.1:{server.server_address[1]}/mcp"
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=5)
+
+
+def _http_post(url, body: bytes):
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body,
+                                 headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_http_transport_loopback(http_mcp_server):
+    """tools/call over real HTTP — the reference's streamable-http parity
+    (mcp_server.py:328-336), protocol layer shared with stdio verbatim."""
+    import json
+    import urllib.request
+
+    url = http_mcp_server
+    status, body = _http_post(url, json.dumps(_rpc("initialize", 1)).encode())
+    assert status == 200
+    assert json.loads(body)["result"]["protocolVersion"]
+    # full tool round-trip
+    status, body = _http_post(url, json.dumps(_rpc(
+        "tools/call", 2, name="vector_collection_management",
+        arguments={"action": "create_collection", "collection_name": "http_kb",
+                   "document_contents": ["served over http", "loopback doc"]},
+    )).encode())
+    assert status == 200
+    assert _tool_text(json.loads(body)) == {"collection_name": "http_kb",
+                                            "documents_added": 2}
+    status, body = _http_post(url, json.dumps(_rpc(
+        "tools/call", 3, name="vector_search",
+        arguments={"action": "search", "collection_name": "http_kb",
+                   "question": "http loopback"},
+    )).encode())
+    out = _tool_text(json.loads(body))
+    assert len(out["results"]) > 0
+    # notification → 202 empty; parse error → JSON-RPC envelope; GET → 405
+    status, body = _http_post(url, json.dumps(_rpc("ping")).encode())
+    assert status == 202 and body == b""
+    status, body = _http_post(url, b"{not json")
+    assert status == 200 and json.loads(body)["error"]["code"] == -32700
+    req = urllib.request.Request(url)
+    import urllib.error
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            status = r.status
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 405
+    # wrong path → 404
+    status, _ = _http_post(url.replace("/mcp", "/other"),
+                           json.dumps(_rpc("ping", 1)).encode())
+    assert status == 404

@@ -142,7 +142,7 @@ class McpVeneer:
             # identity-scoped entitlement filter
             return {"collections": self._entitled("collection", self.engine.get_collections())}
         except EngineError as e:
-            return {"error": str(e)}
+            return {"error": e.code}
 
     # -- vector_search (mcp_server.py:202-293) ------------------------------
 
@@ -196,7 +196,7 @@ class McpVeneer:
                 ]
             return {"action": resolved, "collection_name": collection_name, "results": rows}
         except EngineError as e:
-            return {"error": str(e)}
+            return {"error": e.code}
 
 
 if __name__ == "__main__":  # python -m vector_mcp_spark.mcp --root ...

@@ -1,0 +1,96 @@
+"""Streamable-HTTP MCP transport — JSON-RPC 2.0 over a single POST endpoint.
+
+The reference serves ``streamable-http`` (and ``sse``) alongside stdio
+(``vector_mcp/mcp_server.py:328-336``); this is the Spark-side equivalent,
+built on the stdlib ``http.server`` so it carries no new dependencies. The
+protocol layer is ``mcp_stdio.handle_message`` verbatim — the transport only
+frames HTTP:
+
+* ``POST <path>`` with a JSON-RPC request body → ``200 application/json``
+  with the response body.
+* ``POST`` with a notification (no ``id``) → ``202 Accepted``, empty body
+  (side effects still run; JSON-RPC forbids responding to notifications).
+* ``POST`` with unparseable JSON → 200 with a ``-32700`` parse error (the
+  JSON-RPC error envelope, not an HTTP error, so strict clients can read it).
+* ``GET`` → ``405`` — the optional SSE server-push stream of the
+  streamable-http spec is not served; every exchange here is request/response
+  (documented seam; the reference delegates SSE to FastMCP).
+
+``serve_http`` binds, reports the chosen port (for ``port=0`` loopback
+tests), and blocks; ``start_http`` returns the live ``ThreadingHTTPServer``
+for in-process tests to drive and shut down.
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from vector_mcp_spark.mcp_stdio import PARSE_ERROR, _error, handle_message
+
+MAX_BODY_BYTES = 8 * 1024 * 1024  # one MCP message, not a bulk-data channel
+
+
+def _make_handler(agent, path: str):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # noqa: A003 - silence per-request stderr spam
+            pass
+
+        def _send(self, status: int, body: bytes, content_type: str = "application/json"):
+            self.send_response(status)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if body:
+                self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            self._send(405, b'{"error": "SSE stream not supported; POST JSON-RPC"}')
+
+        def do_POST(self):  # noqa: N802
+            if self.path.rstrip("/") != path.rstrip("/"):
+                self._send(404, b'{"error": "unknown endpoint"}')
+                return
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                length = 0
+            if length <= 0 or length > MAX_BODY_BYTES:
+                self._send(400, b'{"error": "missing or oversized body"}')
+                return
+            raw = self.rfile.read(length)
+            try:
+                msg = json.loads(raw)
+            except json.JSONDecodeError:
+                resp: dict | None = _error(None, PARSE_ERROR, "invalid JSON")
+            else:
+                resp = handle_message(agent, msg)
+            if resp is None:
+                self._send(202, b"")
+            else:
+                self._send(200, json.dumps(resp).encode())
+
+    return Handler
+
+
+def start_http(agent, host: str = "127.0.0.1", port: int = 0, path: str = "/mcp"):
+    """Bind and return a ready ``ThreadingHTTPServer`` (not yet serving).
+
+    Callers run ``serve_forever()`` on a thread (tests) or inline (``main``);
+    ``server.server_address[1]`` is the bound port when ``port=0``."""
+    return ThreadingHTTPServer((host, port), _make_handler(agent, path))
+
+
+def serve_http(agent, host: str = "127.0.0.1", port: int = 8000, path: str = "/mcp") -> None:
+    import sys
+
+    server = start_http(agent, host, port, path)
+    bound = server.server_address[1]
+    print(f"vector-mcp-spark MCP serving streamable-http on http://{host}:{bound}{path}",
+          file=sys.stderr, flush=True)
+    try:
+        server.serve_forever()
+    finally:
+        server.server_close()

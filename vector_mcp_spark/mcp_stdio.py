@@ -64,7 +64,11 @@ def handle_message(agent, msg: Any) -> dict | None:
     """One JSON-RPC message → response dict, or None for notifications.
 
     ``agent`` is anything with ``.dispatch(tool, action, **kwargs)`` and
-    ``.card()`` (AgentCardVeneer in production, a stub in tests)."""
+    ``.card()`` (AgentCardVeneer in production, a stub in tests).
+
+    JSON-RPC 2.0 §4.1: a request without ``id`` is a notification and MUST
+    NOT receive a response — side effects (e.g. an id-less ``tools/call``)
+    still run, but the return is ``None`` even on error."""
     if not isinstance(msg, dict) or msg.get("jsonrpc") != "2.0" or "method" not in msg:
         msg_id = msg.get("id") if isinstance(msg, dict) else None
         return _error(msg_id, INVALID_REQUEST, "not a JSON-RPC 2.0 request")
@@ -72,46 +76,49 @@ def handle_message(agent, msg: Any) -> dict | None:
     msg_id = msg.get("id")
     is_notification = "id" not in msg
     try:
-        if method == "initialize":
-            card = agent.card()
-            return _result(
-                msg_id,
-                {
-                    "protocolVersion": MCP_PROTOCOL_VERSION,
-                    "capabilities": {"tools": {}},
-                    "serverInfo": {"name": card["name"], "version": card["version"]},
-                    "instructions": card["description"],
-                },
-            )
-        if method.startswith("notifications/"):
-            return None
-        if method == "ping":
-            return _result(msg_id, {})
-        if method == "tools/list":
-            return _result(msg_id, {"tools": tool_listing()})
-        if method == "tools/call":
-            params = msg.get("params") or {}
-            name = params.get("name")
-            arguments = dict(params.get("arguments") or {})
-            if not isinstance(name, str) or "action" not in arguments:
-                return _error(msg_id, INVALID_PARAMS, "tools/call needs name and arguments.action")
-            action = arguments.pop("action")
-            out = agent.dispatch(name, action, **arguments)
-            # MCP tool results carry the payload as text content; the stable
-            # snake_case error dicts ride through as isError results — a bad
-            # action is a TOOL-level outcome, not a protocol failure
-            return _result(
-                msg_id,
-                {
-                    "content": [{"type": "text", "text": json.dumps(out, default=str)}],
-                    "isError": bool(isinstance(out, dict) and "error" in out),
-                },
-            )
-        if is_notification:
-            return None
-        return _error(msg_id, METHOD_NOT_FOUND, f"unknown method: {method}")
+        resp = _dispatch_method(agent, method, msg, msg_id)
     except Exception as e:  # dispatch must never leak a traceback onto the wire
-        return _error(msg_id, INTERNAL_ERROR, f"{type(e).__name__}: {e}")
+        resp = _error(msg_id, INTERNAL_ERROR, f"{type(e).__name__}: {e}")
+    return None if is_notification else resp
+
+
+def _dispatch_method(agent, method: str, msg: dict, msg_id: Any) -> dict | None:
+    if method == "initialize":
+        card = agent.card()
+        return _result(
+            msg_id,
+            {
+                "protocolVersion": MCP_PROTOCOL_VERSION,
+                "capabilities": {"tools": {}},
+                "serverInfo": {"name": card["name"], "version": card["version"]},
+                "instructions": card["description"],
+            },
+        )
+    if method.startswith("notifications/"):
+        return None
+    if method == "ping":
+        return _result(msg_id, {})
+    if method == "tools/list":
+        return _result(msg_id, {"tools": tool_listing()})
+    if method == "tools/call":
+        params = msg.get("params") or {}
+        name = params.get("name")
+        arguments = dict(params.get("arguments") or {})
+        if not isinstance(name, str) or "action" not in arguments:
+            return _error(msg_id, INVALID_PARAMS, "tools/call needs name and arguments.action")
+        action = arguments.pop("action")
+        out = agent.dispatch(name, action, **arguments)
+        # MCP tool results carry the payload as text content; the stable
+        # snake_case error dicts ride through as isError results — a bad
+        # action is a TOOL-level outcome, not a protocol failure
+        return _result(
+            msg_id,
+            {
+                "content": [{"type": "text", "text": json.dumps(out, default=str)}],
+                "isError": bool(isinstance(out, dict) and "error" in out),
+            },
+        )
+    return _error(msg_id, METHOD_NOT_FOUND, f"unknown method: {method}")
 
 
 def serve(agent, stdin: TextIO, stdout: TextIO) -> None:
@@ -133,14 +140,17 @@ def serve(agent, stdin: TextIO, stdout: TextIO) -> None:
 
 def main(argv: list[str] | None = None) -> int:
     """``python -m vector_mcp_spark.mcp`` — build the Spark-backed agent and
-    serve MCP over stdio (mcp_server.py:321-336's ``--transport stdio``)."""
+    serve MCP over stdio or streamable-http (mcp_server.py:321-336's
+    ``--transport`` switch; sse is a documented non-goal, see mcp_http)."""
     import argparse
     import sys
 
     parser = argparse.ArgumentParser(prog="vector_mcp_spark.mcp")
     parser.add_argument("--root", required=True, help="collection warehouse root directory")
     parser.add_argument("--tenant", default=None)
-    parser.add_argument("--transport", default="stdio", choices=["stdio"])
+    parser.add_argument("--transport", default="stdio", choices=["stdio", "streamable-http"])
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
     args = parser.parse_args(argv)
 
     from vector_mcp_spark.agent_card import AgentCardVeneer
@@ -152,6 +162,11 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("vector-mcp-stdio")
     engine = CollectionEngine(spark, args.root, tenant=args.tenant)
     agent = AgentCardVeneer(McpVeneer(engine, VectorSearchApi(engine)))
+    if args.transport == "streamable-http":
+        from vector_mcp_spark.mcp_http import serve_http
+
+        serve_http(agent, host=args.host, port=args.port)
+        return 0
     print(f"vector-mcp-spark MCP serving stdio (root={args.root})", file=sys.stderr, flush=True)
     serve(agent, sys.stdin, sys.stdout)
     return 0

@@ -117,7 +117,7 @@ def q_engine_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             fn()
             return "no_error"
         except EngineError as e:
-            return str(e)
+            return e.code
 
     try:
         eng = CollectionEngine(spark, root)

@@ -33,10 +33,13 @@ MAX_TOTAL_BYTES = 512 * 1024 * 1024
 class EngineError(ValueError):
     """Error with a stable machine-readable code and no value leakage."""
 
-    def __init__(self, code: str):
+    def __init__(self, code: str, detail: str | None = None):
         assert ERROR_CODE_RE.match(code), code
         self.code = code
-        super().__init__(code)
+        # free-text operator hint (e.g. a lock path); NEVER part of the
+        # stable code — veneers return ``e.code``, tracebacks show both
+        self.detail = detail
+        super().__init__(code if detail is None else f"{code}: {detail}")
 
 
 def _is_strict_int(value: object) -> bool:
