@@ -442,3 +442,47 @@ def test_catalog_write_lock_blocks_second_writer(spark, tmp_path_factory):
         lock.unlink()
     eng.create_collection("unblocked")
     assert eng.get_collections() == ["unblocked"]
+
+
+def test_catalog_stale_lock_recovery(spark, tmp_path_factory):
+    """Orphaned .lock files are broken instead of write-bricking the
+    warehouse (ADVICE r6): provably-dead pid -> immediate break; unreadable
+    pid -> broken only past the TTL; a live holder still blocks."""
+    import os
+    import time as _time
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+
+    root = str(tmp_path_factory.mktemp("cat_stale"))
+    eng = CollectionEngine(spark, root)
+    lock = Path(eng._catalog_path + ".lock")
+
+    # (a) dead-pid lock: spawn-and-reap a child so the pid is provably gone
+    pid = os.fork()
+    if pid == 0:
+        os._exit(0)
+    os.waitpid(pid, 0)
+    lock.write_text(f"{pid} {_time.time():.3f}")
+    eng.create_collection("after_dead_holder")  # breaks the lock and proceeds
+    assert not lock.exists()
+
+    # (b) fresh lock with no readable pid: NOT stale -> still blocks
+    lock.touch()
+    with _pytest.raises(EngineError, match=r"catalog_locked: .*\.lock"):
+        eng.create_collection("blocked")
+    # (c) same lock aged past the TTL: broken
+    old = _time.time() - CollectionEngine._LOCK_TTL_S - 5
+    os.utime(lock, (old, old))
+    eng.create_collection("after_ttl")
+    assert sorted(eng.get_collections()) == ["after_dead_holder", "after_ttl"]
+
+    # (d) a live holder (this process) still blocks regardless of content
+    lock.write_text(f"{os.getpid()} {_time.time():.3f}")
+    try:
+        with _pytest.raises(EngineError, match="catalog_locked"):
+            eng.create_collection("still_blocked")
+    finally:
+        lock.unlink()

@@ -44,6 +44,44 @@ def _make_epub(chapters):
     return buf.getvalue()
 
 
+def _make_pptx(slides: list[list[str]]) -> bytes:
+    """Minimal real PresentationML zip: one slide<N>.xml per slide with a:p
+    paragraphs of a:r/a:t runs (namelist deliberately out of slide order)."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    p = "http://schemas.openxmlformats.org/presentationml/2006/main"
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns='
+            '"http://schemas.openxmlformats.org/package/2006/content-types"/>',
+        )
+        # write slide 2 before slide 1: decode must order by slide NUMBER
+        for i in reversed(range(len(slides))):
+            body = "".join(
+                f'<a:p><a:r><a:t>{line}</a:t></a:r></a:p>' for line in slides[i]
+            )
+            z.writestr(
+                f"ppt/slides/slide{i + 1}.xml",
+                f'<?xml version="1.0"?><p:sld xmlns:p="{p}" xmlns:a="{a}">'
+                f"<p:cSld><p:spTree><p:sp><p:txBody>{body}</p:txBody></p:sp>"
+                f"</p:spTree></p:cSld></p:sld>",
+            )
+    return buf.getvalue()
+
+
+def test_pptx_decode_roundtrip(spark, tmp_path):
+    (tmp_path / "deck.pptx").write_bytes(
+        _make_pptx([["Title slide", "Subtitle text"], ["Second slide bullet"]])
+    )
+    got = {r.path.split("/")[-1]: r.content
+           for r in read_documents(spark, [str(tmp_path)]).collect()}
+    assert got["deck.pptx"] == "Title slide\nSubtitle text\nSecond slide bullet"
+
+
 def _make_pdf(text_ops: bytes) -> bytes:
     import zlib
 
@@ -192,6 +230,32 @@ def test_multipage_pdf_page_order(spark, tmp_path):
     got = {r.path.split("/")[-1]: r.content
            for r in read_documents(spark, [str(tmp_path)]).collect()}
     assert got["m.pdf"] == "first\npage\nsecond page"
+
+
+def test_pdf_kids_order_beats_object_number_order(spark, tmp_path):
+    """Kids [4 0 R 3 0 R]: page ONE lives in the HIGHER-numbered object —
+    object-number order would concatenate the pages reversed (ADVICE r6)."""
+    import zlib as _z
+
+    from vector_mcp_spark.sources.richformats import decode_pdf
+
+    c1 = _z.compress(b"BT (alpha page) Tj ET")
+    c2 = _z.compress(b"BT (omega page) Tj ET")
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R 3 0 R] /Count 2 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+        4: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+        5: b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(c1) + c1 + b"\nendstream",
+        6: b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(c2) + c2 + b"\nendstream",
+    }
+    body, _ = _pdf_body_and_offsets(objs)
+    assert decode_pdf(body + b"%%EOF\n") == "alpha page\nomega page"
+    # nested intermediate /Pages nodes walk depth-first
+    objs[2] = b"<< /Type /Pages /Kids [7 0 R 3 0 R] /Count 2 >>"
+    objs[7] = b"<< /Type /Pages /Parent 2 0 R /Kids [4 0 R] /Count 1 >>"
+    body, _ = _pdf_body_and_offsets(objs)
+    assert decode_pdf(body + b"%%EOF\n") == "alpha page\nomega page"
 
 
 def test_undecodable_rich_formats_raise(spark, tmp_path):

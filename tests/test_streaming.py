@@ -366,6 +366,22 @@ def test_continuous_aggregate_incremental_merge(spark, tmp_path):
     markers = sorted(p.name for p in pathlib.Path(rollup).glob("_applied_*"))
     assert markers == ["_applied_0", "_applied_1"]
 
+    # Crash-window recovery (ADVICE r6): simulate a crash BETWEEN the two
+    # commit renames — rollup parked as .old, promote never happened. The
+    # next run must restore the parked table (full marker history intact)
+    # and change nothing, not rebuild from a single batch.
+    pathlib.Path(rollup).rename(rollup + ".old")
+    assert not pathlib.Path(rollup).exists()
+    stream_continuous_aggregate(read_event_stream(spark, src), rollup, ckpt)
+    restored = {
+        (r.day, r.event_type): (r.n_events, round(r.total_value, 4))
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert restored == want
+    assert not pathlib.Path(rollup + ".old").exists()
+    assert sorted(p.name for p in pathlib.Path(rollup).glob("_applied_*")) == [
+        "_applied_0", "_applied_1"]
+
 
 def test_streaming_distinct_sketch_equals_batch_kmv(spark, tmp_path):
     """The stream-maintained KMV state (last update per group) must be

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import shutil
+import time
 from collections.abc import Mapping, Sequence
 from datetime import datetime, timezone
 from pathlib import Path
@@ -148,7 +149,23 @@ class CollectionEngine:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            raise EngineError("catalog_locked") from None
+            # Stale-lock recovery (ADVICE r6): a holder killed between os.open
+            # and the finally block would brick every future catalog write.
+            # Break the lock when its pid is provably dead or the file is
+            # older than the TTL (covers unreadable/foreign-host pids);
+            # otherwise fail with the lock path so an operator can recover.
+            if self._lock_is_stale(lock):
+                lock.unlink(missing_ok=True)
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:  # lost the re-acquire race
+                    raise EngineError("catalog_locked", detail=str(lock)) from None
+            else:
+                raise EngineError("catalog_locked", detail=str(lock)) from None
+        try:
+            os.write(fd, f"{os.getpid()} {time.time():.3f}".encode())
+        except OSError:
+            pass  # lock metadata is best-effort; TTL still applies
         try:
             path = Path(self._catalog_path)
             expected = getattr(self, "_cat_cache", (None, None))[0]
@@ -162,6 +179,34 @@ class CollectionEngine:
         finally:
             os.close(fd)
             lock.unlink(missing_ok=True)
+
+    # A lock this old is presumed orphaned even when its pid can't be probed
+    # (pid unreadable, or reused by an unrelated process).
+    _LOCK_TTL_S = 60.0
+
+    @classmethod
+    def _lock_is_stale(cls, lock: Path) -> bool:
+        import os
+
+        pid = None
+        try:
+            first = lock.read_text().split()
+            if first:
+                pid = int(first[0])
+        except (OSError, ValueError):
+            pid = None
+        if pid is not None:
+            try:
+                os.kill(pid, 0)  # signal 0: existence probe only
+            except ProcessLookupError:
+                return True  # holder is provably dead
+            except PermissionError:
+                pass  # alive but foreign-owned; fall through to TTL
+        try:
+            age = time.time() - lock.stat().st_mtime
+        except OSError:
+            return False  # vanished — the holder released it; retry normally
+        return age > cls._LOCK_TTL_S
 
     def _read_catalog(self) -> DataFrame:
         """Catalog as a DataFrame (for callers that want to query it)."""

@@ -7,7 +7,7 @@ no symlinks/URLs/traversal, per-file and total size caps.
 
 Spark-side: ``binaryFile`` scan + per-extension decoder inside a
 ``mapInPandas`` Pandas-UDF (the right shape for Arrow batching at scale).
-Plain-text/markdown/html decode directly; docx/epub/simple-PDF decode via
+Plain-text/markdown/html decode directly; docx/pptx/epub/simple-PDF decode via
 the pure-stdlib extractors in ``richformats.py`` (zipfile + ElementTree +
 zlib) — encrypted or undecodable rich files raise ``NotImplementedError``
 at the same seam a full parser library would fill.
@@ -30,7 +30,7 @@ from vector_mcp_spark.validation import EngineError
 
 MAX_FILE_BYTES = 64 * 1024 * 1024  # document_inputs.py:13-16
 TEXT_EXTENSIONS = {".txt", ".md", ".markdown", ".html", ".htm", ".csv", ".json"}
-RICH_EXTENSIONS = {".pdf", ".docx", ".epub"}
+RICH_EXTENSIONS = {".pdf", ".docx", ".epub", ".pptx"}
 
 _TAG_RE = re.compile(r"<[^>]+>")
 
@@ -58,9 +58,15 @@ def resolve_document_paths(root: str, rel_paths: Sequence[str]) -> list[str]:
 
 
 def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    from vector_mcp_spark.sources.richformats import decode_docx, decode_epub, decode_pdf
+    from vector_mcp_spark.sources.richformats import (
+        decode_docx,
+        decode_epub,
+        decode_pdf,
+        decode_pptx,
+    )
 
-    rich = {".pdf": decode_pdf, ".docx": decode_docx, ".epub": decode_epub}
+    rich = {".pdf": decode_pdf, ".docx": decode_docx, ".epub": decode_epub,
+            ".pptx": decode_pptx}
     texts: list[str | None] = []
     for path, content in zip(pdf["path"], pdf["content"]):
         ext = Path(path).suffix.lower()

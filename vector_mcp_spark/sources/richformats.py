@@ -77,6 +77,32 @@ def decode_docx(data: bytes) -> str:
     return "\n".join(paras).strip()
 
 
+_A_NS = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_SLIDE_RE = re.compile(r"^ppt/slides/slide(\d+)\.xml$")
+
+
+def decode_pptx(data: bytes) -> str:
+    """PresentationML slides → one line per paragraph, slides in numeric
+    order (``ppt/slides/slide<N>.xml`` — N is the slide sequence). Same
+    stdlib zip+ElementTree approach as docx: text runs are DrawingML
+    ``a:t`` elements grouped into ``a:p`` paragraphs. The reference gets
+    pptx free from llama-index SimpleDirectoryReader (pyproject.toml:12)."""
+    slides: list[tuple[int, bytes]] = []
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        for name in z.namelist():
+            m = _SLIDE_RE.match(name)
+            if m:
+                slides.append((int(m.group(1)), z.read(name)))
+    paras: list[str] = []
+    for _, xml_bytes in sorted(slides):
+        root = ElementTree.fromstring(xml_bytes)
+        for p in root.iter(f"{_A_NS}p"):
+            runs = [node.text for node in p.iter(f"{_A_NS}t") if node.text]
+            if runs:
+                paras.append("".join(runs))
+    return "\n".join(paras).strip()
+
+
 def decode_epub(data: bytes) -> str:
     """Concatenate tag-stripped XHTML chapters (archive order — spine-order
     repair via content.opf is a fidelity upgrade a real lib would do)."""
@@ -187,22 +213,56 @@ def _pdf_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     return objects
 
 
+def _pdf_page_order(objects: dict[int, tuple[bytes, bytes | None]]) -> list[int]:
+    """Page object numbers in page-tree order: /Type /Catalog → /Pages →
+    depth-first /Kids walk (ADVICE r6: object-number order reverses pages
+    when a writer emits Kids out of numeric order). Falls back to ascending
+    object number when the tree is missing or malformed."""
+    numeric = [n for n in sorted(objects)
+               if re.search(rb"/Type\s*/Page\b", objects[n][0])]
+    catalog = next(
+        (d for d, _ in objects.values() if re.search(rb"/Type\s*/Catalog\b", d)), None
+    )
+    if catalog is None:
+        return numeric
+    pages_ref = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", catalog)
+    if not pages_ref:
+        return numeric
+    order: list[int] = []
+    seen: set[int] = set()  # cycle guard — a malformed tree must not hang decode
+
+    def walk(num: int) -> None:
+        if num in seen or num not in objects:
+            return
+        seen.add(num)
+        d, _ = objects[num]
+        if re.search(rb"/Type\s*/Page\b", d):
+            order.append(num)
+            return
+        kids = re.search(rb"/Kids\s*\[((?:[^\[\]]|\[[^\]]*\])*)\]", d)
+        if kids:
+            for ref in _PDF_REF_RE.findall(kids.group(1)):
+                walk(int(ref))
+
+    walk(int(pages_ref.group(1)))
+    # a partial tree (some pages unreachable) falls back rather than drop text
+    return order if sorted(order) == numeric else numeric
+
+
 def decode_pdf(data: bytes) -> str:
     """Text of an unencrypted PDF: walk the object graph (classic-xref,
     cross-reference-stream, and ObjStm layouts all work — objects are
     scanned directly, compressed object streams are expanded), inflate the
-    page /Contents streams in page order, collect Tj / ' / TJ show
-    operators (literal and hex strings). Files without a parseable page
-    tree fall back to scanning every stream."""
+    page /Contents streams in /Root→/Pages→/Kids page-tree order, collect
+    Tj / ' / TJ show operators (literal and hex strings). Files without a
+    parseable page tree fall back to scanning every stream."""
     if b"/Encrypt" in data:
         raise NotImplementedError("encrypted PDF requires a real parser library")
     objects = _pdf_objects(data)
     pieces: list[str] = []
     seen_contents = False
-    for num in sorted(objects):
+    for num in _pdf_page_order(objects):
         d, _ = objects[num]
-        if not re.search(rb"/Type\s*/Page\b", d):
-            continue
         c = re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", d)
         if not c:
             continue

@@ -371,17 +371,34 @@ def stream_continuous_aggregate(
     retried after a mid-write crash. The markers live INSIDE the rollup
     directory (``_applied_<batch_id>`` files — parquet readers skip
     underscore-prefixed names), staged alongside the new data so the
-    directory rename commits rollup + marker atomically: there is no window
+    directory rename commits rollup + marker together: there is no window
     where the merge landed but its marker didn't, so a retry can never
-    double-count. Replaying from scratch = clear table + checkpoint.
+    double-count. The swap itself is two renames (park the old rollup as a
+    ``.old`` sidecar, promote the stage, then delete the sidecar) with
+    crash recovery at batch start — any interleaved crash leaves either the
+    old or the new directory (with its full marker history) restorable, so
+    no history is ever lost mid-commit (ADVICE r6). Replaying from scratch
+    = clear table + checkpoint.
     """
     import shutil
     from pathlib import Path
 
     spark = events.sparkSession
 
+    # Crash recovery BEFORE the stream starts (a no-new-data availableNow
+    # run fires zero batches, so this can't live inside _merge): a crash
+    # between the park and promote renames below leaves the rollup parked
+    # as .old — restore it (with its _applied_* history) so the retry
+    # merges into prior state instead of rebuilding from one batch.
+    _out, _parked = Path(rollup_path), Path(rollup_path + ".old")
+    if not _out.exists() and _parked.exists():
+        _parked.rename(_out)
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         out = Path(rollup_path)
+        parked = Path(rollup_path + ".old")
+        if not out.exists() and parked.exists():
+            parked.rename(out)  # same recovery if the crash was mid-run
         if (out / f"_applied_{batch_id}").exists():
             return
         part = batch_df.groupBy(
@@ -402,9 +419,18 @@ def stream_continuous_aggregate(
         for name in prior_markers:  # carry history so older retries still skip
             (stage / name).touch()
         (stage / f"_applied_{batch_id}").touch()
+        # Two renames, never an unprotected delete (ADVICE r6): parking the
+        # old rollup as .old before promoting stage means a crash anywhere
+        # leaves either the old or the new directory intact — rmtree(out)
+        # then rename left a window that lost the rollup AND its markers.
+        old_dir = Path(rollup_path + ".old")
+        if old_dir.exists():
+            shutil.rmtree(old_dir)  # leftover from a crash after promote
         if out.exists():
-            shutil.rmtree(out)
+            out.rename(old_dir)
         stage.rename(out)
+        if old_dir.exists():
+            shutil.rmtree(old_dir)
 
     q = (
         events.writeStream.foreachBatch(_merge)
