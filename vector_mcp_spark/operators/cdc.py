@@ -93,3 +93,53 @@ def scd2_intervals(
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+def snapshot_asof(
+    changelog: DataFrame,
+    asof,
+    key_col: str = "id",
+    ts_col: str = "ts",
+    op_col: str | None = None,
+    tiebreak_col: str | None = None,
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Time-travel read: reconstruct a keyed table's state AS OF ``asof``
+    from an upsert/delete changelog — the Delta/Iceberg ``VERSION AS OF``
+    semantics re-expressed over a raw append log (the form a lake has
+    BEFORE adopting a table format).
+
+    Per key, the surviving row is the one with the greatest
+    (``ts_col``, ``tiebreak_col``) at or before ``asof``; keys whose last
+    operation is ``op_col == 'delete'`` are absent from the snapshot.
+    Returns (key, *payload_cols, n_versions) where n_versions counts the
+    changelog entries the key accumulated up to the cut.
+
+    Scale shape: filter (partition-prunable when the log is ts-partitioned,
+    so a year-old snapshot never scans this week's files) then ONE
+    groupBy(key).agg(max_by) — map-side partial aggregation, no window
+    sort, no shuffle beyond the key hash. This beats the row_number()
+    window form at 100 TB: max_by combines within every input partition
+    first, so the shuffle carries one candidate row per (partition, key)
+    instead of every version of every key.
+    """
+    payload = list(payload_cols) if payload_cols is not None else [
+        c for c in changelog.columns if c not in (key_col,)
+    ]
+    cut = changelog.where(F.col(ts_col) <= F.lit(asof))
+    order = (
+        F.struct(F.col(ts_col), F.col(tiebreak_col))
+        if tiebreak_col
+        else F.col(ts_col)
+    )
+    agg = cut.groupBy(key_col).agg(
+        F.max_by(F.struct(*payload), order).alias("_last"),
+        F.count("*").alias("n_versions"),
+    )
+    if op_col is not None:
+        agg = agg.where(F.col(f"_last.{op_col}") != F.lit("delete"))
+    return agg.select(
+        key_col,
+        *[F.col(f"_last.{c}").alias(c) for c in payload if c != op_col],
+        "n_versions",
+    )

@@ -2123,3 +2123,61 @@ def q_events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").withColumn("_row_id", F.col("event_id"))
     return bootstrap_mean_ci(ev, "event_type", "value", replicates=_BOOT_B)
+
+
+# -- changelog time-travel: snapshot AS OF a past timestamp -------------------
+# Delta/Iceberg VERSION AS OF semantics over a raw upsert/delete append log
+# (round-7 extension; sibling of events_snapshot_diff / events_scd2_intervals).
+# op is derived deterministically so both engines see the same changelog:
+# every 19th event is a delete of its user key, everything else an upsert.
+
+_TT_ASOF = "2024-01-15 00:00:00"
+
+_TT_ORACLE = f"""
+WITH cut AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_id % 19 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM events WHERE ts <= TIMESTAMP '{_TT_ASOF}'
+),
+ranked AS (
+  SELECT user_id, event_id, event_type, value, op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+  FROM cut
+)
+SELECT user_id, event_id AS asof_event_id, event_type AS asof_event_type,
+       ROUND(value, 4) AS asof_value, CAST(n_versions AS BIGINT) AS n_versions
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+@register("events_time_travel", _TT_ORACLE, "cdc", "temporal")
+def q_events_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruct per-user state AS OF the cut from the event changelog —
+    one groupBy(user).max_by (map-side combinable, no window sort); users
+    whose latest pre-cut operation is a delete are absent."""
+    from datetime import datetime
+
+    from vector_mcp_spark.operators.cdc import snapshot_asof
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "op",
+        F.when(F.col("event_id") % 19 == 0, F.lit("delete")).otherwise(F.lit("upsert")),
+    )
+    snap = snapshot_asof(
+        ev,
+        asof=datetime(2024, 1, 15, 0, 0, 0),
+        key_col="user_id",
+        ts_col="ts",
+        op_col="op",
+        tiebreak_col="event_id",
+        payload_cols=["event_id", "event_type", "value", "op"],
+    )
+    return snap.select(
+        "user_id",
+        F.col("event_id").alias("asof_event_id"),
+        F.col("event_type").alias("asof_event_type"),
+        F.round("value", 4).alias("asof_value"),
+        "n_versions",
+    )

@@ -594,3 +594,166 @@ def q_lexical_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snippet_extract(
         docs, sorted(set(LEX_QUERY.lower().split())), width=_SNIP_WIDTH, id_col="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-collection federated search (round-7 extension; the reference
+# searches one collection per call — mcp_server.py:202-293)
+# ---------------------------------------------------------------------------
+
+_FED_K_PER = 5
+_FED_N = 10
+
+_FED_ORACLE = f"""
+WITH scored AS (
+  SELECT d.source AS collection, d.doc_id,
+         {_cosine_sql('e.embedding', SEM_QUERY_VEC)} AS s
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+local AS (
+  SELECT collection, doc_id, s,
+         row_number() OVER (PARTITION BY collection
+                            ORDER BY s DESC NULLS LAST, doc_id ASC)
+           AS collection_rank
+  FROM scored
+)
+SELECT collection, doc_id, ROUND(s, 6) AS score,
+       CAST(collection_rank AS INTEGER) AS collection_rank,
+       CAST(row_number() OVER (ORDER BY s DESC NULLS LAST, collection ASC,
+                               doc_id ASC) AS INTEGER) AS rank
+FROM local WHERE collection_rank <= {_FED_K_PER}
+ORDER BY rank LIMIT {_FED_N}
+"""
+
+
+@register("federated_search", _FED_ORACLE, "search", "federated")
+def q_federated_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One query fanned across per-source 'collections' of the corpus and
+    fused to a global top-N — per-collection ranking is a collection-
+    partitioned window (parallel across collections), the fuse is a
+    TakeOrdered over |collections|*k rows."""
+    from vector_mcp_spark.operators.federated import federated_topk
+
+    coll = docs_with_embeddings(spark, sf_dir)
+    return federated_topk(
+        coll, SEM_QUERY_VEC, k_per_collection=_FED_K_PER, n=_FED_N,
+        collection_col="source", id_col="doc_id", emb_col="embedding",
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG-evaluation harness: IR metrics of a production retriever (two-stage
+# projected ANN) against exact-cosine gold, per query (round-7 extension)
+# ---------------------------------------------------------------------------
+
+_RAG_K = 10
+_RAG_SHORTLIST = 100
+_RAG_OUT_DIM = 32
+_RAG_IN_DIM = 64
+_RAG_NQ = 20  # queries: vec_id < 20
+
+
+def _rag_oracle() -> str:
+    from vector_mcp_spark.operators.projection import (
+        projection_matrix,
+        projection_scale,
+    )
+
+    mat = projection_matrix(_RAG_IN_DIM, _RAG_OUT_DIM)
+    scale = projection_scale(_RAG_OUT_DIM)
+    comps = ", ".join(
+        f"list_dot_product(v, [{', '.join(repr(x) for x in row)}]) * {scale!r}"
+        for row in mat
+    )
+
+    def sim(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+        )
+
+    # DCG folds 1/log2(rank+1) over the SORTED hit-rank list (list_reduce
+    # seeded with 0.0), mirroring the Spark aggregate() fold term-for-term
+    # so partial-agg order can never flip the 6th decimal.
+    return f"""
+WITH pr AS (
+  SELECT vec_id, v, [{comps}] AS p
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+),
+q AS (SELECT vec_id AS query_id, v AS qv, p AS qp FROM pr WHERE vec_id < {_RAG_NQ}),
+coarse AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, q.qv, c.v AS nv,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {sim("c.p", "q.qp")} DESC NULLS LAST,
+                                     c.vec_id ASC) AS cr
+  FROM pr c CROSS JOIN q
+  WHERE c.vec_id != q.query_id
+),
+system AS (
+  SELECT query_id, neighbor_id, rn AS _rank
+  FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {sim("nv", "qv")} DESC NULLS LAST,
+                                       neighbor_id ASC) AS rn
+    FROM coarse WHERE cr <= {_RAG_SHORTLIST}
+  ) WHERE rn <= {_RAG_K}
+),
+gold AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {sim("c.v", "q.qv")} DESC NULLS LAST,
+                                       c.vec_id ASC) AS rn
+    FROM pr c CROSS JOIN q
+    WHERE c.vec_id != q.query_id
+  ) WHERE rn <= {_RAG_K}
+),
+hits AS (
+  SELECT s.query_id, s._rank
+  FROM system s JOIN gold g
+    ON s.query_id = g.query_id AND s.neighbor_id = g.neighbor_id
+),
+per_q_hits AS (
+  SELECT query_id, COUNT(*) AS n_hits, MIN(_rank) AS _first_hit,
+         list_reduce(
+           list_prepend(0.0, list_transform(list_sort(list(_rank)),
+                                            r -> 1.0 / log2(r + 1.0))),
+           (a, b) -> a + b) AS _dcg
+  FROM hits GROUP BY query_id
+),
+per_q_gold AS (SELECT query_id, COUNT(*) AS n_gold FROM gold GROUP BY query_id)
+SELECT g.query_id, CAST(g.n_gold AS BIGINT) AS n_gold,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / CAST(g.n_gold AS DOUBLE), 6) AS recall_at_k,
+       ROUND(COALESCE(1.0 / h._first_hit, 0.0), 6) AS mrr_at_k,
+       ROUND(COALESCE(h._dcg, 0.0) /
+             list_reduce(
+               list_prepend(0.0, list_transform(range(1, LEAST(g.n_gold, {_RAG_K}) + 1),
+                                                r -> 1.0 / log2(r + 1.0))),
+               (a, b) -> a + b), 6) AS ndcg_at_k
+FROM per_q_gold g LEFT JOIN per_q_hits h ON g.query_id = h.query_id
+"""
+
+
+@register("rag_eval_metrics", _rag_oracle(), "search", "evaluation")
+def q_rag_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval evaluation: run the two-stage projected-ANN
+    retriever and exact-cosine gold over the same queries, then score the
+    system per query with recall@10 / MRR@10 / NDCG@10."""
+    from vector_mcp_spark.operators.projection import (
+        ann_projected_topk,
+        projection_matrix,
+    )
+    from vector_mcp_spark.operators.rageval import retrieval_metrics
+    from vector_mcp_spark.operators.similarity import cosine_self_join_topk
+
+    embs = load(spark, sf_dir, "embeddings")
+    qs = embs.where(F.col("vec_id") < _RAG_NQ)
+    mat = projection_matrix(_RAG_IN_DIM, _RAG_OUT_DIM)
+    system = ann_projected_topk(
+        qs, embs, k=_RAG_K, matrix=mat, shortlist=_RAG_SHORTLIST, id_col="vec_id"
+    )
+    gold = cosine_self_join_topk(qs, embs, k=_RAG_K, id_col="vec_id")
+    return retrieval_metrics(system, gold, k=_RAG_K)
