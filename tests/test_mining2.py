@@ -447,3 +447,36 @@ def test_poisson1_multiplicities_distribution(spark):
     assert freq[1] == pytest.approx(math.exp(-1), abs=0.03)
     assert freq.get(2, 0) == pytest.approx(math.exp(-1) / 2, abs=0.02)
     assert POISSON1_CDF[0] == pytest.approx(math.exp(-1), abs=1e-9)
+
+
+def test_strip_repeated_spans_first_copy_survives(spark):
+    """C4 cut semantics: the FIRST doc containing a span keeps it; later
+    docs lose exactly the covered tokens; a span repeated WITHIN one doc
+    (but novel corpus-wide) is never stripped."""
+    from vector_mcp_spark.operators.novelty import strip_repeated_spans
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "alpha beta gamma delta epsilon zeta"),
+            ("d2", "prefix alpha beta gamma delta epsilon suffix"),
+            # d3 repeats ITS OWN 5-gram twice — first_seen is d3, kept whole
+            ("d3", "one two three four five one two three four five"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.id: r for r in strip_repeated_spans(df, n=5).collect()}
+    assert out["d1"].n_removed == 0
+    assert out["d2"].n_removed == 5 and out["d2"].clean_text == "prefix suffix"
+    assert out["d3"].n_removed == 0 and out["d3"].n_tokens == 10
+
+
+def test_strip_repeated_spans_short_docs_pass_through(spark):
+    from vector_mcp_spark.operators.novelty import strip_repeated_spans
+
+    df = spark.createDataFrame(
+        [("d1", "too short"), ("d2", "too short")],  # < n tokens: no spans
+        "doc_id string, text string",
+    )
+    out = {r.id: r for r in strip_repeated_spans(df, n=5).collect()}
+    assert out["d1"].n_removed == 0 and out["d2"].n_removed == 0
+    assert out["d2"].clean_text == "too short"

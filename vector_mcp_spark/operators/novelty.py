@@ -77,3 +77,76 @@ def span_novelty(
             F.round(1.0 - F.col("n_repeated") / F.col("n_spans"), 6).alias("novelty"),
         )
     )
+
+
+def strip_repeated_spans(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The C4 cut itself (Raffel et al. 2020 §2.2): REMOVE every token
+    covered by an n-gram span whose first corpus occurrence (minimum doc
+    id) lies in an earlier document — ``span_novelty`` scores the overlap,
+    this produces the deduplicated corpus. Returns (id, n_tokens,
+    n_removed, clean_text): the first copy of any repeated span survives
+    intact, later copies lose the covered tokens, singleton docs pass
+    through unchanged.
+
+    Scale shape mirrors span_novelty's: positional span hashes (60-bit sha
+    prefixes) are built map-side, the first-owner groupBy and the
+    flagged-position join both exchange 8-byte keys, and the final
+    coverage mask is a per-row HOF over the doc's own (few) flagged start
+    positions — no stage is ever quadratic in corpus size, and the
+    reconstruction (filter + array_join) never shuffles text.
+    """
+    toks_col = tokens(F.col(text_col))
+    # every span START position with its hash — positional, unlike
+    # span_novelty's distinct-span set, because coverage needs offsets
+    def pos_hashes(toks):
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.conv(
+                    F.substring(
+                        F.sha2(F.array_join(F.slice(toks, i + 1, n), " "), 256), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    # "_toks" is a materialized column, so lambda references to it below
+    # are plain attribute reads — no bind_once needed outside the lambda
+    base = docs.select(F.col(id_col).alias("id"), toks_col.alias("_toks"))
+    spans = base.select(
+        "id", F.posexplode(pos_hashes(F.col("_toks"))).alias("pos", "span_h")
+    )
+    first_seen = spans.groupBy("span_h").agg(F.min("id").alias("first_id"))
+    flagged = (
+        spans.join(first_seen, "span_h")
+        .where(F.col("first_id") < F.col("id"))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("_starts"))
+    )
+    joined = base.join(flagged, "id", "left").withColumn(
+        "_starts", F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.when(
+            F.size("_toks") > 0, F.sequence(F.lit(0), F.size("_toks") - 1)
+        ).otherwise(F.array().cast("array<int>")),
+        lambda i: ~F.exists(
+            F.col("_starts"), lambda j: (j <= i) & (i <= j + F.lit(n - 1))
+        ),
+    )
+    return joined.select(
+        "id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at(F.col("_toks"), i + 1)), " "
+        ).alias("clean_text"),
+    )

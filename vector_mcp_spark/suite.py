@@ -192,6 +192,7 @@ _PROMOTED_R7: list[str] = [
     "federated_search",
     "rag_eval_metrics",
     "events_time_travel",
+    "corpus_strip_repeated_spans",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r4, alphabetical within

@@ -2181,3 +2181,52 @@ def q_events_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("asof_value"),
         "n_versions",
     )
+
+
+# -- C4 repeated-span REMOVAL (the cut itself; span_novelty only scores) ------
+
+_STRIP_N = 5
+
+_STRIP_ORACLE = f"""
+WITH dt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, i,
+         CAST('0x' || substring(sha256(
+           array_to_string(toks[i + 1 : i + {_STRIP_N}], ' ')), 1, 15) AS BIGINT) AS h
+  FROM dt, UNNEST(range(len(toks) - {_STRIP_N - 1})) AS t(i)
+  WHERE len(toks) >= {_STRIP_N}
+),
+first_seen AS (SELECT h, min(doc_id) AS first_id FROM pos GROUP BY h),
+strip AS (
+  SELECT p.doc_id, p.i FROM pos p JOIN first_seen f USING (h)
+  WHERE f.first_id < p.doc_id
+),
+tok AS (
+  SELECT doc_id, i AS ti, toks[i + 1] AS tok, len(toks) AS n_tokens
+  FROM dt, UNNEST(range(len(toks))) AS t(i)
+),
+kept AS (
+  SELECT t.doc_id, t.ti, t.tok, t.n_tokens,
+         COUNT(s.i) = 0 AS keep
+  FROM tok t LEFT JOIN strip s
+    ON s.doc_id = t.doc_id AND s.i BETWEEN t.ti - {_STRIP_N - 1} AND t.ti
+  GROUP BY t.doc_id, t.ti, t.tok, t.n_tokens
+)
+SELECT doc_id AS id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(tok, ' ' ORDER BY ti) FILTER (WHERE keep), '')
+         AS clean_text
+FROM kept GROUP BY doc_id
+"""
+
+
+@register("corpus_strip_repeated_spans", _STRIP_ORACLE, "dedup", "pipeline")
+def q_corpus_strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 §2.2 cut: tokens covered by a span first seen in an EARLIER
+    doc are removed; first copies survive. Positional 60-bit span hashes,
+    two 8-byte-key shuffles, per-row HOF coverage mask — reconstruction
+    never shuffles text."""
+    from vector_mcp_spark.operators.novelty import strip_repeated_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return strip_repeated_spans(docs, n=_STRIP_N, id_col="doc_id", text_col="text")
