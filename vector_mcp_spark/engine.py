@@ -154,13 +154,20 @@ class CollectionEngine:
             # Break the lock when its pid is provably dead or the file is
             # older than the TTL (covers unreadable/foreign-host pids);
             # otherwise fail with the lock path so an operator can recover.
-            if self._lock_is_stale(lock):
-                lock.unlink(missing_ok=True)
-                try:
-                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                except FileExistsError:  # lost the re-acquire race
-                    raise EngineError("catalog_locked", detail=str(lock)) from None
-            else:
+            # The break is an atomic RENAME of the stale file, not unlink:
+            # two writers may both judge it stale, but only one rename wins,
+            # so the loser can never delete the winner's fresh lock (TOCTOU).
+            if not self._lock_is_stale(lock):
+                raise EngineError("catalog_locked", detail=str(lock)) from None
+            broken = Path(f"{lock}.broken.{os.getpid()}")
+            try:
+                lock.rename(broken)
+            except OSError:  # another breaker won the rename race
+                raise EngineError("catalog_locked", detail=str(lock)) from None
+            broken.unlink(missing_ok=True)
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:  # lost the re-acquire race
                 raise EngineError("catalog_locked", detail=str(lock)) from None
         try:
             os.write(fd, f"{os.getpid()} {time.time():.3f}".encode())
@@ -202,6 +209,10 @@ class CollectionEngine:
                 return True  # holder is provably dead
             except PermissionError:
                 pass  # alive but foreign-owned; fall through to TTL
+            else:
+                # provably ALIVE same-uid holder: never break, however old —
+                # a >TTL hold is a stall (GC pause, slow fs), not a leak
+                return False
         try:
             age = time.time() - lock.stat().st_mtime
         except OSError:

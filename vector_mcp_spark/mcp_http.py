@@ -50,17 +50,23 @@ def _make_handler(agent, path: str):
             self._send(405, b'{"error": "SSE stream not supported; POST JSON-RPC"}')
 
         def do_POST(self):  # noqa: N802
-            if self.path.rstrip("/") != path.rstrip("/"):
-                self._send(404, b'{"error": "unknown endpoint"}')
-                return
             try:
                 length = int(self.headers.get("Content-Length") or 0)
             except ValueError:
                 length = 0
             if length <= 0 or length > MAX_BODY_BYTES:
+                # can't (or won't) drain the body — close so a keep-alive
+                # client never sees the unread bytes parsed as its next request
+                self.close_connection = True
                 self._send(400, b'{"error": "missing or oversized body"}')
                 return
+            # drain the body BEFORE any error response: on an HTTP/1.1
+            # keep-alive socket, unread body bytes would desynchronize the
+            # connection for the client's next pooled request
             raw = self.rfile.read(length)
+            if self.path.rstrip("/") != path.rstrip("/"):
+                self._send(404, b'{"error": "unknown endpoint"}')
+                return
             try:
                 msg = json.loads(raw)
             except json.JSONDecodeError:

@@ -137,7 +137,9 @@ def snapshot_asof(
         F.count("*").alias("n_versions"),
     )
     if op_col is not None:
-        agg = agg.where(F.col(f"_last.{op_col}") != F.lit("delete"))
+        # null-safe: a NULL op is a plain upsert (common CDC shape where
+        # only deletes are marked), not a row to drop
+        agg = agg.where(~F.col(f"_last.{op_col}").eqNullSafe("delete"))
     return agg.select(
         key_col,
         *[F.col(f"_last.{c}").alias(c) for c in payload if c != op_col],

@@ -27,24 +27,28 @@ from vector_mcp_spark.functions.expr import bind_once
 from vector_mcp_spark.functions.text import tokens
 
 
+def _gram_hashes(toks, n: int):
+    """One 60-bit sha-prefix hash per n-gram START position of ``toks`` —
+    the single definition both the scoring and the stripping operator (and
+    their DuckDB oracles) must match bit-for-bit."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.conv(
+                F.substring(F.sha2(F.array_join(F.slice(toks, i + 1, n), " "), 256), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def _span_hashes(text_col: str, n: int):
     """Distinct n-gram spans of the token list, each as a 60-bit sha prefix."""
-
-    def build(toks):
-        grams = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.conv(
-                    F.substring(F.sha2(F.array_join(F.slice(toks, i + 1, n), " "), 256), 1, 15),
-                    16,
-                    10,
-                ).cast("long"),
-            ),
-        ).otherwise(F.array().cast("array<long>"))
-        return F.array_distinct(grams)
-
-    return bind_once(tokens(F.col(text_col)), build)
+    return bind_once(
+        tokens(F.col(text_col)), lambda toks: F.array_distinct(_gram_hashes(toks, n))
+    )
 
 
 def span_novelty(
@@ -100,29 +104,20 @@ def strip_repeated_spans(
     positions — no stage is ever quadratic in corpus size, and the
     reconstruction (filter + array_join) never shuffles text.
     """
-    toks_col = tokens(F.col(text_col))
-    # every span START position with its hash — positional, unlike
-    # span_novelty's distinct-span set, because coverage needs offsets
-    def pos_hashes(toks):
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.conv(
-                    F.substring(
-                        F.sha2(F.array_join(F.slice(toks, i + 1, n), " "), 256), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-            ),
-        ).otherwise(F.array().cast("array<long>"))
-
-    # "_toks" is a materialized column, so lambda references to it below
-    # are plain attribute reads — no bind_once needed outside the lambda
-    base = docs.select(F.col(id_col).alias("id"), toks_col.alias("_toks"))
+    # "_toks" is a materialized column, so lambda references to it below are
+    # plain attribute reads — no bind_once needed outside the lambda. The
+    # tokenized base feeds TWO branches (the spans chain and the final
+    # reassembly join); localCheckpoint materializes it once so the corpus
+    # is scanned and regex-tokenized once, not once per branch (the repo's
+    # standing multi-branch-input rule). Zero-token docs are excluded up
+    # front — there is nothing to strip and the suite oracle's UNNEST-based
+    # replay has no row for them either.
+    base = docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+    base = base.where(F.size("_toks") > 0).localCheckpoint(eager=True)
+    # positional span hashes — unlike span_novelty's distinct set, coverage
+    # needs offsets (positions come from posexplode)
     spans = base.select(
-        "id", F.posexplode(pos_hashes(F.col("_toks"))).alias("pos", "span_h")
+        "id", F.posexplode(_gram_hashes(F.col("_toks"), n)).alias("pos", "span_h")
     )
     first_seen = spans.groupBy("span_h").agg(F.min("id").alias("first_id"))
     flagged = (
@@ -135,9 +130,7 @@ def strip_repeated_spans(
         "_starts", F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
     )
     kept = F.filter(
-        F.when(
-            F.size("_toks") > 0, F.sequence(F.lit(0), F.size("_toks") - 1)
-        ).otherwise(F.array().cast("array<int>")),
+        F.sequence(F.lit(0), F.size("_toks") - 1),
         lambda i: ~F.exists(
             F.col("_starts"), lambda j: (j <= i) & (i <= j + F.lit(n - 1))
         ),

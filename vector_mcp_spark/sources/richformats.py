@@ -230,21 +230,24 @@ def _pdf_page_order(objects: dict[int, tuple[bytes, bytes | None]]) -> list[int]
         return numeric
     order: list[int] = []
     seen: set[int] = set()  # cycle guard — a malformed tree must not hang decode
-
-    def walk(num: int) -> None:
+    # iterative depth-first walk: an adversarially deep Kids chain must not
+    # blow Python's recursion limit and abort the whole ingest job over one
+    # bad file (the fallback below still recovers the pages)
+    stack = [int(pages_ref.group(1))]
+    while stack:
+        num = stack.pop()
         if num in seen or num not in objects:
-            return
+            continue
         seen.add(num)
         d, _ = objects[num]
         if re.search(rb"/Type\s*/Page\b", d):
             order.append(num)
-            return
+            continue
         kids = re.search(rb"/Kids\s*\[((?:[^\[\]]|\[[^\]]*\])*)\]", d)
         if kids:
-            for ref in _PDF_REF_RE.findall(kids.group(1)):
-                walk(int(ref))
-
-    walk(int(pages_ref.group(1)))
+            # push in reverse so pop() visits Kids in document order
+            for ref in reversed(_PDF_REF_RE.findall(kids.group(1))):
+                stack.append(int(ref))
     # a partial tree (some pages unreachable) falls back rather than drop text
     return order if sorted(order) == numeric else numeric
 
