@@ -972,3 +972,39 @@ def test_http_transport_loopback(http_mcp_server):
     status, _ = _http_post(url.replace("/mcp", "/other"),
                            json.dumps(_rpc("ping", 1)).encode())
     assert status == 404
+
+
+def test_prompt_catalog_over_both_transports(transport_agent, http_mcp_server):
+    """The reference's prompt-descriptor sidecars (vector_mcp/prompts/*.json)
+    map to protocol-native prompts/list + prompts/get on every transport."""
+    import json
+
+    from vector_mcp_spark import mcp_stdio as t
+
+    resp = t.handle_message(transport_agent, _rpc("initialize", 1))
+    assert "prompts" in resp["result"]["capabilities"]
+    resp = t.handle_message(transport_agent, _rpc("prompts/list", 2))
+    names = {p["name"] for p in resp["result"]["prompts"]}
+    assert names == {"vector_retrieval_specialist", "collection_curator"}
+    listed = resp["result"]["prompts"][0]
+    assert "template" not in listed and listed["arguments"]
+    # get: placeholders render from arguments; missing ones stay literal
+    resp = t.handle_message(transport_agent, _rpc(
+        "prompts/get", 3, name="vector_retrieval_specialist",
+        arguments={"collection_name": "kb", "question": "what is RRF?"},
+    ))
+    text = resp["result"]["messages"][0]["content"]["text"]
+    assert "collection 'kb'" in text and "what is RRF?" in text
+    resp = t.handle_message(transport_agent, _rpc(
+        "prompts/get", 4, name="collection_curator", arguments={},
+    ))
+    assert "{collection_name}" in resp["result"]["messages"][0]["content"]["text"]
+    # unknown prompt → INVALID_PARAMS; notification get → silent
+    resp = t.handle_message(transport_agent, _rpc("prompts/get", 5, name="nope"))
+    assert resp["error"]["code"] == t.INVALID_PARAMS
+    assert t.handle_message(transport_agent, _rpc("prompts/list")) is None
+    # and over real HTTP
+    status, body = _http_post(http_mcp_server,
+                              json.dumps(_rpc("prompts/list", 6)).encode())
+    assert status == 200
+    assert {p["name"] for p in json.loads(body)["result"]["prompts"]} == names

@@ -89,7 +89,7 @@ def _dispatch_method(agent, method: str, msg: dict, msg_id: Any) -> dict | None:
             msg_id,
             {
                 "protocolVersion": MCP_PROTOCOL_VERSION,
-                "capabilities": {"tools": {}},
+                "capabilities": {"tools": {}, "prompts": {}},
                 "serverInfo": {"name": card["name"], "version": card["version"]},
                 "instructions": card["description"],
             },
@@ -100,6 +100,18 @@ def _dispatch_method(agent, method: str, msg: dict, msg_id: Any) -> dict | None:
         return _result(msg_id, {})
     if method == "tools/list":
         return _result(msg_id, {"tools": tool_listing()})
+    if method == "prompts/list":
+        from vector_mcp_spark.governance import list_prompts
+
+        return _result(msg_id, {"prompts": list_prompts()})
+    if method == "prompts/get":
+        from vector_mcp_spark.governance import get_prompt
+
+        params = msg.get("params") or {}
+        out = get_prompt(params.get("name"), dict(params.get("arguments") or {}))
+        if out is None:
+            return _error(msg_id, INVALID_PARAMS, f"unknown prompt: {params.get('name')}")
+        return _result(msg_id, out)
     if method == "tools/call":
         params = msg.get("params") or {}
         name = params.get("name")
