@@ -486,3 +486,74 @@ def test_catalog_stale_lock_recovery(spark, tmp_path_factory):
             eng.create_collection("still_blocked")
     finally:
         lock.unlink()
+
+
+def test_time_travel_read_asof(spark, tmp_path_factory):
+    """Every mutation appends to the changelog; read_asof reconstructs the
+    table at any past instant and read_asof(now) always equals read()."""
+    from datetime import datetime, timezone
+
+    from vector_mcp_spark.engine import CollectionEngine
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("tt_root")))
+    eng.create_collection("tt")
+    eng.add_documents("tt", ["first doc", "second doc"],
+                      metadatas=[{"k": "v1"}, None])
+    t1 = datetime.now(timezone.utc)
+    eng.add_documents("tt", ["third doc"])
+    eng.add_documents("tt", ["first doc"])  # content-hash upsert, same id
+    t2 = datetime.now(timezone.utc)
+    # delete one of the originals
+    first_id = {r.content: r.id for r in eng.read("tt").collect()}["second doc"]
+    eng.delete_documents("tt", [first_id])
+
+    at_t1 = {r.content for r in eng.read_asof("tt", t1).collect()}
+    assert at_t1 == {"first doc", "second doc"}
+    at_t2 = {r.content for r in eng.read_asof("tt", t2).collect()}
+    assert at_t2 == {"first doc", "second doc", "third doc"}
+    now = datetime.now(timezone.utc)
+    assert {r.content for r in eng.read_asof("tt", now).collect()} == {
+        "first doc", "third doc"}
+    # full current-state equivalence, metadata and embeddings included
+    cur = {(r.id, r.content, tuple(sorted((r.metadata or {}).items())))
+           for r in eng.read("tt").collect()}
+    tt = {(r.id, r.content, tuple(sorted((r.metadata or {}).items())))
+          for r in eng.read_asof("tt", now).collect()}
+    assert cur == tt
+    # before creation: empty
+    assert eng.read_asof("tt", datetime(2000, 1, 1, tzinfo=timezone.utc)).count() == 0
+    # history audit: 3 upsert batches + 1 delete batch, in order
+    hist = eng.collection_history("tt").collect()
+    assert [h.op for h in hist] == ["upsert", "upsert", "upsert", "delete"]
+    assert [h.n_rows for h in hist] == [2, 1, 1, 1]
+
+
+def test_time_travel_distributed_upsert_and_legacy_guard(spark, tmp_path_factory):
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+    from vector_mcp_spark.schema import DOCUMENT_SCHEMA
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("tt2_root")))
+    eng.create_collection("tt2")
+    eng.add_documents("tt2", ["seed doc"], metadatas=[{"a": "1"}])
+    t1 = datetime.now(timezone.utc)
+    # distributed-path upsert (update_documents) logs too, same metadata shape
+    df = spark.createDataFrame(
+        [("zz" + "0" * 62, "bulk doc", {"b": "2"}, None)], DOCUMENT_SCHEMA
+    )
+    eng.update_documents("tt2", df)
+    now = datetime.now(timezone.utc)
+    snap = {r.content: (r.metadata or {}) for r in eng.read_asof("tt2", now).collect()}
+    assert snap == {"seed doc": {"a": "1"}, "bulk doc": {"b": "2"}}
+    assert {r.content for r in eng.read_asof("tt2", t1).collect()} == {"seed doc"}
+
+    # a table that predates its changelog refuses to time-travel loudly
+    import shutil
+
+    scoped = eng._require("tt2")
+    shutil.rmtree(eng._changelog_root(scoped))
+    with _pytest.raises(EngineError, match="time_travel_unavailable"):
+        eng.read_asof("tt2", now)

@@ -316,9 +316,10 @@ class CollectionEngine:
         validate_delete_confirm(confirm)  # vector_api.py:448-449
         scoped = self._require(name)
         self._write_catalog([r for r in self._catalog_rows() if r[0] != scoped])
-        path = Path(self._table_path(scoped))
-        if path.exists():
-            shutil.rmtree(path)
+        for suffix in ("", "_index", "_changelog"):  # table + sidecars
+            path = Path(self._table_path(scoped) + suffix)
+            if path.exists():
+                shutil.rmtree(path)
 
     # -- documents ----------------------------------------------------------
 
@@ -434,6 +435,9 @@ class CollectionEngine:
                 raise EngineError("document_exists")
         merged = touched.join(F.broadcast(new), "id", "left_anti").unionByName(new)
         self._rewrite_partitions(scoped, prefixes, merged)
+        self._log_mutation_rows(
+            scoped, "upsert", [(i, c, m, e) for i, (c, m, e) in prepped.items()]
+        )
         # flag maintenance is driver-side and exact: the caller's embeddings
         # list says whether this batch introduced NULL-embedding rows
         if any(e is None for e in embeddings):
@@ -618,6 +622,7 @@ class CollectionEngine:
             from vector_mcp_spark.operators.transactional import merge_upsert
 
             merge_upsert(self.spark, self._table_format, self._table_path(scoped), df)
+            self._log_mutation_df(scoped, "upsert", df)
             if df.where(F.col("embedding").isNull()).limit(1).count() > 0:
                 self._mark_needs_embed(scoped)
             return
@@ -627,6 +632,7 @@ class CollectionEngine:
         touched = self._read_partitions(scoped, prefixes)
         merged = touched.join(df.select("id"), "id", "left_anti").unionByName(df)
         self._rewrite_partitions(scoped, prefixes, merged)
+        self._log_mutation_df(scoped, "upsert", df)
         # bounded probe on the (batch-sized) upsert input — mutation path,
         # not the search hot path; keeps the catalog flag exact
         if df.where(F.col("embedding").isNull()).limit(1).count() > 0:
@@ -643,11 +649,13 @@ class CollectionEngine:
             from vector_mcp_spark.operators.transactional import merge_delete
 
             merge_delete(self.spark, self._table_format, self._table_path(scoped), ids_df)
+            self._log_mutation_rows(scoped, "delete", [(i, None, None, None) for i in ids])
             return
         touched = self._read_partitions(scoped, prefixes)
         self._rewrite_partitions(
             scoped, prefixes, touched.join(F.broadcast(ids_df), "id", "left_anti")
         )
+        self._log_mutation_rows(scoped, "delete", [(i, None, None, None) for i in ids])
 
     def get_documents_by_ids(
         self, name: str, ids: Sequence[str] | None = None, include: Sequence[str] | None = None
@@ -663,3 +671,134 @@ class CollectionEngine:
             df = self.read(name)
         cols = ["id", *include] if include else df.columns
         return df.select(*dict.fromkeys(cols))
+
+    # -- time-travel changelog (Delta/Iceberg VERSION AS OF on parquet) ------
+    #
+    # Every mutation appends an (op, document, ts, seq) batch to an
+    # append-only sidecar; read_asof reconstructs the table state at any
+    # past instant with operators/cdc.py snapshot_asof (ts-prunable filter
+    # + one groupBy(id).max_by). Driver-bounded batches (add/delete) append
+    # via pyarrow — no Spark job joins the ingest path; arbitrary-size
+    # upserts (update_documents) append distributed. Metadata rides as a
+    # JSON string in the log (one schema for both writers) and rehydrates
+    # to the document map on read.
+
+    def _changelog_root(self, scoped: str) -> Path:
+        return Path(self._table_path(scoped) + "_changelog")
+
+    _CHANGELOG_DDL = (
+        "op string, id string, content string, metadata_json string, "
+        "embedding array<float>, ts timestamp, seq long"
+    )
+
+    def _next_seq(self, root: Path) -> int:
+        if not root.exists():
+            root.mkdir(parents=True, exist_ok=True)
+            return 0
+        return sum(1 for p in root.iterdir() if p.name.endswith(".parquet"))
+
+    def _log_mutation_rows(self, scoped: str, op: str, rows: list[tuple]) -> None:
+        """Driver-side append: rows = [(id, content, metadata|None, emb|None)]."""
+        import json
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        root = self._changelog_root(scoped)
+        seq = self._next_seq(root)
+        now = datetime.now(timezone.utc)
+        tbl = pa.Table.from_pylist(
+            [
+                {
+                    "op": op,
+                    "id": i,
+                    "content": c,
+                    # same shape as the distributed writer's
+                    # to_json(map_entries(metadata)): an entries array
+                    "metadata_json": json.dumps(
+                        [{"key": k, "value": v} for k, v in sorted(m.items())]
+                    ) if m is not None else None,
+                    "embedding": e,
+                    "ts": now,
+                    "seq": seq,
+                }
+                for i, c, m, e in rows
+            ],
+            schema=pa.schema(
+                [
+                    ("op", pa.string()),
+                    ("id", pa.string()),
+                    ("content", pa.string()),
+                    ("metadata_json", pa.string()),
+                    ("embedding", pa.list_(pa.float32())),
+                    ("ts", pa.timestamp("us", tz="UTC")),
+                    ("seq", pa.int64()),
+                ]
+            ),
+        )
+        pq.write_table(tbl, root / f"batch-{seq:08d}-{uuid.uuid4().hex[:8]}.parquet")
+
+    def _log_mutation_df(self, scoped: str, op: str, df: DataFrame) -> None:
+        """Distributed append for arbitrary-size Document-schema batches."""
+        root = self._changelog_root(scoped)
+        seq = self._next_seq(root)
+        (
+            df.select(
+                F.lit(op).alias("op"),
+                "id",
+                "content",
+                F.to_json(F.map_entries("metadata")).alias("metadata_json"),
+                F.col("embedding").cast("array<float>").alias("embedding"),
+                F.lit(datetime.now(timezone.utc)).alias("ts"),
+                F.lit(seq).cast("long").alias("seq"),
+            )
+            .write.mode("append")
+            .parquet(str(root))
+        )
+
+    def read_asof(self, name: str, asof: datetime) -> DataFrame:
+        """The collection's document table as it stood at ``asof``.
+
+        Raises ``time_travel_unavailable`` when the collection predates its
+        changelog (a non-empty table with no log can't be reconstructed)."""
+        scoped = self._require(name)
+        root = self._changelog_root(scoped)
+        if not root.exists() or not any(root.iterdir()):
+            if Path(self._table_path(scoped)).exists():
+                raise EngineError("time_travel_unavailable")
+            return self.spark.createDataFrame([], DOCUMENT_SCHEMA)
+        from vector_mcp_spark.operators.cdc import snapshot_asof
+
+        log = self.spark.read.schema(self._CHANGELOG_DDL).parquet(str(root))
+        snap = snapshot_asof(
+            log,
+            asof=asof,
+            key_col="id",
+            ts_col="ts",
+            op_col="op",
+            tiebreak_col="seq",
+            payload_cols=["content", "metadata_json", "embedding", "op"],
+        )
+        meta_type = "array<struct<key:string,value:string>>"
+        return snap.select(
+            "id",
+            "content",
+            F.map_from_entries(F.from_json("metadata_json", meta_type)).alias("metadata"),
+            "embedding",
+        )
+
+    def collection_history(self, name: str) -> DataFrame:
+        """One row per changelog batch: (seq, op, n_rows, ts) — the audit
+        trail a Delta DESCRIBE HISTORY would give."""
+        scoped = self._require(name)
+        root = self._changelog_root(scoped)
+        if not root.exists() or not any(root.iterdir()):
+            return self.spark.createDataFrame([], "seq long, op string, n_rows long, ts timestamp")
+        log = self.spark.read.schema(self._CHANGELOG_DDL).parquet(str(root))
+        return (
+            log.groupBy("seq", "op")
+            .agg(F.count("*").alias("n_rows"), F.max("ts").alias("ts"))
+            .select("seq", "op", "n_rows", "ts")
+            .orderBy("seq")
+        )
