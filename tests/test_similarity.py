@@ -167,3 +167,21 @@ def test_hard_negatives_exclude_same_label(spark, sf_dir):
         assert [rk for rk, _ in ranked] == list(range(1, len(ranked) + 1))
         scores = [s for _, s in ranked]
         assert scores == sorted(scores, reverse=True)  # descending similarity
+
+
+def test_semantic_dedup_keep_first_within_cluster(spark):
+    """SemDeDup policy: within a cluster, the lowest-id member of a >=tau
+    pair survives; cross-cluster near-dups are NOT compared (the paper's
+    approximation); singletons always keep."""
+    from vector_mcp_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [1.0, 0.0, 0.0]),      # identical to 1, same cluster -> dropped
+        (3, 0, [0.0, 1.0, 0.0]),      # same cluster, dissimilar -> kept
+        (4, 1, [1.0, 0.0, 0.0]),      # identical to 1 but OTHER cluster -> kept
+        (5, 2, [0.5, 0.5, 0.0]),      # singleton cluster -> kept
+    ]
+    df = spark.createDataFrame(rows, "id int, cluster int, embedding array<double>")
+    got = {r.id: r.kept for r in semantic_dedup(df, tau=0.95, id_col="id").collect()}
+    assert got == {1: True, 2: False, 3: True, 4: True, 5: True}

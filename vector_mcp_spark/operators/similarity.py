@@ -473,3 +473,60 @@ def ann_ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("score", SCORE_DECIMALS).alias("score"))
     )
+
+
+def semantic_dedup(
+    assigned: DataFrame,
+    tau: float,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    within-cluster pairwise cosine — a document is dropped when its cluster
+    holds a LOWER-id document with similarity ≥ ``tau`` (keep-first policy,
+    deterministic). Input is a k-means-assigned corpus (``ivf_build``);
+    returns every row as (id, cluster, kept).
+
+    Scale shape is the published algorithm's: the only join is an equi-join
+    on the cluster key, so pair count is Σ|cluster|² — bounded by choosing
+    k ∝ corpus size (the paper's regime), never corpus-quadratic. Shuffle
+    carries (cluster, id, vector) once per side; the dup-id set stays
+    id-only and broadcast-joins back for the kept flag. Cosine is rounded
+    to 6 dp BEFORE the ≥ tau comparison so the boundary can't flip on
+    cross-engine float noise (zero-norm vectors use norm 1, matching the
+    IVF oracle's guard).
+    """
+
+    def _norm(col):
+        n = F.sqrt(dot(col, col))
+        return F.when(n == 0, F.lit(1.0)).otherwise(n)
+
+    a = assigned.select(
+        F.col(cluster_col).alias("cluster"),
+        F.col(id_col).alias("_a_id"),
+        F.col(emb_col).alias("_a_v"),
+    )
+    b = assigned.select(
+        F.col(cluster_col).alias("cluster"),
+        F.col(id_col).alias("_b_id"),
+        F.col(emb_col).alias("_b_v"),
+    )
+    dup_ids = (
+        b.join(a, "cluster")
+        .where(F.col("_a_id") < F.col("_b_id"))
+        .where(
+            F.round(
+                dot(F.col("_a_v"), F.col("_b_v")) / (_norm(F.col("_a_v")) * _norm(F.col("_b_v"))),
+                6,
+            )
+            >= tau
+        )
+        .select(F.col("_b_id").alias(id_col))
+        .distinct()
+    )
+    return assigned.select(id_col, F.col(cluster_col).alias("cluster")).join(
+        F.broadcast(dup_ids.withColumn("_dup", F.lit(True))), id_col, "left"
+    ).select(
+        id_col, "cluster", F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept")
+    )

@@ -193,6 +193,7 @@ _PROMOTED_R7: list[str] = [
     "rag_eval_metrics",
     "events_time_travel",
     "corpus_strip_repeated_spans",
+    "corpus_semdedup",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r4, alphabetical within

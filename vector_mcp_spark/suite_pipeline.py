@@ -1412,29 +1412,26 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_ivf_oracle() -> str:
-    """Full SQL replay of the IVF index AND its query: the build is
-    deterministic end to end (init = 16 rows with smallest sha256(id);
-    2 Lloyd iterations of cosine-argmax assignment — ties to the lowest
-    centroid index, matching np.argmax — and per-dimension means ROUNDed to
-    8 dp, which absorbs cross-engine float-sum-order noise; empty clusters
-    keep their previous centroid), so DuckDB can rebuild the exact same
-    centroids, replay the final assignment, rank centroids per query, probe
-    the top nprobe clusters, and re-rank by exact cosine. With this, every
-    declared query in the suite is value-oracled."""
+def _ivf_norm_sql(v: str) -> str:
+    s = f"sqrt(list_dot_product({v}, {v}))"
+    return f"(CASE WHEN {s} = 0 THEN 1 ELSE {s} END)"
 
-    def norm(v: str) -> str:
-        s = f"sqrt(list_dot_product({v}, {v}))"
-        return f"(CASE WHEN {s} = 0 THEN 1 ELSE {s} END)"
 
-    def sim(a: str, b: str) -> str:
-        return f"(list_dot_product({a}, {b}) / ({norm(a)} * {norm(b)}))"
+def _ivf_sim_sql(a: str, b: str) -> str:
+    return f"(list_dot_product({a}, {b}) / ({_ivf_norm_sql(a)} * {_ivf_norm_sql(b)}))"
+
+
+def _kmeans_replay_ctes() -> str:
+    """The WITH-clause prefix that rebuilds the deterministic ivf_16 k-means
+    in DuckDB (seeds → 2 assign/update Lloyd rounds → final assignment
+    ``a3`` with (vec_id, v, cluster)). Shared by the IVF-ANN oracle and the
+    SemDeDup oracle so both replay the One index the suite caches."""
 
     def assign_cte(name: str, cent_cte: str) -> str:
         return f"""
 {name}_s AS (
   SELECT e.vec_id, e.embedding::DOUBLE[] AS v, s.idx,
-         {sim("e.embedding::DOUBLE[]", "s.c")} AS sm
+         {_ivf_sim_sql("e.embedding::DOUBLE[]", "s.c")} AS sm
   FROM embeddings e CROSS JOIN {cent_cte} s
 ),
 {name} AS (
@@ -1460,7 +1457,22 @@ WITH seeds AS (
            embedding::DOUBLE[] AS c
     FROM embeddings
   ) WHERE idx < 16
-),{assign_cte("a1", "seeds")},{update_cte("c1", "a1", "seeds")},{assign_cte("a2", "c1")},{update_cte("c2", "a2", "c1")},{assign_cte("a3", "c2")},
+),{assign_cte("a1", "seeds")},{update_cte("c1", "a1", "seeds")},{assign_cte("a2", "c1")},{update_cte("c2", "a2", "c1")},{assign_cte("a3", "c2")}"""
+
+
+def _ann_ivf_oracle() -> str:
+    """Full SQL replay of the IVF index AND its query: the build is
+    deterministic end to end (init = 16 rows with smallest sha256(id);
+    2 Lloyd iterations of cosine-argmax assignment — ties to the lowest
+    centroid index, matching np.argmax — and per-dimension means ROUNDed to
+    8 dp, which absorbs cross-engine float-sum-order noise; empty clusters
+    keep their previous centroid), so DuckDB can rebuild the exact same
+    centroids, replay the final assignment, rank centroids per query, probe
+    the top nprobe clusters, and re-rank by exact cosine. With this, every
+    declared query in the suite is value-oracled."""
+    sim = _ivf_sim_sql
+
+    return f"""{_kmeans_replay_ctes()},
 q AS (SELECT vec_id, v FROM a3 WHERE vec_id < 20),
 qs AS (
   SELECT q.vec_id AS query_id, q.v AS qe, s.idx, {sim("q.v", "s.c")} AS sm
@@ -2190,3 +2202,51 @@ def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- video frame sampling (rows-only: sha-derived fake frames) ----------------
+
+
+# -- SemDeDup: semantic dedup by within-cluster pairwise cosine ---------------
+
+_SEMDEDUP_TAU = 0.95
+
+
+def _semdedup_oracle() -> str:
+    """Replays the shared ivf_16 k-means (same CTEs as the IVF-ANN oracle)
+    then the keep-first within-cluster policy: doc b is dropped iff a
+    lower-id cluster-mate a has ROUND(cos, 6) >= tau."""
+    return f"""{_kmeans_replay_ctes()},
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM a3 b JOIN a3 a
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND({_ivf_sim_sql("a.v", "b.v")}, 6) >= {_SEMDEDUP_TAU}
+)
+SELECT t.vec_id, CAST(t.cluster AS INTEGER) AS cluster,
+       d.vec_id IS NULL AS kept
+FROM a3 t LEFT JOIN dups d ON t.vec_id = d.vec_id
+"""
+
+
+@register("corpus_semdedup", _semdedup_oracle(), "dedup", "similarity", "pipeline")
+def q_corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the cached ivf_16 assignment: the only join is the
+    cluster equi-join (pairs = sum of cluster sizes squared, bounded by
+    k ∝ corpus size per the paper), dup ids broadcast back for the flag."""
+    import json
+    import os
+
+    from vector_mcp_spark.operators.similarity import ivf_build, semantic_dedup
+
+    embs = load(spark, sf_dir, "embeddings")
+    cache = _index_cache(sf_dir, "ivf_16")
+    cent_path = os.path.join(cache, "centroids.json")
+    assigned_path = os.path.join(cache, "assigned")
+    if not (os.path.exists(cent_path) and os.path.exists(os.path.join(assigned_path, "_SUCCESS"))):
+        assigned, centroids = ivf_build(embs, n_centroids=16, id_col="vec_id", max_iter=2)
+        assigned.write.mode("overwrite").parquet(assigned_path)
+        os.makedirs(cache, exist_ok=True)
+        with open(cent_path, "w") as f:
+            json.dump(centroids, f)
+    assigned = spark.read.parquet(assigned_path)
+    return semantic_dedup(
+        assigned, tau=_SEMDEDUP_TAU, id_col="vec_id", emb_col="embedding"
+    )
