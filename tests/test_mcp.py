@@ -1008,3 +1008,25 @@ def test_prompt_catalog_over_both_transports(transport_agent, http_mcp_server):
                               json.dumps(_rpc("prompts/list", 6)).encode())
     assert status == 200
     assert {p["name"] for p in json.loads(body)["result"]["prompts"]} == names
+
+
+def test_collection_history_action(veneer):
+    """The Delta-style audit trail is reachable through the management tool:
+    one entry per changelog batch, stable error for unknown collections."""
+    veneer.vector_collection_management(
+        "create_collection", collection_name="hist_kb",
+        document_contents=["first doc", "second doc"],
+    )
+    veneer.vector_collection_management(
+        "add_documents", collection_name="hist_kb", document_contents=["third doc"],
+    )
+    out = veneer.vector_collection_management(
+        "collection_history", collection_name="hist_kb"
+    )
+    ops = [(b["op"], b["n_rows"]) for b in out["history"]]
+    assert ops == [("upsert", 2), ("upsert", 1)]
+    assert all("ts" in b and b["ts"] for b in out["history"])
+    out = veneer.vector_collection_management(
+        "collection_history", collection_name="nope"
+    )
+    assert out["error"] == "collection_not_found"

@@ -38,6 +38,7 @@ COLLECTION_ACTIONS = (
     "list_collections",
     "build_search_index",
     "index_status",
+    "collection_history",
 )
 SEARCH_ACTIONS = ("semantic_search", "lexical_search", "search", "rerank_search")
 
@@ -138,6 +139,13 @@ class McpVeneer:
                     "collection_name": collection_name,
                     "status": self.engine.index_status(collection_name),
                 }
+            if resolved == "collection_history":
+                batches = [
+                    {"seq": r.seq, "op": r.op, "n_rows": r.n_rows,
+                     "ts": r.ts.isoformat()}
+                    for r in self.engine.collection_history(collection_name).collect()
+                ]
+                return {"collection_name": collection_name, "history": batches}
             # mcp_server.py:180-198 — listings pass through the
             # identity-scoped entitlement filter
             return {"collections": self._entitled("collection", self.engine.get_collections())}
