@@ -107,3 +107,31 @@ def test_needs_embed_flag_tracks_mutations(spark, tmp_path_factory):
     # searches still work over the mixed table (lazy embed fills the gap)
     rows = VectorSearchApi(eng).search("vecs", "doc", number_results=3).collect()
     assert len(rows) > 0
+
+
+def test_federated_search_across_collections(spark, tmp_path_factory):
+    from vector_mcp_spark.api import VectorSearchApi
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.validation import EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("fed_root")))
+    api = VectorSearchApi(eng)
+    eng.create_collection("kb_a")
+    eng.add_documents("kb_a", ["spark processes data fast", "cats nap in the sun"])
+    eng.create_collection("kb_b")
+    eng.add_documents("kb_b", ["data processing with spark", "gardening tips for spring"])
+
+    out = api.federated_search(["kb_a", "kb_b"], "spark data processing",
+                               number_results=3, k_per_collection=1).collect()
+    # quota 1 per collection: at most one hit per collection, globally ranked
+    assert len(out) == 2
+    assert {r.collection for r in out} == {"kb_a", "kb_b"}
+    assert [r.rank for r in out] == [1, 2]
+    assert all(r.collection_rank == 1 for r in out)
+    # unknown collection inside the fan-out → stable error
+    import pytest as _pytest
+
+    with _pytest.raises(EngineError, match="collection_not_found"):
+        api.federated_search(["kb_a", "nope"], "q")
+    with _pytest.raises(EngineError, match="collection_not_found"):
+        api.federated_search([], "q")

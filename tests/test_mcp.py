@@ -1030,3 +1030,31 @@ def test_collection_history_action(veneer):
         "collection_history", collection_name="nope"
     )
     assert out["error"] == "collection_not_found"
+
+
+def test_federated_search_action(veneer):
+    for name, docs in (
+        ("fed_a", ["spark runs queries", "dogs fetch sticks"]),
+        ("fed_b", ["query engines at scale", "baking sourdough bread"]),
+    ):
+        veneer.vector_collection_management(
+            "create_collection", collection_name=name, document_contents=docs
+        )
+    out = veneer.vector_search(
+        "federated_search", collection_names=["fed_a", "fed_b"],
+        question="query engine", number_results=4,
+    )
+    assert out["action"] == "federated_search"
+    assert out["collection_names"] == ["fed_a", "fed_b"]
+    assert {r["collection"] for r in out["results"]} == {"fed_a", "fed_b"}
+    assert [r["rank"] for r in out["results"]] == list(
+        range(1, len(out["results"]) + 1))
+    # falls back to the singular param; unknown collection → stable error
+    out = veneer.vector_search(
+        "federated_search", collection_name="fed_a", question="spark"
+    )
+    assert out["collection_names"] == ["fed_a"] and out["results"]
+    out = veneer.vector_search(
+        "federated_search", collection_names=["fed_a", "nope"], question="q"
+    )
+    assert out["error"] == "collection_not_found"

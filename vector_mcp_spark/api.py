@@ -179,6 +179,57 @@ class VectorSearchApi:
             out = short.select("id", "content", rerank_score_col("content", cleaned).alias("score"))
         return out.orderBy(F.col("score").desc(), F.col("id").asc()).limit(number_results)
 
+    def federated_search(
+        self,
+        collections: Sequence[str],
+        question: str,
+        number_results: int = 5,
+        k_per_collection: int | None = None,
+    ) -> DataFrame:
+        """One query across MANY collections, fused to a global ranking —
+        (collection, id, content, score, collection_rank, rank).
+
+        The reference searches one collection per call (mcp_server.py:202-293);
+        this unions the per-collection document frames into ONE distributed
+        plan (a Spark union moves no data) and runs the federated operator:
+        per-collection quota via a collection-partitioned window, global fuse
+        over |collections|·k rows. Scores are raw cosine against the same
+        query vector, so the cross-collection ranking is well-defined."""
+        from vector_mcp_spark.operators.federated import federated_topk
+
+        number_results = validate_number_results(number_results)
+        if not collections:
+            raise EngineError("collection_not_found")
+        k_per = validate_number_results(
+            k_per_collection if k_per_collection is not None else number_results
+        )
+        cleaned = sanitize_text_py(validate_question(question))
+        qvec = self._embed_query(cleaned)
+        parts = []
+        for name in dict.fromkeys(collections):  # dedup, preserve order
+            parts.append(
+                self._docs(name).select(
+                    F.lit(name).alias("collection"), "id", "content", "embedding"
+                )
+            )
+        docs = parts[0]
+        for p in parts[1:]:
+            docs = docs.unionByName(p)
+        fused = federated_topk(
+            docs, qvec, k_per_collection=k_per, n=number_results,
+            collection_col="collection", id_col="id", emb_col="embedding",
+        )
+        # re-attach content by (collection, id) — the fused frame is n rows,
+        # broadcast side of the join, so payloads never shuffle corpus-wide
+        return (
+            docs.join(
+                F.broadcast(fused), ["collection", "id"], "inner"
+            )
+            .where(~F.isnan("score") & F.col("score").isNotNull())
+            .select("collection", "id", "content", "score", "collection_rank", "rank")
+            .orderBy("rank")
+        )
+
     def _docs(self, collection: str) -> DataFrame:
         df = self.engine.read(collection)
         # Embed rows missing vectors at read time (the reference embeds at

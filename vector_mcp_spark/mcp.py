@@ -40,7 +40,9 @@ COLLECTION_ACTIONS = (
     "index_status",
     "collection_history",
 )
-SEARCH_ACTIONS = ("semantic_search", "lexical_search", "search", "rerank_search")
+SEARCH_ACTIONS = (
+    "semantic_search", "lexical_search", "search", "rerank_search", "federated_search",
+)
 
 
 def resolve_action(action: str, allowed: tuple[str, ...]) -> str | dict:
@@ -164,6 +166,7 @@ class McpVeneer:
         lexical_weight: float | None = None,
         rrf_k: int | None = None,
         db_type: str | None = None,
+        collection_names: list[str] | None = None,
     ) -> dict[str, Any]:
         resolved = resolve_action(action, SEARCH_ACTIONS)
         if isinstance(resolved, dict):
@@ -185,6 +188,14 @@ class McpVeneer:
                 rows = [
                     {"id": r.id, "content": r.content, "score": r.score} for r in df.collect()
                 ]
+            elif resolved == "federated_search":
+                names = collection_names or ([collection_name] if collection_name else [])
+                df = self.api.federated_search(names, question, number_results=k)
+                rows = [
+                    {"rank": r.rank, "collection": r.collection, "id": r.id,
+                     "content": r.content, "score": r.score} for r in df.collect()
+                ]
+                return {"action": resolved, "collection_names": names, "results": rows}
             elif resolved == "rerank_search":
                 df = self.api.rerank_search(collection_name, question, number_results=k)
                 rows = [
