@@ -968,6 +968,10 @@ def test_http_transport_loopback(http_mcp_server):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status == 405
+    # /health GET parity with the reference's custom route
+    base = url.rsplit("/", 1)[0]
+    with urllib.request.urlopen(base + "/health", timeout=10) as r:
+        assert r.status == 200 and json.loads(r.read()) == {"status": "ok"}
     # wrong path → 404
     status, _ = _http_post(url.replace("/mcp", "/other"),
                            json.dumps(_rpc("ping", 1)).encode())

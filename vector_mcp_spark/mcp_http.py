@@ -47,6 +47,11 @@ def _make_handler(agent, path: str):
                 self.wfile.write(body)
 
         def do_GET(self):  # noqa: N802
+            # health probe parity with the reference's custom /health route
+            # (vector_mcp/mcp_server.py + tests/test_mcp_server.py:44-52)
+            if self.path.rstrip("/") == "/health":
+                self._send(200, b'{"status": "ok"}')
+                return
             self._send(405, b'{"error": "SSE stream not supported; POST JSON-RPC"}')
 
         def do_POST(self):  # noqa: N802
