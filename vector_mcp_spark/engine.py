@@ -740,11 +740,17 @@ class CollectionEngine:
         pq.write_table(tbl, root / f"batch-{seq:08d}-{uuid.uuid4().hex[:8]}.parquet")
 
     def _log_mutation_df(self, scoped: str, op: str, df: DataFrame) -> None:
-        """Distributed append for arbitrary-size Document-schema batches."""
+        """Distributed append for arbitrary-size Document-schema batches.
+
+        Coalesced to ≤8 writers: upsert batches are usually tiny and the
+        default parallelism would scatter each append into 32 near-empty
+        files (slow to write, slower for read_asof to open later); 8 keeps
+        genuinely large bulk upserts parallel without the file spray."""
         root = self._changelog_root(scoped)
         seq = self._next_seq(root)
         (
-            df.select(
+            df.coalesce(8)
+            .select(
                 F.lit(op).alias("op"),
                 "id",
                 "content",

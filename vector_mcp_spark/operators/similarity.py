@@ -502,23 +502,27 @@ def semantic_dedup(
         n = F.sqrt(dot(col, col))
         return F.when(n == 0, F.lit(1.0)).otherwise(n)
 
+    # norms are computed ONCE per row before the join (the quotient itself
+    # still happens per pair, so the arithmetic — dot/(na*nb) — stays
+    # bit-identical to the oracle's per-pair formula)
     a = assigned.select(
         F.col(cluster_col).alias("cluster"),
         F.col(id_col).alias("_a_id"),
         F.col(emb_col).alias("_a_v"),
+        _norm(F.col(emb_col)).alias("_a_n"),
     )
     b = assigned.select(
         F.col(cluster_col).alias("cluster"),
         F.col(id_col).alias("_b_id"),
         F.col(emb_col).alias("_b_v"),
+        _norm(F.col(emb_col)).alias("_b_n"),
     )
     dup_ids = (
         b.join(a, "cluster")
         .where(F.col("_a_id") < F.col("_b_id"))
         .where(
             F.round(
-                dot(F.col("_a_v"), F.col("_b_v")) / (_norm(F.col("_a_v")) * _norm(F.col("_b_v"))),
-                6,
+                dot(F.col("_a_v"), F.col("_b_v")) / (F.col("_a_n") * F.col("_b_n")), 6
             )
             >= tau
         )
