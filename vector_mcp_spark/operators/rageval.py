@@ -85,3 +85,62 @@ def retrieval_metrics(
         ).alias("ndcg_at_k"),
     )
     return out
+
+
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: list[int],
+    k: int,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """MRL truncation report (Kusupati et al. 2022, Matryoshka
+    Representation Learning): for each prefix dimensionality in ``dims``,
+    rank the corpus by cosine over only the FIRST d components and measure
+    recall@k against the full-dimension exact ranking — the storage/recall
+    trade curve that decides how many dims a 100 TB index must keep.
+
+    Returns one row per dim: (dim, n_queries, mean_recall_at_k), where
+    mean_recall = sum(hits) / (n_queries * k) — an integer-sum quotient, so
+    no float-accumulation order can move it. The full dimension itself is
+    the gold ranking (its row reads 1.0 — a built-in sanity check).
+
+    Scale shape: per-dim scoring is the broadcast-queries map-side pass of
+    ``cosine_self_join_topk`` (the slice prunes flops AND, with a columnar
+    prefix layout, read bytes); rankings are |queries|·k rows; the recall
+    join and groupBy are metric-sized, independent of corpus bytes.
+    """
+    from vector_mcp_spark.operators.similarity import cosine_self_join_topk
+
+    full_dim = max(dims)
+    rankings = None
+    for d in dims:
+        sliced_q = queries.select(
+            F.col(id_col), F.slice(F.col(emb_col), 1, d).alias(emb_col)
+        )
+        sliced_c = corpus.select(
+            F.col(id_col), F.slice(F.col(emb_col), 1, d).alias(emb_col)
+        )
+        r = cosine_self_join_topk(
+            sliced_q, sliced_c, k=k, id_col=id_col, emb_col=emb_col
+        ).select(F.lit(d).alias("dim"), "query_id", "neighbor_id")
+        rankings = r if rankings is None else rankings.unionByName(r)
+    gold = rankings.where(F.col("dim") == full_dim).select(
+        F.col("query_id").alias("_gq"), F.col("neighbor_id").alias("_gn")
+    )
+    hits = rankings.join(
+        gold,
+        (F.col("query_id") == F.col("_gq")) & (F.col("neighbor_id") == F.col("_gn")),
+        "left",
+    )
+    n_q = queries.count()
+    return (
+        hits.groupBy("dim")
+        .agg(F.sum(F.col("_gn").isNotNull().cast("long")).alias("_hits"))
+        .select(
+            "dim",
+            F.lit(n_q).cast("long").alias("n_queries"),
+            F.round(F.col("_hits") / F.lit(float(n_q * k)), 6).alias("mean_recall_at_k"),
+        )
+    )

@@ -194,6 +194,7 @@ _PROMOTED_R7: list[str] = [
     "events_time_travel",
     "corpus_strip_repeated_spans",
     "corpus_semdedup",
+    "embedding_mrl_recall",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r4, alphabetical within

@@ -2250,3 +2250,63 @@ def q_corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         assigned, tau=_SEMDEDUP_TAU, id_col="vec_id", emb_col="embedding"
     )
+
+
+# -- Matryoshka truncation recall curve ---------------------------------------
+
+_MRL_DIMS = (16, 32, 64)
+_MRL_K = 10
+_MRL_NQ = 20
+
+
+def _mrl_oracle() -> str:
+    """Per-dim replay: rank by cosine over the dim-prefix slice, then
+    recall@k against the full-dim ranking; mean recall is an integer-sum
+    quotient (SUM(hits)/(nq*k)) so no float order can move it."""
+
+    def sim(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+        )
+
+    rank_ctes = ",".join(
+        f"""
+r{d} AS (
+  SELECT {d} AS dim, query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {sim(f"c.v[1:{d}]", f"q.v[1:{d}]")} DESC NULLS LAST,
+                                       c.vec_id ASC) AS rn
+    FROM c CROSS JOIN q WHERE c.vec_id != q.vec_id
+  ) WHERE rn <= {_MRL_K}
+)"""
+        for d in _MRL_DIMS
+    )
+    union = " UNION ALL ".join(f"SELECT * FROM r{d}" for d in _MRL_DIMS)
+    full = max(_MRL_DIMS)
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM c WHERE vec_id < {_MRL_NQ}),{rank_ctes},
+rankings AS ({union}),
+gold AS (SELECT query_id AS gq, neighbor_id AS gn FROM r{full})
+SELECT r.dim, CAST({_MRL_NQ} AS BIGINT) AS n_queries,
+       ROUND(CAST(SUM(CASE WHEN g.gn IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / {float(_MRL_NQ * _MRL_K)}, 6) AS mean_recall_at_k
+FROM rankings r LEFT JOIN gold g ON r.query_id = g.gq AND r.neighbor_id = g.gn
+GROUP BY r.dim
+"""
+
+
+@register("embedding_mrl_recall", _mrl_oracle(), "similarity", "pipeline", "evaluation")
+def q_embedding_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation-recall curve: how much exact-KNN recall
+    survives ranking on only the first 16/32/64 dims (the storage-vs-recall
+    decision for a prefix-sliced 100 TB index)."""
+    from vector_mcp_spark.operators.rageval import matryoshka_recall
+
+    embs = load(spark, sf_dir, "embeddings")
+    qs = embs.where(F.col("vec_id") < _MRL_NQ)
+    return matryoshka_recall(
+        embs, qs, dims=list(_MRL_DIMS), k=_MRL_K, id_col="vec_id"
+    )
