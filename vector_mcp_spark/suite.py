@@ -195,6 +195,7 @@ _PROMOTED_R7: list[str] = [
     "corpus_strip_repeated_spans",
     "corpus_semdedup",
     "embedding_mrl_recall",
+    "semantic_filtered_topk",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r4, alphabetical within

@@ -757,3 +757,38 @@ def q_rag_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gold = cosine_self_join_topk(qs, embs, k=_RAG_K, id_col="vec_id")
     return retrieval_metrics(system, gold, k=_RAG_K)
+
+
+# ---------------------------------------------------------------------------
+# Metadata-filtered semantic search (filtered vector search — an extension;
+# the reference query surface has no metadata predicate, base.py:189-253)
+# ---------------------------------------------------------------------------
+
+_FILT_LANG = "en"
+_FILT_SOURCE_NOT = "src3"
+
+_SEM_FILT_ORACLE = f"""
+SELECT d.doc_id AS doc_id, d.lang, d.source,
+       ROUND({_cosine_sql('e.embedding', SEM_QUERY_VEC)}, 6) AS score
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE d.lang = '{_FILT_LANG}' AND d.source <> '{_FILT_SOURCE_NOT}'
+ORDER BY {_cosine_sql('e.embedding', SEM_QUERY_VEC)} DESC, d.doc_id ASC
+LIMIT {SEM_K}
+"""
+
+
+@register("semantic_filtered_topk", _SEM_FILT_ORACLE, "search", "filtered")
+def q_semantic_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: the metadata predicate applies BEFORE
+    ranking, so Catalyst pushes it into the parquet scan (PushedFilters)
+    and the cosine never evaluates on excluded rows — at 100 TB the filter
+    prunes row groups, not post-ranked results."""
+    from vector_mcp_spark.operators.semantic import semantic_topk
+
+    coll = docs_with_embeddings(spark, sf_dir).where(
+        (F.col("lang") == _FILT_LANG) & (F.col("source") != _FILT_SOURCE_NOT)
+    )
+    return semantic_topk(
+        coll, SEM_QUERY_VEC, SEM_K, id_col="doc_id", emb_col="embedding",
+        payload_cols=("lang", "source"),
+    )
