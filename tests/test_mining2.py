@@ -480,3 +480,48 @@ def test_strip_repeated_spans_short_docs_pass_through(spark):
     out = {r.id: r for r in strip_repeated_spans(df, n=5).collect()}
     assert out["d1"].n_removed == 0 and out["d2"].n_removed == 0
     assert out["d2"].clean_text == "too short"
+
+
+def test_log_histogram_quantiles_accuracy_and_merge(spark):
+    """Sketch quantiles must land within one bin's relative width (~19% at
+    4 sub-bins) of the exact quantile, and merging two shard sketches must
+    equal the sketch of the union (the mergeability contract)."""
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.sketches import histogram_quantiles, log_histogram
+    from vector_mcp_spark.suite import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    hist = log_histogram(ev, "value", ["event_type"])
+    got = {
+        (r.event_type, r.p): r.q_est
+        for r in histogram_quantiles(hist, ["event_type"], [0.5, 0.99]).collect()
+    }
+    exact = {
+        (r.event_type, p): r[f"q{int(p * 100)}"]
+        for r in ev.groupBy("event_type").agg(
+            F.expr("percentile(value, 0.5)").alias("q50"),
+            F.expr("percentile(value, 0.99)").alias("q99"),
+        ).collect()
+        for p in (0.5, 0.99)
+    }
+    # p50 sits in dense bins (≈ one 19%-bin of error); p99 lands in sparse
+    # tail bins where the ceil-rank (type-1) vs percentile()'s interpolated
+    # order stat can differ by a bin — allow two bins of relative slop there
+    for (etype, p), est in got.items():
+        tol = 0.20 if p == 0.5 else 0.40
+        assert abs(est - exact[(etype, p)]) / max(exact[(etype, p)], 1e-9) < tol, (
+            etype, p, est, exact[(etype, p)])
+
+    # mergeability: sum of shard histograms == histogram of the union
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = (
+        log_histogram(a, "value", ["event_type"])
+        .unionByName(log_histogram(b, "value", ["event_type"]))
+        .groupBy("event_type", "bin_id")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = log_histogram(ev, "value", ["event_type"])
+    diff = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    assert diff == 0

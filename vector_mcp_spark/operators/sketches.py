@@ -271,3 +271,90 @@ def kmv_row_sample(df: DataFrame, id_col: str, k: int = 256) -> DataFrame:
         raise ValueError("k must be >= 1")
     h = F.sha2(F.col(id_col).cast("string"), 256)
     return df.withColumn("_kmv_h", h).orderBy("_kmv_h").limit(k).drop("_kmv_h")
+
+
+def log_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    int_scale: int = 100,
+    sub_bins: int = 4,
+) -> DataFrame:
+    """Mergeable log-spaced histogram sketch — the QUANTILE member of the
+    sketch family (KMV = distinct, CMS = frequency, Bloom = membership):
+    per group, (bin_id, cnt) rows over geometric bins with ``sub_bins``
+    subdivisions per octave (relative bin width 2^(1/sub_bins) ≈ 19% at 4 —
+    the HdrHistogram/DDSketch idea with a fixed relative error).
+
+    Binning is INTEGER-EXACT, no libm: values scale to integers
+    (``int_scale``, e.g. cents), the octave is the integer's bit length
+    (``length(bin(c)) - 1`` — string ops, bit-identical in any engine), and
+    the sub-bin is an integer division. A float log2 here would let two
+    engines' last-ulp disagreement flip a boundary value's bin.
+
+    Merging shards/days = summing cnt per (group, bin_id); bins per group
+    are bounded by the value range (~sub_bins·64 max), so a year of daily
+    sketches answers all-time quantiles without re-scanning raw data.
+    """
+    c = F.greatest(F.round(F.col(value_col) * int_scale).cast("long"), F.lit(1))
+    e = (F.length(F.bin(c)) - 1).cast("long")
+    # explicit floor of the double quotient: Spark's cast-to-long truncates
+    # but DuckDB's rounds, so FLOOR on both sides is the only portable form
+    # 2^e via pow: exact in double for any feasible e (≤52), matching the
+    # oracle's (1 << e)::DOUBLE bit for bit; F.shiftleft only takes a
+    # Python-int shift so it can't express a per-row exponent
+    sub = (F.floor(c * sub_bins / F.pow(F.lit(2.0), e)) - sub_bins).cast("long")
+    bin_id = (e * sub_bins + sub).cast("long")
+    return (
+        df.select(*group_cols, bin_id.alias("bin_id"))
+        .groupBy(*group_cols, "bin_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    group_cols: Sequence[str],
+    ps: Sequence[float],
+    int_scale: int = 100,
+    sub_bins: int = 4,
+) -> DataFrame:
+    """Estimate quantiles from a ``log_histogram`` sketch: per group and
+    probability p, find the first bin whose cumulative count reaches
+    ``ceil(p·n)`` and interpolate linearly inside it. Output one row per
+    (group, p): (…group, p, q_est), 6 dp. Window is partitioned per group
+    over ≤ ~256 bins — never a data-sized sort."""
+    from pyspark.sql import Window
+
+    gc = list(group_cols)
+    w = Window.partitionBy(*gc).orderBy("bin_id")
+    cum = hist.select(
+        *gc,
+        "bin_id",
+        "cnt",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(Window.partitionBy(*gc)).alias("_n"),
+    )
+    p_lits = F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p")
+    probed = cum.select(*gc, "bin_id", "cnt", "_cum", "_n", p_lits).withColumn(
+        "_target", F.ceil(F.col("p") * F.col("_n")).cast("long")
+    )
+    hit = (
+        probed.where(F.col("_cum") >= F.col("_target"))
+        .groupBy(*gc, "p")
+        .agg(
+            F.min(F.struct("bin_id", "cnt", "_cum", "_n", "_target")).alias("_h")
+        )
+        .select(*gc, "p", "_h.*")
+    )
+    e = F.floor(F.col("bin_id") / sub_bins)
+    sub = F.col("bin_id") - e * sub_bins
+    pow2e = F.pow(F.lit(2.0), e)
+    lo = pow2e * (1.0 + sub / F.lit(float(sub_bins)))
+    hi = pow2e * (1.0 + (sub + 1) / F.lit(float(sub_bins)))
+    frac = (F.col("_target") - (F.col("_cum") - F.col("cnt"))) / F.col("cnt")
+    return hit.select(
+        *gc,
+        "p",
+        F.round((lo + (hi - lo) * frac) / int_scale, 6).alias("q_est"),
+    )

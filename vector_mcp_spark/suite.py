@@ -199,6 +199,7 @@ _PROMOTED_R7: list[str] = [
     "corpus_semdedup",
     "embedding_mrl_recall",
     "semantic_filtered_topk",
+    "events_histogram_quantiles",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r4, alphabetical within

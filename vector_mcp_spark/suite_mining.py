@@ -2230,3 +2230,73 @@ def q_corpus_strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load(spark, sf_dir, "documents")
     return strip_repeated_spans(docs, n=_STRIP_N, id_col="doc_id", text_col="text")
+
+
+# -- mergeable log-histogram sketch quantiles ---------------------------------
+# The quantile member of the sketch family (KMV/CMS/Bloom): DDSketch-style
+# geometric bins with INTEGER-EXACT binning (bit-length octave + integer
+# sub-bin — no libm, so no engine can flip a boundary value's bin).
+
+_HQ_PS = (0.5, 0.95, 0.99)
+_HQ_SCALE = 100
+_HQ_SUB = 4
+
+_HQ_ORACLE = f"""
+WITH v AS (
+  SELECT event_type, GREATEST(CAST(ROUND(value * {_HQ_SCALE}) AS BIGINT), 1) AS c
+  FROM events
+),
+b AS (
+  SELECT event_type,
+         (length(bin(c)) - 1) AS e,
+         CAST(FLOOR(c * {_HQ_SUB} / (1::BIGINT << (length(bin(c)) - 1))) AS BIGINT)
+           - {_HQ_SUB} AS sub
+  FROM v
+),
+hist AS (
+  SELECT event_type, (e * {_HQ_SUB} + sub) AS bin_id, COUNT(*) AS cnt
+  FROM b GROUP BY event_type, e * {_HQ_SUB} + sub
+),
+cum AS (
+  SELECT event_type, bin_id, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin_id) AS _cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS _n
+  FROM hist
+),
+probed AS (
+  SELECT c.*, p.p, CAST(CEIL(p.p * c._n) AS BIGINT) AS _target
+  FROM cum c CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in _HQ_PS)}]::DOUBLE[]) AS p) p
+),
+hit AS (
+  SELECT event_type, p, bin_id, cnt, _cum, _n, _target
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type, p ORDER BY bin_id) AS rn
+    FROM probed WHERE _cum >= _target
+  ) WHERE rn = 1
+)
+SELECT event_type, p,
+       ROUND((
+         ((1::BIGINT << CAST(FLOOR(bin_id / {_HQ_SUB}) AS INT))::DOUBLE
+            * (1.0 + (bin_id - FLOOR(bin_id / {_HQ_SUB}) * {_HQ_SUB}) / {float(_HQ_SUB)}))
+         + (((1::BIGINT << CAST(FLOOR(bin_id / {_HQ_SUB}) AS INT))::DOUBLE
+            * (1.0 + ((bin_id - FLOOR(bin_id / {_HQ_SUB}) * {_HQ_SUB}) + 1) / {float(_HQ_SUB)}))
+            - ((1::BIGINT << CAST(FLOOR(bin_id / {_HQ_SUB}) AS INT))::DOUBLE
+            * (1.0 + (bin_id - FLOOR(bin_id / {_HQ_SUB}) * {_HQ_SUB}) / {float(_HQ_SUB)})))
+           * ((_target - (_cum - cnt)) / cnt)
+       ) / {_HQ_SCALE}, 6) AS q_est
+FROM hit
+"""
+
+
+@register("events_histogram_quantiles", _HQ_ORACLE, "sketch", "relational")
+def q_events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 per event type from the mergeable log-histogram sketch —
+    bins are groupBy counts (map-side combinable, mergeable across shards);
+    the quantile pass windows over ≤ ~bins rows per group, never the data."""
+    from vector_mcp_spark.operators.sketches import histogram_quantiles, log_histogram
+
+    ev = load(spark, sf_dir, "events")
+    hist = log_histogram(ev, "value", ["event_type"], int_scale=_HQ_SCALE, sub_bins=_HQ_SUB)
+    return histogram_quantiles(
+        hist, ["event_type"], ps=list(_HQ_PS), int_scale=_HQ_SCALE, sub_bins=_HQ_SUB
+    )
