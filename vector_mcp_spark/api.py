@@ -220,12 +220,13 @@ class VectorSearchApi:
             collection_col="collection", id_col="id", emb_col="embedding",
         )
         # re-attach content by (collection, id) — the fused frame is n rows,
-        # broadcast side of the join, so payloads never shuffle corpus-wide
+        # broadcast side of the join, so payloads never shuffle corpus-wide.
+        # (score hygiene lives inside federated_topk, BEFORE ranking, so
+        # NaN rows can never consume quota or top-n slots)
         return (
             docs.join(
                 F.broadcast(fused), ["collection", "id"], "inner"
             )
-            .where(~F.isnan("score") & F.col("score").isNotNull())
             .select("collection", "id", "content", "score", "collection_rank", "rank")
             .orderBy("rank")
         )

@@ -192,7 +192,8 @@ class McpVeneer:
                 names = collection_names or ([collection_name] if collection_name else [])
                 df = self.api.federated_search(names, question, number_results=k)
                 rows = [
-                    {"rank": r.rank, "collection": r.collection, "id": r.id,
+                    {"rank": r.rank, "collection": r.collection,
+                     "collection_rank": r.collection_rank, "id": r.id,
                      "content": r.content, "score": r.score} for r in df.collect()
                 ]
                 return {"action": resolved, "collection_names": names, "results": rows}

@@ -50,6 +50,10 @@ def federated_topk(
         F.col(collection_col).alias("collection"),
         F.col(id_col),
         cosine_similarity_lit(F.col(emb_col), query_vec).alias("_score"),
+    ).where(
+        # before ranking: NaN orders ABOVE every double in desc() windows,
+        # so an unfiltered NaN row would consume quota and top-n slots
+        F.col("_score").isNotNull() & ~F.isnan("_score")
     )
     w_local = Window.partitionBy("collection").orderBy(
         F.col("_score").desc(), F.col(id_col).asc()

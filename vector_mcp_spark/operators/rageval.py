@@ -114,6 +114,15 @@ def matryoshka_recall(
     from vector_mcp_spark.operators.similarity import cosine_self_join_topk
 
     full_dim = max(dims)
+    actual = corpus.select(F.size(F.col(emb_col)).alias("d")).first()
+    if actual is not None and actual.d != full_dim:
+        # without this, "recall vs the full-dimension exact ranking" would
+        # silently mean recall vs a TRUNCATED gold (whose own row reads a
+        # meaningless 1.0) whenever the caller forgets the full width
+        raise ValueError(
+            f"max(dims)={full_dim} must equal the embedding dimensionality "
+            f"({actual.d}) — the largest prefix is the gold ranking"
+        )
     rankings = None
     for d in dims:
         sliced_q = queries.select(

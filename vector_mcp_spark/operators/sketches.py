@@ -279,6 +279,7 @@ def log_histogram(
     group_cols: Sequence[str],
     int_scale: int = 100,
     sub_bins: int = 4,
+    strict: bool = True,
 ) -> DataFrame:
     """Mergeable log-spaced histogram sketch — the QUANTILE member of the
     sketch family (KMV = distinct, CMS = frequency, Bloom = membership):
@@ -295,7 +296,22 @@ def log_histogram(
     Merging shards/days = summing cnt per (group, bin_id); bins per group
     are bounded by the value range (~sub_bins·64 max), so a year of daily
     sketches answers all-time quantiles without re-scanning raw data.
+
+    ``strict`` (default) probes for non-positive values and raises — the
+    geometric bins cover positives only; with ``strict=False`` such values
+    clamp into the smallest bin (caller accepts the distortion).
     """
+    if strict:
+        # geometric bins only cover positives — folding zeros/negatives into
+        # the smallest bin would silently corrupt every merged quantile
+        # (DDSketch keeps a separate store for them; callers with such data
+        # must split sign ranges first, or pass strict=False knowingly)
+        bad = df.where(F.col(value_col) <= 0).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"log_histogram requires positive {value_col!r} values; "
+                "split sign ranges or pass strict=False to clamp"
+            )
     c = F.greatest(F.round(F.col(value_col) * int_scale).cast("long"), F.lit(1))
     e = (F.length(F.bin(c)) - 1).cast("long")
     # explicit floor of the double quotient: Spark's cast-to-long truncates
