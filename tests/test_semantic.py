@@ -157,3 +157,46 @@ def test_late_interaction_maxsim_reference(spark):
     ranked = sorted(got.items(), key=lambda kv: -kv[1])
     assert ranked[0][0] in ("g1", "g2")  # g3 is anti-aligned, must be last
     assert ranked[-1][0] == "g3"
+
+
+def test_grouped_topk_diversification(spark):
+    """Groups rank by their best hit; hits cap at per_group; a dominant
+    group cannot take more than its cap even when it holds all the global
+    top hits."""
+    from vector_mcp_spark.operators.semantic import grouped_topk
+
+    # group A holds the 4 best-aligned vectors, B two mid ones, C one weak
+    rows = [
+        ("A", 1, [1.0, 0.0]),
+        ("A", 2, [0.99, 0.1]),
+        ("A", 3, [0.98, 0.15]),
+        ("A", 4, [0.97, 0.2]),
+        ("B", 5, [0.5, 0.5]),
+        ("B", 6, [0.4, 0.6]),
+        ("C", 7, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "src string, id int, embedding array<float>")
+    out = grouped_topk(
+        df, [1.0, 0.0], group_col="src", k_groups=2, per_group=2, id_col="id"
+    ).collect()
+
+    # only 2 groups survive, 2 hits each, A first (best hit cos=1.0)
+    assert [r.src for r in out] == ["A", "A", "B", "B"]
+    assert [r.group_rank for r in out] == [1, 1, 2, 2]
+    assert [r.hit_rank for r in out] == [1, 2, 1, 2]
+    # A's third/fourth hits are cut despite beating every B hit globally
+    assert {r.id for r in out} == {1, 2, 5, 6}
+    # scores are descending inside each group
+    assert out[0].score >= out[1].score and out[2].score >= out[3].score
+
+
+def test_grouped_topk_k_groups_bound(spark):
+    """k_groups larger than the group count returns every group, ranked."""
+    from vector_mcp_spark.operators.semantic import grouped_topk
+
+    df = spark.createDataFrame(
+        [("A", 1, [1.0, 0.0]), ("B", 2, [0.0, 1.0])],
+        "src string, id int, embedding array<float>",
+    )
+    out = grouped_topk(df, [1.0, 0.0], "src", k_groups=10, per_group=5, id_col="id")
+    assert [(r.src, r.group_rank) for r in out.collect()] == [("A", 1), ("B", 2)]

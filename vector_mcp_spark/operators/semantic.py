@@ -135,6 +135,65 @@ def semantic_topk_multi(
     )
 
 
+def grouped_topk(
+    docs: DataFrame,
+    query_vec: Sequence[float],
+    group_col: str,
+    k_groups: int,
+    per_group: int,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Group-diversified vector search (the public Qdrant ``search_groups``
+    API shape; the reference's Qdrant backend exposes plain ``query_points``
+    — ``vector_mcp/vectordb/qdrant.py:242-270`` — and grouped search is the
+    same engine's companion call): return the top ``k_groups`` metadata
+    groups ranked by their BEST hit, with at most ``per_group`` hits inside
+    each group — so one dominant source can never monopolize the result
+    page the way a flat top-k lets it.
+
+    Output: ``(group_rank, group_col, hit_rank, id_col, score)`` ordered by
+    (group_rank, hit_rank), score rounded to 6 dp.
+
+    Scale shape: the cosine is a map-side projection; only the narrow
+    ``(group, id, score)`` triple shuffles for the per-group rank window
+    (partitioned by group — no global sort); the group ranking itself runs
+    on the ≤ |groups| one-row aggregates with the unpartitioned window
+    applied AFTER a limit, so it never sees more than ``k_groups`` rows.
+    """
+    narrow = with_similarity(docs, query_vec, emb_col).select(
+        F.col(group_col).alias("_grp"), F.col(id_col), F.col("score")
+    )
+    w_hits = Window.partitionBy("_grp").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    kept = (
+        narrow.withColumn("hit_rank", F.row_number().over(w_hits))
+        .where(F.col("hit_rank") <= per_group)
+    )
+    # rank groups by their best hit; limit BEFORE the unpartitioned window
+    # so row_number only ever orders k_groups rows on one task
+    best = kept.groupBy("_grp").agg(F.max("score").alias("_best"))
+    top_groups = (
+        best.orderBy(F.col("_best").desc(), F.col("_grp").asc())
+        .limit(k_groups)
+        .withColumn(
+            "group_rank",
+            F.row_number().over(Window.orderBy(F.col("_best").desc(), F.col("_grp").asc())),
+        )
+        .select("_grp", "group_rank")
+    )
+    return (
+        kept.join(F.broadcast(top_groups), "_grp")
+        .select(
+            "group_rank",
+            F.col("_grp").alias(group_col),
+            "hit_rank",
+            id_col,
+            F.round("score", SCORE_DECIMALS).alias("score"),
+        )
+        .orderBy("group_rank", "hit_rank")
+    )
+
+
 def late_interaction_topk(
     corpus: DataFrame,
     query_vecs: Sequence[Sequence[float]],

@@ -792,3 +792,53 @@ def q_semantic_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         coll, SEM_QUERY_VEC, SEM_K, id_col="doc_id", emb_col="embedding",
         payload_cols=("lang", "source"),
     )
+
+
+# -- grouped (diversified-by-metadata) search --------------------------------
+# Qdrant's search_groups semantics: groups ordered by their best hit's
+# score, at most _GRP_PER hits per group, top _GRP_K groups kept.
+
+_GRP_K = 5
+_GRP_PER = 3
+
+_SEM_GRP_ORACLE = f"""
+WITH scored AS (
+  SELECT d.source, d.doc_id,
+         {_cosine_sql('e.embedding', SEM_QUERY_VEC)} AS score
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+kept AS (
+  SELECT * FROM (
+    SELECT source, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY score DESC, doc_id ASC) AS hit_rank
+    FROM scored
+  ) WHERE hit_rank <= {_GRP_PER}
+),
+topg AS (
+  SELECT source,
+         ROW_NUMBER() OVER (ORDER BY best DESC, source ASC) AS group_rank
+  FROM (SELECT source, MAX(score) AS best FROM kept GROUP BY source)
+  ORDER BY best DESC, source ASC
+  LIMIT {_GRP_K}
+)
+SELECT t.group_rank, k.source, k.hit_rank, k.doc_id,
+       ROUND(k.score, 6) AS score
+FROM kept k JOIN topg t USING (source)
+ORDER BY t.group_rank, k.hit_rank
+"""
+
+
+@register("semantic_grouped_topk", _SEM_GRP_ORACLE, "search", "grouped")
+def q_semantic_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-diversified search (Qdrant search_groups shape): top groups by
+    best hit, capped hits per group — the anti-monopoly page layout. Only
+    (source, id, score) shuffles; the group ranking windows over rows
+    already cut to k_groups by a limit."""
+    from vector_mcp_spark.operators.semantic import grouped_topk
+
+    coll = docs_with_embeddings(spark, sf_dir)
+    return grouped_topk(
+        coll, SEM_QUERY_VEC, group_col="source", k_groups=_GRP_K,
+        per_group=_GRP_PER, id_col="doc_id", emb_col="embedding",
+    )
