@@ -74,6 +74,57 @@ def rrf_fuse(
     )
 
 
+def dbsf_fuse(
+    legs: Sequence[DataFrame],
+    n: int,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Distribution-Based Score Fusion (the Qdrant ``dbsf`` fusion mode,
+    RRF's companion): instead of discarding score magnitudes for ranks,
+    normalize each leg's scores by its own distribution — ``(s − (μ−3σ)) /
+    (6σ)`` with per-leg mean μ and population σ — then sum the normalized
+    scores per id. Preserves "how much better" one hit is, which RRF
+    flattens; a constant-score leg (σ = 0) contributes 0.5 per hit.
+
+    Legs are bounded to MAX_LEG_ROWS exactly as in :func:`rrf_fuse`; the
+    per-leg stats are an aggregate over those ≤1000 rows joined back by a
+    one-row broadcast, so nothing here scales with corpus size. Returns
+    (id, score) with the fused score rounded to 6 dp, top n by
+    (score desc, id asc)."""
+    normed = []
+    for leg_df in legs:
+        bounded = (
+            leg_df.select(id_col, score_col)
+            .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+            .limit(MAX_LEG_ROWS)
+        )
+        stats = bounded.agg(
+            F.avg(score_col).alias("_mu"), F.stddev_pop(score_col).alias("_sd")
+        )
+        normed.append(
+            bounded.join(F.broadcast(stats))
+            .select(
+                F.col(id_col),
+                F.when(F.col("_sd") == 0.0, F.lit(0.5))
+                .otherwise(
+                    (F.col(score_col) - (F.col("_mu") - 3.0 * F.col("_sd")))
+                    / (6.0 * F.col("_sd"))
+                )
+                .alias("_ns"),
+            )
+        )
+    unioned = normed[0]
+    for c in normed[1:]:
+        unioned = unioned.unionByName(c)
+    return (
+        unioned.groupBy(id_col)
+        .agg(F.round(F.sum("_ns"), SCORE_DECIMALS).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(n)
+    )
+
+
 def rrf_fuse_multi(
     legs: Sequence[tuple[DataFrame, float]],
     n: int,

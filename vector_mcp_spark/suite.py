@@ -137,12 +137,9 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 # the 33 _ROUND6_BACKFILL entries that missed slot 50 last round (their
 # newest driver rows are r3), then new round-7 operators (_PROMOTED_R7),
 # then the stalest remaining greens (r4 rows) up to 50.
-# ROUND 8 TODO: lead with the 9 _ROUND7_FILL entries displaced past slot
-# 50 by _PROMOTED_R7 (customers_without_orders, dedup_winnow_fingerprints,
-# embedding_centroid_outliers, embedding_quantize_int8,
-# embedding_random_projection, events_cms_user_counts, events_cube,
-# events_distinct_daily, events_funnel_stages), then the remaining
-# r4/r5-latest entries (compute
+# ROUND 8 TODO: lead with the 16 _ROUND7_FILL entries displaced past slot
+# 50 by _PROMOTED_R7 (everything in _ROUND7_FILL except ann_ivf_topk, which
+# stayed in slot 50), then the remaining r4/r5-latest entries (compute
 # as all entries minus CORRECTNESS_r0{6,7} keys, sorted by latest driver
 # row), then _PROMOTED_R8. Recompute the displaced set if _PROMOTED_R7
 # grew after this comment: displaced = _ROUND7_FILL[50 - len(_ROUND7_LEAD)
@@ -153,6 +150,7 @@ from vector_mcp_spark import suite_search  # noqa: E402,F401
 from vector_mcp_spark import suite_mutation  # noqa: E402,F401
 from vector_mcp_spark import suite_tpch  # noqa: E402,F401
 from vector_mcp_spark import suite_mining  # noqa: E402,F401
+from vector_mcp_spark import suite_vecapi  # noqa: E402,F401
 # --- Round-7 window --------------------------------------------------------
 # (a) The 33 _ROUND6_BACKFILL entries that fell past slot 50 in round 6
 # (newest driver rows r3; all re-verified locally at sf0.01 and by
@@ -205,6 +203,13 @@ _PROMOTED_R7: list[str] = [
     "semantic_filtered_topk",
     "events_histogram_quantiles",
     "semantic_grouped_topk",
+    "semantic_scroll_page",
+    "payload_facet_counts",
+    "semantic_recommend",
+    "semantic_discover",
+    "sparse_vector_topk",
+    "embedding_distance_matrix",
+    "hybrid_dbsf",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r4, alphabetical within

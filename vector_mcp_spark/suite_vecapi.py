@@ -1,0 +1,327 @@
+"""Declared vector-DB point-API queries — the query surface of the engines
+the reference wraps, beyond plain KNN (see ``operators/vecapi.py``): keyset
+scroll (``vector_mcp/vectordb/qdrant.py:272-302`` uses ``client.scroll``
+directly), payload facet counts, recommend (average-vector strategy),
+discovery (context-pair constrained) search, sparse-vector dot-product
+retrieval (pgvector ``sparsevec`` shape), bounded pairwise distance matrix,
+and Distribution-Based Score Fusion (the Qdrant ``dbsf`` hybrid mode next
+to the already-declared RRF).
+
+Every oracle mirrors the Spark arithmetic: doubles, sequential
+``list_dot_product`` folds, identical rounding points, ranking ties pinned
+by id. The recommend query vector is quantized to 9 dp half-up on BOTH
+sides so a data-derived vector is bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_mcp_spark.functions.embedder import hash_embed
+from vector_mcp_spark.suite import (
+    LEX_QUERY,
+    SEM_QUERY_VEC,
+    _cosine_sql,
+    docs_with_embeddings,
+    load,
+    register,
+)
+
+EMB_DIM = 64
+
+# ---------------------------------------------------------------------------
+# Keyset scroll (qdrant.py:282 client.scroll; chromadb.py:259-290 filtered
+# listing) — page N costs the same as page 1
+# ---------------------------------------------------------------------------
+
+SCROLL_AFTER_ID = 150
+SCROLL_PAGE = 20
+
+_SCROLL_ORACLE = f"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE lang = 'en' AND n_chars >= 100 AND doc_id > {SCROLL_AFTER_ID}
+ORDER BY doc_id ASC
+LIMIT {SCROLL_PAGE}
+"""
+
+
+@register("semantic_scroll_page", _SCROLL_ORACLE, "search", "vecapi")
+def q_scroll_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered keyset scroll: the id cursor is pushed to the parquet scan
+    (row-group min/max pruning — OFFSET pagination cannot do this), the
+    page plans as TakeOrderedAndProject."""
+    from vector_mcp_spark.operators.vecapi import scroll_page
+
+    docs = load(spark, sf_dir, "documents")
+    return scroll_page(
+        docs,
+        after_id=SCROLL_AFTER_ID,
+        page_size=SCROLL_PAGE,
+        filter_cond=(F.col("lang") == "en") & (F.col("n_chars") >= 100),
+        id_col="doc_id",
+        payload_cols=("source", "n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Payload facet counts (Qdrant facet API shape)
+# ---------------------------------------------------------------------------
+
+_FACET_ORACLE = """
+SELECT source AS value, CAST(COUNT(*) AS BIGINT) AS count
+FROM documents
+WHERE lang = 'en'
+GROUP BY source
+ORDER BY count DESC, value ASC
+"""
+
+
+@register("payload_facet_counts", _FACET_ORACLE, "search", "vecapi")
+def q_payload_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counts of one payload key under a filter — map-side combined
+    groupBy; the shuffle is |distinct values| rows at any corpus size."""
+    from vector_mcp_spark.operators.vecapi import facet_counts
+
+    docs = load(spark, sf_dir, "documents")
+    return facet_counts(docs, "source", filter_cond=F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
+# Recommend — average_vector strategy: q = avg(pos) + (avg(pos) − avg(neg)),
+# example points excluded from results
+# ---------------------------------------------------------------------------
+
+RECO_POS = [3, 17, 42]
+RECO_NEG = [5]
+RECO_K = 10
+
+_RECO_ALL = ", ".join(str(i) for i in RECO_POS + RECO_NEG)
+_RECO_POS_SQL = ", ".join(str(i) for i in RECO_POS)
+_RECO_NEG_SQL = ", ".join(str(i) for i in RECO_NEG)
+
+_RECO_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id IN ({_RECO_ALL})
+),
+dims AS (SELECT UNNEST(generate_series(1, {EMB_DIM})) AS i),
+comp AS (
+  SELECT d.i,
+         SUM(CASE WHEN e.vec_id IN ({_RECO_POS_SQL}) THEN e.v[d.i] END)
+           / {len(RECO_POS)} AS ap,
+         SUM(CASE WHEN e.vec_id IN ({_RECO_NEG_SQL}) THEN e.v[d.i] END)
+           / {len(RECO_NEG)} AS an
+  FROM ex e CROSS JOIN dims d GROUP BY d.i
+),
+q AS (SELECT LIST(FLOOR((ap + (ap - an)) * 1e9 + 0.5) / 1e9 ORDER BY i) AS qv
+      FROM comp),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(q.qv, q.qv))) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id NOT IN ({_RECO_ALL})
+)
+SELECT doc_id, ROUND(sim, 6) AS score
+FROM scored ORDER BY sim DESC, doc_id ASC LIMIT {RECO_K}
+"""
+
+
+@register("semantic_recommend", _RECO_ORACLE, "search", "vecapi")
+def q_semantic_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommend-by-examples: bounded point lookup of the example vectors,
+    then the standard map-side cosine + TakeOrdered against the derived
+    (9-dp-quantized) query vector."""
+    from vector_mcp_spark.operators.vecapi import recommend_topk
+
+    coll = docs_with_embeddings(spark, sf_dir)
+    return recommend_topk(
+        coll, RECO_POS, RECO_NEG, RECO_K, id_col="doc_id", emb_col="embedding"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discovery search — context pairs steer, target ranks
+# ---------------------------------------------------------------------------
+
+DISC_TARGET = hash_embed("vector database systems", EMB_DIM)
+DISC_PAIRS = [
+    (hash_embed("distributed query engine", EMB_DIM), hash_embed("cooking recipes", EMB_DIM)),
+    (hash_embed("stream processing window", EMB_DIM), hash_embed("romantic poetry", EMB_DIM)),
+]
+DISC_K = 10
+
+_DISC_SAT_SQL = " + ".join(
+    f"(CASE WHEN {_cosine_sql('e.embedding', p)} > {_cosine_sql('e.embedding', n)} "
+    "THEN 1 ELSE 0 END)"
+    for p, n in DISC_PAIRS
+)
+
+_DISC_ORACLE = f"""
+SELECT d.doc_id AS doc_id,
+       CAST({_DISC_SAT_SQL} AS INTEGER) AS satisfied,
+       ROUND({_cosine_sql('e.embedding', DISC_TARGET)}, 6) AS score
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY satisfied DESC, {_cosine_sql('e.embedding', DISC_TARGET)} DESC, d.doc_id ASC
+LIMIT {DISC_K}
+"""
+
+
+@register("semantic_discover", _DISC_ORACLE, "search", "vecapi")
+def q_semantic_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovery search: rank by context pairs satisfied, then target
+    cosine. All pair cosines are literal map-side projections; zero
+    shuffle before the top-k."""
+    from vector_mcp_spark.operators.vecapi import discover_topk
+
+    coll = docs_with_embeddings(spark, sf_dir)
+    return discover_topk(
+        coll, DISC_TARGET, DISC_PAIRS, DISC_K, id_col="doc_id", emb_col="embedding"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sparse-vector dot-product retrieval (pgvector sparsevec / SPLADE shape)
+# ---------------------------------------------------------------------------
+
+SPARSE_QUERY = [("spark", 2.0), ("vector", 1.5), ("stream", 1.0)]
+SPARSE_K = 15
+
+_SPARSE_VALUES = ", ".join(f"('{t}', {w!r}::DOUBLE)" for t, w in SPARSE_QUERY)
+
+_SPARSE_ORACLE = f"""
+WITH q(term, qw) AS (VALUES {_SPARSE_VALUES}),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]{{2,}}')) AS tok
+  FROM documents
+),
+dlen AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, SUM(q.qw) AS num
+  FROM toks t JOIN q ON t.tok = q.term
+  GROUP BY t.doc_id
+)
+SELECT h.doc_id, ROUND(h.num / l.n, 6) AS score
+FROM hits h JOIN dlen l USING (doc_id)
+ORDER BY h.num / l.n DESC, h.doc_id ASC
+LIMIT {SPARSE_K}
+"""
+
+
+@register("sparse_vector_topk", _SPARSE_ORACLE, "search", "vecapi")
+def q_sparse_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse dot-product retrieval: doc sparse vector = L1-normalized
+    token TF, query = {term: weight}. Posting-list plan — the broadcast
+    equi-join keeps only matching postings, so shuffle is O(postings of
+    the query terms)."""
+    from vector_mcp_spark.operators.vecapi import sparse_dot_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return sparse_dot_topk(docs, SPARSE_QUERY, SPARSE_K, id_col="doc_id", content_col="text")
+
+
+# ---------------------------------------------------------------------------
+# Bounded pairwise distance matrix (Qdrant search-matrix API shape)
+# ---------------------------------------------------------------------------
+
+MATRIX_MAX_ID = 24  # 25-point sample — the API contract bounds the quadratic
+MATRIX_PER_ROW = 3
+
+_MATRIX_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id <= {MATRIX_MAX_ID}
+),
+p AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+  FROM s a JOIN s b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT a_id, b_id, sim,
+         row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rnk
+  FROM p
+)
+SELECT a_id, CAST(rnk AS INTEGER) AS rank, b_id, ROUND(sim, 6) AS score
+FROM r WHERE rnk <= {MATRIX_PER_ROW}
+"""
+
+
+@register("embedding_distance_matrix", _MATRIX_ORACLE, "search", "vecapi")
+def q_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row nearest sample neighbors over a bounded filtered sample —
+    broadcast self-join on |sample| rows, never the full collection."""
+    from vector_mcp_spark.operators.vecapi import distance_matrix_topk
+
+    embs = load(spark, sf_dir, "embeddings")
+    return distance_matrix_topk(
+        embs, F.col("vec_id") <= MATRIX_MAX_ID, MATRIX_PER_ROW,
+        id_col="vec_id", emb_col="embedding",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid DBSF fusion (Qdrant's dbsf mode — the score-aware sibling of RRF)
+# ---------------------------------------------------------------------------
+
+DBSF_LEG_K = 25
+DBSF_N = 10
+
+_DBSF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]{{2,}}')) AS tok
+  FROM documents
+),
+sem AS (
+  SELECT d.doc_id, ROUND({_cosine_sql('e.embedding', SEM_QUERY_VEC)}, 6) AS score
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  ORDER BY {_cosine_sql('e.embedding', SEM_QUERY_VEC)} DESC, d.doc_id ASC
+  LIMIT {DBSF_LEG_K}
+),
+lex AS (
+  SELECT doc_id, score FROM (
+    SELECT doc_id, CAST(count(*) AS DOUBLE) AS score
+    FROM toks WHERE tok IN ('spark', 'join', 'vector')
+    GROUP BY doc_id
+  ) ORDER BY score DESC, doc_id ASC LIMIT {DBSF_LEG_K}
+),
+legs AS (
+  SELECT 0 AS leg, doc_id, score FROM sem
+  UNION ALL
+  SELECT 1 AS leg, doc_id, score FROM lex
+),
+stats AS (
+  SELECT leg, AVG(score) AS mu, STDDEV_POP(score) AS sd
+  FROM legs GROUP BY leg
+),
+norm AS (
+  SELECT l.doc_id,
+         CASE WHEN s.sd = 0 THEN 0.5
+              ELSE (l.score - (s.mu - 3 * s.sd)) / (6 * s.sd) END AS ns
+  FROM legs l JOIN stats s USING (leg)
+)
+SELECT doc_id, ROUND(SUM(ns), 6) AS score
+FROM norm GROUP BY doc_id
+ORDER BY ROUND(SUM(ns), 6) DESC, doc_id ASC
+LIMIT {DBSF_N}
+"""
+
+
+@register("hybrid_dbsf", _DBSF_ORACLE, "search", "vecapi")
+def q_hybrid_dbsf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSF fusion of the semantic and lexical-tf legs: per-leg μ±3σ score
+    normalization, summed per id — preserves score magnitudes RRF discards.
+    Leg stats are one-row broadcast aggregates over ≤1000-row legs."""
+    from vector_mcp_spark.operators.hybrid import dbsf_fuse
+    from vector_mcp_spark.operators.lexical import lexical_tf_topk
+    from vector_mcp_spark.operators.semantic import semantic_topk
+
+    coll = docs_with_embeddings(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    sem = semantic_topk(coll, SEM_QUERY_VEC, DBSF_LEG_K, id_col="doc_id", emb_col="embedding")
+    lex = lexical_tf_topk(docs, LEX_QUERY, DBSF_LEG_K, id_col="doc_id", content_col="text")
+    return dbsf_fuse([sem, lex], DBSF_N, id_col="doc_id", score_col="score")
