@@ -218,3 +218,34 @@ def time_weighted_average(
         F.count("*").alias("n_obs"),
         F.round(F.sum("_dur"), 6).alias("span_seconds"),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("user_id",),
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Open/high/low/close bars per key group (the hypertable/financial
+    ``time_bucket + first/last`` rollup the reference's external engines
+    expose; no analogue in `/root/reference` — north-star time-series op).
+
+    ``open``/``close`` are ``min_by``/``max_by`` over the composite order key
+    ``struct(ts, tie)`` — a single hash aggregate with map-side partial
+    combine, NO window and NO per-group sort, so the plan is one shuffle on
+    the bar keys and scales like any groupBy. The struct tie-breaker makes
+    the pick deterministic when timestamps collide (ties broken by
+    ``tie_col``, assumed unique). ``volume`` is rounded to 4 dp because a
+    float sum's value depends on partial-aggregation order.
+    """
+    keys = [F.col(k) for k in key_cols]
+    order = F.struct(F.col(ts_col), F.col(tie_col))
+    return df.groupBy(*keys).agg(
+        F.min_by(value_col, order).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(value_col, order).alias("close"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum(value_col), 4).alias("volume"),
+    )

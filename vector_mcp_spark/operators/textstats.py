@@ -197,3 +197,39 @@ def text_stats(df: DataFrame, id_col: str = "id", content_col: str = "content") 
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def zipf_fit(df: DataFrame, content_col: str = "content", top_n: int = 100) -> DataFrame:
+    """Least-squares Zipf fit over the corpus token-frequency distribution:
+    slope/intercept/R² of ln(freq) ~ ln(rank) for the ``top_n`` most frequent
+    tokens (rank ties broken lexically). A healthy natural-language corpus
+    sits near slope -1; synthetic or templated text drifts toward 0 — a cheap
+    corpus-level quality diagnostic (no analogue in `/root/reference`; the
+    pipeline north-star's corpus-statistics family).
+
+    Scale shape: tokenization is a map-side JVM regexp + explode, the
+    frequency table is one map-side-combinable groupBy on the (vocabulary-
+    bounded) token key, the rank pass is TakeOrdered over top_n rows, and the
+    regression is Spark's built-in ``regr_*`` aggregates over ≤ top_n points —
+    nothing after the first groupBy depends on corpus size. Outputs round at
+    4 dp (regr_* are quotients of order-dependent float sums).
+    """
+    from pyspark.sql import Window
+
+    freqs = (
+        df.select(F.explode(tokens(F.col(content_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = freqs.orderBy(F.col("freq").desc(), F.col("tok")).limit(top_n)
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok"))
+    ranked = top.select(
+        F.log(F.col("freq").cast("double")).alias("y"),
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+    )
+    return ranked.agg(
+        F.round(F.regr_slope("y", "x"), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept("y", "x"), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2("y", "x"), 4).alias("zipf_r2"),
+        F.count("*").alias("n_tokens"),
+    )

@@ -137,13 +137,14 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 # the 33 _ROUND6_BACKFILL entries that missed slot 50 last round (their
 # newest driver rows are r3), then new round-7 operators (_PROMOTED_R7),
 # then the stalest remaining greens (r4 rows) up to 50.
-# ROUND 8 TODO: lead with the 16 _ROUND7_FILL entries displaced past slot
-# 50 by _PROMOTED_R7 (everything in _ROUND7_FILL except ann_ivf_topk, which
-# stayed in slot 50), then the remaining r4/r5-latest entries (compute
-# as all entries minus CORRECTNESS_r0{6,7} keys, sorted by latest driver
-# row), then _PROMOTED_R8. Recompute the displaced set if _PROMOTED_R7
-# grew after this comment: displaced = _ROUND7_FILL[50 - len(_ROUND7_LEAD)
-# - len(_PROMOTED_R7):].
+# ROUND 8 TODO: lead with the never-driver-checked spillover (currently
+# corpus_zipf_fit — _PROMOTED_R7 grew to 18 so its tail fell past slot 50 —
+# plus ALL 17 _ROUND7_FILL entries, since events_ohlc_bars took slot 50),
+# then the remaining r4/r5-latest entries (compute as all entries minus
+# CORRECTNESS_r0{6,7} keys, sorted by latest driver row), then
+# _PROMOTED_R8. Recompute the displaced set if _PROMOTED_R7 grew after
+# this comment: displaced = (_PROMOTED_R7 + _ROUND7_FILL)[50 -
+# len(_ROUND7_LEAD) - len(_PROMOTED_R7):].
 from vector_mcp_spark import suite_relational  # noqa: E402,F401
 from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401
@@ -210,6 +211,8 @@ _PROMOTED_R7: list[str] = [
     "sparse_vector_topk",
     "embedding_distance_matrix",
     "hybrid_dbsf",
+    "events_ohlc_bars",
+    "corpus_zipf_fit",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r4, alphabetical within

@@ -2300,3 +2300,43 @@ def q_events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         hist, ["event_type"], ps=list(_HQ_PS), int_scale=_HQ_SCALE, sub_bins=_HQ_SUB
     )
+
+
+# -- Zipf law fit over the token-frequency distribution ------------------------
+#
+# Both sides rank the top-100 tokens by (freq DESC, token ASC) and regress
+# ln(freq) on ln(rank) with the engine's built-in REGR_* aggregates. regr_*
+# are quotients of order-dependent float sums, so both sides round at 4 dp
+# (the established quotient rule).
+
+_ZIPF_TOP = 100
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents
+),
+counts AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+top AS (SELECT tok, freq FROM counts ORDER BY freq DESC, tok LIMIT {_ZIPF_TOP}),
+ranked AS (
+  SELECT ln(CAST(freq AS DOUBLE)) AS y,
+         ln(CAST(row_number() OVER (ORDER BY freq DESC, tok) AS DOUBLE)) AS x
+  FROM top
+)
+SELECT ROUND(regr_slope(y, x), 4) AS zipf_slope,
+       ROUND(regr_intercept(y, x), 4) AS zipf_intercept,
+       ROUND(regr_r2(y, x), 4) AS zipf_r2,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM ranked
+"""
+
+
+@register("corpus_zipf_fit", _ZIPF_ORACLE, "textstats", "pipeline")
+def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope/intercept/R² of the corpus token-frequency curve — the
+    rank pass is TakeOrdered over 100 rows (plan carries the bounding
+    limit), the regression is built-in regr_* aggregates; nothing after the
+    vocabulary groupBy depends on corpus size."""
+    from vector_mcp_spark.operators.textstats import zipf_fit
+
+    docs = load(spark, sf_dir, "documents")
+    return zipf_fit(docs, content_col="text", top_n=_ZIPF_TOP)

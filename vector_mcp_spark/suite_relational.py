@@ -1941,3 +1941,44 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"suite_stream_sess_{next(_STREAM_SINK_SEQ)}"
     got = run_stream_to_memory(sess, name, output_mode="append", state_partitions=8)
     return got.where(F.col("user_id") >= 0)
+
+
+# -- OHLC bars: deterministic first/last via composite-key min_by/max_by ------
+#
+# open/close are raw values picked by min_by/max_by over struct(ts, event_id)
+# (ties in ts broken by the unique event id), so they match the oracle's
+# window-rank pick bit-for-bit with no rounding; only the float SUM (volume)
+# rounds. Cross-mechanism oracle: DuckDB has no composite arg_min, so the
+# oracle ranks each user-day twice (asc/desc) and picks rn=1 — same rows,
+# different machinery.
+
+_OHLC_ORACLE = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value FROM events
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT user_id, day,
+  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+  CAST(count(*) AS BIGINT) AS n_events,
+  ROUND(SUM(value), 4) AS volume
+FROM r GROUP BY user_id, day
+"""
+
+
+@register("events_ohlc_bars", _OHLC_ORACLE, "relational", "timeseries")
+def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user-day OHLC bars (hypertable first/last rollup) — ONE hash
+    aggregate with map-side combine via min_by/max_by over struct(ts,
+    event_id); no window, no per-group sort, one shuffle on the bar keys."""
+    from vector_mcp_spark.operators.temporal import ohlc_bars
+
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return ohlc_bars(ev, ts_col="ts", value_col="value", key_cols=("user_id", "day"))
