@@ -557,3 +557,61 @@ def test_time_travel_distributed_upsert_and_legacy_guard(spark, tmp_path_factory
     shutil.rmtree(eng._changelog_root(scoped))
     with _pytest.raises(EngineError, match="time_travel_unavailable"):
         eng.read_asof("tt2", now)
+
+
+def test_payload_set_delete_and_count(spark, tmp_path_factory):
+    """Qdrant-parity payload mutation: set_payload merges keys last-write-wins
+    without touching content/embedding, delete_payload removes keys, both ride
+    the changelog so read_asof stays consistent, and count_documents answers
+    filtered point counts."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("pl_root")))
+    eng.create_collection("pl")
+    eng.add_documents(
+        "pl",
+        ["alpha doc", "beta doc", "gamma doc"],
+        metadatas=[{"k": "old", "keep": "1"}, {"k": "old"}, None],
+    )
+    by_content = {r.content: r.id for r in eng.read("pl").collect()}
+    t0 = datetime.now(timezone.utc)
+
+    n = eng.set_payload(
+        "pl", [by_content["alpha doc"], by_content["gamma doc"]],
+        {"k": "new", "extra": "x", "file_path": "/etc/dropped"},
+    )
+    assert n == 2
+    rows = {r.content: dict(r.metadata or {}) for r in eng.read("pl").collect()}
+    assert rows["alpha doc"] == {"k": "new", "keep": "1", "extra": "x"}
+    assert rows["beta doc"] == {"k": "old"}  # untouched id
+    assert rows["gamma doc"] == {"k": "new", "extra": "x"}  # NULL map patched
+    # content untouched, sanitizer dropped the private key
+    assert "file_path" not in rows["alpha doc"]
+
+    n = eng.delete_payload("pl", [by_content["alpha doc"]], ["extra", "absent"])
+    assert n == 1
+    rows = {r.content: dict(r.metadata or {}) for r in eng.read("pl").collect()}
+    assert rows["alpha doc"] == {"k": "new", "keep": "1"}
+
+    # changelog consistency: asof(now) == read(), asof(t0) == pre-patch state
+    now = datetime.now(timezone.utc)
+    tt = {(r.id, tuple(sorted((r.metadata or {}).items())))
+          for r in eng.read_asof("pl", now).collect()}
+    cur = {(r.id, tuple(sorted((r.metadata or {}).items())))
+           for r in eng.read("pl").collect()}
+    assert tt == cur
+    pre = {r.content: dict(r.metadata or {}) for r in eng.read_asof("pl", t0).collect()}
+    assert pre["alpha doc"] == {"k": "old", "keep": "1"}
+
+    # counts: full, filtered, and zero-match
+    assert eng.count_documents("pl") == 3
+    assert eng.count_documents("pl", where=F.col("metadata")["k"] == "new") == 2
+    assert eng.count_documents("pl", where=F.col("metadata")["k"] == "nope") == 0
+
+    # no-op inputs
+    assert eng.set_payload("pl", [], {"k": "v"}) == 0
+    assert eng.set_payload("pl", [by_content["alpha doc"]], {"file_path": "/x"}) == 0
+    assert eng.delete_payload("pl", [by_content["alpha doc"]], []) == 0
+    assert eng.set_payload("pl", ["missing-id"], {"k": "v"}) == 0

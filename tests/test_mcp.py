@@ -1062,3 +1062,51 @@ def test_federated_search_action(veneer):
         "federated_search", collection_names=["fed_a", "nope"], question="q"
     )
     assert out["error"] == "collection_not_found"
+
+
+def test_payload_and_count_actions(veneer):
+    """count_documents / set_payload / delete_payload ride the collection
+    tool with the same stable-error-code discipline as the rest."""
+    veneer.vector_collection_management(
+        "create_collection", collection_name="mcp_pl",
+        document_contents=["red doc", "blue doc"],
+    )
+    eng = veneer.engine
+    ids = {r.content: r.id for r in eng.read("mcp_pl").collect()}
+
+    out = veneer.vector_collection_management(
+        "set_payload", collection_name="mcp_pl",
+        document_ids=[ids["red doc"]], payload={"color": "red"},
+    )
+    assert out == {"collection_name": "mcp_pl", "documents_patched": 1}
+    out = veneer.vector_collection_management(
+        "count_documents", collection_name="mcp_pl", payload={"color": "red"}
+    )
+    assert out == {"collection_name": "mcp_pl", "count": 1}
+    out = veneer.vector_collection_management("count_documents", collection_name="mcp_pl")
+    assert out == {"collection_name": "mcp_pl", "count": 2}
+
+    out = veneer.vector_collection_management(
+        "delete_payload", collection_name="mcp_pl",
+        document_ids=[ids["red doc"]], payload_keys=["color"],
+    )
+    assert out == {"collection_name": "mcp_pl", "documents_patched": 1}
+    out = veneer.vector_collection_management(
+        "count_documents", collection_name="mcp_pl", payload={"color": "red"}
+    )
+    assert out["count"] == 0
+
+    # input guards + stable error codes
+    out = veneer.vector_collection_management("set_payload", collection_name="mcp_pl")
+    assert out["error"] == "payload_input_required"
+    out = veneer.vector_collection_management(
+        "delete_payload", collection_name="mcp_pl", document_ids=[ids["red doc"]]
+    )
+    assert out["error"] == "payload_input_required"
+    out = veneer.vector_collection_management(
+        "count_documents", collection_name="missing_collection"
+    )
+    assert out["error"] == "collection_not_found"
+    veneer.vector_collection_management(
+        "delete_collection", collection_name="mcp_pl", confirm=True
+    )

@@ -672,6 +672,96 @@ class CollectionEngine:
         cols = ["id", *include] if include else df.columns
         return df.select(*dict.fromkeys(cols))
 
+    def count_documents(self, name: str, where: "F.Column | None" = None) -> int:
+        """Point count, optionally under a filter Column (the vector-DB
+        ``count`` API — qdrant exposes it as ``client.count(collection,
+        count_filter=...)``; the reference's backends answer it with
+        ``SELECT count(*)``). Column-pruned scan: only the filter's columns
+        are read, never content/embedding bytes."""
+        df = self.read(name)
+        if where is not None:
+            df = df.where(where)
+        return df.count()
+
+    def _patch_metadata(
+        self, name: str, ids: Sequence[str], merged_col: "F.Column"
+    ) -> int:
+        """Shared partition-pruned metadata rewrite for set/delete_payload:
+        apply ``merged_col`` as the new metadata of the matching ids, leave
+        content/embedding untouched, keep the time-travel changelog
+        consistent by logging the patched rows as an upsert batch.
+
+        The patched rows are localCheckpoint-ed BEFORE the partition rewrite
+        so the changelog append re-reads materialized rows, not the parquet
+        files the rewrite just replaced."""
+        scoped = self._require(name)
+        ids = [str(i) for i in ids]
+        if not ids:
+            return 0
+        prefixes = sorted({i[:_PART_LEN] for i in ids})
+        ids_df = self.spark.createDataFrame([(i,) for i in ids], "id string")
+        touched = self._read_partitions(scoped, prefixes)
+        patched = (
+            touched.join(F.broadcast(ids_df), "id", "left_semi")
+            .withColumn("metadata", merged_col)
+            .select(*DOCUMENT_SCHEMA.fieldNames())
+            .localCheckpoint(eager=True)
+        )
+        n = patched.count()
+        if n == 0:
+            return 0
+        if self._table_format is not None:
+            from vector_mcp_spark.operators.transactional import merge_upsert
+
+            merge_upsert(self.spark, self._table_format, self._table_path(scoped), patched)
+        else:
+            kept = touched.join(F.broadcast(ids_df), "id", "left_anti")
+            self._rewrite_partitions(scoped, prefixes, kept.unionByName(patched))
+        self._log_mutation_df(scoped, "upsert", patched)
+        return n
+
+    def set_payload(self, name: str, ids: Sequence[str], payload: Mapping[str, str]) -> int:
+        """Merge ``payload`` into the metadata of the given ids without
+        touching content or embedding (qdrant ``set_payload`` parity; the
+        private-key filter and value sanitizer run exactly as on ingest).
+        Returns the number of documents patched. Last-write-wins per key is
+        explicit — existing entries under patched keys are filtered out
+        before the concat, so the result never depends on
+        spark.sql.mapKeyDedupPolicy."""
+        clean = sanitize_metadata_py(dict(payload)) or {}
+        if not clean:
+            return 0
+        keys_arr = F.array(*[F.lit(k) for k in sorted(clean)])
+        patch = F.map_entries(
+            F.create_map(*[F.lit(x) for k in sorted(clean) for x in (k, clean[k])])
+        )
+        merged = F.map_from_entries(
+            F.concat(
+                F.filter(
+                    F.map_entries(F.coalesce(F.col("metadata"), F.expr("map()"))),
+                    lambda e: ~F.array_contains(keys_arr, e["key"]),
+                ),
+                patch,
+            )
+        )
+        return self._patch_metadata(name, ids, merged)
+
+    def delete_payload(self, name: str, ids: Sequence[str], keys: Sequence[str]) -> int:
+        """Remove the given metadata keys from the given ids (qdrant
+        ``delete_payload`` parity). Returns the number of documents
+        patched; absent keys are a no-op on that document's map."""
+        keys = [str(k) for k in keys]
+        if not keys:
+            return 0
+        keys_arr = F.array(*[F.lit(k) for k in sorted(set(keys))])
+        merged = F.map_from_entries(
+            F.filter(
+                F.map_entries(F.coalesce(F.col("metadata"), F.expr("map()"))),
+                lambda e: ~F.array_contains(keys_arr, e["key"]),
+            )
+        )
+        return self._patch_metadata(name, ids, merged)
+
     # -- time-travel changelog (Delta/Iceberg VERSION AS OF on parquet) ------
     #
     # Every mutation appends an (op, document, ts, seq) batch to an

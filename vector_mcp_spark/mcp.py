@@ -22,6 +22,8 @@ import difflib
 from collections.abc import Callable, Iterable
 from typing import Any
 
+from pyspark.sql import functions as F
+
 from vector_mcp_spark.api import VectorSearchApi
 from vector_mcp_spark.backend_policy import ensure_backend_available
 from vector_mcp_spark.engine import CollectionEngine
@@ -39,6 +41,9 @@ COLLECTION_ACTIONS = (
     "build_search_index",
     "index_status",
     "collection_history",
+    "count_documents",
+    "set_payload",
+    "delete_payload",
 )
 SEARCH_ACTIONS = (
     "semantic_search", "lexical_search", "search", "rerank_search", "federated_search",
@@ -107,6 +112,9 @@ class McpVeneer:
         confirm: bool | None = None,
         dimension: int | None = None,
         db_type: str | None = None,
+        document_ids: list[str] | None = None,
+        payload: dict[str, str] | None = None,
+        payload_keys: list[str] | None = None,
     ) -> dict[str, Any]:
         resolved = resolve_action(action, COLLECTION_ACTIONS)
         if isinstance(resolved, dict):
@@ -141,6 +149,29 @@ class McpVeneer:
                     "collection_name": collection_name,
                     "status": self.engine.index_status(collection_name),
                 }
+            if resolved == "count_documents":
+                cond = None
+                if payload:
+                    # equality filter over payload keys, AND-combined — the
+                    # qdrant count(count_filter=...) shape
+                    conds = [F.col("metadata")[k] == v for k, v in sorted(payload.items())]
+                    cond = conds[0]
+                    for c in conds[1:]:
+                        cond = cond & c
+                return {
+                    "collection_name": collection_name,
+                    "count": self.engine.count_documents(collection_name, where=cond),
+                }
+            if resolved == "set_payload":
+                if not document_ids or not payload:
+                    return {"error": "payload_input_required"}
+                n = self.engine.set_payload(collection_name, document_ids, payload)
+                return {"collection_name": collection_name, "documents_patched": n}
+            if resolved == "delete_payload":
+                if not document_ids or not payload_keys:
+                    return {"error": "payload_input_required"}
+                n = self.engine.delete_payload(collection_name, document_ids, payload_keys)
+                return {"collection_name": collection_name, "documents_patched": n}
             if resolved == "collection_history":
                 batches = [
                     {"seq": r.seq, "op": r.op, "n_rows": r.n_rows,
