@@ -406,3 +406,69 @@ def test_suite_load_reads_directory_parquet(spark, tmp_path):
     src.write.parquet(out)
     got = load(spark, str(tmp_path), "documents")
     assert sorted((r.doc_id, r.text) for r in got.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_ipynb_decode_roundtrip(spark, tmp_path):
+    import json
+
+    nb4 = {
+        "nbformat": 4,
+        "cells": [
+            {"cell_type": "markdown", "source": ["# Analysis\n", "Notes here."]},
+            {
+                "cell_type": "code",
+                "source": "print('hi')",
+                "outputs": [
+                    {"output_type": "stream", "text": ["hi\n"]},
+                    {"output_type": "execute_result", "data": {"text/plain": "42"}},
+                ],
+            },
+            {"cell_type": "code", "source": [], "outputs": []},  # empty cell skipped
+        ],
+    }
+    nb3 = {
+        "nbformat": 3,
+        "worksheets": [{"cells": [{"cell_type": "code", "input": "x = 1"}]}],
+    }
+    (tmp_path / "a.ipynb").write_text(json.dumps(nb4))
+    (tmp_path / "old.ipynb").write_text(json.dumps(nb3))
+    got = {r.path.split("/")[-1]: r.content
+           for r in read_documents(spark, [str(tmp_path)]).collect()}
+    assert got["a.ipynb"] == "# Analysis\nNotes here.\n\nprint('hi')\n\nhi\n\n42"
+    assert got["old.ipynb"] == "x = 1"
+
+
+def test_mbox_decode_roundtrip(spark, tmp_path):
+    mbox = (
+        b"From alice@example.com Thu Jan  1 00:00:00 2026\n"
+        b"Subject: First message\n"
+        b"From: alice@example.com\n"
+        b"Content-Type: text/plain\n"
+        b"\n"
+        b"Body one.\n"
+        b">From escaped body line survives.\n"
+        b"\n"
+        b"From bob@example.com Thu Jan  2 00:00:00 2026\n"
+        b"Subject: Second\n"
+        b"MIME-Version: 1.0\n"
+        b'Content-Type: multipart/alternative; boundary="B"\n'
+        b"\n"
+        b"--B\n"
+        b"Content-Type: text/plain\n"
+        b"\n"
+        b"Plain part.\n"
+        b"--B\n"
+        b"Content-Type: text/html\n"
+        b"\n"
+        b"<p>html ignored</p>\n"
+        b"--B--\n"
+    )
+    (tmp_path / "mail.mbox").write_bytes(mbox)
+    got = {r.path.split("/")[-1]: r.content
+           for r in read_documents(spark, [str(tmp_path)]).collect()}
+    text = got["mail.mbox"]
+    first, second = text.split("\n\n")
+    assert first.startswith("Subject: First message")
+    assert "Body one." in first and ">From escaped body line survives." in first
+    assert second.startswith("Subject: Second")
+    assert "Plain part." in second and "html ignored" not in second

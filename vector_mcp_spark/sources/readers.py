@@ -30,7 +30,7 @@ from vector_mcp_spark.validation import EngineError
 
 MAX_FILE_BYTES = 64 * 1024 * 1024  # document_inputs.py:13-16
 TEXT_EXTENSIONS = {".txt", ".md", ".markdown", ".html", ".htm", ".csv", ".json"}
-RICH_EXTENSIONS = {".pdf", ".docx", ".epub", ".pptx"}
+RICH_EXTENSIONS = {".pdf", ".docx", ".epub", ".pptx", ".ipynb", ".mbox"}
 
 _TAG_RE = re.compile(r"<[^>]+>")
 
@@ -61,12 +61,14 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     from vector_mcp_spark.sources.richformats import (
         decode_docx,
         decode_epub,
+        decode_ipynb,
+        decode_mbox,
         decode_pdf,
         decode_pptx,
     )
 
     rich = {".pdf": decode_pdf, ".docx": decode_docx, ".epub": decode_epub,
-            ".pptx": decode_pptx}
+            ".pptx": decode_pptx, ".ipynb": decode_ipynb, ".mbox": decode_mbox}
     texts: list[str | None] = []
     for path, content in zip(pdf["path"], pdf["content"]):
         ext = Path(path).suffix.lower()

@@ -290,3 +290,67 @@ def decode_pdf(data: bytes) -> str:
         # loudly rather than silently return nothing
         raise NotImplementedError("PDF text extraction failed; requires a parser library")
     return text
+
+
+def decode_ipynb(data: bytes) -> str:
+    """Jupyter notebook text: markdown/code cell sources plus plain-text
+    outputs, blank-line separated (the reference inherits ``.ipynb`` from
+    llama-index ``SimpleDirectoryReader``, ``vector_mcp/pyproject.toml:12``).
+    Handles nbformat 4 (``cells``) and the legacy v3 layout (``worksheets``,
+    code source under ``input``)."""
+    import json
+
+    nb = json.loads(data.decode("utf-8", errors="replace"))
+    cells = nb.get("cells")
+    if cells is None:  # nbformat <= 3
+        cells = [c for ws in nb.get("worksheets", []) for c in ws.get("cells", [])]
+    parts: list[str] = []
+
+    def _join(v) -> str:
+        return "".join(v) if isinstance(v, list) else str(v or "")
+
+    for cell in cells:
+        src = _join(cell.get("source", cell.get("input", "")))
+        if src.strip():
+            parts.append(src.strip())
+        for out in cell.get("outputs") or []:
+            txt = out.get("text")
+            if txt is None:
+                txt = (out.get("data") or {}).get("text/plain")
+            txt = _join(txt)
+            if txt.strip():
+                parts.append(txt.strip())
+    return "\n\n".join(parts)
+
+
+_MBOX_FROM_RE = re.compile(rb"(?:^|\r?\n)From [^\n]*\r?\n")
+
+
+def decode_mbox(data: bytes) -> str:
+    """RFC 4155 mbox: one text block per message — Subject/From/To/Date
+    headers plus every text/plain body part, parsed by the stdlib email
+    package (llama-index ``MboxReader`` parity). Messages are delimited by
+    ``From `` separator lines at line start; conforming writers escape body
+    occurrences as ``>From``, so the split is unambiguous."""
+    import email
+    from email.policy import default as _email_default
+
+    blocks: list[str] = []
+    for chunk in _MBOX_FROM_RE.split(data):
+        if not chunk.strip():
+            continue
+        msg = email.message_from_bytes(chunk, policy=_email_default)
+        lines = [f"{h}: {msg[h]}" for h in ("Subject", "From", "To", "Date") if msg[h]]
+        for part in msg.walk():
+            if part.get_content_type() != "text/plain":
+                continue
+            try:
+                body = part.get_content()
+            except Exception:  # undecodable charset/transfer-encoding
+                payload = part.get_payload(decode=True)
+                body = payload.decode("utf-8", "replace") if payload else ""
+            if body and body.strip():
+                lines.append(body.strip())
+        if lines:
+            blocks.append("\n".join(lines))
+    return "\n\n".join(blocks)
