@@ -1110,3 +1110,95 @@ def test_payload_and_count_actions(veneer):
     veneer.vector_collection_management(
         "delete_collection", collection_name="mcp_pl", confirm=True
     )
+
+
+@pytest.fixture()
+def sse_mcp_server(transport_agent):
+    import threading
+
+    from vector_mcp_spark.mcp_sse import start_sse
+
+    server = start_sse(transport_agent, port=0, keepalive_s=0.2)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        yield f"http://127.0.0.1:{server.server_address[1]}"
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=5)
+
+
+def _sse_read_event(fp):
+    """Read one SSE event (skipping ping comments); returns (event, data)."""
+    event, data = None, []
+    while True:
+        line = fp.readline()
+        if not line:
+            return event, "\n".join(data)
+        line = line.decode().rstrip("\n").rstrip("\r")
+        if not line:
+            if event or data:
+                return event, "\n".join(data)
+            continue
+        if line.startswith(":"):
+            continue  # keepalive comment
+        if line.startswith("event:"):
+            event = line.split(":", 1)[1].strip()
+        elif line.startswith("data:"):
+            data.append(line.split(":", 1)[1].strip())
+
+
+def test_sse_transport_loopback(sse_mcp_server):
+    """Full SSE handshake and tool round-trip: GET /sse announces the
+    session POST endpoint, POSTs are 202, responses arrive as message
+    events on the stream, notifications push nothing (the next pushed
+    event answers the next request id), parse errors ride the stream
+    as -32700."""
+    import http.client
+    import json
+    from urllib.parse import urlparse
+
+    base = urlparse(sse_mcp_server)
+    stream = http.client.HTTPConnection(base.hostname, base.port, timeout=10)
+    stream.request("GET", "/sse")
+    resp = stream.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "text/event-stream"
+    event, endpoint = _sse_read_event(resp.fp)
+    assert event == "endpoint" and endpoint.startswith("/messages?session_id=")
+
+    post_url = sse_mcp_server + endpoint
+    status, body = _http_post(post_url, json.dumps(_rpc("initialize", 1)).encode())
+    assert status == 202 and body == b""
+    event, data = _sse_read_event(resp.fp)
+    msg = json.loads(data)
+    assert event == "message" and msg["id"] == 1
+    assert msg["result"]["protocolVersion"]
+
+    # notification pushes nothing; the next stream event answers id 2
+    status, _ = _http_post(post_url, json.dumps(_rpc("notifications/initialized")).encode())
+    assert status == 202
+    status, _ = _http_post(post_url, json.dumps(_rpc(
+        "tools/call", 2, name="vector_collection_management",
+        arguments={"action": "create_collection", "collection_name": "sse_kb",
+                   "document_contents": ["served over sse"]},
+    )).encode())
+    assert status == 202
+    event, data = _sse_read_event(resp.fp)
+    msg = json.loads(data)
+    assert msg["id"] == 2
+    assert _tool_text(msg) == {"collection_name": "sse_kb", "documents_added": 1}
+
+    # parse error rides the stream with id null
+    status, _ = _http_post(post_url, b"{not json")
+    assert status == 202
+    event, data = _sse_read_event(resp.fp)
+    assert json.loads(data)["error"]["code"] == -32700
+
+    # unknown session / unknown endpoint are HTTP-level 404s
+    status, _ = _http_post(sse_mcp_server + "/messages?session_id=nope", b"{}")
+    assert status == 404
+    status, _ = _http_post(sse_mcp_server + "/elsewhere", b"{}")
+    assert status == 404
+    stream.close()

@@ -12,9 +12,10 @@ frames HTTP:
   (side effects still run; JSON-RPC forbids responding to notifications).
 * ``POST`` with unparseable JSON → 200 with a ``-32700`` parse error (the
   JSON-RPC error envelope, not an HTTP error, so strict clients can read it).
-* ``GET`` → ``405`` — the optional SSE server-push stream of the
-  streamable-http spec is not served; every exchange here is request/response
-  (documented seam; the reference delegates SSE to FastMCP).
+* ``GET`` → ``405`` — the optional server-push stream of the
+  streamable-http spec is not served here; every exchange is
+  request/response. The dedicated two-endpoint SSE transport lives in
+  ``mcp_sse.py``.
 
 ``serve_http`` binds, reports the chosen port (for ``port=0`` loopback
 tests), and blocks; ``start_http`` returns the live ``ThreadingHTTPServer``

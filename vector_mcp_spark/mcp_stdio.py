@@ -152,15 +152,15 @@ def serve(agent, stdin: TextIO, stdout: TextIO) -> None:
 
 def main(argv: list[str] | None = None) -> int:
     """``python -m vector_mcp_spark.mcp`` — build the Spark-backed agent and
-    serve MCP over stdio or streamable-http (mcp_server.py:321-336's
-    ``--transport`` switch; sse is a documented non-goal, see mcp_http)."""
+    serve MCP over stdio, streamable-http, or sse (mcp_server.py:321-336's
+    ``--transport`` switch — all three reference transports)."""
     import argparse
     import sys
 
     parser = argparse.ArgumentParser(prog="vector_mcp_spark.mcp")
     parser.add_argument("--root", required=True, help="collection warehouse root directory")
     parser.add_argument("--tenant", default=None)
-    parser.add_argument("--transport", default="stdio", choices=["stdio", "streamable-http"])
+    parser.add_argument("--transport", default="stdio", choices=["stdio", "streamable-http", "sse"])
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     args = parser.parse_args(argv)
@@ -178,6 +178,11 @@ def main(argv: list[str] | None = None) -> int:
         from vector_mcp_spark.mcp_http import serve_http
 
         serve_http(agent, host=args.host, port=args.port)
+        return 0
+    if args.transport == "sse":
+        from vector_mcp_spark.mcp_sse import serve_sse
+
+        serve_sse(agent, host=args.host, port=args.port)
         return 0
     print(f"vector-mcp-spark MCP serving stdio (root={args.root})", file=sys.stderr, flush=True)
     serve(agent, sys.stdin, sys.stdout)

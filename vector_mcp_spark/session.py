@@ -22,6 +22,18 @@ def get_spark(app_name: str = "vector_mcp_spark", *, shuffle_partitions: int | N
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    # Pandas-UDF seams pickle module functions BY REFERENCE, so Python
+    # workers must be able to import this package. Local-mode workers
+    # inherit the driver process env — exporting the package's parent dir
+    # on PYTHONPATH covers callers that found us via a sys.path entry the
+    # fork won't see (e.g. an embedding host importing from a checkout).
+    # On a real cluster this is a no-op; ship the wheel with --py-files.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
+        )
     return (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
