@@ -1202,3 +1202,43 @@ def test_sse_transport_loopback(sse_mcp_server):
     status, _ = _http_post(sse_mcp_server + "/elsewhere", b"{}")
     assert status == 404
     stream.close()
+
+
+def test_resources_list_and_read(transport_agent):
+    """MCP resources surface: the ontology TTL and governance sidecars are
+    listed and readable over the shared protocol layer (every transport)."""
+    import json
+
+    from vector_mcp_spark import mcp_stdio as t
+
+    resp = t.handle_message(transport_agent, _rpc("initialize", 1))
+    assert "resources" in resp["result"]["capabilities"]
+    resp = t.handle_message(transport_agent, _rpc("resources/list", 2))
+    listing = {r["uri"]: r for r in resp["result"]["resources"]}
+    assert "vector-mcp-spark://ontology/vector.ttl" in listing
+    assert listing["vector-mcp-spark://ontology/vector.ttl"]["mimeType"] == "text/turtle"
+
+    resp = t.handle_message(transport_agent, _rpc(
+        "resources/read", 3, uri="vector-mcp-spark://ontology/vector.ttl"))
+    body = resp["result"]["contents"][0]
+    assert body["mimeType"] == "text/turtle"
+    assert ":Collection a owl:Class" in body["text"]
+
+    resp = t.handle_message(transport_agent, _rpc(
+        "resources/read", 4, uri="vector-mcp-spark://skills/catalog.json"))
+    skills = json.loads(resp["result"]["contents"][0]["text"])
+    assert {s["tool"] for s in skills} == {
+        "vector_collection_management", "vector_search", "vector_backend_operations"}
+    # new payload actions ride the catalog automatically
+    mgmt = next(s for s in skills if s["tool"] == "vector_collection_management")
+    assert {"set_payload", "delete_payload", "count_documents"} <= set(mgmt["actions"])
+
+    resp = t.handle_message(transport_agent, _rpc(
+        "resources/read", 5, uri="vector-mcp-spark://schema/tool-fingerprints.json"))
+    fp = json.loads(resp["result"]["contents"][0]["text"])
+    assert sorted(fp["tools"]) == ["vector_collection_management", "vector_search"]
+
+    resp = t.handle_message(transport_agent, _rpc("resources/read", 6, uri="nope://x"))
+    assert resp["error"]["code"] == t.INVALID_PARAMS
+    # notification form is silent like every other method
+    assert t.handle_message(transport_agent, _rpc("resources/list")) is None

@@ -12,9 +12,11 @@ governance surface protocol-natively:
   / ``prompts/get`` methods on both transports, so any MCP client gets
   them without reading repo files.
 
-(The reference's ``ontology/vector.ttl`` RDF ontology has no Spark-side
-behavior to mirror — it is knowledge-graph metadata for an external agent
-framework, not query capability; documented non-goal.)
+* ontology → :data:`ONTOLOGY_TTL`, an ORIGINAL Turtle description of this
+  engine's concepts (same artifact role as the reference's
+  ``ontology/vector.ttl``), served with the machine-readable skill catalog
+  and tool-schema fingerprints through MCP ``resources/list`` /
+  ``resources/read``.
 
 Prompt contents are original to this repo (the reference's texts describe
 ITS deployment: llama-index backends, knowledge-graph tools); only the
@@ -111,3 +113,112 @@ def get_prompt(name: str, arguments: dict[str, Any] | None = None) -> dict[str, 
         "description": prompt["description"],
         "messages": [{"role": "user", "content": {"type": "text", "text": text}}],
     }
+
+
+# -- MCP resources: the ontology + machine-readable governance sidecars ------
+#
+# The reference ships an RDF ontology (``vector_mcp/ontology/vector.ttl``)
+# describing its collection/chunk/backend/search concepts for
+# knowledge-graph-aware agents. The Turtle below is ORIGINAL to this repo —
+# same artifact role, this engine's own concepts and words — and is served
+# through the standard MCP ``resources/list`` / ``resources/read`` methods
+# rather than as a loose repo file.
+
+ONTOLOGY_TTL = """\
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix : <urn:vector-mcp-spark:kg#> .
+
+# Retrieval ontology for the PySpark collection engine: what a connecting
+# agent can create, mutate, and search through vector_collection_management
+# and vector_search.
+
+:Collection a owl:Class ;
+    rdfs:label "Collection" ;
+    rdfs:comment "A named, tenant-scoped parquet table of documents with a locked embedding dimension; the unit of create/list/delete, indexing, counting, and time-travel reads." .
+
+:Document a owl:Class ;
+    rdfs:label "Document" ;
+    rdfs:comment "One stored record: content-hash id, sanitized text content, string-map metadata (payload), optional float-array embedding." .
+
+:SearchIndex a owl:Class ;
+    rdfs:label "Search Index" ;
+    rdfs:comment "A derived structure built from a collection snapshot (inverted postings for lexical, bucketed ANN tables for semantic) whose staleness is tracked against the table fingerprint." .
+
+:Query a owl:Class ;
+    rdfs:label "Query" ;
+    rdfs:comment "A bounded retrieval request: semantic (cosine over embeddings), lexical (BM25 / term), hybrid (weighted RRF fusion), rerank, or federated across collections." .
+
+:Changelog a owl:Class ;
+    rdfs:label "Changelog" ;
+    rdfs:comment "The append-only mutation sidecar per collection enabling as-of reads and history audits." .
+
+:hasDocument a owl:ObjectProperty ;
+    rdfs:domain :Collection ; rdfs:range :Document ;
+    rdfs:comment "Membership of a document in a collection." .
+
+:indexedBy a owl:ObjectProperty ;
+    rdfs:domain :Collection ; rdfs:range :SearchIndex ;
+    rdfs:comment "The indexes built over a collection snapshot." .
+
+:answeredFrom a owl:ObjectProperty ;
+    rdfs:domain :Query ; rdfs:range :Collection ;
+    rdfs:comment "The collection(s) a query was served from." .
+
+:dimension a owl:DatatypeProperty ;
+    rdfs:domain :Collection ; rdfs:range xsd:integer ;
+    rdfs:comment "The locked embedding dimension; ingests with a different dimension are rejected." .
+
+:payloadKey a owl:DatatypeProperty ;
+    rdfs:domain :Document ; rdfs:range xsd:string ;
+    rdfs:comment "A metadata key; private path-like keys are stripped on ingest and on set_payload." .
+"""
+
+
+def list_resources() -> list[dict[str, Any]]:
+    """MCP ``resources/list`` payload: the ontology plus the two
+    machine-readable governance sidecars (skill catalog, tool-schema
+    fingerprints), addressed under the server's own URI scheme."""
+    return [
+        {
+            "uri": "vector-mcp-spark://ontology/vector.ttl",
+            "name": "vector.ttl",
+            "mimeType": "text/turtle",
+            "description": "RDF ontology of the engine's collection / document / "
+            "index / query concepts (reference ontology/vector.ttl parity).",
+        },
+        {
+            "uri": "vector-mcp-spark://skills/catalog.json",
+            "name": "skills-catalog",
+            "mimeType": "application/json",
+            "description": "The agent-card skill catalog: tool ids, action "
+            "lists, and descriptions (reference skills/*/SKILL.md parity).",
+        },
+        {
+            "uri": "vector-mcp-spark://schema/tool-fingerprints.json",
+            "name": "tool-schema-fingerprints",
+            "mimeType": "application/json",
+            "description": "Stable hashes of each tool's calling schema for "
+            "client compatibility pinning.",
+        },
+    ]
+
+
+def read_resource(uri: str) -> dict[str, Any] | None:
+    """MCP ``resources/read`` payload, or None for an unknown uri."""
+    import json as _json
+
+    if uri == "vector-mcp-spark://ontology/vector.ttl":
+        text, mime = ONTOLOGY_TTL, "text/turtle"
+    elif uri == "vector-mcp-spark://skills/catalog.json":
+        from vector_mcp_spark.agent_card import SKILL_CATALOG
+
+        text, mime = _json.dumps(list(SKILL_CATALOG), indent=2), "application/json"
+    elif uri == "vector-mcp-spark://schema/tool-fingerprints.json":
+        from vector_mcp_spark.connectors import tool_schema_fingerprints
+
+        text, mime = _json.dumps(tool_schema_fingerprints(), indent=2), "application/json"
+    else:
+        return None
+    return {"contents": [{"uri": uri, "mimeType": mime, "text": text}]}

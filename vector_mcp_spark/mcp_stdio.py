@@ -89,7 +89,7 @@ def _dispatch_method(agent, method: str, msg: dict, msg_id: Any) -> dict | None:
             msg_id,
             {
                 "protocolVersion": MCP_PROTOCOL_VERSION,
-                "capabilities": {"tools": {}, "prompts": {}},
+                "capabilities": {"tools": {}, "prompts": {}, "resources": {}},
                 "serverInfo": {"name": card["name"], "version": card["version"]},
                 "instructions": card["description"],
             },
@@ -111,6 +111,18 @@ def _dispatch_method(agent, method: str, msg: dict, msg_id: Any) -> dict | None:
         out = get_prompt(params.get("name"), dict(params.get("arguments") or {}))
         if out is None:
             return _error(msg_id, INVALID_PARAMS, f"unknown prompt: {params.get('name')}")
+        return _result(msg_id, out)
+    if method == "resources/list":
+        from vector_mcp_spark.governance import list_resources
+
+        return _result(msg_id, {"resources": list_resources()})
+    if method == "resources/read":
+        from vector_mcp_spark.governance import read_resource
+
+        params = msg.get("params") or {}
+        out = read_resource(params.get("uri") or "")
+        if out is None:
+            return _error(msg_id, INVALID_PARAMS, f"unknown resource: {params.get('uri')}")
         return _result(msg_id, out)
     if method == "tools/call":
         params = msg.get("params") or {}
