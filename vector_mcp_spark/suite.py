@@ -137,9 +137,9 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 # the 33 _ROUND6_BACKFILL entries that missed slot 50 last round (their
 # newest driver rows are r3), then new round-7 operators (_PROMOTED_R7),
 # then the stalest remaining greens (r4 rows) up to 50.
-# ROUND 8 TODO: lead with the never-driver-checked spillover (currently
-# corpus_zipf_fit — _PROMOTED_R7 grew to 18 so its tail fell past slot 50 —
-# plus ALL 17 _ROUND7_FILL entries, since events_ohlc_bars took slot 50),
+# ROUND 8 TODO: lead with the never-driver-checked spillover (the
+# _PROMOTED_R7 tail past slot 50 — corpus_zipf_fit onward, since slot 50
+# closed at events_ohlc_bars — plus ALL 17 _ROUND7_FILL entries),
 # then the remaining r4/r5-latest entries (compute as all entries minus
 # CORRECTNESS_r0{6,7} keys, sorted by latest driver row), then
 # _PROMOTED_R8. Recompute the displaced set if _PROMOTED_R7 grew after
@@ -213,6 +213,7 @@ _PROMOTED_R7: list[str] = [
     "hybrid_dbsf",
     "events_ohlc_bars",
     "corpus_zipf_fit",
+    "streaming_late_data_audit",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r4, alphabetical within

@@ -1982,3 +1982,114 @@ def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     return ohlc_bars(ev, ts_col="ts", value_col="value", key_cols=("user_id", "day"))
+
+
+# -- watermark late-data audit: REAL drop semantics under append mode --------
+#
+# The stream is staged as five mtime-ordered files so availableNow +
+# maxFilesPerTrigger=1 pins the batch sequence: [fresh rows ts >= max-5d],
+# [nudge @max], [late rows ts < max-5d], [sentinel max+30d], [sentinel
+# max+31d]. After the fresh batch the watermark stands at max-7d; the nudge
+# batch exists because the LATE-EVENT filter runs one batch behind the
+# eviction watermark (Spark's late-events watermark is the value in effect
+# during the previous micro-batch — measured here: a late row arriving in
+# the very next batch after the advance is still admitted). By the late
+# batch, the filter is armed at max-7d and admits a row ONLY if its 1-day
+# window still ENDS after max-7d (the predicate is on window end, not the
+# row's ts — also measured: ts < wm with window_end > wm survives). The two
+# sentinels push the watermark past every real window end so append mode
+# emits everything that survived. The oracle replays the same rule in batch
+# SQL: keep a row iff it was in the fresh half OR its window end clears the
+# fresh-batch watermark.
+
+_LATE_AUDIT_ORACLE = """
+WITH p AS (
+  SELECT max(ts) - INTERVAL 5 DAY AS cutoff, max(ts) - INTERVAL 7 DAY AS wm
+  FROM events
+),
+keep AS (
+  SELECT e.* FROM events e, p
+  WHERE e.ts >= p.cutoff OR date_trunc('day', e.ts) + INTERVAL 1 DAY > p.wm
+)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
+       event_type,
+       count(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value,
+       ROUND(AVG(value), 6) AS avg_value
+FROM keep GROUP BY 1, 2, 3
+"""
+
+
+def _late_audit_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the four-file late-arrival layout (fresh, late, two sentinels)
+    with strictly increasing mtimes; idempotent per sf_dir."""
+    import glob
+    import os
+    import shutil
+    import time
+    from datetime import timedelta
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    d = os.path.abspath(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp", f"events_late_{sf_tag}")
+    )
+    marker = os.path.join(d, "_staged")
+    if os.path.exists(marker):
+        return d
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    cutoff = max_ts - timedelta(days=5)
+    now = time.time()
+
+    ev.where(F.col("ts") >= F.lit(cutoff)).coalesce(1).write.mode("overwrite").parquet(d)
+    base = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+    assert len(base) == 1, base
+    os.utime(base[0], (now, now))
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stages = [
+        # nudge: arms the (one-batch-delayed) late-event filter without
+        # moving the watermark — its ts is exactly the fresh max
+        (spark.createDataFrame([(-989, max_ts, -1, "_sentinel", 0.0, "{}")], schema),
+         "zz-nudge.parquet", now + 10),
+        (ev.where(F.col("ts") < F.lit(cutoff)), "zz-late-0.parquet", now + 20),
+        (spark.createDataFrame([(-990, max_ts + timedelta(days=30), -1, "_sentinel", 0.0, "{}")], schema),
+         "zz-sentinel-0.parquet", now + 30),
+        (spark.createDataFrame([(-991, max_ts + timedelta(days=31), -1, "_sentinel", 0.0, "{}")], schema),
+         "zz-sentinel-1.parquet", now + 40),
+    ]
+    for i, (df, fname, mtime) in enumerate(stages):
+        tmp = d + f"_t{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(d, fname)
+        os.replace(src, dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(marker, "w") as fh:
+        fh.write("5")
+    return d
+
+
+@register("streaming_late_data_audit", _LATE_AUDIT_ORACLE, "streaming", "temporal")
+def q_streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executes Spark's watermark DROP path, not just windowing: the late
+    batch arrives after the watermark advanced, its behind-watermark rows
+    are discarded on input, and the availableNow append output therefore
+    equals the oracle's keep-rule — state stays bounded by the watermark
+    horizon instead of the stream's full history."""
+    from vector_mcp_spark.streaming.ingest import (
+        read_event_stream,
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    d = _late_audit_dir(spark, sf_dir)
+    stream = read_event_stream(spark, d, options={"maxFilesPerTrigger": 1})
+    windowed = windowed_event_counts(stream, "1 day", watermark="7 days")
+    name = f"suite_stream_late_{next(_STREAM_SINK_SEQ)}"
+    got = run_stream_to_memory(windowed, name, output_mode="append", state_partitions=8)
+    return got.where(F.col("event_type") != "_sentinel").select(
+        "window_start", "window_end", "event_type", "n_events", "total_value", "avg_value"
+    )
