@@ -615,3 +615,22 @@ def test_payload_set_delete_and_count(spark, tmp_path_factory):
     assert eng.set_payload("pl", [by_content["alpha doc"]], {"file_path": "/x"}) == 0
     assert eng.delete_payload("pl", [by_content["alpha doc"]], []) == 0
     assert eng.set_payload("pl", ["missing-id"], {"k": "v"}) == 0
+
+    # JSON payload values coerce to their lexical form; None is dropped
+    n = eng.set_payload("pl", [by_content["beta doc"]], {"views": 5, "hot": True, "gone": None})
+    assert n == 1
+    beta = {r.content: dict(r.metadata or {}) for r in eng.read("pl").collect()}["beta doc"]
+    assert beta == {"k": "old", "views": "5", "hot": "true"}
+    assert eng.set_payload("pl", [by_content["beta doc"]], {"gone": None}) == 0
+
+    # delete_payload is a true no-op on docs without the keys: returns 0,
+    # appends no changelog batch, and never coerces NULL metadata to {}
+    hist_before = eng.collection_history("pl").count()
+    eng.delete_payload("pl", [by_content["gamma doc"]], ["k"])  # gamma HAS k
+    assert eng.delete_payload("pl", [by_content["gamma doc"]], ["k"]) == 0  # now absent
+    assert eng.collection_history("pl").count() == hist_before + 1
+    no_meta = eng.add_documents("pl", ["delta doc"])
+    delta_id = {r.content: r.id for r in eng.read("pl").collect()}["delta doc"]
+    assert eng.delete_payload("pl", [delta_id], ["k"]) == 0
+    delta_meta = [r.metadata for r in eng.read("pl").collect() if r.id == delta_id]
+    assert delta_meta == [None]

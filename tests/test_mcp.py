@@ -838,8 +838,8 @@ def test_stdio_protocol_errors(transport_agent):
     assert resp["error"]["code"] == t.INVALID_REQUEST
     resp = t.handle_message(transport_agent, ["not", "a", "dict"])
     assert resp["error"]["code"] == t.INVALID_REQUEST
-    # unknown method
-    resp = t.handle_message(transport_agent, _rpc("resources/list", 2))
+    # unknown method (resources/* is implemented now; use a fake)
+    resp = t.handle_message(transport_agent, _rpc("wormholes/open", 2))
     assert resp["error"]["code"] == t.METHOD_NOT_FOUND
     # tools/call without name/action
     resp = t.handle_message(transport_agent, _rpc("tools/call", 3, arguments={}))

@@ -469,6 +469,9 @@ def test_mbox_decode_roundtrip(spark, tmp_path):
     text = got["mail.mbox"]
     first, second = text.split("\n\n")
     assert first.startswith("Subject: First message")
-    assert "Body one." in first and ">From escaped body line survives." in first
+    assert "Body one." in first
+    # mboxo/mboxrd escaping is reversed: the sender wrote "From ..."
+    assert "\nFrom escaped body line survives." in first
+    assert ">From escaped" not in first
     assert second.startswith("Subject: Second")
     assert "Plain part." in second and "html ignored" not in second

@@ -683,13 +683,25 @@ class CollectionEngine:
             df = df.where(where)
         return df.count()
 
+    @staticmethod
+    def _metadata_entries_without(keys_arr: "F.Column") -> "F.Column":
+        """Entries of the (NULL-coalesced) metadata map minus the given keys
+        — the shared core of both payload mutations."""
+        return F.filter(
+            F.map_entries(F.coalesce(F.col("metadata"), F.expr("map()"))),
+            lambda e: ~F.array_contains(keys_arr, e["key"]),
+        )
+
     def _patch_metadata(
-        self, name: str, ids: Sequence[str], merged_col: "F.Column"
+        self, name: str, ids: Sequence[str], merged_col: "F.Column",
+        only_where: "F.Column | None" = None,
     ) -> int:
         """Shared partition-pruned metadata rewrite for set/delete_payload:
-        apply ``merged_col`` as the new metadata of the matching ids, leave
-        content/embedding untouched, keep the time-travel changelog
-        consistent by logging the patched rows as an upsert batch.
+        apply ``merged_col`` as the new metadata of the matching ids
+        (further narrowed by ``only_where`` so no-op patches don't rewrite,
+        changelog, or count), leave content/embedding untouched, keep the
+        time-travel changelog consistent by logging the patched rows as an
+        upsert batch.
 
         The patched rows are localCheckpoint-ed BEFORE the partition rewrite
         so the changelog append re-reads materialized rows, not the parquet
@@ -701,9 +713,11 @@ class CollectionEngine:
         prefixes = sorted({i[:_PART_LEN] for i in ids})
         ids_df = self.spark.createDataFrame([(i,) for i in ids], "id string")
         touched = self._read_partitions(scoped, prefixes)
+        matched = touched.join(F.broadcast(ids_df), "id", "left_semi")
+        if only_where is not None:
+            matched = matched.where(only_where)
         patched = (
-            touched.join(F.broadcast(ids_df), "id", "left_semi")
-            .withColumn("metadata", merged_col)
+            matched.withColumn("metadata", merged_col)
             .select(*DOCUMENT_SCHEMA.fieldNames())
             .localCheckpoint(eager=True)
         )
@@ -715,20 +729,32 @@ class CollectionEngine:
 
             merge_upsert(self.spark, self._table_format, self._table_path(scoped), patched)
         else:
-            kept = touched.join(F.broadcast(ids_df), "id", "left_anti")
+            # anti-join on the PATCHED ids (not the requested ids): rows the
+            # only_where filter skipped must survive the rewrite untouched
+            kept = touched.join(F.broadcast(patched.select("id")), "id", "left_anti")
             self._rewrite_partitions(scoped, prefixes, kept.unionByName(patched))
         self._log_mutation_df(scoped, "upsert", patched)
         return n
 
-    def set_payload(self, name: str, ids: Sequence[str], payload: Mapping[str, str]) -> int:
+    def set_payload(self, name: str, ids: Sequence[str], payload: Mapping[str, object]) -> int:
         """Merge ``payload`` into the metadata of the given ids without
         touching content or embedding (qdrant ``set_payload`` parity; the
         private-key filter and value sanitizer run exactly as on ingest).
         Returns the number of documents patched. Last-write-wins per key is
         explicit — existing entries under patched keys are filtered out
         before the concat, so the result never depends on
-        spark.sql.mapKeyDedupPolicy."""
-        clean = sanitize_metadata_py(dict(payload)) or {}
+        spark.sql.mapKeyDedupPolicy. Values arrive as arbitrary JSON over
+        MCP: non-strings are stored in their JSON lexical form ("5",
+        "true") since metadata is a string map; None values are dropped
+        (use delete_payload to remove a key)."""
+        import json as _json
+
+        coerced = {
+            str(k): v if isinstance(v, str) else _json.dumps(v)
+            for k, v in dict(payload).items()
+            if v is not None
+        }
+        clean = sanitize_metadata_py(coerced) or {}
         if not clean:
             return 0
         keys_arr = F.array(*[F.lit(k) for k in sorted(clean)])
@@ -736,31 +762,25 @@ class CollectionEngine:
             F.create_map(*[F.lit(x) for k in sorted(clean) for x in (k, clean[k])])
         )
         merged = F.map_from_entries(
-            F.concat(
-                F.filter(
-                    F.map_entries(F.coalesce(F.col("metadata"), F.expr("map()"))),
-                    lambda e: ~F.array_contains(keys_arr, e["key"]),
-                ),
-                patch,
-            )
+            F.concat(self._metadata_entries_without(keys_arr), patch)
         )
         return self._patch_metadata(name, ids, merged)
 
     def delete_payload(self, name: str, ids: Sequence[str], keys: Sequence[str]) -> int:
         """Remove the given metadata keys from the given ids (qdrant
         ``delete_payload`` parity). Returns the number of documents
-        patched; absent keys are a no-op on that document's map."""
+        actually patched: documents carrying none of the keys (or a NULL
+        map) are left byte-identical — no rewrite, no changelog batch, no
+        NULL→{} coercion."""
         keys = [str(k) for k in keys]
         if not keys:
             return 0
         keys_arr = F.array(*[F.lit(k) for k in sorted(set(keys))])
-        merged = F.map_from_entries(
-            F.filter(
-                F.map_entries(F.coalesce(F.col("metadata"), F.expr("map()"))),
-                lambda e: ~F.array_contains(keys_arr, e["key"]),
-            )
+        merged = F.map_from_entries(self._metadata_entries_without(keys_arr))
+        has_any_key = F.col("metadata").isNotNull() & (
+            F.size(F.map_filter(F.col("metadata"), lambda k, v: F.array_contains(keys_arr, k))) > 0
         )
-        return self._patch_metadata(name, ids, merged)
+        return self._patch_metadata(name, ids, merged, only_where=has_any_key)
 
     # -- time-travel changelog (Delta/Iceberg VERSION AS OF on parquet) ------
     #

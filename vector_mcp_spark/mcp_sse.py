@@ -28,12 +28,13 @@ from __future__ import annotations
 
 import json
 import queue
+import threading
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from vector_mcp_spark.mcp_http import MAX_BODY_BYTES
-from vector_mcp_spark.mcp_stdio import PARSE_ERROR, _error, handle_message
+from vector_mcp_spark.mcp_stdio import INTERNAL_ERROR, PARSE_ERROR, _error, handle_message
 
 KEEPALIVE_S = 15.0
 
@@ -121,10 +122,23 @@ def _make_handler(agent, sse_path: str, msg_path: str, keepalive_s: float):
                 q.put(_error(None, PARSE_ERROR, "invalid JSON"))
                 self._send(202, b"")
                 return
-            resp = handle_message(agent, msg)
-            if resp is not None:  # notifications push nothing
-                q.put(resp)
+            # 202 FIRST, then dispatch on a worker: a tools/call can run a
+            # long Spark job, and holding the POST open that long would trip
+            # ordinary client HTTP timeouts (responses correlate by id on
+            # the stream, so completion order need not match POST order)
             self._send(202, b"")
+
+            def _dispatch(q=q, msg=msg):
+                try:
+                    resp = handle_message(agent, msg)
+                except Exception as e:  # handle_message already contains
+                    # dispatch errors; this guards the transport itself
+                    resp = _error(msg.get("id") if isinstance(msg, dict) else None,
+                                  INTERNAL_ERROR, f"{type(e).__name__}: {e}")
+                if resp is not None:  # notifications push nothing
+                    q.put(resp)
+
+            threading.Thread(target=_dispatch, daemon=True).start()
 
     Handler._sessions = sessions  # exposed for tests / explicit close
     return Handler

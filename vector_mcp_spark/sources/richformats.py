@@ -324,6 +324,7 @@ def decode_ipynb(data: bytes) -> str:
 
 
 _MBOX_FROM_RE = re.compile(rb"(?:^|\r?\n)From [^\n]*\r?\n")
+_MBOX_UNESCAPE_RE = re.compile(r"^>(>*From )", re.MULTILINE)
 
 
 def decode_mbox(data: bytes) -> str:
@@ -331,7 +332,9 @@ def decode_mbox(data: bytes) -> str:
     headers plus every text/plain body part, parsed by the stdlib email
     package (llama-index ``MboxReader`` parity). Messages are delimited by
     ``From `` separator lines at line start; conforming writers escape body
-    occurrences as ``>From``, so the split is unambiguous."""
+    occurrences as ``>From``, so the split is unambiguous — and that
+    escaping is REVERSED here (one ``>`` stripped from ``^>+From `` lines)
+    so the extracted text matches what the sender wrote."""
     import email
     from email.policy import default as _email_default
 
@@ -350,7 +353,7 @@ def decode_mbox(data: bytes) -> str:
                 payload = part.get_payload(decode=True)
                 body = payload.decode("utf-8", "replace") if payload else ""
             if body and body.strip():
-                lines.append(body.strip())
+                lines.append(_MBOX_UNESCAPE_RE.sub(r"\1", body.strip()))
         if lines:
             blocks.append("\n".join(lines))
     return "\n\n".join(blocks)

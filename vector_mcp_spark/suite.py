@@ -144,7 +144,8 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 # CORRECTNESS_r0{6,7} keys, sorted by latest driver row), then
 # _PROMOTED_R8. Recompute the displaced set if _PROMOTED_R7 grew after
 # this comment: displaced = (_PROMOTED_R7 + _ROUND7_FILL)[50 -
-# len(_ROUND7_LEAD) - len(_PROMOTED_R7):].
+# len(_ROUND7_LEAD):] (everything the 50-slot window truncates after the
+# 33 lead entries).
 from vector_mcp_spark import suite_relational  # noqa: E402,F401
 from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401

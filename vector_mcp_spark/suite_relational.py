@@ -2022,8 +2022,9 @@ FROM keep GROUP BY 1, 2, 3
 
 
 def _late_audit_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the four-file late-arrival layout (fresh, late, two sentinels)
-    with strictly increasing mtimes; idempotent per sf_dir."""
+    """Stage the five-file late-arrival layout (fresh, nudge, late, two
+    sentinels) with strictly increasing mtimes; idempotent per sf_dir. The
+    nudge file is load-bearing — see the block comment above."""
     import glob
     import os
     import shutil
