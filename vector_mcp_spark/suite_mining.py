@@ -2296,7 +2296,12 @@ def q_events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_mcp_spark.operators.sketches import histogram_quantiles, log_histogram
 
     ev = load(spark, sf_dir, "events")
-    hist = log_histogram(ev, "value", ["event_type"], int_scale=_HQ_SCALE, sub_bins=_HQ_SUB)
+    # strict=False: events.value includes exact zeros at sf0.1; both this
+    # side and the oracle clamp them into the smallest bin with the SAME
+    # GREATEST(round(v*scale), 1) expression, so parity holds bit-for-bit
+    hist = log_histogram(
+        ev, "value", ["event_type"], int_scale=_HQ_SCALE, sub_bins=_HQ_SUB, strict=False
+    )
     return histogram_quantiles(
         hist, ["event_type"], ps=list(_HQ_PS), int_scale=_HQ_SCALE, sub_bins=_HQ_SUB
     )
