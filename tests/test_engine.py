@@ -634,3 +634,125 @@ def test_payload_set_delete_and_count(spark, tmp_path_factory):
     assert eng.delete_payload("pl", [delta_id], ["k"]) == 0
     delta_meta = [r.metadata for r in eng.read("pl").collect() if r.id == delta_id]
     assert delta_meta == [None]
+
+
+def test_concurrent_mutations_serialize_per_collection(spark, tmp_path_factory):
+    """ADVICE r7 (high): SSE/HTTP transports dispatch tools/call on threads,
+    so pipelined mutations of one collection must serialize — no lost rows
+    from a shared stage dir, no colliding changelog seqs."""
+    import threading
+
+    from vector_mcp_spark.engine import CollectionEngine
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("conc_root")))
+    eng.create_collection("conc")
+    errs: list[BaseException] = []
+
+    def ingest(i: int) -> None:
+        try:
+            eng.add_documents(
+                "conc", [f"doc {i}-{j}" for j in range(5)], metadatas=[{"w": str(i)}] * 5
+            )
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=ingest, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    # every batch's rows survived (4 writers x 5 docs, all distinct content)
+    assert eng.count_documents("conc") == 20
+    # changelog seqs are unique per batch and the history is complete
+    hist = eng.collection_history("conc").collect()
+    seqs = [h.seq for h in hist]
+    assert len(seqs) == len(set(seqs)) == 4
+    assert sorted(h.n_rows for h in hist) == [5, 5, 5, 5]
+
+
+def test_changelog_seq_claims_are_crash_safe(spark, tmp_path_factory):
+    """Seq allocation is an O_EXCL dot-claim: a second allocator can never
+    reuse a claimed seq, and claims are invisible to the log readers."""
+    from vector_mcp_spark.engine import CollectionEngine
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("seq_root")))
+    eng.create_collection("sq")
+    eng.add_documents("sq", ["one doc"])
+    root = eng._changelog_root(eng._require("sq"))
+    # simulate a writer that claimed a seq then crashed before writing
+    orphan = eng._next_seq(root)
+    nxt = eng._next_seq(root)
+    assert nxt == orphan + 1
+    # dot-claims don't count as batches for readers
+    assert eng.collection_history("sq").count() == 1
+
+
+def test_legacy_table_seeds_changelog_on_first_mutation(spark, tmp_path_factory):
+    """ADVICE r7 (medium): a table populated before the changelog existed
+    must not silently time-travel to a PARTIAL snapshot after its first
+    post-upgrade mutation — the first logged mutation seeds the log with the
+    pre-mutation rows."""
+    import shutil
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("legacy_root")))
+    eng.create_collection("lg")
+    eng.add_documents("lg", ["ancient doc", "old doc"], metadatas=[{"a": "1"}, None])
+    # simulate a pre-changelog table: drop the log the ingest wrote
+    shutil.rmtree(eng._changelog_root(eng._require("lg")))
+    now = datetime.now(timezone.utc)
+    with _pytest.raises(EngineError, match="time_travel_unavailable"):
+        eng.read_asof("lg", now)
+
+    # first post-upgrade mutation seeds, then logs itself
+    eng.add_documents("lg", ["new doc"])
+    now = datetime.now(timezone.utc)
+    snap = {r.content: (dict(r.metadata) if r.metadata else None)
+            for r in eng.read_asof("lg", now).collect()}
+    assert snap == {"ancient doc": {"a": "1"}, "old doc": None, "new doc": None}
+    hist = eng.collection_history("lg").collect()
+    assert [h.op for h in hist] == ["upsert", "upsert"]  # seed + mutation
+    assert [h.n_rows for h in hist] == [2, 1]
+
+    # delete path seeds too
+    eng2_root = str(tmp_path_factory.mktemp("legacy2_root"))
+    eng2 = CollectionEngine(spark, eng2_root)
+    eng2.create_collection("lg2")
+    eng2.add_documents("lg2", ["keep doc", "drop doc"])
+    shutil.rmtree(eng2._changelog_root(eng2._require("lg2")))
+    drop_id = {r.content: r.id for r in eng2.read("lg2").collect()}["drop doc"]
+    eng2.delete_documents("lg2", [drop_id])
+    now = datetime.now(timezone.utc)
+    assert {r.content for r in eng2.read_asof("lg2", now).collect()} == {"keep doc"}
+
+
+def test_update_documents_from_self_derived_df(spark, tmp_path_factory):
+    """ADVICE r7 (low): a re-embed pipeline upserts a df READ FROM the same
+    collection; the changelog append must not re-read the parquet files the
+    rewrite just replaced (input is localCheckpoint-ed once up front)."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.engine import CollectionEngine
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("selfdf_root")))
+    eng.create_collection("sd", dimension=4)
+    eng.add_documents("sd", ["re-embed me", "me too"])
+    # the classic re-embed shape: read -> fill embedding -> upsert back
+    reembedded = eng.read("sd").withColumn(
+        "embedding", F.array(*[F.lit(0.5)] * 4).cast("array<float>")
+    )
+    eng.update_documents("sd", reembedded)
+    rows = eng.read("sd").collect()
+    assert len(rows) == 2
+    assert all(r.embedding == [0.5] * 4 for r in rows)
+    # changelog saw the upsert with the new embeddings
+    now = datetime.now(timezone.utc)
+    tt = eng.read_asof("sd", now).collect()
+    assert all(r.embedding == [0.5] * 4 for r in tt)

@@ -23,9 +23,13 @@ stand-in for Delta MERGE file pruning (SURVEY §7 risk 3).
 
 from __future__ import annotations
 
+import functools
 import hashlib
+import os
 import shutil
+import threading
 import time
+import uuid
 from collections.abc import Mapping, Sequence
 from datetime import datetime, timezone
 from pathlib import Path
@@ -68,7 +72,40 @@ def _tenant_prefix(tenant: str) -> str:
     return "t_" + hashlib.sha256(tenant.encode("utf-8")).hexdigest()[:16] + "_"
 
 
+def _serialized_mutation(fn):
+    """Serialize table mutations per collection (ADVICE r7, high): the SSE
+    transport dispatches each tools/call on its own thread and the HTTP
+    transport uses ThreadingHTTPServer, so two pipelined mutations of the
+    same collection would otherwise interleave partition rewrites and
+    changelog seq assignment. The lock is process-wide (class-level, keyed
+    by resolved root + scoped name) so engine instances sharing a warehouse
+    root in one process serialize too; cross-process writers are covered by
+    the writer-unique stage dirs and the O_EXCL seq claims below."""
+
+    @functools.wraps(fn)
+    def wrapper(self, name: str, *args, **kwargs):
+        with self._mutation_lock(self._scoped(name)):
+            return fn(self, name, *args, **kwargs)
+
+    return wrapper
+
+
 class CollectionEngine:
+    # Process-wide mutation locks: (resolved root, scoped name) → RLock.
+    # Class-level so two engine instances over the same warehouse root in
+    # one process contend on the same lock (the transports construct one
+    # engine, but tests and embedded users construct several).
+    _MUTATION_LOCKS: dict[tuple[str, str], threading.RLock] = {}
+    _LOCKS_GUARD = threading.Lock()
+
+    def _mutation_lock(self, scoped: str) -> threading.RLock:
+        key = (str(self.root.resolve()), scoped)
+        with self._LOCKS_GUARD:
+            lock = self._MUTATION_LOCKS.get(key)
+            if lock is None:
+                lock = self._MUTATION_LOCKS[key] = threading.RLock()
+            return lock
+
     def __init__(self, spark: SparkSession, root: str, tenant: str | None = None):
         from vector_mcp_spark.operators.transactional import transactional_format
 
@@ -208,7 +245,11 @@ class CollectionEngine:
             except ProcessLookupError:
                 return True  # holder is provably dead
             except PermissionError:
-                pass  # alive but foreign-owned; fall through to TTL
+                # provably ALIVE, just foreign-owned (signal 0 reached a
+                # process we may not signal) — never break a live holder's
+                # lock, same as the same-uid case (ADVICE r7): breaking it
+                # mid-write races two catalog writers
+                return False
             else:
                 # provably ALIVE same-uid holder: never break, however old —
                 # a >TTL hold is a stall (GC pause, slow fs), not a leak
@@ -312,6 +353,7 @@ class CollectionEngine:
             raise EngineError("collection_not_found")  # base.py:107-117
         return scoped
 
+    @_serialized_mutation
     def delete_collection(self, name: str, confirm: bool = False) -> None:
         validate_delete_confirm(confirm)  # vector_api.py:448-449
         scoped = self._require(name)
@@ -320,6 +362,10 @@ class CollectionEngine:
             path = Path(self._table_path(scoped) + suffix)
             if path.exists():
                 shutil.rmtree(path)
+        # orphaned stage dirs from a crashed writer (writer-unique names)
+        base = Path(self._table_path(scoped))
+        for stale in base.parent.glob(base.name + "_stage-*"):
+            shutil.rmtree(stale, ignore_errors=True)
 
     # -- documents ----------------------------------------------------------
 
@@ -340,14 +386,24 @@ class CollectionEngine:
             .parquet(path)
         )
 
+    @staticmethod
+    def _stage_dir(table: str | Path) -> Path:
+        # Writer-unique stage dir (ADVICE r7, high): a fixed "<table>_stage"
+        # let one writer rmtree another's staged rows. pid+uuid suffix makes
+        # concurrent stagers (threads or processes) collision-free.
+        return Path(f"{table}_stage-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+
     def _overwrite_table(self, scoped: str, df: DataFrame) -> None:
         # Parquet has no MERGE: stage to tmp dir then atomic-ish rename.
-        tmp = self._table_path(scoped) + "_stage"
-        self._write_partitioned(tmp, df)
-        out = Path(self._table_path(scoped))
-        if out.exists():
-            shutil.rmtree(out)
-        Path(tmp).rename(out)
+        tmp = self._stage_dir(self._table_path(scoped))
+        try:
+            self._write_partitioned(str(tmp), df)
+            out = Path(self._table_path(scoped))
+            if out.exists():
+                shutil.rmtree(out)
+            tmp.rename(out)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def _read_partitions(self, scoped: str, prefixes: Sequence[str]) -> DataFrame:
         """Read ONLY the partition directories the given id prefixes touch —
@@ -371,18 +427,20 @@ class CollectionEngine:
         Untouched partition directories are not read, written, or moved."""
         table = Path(self._table_path(scoped))
         table.mkdir(parents=True, exist_ok=True)
-        stage = Path(str(table) + "_stage")
-        shutil.rmtree(stage, ignore_errors=True)
-        self._write_partitioned(str(stage), out)
-        for p in sorted(set(prefixes)):
-            dst = table / f"{_PART_COL}={p}"
-            src = stage / f"{_PART_COL}={p}"
-            if dst.exists():
-                shutil.rmtree(dst)
-            if src.exists():
-                src.rename(dst)
-        shutil.rmtree(stage, ignore_errors=True)
+        stage = self._stage_dir(table)
+        try:
+            self._write_partitioned(str(stage), out)
+            for p in sorted(set(prefixes)):
+                dst = table / f"{_PART_COL}={p}"
+                src = stage / f"{_PART_COL}={p}"
+                if dst.exists():
+                    shutil.rmtree(dst)
+                if src.exists():
+                    src.rename(dst)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
 
+    @_serialized_mutation
     def add_documents(
         self,
         name: str,
@@ -398,6 +456,7 @@ class CollectionEngine:
         ``base.py:139-172`` (upsert)."""
         validate_ingest_bounds(contents)
         scoped = self._require(name)
+        self._seed_changelog_if_legacy(scoped)
         n = len(contents)
         metadatas = metadatas if metadatas is not None else [None] * n
         embeddings = embeddings if embeddings is not None else [None] * n
@@ -591,6 +650,7 @@ class CollectionEngine:
         )
         return profile_columns(df, ["content_len", "embedding_norm", "n_metadata_keys"])
 
+    @_serialized_mutation
     def compact_collection(self, name: str, target_files: int | None = None) -> int:
         """Pack each id-prefix partition bucket into a single parquet file.
         Incremental upserts accrete one file per batch per touched bucket; at
@@ -612,12 +672,19 @@ class CollectionEngine:
         out = Path(self._table_path(scoped))
         return sum(1 for _ in out.rglob("*.parquet"))
 
+    @_serialized_mutation
     def update_documents(self, name: str, df: DataFrame) -> None:
         """T7 upsert from a prepared Document-schema DataFrame (may be large —
         prefixes are aggregated distributed-side, ≤256 distinct values)."""
         scoped = self._require(name)
+        # Materialize the input ONCE (ADVICE r7): a df derived from reading
+        # this same collection (a re-embed pipeline) would otherwise be
+        # re-evaluated for the changelog append AFTER the rewrite deleted
+        # the parquet files it reads — and even a safe df would recompute
+        # its plan 3-4× (prefixes, merge, changelog, null probe).
+        df = df.select(*DOCUMENT_SCHEMA.fieldNames()).localCheckpoint(eager=True)
         self._check_dimension(scoped, df)
-        df = df.select(*DOCUMENT_SCHEMA.fieldNames())
+        self._seed_changelog_if_legacy(scoped)
         if self._table_format is not None:
             from vector_mcp_spark.operators.transactional import merge_upsert
 
@@ -638,10 +705,12 @@ class CollectionEngine:
         if df.where(F.col("embedding").isNull()).limit(1).count() > 0:
             self._mark_needs_embed(scoped)
 
+    @_serialized_mutation
     def delete_documents(self, name: str, ids: Sequence[str]) -> None:
         # T9 (base.py:174-187) — anti-join rewrite of ONLY the partitions the
         # ids hash into (prefixes known driver-side, no job needed)
         scoped = self._require(name)
+        self._seed_changelog_if_legacy(scoped)
         ids = [str(i) for i in ids]
         prefixes = sorted({i[:_PART_LEN] for i in ids})
         ids_df = self.spark.createDataFrame([(i,) for i in ids], "id string")
@@ -692,6 +761,7 @@ class CollectionEngine:
             lambda e: ~F.array_contains(keys_arr, e["key"]),
         )
 
+    @_serialized_mutation
     def _patch_metadata(
         self, name: str, ids: Sequence[str], merged_col: "F.Column",
         only_where: "F.Column | None" = None,
@@ -710,6 +780,7 @@ class CollectionEngine:
         ids = [str(i) for i in ids]
         if not ids:
             return 0
+        self._seed_changelog_if_legacy(scoped)
         prefixes = sorted({i[:_PART_LEN] for i in ids})
         ids_df = self.spark.createDataFrame([(i,) for i in ids], "id string")
         touched = self._read_partitions(scoped, prefixes)
@@ -796,16 +867,70 @@ class CollectionEngine:
     def _changelog_root(self, scoped: str) -> Path:
         return Path(self._table_path(scoped) + "_changelog")
 
+    def _seed_changelog_if_legacy(self, scoped: str) -> None:
+        """A table populated before the changelog existed would otherwise
+        get a log covering only post-upgrade mutations — read_asof would
+        silently reconstruct a PARTIAL snapshot (ADVICE r7, medium). On the
+        first logged mutation of such a table, seed the log with a snapshot
+        batch of the current (pre-mutation) rows so every later as-of read
+        is complete. Fresh collections never hit this (their table dir and
+        changelog are born together on the first ingest); the seed costs one
+        extra table scan exactly once per legacy collection."""
+        root = self._changelog_root(scoped)
+        if self._changelog_has_batches(root):
+            return
+        table = Path(self._table_path(scoped))
+        if not table.exists():
+            return
+        current = (
+            self.spark.read.schema(DOCUMENT_SCHEMA)
+            .parquet(str(table))
+            .select(*DOCUMENT_SCHEMA.fieldNames())
+        )
+        self._log_mutation_df(scoped, "upsert", current)
+
     _CHANGELOG_DDL = (
         "op string, id string, content string, metadata_json string, "
         "embedding array<float>, ts timestamp, seq long"
     )
 
-    def _next_seq(self, root: Path) -> int:
+    @staticmethod
+    def _changelog_has_batches(root: Path) -> bool:
+        """True when the log holds at least one data batch. Dot-prefixed seq
+        claims and Hadoop markers don't count (Spark's input format skips
+        them too, so this matches what read_asof would actually read)."""
         if not root.exists():
-            root.mkdir(parents=True, exist_ok=True)
-            return 0
-        return sum(1 for p in root.iterdir() if p.name.endswith(".parquet"))
+            return False
+        return any(
+            p.name.endswith(".parquet") and not p.name.startswith((".", "_"))
+            for p in root.iterdir()
+        )
+
+    def _next_seq(self, root: Path) -> int:
+        """Allocate the next changelog batch seq ATOMICALLY (ADVICE r7): an
+        O_EXCL-created dot-claim file per seq, so two writers (threads or
+        processes) can never stamp the same seq — a collision would break
+        read_asof's (ts, seq) tiebreak determinism. Legacy logs without
+        claims start from the batch-file count (each batch wrote ≥1 file, so
+        count ≥ max_seq+1 — monotonicity preserved)."""
+        root.mkdir(parents=True, exist_ok=True)
+        claims = [
+            int(p.name[5:13])
+            for p in root.iterdir()
+            if p.name.startswith(".seq-") and p.name.endswith(".claim")
+        ]
+        n = (
+            max(claims) + 1
+            if claims
+            else sum(1 for p in root.iterdir() if p.name.endswith(".parquet"))
+        )
+        while True:
+            try:
+                fd = os.open(root / f".seq-{n:08d}.claim", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return n
+            except FileExistsError:  # another writer claimed n concurrently
+                n += 1
 
     def _log_mutation_rows(self, scoped: str, op: str, rows: list[tuple]) -> None:
         """Driver-side append: rows = [(id, content, metadata|None, emb|None)]."""
@@ -880,7 +1005,7 @@ class CollectionEngine:
         changelog (a non-empty table with no log can't be reconstructed)."""
         scoped = self._require(name)
         root = self._changelog_root(scoped)
-        if not root.exists() or not any(root.iterdir()):
+        if not self._changelog_has_batches(root):
             if Path(self._table_path(scoped)).exists():
                 raise EngineError("time_travel_unavailable")
             return self.spark.createDataFrame([], DOCUMENT_SCHEMA)
@@ -909,7 +1034,7 @@ class CollectionEngine:
         trail a Delta DESCRIBE HISTORY would give."""
         scoped = self._require(name)
         root = self._changelog_root(scoped)
-        if not root.exists() or not any(root.iterdir()):
+        if not self._changelog_has_batches(root):
             return self.spark.createDataFrame([], "seq long, op string, n_rows long, ts timestamp")
         log = self.spark.read.schema(self._CHANGELOG_DDL).parquet(str(root))
         return (
