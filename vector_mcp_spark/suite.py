@@ -133,19 +133,16 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 #
 # Registration order is the driver's correctness-check order, and the driver
 # verifies only the first 50 entries per round. Rotate so every entry gets an
-# oracle row across rounds. Round 7 window (see lists below the imports):
-# the 33 _ROUND6_BACKFILL entries that missed slot 50 last round (their
-# newest driver rows are r3), then new round-7 operators (_PROMOTED_R7),
-# then the stalest remaining greens (r4 rows) up to 50.
-# ROUND 8 TODO: lead with the never-driver-checked spillover (the
-# _PROMOTED_R7 tail past slot 50 — corpus_zipf_fit onward, since slot 50
-# closed at events_ohlc_bars — plus ALL 17 _ROUND7_FILL entries),
-# then the remaining r4/r5-latest entries (compute as all entries minus
-# CORRECTNESS_r0{6,7} keys, sorted by latest driver row), then
-# _PROMOTED_R8. Recompute the displaced set if _PROMOTED_R7 grew after
-# this comment: displaced = (_PROMOTED_R7 + _ROUND7_FILL)[50 -
-# len(_ROUND7_LEAD):] (everything the 50-slot window truncates after the
-# 33 lead entries).
+# oracle row across rounds. Round 8 window (see lists below the imports):
+# the 2 never-driver-checked round-7 promotions that spilled past slot 50
+# (corpus_zipf_fit, streaming_late_data_audit) + all 17 displaced
+# _ROUND7_FILL entries, then new round-8 operators (_PROMOTED_R8), then the
+# stalest remaining greens (latest driver row r4, alphabetical) up to 50.
+# ROUND 9 TODO: lead with whatever _ROUND8_FILL truncates past slot 50
+# (recompute: (_ROUND8_LEAD + _PROMOTED_R8 + _ROUND8_FILL)[50:]), then the
+# 47 entries whose latest driver row is r5 (all suite entries minus
+# CORRECTNESS_r0{6,7,8} keys, sorted by latest row then name), then
+# _PROMOTED_R9.
 from vector_mcp_spark import suite_relational  # noqa: E402,F401
 from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401
@@ -153,73 +150,13 @@ from vector_mcp_spark import suite_mutation  # noqa: E402,F401
 from vector_mcp_spark import suite_tpch  # noqa: E402,F401
 from vector_mcp_spark import suite_mining  # noqa: E402,F401
 from vector_mcp_spark import suite_vecapi  # noqa: E402,F401
-# --- Round-7 window --------------------------------------------------------
-# (a) The 33 _ROUND6_BACKFILL entries that fell past slot 50 in round 6
-# (newest driver rows r3; all re-verified locally at sf0.01 and by
-# tests/test_full_oracle.py at sf0.001 each round since).
-_ROUND7_LEAD = [
-    "lexical_and",
-    "lexical_substring",
-    "lexical_bm25",
-    "hybrid_rrf",
-    "lexical_multiquery",
-    "hybrid_multiquery",
-    "get_by_ids",
-    "delete_by_ids",
-    "upsert_merge",
-    "engine_lifecycle",
-    "dedup_exact",
-    "simhash_fingerprints",
-    "simjoin_top1",
-    "embedding_near_dup",
-    "text_stats",
-    "sanitize_content",
-    "events_daily_windows",
-    "events_top_users",
-    "streaming_windowed_events",
-    "events_rollup",
-    "events_user_running_total",
-    "events_sliding_windows",
-    "set_ops_intersect_except",
-    "asof_latest_event",
-    "events_value_quantiles",
-    "tpch_q3_shipping_priority",
-    "events_daily_pivot",
-    "tpch_q1_pricing_summary",
-    "top_revenue_nations",
-    "dedup_normalized",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "chunk_documents",
-]
-
-# (b) New round-7 operators are appended here as they land so they get a
-# driver row the round they ship (each displaces one _ROUND7_FILL slot).
-_PROMOTED_R7: list[str] = [
-    "federated_search",
-    "rag_eval_metrics",
-    "events_time_travel",
-    "corpus_strip_repeated_spans",
-    "corpus_semdedup",
-    "embedding_mrl_recall",
-    "semantic_filtered_topk",
-    "events_histogram_quantiles",
-    "semantic_grouped_topk",
-    "semantic_scroll_page",
-    "payload_facet_counts",
-    "semantic_recommend",
-    "semantic_discover",
-    "sparse_vector_topk",
-    "embedding_distance_matrix",
-    "hybrid_dbsf",
-    "events_ohlc_bars",
+# --- Round-8 window --------------------------------------------------------
+# (a) Never-driver-checked round-7 promotions that spilled past slot 50
+# (slot 50 closed at events_ohlc_bars), then the 17 _ROUND7_FILL entries the
+# promotions displaced (latest driver rows r4).
+_ROUND8_LEAD = [
     "corpus_zipf_fit",
     "streaming_late_data_audit",
-]
-
-# (c) Stalest remaining greens (latest driver rows r4, alphabetical within
-# round). Entries displaced past slot 50 here head the ROUND-8 window.
-_ROUND7_FILL = [
     "ann_ivf_topk",
     "ann_lsh_topk",
     "ann_projected_topk",
@@ -239,7 +176,48 @@ _ROUND7_FILL = [
     "events_funnel_stages",
 ]
 
-_window = (_ROUND7_LEAD + _PROMOTED_R7 + _ROUND7_FILL)[:50]
+# (b) New round-8 operators are appended here as they land so they get a
+# driver row the round they ship (each displaces one _ROUND8_FILL slot).
+_PROMOTED_R8: list[str] = []
+
+# (c) Stalest remaining greens (latest driver rows r4, alphabetical).
+# Entries displaced past slot 50 here head the ROUND-9 window.
+_ROUND8_FILL = [
+    "events_interarrival",
+    "events_kmv_distinct",
+    "events_kmv_merge_rollup",
+    "events_kmv_set_ops",
+    "events_salted_distinct",
+    "events_sampled_quantiles",
+    "events_sessionization",
+    "events_trailing_1h_window",
+    "events_user_gap_days",
+    "events_zorder_keys",
+    "late_orders_by_priority",
+    "lineitem_column_profile",
+    "multimodal_features",
+    "promo_revenue",
+    "range_join_event_counts",
+    "semantic_mmr_topk",
+    "streaming_click_purchase_join",
+    "streaming_cms_user_counts",
+    "streaming_enriched_events",
+    "streaming_user_running_stats",
+    "supplier_name_near_matches",
+    "tpch_q10_returned_items",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_dormant_customers",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "udtf_parse_props",
+    "user_event_type_sets",
+]
+
+_window = (_ROUND8_LEAD + _PROMOTED_R8 + _ROUND8_FILL)[:50]
 _missing = [n for n in _window if n not in SUITE]
 if _missing:  # fail loudly at import so a typo can't silently shrink coverage
     raise RuntimeError(f"rotation names not in SUITE: {_missing}")
