@@ -756,3 +756,63 @@ def test_update_documents_from_self_derived_df(spark, tmp_path_factory):
     now = datetime.now(timezone.utc)
     tt = eng.read_asof("sd", now).collect()
     assert all(r.embedding == [0.5] * 4 for r in tt)
+
+
+def test_collection_aliases(spark, tmp_path_factory):
+    """Qdrant-parity aliases: resolve on read/search/mutation, re-point as
+    the atomic blue-green switch, never shadow or cascade into DDL."""
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("alias_root")))
+    eng.create_collection("blue")
+    eng.create_collection("green")
+    eng.add_documents("blue", ["blue doc"])
+    eng.add_documents("green", ["green doc"])
+
+    eng.create_alias("prod", "blue")
+    assert {r.content for r in eng.read("prod").collect()} == {"blue doc"}
+    assert eng.count_documents("prod") == 1
+    assert eng.list_aliases() == [("prod", "blue")]
+    assert eng.list_aliases("blue") == [("prod", "blue")]
+    assert eng.list_aliases("green") == []
+
+    # mutations resolve through the alias too
+    eng.add_documents("prod", ["second blue doc"])
+    assert eng.count_documents("blue") == 2
+
+    # re-point = blue-green switch
+    eng.create_alias("prod", "green")
+    assert {r.content for r in eng.read("prod").collect()} == {"green doc"}
+    assert eng.list_aliases() == [("prod", "green")]
+
+    # an alias can't take a live collection's name; a real collection wins
+    with _pytest.raises(EngineError, match="alias_conflicts_with_collection"):
+        eng.create_alias("blue", "green")
+    # chains flatten: aliasing to an alias binds to its target
+    eng.create_alias("prod2", "prod")
+    assert eng.list_aliases("green") == [("prod", "green"), ("prod2", "green")]
+
+    # DDL never follows aliases
+    with _pytest.raises(EngineError, match="collection_not_found"):
+        eng.delete_collection("prod", confirm=True)
+    # dropping the target drops its aliases
+    eng.delete_collection("green", confirm=True)
+    assert eng.list_aliases() == []
+    with _pytest.raises(EngineError, match="collection_not_found"):
+        eng.read("prod")
+    with _pytest.raises(EngineError, match="alias_not_found"):
+        eng.delete_alias("prod")
+
+    # tenant isolation: an alias made by tenant A is invisible to tenant B
+    root2 = str(tmp_path_factory.mktemp("alias_tenants"))
+    a = CollectionEngine(spark, root2, tenant="acme")
+    b = CollectionEngine(spark, root2, tenant="bravo")
+    a.create_collection("docs")
+    a.add_documents("docs", ["acme doc"])
+    a.create_alias("live", "docs")
+    assert a.list_aliases() == [("live", "docs")]
+    assert b.list_aliases() == []
+    with _pytest.raises(EngineError, match="collection_not_found"):
+        b.read("live")

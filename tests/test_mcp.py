@@ -1242,3 +1242,39 @@ def test_resources_list_and_read(transport_agent):
     assert resp["error"]["code"] == t.INVALID_PARAMS
     # notification form is silent like every other method
     assert t.handle_message(transport_agent, _rpc("resources/list")) is None
+
+
+def test_alias_actions(veneer):
+    v = veneer
+    v.vector_collection_management("create_collection", collection_name="al_blue")
+    v.vector_collection_management("create_collection", collection_name="al_green")
+    v.vector_collection_management(
+        "add_documents", collection_name="al_blue", document_contents=["blue doc"]
+    )
+    out = v.vector_collection_management(
+        "create_alias", alias_name="al_prod", collection_name="al_blue"
+    )
+    assert out == {"alias": "al_prod", "collection_name": "al_blue"}
+    # reads and mutations resolve through the alias
+    n = v.vector_collection_management("count_documents", collection_name="al_prod")
+    assert n["count"] == 1
+    listed = v.vector_collection_management("list_aliases")
+    assert {"alias": "al_prod", "collection_name": "al_blue"} in listed["aliases"]
+    # blue-green switch then cleanup
+    v.vector_collection_management(
+        "create_alias", alias_name="al_prod", collection_name="al_green"
+    )
+    assert v.vector_collection_management(
+        "count_documents", collection_name="al_prod"
+    )["count"] == 0
+    assert v.vector_collection_management("delete_alias", alias_name="al_prod") == {
+        "deleted_alias": "al_prod"
+    }
+    assert v.vector_collection_management("delete_alias", alias_name="al_prod") == {
+        "error": "alias_not_found"
+    }
+    # input validation + plural alias routing
+    assert v.vector_collection_management("create_alias") == {
+        "error": "alias_input_required"
+    }
+    assert v.vector_collection_management("list_aliases")["aliases"] == []

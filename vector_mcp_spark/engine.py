@@ -84,7 +84,9 @@ def _serialized_mutation(fn):
 
     @functools.wraps(fn)
     def wrapper(self, name: str, *args, **kwargs):
-        with self._mutation_lock(self._scoped(name)):
+        # resolve aliases BEFORE picking the lock: a mutation through an
+        # alias must contend with one through the target's real name
+        with self._mutation_lock(self._resolve_scoped(name)):
             return fn(self, name, *args, **kwargs)
 
     return wrapper
@@ -180,21 +182,39 @@ class CollectionEngine:
         # modification was based on, so two engine instances mutating the same
         # root fail loudly ("catalog_conflict") instead of silently dropping
         # one instance's row. Readers need no lock (tmp+replace is atomic).
-        import os
-
         lock = Path(self._catalog_path + ".lock")
+        fd = self._acquire_file_lock(lock)
+        try:
+            path = Path(self._catalog_path)
+            expected = getattr(self, "_cat_cache", (None, None))[0]
+            current = path.stat().st_mtime_ns if path.exists() else None
+            if expected is not None and current is not None and current != expected:
+                raise EngineError("catalog_conflict")
+            tmp = Path(self._catalog_path + ".tmp")
+            pq.write_table(tbl, tmp)
+            tmp.replace(self._catalog_path)
+            self._cat_cache = (path.stat().st_mtime_ns, rows)
+        finally:
+            os.close(fd)
+            lock.unlink(missing_ok=True)
+
+    @classmethod
+    def _acquire_file_lock(cls, lock: Path) -> int:
+        """O_EXCL-create ``lock`` and return the fd; the caller must close
+        the fd and unlink the lock in its finally block.
+
+        Stale-lock recovery (ADVICE r6): a holder killed between os.open and
+        its finally block would brick every future write. Break the lock
+        when its pid is provably dead or the file is older than the TTL
+        (covers unreadable/foreign-host pids); otherwise fail with the lock
+        path so an operator can recover. The break is an atomic RENAME of
+        the stale file, not unlink: two writers may both judge it stale, but
+        only one rename wins, so the loser can never delete the winner's
+        fresh lock (TOCTOU)."""
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            # Stale-lock recovery (ADVICE r6): a holder killed between os.open
-            # and the finally block would brick every future catalog write.
-            # Break the lock when its pid is provably dead or the file is
-            # older than the TTL (covers unreadable/foreign-host pids);
-            # otherwise fail with the lock path so an operator can recover.
-            # The break is an atomic RENAME of the stale file, not unlink:
-            # two writers may both judge it stale, but only one rename wins,
-            # so the loser can never delete the winner's fresh lock (TOCTOU).
-            if not self._lock_is_stale(lock):
+            if not cls._lock_is_stale(lock):
                 raise EngineError("catalog_locked", detail=str(lock)) from None
             broken = Path(f"{lock}.broken.{os.getpid()}")
             try:
@@ -210,19 +230,7 @@ class CollectionEngine:
             os.write(fd, f"{os.getpid()} {time.time():.3f}".encode())
         except OSError:
             pass  # lock metadata is best-effort; TTL still applies
-        try:
-            path = Path(self._catalog_path)
-            expected = getattr(self, "_cat_cache", (None, None))[0]
-            current = path.stat().st_mtime_ns if path.exists() else None
-            if expected is not None and current is not None and current != expected:
-                raise EngineError("catalog_conflict")
-            tmp = Path(self._catalog_path + ".tmp")
-            pq.write_table(tbl, tmp)
-            tmp.replace(self._catalog_path)
-            self._cat_cache = (path.stat().st_mtime_ns, rows)
-        finally:
-            os.close(fd)
-            lock.unlink(missing_ok=True)
+        return fd
 
     # A lock this old is presumed orphaned even when its pid can't be probed
     # (pid unreadable, or reused by an unrelated process).
@@ -348,15 +356,108 @@ class CollectionEngine:
             raise EngineError("collection_vector_schema_mismatch")
 
     def _require(self, name: str) -> str:
-        scoped = self._scoped(name)
-        if not self.collection_exists(name):
+        scoped = self._resolve_scoped(name)
+        if not any(r[0] == scoped for r in self._catalog_rows()):
             raise EngineError("collection_not_found")  # base.py:107-117
         return scoped
+
+    # -- collection aliases ---------------------------------------------------
+    #
+    # Qdrant-parity alias surface (update_collection_aliases): an alias is a
+    # second name every read/search/mutation resolves through, and
+    # re-pointing it is the atomic blue-green switch (index into
+    # "docs_green", re-point "prod" at it, drop "docs_blue" — queries never
+    # see a half-built table). Aliases live in a driver-side sidecar
+    # (_aliases.parquet) under the same tenant scoping as collections; a
+    # real collection name always wins over an alias with the same name.
+
+    @property
+    def _aliases_path(self) -> str:
+        return str(self.root / "_aliases.parquet")
+
+    def _alias_rows(self) -> list[tuple[str, str]]:
+        import pyarrow.parquet as pq
+
+        path = Path(self._aliases_path)
+        if not path.exists():
+            return []
+        mtime = path.stat().st_mtime_ns
+        cached = getattr(self, "_alias_cache", None)
+        if cached and cached[0] == mtime:
+            return cached[1]
+        rows = [
+            (r["alias"], r["target"]) for r in pq.read_table(path).to_pylist()
+        ]
+        self._alias_cache = (mtime, rows)
+        return rows
+
+    def _write_aliases(self, rows: list[tuple[str, str]]) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        lock = Path(self._aliases_path + ".lock")
+        fd = self._acquire_file_lock(lock)
+        try:
+            tbl = pa.Table.from_pylist(
+                [{"alias": a, "target": t} for a, t in sorted(rows)],
+                schema=pa.schema([("alias", pa.string()), ("target", pa.string())]),
+            )
+            tmp = Path(self._aliases_path + ".tmp")
+            pq.write_table(tbl, tmp)
+            tmp.replace(self._aliases_path)
+        finally:
+            os.close(fd)
+            lock.unlink(missing_ok=True)
+
+    def _resolve_scoped(self, name: str) -> str:
+        """Logical name → scoped physical name, following one alias hop.
+        A real collection shadows an alias of the same name."""
+        scoped = self._scoped(name)
+        if any(r[0] == scoped for r in self._catalog_rows()):
+            return scoped
+        return dict(self._alias_rows()).get(scoped, scoped)
+
+    def create_alias(self, alias: str, collection: str) -> None:
+        """Point ``alias`` at ``collection``; re-pointing an existing alias
+        is the atomic blue-green switch. Rejects an alias that names a real
+        collection (it could never be resolved)."""
+        validate_collection_name(alias)
+        if self.collection_exists(alias):
+            raise EngineError("alias_conflicts_with_collection", detail=alias)
+        target = self._require(collection)
+        scoped_alias = self._scoped(alias)
+        rows = [(a, t) for a, t in self._alias_rows() if a != scoped_alias]
+        self._write_aliases([*rows, (scoped_alias, target)])
+
+    def delete_alias(self, alias: str) -> None:
+        scoped_alias = self._scoped(alias)
+        rows = self._alias_rows()
+        if all(a != scoped_alias for a, _ in rows):
+            raise EngineError("alias_not_found", detail=alias)
+        self._write_aliases([(a, t) for a, t in rows if a != scoped_alias])
+
+    def list_aliases(self, collection: str | None = None) -> list[tuple[str, str]]:
+        """(alias, collection) pairs in this tenant's scope, unscoped names,
+        sorted; optionally filtered to one target collection."""
+        target = self._require(collection) if collection is not None else None
+        pfx = _tenant_prefix(self.tenant) if self.tenant else ""
+        out = []
+        for a, t in self._alias_rows():
+            if target is not None and t != target:
+                continue
+            if pfx and not (a.startswith(pfx) and t.startswith(pfx)):
+                continue
+            out.append((a[len(pfx):], t[len(pfx):]))
+        return sorted(out)
 
     @_serialized_mutation
     def delete_collection(self, name: str, confirm: bool = False) -> None:
         validate_delete_confirm(confirm)  # vector_api.py:448-449
-        scoped = self._require(name)
+        # DDL never follows aliases (qdrant parity): dropping "prod" must
+        # not cascade through an alias to the real table behind it
+        scoped = self._scoped(name)
+        if not any(r[0] == scoped for r in self._catalog_rows()):
+            raise EngineError("collection_not_found")
         self._write_catalog([r for r in self._catalog_rows() if r[0] != scoped])
         for suffix in ("", "_index", "_changelog"):  # table + sidecars
             path = Path(self._table_path(scoped) + suffix)
@@ -366,6 +467,10 @@ class CollectionEngine:
         base = Path(self._table_path(scoped))
         for stale in base.parent.glob(base.name + "_stage-*"):
             shutil.rmtree(stale, ignore_errors=True)
+        # aliases pointing at the dropped collection die with it
+        remaining = [(a, t) for a, t in self._alias_rows() if t != scoped]
+        if len(remaining) != len(self._alias_rows()):
+            self._write_aliases(remaining)
 
     # -- documents ----------------------------------------------------------
 

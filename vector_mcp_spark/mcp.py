@@ -44,6 +44,9 @@ COLLECTION_ACTIONS = (
     "count_documents",
     "set_payload",
     "delete_payload",
+    "create_alias",
+    "delete_alias",
+    "list_aliases",
 )
 SEARCH_ACTIONS = (
     "semantic_search", "lexical_search", "search", "rerank_search", "federated_search",
@@ -115,6 +118,7 @@ class McpVeneer:
         document_ids: list[str] | None = None,
         payload: dict[str, str] | None = None,
         payload_keys: list[str] | None = None,
+        alias_name: str | None = None,
     ) -> dict[str, Any]:
         resolved = resolve_action(action, COLLECTION_ACTIONS)
         if isinstance(resolved, dict):
@@ -172,6 +176,30 @@ class McpVeneer:
                     return {"error": "payload_input_required"}
                 n = self.engine.delete_payload(collection_name, document_ids, payload_keys)
                 return {"collection_name": collection_name, "documents_patched": n}
+            if resolved == "create_alias":
+                # qdrant update_collection_aliases parity: re-pointing an
+                # existing alias is the atomic blue-green switch
+                if not alias_name or not collection_name:
+                    return {"error": "alias_input_required"}
+                self.engine.create_alias(alias_name, collection_name)
+                return {"alias": alias_name, "collection_name": collection_name}
+            if resolved == "delete_alias":
+                if not alias_name:
+                    return {"error": "alias_input_required"}
+                self.engine.delete_alias(alias_name)
+                return {"deleted_alias": alias_name}
+            if resolved == "list_aliases":
+                pairs = self.engine.list_aliases(collection_name)
+                allowed = set(
+                    self._entitled("collection", sorted({t for _, t in pairs}))
+                )
+                return {
+                    "aliases": [
+                        {"alias": a, "collection_name": t}
+                        for a, t in pairs
+                        if t in allowed
+                    ]
+                }
             if resolved == "collection_history":
                 batches = [
                     {"seq": r.seq, "op": r.op, "n_rows": r.n_rows,

@@ -374,3 +374,74 @@ def histogram_quantiles(
         "p",
         F.round((lo + (hi - lo) * frac) / int_scale, 6).alias("q_est"),
     )
+
+
+# -- HyperLogLog (Flajolet et al. 2007) with a cross-engine-exact replay ------
+#
+# KMV above keeps k hashes per group; HLL keeps 2^b REGISTERS (max leading-
+# zero run per hash bucket) — constant 2^b ints per group however many
+# distinct values arrive, and two sketches merge by element-wise register
+# max. Spark's approx_count_distinct is HLL++ but engine-private; this one
+# is built from sha256 + integer ops both engines evaluate identically, so
+# a DuckDB oracle replays the registers AND the estimate bit-for-bit.
+#
+# Hash layout: 36-bit sha prefix (9 hex chars — exact in doubles, so the
+# oracle's arithmetic can't round); low b bits pick the register, the
+# remaining 30 bits feed the rank rho = leading-zeros + 1 via
+# length(bin(w)) (pure string/int, no float log2 edge cases).
+
+_HLL_REMAIN_BITS = 36 - 6  # 30 usable bits with b=6 (m=64 registers)
+_HLL_ALPHA_64 = 0.709  # Flajolet's alpha_m for m=64
+# S = sum(2^-rho) over 64 registers, rho <= 31 → S*2^31 is an exact integer
+_HLL_S_SCALE = 2**31
+
+
+def hll_registers(
+    df: DataFrame, group_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """Per (group, register): the HLL register value (max rho). m=64
+    registers (b=6). One shuffle on (group, register) — the aggregate is
+    map-side partial, so executor output is ≤ 64 rows per group per task
+    regardless of input size."""
+    group_cols = list(group_cols)
+    h = F.conv(
+        F.substring(F.sha2(F.col(value_col).cast("string"), 256), 1, 9), 16, 10
+    ).cast("long")
+    w = (h / F.lit(64)).cast("long")  # h div 64: the 30 rank bits
+    rho = F.when(w == 0, F.lit(_HLL_REMAIN_BITS + 1)).otherwise(
+        F.lit(_HLL_REMAIN_BITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, F.pmod(h, F.lit(64)).alias("register"), rho.alias("_rho"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("_rho").cast("int").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Collapse (group, register, rho) rows into the HLL cardinality
+    estimate: (group…, n_zero, s_scaled, est_distinct). Registers that
+    never saw a value are implicit (64 - present) — they count as zero
+    registers and contribute 2^0 to S. ``s_scaled`` = S * 2^31 is exact
+    integer evidence (hash-stable across engines); the estimate applies
+    Flajolet's small-range correction m*ln(m/V) when E <= 2.5m and V > 0,
+    rounded to 2 dp (the only float-library op is that ln)."""
+    group_cols = list(group_cols)
+    m = 64
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s_present"),
+    )
+    s = F.col("_s_present") + (F.lit(m) - F.col("_present"))  # absent → 2^0
+    v = (F.lit(m) - F.col("_present")).cast("int")
+    e_raw = F.lit(_HLL_ALPHA_64 * m * m) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        *group_cols,
+        v.alias("n_zero"),
+        F.round(s * F.lit(_HLL_S_SCALE)).cast("long").alias("s_scaled"),
+        F.round(est, 2).alias("est_distinct"),
+    )

@@ -178,7 +178,12 @@ _ROUND8_LEAD = [
 
 # (b) New round-8 operators are appended here as they land so they get a
 # driver row the round they ship (each displaces one _ROUND8_FILL slot).
-_PROMOTED_R8: list[str] = []
+_PROMOTED_R8: list[str] = [
+    "events_hll_distinct",
+    "events_ks_two_sample",
+    "corpus_psi_drift",
+    "collection_aliases",
+]
 
 # (c) Stalest remaining greens (latest driver rows r4, alphabetical).
 # Entries displaced past slot 50 here head the ROUND-9 window.

@@ -144,3 +144,73 @@ def q_engine_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, "item string, detail string")
+
+
+# -- collection aliases (qdrant update_collection_aliases parity) --------------
+#
+# An alias is a second name every read/search/mutation resolves through;
+# re-pointing it is the atomic blue-green switch (build "green" offline,
+# re-point "prod", drop "blue" — queries never see a half-built table).
+# DDL never follows aliases and a live collection name always shadows one.
+# Driver-side catalog ops → deterministic VALUES oracle, like
+# engine_lifecycle above.
+
+_ALIASES_ORACLE = """
+SELECT * FROM (VALUES
+  ('alias_conflict', 'alias_conflicts_with_collection'),
+  ('alias_gone_after_drop', 'alias_not_found'),
+  ('aliases_after_switch', 'prod->green'),
+  ('ddl_via_alias', 'collection_not_found'),
+  ('mutation_via_alias', '2'),
+  ('read_via_alias_blue', 'blue doc'),
+  ('read_via_alias_green', 'green doc')
+) AS t(item, detail)
+"""
+
+
+@register("collection_aliases", _ALIASES_ORACLE, "engine", "parity")
+def q_collection_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.validation import EngineError
+
+    root = tempfile.mkdtemp(prefix="vm_aliases_")
+
+    def _code(fn):
+        try:
+            fn()
+            return "no_error"
+        except EngineError as e:
+            return e.code
+
+    try:
+        eng = CollectionEngine(spark, root)
+        eng.create_collection("blue")
+        eng.create_collection("green")
+        eng.add_documents("blue", ["blue doc"])
+        eng.add_documents("green", ["green doc"])
+        eng.create_alias("prod", "blue")
+        via_blue = eng.read("prod").first().content
+        eng.add_documents("prod", ["second blue doc"])  # mutates blue
+        n_blue = eng.count_documents("blue")
+        eng.create_alias("prod", "green")  # blue-green switch
+        via_green = eng.read("prod").first().content
+        conflict = _code(lambda: eng.create_alias("blue", "green"))
+        ddl = _code(lambda: eng.delete_collection("prod", confirm=True))
+        listed = ",".join(f"{a}->{t}" for a, t in eng.list_aliases())
+        eng.delete_collection("green", confirm=True)
+        gone = _code(lambda: eng.delete_alias("prod"))
+        rows = [
+            ("alias_conflict", conflict),
+            ("alias_gone_after_drop", gone),
+            ("aliases_after_switch", listed),
+            ("ddl_via_alias", ddl),
+            ("mutation_via_alias", str(n_blue)),
+            ("read_via_alias_blue", via_blue),
+            ("read_via_alias_green", via_green),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "item string, detail string")

@@ -2310,3 +2310,46 @@ def q_embedding_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matryoshka_recall(
         embs, qs, dims=list(_MRL_DIMS), k=_MRL_K, id_col="vec_id"
     )
+
+
+# -- PSI drift gate between corpus slices --------------------------------------
+#
+# Before a re-ingested slice is admitted, compare its length distribution
+# against the standing corpus: the Population Stability Index over 8
+# equal-width n_chars bins (sum of psi_term < 0.1 = stable, > 0.25 =
+# drifted — the standard production-ML monitoring gate). One scan,
+# conditional aggregation, |bins| rows shuffled; the global lo/hi bounds
+# ride in as a broadcast one-row frame.
+
+_PSI_ORACLE = """
+WITH lohi AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents),
+binned AS (
+  SELECT LEAST(7, CAST(FLOOR((n_chars - lo) / ((hi - lo + 1) / 8.0)) AS INTEGER)) AS bin,
+         doc_id % 2 = 1 AS cur
+  FROM documents, lohi
+),
+counts AS (
+  SELECT bin,
+         SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS n_ref,
+         SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS n_cur
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM counts)
+SELECT CAST(bin AS INTEGER) AS bin,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       ROUND(GREATEST(n_ref / tr, 1e-6), 6) AS p_ref,
+       ROUND(GREATEST(n_cur / tc, 1e-6), 6) AS p_cur,
+       ROUND((GREATEST(n_cur / tc, 1e-6) - GREATEST(n_ref / tr, 1e-6))
+             * LN(GREATEST(n_cur / tc, 1e-6) / GREATEST(n_ref / tr, 1e-6)), 4) AS psi_term
+FROM counts, tot
+"""
+
+
+@register("corpus_psi_drift", _PSI_ORACLE, "pipeline", "stats")
+def q_corpus_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even doc_ids play the standing corpus, odd doc_ids the new slice."""
+    from vector_mcp_spark.operators.drift import psi_bins
+
+    docs = load(spark, sf_dir, "documents")
+    return psi_bins(docs, "n_chars", is_current=F.col("doc_id") % 2 == 1, n_bins=8)

@@ -2094,3 +2094,106 @@ def q_streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.where(F.col("event_type") != "_sentinel").select(
         "window_start", "window_end", "event_type", "n_events", "total_value", "avg_value"
     )
+
+
+# -- HyperLogLog distinct (register-exact cross-engine replay) ----------------
+#
+# KMV above keeps the k smallest hashes; HLL keeps 64 REGISTERS (max
+# leading-zero rank per hash bucket) and merges by element-wise max — the
+# per-day-sketch → all-time-merge pattern at constant 64 ints per group.
+# Built from sha256 + length(bin(w)) so DuckDB replays registers AND
+# estimate bit-for-bit (s_scaled is exact integer evidence; the only float-
+# library op in the estimate is one ln, rounded at 2 dp). The 'ALL' row IS
+# the merge: max over the five per-type registers, never a rescan.
+
+_HLL_ORACLE = """
+WITH hashed AS (
+  SELECT event_type,
+         CAST('0x' || substring(sha256(CAST(user_id AS VARCHAR)), 1, 9) AS BIGINT) AS h
+  FROM events
+),
+regs AS (
+  SELECT event_type, h % 64 AS register,
+         MAX(CASE WHEN h // 64 = 0 THEN 31
+                  ELSE 31 - length(bin(h // 64)) END) AS rho
+  FROM hashed GROUP BY event_type, h % 64
+),
+allregs AS (
+  SELECT * FROM regs
+  UNION ALL
+  SELECT 'ALL' AS event_type, register, MAX(rho) AS rho FROM regs GROUP BY register
+),
+summary AS (
+  SELECT event_type, COUNT(*) AS present, SUM(POW(2.0, -rho)) AS s_present
+  FROM allregs GROUP BY event_type
+)
+SELECT event_type,
+       CAST(64 - present AS INTEGER) AS n_zero,
+       CAST(ROUND((s_present + (64 - present)) * 2147483648.0) AS BIGINT) AS s_scaled,
+       ROUND(CASE WHEN (0.709 * 4096) / (s_present + (64 - present)) <= 160.0
+                   AND (64 - present) > 0
+                  THEN 64.0 * LN(64.0 / (64 - present))
+                  ELSE (0.709 * 4096) / (s_present + (64 - present)) END, 2) AS est_distinct
+FROM summary
+"""
+
+
+@register("events_hll_distinct", _HLL_ORACLE, "relational", "sketch")
+def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL distinct users + the merged 'ALL' sketch.
+
+    Scale shape: one map-side-partial groupBy on (type, register) — ≤ 64
+    rows per type per task cross the wire; the merge and estimate run over
+    5 x 64 aggregated rows. The registers frame feeds two jobs (per-type
+    estimate + merge), so it's localCheckpoint-ed once."""
+    from vector_mcp_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = load(spark, sf_dir, "events")
+    regs = hll_registers(ev, ["event_type"], "user_id").localCheckpoint(eager=True)
+    merged = (
+        regs.groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("ALL").alias("event_type"), "register", "rho")
+    )
+    return hll_estimate(regs.unionByName(merged), ["event_type"])
+
+
+# -- two-sample Kolmogorov–Smirnov distance (distributed CDF) ------------------
+#
+# Are click values distributed like purchase values? KS = max CDF gap over
+# the (3-dp-quantized) value axis. The CDF is built per value BUCKET with
+# driver-side range offsets (bounded by the value range, not the row
+# count — operators/rank.py's pattern), so no unpartitioned ordered window
+# ever funnels the corpus through one task.
+
+_KS_ORACLE = """
+WITH sliced AS (
+  SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS b,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+counts AS (SELECT b, SUM(ia) AS ca, SUM(ib) AS cb FROM sliced GROUP BY b),
+cum AS (
+  SELECT SUM(ca) OVER (ORDER BY b) / (SELECT SUM(ca) FROM counts) AS cdf_a,
+         SUM(cb) OVER (ORDER BY b) / (SELECT SUM(cb) FROM counts) AS cdf_b
+  FROM counts
+)
+SELECT (SELECT CAST(SUM(ia) AS BIGINT) FROM sliced) AS n_a,
+       (SELECT CAST(SUM(ib) AS BIGINT) FROM sliced) AS n_b,
+       ROUND(MAX(ABS(cdf_a - cdf_b)), 4) AS ks_d
+FROM cum
+"""
+
+
+@register("events_ks_two_sample", _KS_ORACLE, "relational", "stats")
+def q_events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.drift import ks_two_sample
+
+    ev = load(spark, sf_dir, "events")
+    return ks_two_sample(
+        ev,
+        "value",
+        in_a=F.col("event_type") == "click",
+        in_b=F.col("event_type") == "purchase",
+    )
