@@ -816,3 +816,46 @@ def test_collection_aliases(spark, tmp_path_factory):
     assert b.list_aliases() == []
     with _pytest.raises(EngineError, match="collection_not_found"):
         b.read("live")
+
+
+def test_snapshot_create_restore(spark, tmp_path_factory):
+    """qdrant snapshot parity: freeze a collection, keep mutating, restore
+    the frozen state under a new name (with its time-travel log intact)."""
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("snap_root")))
+    eng.create_collection("src", dimension=4)
+    eng.add_documents("src", ["frozen doc one", "frozen doc two"])
+    snap = eng.create_snapshot("src")
+    eng.add_documents("src", ["post-snapshot doc"])
+
+    scoped = eng.restore_snapshot(snap, "restored")
+    assert scoped == "restored"
+    assert eng.count_documents("src") == 3
+    assert {r.content for r in eng.read("restored").collect()} == {
+        "frozen doc one", "frozen doc two"}
+    # catalog metadata rides along: dimension lock survives the restore
+    with _pytest.raises(EngineError, match="collection_vector_schema_mismatch"):
+        eng.add_documents("restored", ["bad vec"], embeddings=[[1.0, 2.0]])
+    # the changelog came with it: history has the pre-snapshot batch only
+    assert [h.n_rows for h in eng.collection_history("restored").collect()] == [2]
+    # restored collection evolves independently
+    eng.add_documents("restored", ["only in restored"])
+    assert eng.count_documents("restored") == 3
+    assert eng.count_documents("src") == 3
+
+    # listing / deletion / guards
+    snap_id = snap.rsplit("/", 1)[-1]
+    assert snap_id in eng.list_snapshots()
+    with _pytest.raises(EngineError, match="collection_exists"):
+        eng.restore_snapshot(snap, "src")
+    with _pytest.raises(EngineError, match="snapshot_invalid"):
+        eng.restore_snapshot(str(tmp_path_factory.mktemp("not_a_snap")), "x")
+    with _pytest.raises(EngineError, match="snapshot_invalid"):
+        eng.delete_snapshot("../escape")
+    eng.delete_snapshot(snap_id)
+    assert eng.list_snapshots() == []
+    with _pytest.raises(EngineError, match="snapshot_not_found"):
+        eng.delete_snapshot(snap_id)

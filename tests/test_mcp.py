@@ -1278,3 +1278,35 @@ def test_alias_actions(veneer):
         "error": "alias_input_required"
     }
     assert v.vector_collection_management("list_aliases")["aliases"] == []
+
+
+def test_snapshot_actions(veneer):
+    v = veneer
+    v.vector_collection_management("create_collection", collection_name="sn_src")
+    v.vector_collection_management(
+        "add_documents", collection_name="sn_src", document_contents=["frozen doc"]
+    )
+    out = v.vector_collection_management("create_snapshot", collection_name="sn_src")
+    sid = out["snapshot_id"]
+    assert out["collection_name"] == "sn_src" and sid
+    assert sid in v.vector_collection_management("list_snapshots")["snapshots"]
+    restored = v.vector_collection_management(
+        "restore_snapshot", snapshot_id=sid, new_collection_name="sn_copy"
+    )
+    assert restored == {"collection_name": "sn_copy", "restored_from": sid}
+    assert v.vector_collection_management(
+        "count_documents", collection_name="sn_copy"
+    )["count"] == 1
+    # guards: path traversal, missing input, unknown id
+    assert v.vector_collection_management(
+        "restore_snapshot", snapshot_id="../x", new_collection_name="y"
+    ) == {"error": "snapshot_invalid"}
+    assert v.vector_collection_management("delete_snapshot") == {
+        "error": "snapshot_input_required"
+    }
+    assert v.vector_collection_management("delete_snapshot", snapshot_id=sid) == {
+        "deleted_snapshot": sid
+    }
+    assert v.vector_collection_management("delete_snapshot", snapshot_id=sid) == {
+        "error": "snapshot_not_found"
+    }

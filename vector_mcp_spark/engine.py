@@ -1148,3 +1148,90 @@ class CollectionEngine:
             .select("seq", "op", "n_rows", "ts")
             .orderBy("seq")
         )
+
+    # -- snapshots (qdrant create_snapshot / recover_snapshot parity) --------
+    #
+    # A snapshot is a self-contained portable directory: manifest (catalog
+    # row) + the table's parquet partitions + the time-travel changelog.
+    # Restore registers it as a (new) collection. The driver-side copy is
+    # right for this engine's parquet-dir layout; on a real lake the same
+    # manifest+dirs contract is executed by the storage layer (s3 server-
+    # side copy / distcp) — the engine's unit of work is per-partition-dir
+    # either way, never per row.
+
+    def _snapshots_root(self) -> Path:
+        return self.root / "_snapshots"
+
+    def create_snapshot(self, name: str) -> str:
+        """Freeze the collection's current state into a portable snapshot
+        dir; returns its path. Runs under the collection's mutation lock so
+        a concurrent upsert can't tear the copy."""
+        import json
+
+        scoped = self._require(name)
+        with self._mutation_lock(scoped):
+            snap_id = f"{_physical_name(scoped)}-{uuid.uuid4().hex[:12]}"
+            dest = self._snapshots_root() / snap_id
+            dest.mkdir(parents=True, exist_ok=False)
+            manifest = {
+                "scoped_name": scoped,
+                "dimension": self._locked_dimension(scoped),
+                "needs_embed": any(
+                    r[0] == scoped and bool(r[4]) for r in self._catalog_rows()
+                ),
+            }
+            (dest / "manifest.json").write_text(json.dumps(manifest, sort_keys=True))
+            table = Path(self._table_path(scoped))
+            if table.exists():
+                shutil.copytree(table, dest / "table")
+            log = self._changelog_root(scoped)
+            if log.exists():
+                shutil.copytree(log, dest / "changelog")
+        return str(dest)
+
+    def restore_snapshot(self, snapshot_path: str, new_name: str) -> str:
+        """Register a snapshot as collection ``new_name`` (which must not
+        exist — restores never clobber silently). Returns the scoped name."""
+        import json
+
+        src = Path(snapshot_path)
+        try:
+            manifest = json.loads((src / "manifest.json").read_text())
+        except (OSError, ValueError):
+            raise EngineError("snapshot_invalid", detail=snapshot_path) from None
+        if self.collection_exists(new_name):
+            raise EngineError("collection_exists")
+        scoped = self._scoped(new_name)
+        with self._mutation_lock(scoped):
+            if (src / "table").exists():
+                shutil.copytree(src / "table", self._table_path(scoped))
+            if (src / "changelog").exists():
+                shutil.copytree(src / "changelog", self._changelog_root(scoped))
+            self._write_catalog(
+                [
+                    *self._catalog_rows(),
+                    (
+                        scoped,
+                        _physical_name(scoped),
+                        manifest.get("dimension"),
+                        datetime.now(timezone.utc),
+                        bool(manifest.get("needs_embed", True)),
+                    ),
+                ]
+            )
+        return scoped
+
+    def list_snapshots(self) -> list[str]:
+        root = self._snapshots_root()
+        if not root.exists():
+            return []
+        return sorted(p.name for p in root.iterdir() if (p / "manifest.json").exists())
+
+    def delete_snapshot(self, snapshot_id: str) -> None:
+        # id, not path: confine deletion to the engine's own snapshot root
+        if "/" in snapshot_id or snapshot_id.startswith("."):
+            raise EngineError("snapshot_invalid", detail=snapshot_id)
+        dest = self._snapshots_root() / snapshot_id
+        if not (dest / "manifest.json").exists():
+            raise EngineError("snapshot_not_found", detail=snapshot_id)
+        shutil.rmtree(dest)

@@ -47,6 +47,10 @@ COLLECTION_ACTIONS = (
     "create_alias",
     "delete_alias",
     "list_aliases",
+    "create_snapshot",
+    "restore_snapshot",
+    "list_snapshots",
+    "delete_snapshot",
 )
 SEARCH_ACTIONS = (
     "semantic_search", "lexical_search", "search", "rerank_search", "federated_search",
@@ -119,6 +123,8 @@ class McpVeneer:
         payload: dict[str, str] | None = None,
         payload_keys: list[str] | None = None,
         alias_name: str | None = None,
+        snapshot_id: str | None = None,
+        new_collection_name: str | None = None,
     ) -> dict[str, Any]:
         resolved = resolve_action(action, COLLECTION_ACTIONS)
         if isinstance(resolved, dict):
@@ -200,6 +206,32 @@ class McpVeneer:
                         if t in allowed
                     ]
                 }
+            if resolved == "create_snapshot":
+                path = self.engine.create_snapshot(collection_name)
+                return {
+                    "collection_name": collection_name,
+                    "snapshot_id": path.rsplit("/", 1)[-1],
+                }
+            if resolved == "restore_snapshot":
+                if not snapshot_id or not new_collection_name:
+                    return {"error": "snapshot_input_required"}
+                # veneer callers address snapshots by id, never by path —
+                # the engine re-validates the id stays under _snapshots
+                if "/" in snapshot_id or snapshot_id.startswith("."):
+                    return {"error": "snapshot_invalid"}
+                path = self.engine._snapshots_root() / snapshot_id
+                self.engine.restore_snapshot(str(path), new_collection_name)
+                return {
+                    "collection_name": new_collection_name,
+                    "restored_from": snapshot_id,
+                }
+            if resolved == "list_snapshots":
+                return {"snapshots": self.engine.list_snapshots()}
+            if resolved == "delete_snapshot":
+                if not snapshot_id:
+                    return {"error": "snapshot_input_required"}
+                self.engine.delete_snapshot(snapshot_id)
+                return {"deleted_snapshot": snapshot_id}
             if resolved == "collection_history":
                 batches = [
                     {"seq": r.seq, "op": r.op, "n_rows": r.n_rows,

@@ -183,6 +183,8 @@ _PROMOTED_R8: list[str] = [
     "events_ks_two_sample",
     "corpus_psi_drift",
     "collection_aliases",
+    "collection_snapshot",
+    "events_hll_merge_rollup",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r4, alphabetical).

@@ -214,3 +214,72 @@ def q_collection_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, "item string, detail string")
+
+
+# -- collection snapshots (qdrant create_snapshot / recover parity) ------------
+#
+# Freeze a collection into a portable dir (manifest + table partitions +
+# changelog), keep mutating the source, restore the frozen state under a
+# new name — with the dimension lock and time-travel history intact.
+
+_SNAPSHOT_ORACLE = """
+SELECT * FROM (VALUES
+  ('bad_snapshot', 'snapshot_invalid'),
+  ('independent_after_add', '3,3'),
+  ('restore_clobber', 'collection_exists'),
+  ('restored_dim_lock', 'collection_vector_schema_mismatch'),
+  ('restored_docs', '2'),
+  ('restored_history_batches', '1'),
+  ('snapshots_after_delete', '0'),
+  ('src_docs_after', '3')
+) AS t(item, detail)
+"""
+
+
+@register("collection_snapshot", _SNAPSHOT_ORACLE, "engine", "parity")
+def q_collection_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.validation import EngineError
+
+    root = tempfile.mkdtemp(prefix="vm_snapshot_")
+
+    def _code(fn):
+        try:
+            fn()
+            return "no_error"
+        except EngineError as e:
+            return e.code
+
+    try:
+        eng = CollectionEngine(spark, root)
+        eng.create_collection("src", dimension=4)
+        eng.add_documents("src", ["frozen one", "frozen two"])
+        snap = eng.create_snapshot("src")
+        eng.add_documents("src", ["post-snapshot doc"])
+        eng.restore_snapshot(snap, "restored")
+        dim_lock = _code(
+            lambda: eng.add_documents("restored", ["bad vec"], embeddings=[[1.0, 2.0]])
+        )
+        clobber = _code(lambda: eng.restore_snapshot(snap, "src"))
+        bad = _code(lambda: eng.restore_snapshot(tempfile.mkdtemp(), "x"))
+        n_hist = eng.collection_history("restored").count()
+        n_restored = eng.count_documents("restored")
+        eng.add_documents("restored", ["only in restored"])
+        independent = f"{eng.count_documents('restored')},{eng.count_documents('src')}"
+        eng.delete_snapshot(snap.rsplit("/", 1)[-1])
+        rows = [
+            ("bad_snapshot", bad),
+            ("independent_after_add", independent),
+            ("restore_clobber", clobber),
+            ("restored_dim_lock", dim_lock),
+            ("restored_docs", str(n_restored)),
+            ("restored_history_batches", str(n_hist)),
+            ("snapshots_after_delete", str(len(eng.list_snapshots()))),
+            ("src_docs_after", str(eng.count_documents("src"))),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "item string, detail string")

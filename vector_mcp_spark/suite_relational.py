@@ -2197,3 +2197,60 @@ def q_events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_a=F.col("event_type") == "click",
         in_b=F.col("event_type") == "purchase",
     )
+
+
+# -- HLL merge rollup (daily sketches → weekly estimates, never a rescan) -----
+#
+# The KMV merge above pools kept hashes; the HLL merge is even simpler —
+# element-wise register max — and LOSSLESS: merging daily sketches gives
+# exactly the sketch a direct weekly pass would build. Keep 64 ints per
+# (type, day); answer any coarser distinct question from them.
+
+_HLL_MERGE_ORACLE = """
+WITH hashed AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST('0x' || substring(sha256(CAST(user_id AS VARCHAR)), 1, 9) AS BIGINT) AS h
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, h % 64 AS register,
+         MAX(CASE WHEN h // 64 = 0 THEN 31
+                  ELSE 31 - length(bin(h // 64)) END) AS rho
+  FROM hashed GROUP BY event_type, day, h % 64
+),
+weekly AS (
+  SELECT event_type, CAST(date_trunc('week', day) AS DATE) AS week,
+         register, MAX(rho) AS rho
+  FROM daily GROUP BY 1, 2, 3
+),
+summary AS (
+  SELECT event_type, week, COUNT(*) AS present, SUM(POW(2.0, -rho)) AS s_present
+  FROM weekly GROUP BY event_type, week
+)
+SELECT event_type, week,
+       CAST(64 - present AS INTEGER) AS n_zero,
+       CAST(ROUND((s_present + (64 - present)) * 2147483648.0) AS BIGINT) AS s_scaled,
+       ROUND(CASE WHEN (0.709 * 4096) / (s_present + (64 - present)) <= 160.0
+                   AND (64 - present) > 0
+                  THEN 64.0 * LN(64.0 / (64 - present))
+                  ELSE (0.709 * 4096) / (s_present + (64 - present)) END, 2) AS est_distinct
+FROM summary
+"""
+
+
+@register("events_hll_merge_rollup", _HLL_MERGE_ORACLE, "relational", "sketch")
+def q_events_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct-user estimates assembled from per-day HLL sketches
+    by register max — the keep-sketches-not-raw-data rollup at 100 TB."""
+    from vector_mcp_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.date_trunc("day", F.col("ts")))
+    )
+    daily = hll_registers(ev, ["event_type", "day"], "user_id")
+    weekly = (
+        daily.withColumn("week", F.to_date(F.date_trunc("week", F.col("day"))))
+        .groupBy("event_type", "week", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return hll_estimate(weekly, ["event_type", "week"])
