@@ -859,3 +859,82 @@ def test_snapshot_create_restore(spark, tmp_path_factory):
     assert eng.list_snapshots() == []
     with _pytest.raises(EngineError, match="snapshot_not_found"):
         eng.delete_snapshot(snap_id)
+
+
+def test_alias_writes_are_atomic_under_threads(spark, tmp_path_factory):
+    """Review r8: alias sidecar updates are read-modify-write; two threads
+    creating different aliases concurrently must both survive."""
+    import threading
+
+    from vector_mcp_spark.engine import CollectionEngine
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("alias_rmw")))
+    eng.create_collection("tgt")
+    errs: list[BaseException] = []
+
+    def mk(i: int) -> None:
+        try:
+            eng.create_alias(f"alias_{i}", "tgt")
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=mk, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert [a for a, _ in eng.list_aliases()] == [f"alias_{i}" for i in range(6)]
+
+
+def test_collection_cannot_shadow_alias(spark, tmp_path_factory):
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("alias_shadow")))
+    eng.create_collection("tgt")
+    eng.create_alias("live", "tgt")
+    with _pytest.raises(EngineError, match="collection_conflicts_with_alias"):
+        eng.create_collection("live")
+    # restore path enforces the same rule
+    eng.add_documents("tgt", ["doc"])
+    snap = eng.create_snapshot("tgt")
+    with _pytest.raises(EngineError, match="collection_conflicts_with_alias"):
+        eng.restore_snapshot(snap, "live")
+    # needs_embed resolves through the alias to the target's flag
+    eng2_doc = eng.read("tgt")
+    assert eng.needs_embed("live") == eng.needs_embed("tgt")
+    assert eng2_doc.count() == 1
+
+
+def test_restore_recovers_from_orphaned_table_dir(spark, tmp_path_factory):
+    """A restore that crashed after copytree but before the catalog write
+    leaves an orphan dir; the retry must clear it and succeed."""
+    import shutil as _sh
+
+    from vector_mcp_spark.engine import CollectionEngine
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("snap_orphan")))
+    eng.create_collection("src")
+    eng.add_documents("src", ["doc a", "doc b"])
+    snap = eng.create_snapshot("src")
+    # simulate the crash: table dir exists under the target name, no catalog row
+    orphan = eng._table_path(eng._scoped("target"))
+    _sh.copytree(str(eng._snapshots_root() / snap.rsplit("/", 1)[-1] / "table"), orphan)
+    eng.restore_snapshot(snap, "target")
+    assert eng.count_documents("target") == 2
+
+
+def test_changelog_claims_are_pruned(spark, tmp_path_factory):
+    from vector_mcp_spark.engine import CollectionEngine
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("claims_root")))
+    eng.create_collection("c")
+    for i in range(4):
+        eng.add_documents("c", [f"doc {i}"])
+    root = eng._changelog_root(eng._require("c"))
+    claims = [p.name for p in root.iterdir() if p.name.startswith(".seq-")]
+    assert claims == [".seq-00000003.claim"]  # only the latest survives
+    # history is intact despite the pruning
+    assert [h.seq for h in eng.collection_history("c").collect()] == [0, 1, 2, 3]

@@ -72,6 +72,14 @@ def _tenant_prefix(tenant: str) -> str:
     return "t_" + hashlib.sha256(tenant.encode("utf-8")).hexdigest()[:16] + "_"
 
 
+# Thread-local alias pins: while a serialized mutation runs, every
+# _resolve_scoped of its logical name inside the body returns the SAME
+# target the lock was taken for, even if another thread re-points the alias
+# mid-flight (the blue-green switch must not swing a running mutation onto
+# a table whose lock it doesn't hold).
+_ALIAS_PIN = threading.local()
+
+
 def _serialized_mutation(fn):
     """Serialize table mutations per collection (ADVICE r7, high): the SSE
     transport dispatches each tools/call on its own thread and the HTTP
@@ -80,14 +88,35 @@ def _serialized_mutation(fn):
     changelog seq assignment. The lock is process-wide (class-level, keyed
     by resolved root + scoped name) so engine instances sharing a warehouse
     root in one process serialize too; cross-process writers are covered by
-    the writer-unique stage dirs and the O_EXCL seq claims below."""
+    the writer-unique stage dirs and the O_EXCL seq claims below.
+
+    Aliases resolve BEFORE the lock (a mutation through an alias must
+    contend with one through the target's real name), are re-checked under
+    it (retry if a re-point won the race), and stay PINNED for the body so
+    its own _require calls land on the locked table."""
 
     @functools.wraps(fn)
     def wrapper(self, name: str, *args, **kwargs):
-        # resolve aliases BEFORE picking the lock: a mutation through an
-        # alias must contend with one through the target's real name
-        with self._mutation_lock(self._resolve_scoped(name)):
-            return fn(self, name, *args, **kwargs)
+        scoped = self._resolve_scoped(name)
+        while True:
+            with self._mutation_lock(scoped):
+                current = self._resolve_scoped(name)
+                if current != scoped:
+                    scoped = current  # alias re-pointed before we locked
+                    continue
+                pins = getattr(_ALIAS_PIN, "pins", None)
+                if pins is None:
+                    pins = _ALIAS_PIN.pins = {}
+                key = (str(self.root), self._scoped(name))
+                prev = pins.get(key)
+                pins[key] = scoped
+                try:
+                    return fn(self, name, *args, **kwargs)
+                finally:
+                    if prev is None:
+                        pins.pop(key, None)
+                    else:
+                        pins[key] = prev
 
     return wrapper
 
@@ -253,11 +282,19 @@ class CollectionEngine:
             except ProcessLookupError:
                 return True  # holder is provably dead
             except PermissionError:
-                # provably ALIVE, just foreign-owned (signal 0 reached a
-                # process we may not signal) — never break a live holder's
-                # lock, same as the same-uid case (ADVICE r7): breaking it
-                # mid-write races two catalog writers
-                return False
+                # signal 0 reached a process we may not signal: either the
+                # real holder running under another uid (never break a live
+                # writer's lock — ADVICE r7), or the holder died and its pid
+                # was REUSED by an unrelated foreign-uid process (eternal
+                # brick unless broken). Disambiguate by owner: a genuine
+                # foreign holder created the lock file, so the lock's owner
+                # uid matches the process's uid; a reused pid won't.
+                try:
+                    proc_uid = os.stat(f"/proc/{pid}").st_uid
+                    if proc_uid == lock.stat().st_uid:
+                        return False  # same owner: genuinely alive holder
+                except OSError:
+                    pass  # no /proc or vanished — fall through to TTL
             else:
                 # provably ALIVE same-uid holder: never break, however old —
                 # a >TTL hold is a stall (GC pause, slow fs), not a leak
@@ -287,6 +324,11 @@ class CollectionEngine:
         self, name: str, dimension: int | None = None, overwrite: bool = False, get_or_create: bool = True
     ) -> str:
         scoped = self._scoped(name)
+        # a live alias owns its name: a collection created over it would
+        # shadow it (listings inconsistent) and dropping that collection
+        # would silently resurrect the stale alias
+        if any(a == scoped for a, _ in self._alias_rows()):
+            raise EngineError("collection_conflicts_with_alias", detail=name)
         rows = self._catalog_rows()
         exists = any(r[0] == scoped for r in rows)
         if exists and not overwrite:
@@ -330,8 +372,10 @@ class CollectionEngine:
         side catalog lookup — never a Spark job, so the search hot path can
         consult it per query for free (the alternative, probing the table
         with a ``WHERE embedding IS NULL LIMIT 1`` count, costs an extra
-        scan per search at scale)."""
-        scoped = self._scoped(name)
+        scan per search at scale). Resolves aliases: a search through an
+        alias must see the TARGET's flag, not default to the conservative
+        embed-everything path."""
+        scoped = self._resolve_scoped(name)
         for r in self._catalog_rows():
             if r[0] == scoped:
                 return bool(r[4])
@@ -391,28 +435,43 @@ class CollectionEngine:
         self._alias_cache = (mtime, rows)
         return rows
 
-    def _write_aliases(self, rows: list[tuple[str, str]]) -> None:
+    def _mutate_aliases(self, update) -> None:
+        """Serialized read-modify-write of the alias sidecar: the current
+        rows are read INSIDE both the process-wide lock (threads) and the
+        on-disk O_EXCL lock (processes), so two concurrent alias ops can
+        never silently drop each other's update. ``update`` maps current
+        rows → new rows, or returns None for a no-op (nothing written)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        lock = Path(self._aliases_path + ".lock")
-        fd = self._acquire_file_lock(lock)
-        try:
-            tbl = pa.Table.from_pylist(
-                [{"alias": a, "target": t} for a, t in sorted(rows)],
-                schema=pa.schema([("alias", pa.string()), ("target", pa.string())]),
-            )
-            tmp = Path(self._aliases_path + ".tmp")
-            pq.write_table(tbl, tmp)
-            tmp.replace(self._aliases_path)
-        finally:
-            os.close(fd)
-            lock.unlink(missing_ok=True)
+        with self._mutation_lock("__aliases__"):
+            lock = Path(self._aliases_path + ".lock")
+            fd = self._acquire_file_lock(lock)
+            try:
+                rows = update(self._alias_rows())
+                if rows is None:
+                    return
+                tbl = pa.Table.from_pylist(
+                    [{"alias": a, "target": t} for a, t in sorted(rows)],
+                    schema=pa.schema([("alias", pa.string()), ("target", pa.string())]),
+                )
+                tmp = Path(self._aliases_path + ".tmp")
+                pq.write_table(tbl, tmp)
+                tmp.replace(self._aliases_path)
+            finally:
+                os.close(fd)
+                lock.unlink(missing_ok=True)
 
     def _resolve_scoped(self, name: str) -> str:
         """Logical name → scoped physical name, following one alias hop.
-        A real collection shadows an alias of the same name."""
+        A real collection shadows an alias of the same name. A running
+        serialized mutation's resolution is PINNED (thread-local) so its
+        body can't be swung onto an unlocked table by a concurrent alias
+        re-point."""
         scoped = self._scoped(name)
+        pinned = getattr(_ALIAS_PIN, "pins", {}).get((str(self.root), scoped))
+        if pinned is not None:
+            return pinned
         if any(r[0] == scoped for r in self._catalog_rows()):
             return scoped
         return dict(self._alias_rows()).get(scoped, scoped)
@@ -426,15 +485,19 @@ class CollectionEngine:
             raise EngineError("alias_conflicts_with_collection", detail=alias)
         target = self._require(collection)
         scoped_alias = self._scoped(alias)
-        rows = [(a, t) for a, t in self._alias_rows() if a != scoped_alias]
-        self._write_aliases([*rows, (scoped_alias, target)])
+        self._mutate_aliases(
+            lambda rows: [*(r for r in rows if r[0] != scoped_alias), (scoped_alias, target)]
+        )
 
     def delete_alias(self, alias: str) -> None:
         scoped_alias = self._scoped(alias)
-        rows = self._alias_rows()
-        if all(a != scoped_alias for a, _ in rows):
-            raise EngineError("alias_not_found", detail=alias)
-        self._write_aliases([(a, t) for a, t in rows if a != scoped_alias])
+
+        def drop(rows: list[tuple[str, str]]) -> list[tuple[str, str]]:
+            if all(a != scoped_alias for a, _ in rows):
+                raise EngineError("alias_not_found", detail=alias)
+            return [(a, t) for a, t in rows if a != scoped_alias]
+
+        self._mutate_aliases(drop)
 
     def list_aliases(self, collection: str | None = None) -> list[tuple[str, str]]:
         """(alias, collection) pairs in this tenant's scope, unscoped names,
@@ -468,9 +531,11 @@ class CollectionEngine:
         for stale in base.parent.glob(base.name + "_stage-*"):
             shutil.rmtree(stale, ignore_errors=True)
         # aliases pointing at the dropped collection die with it
-        remaining = [(a, t) for a, t in self._alias_rows() if t != scoped]
-        if len(remaining) != len(self._alias_rows()):
-            self._write_aliases(remaining)
+        self._mutate_aliases(
+            lambda rows: [(a, t) for a, t in rows if t != scoped]
+            if any(t == scoped for _, t in rows)
+            else None
+        )
 
     # -- documents ----------------------------------------------------------
 
@@ -1033,9 +1098,17 @@ class CollectionEngine:
             try:
                 fd = os.open(root / f".seq-{n:08d}.claim", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.close(fd)
-                return n
             except FileExistsError:  # another writer claimed n concurrently
                 n += 1
+                continue
+            # prune dead claims BELOW ours (ours stays, so any concurrent
+            # lister still sees max ≥ n and can never reuse an old seq) —
+            # without this, one claim file per mutation accumulates forever
+            # and every mutation re-lists all of them
+            for c in sorted(claims):
+                if c < n:
+                    (root / f".seq-{c:08d}.claim").unlink(missing_ok=True)
+            return n
 
     def _log_mutation_rows(self, scoped: str, op: str, rows: list[tuple]) -> None:
         """Driver-side append: rows = [(id, content, metadata|None, emb|None)]."""
@@ -1199,27 +1272,54 @@ class CollectionEngine:
             manifest = json.loads((src / "manifest.json").read_text())
         except (OSError, ValueError):
             raise EngineError("snapshot_invalid", detail=snapshot_path) from None
-        if self.collection_exists(new_name):
-            raise EngineError("collection_exists")
         scoped = self._scoped(new_name)
+        if any(a == scoped for a, _ in self._alias_rows()):
+            raise EngineError("collection_conflicts_with_alias", detail=new_name)
         with self._mutation_lock(scoped):
-            if (src / "table").exists():
-                shutil.copytree(src / "table", self._table_path(scoped))
-            if (src / "changelog").exists():
-                shutil.copytree(src / "changelog", self._changelog_root(scoped))
-            self._write_catalog(
-                [
-                    *self._catalog_rows(),
-                    (
-                        scoped,
-                        _physical_name(scoped),
-                        manifest.get("dimension"),
-                        datetime.now(timezone.utc),
-                        bool(manifest.get("needs_embed", True)),
-                    ),
-                ]
-            )
+            # existence check INSIDE the lock (two concurrent restores of
+            # the same name must not both pass it)
+            if self.collection_exists(new_name):
+                raise EngineError("collection_exists")
+            table = Path(self._table_path(scoped))
+            log = self._changelog_root(scoped)
+            # a crashed earlier restore (copied dirs, no catalog row) left
+            # orphans under a name the catalog says is free — clear them so
+            # the retry succeeds instead of FileExistsError forever
+            for orphan in (table, log):
+                if orphan.exists():
+                    shutil.rmtree(orphan)
+            try:
+                if (src / "table").exists():
+                    shutil.copytree(src / "table", table)
+                if (src / "changelog").exists():
+                    shutil.copytree(src / "changelog", log)
+                self._write_catalog(
+                    [
+                        *self._catalog_rows(),
+                        (
+                            scoped,
+                            _physical_name(scoped),
+                            manifest.get("dimension"),
+                            datetime.now(timezone.utc),
+                            bool(manifest.get("needs_embed", True)),
+                        ),
+                    ]
+                )
+            except BaseException:
+                # failed restore leaves no half-registered state behind
+                shutil.rmtree(table, ignore_errors=True)
+                shutil.rmtree(log, ignore_errors=True)
+                raise
         return scoped
+
+    def restore_snapshot_id(self, snapshot_id: str, new_name: str) -> str:
+        """Restore by id from this engine's own snapshot root — the
+        path-confinement twin of delete_snapshot (the id contract callers
+        like the MCP veneer use; arbitrary paths go through
+        restore_snapshot directly)."""
+        if "/" in snapshot_id or snapshot_id.startswith("."):
+            raise EngineError("snapshot_invalid", detail=snapshot_id)
+        return self.restore_snapshot(str(self._snapshots_root() / snapshot_id), new_name)
 
     def list_snapshots(self) -> list[str]:
         root = self._snapshots_root()

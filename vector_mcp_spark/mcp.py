@@ -216,11 +216,8 @@ class McpVeneer:
                 if not snapshot_id or not new_collection_name:
                     return {"error": "snapshot_input_required"}
                 # veneer callers address snapshots by id, never by path —
-                # the engine re-validates the id stays under _snapshots
-                if "/" in snapshot_id or snapshot_id.startswith("."):
-                    return {"error": "snapshot_invalid"}
-                path = self.engine._snapshots_root() / snapshot_id
-                self.engine.restore_snapshot(str(path), new_collection_name)
+                # the engine owns the id→path confinement rule
+                self.engine.restore_snapshot_id(snapshot_id, new_collection_name)
                 return {
                     "collection_name": new_collection_name,
                     "restored_from": snapshot_id,

@@ -46,17 +46,22 @@ def psi_bins(
     psi_term = (p_cur - p_ref) * ln(p_cur / p_ref) with epsilon-clamped
     probabilities. Sum of psi_term = the PSI (< 0.1 stable, > 0.25 drifted
     by the usual rule of thumb). Bin edges come from the GLOBAL min/max so
-    both slices share the same grid.
+    both slices share the same grid; works for integer AND continuous
+    columns (width = (hi-lo)/n, the max value clamps into the top bin; a
+    constant column degenerates to one bin).
     """
     bounds = df.agg(
         F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
     )
     flagged = df.select(
         F.col(value_col).alias("_v"), is_current.cast("boolean").alias("_cur")
-    ).crossJoin(F.broadcast(bounds))
-    # integer bin arithmetic (exact on both engines): equal-width bins over
-    # [lo, hi], top value clamped into the last bin
-    width = (F.col("_hi") - F.col("_lo") + F.lit(1)).cast("double") / F.lit(float(n_bins))
+    ).where(F.col("_v").isNotNull()).crossJoin(F.broadcast(bounds))
+    # equal-width bins over [lo, hi]; greatest() guards the constant-column
+    # case (hi == lo → zero width → all rows bin 0 via the least() clamp)
+    width = F.greatest(
+        (F.col("_hi") - F.col("_lo")).cast("double") / F.lit(float(n_bins)),
+        F.lit(1e-300),
+    )
     bin_col = F.least(
         F.lit(n_bins - 1),
         F.floor((F.col("_v") - F.col("_lo")).cast("double") / width).cast("int"),
@@ -109,11 +114,15 @@ def ks_two_sample(
     """
     scale = float(10**quantize)
     b = F.floor(F.col(value_col) * F.lit(scale)).cast("long")
-    sliced = df.select(
-        b.alias("_b"),
-        in_a.cast("int").alias("_a"),
-        in_b.cast("int").alias("_in_b"),
-    ).where((F.col("_a") == 1) | (F.col("_in_b") == 1))
+    sliced = (
+        df.where(F.col(value_col).isNotNull())  # a NULL bucket would poison
+        .select(                                # the driver-side range sort
+            b.alias("_b"),
+            in_a.cast("int").alias("_a"),
+            in_b.cast("int").alias("_in_b"),
+        )
+        .where((F.col("_a") == 1) | (F.col("_in_b") == 1))
+    )
     counts = (
         sliced.groupBy("_b")
         .agg(F.sum("_a").alias("_ca"), F.sum("_in_b").alias("_cb"))

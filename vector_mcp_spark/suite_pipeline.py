@@ -2324,9 +2324,10 @@ def q_embedding_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PSI_ORACLE = """
 WITH lohi AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents),
 binned AS (
-  SELECT LEAST(7, CAST(FLOOR((n_chars - lo) / ((hi - lo + 1) / 8.0)) AS INTEGER)) AS bin,
+  SELECT LEAST(7, CAST(FLOOR((n_chars - lo) / GREATEST((hi - lo) / 8.0, 1e-300)) AS INTEGER)) AS bin,
          doc_id % 2 = 1 AS cur
   FROM documents, lohi
+  WHERE n_chars IS NOT NULL
 ),
 counts AS (
   SELECT bin,
