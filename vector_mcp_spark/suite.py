@@ -185,6 +185,7 @@ _PROMOTED_R8: list[str] = [
     "collection_aliases",
     "collection_snapshot",
     "events_hll_merge_rollup",
+    "streaming_hll_distinct",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r4, alphabetical).

@@ -2254,3 +2254,47 @@ def q_events_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("rho").alias("rho"))
     )
     return hll_estimate(weekly, ["event_type", "week"])
+
+
+# -- streaming HLL distinct (REAL executed stream, batch-twin oracle) ----------
+#
+# The HLL registers are a stateful streaming aggregation (update mode,
+# state bounded at |types| x 64 register maxima — constant however long the
+# stream runs). Register values are monotone, so the final value per key is
+# the max across emitted updates and must equal the batch sketch: the
+# oracle is the identical batch HLL replay (_HLL_ORACLE above).
+
+
+@register("streaming_hll_distinct", _HLL_ORACLE, "streaming", "sketch")
+def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from vector_mcp_spark.operators.sketches import hll_estimate, hll_registers
+    from vector_mcp_spark.streaming.ingest import (
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    clean_dir = os.path.abspath(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp", f"events_{sf_tag}")
+    )
+    if not os.path.exists(os.path.join(clean_dir, "_SUCCESS")):
+        load(spark, sf_dir, "events").write.mode("overwrite").parquet(clean_dir)
+    stream = read_event_stream(spark, clean_dir).select("event_type", "user_id")
+    got = run_stream_to_memory(
+        hll_registers(stream, ["event_type"], "user_id"),
+        f"suite_stream_hll_{next(_STREAM_SINK_SEQ)}",
+        output_mode="update",
+    )
+    regs = (
+        got.groupBy("event_type", "register")
+        .agg(F.max("rho").alias("rho"))
+        .localCheckpoint(eager=True)  # feeds the per-type and merged branches
+    )
+    merged = (
+        regs.groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("ALL").alias("event_type"), "register", "rho")
+    )
+    return hll_estimate(regs.unionByName(merged), ["event_type"])
