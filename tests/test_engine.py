@@ -938,3 +938,30 @@ def test_changelog_claims_are_pruned(spark, tmp_path_factory):
     assert claims == [".seq-00000003.claim"]  # only the latest survives
     # history is intact despite the pruning
     assert [h.seq for h in eng.collection_history("c").collect()] == [0, 1, 2, 3]
+
+
+def test_concurrent_collection_creates_all_survive(spark, tmp_path_factory):
+    """In-process catalog RMW race: the shared engine's mtime CAS can't see
+    two threads of the SAME instance racing (the first write refreshes the
+    cache the second compares against), so creates serialize explicitly —
+    every created collection must land in the catalog."""
+    import threading
+
+    from vector_mcp_spark.engine import CollectionEngine
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("cat_rmw")))
+    errs: list[BaseException] = []
+
+    def mk(i: int) -> None:
+        try:
+            eng.create_collection(f"coll_{i}")
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=mk, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert eng.get_collections() == [f"coll_{i}" for i in range(6)]

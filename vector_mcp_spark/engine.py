@@ -329,8 +329,7 @@ class CollectionEngine:
         # would silently resurrect the stale alias
         if any(a == scoped for a, _ in self._alias_rows()):
             raise EngineError("collection_conflicts_with_alias", detail=name)
-        rows = self._catalog_rows()
-        exists = any(r[0] == scoped for r in rows)
+        exists = any(r[0] == scoped for r in self._catalog_rows())
         if exists and not overwrite:
             if not get_or_create:
                 raise EngineError("collection_exists")  # base.py:96-99
@@ -340,11 +339,22 @@ class CollectionEngine:
                 raise EngineError("collection_vector_schema_mismatch")
             return scoped
         if exists and overwrite:
+            # outside the catalog lock: delete takes the collection lock
+            # first (consistent collection → catalog ordering, no cycles)
             self.delete_collection(name, confirm=True)
+        # catalog read-modify-writes serialize in-process (engine instances
+        # SHARE _cat_cache semantics per instance, so the on-disk mtime CAS
+        # alone can't catch two threads of one engine racing — the second
+        # write would silently drop the first's row)
+        with self._mutation_lock("__catalog__"):
             rows = self._catalog_rows()
-        self._write_catalog(
-            [*rows, (scoped, _physical_name(scoped), dimension, datetime.now(timezone.utc), False)]
-        )
+            if any(r[0] == scoped for r in rows):  # lost a create race
+                if get_or_create or overwrite:
+                    return scoped
+                raise EngineError("collection_exists")
+            self._write_catalog(
+                [*rows, (scoped, _physical_name(scoped), dimension, datetime.now(timezone.utc), False)]
+            )
         # table dir materializes lazily on first write — an empty collection
         # is just a catalog row (no Spark job on create)
         return scoped
@@ -382,11 +392,12 @@ class CollectionEngine:
         return True
 
     def _mark_needs_embed(self, scoped: str) -> None:
-        rows = self._catalog_rows()
-        if any(r[0] == scoped and not r[4] for r in rows):
-            self._write_catalog(
-                [(r[:4] + (True,)) if r[0] == scoped else r for r in rows]
-            )
+        with self._mutation_lock("__catalog__"):  # serialized RMW
+            rows = self._catalog_rows()
+            if any(r[0] == scoped and not r[4] for r in rows):
+                self._write_catalog(
+                    [(r[:4] + (True,)) if r[0] == scoped else r for r in rows]
+                )
 
     def _check_dimension(self, scoped: str, df: DataFrame, emb_col: str = "embedding") -> None:
         """Reject wrong-size vectors before they reach the table
@@ -521,7 +532,8 @@ class CollectionEngine:
         scoped = self._scoped(name)
         if not any(r[0] == scoped for r in self._catalog_rows()):
             raise EngineError("collection_not_found")
-        self._write_catalog([r for r in self._catalog_rows() if r[0] != scoped])
+        with self._mutation_lock("__catalog__"):  # serialized RMW
+            self._write_catalog([r for r in self._catalog_rows() if r[0] != scoped])
         for suffix in ("", "_index", "_changelog"):  # table + sidecars
             path = Path(self._table_path(scoped) + suffix)
             if path.exists():
@@ -1293,18 +1305,19 @@ class CollectionEngine:
                     shutil.copytree(src / "table", table)
                 if (src / "changelog").exists():
                     shutil.copytree(src / "changelog", log)
-                self._write_catalog(
-                    [
-                        *self._catalog_rows(),
-                        (
-                            scoped,
-                            _physical_name(scoped),
-                            manifest.get("dimension"),
-                            datetime.now(timezone.utc),
-                            bool(manifest.get("needs_embed", True)),
-                        ),
-                    ]
-                )
+                with self._mutation_lock("__catalog__"):  # serialized RMW
+                    self._write_catalog(
+                        [
+                            *self._catalog_rows(),
+                            (
+                                scoped,
+                                _physical_name(scoped),
+                                manifest.get("dimension"),
+                                datetime.now(timezone.utc),
+                                bool(manifest.get("needs_embed", True)),
+                            ),
+                        ]
+                    )
             except BaseException:
                 # failed restore leaves no half-registered state behind
                 shutil.rmtree(table, ignore_errors=True)
