@@ -475,3 +475,72 @@ def test_mbox_decode_roundtrip(spark, tmp_path):
     assert ">From escaped" not in first
     assert second.startswith("Subject: Second")
     assert "Plain part." in second and "html ignored" not in second
+
+
+def test_engine_ingest_paths_end_to_end(spark, tmp_path_factory, monkeypatch):
+    """The reference's document_paths / include_configured_directory inputs
+    route through a fully distributed binaryFile ingest into the same
+    partition-pruned upsert (mcp_server.py:94-101, vector_api.py:319-366)."""
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+
+    root = tmp_path_factory.mktemp("doc_root")
+    (root / "sub").mkdir()
+    (root / "a.txt").write_text("alpha file body")
+    (root / "sub" / "b.md").write_text("# beta\nmarkdown body")
+    (root / "c.html").write_text("<p>gamma <b>html</b> body</p>")
+    (root / "ignored.xyz").write_text("unknown extension skipped")
+    (root / "dup.txt").write_text("alpha file body")  # same content → same id
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("ingest_wh")))
+    eng.create_collection("files")
+
+    # unconfigured root fails loudly
+    with _pytest.raises(EngineError, match="document_root_unconfigured"):
+        eng.ingest_paths("files", rel_paths=["a.txt"])
+
+    monkeypatch.setenv(CollectionEngine.DOCUMENT_ROOT_ENV, str(root))
+    with _pytest.raises(EngineError, match="document_input_required"):
+        eng.ingest_paths("files")
+
+    # explicit relative paths, confinement enforced
+    assert eng.ingest_paths("files", rel_paths=["a.txt", "sub/b.md"]) == 2
+    with _pytest.raises(EngineError, match="document_path_escapes_root"):
+        eng.ingest_paths("files", rel_paths=["../escape.txt"])
+
+    # whole configured root: dedups the duplicate content, skips unknown
+    # extensions, strips html tags; re-ingest upserts (no duplicate rows)
+    n = eng.ingest_paths("files", include_configured_directory=True)
+    assert n == 3  # alpha (dup collapsed), beta, gamma
+    rows = {r.content for r in eng.read("files").collect()}
+    assert "alpha file body" in rows
+    assert any("markdown body" in c for c in rows)
+    assert any("gamma" in c and "<b>" not in c for c in rows)
+    assert eng.count_documents("files") == 3
+
+
+def test_veneer_add_documents_by_path(spark, tmp_path_factory, monkeypatch):
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.mcp import McpVeneer
+
+    root = tmp_path_factory.mktemp("doc_root2")
+    (root / "only.txt").write_text("the only file")
+    monkeypatch.setenv(CollectionEngine.DOCUMENT_ROOT_ENV, str(root))
+    v = McpVeneer(CollectionEngine(spark, str(tmp_path_factory.mktemp("ingest_wh2"))))
+    v.vector_collection_management("create_collection", collection_name="byp")
+    assert v.vector_collection_management("add_documents", collection_name="byp") == {
+        "error": "document_input_required"
+    }
+    out = v.vector_collection_management(
+        "add_documents", collection_name="byp", document_paths=["only.txt"]
+    )
+    assert out == {"collection_name": "byp", "documents_added": 1}
+    # mixed inline + file input sums
+    out = v.vector_collection_management(
+        "add_documents",
+        collection_name="byp",
+        document_contents=["inline doc"],
+        include_configured_directory=True,
+    )
+    assert out["documents_added"] == 2  # 1 inline + 1 file (upserted again)

@@ -1348,3 +1348,69 @@ class CollectionEngine:
         if not (dest / "manifest.json").exists():
             raise EngineError("snapshot_not_found", detail=snapshot_id)
         shutil.rmtree(dest)
+
+    # -- file ingestion (reference document_paths / configured-root inputs) --
+    #
+    # The reference's vector_collection_management accepts relative
+    # ``document_paths`` beneath an administrator-configured document root
+    # plus ``include_configured_directory`` to ingest the whole root
+    # (mcp_server.py:94-101, vector_api.py:319-366). The Spark path stays
+    # DISTRIBUTED end-to-end: binaryFile scan → Arrow-batched format decode
+    # → Column-twin sanitize → content-hash ids → the same partition-pruned
+    # upsert every other mutation uses. No file byte ever rides through the
+    # driver, so the batch is bounded by cluster capacity, not driver RAM.
+
+    DOCUMENT_ROOT_ENV = "VECTOR_MCP_SPARK_DOCUMENT_ROOT"
+
+    def ingest_paths(
+        self,
+        name: str,
+        rel_paths: Sequence[str] | None = None,
+        include_configured_directory: bool = False,
+        document_root: str | None = None,
+    ) -> int:
+        """Ingest files into the collection; returns documents upserted.
+
+        ``rel_paths`` are confined beneath the document root (no absolute
+        paths, URLs, traversal, or symlinks — sources/readers.py S6 rules);
+        ``include_configured_directory`` ingests the whole root. The root
+        comes from the argument or $VECTOR_MCP_SPARK_DOCUMENT_ROOT."""
+        from vector_mcp_spark.sanitize import sanitize_text_col
+        from vector_mcp_spark.sources.readers import (
+            RICH_EXTENSIONS,
+            TEXT_EXTENSIONS,
+            read_documents,
+            resolve_document_paths,
+        )
+
+        root = document_root or os.environ.get(self.DOCUMENT_ROOT_ENV)
+        if not root or not Path(root).is_dir():
+            raise EngineError("document_root_unconfigured")
+        if not rel_paths and not include_configured_directory:
+            raise EngineError("document_input_required")
+        scoped = self._require(name)
+        targets = (
+            resolve_document_paths(root, rel_paths) if rel_paths else [str(Path(root).resolve())]
+        )
+        docs = read_documents(self.spark, targets)
+        known = TEXT_EXTENSIONS | RICH_EXTENSIONS
+        ext = F.lower(F.regexp_extract(F.col("path"), r"(\.[A-Za-z0-9]+)$", 1))
+        clean = (
+            docs.where(ext.isin(*known))
+            .select(sanitize_text_col(F.col("content")).alias("content"))
+            .where(F.length(F.trim(F.col("content"))) > 0)
+            .select(
+                F.sha2(F.col("content"), 256).alias("id"),
+                "content",
+                F.lit(None).cast("map<string,string>").alias("metadata"),
+                F.lit(None).cast("array<float>").alias("embedding"),
+            )
+            .dropDuplicates(["id"])
+        )
+        n = clean.count()
+        if n:
+            self.update_documents(name, clean)
+        # scoped is resolved above purely for the not-found error; the
+        # upsert re-resolves under its own lock
+        del scoped
+        return n

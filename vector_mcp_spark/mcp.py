@@ -125,6 +125,8 @@ class McpVeneer:
         alias_name: str | None = None,
         snapshot_id: str | None = None,
         new_collection_name: str | None = None,
+        document_paths: list[str] | None = None,
+        include_configured_directory: bool = False,
     ) -> dict[str, Any]:
         resolved = resolve_action(action, COLLECTION_ACTIONS)
         if isinstance(resolved, dict):
@@ -141,12 +143,29 @@ class McpVeneer:
                 n = 0
                 if document_contents:
                     n = self.engine.add_documents(collection_name, document_contents)
+                if document_paths or include_configured_directory:
+                    n += self.engine.ingest_paths(
+                        collection_name,
+                        rel_paths=document_paths,
+                        include_configured_directory=include_configured_directory,
+                    )
                 return {"collection_name": name, "documents_added": n}
             if resolved == "add_documents":
-                if not document_contents:
+                if not document_contents and not document_paths and not include_configured_directory:
                     # mcp_server.py:151-156 — some document input is required
                     return {"error": "document_input_required"}
-                n = self.engine.add_documents(collection_name, document_contents)
+                n = 0
+                if document_contents:
+                    n = self.engine.add_documents(collection_name, document_contents)
+                if document_paths or include_configured_directory:
+                    # reference file-input route (mcp_server.py:94-101):
+                    # relative paths beneath the configured document root,
+                    # or the whole root — distributed binaryFile ingest
+                    n += self.engine.ingest_paths(
+                        collection_name,
+                        rel_paths=document_paths,
+                        include_configured_directory=include_configured_directory,
+                    )
                 return {"collection_name": collection_name, "documents_added": n}
             if resolved == "delete_collection":
                 self.engine.delete_collection(collection_name, confirm=bool(confirm))

@@ -87,7 +87,7 @@ def read_documents(
 ) -> DataFrame:
     """Multi-format document reader: binaryFile scan → Arrow-batched decode
     → (path, content). The Spark analogue of SimpleDirectoryReader."""
-    reader = spark.read.format("binaryFile")
+    reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     binary = reader.load(list(paths)).select("path", "content")
