@@ -1310,3 +1310,27 @@ def test_snapshot_actions(veneer):
     assert v.vector_collection_management("delete_snapshot", snapshot_id=sid) == {
         "error": "snapshot_not_found"
     }
+
+
+def test_describe_collection_action(veneer):
+    v = veneer
+    v.vector_collection_management("create_collection", collection_name="desc_me", dimension=8)
+    v.vector_collection_management(
+        "add_documents", collection_name="desc_me", document_contents=["a doc", "b doc"]
+    )
+    v.vector_collection_management(
+        "create_alias", alias_name="desc_alias", collection_name="desc_me"
+    )
+    out = v.vector_collection_management("describe_collection", collection_name="desc_me")
+    assert out["collection_name"] == "desc_me"
+    assert out["dimension"] == 8
+    assert out["points_count"] == 2
+    assert out["needs_embed"] is True  # contents ingested without vectors
+    assert out["aliases"] == ["desc_alias"]
+    assert out["index_status"] in {"absent", "stale", "fresh"}
+    # describing through the alias reports the live target's state
+    via = v.vector_collection_management("describe_collection", collection_name="desc_alias")
+    assert via["points_count"] == 2 and via["dimension"] == 8
+    assert v.vector_collection_management("describe_collection", collection_name="nope") == {
+        "error": "collection_not_found"
+    }

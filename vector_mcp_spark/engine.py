@@ -1414,3 +1414,19 @@ class CollectionEngine:
         # upsert re-resolves under its own lock
         del scoped
         return n
+
+    def describe_collection(self, name: str) -> dict:
+        """qdrant ``GET /collections/{name}`` info shape: config (locked
+        dimension, embed flag), points_count, the aliases routing here, and
+        the persistent-index status. Resolves aliases, so describing "prod"
+        reports the live target. One bounded Spark job (the count); the
+        rest is driver-side catalog metadata."""
+        scoped = self._require(name)
+        return {
+            "collection_name": name,
+            "dimension": self._locked_dimension(scoped),
+            "needs_embed": self.needs_embed(name),
+            "points_count": self.count_documents(name),
+            "aliases": [a for a, _ in self.list_aliases(name)],
+            "index_status": self.index_status(name),
+        }

@@ -51,6 +51,7 @@ COLLECTION_ACTIONS = (
     "restore_snapshot",
     "list_snapshots",
     "delete_snapshot",
+    "describe_collection",
 )
 SEARCH_ACTIONS = (
     "semantic_search", "lexical_search", "search", "rerank_search", "federated_search",
@@ -225,6 +226,8 @@ class McpVeneer:
                         if t in allowed
                     ]
                 }
+            if resolved == "describe_collection":
+                return self.engine.describe_collection(collection_name)
             if resolved == "create_snapshot":
                 path = self.engine.create_snapshot(collection_name)
                 return {

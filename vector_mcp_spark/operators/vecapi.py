@@ -71,6 +71,33 @@ def scroll_page(
     )
 
 
+def scroll_page_ordered(
+    docs: DataFrame,
+    order_col: str,
+    after: tuple | None,
+    page_size: int,
+    filter_cond: Column | None = None,
+    id_col: str = "id",
+    payload_cols: Sequence[str] = (),
+    descending: bool = True,
+) -> DataFrame:
+    """One page of a payload-ORDERED keyset scroll (qdrant ``scroll`` with
+    ``order_by``): rows sorted by (order_col, id) with the composite cursor
+    ``after = (last_order_value, last_id)``. Keyset, not OFFSET — the
+    row-predicate on the cursor pushes to the scan and the page plans as
+    TakeOrderedAndProject, so page N costs page 1 at any table size."""
+    out = docs
+    if filter_cond is not None:
+        out = out.where(filter_cond)
+    o, i = F.col(order_col), F.col(id_col)
+    if after is not None:
+        last_o, last_i = after
+        strict = o < F.lit(last_o) if descending else o > F.lit(last_o)
+        out = out.where(strict | ((o == F.lit(last_o)) & (i > F.lit(last_i))))
+    order = [o.desc() if descending else o.asc(), i.asc()]
+    return out.select(id_col, order_col, *payload_cols).orderBy(*order).limit(page_size)
+
+
 def facet_counts(
     docs: DataFrame,
     facet_col: str,

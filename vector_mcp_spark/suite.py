@@ -186,6 +186,7 @@ _PROMOTED_R8: list[str] = [
     "collection_snapshot",
     "events_hll_merge_rollup",
     "streaming_hll_distinct",
+    "payload_ordered_scroll",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r4, alphabetical).

@@ -325,3 +325,40 @@ def q_hybrid_dbsf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = semantic_topk(coll, SEM_QUERY_VEC, DBSF_LEG_K, id_col="doc_id", emb_col="embedding")
     lex = lexical_tf_topk(docs, LEX_QUERY, DBSF_LEG_K, id_col="doc_id", content_col="text")
     return dbsf_fuse([sem, lex], DBSF_N, id_col="doc_id", score_col="score")
+
+
+# -- payload-ordered keyset scroll (qdrant scroll order_by parity) -------------
+#
+# Scrolling in payload order (not id order) needs a COMPOSITE cursor
+# (order_value, id); the strict-or-tie predicate pushes to the scan and the
+# page plans as TakeOrderedAndProject — page N costs page 1, unlike OFFSET.
+
+_ORDERED_SCROLL_AFTER = (300, 77)  # (last n_chars, last doc_id) of page 1
+_ORDERED_SCROLL_PAGE = 15
+
+_ORDERED_SCROLL_ORACLE = f"""
+SELECT doc_id, n_chars, source
+FROM documents
+WHERE lang = 'en'
+  AND (n_chars < {_ORDERED_SCROLL_AFTER[0]}
+       OR (n_chars = {_ORDERED_SCROLL_AFTER[0]} AND doc_id > {_ORDERED_SCROLL_AFTER[1]}))
+ORDER BY n_chars DESC, doc_id ASC
+LIMIT {_ORDERED_SCROLL_PAGE}
+"""
+
+
+@register("payload_ordered_scroll", _ORDERED_SCROLL_ORACLE, "search", "vecapi")
+def q_payload_ordered_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.vecapi import scroll_page_ordered
+
+    docs = load(spark, sf_dir, "documents")
+    return scroll_page_ordered(
+        docs,
+        order_col="n_chars",
+        after=_ORDERED_SCROLL_AFTER,
+        page_size=_ORDERED_SCROLL_PAGE,
+        filter_cond=F.col("lang") == "en",
+        id_col="doc_id",
+        payload_cols=("source",),
+        descending=True,
+    )
