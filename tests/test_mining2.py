@@ -525,3 +525,24 @@ def test_log_histogram_quantiles_accuracy_and_merge(spark):
     whole = log_histogram(ev, "value", ["event_type"])
     diff = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
     assert diff == 0
+
+
+def test_bfs_levels_edge_cases(spark):
+    from vector_mcp_spark.operators.graph import bfs_levels
+
+    # path graph 1-2-3-4-5 plus disconnected 8-9; hop cap 2 from node 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "a long, b long"
+    )
+    got = {r.node: r.level for r in bfs_levels(edges, 1, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+    # isolated seed still reports itself at level 0
+    got = {r.node: r.level for r in bfs_levels(edges, 42, max_hops=3).collect()}
+    assert got == {42: 0}
+    # early exit on exhausted component: full reach, no phantom levels
+    got = {r.node: r.level for r in bfs_levels(edges, 8, max_hops=10).collect()}
+    assert got == {8: 0, 9: 1}
+    # cycle: levels are shortest-path hops, no infinite expansion
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long")
+    got = {r.node: r.level for r in bfs_levels(tri, 1, max_hops=5).collect()}
+    assert got == {1: 0, 2: 1, 3: 1}

@@ -238,3 +238,53 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def bfs_levels(
+    edges: DataFrame,
+    source,
+    max_hops: int = 3,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """BFS levels from ``source`` over a canonical (a < b) undirected edge
+    list: (node, level) for every node within ``max_hops``, level = hop
+    count of the FIRST visit (the shortest unweighted path length).
+
+    Distributed frontier expansion: each hop is one equi-join of the
+    (small) frontier against the adjacency list plus an anti-join against
+    the visited set — no path enumeration, so state is |reached| rows
+    however dense the graph. Iterative, so each hop's output is
+    localCheckpoint-ed (lineage truncation — the same rule PageRank and CC
+    follow); early-exits when a frontier empties."""
+    adj = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # seed unconditionally (an isolated source still reports itself at
+    # level 0 — deriving the seed from the adjacency list would lose it)
+    visited = (
+        edges.sparkSession.range(1)
+        .select(
+            F.lit(source).cast(adj.schema["src"].dataType).alias("node"),
+            F.lit(0).cast("int").alias("level"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for lvl in range(1, max_hops + 1):
+        nxt = (
+            adj.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(lvl).cast("int").alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

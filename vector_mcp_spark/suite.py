@@ -187,6 +187,7 @@ _PROMOTED_R8: list[str] = [
     "events_hll_merge_rollup",
     "streaming_hll_distinct",
     "payload_ordered_scroll",
+    "parts_bfs_reach",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r4, alphabetical).

@@ -2345,3 +2345,56 @@ def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return zipf_fit(docs, content_col="text", top_n=_ZIPF_TOP)
+
+
+# -- BFS reach over the co-purchase graph (recursive-CTE oracle) ---------------
+#
+# "Every part within 3 hops of the seed part, with its hop distance" — the
+# graph-exploration shape (recommendation radius, blast-radius analysis)
+# that neither PageRank nor communities cover. Spark side is distributed
+# frontier expansion (join + anti-join per hop, state = |reached| rows,
+# localCheckpoint per iteration); the oracle is a DuckDB recursive CTE over
+# the identical edge list — (node, level) pairs are bounded by the hop cap,
+# so the recursion terminates on cyclic graphs, and MIN(level) per node is
+# the BFS distance.
+
+_BFS_HOPS = 3
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS a FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+e AS (SELECT DISTINCT m1.a AS a, m2.a AS b FROM m m1 JOIN m m2 ON m1.g = m2.g AND m1.a < m2.a),
+adj AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+seed AS (SELECT MIN(a) AS s FROM e),
+bfs(node, level) AS (
+  SELECT s, 0 FROM seed
+  UNION
+  SELECT adj.dst, bfs.level + 1
+  FROM bfs JOIN adj ON adj.src = bfs.node
+  WHERE bfs.level < {_BFS_HOPS}
+)
+SELECT node AS partkey, CAST(MIN(level) AS INTEGER) AS level
+FROM bfs GROUP BY node
+"""
+
+
+@register("parts_bfs_reach", _BFS_ORACLE, "graph", "relational")
+def q_parts_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.graph import bfs_levels, undirected_edges
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    edges = undirected_edges(li, item_col="l_partkey", group_col="l_orderkey")
+    # seed = smallest edge endpoint (a < b canonical ⇒ MIN(a)): always a
+    # CONNECTED part, so the reach is non-trivial at every scale factor
+    source = edges.agg(F.min("a")).first()[0]
+    return bfs_levels(edges, source, max_hops=_BFS_HOPS).select(
+        F.col("node").alias("partkey"), "level"
+    )
