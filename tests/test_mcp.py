@@ -1334,3 +1334,62 @@ def test_describe_collection_action(veneer):
     assert v.vector_collection_management("describe_collection", collection_name="nope") == {
         "error": "collection_not_found"
     }
+
+
+def test_sse_concurrent_mutations_no_lost_rows(sse_mcp_server):
+    """ADVICE r7 end-to-end: a client PIPELINING mutations over SSE (each
+    tools/call dispatched on its own server thread) must not lose staged
+    rows or collide changelog seqs — the engine's per-collection lock
+    serializes them. Fire 4 add_documents at the same collection without
+    waiting for responses, then drain the stream and check the final state."""
+    import http.client
+    import json
+    from urllib.parse import urlparse
+
+    base = urlparse(sse_mcp_server)
+    stream = http.client.HTTPConnection(base.hostname, base.port, timeout=30)
+    stream.request("GET", "/sse")
+    resp = stream.getresponse()
+    _, endpoint = _sse_read_event(resp.fp)
+    post_url = sse_mcp_server + endpoint
+
+    _http_post(post_url, json.dumps(_rpc("initialize", 1)).encode())
+    _sse_read_event(resp.fp)
+    _http_post(post_url, json.dumps(_rpc(
+        "tools/call", 2, name="vector_collection_management",
+        arguments={"action": "create_collection", "collection_name": "sse_conc"},
+    )).encode())
+    _sse_read_event(resp.fp)
+
+    # pipeline 4 ingests without reading responses in between
+    for i in range(4):
+        status, _ = _http_post(post_url, json.dumps(_rpc(
+            "tools/call", 10 + i, name="vector_collection_management",
+            arguments={"action": "add_documents", "collection_name": "sse_conc",
+                       "document_contents": [f"pipelined doc {i}-{j}" for j in range(3)]},
+        )).encode())
+        assert status == 202
+    results = {}
+    for _ in range(4):
+        _, data = _sse_read_event(resp.fp)
+        msg = json.loads(data)
+        results[msg["id"]] = _tool_text(msg)
+    assert set(results) == {10, 11, 12, 13}
+    assert all(r["documents_added"] == 3 for r in results.values())
+
+    # every row survived and the history has 4 distinct batches
+    _http_post(post_url, json.dumps(_rpc(
+        "tools/call", 20, name="vector_collection_management",
+        arguments={"action": "count_documents", "collection_name": "sse_conc"},
+    )).encode())
+    _, data = _sse_read_event(resp.fp)
+    assert _tool_text(json.loads(data))["count"] == 12
+    _http_post(post_url, json.dumps(_rpc(
+        "tools/call", 21, name="vector_collection_management",
+        arguments={"action": "collection_history", "collection_name": "sse_conc"},
+    )).encode())
+    _, data = _sse_read_event(resp.fp)
+    hist = _tool_text(json.loads(data))["history"]
+    assert len(hist) == 4
+    assert len({h["seq"] for h in hist}) == 4
+    stream.close()
