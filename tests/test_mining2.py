@@ -546,3 +546,21 @@ def test_bfs_levels_edge_cases(spark):
     tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long")
     got = {r.node: r.level for r in bfs_levels(tri, 1, max_hops=5).collect()}
     assert got == {1: 0, 2: 1, 3: 1}
+
+
+def test_personalized_pagerank_mass_concentrates_on_seed_side(spark):
+    from vector_mcp_spark.operators.graph import personalized_pagerank
+
+    # barbell: 1-2-3 chain and 10-11 far away (disconnected)
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 1.0), (3, 2, 1.0),
+         (10, 11, 1.0), (11, 10, 1.0)],
+        "src long, dst long, w double",
+    )
+    pr = {r.node: r.pr for r in personalized_pagerank(edges, [1], iters=4).collect()}
+    # all mass stays in the seed's component; seed outranks the far chain end
+    assert pr[10] == 0.0 and pr[11] == 0.0
+    assert pr[1] > pr[3] > 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        personalized_pagerank(edges, [])

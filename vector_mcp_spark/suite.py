@@ -188,6 +188,7 @@ _PROMOTED_R8: list[str] = [
     "streaming_hll_distinct",
     "payload_ordered_scroll",
     "parts_bfs_reach",
+    "parts_personalized_pagerank",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r4, alphabetical).

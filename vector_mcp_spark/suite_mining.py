@@ -2398,3 +2398,77 @@ def q_parts_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_levels(edges, source, max_hops=_BFS_HOPS).select(
         F.col("node").alias("partkey"), "level"
     )
+
+
+# -- personalized PageRank around a seed part ----------------------------------
+#
+# Teleport returns to the SEED instead of all nodes: "importance relative
+# to this basket" (topic-sensitive PageRank, Haveliwala 2002) — the
+# random-walk recommendation primitive BFS reach doesn't weight. Same
+# unrolled-CTE oracle scheme as graph_pagerank_event_types, over the
+# weighted co-purchase graph; only nodes with rank mass survive the output
+# (the seed's walk-neighborhood), so the result stays compact.
+
+_PPR_DAMPING = 0.85
+_PPR_ITERS = 3
+
+
+def _ppr_oracle() -> str:
+    base = f"""
+WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS a FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+cw AS (SELECT m1.a AS a, m2.a AS b, count(*) AS w
+       FROM m m1 JOIN m m2 ON m1.g = m2.g AND m1.a < m2.a GROUP BY m1.a, m2.a),
+e AS (SELECT a AS src, b AS dst, CAST(w AS DOUBLE) AS w FROM cw
+      UNION ALL SELECT b, a, CAST(w AS DOUBLE) FROM cw),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+seed AS (SELECT MIN(node) AS s FROM nodes),
+ow AS (SELECT src, SUM(w) AS out_w FROM e GROUP BY src),
+frac AS (SELECT e.src, e.dst, e.w / ow.out_w AS f FROM e JOIN ow USING (src)),
+it0 AS (SELECT node, CASE WHEN node = seed.s THEN 1.0 ELSE 0.0 END AS pr
+        FROM nodes CROSS JOIN seed)"""
+    for k in range(1, _PPR_ITERS + 1):
+        base += f""",
+it{k} AS (
+  SELECT nodes.node,
+         (1 - {_PPR_DAMPING}) * CASE WHEN nodes.node = seed.s THEN 1.0 ELSE 0.0 END
+         + {_PPR_DAMPING} * COALESCE(inf.acc, 0) AS pr
+  FROM nodes CROSS JOIN seed
+  LEFT JOIN (
+    SELECT f.dst, SUM(p.pr * f.f) AS acc
+    FROM frac f JOIN it{k - 1} p ON p.node = f.src
+    GROUP BY f.dst
+  ) inf ON inf.dst = nodes.node
+)"""
+    return base + f"""
+SELECT node AS partkey, ROUND(pr, 6) AS pr
+FROM it{_PPR_ITERS}
+WHERE ROUND(pr, 6) > 0
+"""
+
+
+@register("parts_personalized_pagerank", _ppr_oracle(), "graph", "relational")
+def q_parts_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.graph import co_membership_counts, personalized_pagerank
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    cw = co_membership_counts(li, item_col="l_partkey", group_col="l_orderkey")
+    edges = cw.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.col("c_ab").alias("w")
+    ).unionByName(
+        cw.select(F.col("b").alias("src"), F.col("a").alias("dst"), F.col("c_ab").alias("w"))
+    )
+    seed = edges.agg(F.min("src")).first()[0]
+    pr = personalized_pagerank(edges, [seed], damping=_PPR_DAMPING, iters=_PPR_ITERS)
+    return (
+        pr.select(F.col("node").alias("partkey"), F.round("pr", 6).alias("pr"))
+        .where(F.col("pr") > 0)
+    )
