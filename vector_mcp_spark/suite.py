@@ -138,16 +138,16 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 # (corpus_zipf_fit, streaming_late_data_audit) + all 17 displaced
 # _ROUND7_FILL entries, then new round-8 operators (_PROMOTED_R8), then the
 # stalest remaining greens (latest driver row r4, alphabetical) up to 50.
-# ROUND 9 TODO: lead with the 11 displaced _ROUND8_FILL entries (r4 rows:
-# tpch_q10_returned_items, tpch_q15_top_supplier, tpch_q17_small_quantity,
-# tpch_q18_large_orders, tpch_q19_discounted_revenue,
-# tpch_q22_dormant_customers, tpch_q6_forecast_revenue,
-# tpch_q7_volume_shipping, tpch_q8_market_share, udtf_parse_props,
-# user_event_type_sets — recompute as (_ROUND8_LEAD + _PROMOTED_R8 +
-# _ROUND8_FILL)[50:] if _PROMOTED_R8 changed), then the 47 entries whose
-# latest driver row is r5 (all suite entries minus CORRECTNESS_r0{6,7,8}
-# keys, sorted by latest row then name; ~39 fit after _PROMOTED_R9), then
-# _PROMOTED_R9.
+# ROUND 9 TODO: lead with the 12 displaced _ROUND8_FILL entries (r4 rows:
+# supplier_name_near_matches, tpch_q10_returned_items,
+# tpch_q15_top_supplier, tpch_q17_small_quantity, tpch_q18_large_orders,
+# tpch_q19_discounted_revenue, tpch_q22_dormant_customers,
+# tpch_q6_forecast_revenue, tpch_q7_volume_shipping, tpch_q8_market_share,
+# udtf_parse_props, user_event_type_sets — recompute as (_ROUND8_LEAD +
+# _PROMOTED_R8 + _ROUND8_FILL)[50:] if _PROMOTED_R8 changed), then the 47
+# entries whose latest driver row is r5 (all suite entries minus
+# CORRECTNESS_r0{6,7,8} keys, sorted by latest row then name; ~38 fit
+# after _PROMOTED_R9), then _PROMOTED_R9.
 from vector_mcp_spark import suite_relational  # noqa: E402,F401
 from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401
@@ -194,6 +194,7 @@ _PROMOTED_R8: list[str] = [
     "payload_ordered_scroll",
     "parts_bfs_reach",
     "parts_personalized_pagerank",
+    "corpus_token_fertility",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r4, alphabetical).

@@ -2354,3 +2354,43 @@ def q_corpus_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return psi_bins(docs, "n_chars", is_current=F.col("doc_id") % 2 == 1, n_bins=8)
+
+
+# -- tokenizer fertility by language -------------------------------------------
+#
+# Fertility = subword tokens per whitespace word (and bytes per subword) —
+# the per-language tokenizer-efficiency report that decides token budgets
+# and sampling weights in multilingual training mixes (a language with 2x
+# fertility costs 2x the compute per word). One scan, map-side expressions,
+# |languages| rows out.
+
+_FERTILITY_ORACLE = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT) AS n_subword,
+       CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_words,
+       ROUND(SUM(len(regexp_extract_all(text, '{_BPE_RE}')))
+             / CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS DOUBLE), 4) AS fertility,
+       ROUND(SUM(length(text))
+             / CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS DOUBLE), 4) AS chars_per_token
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("corpus_token_fertility", _FERTILITY_ORACLE, "textstats", "pipeline")
+def q_corpus_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sub = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
+    ws = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0)))
+    return (
+        docs.select("lang", sub.alias("_s"), ws.alias("_w"), F.length("text").alias("_c"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_s").cast("long").alias("n_subword"),
+            F.sum("_w").cast("long").alias("n_words"),
+            F.round(F.sum("_s") / F.sum("_w").cast("double"), 4).alias("fertility"),
+            F.round(F.sum("_c") / F.sum("_s").cast("double"), 4).alias("chars_per_token"),
+        )
+    )
