@@ -133,21 +133,15 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 #
 # Registration order is the driver's correctness-check order, and the driver
 # verifies only the first 50 entries per round. Rotate so every entry gets an
-# oracle row across rounds. Round 8 window (see lists below the imports):
-# the 2 never-driver-checked round-7 promotions that spilled past slot 50
-# (corpus_zipf_fit, streaming_late_data_audit) + all 17 displaced
-# _ROUND7_FILL entries, then new round-8 operators (_PROMOTED_R8), then the
-# stalest remaining greens (latest driver row r4, alphabetical) up to 50.
-# ROUND 9 TODO: lead with the 12 displaced _ROUND8_FILL entries (r4 rows:
-# supplier_name_near_matches, tpch_q10_returned_items,
-# tpch_q15_top_supplier, tpch_q17_small_quantity, tpch_q18_large_orders,
-# tpch_q19_discounted_revenue, tpch_q22_dormant_customers,
-# tpch_q6_forecast_revenue, tpch_q7_volume_shipping, tpch_q8_market_share,
-# udtf_parse_props, user_event_type_sets — recompute as (_ROUND8_LEAD +
-# _PROMOTED_R8 + _ROUND8_FILL)[50:] if _PROMOTED_R8 changed), then the 47
-# entries whose latest driver row is r5 (all suite entries minus
-# CORRECTNESS_r0{6,7,8} keys, sorted by latest row then name; ~38 fit
-# after _PROMOTED_R9), then _PROMOTED_R9.
+# oracle row across rounds. Round 9 window (see lists below the imports):
+# the 12 displaced _ROUND8_FILL entries whose latest driver row is r4
+# (supplier_name_near_matches .. user_event_type_sets), then new round-9
+# operators (_PROMOTED_R9, so they get a driver row the round they ship),
+# then the 47 entries whose latest driver row is r5, alphabetical, up to 50.
+# ROUND 10 TODO: lead with the _ROUND9_FILL entries displaced past slot 50
+# — recompute as (_ROUND9_LEAD + _PROMOTED_R9 + _ROUND9_FILL)[50:] — then
+# the remaining r5-latest entries, then the r6-latest entries
+# (CORRECTNESS_r06 keys), then _PROMOTED_R10.
 from vector_mcp_spark import suite_relational  # noqa: E402,F401
 from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401
@@ -155,71 +149,10 @@ from vector_mcp_spark import suite_mutation  # noqa: E402,F401
 from vector_mcp_spark import suite_tpch  # noqa: E402,F401
 from vector_mcp_spark import suite_mining  # noqa: E402,F401
 from vector_mcp_spark import suite_vecapi  # noqa: E402,F401
-# --- Round-8 window --------------------------------------------------------
-# (a) Never-driver-checked round-7 promotions that spilled past slot 50
-# (slot 50 closed at events_ohlc_bars), then the 17 _ROUND7_FILL entries the
-# promotions displaced (latest driver rows r4).
-_ROUND8_LEAD = [
-    "corpus_zipf_fit",
-    "streaming_late_data_audit",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_projected_topk",
-    "corpus_decontaminate",
-    "corpus_mixture_sample",
-    "corpus_pack_sequences",
-    "corpus_repetition_stats",
-    "corpus_weighted_sample",
-    "customers_without_orders",
-    "dedup_winnow_fingerprints",
-    "embedding_centroid_outliers",
-    "embedding_quantize_int8",
-    "embedding_random_projection",
-    "events_cms_user_counts",
-    "events_cube",
-    "events_distinct_daily",
-    "events_funnel_stages",
-]
-
-# (b) New round-8 operators are appended here as they land so they get a
-# driver row the round they ship (each displaces one _ROUND8_FILL slot).
-_PROMOTED_R8: list[str] = [
-    "events_hll_distinct",
-    "events_ks_two_sample",
-    "corpus_psi_drift",
-    "collection_aliases",
-    "collection_snapshot",
-    "events_hll_merge_rollup",
-    "streaming_hll_distinct",
-    "payload_ordered_scroll",
-    "parts_bfs_reach",
-    "parts_personalized_pagerank",
-    "corpus_token_fertility",
-]
-
-# (c) Stalest remaining greens (latest driver rows r4, alphabetical).
-# Entries displaced past slot 50 here head the ROUND-9 window.
-_ROUND8_FILL = [
-    "events_interarrival",
-    "events_kmv_distinct",
-    "events_kmv_merge_rollup",
-    "events_kmv_set_ops",
-    "events_salted_distinct",
-    "events_sampled_quantiles",
-    "events_sessionization",
-    "events_trailing_1h_window",
-    "events_user_gap_days",
-    "events_zorder_keys",
-    "late_orders_by_priority",
-    "lineitem_column_profile",
-    "multimodal_features",
-    "promo_revenue",
-    "range_join_event_counts",
-    "semantic_mmr_topk",
-    "streaming_click_purchase_join",
-    "streaming_cms_user_counts",
-    "streaming_enriched_events",
-    "streaming_user_running_stats",
+# --- Round-9 window --------------------------------------------------------
+# (a) The 12 _ROUND8_FILL entries displaced past slot 50 last round (latest
+# driver rows r4, the stalest in the registry).
+_ROUND9_LEAD = [
     "supplier_name_near_matches",
     "tpch_q10_returned_items",
     "tpch_q15_top_supplier",
@@ -234,7 +167,63 @@ _ROUND8_FILL = [
     "user_event_type_sets",
 ]
 
-_window = (_ROUND8_LEAD + _PROMOTED_R8 + _ROUND8_FILL)[:50]
+# (b) New round-9 operators are appended here as they land so they get a
+# driver row the round they ship (each displaces one _ROUND9_FILL slot).
+_PROMOTED_R9: list[str] = []
+
+# (c) Stalest remaining greens (latest driver rows r5, alphabetical).
+# Entries displaced past slot 50 here head the ROUND-10 window.
+_ROUND9_FILL = [
+    "corpus_bloom_decontaminate",
+    "corpus_dsir_weights",
+    "corpus_expectations",
+    "corpus_leakage_safe_split",
+    "corpus_lexical_diversity",
+    "corpus_manifest",
+    "corpus_quality_filter",
+    "corpus_source_overlap",
+    "corpus_unigram_logprob",
+    "dedup_incremental_lsh",
+    "embed_documents",
+    "embedding_binary_sign_topk",
+    "embedding_hard_negatives",
+    "embedding_pq_adc_topk",
+    "embedding_pq_codes",
+    "events_ab_readout",
+    "events_daily_trend",
+    "events_hourly_seasonality",
+    "events_json_extract",
+    "events_key_skew_report",
+    "events_mad_udaf",
+    "events_retention_cohorts",
+    "events_robust_outliers",
+    "events_salted_enrich_join",
+    "events_scd2_intervals",
+    "events_snapshot_diff",
+    "events_value_histogram",
+    "graph_pagerank_event_types",
+    "lexical_postings_index",
+    "lexical_snippets",
+    "lineitem_decimal_totals",
+    "multimodal_audio_meta",
+    "multimodal_frame_sample",
+    "multimodal_image_dims",
+    "multimodal_video_meta",
+    "semantic_late_interaction",
+    "streaming_continuous_aggregate",
+    "token_counts",
+    "top_bigrams",
+    "tpch_q11_important_parts",
+    "tpch_q13_custdist",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_part_share_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_supplier",
+    "tpch_q9_product_profit",
+]
+
+_window = (_ROUND9_LEAD + _PROMOTED_R9 + _ROUND9_FILL)[:50]
 _missing = [n for n in _window if n not in SUITE]
 if _missing:  # fail loudly at import so a typo can't silently shrink coverage
     raise RuntimeError(f"rotation names not in SUITE: {_missing}")
