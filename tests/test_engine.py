@@ -965,3 +965,125 @@ def test_concurrent_collection_creates_all_survive(spark, tmp_path_factory):
         t.join()
     assert not errs
     assert eng.get_collections() == [f"coll_{i}" for i in range(6)]
+
+
+def test_snapshot_tenant_scoping(spark, tmp_path_factory):
+    """ADVICE r9: the shared snapshot root is tenant-confined the same way
+    collections and aliases are — a tenant-scoped engine can't enumerate,
+    restore, or delete another tenant's snapshots; the untenanted engine is
+    the admin view and sees everything."""
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+
+    root = str(tmp_path_factory.mktemp("snap_tenants"))
+    acme = CollectionEngine(spark, root, tenant="acme")
+    other = CollectionEngine(spark, root, tenant="other")
+    admin = CollectionEngine(spark, root)
+
+    acme.create_collection("src")
+    acme.add_documents("src", ["tenant-a secret doc"])
+    snap = acme.create_snapshot("src")
+    snap_id = snap.rsplit("/", 1)[-1]
+
+    # owner sees + restores its own
+    assert acme.list_snapshots() == [snap_id]
+    acme.restore_snapshot_id(snap_id, "copy")
+    assert acme.count_documents("copy") == 1
+
+    # the other tenant can't see, delete, or restore it
+    assert other.list_snapshots() == []
+    with _pytest.raises(EngineError, match="snapshot_not_found"):
+        other.delete_snapshot(snap_id)
+    with _pytest.raises(EngineError, match="snapshot_not_found"):
+        other.restore_snapshot_id(snap_id, "stolen")
+    with _pytest.raises(EngineError, match="snapshot_not_found"):
+        other.restore_snapshot(snap, "stolen")  # path form confined too
+    assert other.get_collections() == []
+
+    # admin view sees everything
+    assert admin.list_snapshots() == [snap_id]
+
+
+def test_snapshot_copy_retries_on_cross_process_mutation(spark, tmp_path_factory, monkeypatch):
+    """ADVICE r9: a cross-process writer rewriting partition dirs mid-copy
+    must not produce a torn snapshot — the copy retries until a quiet
+    bracket, and fails loudly (no half-written snapshot dir) if the table
+    never goes quiet."""
+    import pytest as _pytest
+
+    from vector_mcp_spark import engine as engine_mod
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("snap_race")))
+    eng.create_collection("src")
+    eng.add_documents("src", ["doc a", "doc b"])
+
+    # (a) a file vanishing mid-walk (FileNotFoundError) is retried
+    real_copytree = engine_mod.shutil.copytree
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):  # copytree recurses into itself positionally
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError(a[0])
+        return real_copytree(*a, **kw)
+
+    monkeypatch.setattr(engine_mod.shutil, "copytree", flaky)
+    snap = eng.create_snapshot("src")
+    assert calls["n"] >= 2
+    eng.restore_snapshot(snap, "ok")
+    assert eng.count_documents("ok") == 2
+    monkeypatch.setattr(engine_mod.shutil, "copytree", real_copytree)
+
+    # (b) a fingerprint that never stabilizes fails loudly, leaves no dir
+    seq = {"n": 0}
+    real_fp = CollectionEngine._mutation_fingerprint
+
+    def churn(self, scoped):
+        seq["n"] += 1
+        return ("changed", seq["n"])
+
+    monkeypatch.setattr(CollectionEngine, "_mutation_fingerprint", churn)
+    before_ids = set(eng.list_snapshots())
+    with _pytest.raises(EngineError, match="snapshot_conflict"):
+        eng.create_snapshot("src")
+    monkeypatch.setattr(CollectionEngine, "_mutation_fingerprint", real_fp)
+    assert set(eng.list_snapshots()) == before_ids  # no torn leftovers
+
+
+def test_collection_alias_create_race_is_serialized(spark, tmp_path_factory):
+    """ADVICE r9: concurrent create_collection("x") and create_alias("x")
+    can never BOTH succeed — the conflict guards run under the shared
+    __catalog__ lock, so afterwards "x" is a collection or an alias, never
+    both (the shadow state both guards exist to prevent)."""
+    import threading
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+
+    for trial in range(4):
+        eng = CollectionEngine(spark, str(tmp_path_factory.mktemp(f"race_{trial}")))
+        eng.create_collection("tgt")
+        barrier = threading.Barrier(2)
+        errs: list[str] = []
+
+        def mk_coll():
+            barrier.wait()
+            try:
+                eng.create_collection("x", get_or_create=False)
+            except EngineError as e:
+                errs.append(e.code)
+
+        def mk_alias():
+            barrier.wait()
+            try:
+                eng.create_alias("x", "tgt")
+            except EngineError as e:
+                errs.append(e.code)
+
+        t1, t2 = threading.Thread(target=mk_coll), threading.Thread(target=mk_alias)
+        t1.start(); t2.start(); t1.join(); t2.join()
+        is_coll = "x" in eng.get_collections()
+        is_alias = any(a == "x" for a, _ in eng.list_aliases())
+        assert not (is_coll and is_alias), f"trial {trial}: x is both ({errs})"
+        assert is_coll or is_alias  # and one of them did win

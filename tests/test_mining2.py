@@ -564,3 +564,16 @@ def test_personalized_pagerank_mass_concentrates_on_seed_side(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         personalized_pagerank(edges, [])
+
+
+def test_ks_two_sample_empty_slice_fails_loudly(spark):
+    """ADVICE r9: an empty slice has no CDF — ks_two_sample must raise
+    instead of returning ks_d = NaN (a silent "no drift")."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.drift import ks_two_sample
+
+    df = spark.createDataFrame([(1.0, "a"), (2.0, "a")], "v double, g string")
+    with _pytest.raises(ValueError, match="non-empty"):
+        ks_two_sample(df, "v", F.col("g") == "a", F.col("g") == "b")

@@ -544,3 +544,60 @@ def test_veneer_add_documents_by_path(spark, tmp_path_factory, monkeypatch):
         include_configured_directory=True,
     )
     assert out["documents_added"] == 2  # 1 inline + 1 file (upserted again)
+
+
+def test_directory_ingestion_per_file_confinement(spark, tmp_path_factory, monkeypatch):
+    """ADVICE r9: directory targets are enumerated driver-side through the
+    same per-file checks as leaf rel_paths — a symlink anywhere in the
+    configured root is a hard error (document_inputs.py:125-131), oversized
+    files are rejected, and the binaryFile scan only ever receives the
+    vetted leaf list (never an unchecked subtree)."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+    from vector_mcp_spark.sources.readers import (
+        enumerate_document_root,
+        resolve_document_paths,
+    )
+
+    root = tmp_path_factory.mktemp("conf_root")
+    (root / "sub").mkdir()
+    (root / "a.txt").write_text("alpha")
+    (root / "sub" / "b.txt").write_text("beta")
+
+    # clean root enumerates its leaves
+    assert [p.rsplit("/", 1)[-1] for p in enumerate_document_root(str(root))] == [
+        "a.txt", "b.txt"]
+
+    # rel_paths must be existing regular files
+    with _pytest.raises(EngineError, match="document_path_not_a_file"):
+        resolve_document_paths(str(root), ["sub"])
+    with _pytest.raises(EngineError, match="document_path_not_found"):
+        resolve_document_paths(str(root), ["missing.txt"])
+
+    # a symlinked PARENT component is rejected even when the leaf is real
+    outside = tmp_path_factory.mktemp("outside")
+    (outside / "secret.txt").write_text("outside the root")
+    _os.symlink(str(outside), str(root / "linkdir"))
+    with _pytest.raises(EngineError, match="document_path_symlink_rejected"):
+        resolve_document_paths(str(root), ["linkdir/secret.txt"])
+    # ... and poisons whole-root enumeration (reference: hard error)
+    with _pytest.raises(EngineError, match="document_root_symlink_rejected"):
+        enumerate_document_root(str(root))
+    monkeypatch.setenv(CollectionEngine.DOCUMENT_ROOT_ENV, str(root))
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("conf_wh")))
+    eng.create_collection("c")
+    with _pytest.raises(EngineError, match="document_root_symlink_rejected"):
+        eng.ingest_paths("c", include_configured_directory=True)
+    _os.unlink(str(root / "linkdir"))
+
+    # per-file size cap applies to enumerated files, not just named ones
+    (root / "big.txt").write_bytes(b"x" * (64 * 1024 * 1024 + 1))
+    with _pytest.raises(EngineError, match="document_file_too_large"):
+        enumerate_document_root(str(root))
+    (root / "big.txt").unlink()
+
+    # the clean tree still ingests end-to-end through the vetted list
+    assert eng.ingest_paths("c", include_configured_directory=True) == 2

@@ -352,6 +352,13 @@ class CollectionEngine:
                 if get_or_create or overwrite:
                     return scoped
                 raise EngineError("collection_exists")
+            # re-check the alias conflict INSIDE the catalog lock: a
+            # concurrent create_alias serializes on this same lock (lock
+            # order __catalog__ → __aliases__), so both guards passing at
+            # once — collection silently shadowing a just-created alias —
+            # can no longer happen (ADVICE r8)
+            if any(a == scoped for a, _ in self._alias_rows()):
+                raise EngineError("collection_conflicts_with_alias", detail=name)
             self._write_catalog(
                 [*rows, (scoped, _physical_name(scoped), dimension, datetime.now(timezone.utc), False)]
             )
@@ -492,13 +499,20 @@ class CollectionEngine:
         is the atomic blue-green switch. Rejects an alias that names a real
         collection (it could never be resolved)."""
         validate_collection_name(alias)
-        if self.collection_exists(alias):
-            raise EngineError("alias_conflicts_with_collection", detail=alias)
         target = self._require(collection)
         scoped_alias = self._scoped(alias)
-        self._mutate_aliases(
-            lambda rows: [*(r for r in rows if r[0] != scoped_alias), (scoped_alias, target)]
-        )
+        # the collection-conflict guard runs under the __catalog__ lock so
+        # it serializes against create_collection's alias-conflict guard
+        # (consistent lock order __catalog__ → __aliases__; ADVICE r8) —
+        # without it, a concurrent create_collection(alias) and this call
+        # could both pass their checks and produce a collection silently
+        # shadowing the new alias
+        with self._mutation_lock("__catalog__"):
+            if self.collection_exists(alias):
+                raise EngineError("alias_conflicts_with_collection", detail=alias)
+            self._mutate_aliases(
+                lambda rows: [*(r for r in rows if r[0] != scoped_alias), (scoped_alias, target)]
+            )
 
     def delete_alias(self, alias: str) -> None:
         scoped_alias = self._scoped(alias)
@@ -1247,6 +1261,28 @@ class CollectionEngine:
     def _snapshots_root(self) -> Path:
         return self.root / "_snapshots"
 
+    def _mutation_fingerprint(self, scoped: str) -> tuple:
+        """Cheap change detector over the table + changelog trees (relative
+        path, size, mtime_ns per entry). Two equal fingerprints bracketing a
+        copy prove no cross-process writer rewrote either tree mid-copy —
+        the stage-dir/claim protocol means every mutation creates, renames,
+        or prunes at least one file under these roots."""
+        out = []
+        for base in (Path(self._table_path(scoped)), self._changelog_root(scoped)):
+            if not base.exists():
+                out.append(None)
+                continue
+            entries = []
+            for p in sorted(base.rglob("*")):
+                try:
+                    st = p.stat()
+                except OSError:  # vanished mid-walk — itself a change marker
+                    entries.append((str(p.relative_to(base)), -1, -1))
+                    continue
+                entries.append((str(p.relative_to(base)), st.st_size, st.st_mtime_ns))
+            out.append(tuple(entries))
+        return tuple(out)
+
     def create_snapshot(self, name: str) -> str:
         """Freeze the collection's current state into a portable snapshot
         dir; returns its path. Runs under the collection's mutation lock so
@@ -1267,11 +1303,29 @@ class CollectionEngine:
             }
             (dest / "manifest.json").write_text(json.dumps(manifest, sort_keys=True))
             table = Path(self._table_path(scoped))
-            if table.exists():
-                shutil.copytree(table, dest / "table")
             log = self._changelog_root(scoped)
-            if log.exists():
-                shutil.copytree(log, dest / "changelog")
+            # the in-process mutation lock excludes this process's writers;
+            # a mutator in ANOTHER process (cross-process writes are
+            # supported via O_EXCL seq claims + stage dirs) can still
+            # rewrite partition dirs mid-copy. Fingerprint before/after and
+            # retry on any change or on a file vanishing mid-walk, so the
+            # snapshot is never a torn table/changelog pair (ADVICE r8).
+            for _ in range(5):
+                before = self._mutation_fingerprint(scoped)
+                try:
+                    for sub in ("table", "changelog"):
+                        shutil.rmtree(dest / sub, ignore_errors=True)
+                    if table.exists():
+                        shutil.copytree(table, dest / "table")
+                    if log.exists():
+                        shutil.copytree(log, dest / "changelog")
+                except FileNotFoundError:
+                    continue  # source file vanished mid-copy — recopy
+                if self._mutation_fingerprint(scoped) == before:
+                    break
+            else:
+                shutil.rmtree(dest, ignore_errors=True)
+                raise EngineError("snapshot_conflict", detail=name)
         return str(dest)
 
     def restore_snapshot(self, snapshot_path: str, new_name: str) -> str:
@@ -1284,6 +1338,10 @@ class CollectionEngine:
             manifest = json.loads((src / "manifest.json").read_text())
         except (OSError, ValueError):
             raise EngineError("snapshot_invalid", detail=snapshot_path) from None
+        # a tenant-scoped engine may only restore snapshots taken inside its
+        # own scope (ADVICE r8) — otherwise restore is a cross-tenant read
+        if not self._snapshot_in_scope(src):
+            raise EngineError("snapshot_not_found", detail=src.name)
         scoped = self._scoped(new_name)
         if any(a == scoped for a, _ in self._alias_rows()):
             raise EngineError("collection_conflicts_with_alias", detail=new_name)
@@ -1306,6 +1364,14 @@ class CollectionEngine:
                 if (src / "changelog").exists():
                     shutil.copytree(src / "changelog", log)
                 with self._mutation_lock("__catalog__"):  # serialized RMW
+                    # alias conflict re-checked inside the lock, same as
+                    # create_collection (the pre-lock check above is only a
+                    # fast path) — raising here routes through the cleanup
+                    # below, so no half-restored dirs are left behind
+                    if any(a == scoped for a, _ in self._alias_rows()):
+                        raise EngineError(
+                            "collection_conflicts_with_alias", detail=new_name
+                        )
                     self._write_catalog(
                         [
                             *self._catalog_rows(),
@@ -1334,18 +1400,41 @@ class CollectionEngine:
             raise EngineError("snapshot_invalid", detail=snapshot_id)
         return self.restore_snapshot(str(self._snapshots_root() / snapshot_id), new_name)
 
+    def _snapshot_in_scope(self, snap_dir: Path) -> bool:
+        """Tenant confinement for the shared snapshot root (ADVICE r8):
+        a tenant-scoped engine sees only snapshots whose manifest
+        scoped_name carries its tenant prefix — the same rule
+        get_collections (vector_api.py:455-476) and list_aliases apply.
+        An untenanted engine is the admin view and sees everything."""
+        if not self.tenant:
+            return True
+        import json
+
+        try:
+            manifest = json.loads((snap_dir / "manifest.json").read_text())
+        except (OSError, ValueError):
+            return False
+        scoped = manifest.get("scoped_name", "")
+        return isinstance(scoped, str) and scoped.startswith(_tenant_prefix(self.tenant))
+
     def list_snapshots(self) -> list[str]:
         root = self._snapshots_root()
         if not root.exists():
             return []
-        return sorted(p.name for p in root.iterdir() if (p / "manifest.json").exists())
+        return sorted(
+            p.name
+            for p in root.iterdir()
+            if (p / "manifest.json").exists() and self._snapshot_in_scope(p)
+        )
 
     def delete_snapshot(self, snapshot_id: str) -> None:
         # id, not path: confine deletion to the engine's own snapshot root
         if "/" in snapshot_id or snapshot_id.startswith("."):
             raise EngineError("snapshot_invalid", detail=snapshot_id)
         dest = self._snapshots_root() / snapshot_id
-        if not (dest / "manifest.json").exists():
+        # out-of-scope reads as absent — a tenant can't probe (or delete)
+        # another tenant's snapshots
+        if not (dest / "manifest.json").exists() or not self._snapshot_in_scope(dest):
             raise EngineError("snapshot_not_found", detail=snapshot_id)
         shutil.rmtree(dest)
 
@@ -1379,6 +1468,7 @@ class CollectionEngine:
         from vector_mcp_spark.sources.readers import (
             RICH_EXTENSIONS,
             TEXT_EXTENSIONS,
+            enumerate_document_root,
             read_documents,
             resolve_document_paths,
         )
@@ -1389,9 +1479,15 @@ class CollectionEngine:
         if not rel_paths and not include_configured_directory:
             raise EngineError("document_input_required")
         scoped = self._require(name)
-        targets = (
-            resolve_document_paths(root, rel_paths) if rel_paths else [str(Path(root).resolve())]
-        )
+        # every target handed to the scan is an individually-checked leaf
+        # file (symlink walk, size caps) — the binaryFile reader never
+        # recurses into an unchecked subtree (ADVICE r8; document_inputs.py
+        # whole-root rules for include_configured_directory)
+        targets = resolve_document_paths(root, rel_paths) if rel_paths else []
+        if include_configured_directory:
+            targets = sorted({*targets, *enumerate_document_root(root)})
+        if not targets:
+            return 0
         docs = read_documents(self.spark, targets)
         known = TEXT_EXTENSIONS | RICH_EXTENSIONS
         ext = F.lower(F.regexp_extract(F.col("path"), r"(\.[A-Za-z0-9]+)$", 1))

@@ -143,6 +143,12 @@ def ks_two_sample(
         acc_a += per_range[r][0]
         acc_b += per_range[r][1]
     n_a, n_b = acc_a, acc_b
+    if n_a == 0 or n_b == 0:
+        # an empty slice has no CDF; dividing through would return ks_d=NaN
+        # and a silent "no drift" — fail loudly instead (ADVICE r8)
+        raise ValueError(
+            f"ks_two_sample requires non-empty slices (n_a={n_a}, n_b={n_b})"
+        )
     map_a = F.create_map(*[x for r, o in off_a.items() for x in (F.lit(r), F.lit(o))])
     map_b = F.create_map(*[x for r, o in off_b.items() for x in (F.lit(r), F.lit(o))])
     w = Window.partitionBy("_r").orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)

@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 from vector_mcp_spark.validation import EngineError
 
 MAX_FILE_BYTES = 64 * 1024 * 1024  # document_inputs.py:13-16
+MAX_DOCUMENT_FILES = 1_000  # document_inputs.py:13
+MAX_TOTAL_BYTES = 512 * 1024 * 1024  # document_inputs.py:15
 TEXT_EXTENSIONS = {".txt", ".md", ".markdown", ".html", ".htm", ".csv", ".json"}
 RICH_EXTENSIONS = {".pdf", ".docx", ".epub", ".pptx", ".ipynb", ".mbox"}
 
@@ -37,24 +39,71 @@ _TAG_RE = re.compile(r"<[^>]+>")
 
 def resolve_document_paths(root: str, rel_paths: Sequence[str]) -> list[str]:
     """Root confinement (document_inputs.py:69-117): relative paths only,
-    no URLs, no traversal, no symlinks, size cap. Returns absolute paths."""
+    no URLs, no traversal, no symlinks (any path component), leaf must be a
+    regular file, per-file and total size caps. Returns absolute paths."""
     rootp = Path(root).resolve()
+    if len(rel_paths) > MAX_DOCUMENT_FILES:
+        raise EngineError("document_paths_too_many")
     out: list[str] = []
+    total = 0
     for rel in rel_paths:
         if re.match(r"^[a-z][a-z0-9+.-]*://", rel, re.IGNORECASE):
             raise EngineError("document_path_url_rejected")
         p = Path(rel)
         if p.is_absolute() or ".." in p.parts:
             raise EngineError("document_path_escapes_root")
+        # walk every component (document_inputs.py:85-93): a symlinked
+        # PARENT re-roots the leaf just as a symlinked leaf does
+        cursor = rootp
+        for part in p.parts:
+            cursor = cursor / part
+            if cursor.is_symlink():
+                raise EngineError("document_path_symlink_rejected")
         full = rootp / p
-        if full.is_symlink():
-            raise EngineError("document_path_symlink_rejected")
         if not full.resolve().is_relative_to(rootp):
             raise EngineError("document_path_escapes_root")
-        if full.exists() and full.stat().st_size > MAX_FILE_BYTES:
+        if not full.exists():
+            raise EngineError("document_path_not_found", detail=rel)
+        if not full.is_file():
+            # directories must go through enumerate_document_root so every
+            # leaf gets these same checks (document_inputs.py:98-104)
+            raise EngineError("document_path_not_a_file", detail=rel)
+        size = full.stat().st_size
+        if size > MAX_FILE_BYTES:
             raise EngineError("document_file_too_large")
+        total += size
+        if total > MAX_TOTAL_BYTES:
+            raise EngineError("document_paths_too_large")
         out.append(str(full))
     return out
+
+
+def enumerate_document_root(root: str) -> list[str]:
+    """Expand the configured document root into its leaf files, applying the
+    reference's whole-root rules (document_inputs.py:123-147): any symlink in
+    the subtree is a hard error, file count and per-file/total byte caps.
+    The returned explicit file list is what reaches the binaryFile scan —
+    the scan itself never walks an unchecked subtree (ADVICE r8)."""
+    rootp = Path(root).resolve()
+    if rootp.is_symlink() or not rootp.is_dir():
+        raise EngineError("document_root_invalid")
+    files: list[str] = []
+    total = 0
+    for candidate in sorted(rootp.rglob("*")):
+        if candidate.is_symlink():
+            raise EngineError("document_root_symlink_rejected", detail=candidate.name)
+        if not candidate.is_file():
+            continue
+        if len(files) >= MAX_DOCUMENT_FILES:
+            raise EngineError("document_paths_too_many")
+        size = candidate.stat().st_size
+        if size > MAX_FILE_BYTES:
+            raise EngineError("document_file_too_large")
+        total += size
+        if total > MAX_TOTAL_BYTES:
+            raise EngineError("document_paths_too_large")
+        files.append(str(candidate))
+    return files
 
 
 def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
