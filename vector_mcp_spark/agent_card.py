@@ -53,6 +53,7 @@ SKILL_CATALOG: tuple[dict[str, Any], ...] = (
         "description": "Create, list, and delete collections; ingest "
         "documents with bounds and dedup on write.",
         "tool": "vector_collection_management",
+        "tags": ("collections", "write"),
         "actions": list(COLLECTION_ACTIONS),
     },
     {
@@ -60,6 +61,7 @@ SKILL_CATALOG: tuple[dict[str, Any], ...] = (
         "description": "Semantic, lexical, and hybrid-RRF retrieval over a "
         "collection with tunable weights and rrf_k.",
         "tool": "vector_search",
+        "tags": ("search", "read"),
         "actions": list(SEARCH_ACTIONS),
     },
     {
@@ -67,6 +69,7 @@ SKILL_CATALOG: tuple[dict[str, Any], ...] = (
         "description": "Backend readiness: doctor report and fail-closed "
         "db_type policy checks.",
         "tool": "vector_backend_operations",
+        "tags": ("backend", "read"),
         "actions": ["doctor", "backend_status"],
     },
 )

@@ -26,13 +26,16 @@ from __future__ import annotations
 
 import json
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
 
 from vector_mcp_spark.mcp_stdio import PARSE_ERROR, _error, handle_message
+from vector_mcp_spark.toolgate import ToolFilter
 
 MAX_BODY_BYTES = 8 * 1024 * 1024  # one MCP message, not a bulk-data channel
 
 
-def _make_handler(agent, path: str):
+def _make_handler(agent, path: str, tool_filter: ToolFilter | None = None):
+    static_filter = tool_filter or ToolFilter()
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -70,15 +73,22 @@ def _make_handler(agent, path: str):
             # keep-alive socket, unread body bytes would desynchronize the
             # connection for the client's next pooled request
             raw = self.rfile.read(length)
-            if self.path.rstrip("/") != path.rstrip("/"):
+            url = urlparse(self.path)
+            if url.path.rstrip("/") != path.rstrip("/"):
                 self._send(404, b'{"error": "unknown endpoint"}')
                 return
+            # per-request tool visibility (reference README.md:100-106):
+            # x-mcp-*-tools/tags headers and ?tools=/&tags= query params
+            # NARROW the deployment's static filter for THIS request only
+            req_filter = static_filter.narrowed(
+                ToolFilter.from_request(dict(self.headers), parse_qs(url.query))
+            )
             try:
                 msg = json.loads(raw)
             except json.JSONDecodeError:
                 resp: dict | None = _error(None, PARSE_ERROR, "invalid JSON")
             else:
-                resp = handle_message(agent, msg)
+                resp = handle_message(agent, msg, req_filter)
             if resp is None:
                 self._send(202, b"")
             else:
@@ -87,18 +97,20 @@ def _make_handler(agent, path: str):
     return Handler
 
 
-def start_http(agent, host: str = "127.0.0.1", port: int = 0, path: str = "/mcp"):
+def start_http(agent, host: str = "127.0.0.1", port: int = 0, path: str = "/mcp",
+               tool_filter: ToolFilter | None = None):
     """Bind and return a ready ``ThreadingHTTPServer`` (not yet serving).
 
     Callers run ``serve_forever()`` on a thread (tests) or inline (``main``);
     ``server.server_address[1]`` is the bound port when ``port=0``."""
-    return ThreadingHTTPServer((host, port), _make_handler(agent, path))
+    return ThreadingHTTPServer((host, port), _make_handler(agent, path, tool_filter))
 
 
-def serve_http(agent, host: str = "127.0.0.1", port: int = 8000, path: str = "/mcp") -> None:
+def serve_http(agent, host: str = "127.0.0.1", port: int = 8000, path: str = "/mcp",
+               tool_filter: ToolFilter | None = None) -> None:
     import sys
 
-    server = start_http(agent, host, port, path)
+    server = start_http(agent, host, port, path, tool_filter)
     bound = server.server_address[1]
     print(f"vector-mcp-spark MCP serving streamable-http on http://{host}:{bound}{path}",
           file=sys.stderr, flush=True)

@@ -35,6 +35,7 @@ from urllib.parse import parse_qs, urlparse
 
 from vector_mcp_spark.mcp_http import MAX_BODY_BYTES
 from vector_mcp_spark.mcp_stdio import INTERNAL_ERROR, PARSE_ERROR, _error, handle_message
+from vector_mcp_spark.toolgate import ToolFilter
 
 KEEPALIVE_S = 15.0
 
@@ -43,8 +44,15 @@ def _sse_event(event: str, data: str) -> bytes:
     return f"event: {event}\ndata: {data}\n\n".encode()
 
 
-def _make_handler(agent, sse_path: str, msg_path: str, keepalive_s: float):
-    sessions: dict[str, queue.Queue] = {}
+def _make_handler(agent, sse_path: str, msg_path: str, keepalive_s: float,
+                  tool_filter: ToolFilter | None = None):
+    static_filter = tool_filter or ToolFilter()
+    # sid -> (response queue, the session's tool filter). The filter is
+    # captured ONCE at stream connect (headers/query on the GET — the
+    # reference's "during transport initialization" channel) and dies with
+    # the session, so one client's restriction can never leak into another
+    # session's visibility.
+    sessions: dict[str, tuple[queue.Queue, ToolFilter]] = {}
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -70,7 +78,10 @@ def _make_handler(agent, sse_path: str, msg_path: str, keepalive_s: float):
                 return
             sid = uuid.uuid4().hex
             q: queue.Queue = queue.Queue()
-            sessions[sid] = q
+            session_filter = static_filter.narrowed(
+                ToolFilter.from_request(dict(self.headers), parse_qs(url.query))
+            )
+            sessions[sid] = (q, session_filter)
             # an event stream has no Content-Length; close delimits it
             self.close_connection = True
             self.send_response(200)
@@ -111,11 +122,18 @@ def _make_handler(agent, sse_path: str, msg_path: str, keepalive_s: float):
             if url.path.rstrip("/") != msg_path.rstrip("/"):
                 self._send(404, b'{"error": "unknown endpoint"}')
                 return
-            sid = (parse_qs(url.query).get("session_id") or [""])[0]
-            q = sessions.get(sid)
-            if q is None:
+            post_query = parse_qs(url.query)
+            sid = (post_query.get("session_id") or [""])[0]
+            entry = sessions.get(sid)
+            if entry is None:
                 self._send(404, b'{"error": "unknown session"}')
                 return
+            q, session_filter = entry
+            # a POST may narrow its session's filter further for this one
+            # message (per-request headers/query), never widen it
+            req_filter = session_filter.narrowed(
+                ToolFilter.from_request(dict(self.headers), post_query)
+            )
             try:
                 msg = json.loads(raw)
             except json.JSONDecodeError:
@@ -128,9 +146,9 @@ def _make_handler(agent, sse_path: str, msg_path: str, keepalive_s: float):
             # the stream, so completion order need not match POST order)
             self._send(202, b"")
 
-            def _dispatch(q=q, msg=msg):
+            def _dispatch(q=q, msg=msg, req_filter=req_filter):
                 try:
-                    resp = handle_message(agent, msg)
+                    resp = handle_message(agent, msg, req_filter)
                 except Exception as e:  # handle_message already contains
                     # dispatch errors; this guards the transport itself
                     resp = _error(msg.get("id") if isinstance(msg, dict) else None,
@@ -151,12 +169,13 @@ def start_sse(
     sse_path: str = "/sse",
     msg_path: str = "/messages",
     keepalive_s: float = KEEPALIVE_S,
+    tool_filter: ToolFilter | None = None,
 ) -> ThreadingHTTPServer:
     """Bind and return a ready ``ThreadingHTTPServer`` (not yet serving);
     ``server.server_address[1]`` is the bound port when ``port=0``. Handler
     threads are daemons so a test teardown never hangs on an open stream."""
     server = ThreadingHTTPServer(
-        (host, port), _make_handler(agent, sse_path, msg_path, keepalive_s)
+        (host, port), _make_handler(agent, sse_path, msg_path, keepalive_s, tool_filter)
     )
     server.daemon_threads = True
     return server
@@ -164,11 +183,11 @@ def start_sse(
 
 def serve_sse(
     agent, host: str = "127.0.0.1", port: int = 8001, sse_path: str = "/sse",
-    msg_path: str = "/messages",
+    msg_path: str = "/messages", tool_filter: ToolFilter | None = None,
 ) -> None:
     import sys
 
-    server = start_sse(agent, host, port, sse_path, msg_path)
+    server = start_sse(agent, host, port, sse_path, msg_path, tool_filter=tool_filter)
     bound = server.server_address[1]
     print(f"vector-mcp-spark MCP serving sse on http://{host}:{bound}{sse_path}",
           file=sys.stderr, flush=True)

@@ -36,13 +36,20 @@ def _result(msg_id: Any, result: dict) -> dict:
     return {"jsonrpc": "2.0", "id": msg_id, "result": result}
 
 
-def tool_listing() -> list[dict]:
+def tool_listing(tool_filter=None) -> list[dict]:
     """The MCP ``tools/list`` payload, derived from the same skill catalog
-    the agent card serves (one schema per action-routed tool)."""
+    the agent card serves (one schema per action-routed tool). An optional
+    :class:`~vector_mcp_spark.toolgate.ToolFilter` hides tools the
+    deployment (CLI/env) or the request (headers/query) filtered out —
+    the reference's dynamic tool visibility (README.md:91-106)."""
     from vector_mcp_spark.agent_card import SKILL_CATALOG
 
     tools = []
     for skill in SKILL_CATALOG:
+        if tool_filter is not None and not tool_filter.allows(
+            skill["tool"], skill.get("tags", ())
+        ):
+            continue
         tools.append(
             {
                 "name": skill["tool"],
@@ -60,11 +67,13 @@ def tool_listing() -> list[dict]:
     return tools
 
 
-def handle_message(agent, msg: Any) -> dict | None:
+def handle_message(agent, msg: Any, tool_filter=None) -> dict | None:
     """One JSON-RPC message → response dict, or None for notifications.
 
     ``agent`` is anything with ``.dispatch(tool, action, **kwargs)`` and
     ``.card()`` (AgentCardVeneer in production, a stub in tests).
+    ``tool_filter`` (a ``toolgate.ToolFilter``) hides filtered tools from
+    ``tools/list`` and makes calling one a ``tool_invalid`` tool result.
 
     JSON-RPC 2.0 §4.1: a request without ``id`` is a notification and MUST
     NOT receive a response — side effects (e.g. an id-less ``tools/call``)
@@ -76,13 +85,13 @@ def handle_message(agent, msg: Any) -> dict | None:
     msg_id = msg.get("id")
     is_notification = "id" not in msg
     try:
-        resp = _dispatch_method(agent, method, msg, msg_id)
+        resp = _dispatch_method(agent, method, msg, msg_id, tool_filter)
     except Exception as e:  # dispatch must never leak a traceback onto the wire
         resp = _error(msg_id, INTERNAL_ERROR, f"{type(e).__name__}: {e}")
     return None if is_notification else resp
 
 
-def _dispatch_method(agent, method: str, msg: dict, msg_id: Any) -> dict | None:
+def _dispatch_method(agent, method: str, msg: dict, msg_id: Any, tool_filter=None) -> dict | None:
     if method == "initialize":
         card = agent.card()
         return _result(
@@ -99,7 +108,7 @@ def _dispatch_method(agent, method: str, msg: dict, msg_id: Any) -> dict | None:
     if method == "ping":
         return _result(msg_id, {})
     if method == "tools/list":
-        return _result(msg_id, {"tools": tool_listing()})
+        return _result(msg_id, {"tools": tool_listing(tool_filter)})
     if method == "prompts/list":
         from vector_mcp_spark.governance import list_prompts
 
@@ -131,6 +140,30 @@ def _dispatch_method(agent, method: str, msg: dict, msg_id: Any) -> dict | None:
         if not isinstance(name, str) or "action" not in arguments:
             return _error(msg_id, INVALID_PARAMS, "tools/call needs name and arguments.action")
         action = arguments.pop("action")
+        if tool_filter is not None and not tool_filter.is_noop():
+            from vector_mcp_spark.toolgate import tool_tags
+
+            tags = tool_tags()
+            if not tool_filter.allows(name, tags.get(name, ())):
+                # a filtered tool is indistinguishable from an unknown one:
+                # same tool_invalid error shape, with allowed/did-you-mean
+                # drawn from the VISIBLE surface only (no leak of hidden
+                # tools through suggestions)
+                import difflib
+
+                visible = [t for t in tags if tool_filter.allows(t, tags[t])]
+                out = {
+                    "error": "tool_invalid",
+                    "allowed": visible,
+                    "did_you_mean": difflib.get_close_matches(name, visible, n=3, cutoff=0.4),
+                }
+                return _result(
+                    msg_id,
+                    {
+                        "content": [{"type": "text", "text": json.dumps(out)}],
+                        "isError": True,
+                    },
+                )
         out = agent.dispatch(name, action, **arguments)
         # MCP tool results carry the payload as text content; the stable
         # snake_case error dicts ride through as isError results — a bad
@@ -145,7 +178,7 @@ def _dispatch_method(agent, method: str, msg: dict, msg_id: Any) -> dict | None:
     return _error(msg_id, METHOD_NOT_FOUND, f"unknown method: {method}")
 
 
-def serve(agent, stdin: TextIO, stdout: TextIO) -> None:
+def serve(agent, stdin: TextIO, stdout: TextIO, tool_filter=None) -> None:
     """Blocking newline-delimited JSON-RPC loop until EOF on ``stdin``."""
     for line in stdin:
         line = line.strip()
@@ -156,7 +189,7 @@ def serve(agent, stdin: TextIO, stdout: TextIO) -> None:
         except json.JSONDecodeError:
             resp: dict | None = _error(None, PARSE_ERROR, "invalid JSON")
         else:
-            resp = handle_message(agent, msg)
+            resp = handle_message(agent, msg, tool_filter)
         if resp is not None:
             stdout.write(json.dumps(resp) + "\n")
             stdout.flush()
@@ -175,6 +208,13 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--transport", default="stdio", choices=["stdio", "streamable-http", "sse"])
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
+    # dynamic tool selection (reference README.md:97-101): comma-separated
+    # enable/disable lists for tools and toolsets (tags); combined with the
+    # MCP_{ENABLED,DISABLED}_{TOOLS,TAGS} environment variables
+    parser.add_argument("--tools", default=None, help="comma-separated tools to enable")
+    parser.add_argument("--toolsets", default=None, help="comma-separated toolsets (tags) to enable")
+    parser.add_argument("--disabled-tools", default=None)
+    parser.add_argument("--disabled-toolsets", default=None)
     args = parser.parse_args(argv)
 
     from vector_mcp_spark.agent_card import AgentCardVeneer
@@ -182,20 +222,27 @@ def main(argv: list[str] | None = None) -> int:
     from vector_mcp_spark.engine import CollectionEngine
     from vector_mcp_spark.mcp import McpVeneer
     from vector_mcp_spark.session import get_spark
+    from vector_mcp_spark.toolgate import ToolFilter
 
+    tool_filter = ToolFilter.static_filter(
+        tools=args.tools,
+        toolsets=args.toolsets,
+        disabled_tools=args.disabled_tools,
+        disabled_toolsets=args.disabled_toolsets,
+    )
     spark = get_spark("vector-mcp-stdio")
     engine = CollectionEngine(spark, args.root, tenant=args.tenant)
     agent = AgentCardVeneer(McpVeneer(engine, VectorSearchApi(engine)))
     if args.transport == "streamable-http":
         from vector_mcp_spark.mcp_http import serve_http
 
-        serve_http(agent, host=args.host, port=args.port)
+        serve_http(agent, host=args.host, port=args.port, tool_filter=tool_filter)
         return 0
     if args.transport == "sse":
         from vector_mcp_spark.mcp_sse import serve_sse
 
-        serve_sse(agent, host=args.host, port=args.port)
+        serve_sse(agent, host=args.host, port=args.port, tool_filter=tool_filter)
         return 0
     print(f"vector-mcp-spark MCP serving stdio (root={args.root})", file=sys.stderr, flush=True)
-    serve(agent, sys.stdin, sys.stdout)
+    serve(agent, sys.stdin, sys.stdout, tool_filter)
     return 0
