@@ -1087,3 +1087,130 @@ def test_collection_alias_create_race_is_serialized(spark, tmp_path_factory):
         is_alias = any(a == "x" for a, _ in eng.list_aliases())
         assert not (is_coll and is_alias), f"trial {trial}: x is both ({errs})"
         assert is_coll or is_alias  # and one of them did win
+
+
+def test_compact_changelog_bounds_log_and_preserves_asof(spark, tmp_path_factory):
+    """VERDICT r8 #4: read_asof replays the full per-collection changelog;
+    compact_changelog collapses batches older than the cut into ONE epoch
+    batch. asof ≥ cut stays bit-identical, asof < cut fails loudly, the
+    epoch never moves backward, and the seq high-water mark is carried."""
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("compact_root")))
+    eng.create_collection("log")
+    eng.add_documents("log", ["first doc", "second doc"])
+    ids = {r.content: r.id for r in eng.read("log").collect()}
+    eng.delete_documents("log", [ids["second doc"]])  # deleted BEFORE the cut
+    t_precut = datetime.now(timezone.utc)
+    cut = datetime.now(timezone.utc)
+    eng.add_documents("log", ["third doc"])
+    t_mid = datetime.now(timezone.utc)
+    eng.add_documents("log", ["fourth doc"])
+
+    root = eng._changelog_root(eng._scoped("log"))
+    n_files_before = sum(1 for p in root.iterdir()
+                         if p.name.endswith(".parquet") and not p.name.startswith("."))
+    hist_before = [(r.seq, r.op, r.n_rows) for r in eng.collection_history("log").collect()]
+    asof_mid_before = sorted(
+        (r.id, r.content, r.embedding is not None) for r in eng.read_asof("log", t_mid).collect()
+    )
+    now_before = sorted(r.content for r in eng.read("log").collect())
+
+    collapsed = eng.compact_changelog("log", cut)
+    assert collapsed == 2  # the first add batch + the delete batch
+
+    # asof at/after the cut is unchanged bit-for-bit
+    asof_mid_after = sorted(
+        (r.id, r.content, r.embedding is not None) for r in eng.read_asof("log", t_mid).collect()
+    )
+    assert asof_mid_after == asof_mid_before
+    assert sorted(r.content for r in eng.read("log").collect()) == now_before
+    # the pre-cut delete stays deleted in every reconstruction
+    assert all("second doc" != c for _, c, _ in asof_mid_after)
+
+    # asof below the epoch fails loudly instead of answering epoch state
+    with _pytest.raises(EngineError, match="time_travel_unavailable"):
+        eng.read_asof("log", t_precut)
+
+    # the log is bounded: one epoch write (≤8 files) replaced 3 batches
+    n_files_after = sum(1 for p in root.iterdir()
+                        if p.name.endswith(".parquet") and not p.name.startswith("."))
+    assert n_files_after <= n_files_before
+    hist_after = [(r.seq, r.op, r.n_rows) for r in eng.collection_history("log").collect()]
+    assert len(hist_after) < len(hist_before)
+    # the epoch batch carries the max collapsed seq; kept batches follow
+    assert hist_after[0][1] == "upsert"
+    assert [h[0] for h in hist_after] == sorted(h[0] for h in hist_after)
+
+    # epoch never moves backward: an earlier cut is a no-op
+    assert eng.compact_changelog("log", t_precut) == 0
+    with _pytest.raises(EngineError, match="time_travel_unavailable"):
+        eng.read_asof("log", t_precut)
+
+    # seq high-water mark carried: the next mutation's seq strictly grows
+    eng.add_documents("log", ["fifth doc"])
+    hist_final = [r.seq for r in eng.collection_history("log").collect()]
+    assert hist_final[-1] > max(h[0] for h in hist_after)
+    # and time travel still reconstructs the post-compaction timeline
+    assert len(eng.read_asof("log", datetime.now(timezone.utc)).collect()) == 4
+
+
+def test_snapshot_alias_timetravel_composition(spark, tmp_path_factory):
+    """Composition invariants across the three r8/r9 surfaces:
+    (a) snapshotting an ALIAS freezes its current target (resolution
+        follows the alias, manifest records the target);
+    (b) the compaction epoch sidecar rides the snapshot — a restore of a
+        compacted collection declares pre-epoch history unavailable with
+        the same stable code instead of silently replaying epoch state;
+    (c) a restore never follows aliases for its target name (DDL rule) and
+        re-pointing the alias after the snapshot doesn't retarget the
+        frozen copy."""
+    import json
+    from datetime import datetime, timezone
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("compose_root")))
+    eng.create_collection("blue")
+    eng.add_documents("blue", ["blue doc"])
+    eng.create_collection("green")
+    eng.add_documents("green", ["green doc"])
+    eng.create_alias("prod", "blue")
+
+    # (a) snapshot through the alias → freezes blue; manifest says so
+    snap = eng.create_snapshot("prod")
+    manifest = json.loads((Path(snap) / "manifest.json").read_text())
+    assert manifest["scoped_name"] == "blue"
+    # re-point the alias — the frozen copy must NOT follow
+    eng.create_alias("prod", "green")
+    restored = eng.restore_snapshot(snap, "from_alias")
+    assert {r.content for r in eng.read("from_alias").collect()} == {"blue doc"}
+    assert restored == "from_alias"
+
+    # (b) compaction epoch survives snapshot → restore
+    t0 = datetime.now(timezone.utc)
+    cut = datetime.now(timezone.utc)
+    eng.add_documents("blue", ["post-cut doc"])
+    eng.compact_changelog("blue", cut)
+    snap2 = eng.create_snapshot("blue")
+    eng.restore_snapshot(snap2, "blue_copy")
+    with _pytest.raises(EngineError, match="time_travel_unavailable"):
+        eng.read_asof("blue_copy", t0)
+    # ... while post-epoch history replays fine on the restored copy
+    assert {r.content for r in eng.read_asof(
+        "blue_copy", datetime.now(timezone.utc)).collect()} == {"blue doc", "post-cut doc"}
+
+    # (c) compact_changelog through the alias hits the live target (green)
+    eng.add_documents("green", ["green two"])
+    assert eng.compact_changelog("prod", datetime.now(timezone.utc)) >= 1
+    with _pytest.raises(EngineError, match="time_travel_unavailable"):
+        eng.read_asof("green", t0)
+    # blue_copy's epoch is its own — untouched by the alias-routed compaction
+    assert eng.read_asof("blue_copy", cut) is not None

@@ -1393,3 +1393,28 @@ def test_sse_concurrent_mutations_no_lost_rows(sse_mcp_server):
     assert len(hist) == 4
     assert len({h["seq"] for h in hist}) == 4
     stream.close()
+
+
+def test_compact_changelog_action(veneer):
+    """compact_changelog over the veneer: ISO cut, stable errors, and the
+    collapsed count rides back."""
+    from datetime import datetime, timezone
+
+    veneer.vector_collection_management(
+        "create_collection", collection_name="compact_kb",
+        document_contents=["one", "two"])
+    cut = datetime.now(timezone.utc).isoformat()
+    veneer.vector_collection_management(
+        "add_documents", collection_name="compact_kb", document_contents=["three"])
+    out = veneer.vector_collection_management(
+        "compact_changelog", collection_name="compact_kb")
+    assert out == {"error": "before_ts_required"}
+    out = veneer.vector_collection_management(
+        "compact_changelog", collection_name="compact_kb", before_ts="not-a-ts")
+    assert out == {"error": "before_ts_invalid"}
+    out = veneer.vector_collection_management(
+        "compact_changelog", collection_name="compact_kb", before_ts=cut)
+    assert out == {"collection_name": "compact_kb", "batches_collapsed": 1}
+    hist = veneer.vector_collection_management(
+        "collection_history", collection_name="compact_kb")
+    assert len(hist["history"]) == 2  # epoch batch + the kept add

@@ -185,3 +185,38 @@ def test_semantic_dedup_keep_first_within_cluster(spark):
     df = spark.createDataFrame(rows, "id int, cluster int, embedding array<double>")
     got = {r.id: r.kept for r in semantic_dedup(df, tau=0.95, id_col="id").collect()}
     assert got == {1: True, 2: False, 3: True, 4: True, 5: True}
+
+
+def test_hnsw_recall_threshold(embs):
+    """The HNSW-style graph-ANN recall contract (the last reference index
+    family, epistemic_graph.py:5-9 / postgres.py:182-188). Measured on this
+    hash-random corpus (the worst case): 1.00 at sf0.001/0.01, 0.98 at
+    sf0.1 — gated at the IVF-np12 floor with margin."""
+    from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk, hnsw_build
+    from vector_mcp_spark.operators.similarity import ivf_build
+
+    queries = embs.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_self_join_topk(queries, embs, 5, id_col="vec_id").collect()
+    }
+    assigned, _ = ivf_build(embs, n_centroids=16, id_col="vec_id", max_iter=2)
+    edges, meta = hnsw_build(assigned, m=12, id_col="vec_id")
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_hnsw_topk(
+            queries, embs, edges, meta["entry"], k=5, ef=48, id_col="vec_id"
+        ).collect()
+    }
+    rec = len(exact & approx) / len(exact)
+    assert rec >= 0.85, f"HNSW(M=12, ef=48) recall@5 {rec} < 0.85"
+    # structural invariants: layered, symmetric, entry on the top layer
+    by_layer = {r.layer for r in edges.select("layer").distinct().collect()}
+    assert by_layer == {0, 1, 2}
+    e0 = {(r.src, r.dst) for r in edges.where(F.col("layer") == 0).collect()}
+    assert all((d, s) in e0 for s, d in e0), "layer-0 graph must be symmetric"
+    from vector_mcp_spark.operators.graph_ann import hnsw_levels
+
+    levels = hnsw_levels(embs.select(F.col("vec_id").alias("node")), id_col="node")
+    top = levels.agg(F.max("level")).first()[0]
+    assert meta["top_layer"] == top

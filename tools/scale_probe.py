@@ -94,6 +94,35 @@ def build_corpus(spark) -> str:
         for c in copies[1:]:
             big = big.unionByName(c)
         big.write.mode("overwrite").parquet(eout)
+    # events 10×: shift user/event ids so distinct-cardinality work scales
+    # with the data (timestamps untouched — window/session shapes persist)
+    evout = os.path.join(probe, "events.parquet")
+    if not os.path.exists(os.path.join(evout, "_SUCCESS")):
+        ev = load(spark, BASE_SF, "events")
+        n_u = ev.agg(F.max("user_id")).first()[0] + 1
+        n_e = ev.agg(F.max("event_id")).first()[0] + 1
+        big = None
+        for i in range(10):
+            c = ev.withColumn("user_id", F.col("user_id") + F.lit(i * n_u)).withColumn(
+                "event_id", F.col("event_id") + F.lit(i * n_e)
+            )
+            big = c if big is None else big.unionByName(c)
+        big.write.mode("overwrite").parquet(evout)
+    # lineitem 10×: shift BOTH order and part keys → 10 disjoint copies of
+    # the co-purchase graph (graph ops must scale with components, not
+    # collapse onto one densified copy)
+    liout = os.path.join(probe, "lineitem.parquet")
+    if not os.path.exists(os.path.join(liout, "_SUCCESS")):
+        li = load(spark, BASE_SF, "lineitem")
+        n_o = li.agg(F.max("l_orderkey")).first()[0] + 1
+        n_p = li.agg(F.max("l_partkey")).first()[0] + 1
+        big = None
+        for i in range(10):
+            c = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * n_o)).withColumn(
+                "l_partkey", F.col("l_partkey") + F.lit(i * n_p)
+            )
+            big = c if big is None else big.unionByName(c)
+        big.write.mode("overwrite").parquet(liout)
     return probe
 
 

@@ -1213,6 +1213,14 @@ class CollectionEngine:
             if Path(self._table_path(scoped)).exists():
                 raise EngineError("time_travel_unavailable")
             return self.spark.createDataFrame([], DOCUMENT_SCHEMA)
+        epoch = self._changelog_epoch(root)
+        if epoch is not None and asof < epoch:
+            # history below the compaction epoch was collapsed into one
+            # snapshot batch — reconstructing an earlier instant would
+            # silently return the epoch state, so fail loudly instead
+            raise EngineError(
+                "time_travel_unavailable", detail=f"compacted before {epoch.isoformat()}"
+            )
         from vector_mcp_spark.operators.cdc import snapshot_asof
 
         log = self.spark.read.schema(self._CHANGELOG_DDL).parquet(str(root))
@@ -1247,6 +1255,96 @@ class CollectionEngine:
             .select("seq", "op", "n_rows", "ts")
             .orderBy("seq")
         )
+
+    @staticmethod
+    def _changelog_epoch(root: Path) -> datetime | None:
+        """The compaction epoch: no as-of read below it is reconstructable."""
+        import json
+
+        marker = root / "_epoch.json"
+        if not marker.exists():
+            return None
+        try:
+            raw = json.loads(marker.read_text())["epoch_ts"]
+        except (OSError, ValueError, KeyError):
+            return None
+        return datetime.fromisoformat(raw)
+
+    @_serialized_mutation
+    def compact_changelog(self, name: str, before: datetime) -> int:
+        """Collapse every changelog batch older than ``before`` into one
+        snapshot epoch batch (Delta/Iceberg log-retention semantics: VACUUM
+        + checkpoint). Returns the number of batches collapsed.
+
+        After months of mutations the per-collection log is unbounded and
+        ``read_asof`` replays all of it; compaction bounds the file count
+        while keeping every asof ≥ ``before`` BIT-IDENTICAL: the epoch
+        batch is the reconstructed state at the cut (op=upsert rows carrying
+        the max collapsed (ts, seq), so the kept batches' (ts, seq) order —
+        strictly greater — is preserved), and asof < ``before`` raises
+        ``time_travel_unavailable`` via the ``_epoch.json`` sidecar instead
+        of silently answering with the epoch state. Runs under the
+        collection mutation lock; the swap is two directory renames."""
+        import json
+
+        scoped = self._require(name)
+        root = self._changelog_root(scoped)
+        if not self._changelog_has_batches(root):
+            return 0
+        prev_epoch = self._changelog_epoch(root)
+        if prev_epoch is not None and before <= prev_epoch:
+            # the epoch may never move backward: history below prev_epoch is
+            # already gone, and rewriting the sidecar earlier would claim
+            # reconstructability this log no longer has
+            return 0
+        log = self.spark.read.schema(self._CHANGELOG_DDL).parquet(str(root))
+        cut = F.lit(before)
+        stats = log.where(F.col("ts") < cut).agg(
+            F.countDistinct("seq").alias("n"),
+            F.max("ts").alias("max_ts"),
+            F.max("seq").alias("max_seq"),
+        ).first()
+        if not stats.n:
+            return 0
+        from vector_mcp_spark.operators.cdc import snapshot_asof
+
+        epoch_rows = snapshot_asof(
+            log.where(F.col("ts") < cut),
+            asof=before,
+            key_col="id",
+            ts_col="ts",
+            op_col="op",
+            tiebreak_col="seq",
+            payload_cols=["content", "metadata_json", "embedding", "op"],
+        ).select(
+            F.lit("upsert").alias("op"),
+            "id",
+            "content",
+            "metadata_json",
+            F.col("embedding").cast("array<float>").alias("embedding"),
+            F.lit(stats.max_ts).alias("ts"),
+            F.lit(stats.max_seq).cast("long").alias("seq"),
+        )
+        kept = log.where(F.col("ts") >= cut)
+        stage = root.with_name(root.name + f".compact-{uuid.uuid4().hex[:8]}")
+        epoch_rows.union(kept).coalesce(8).write.mode("overwrite").parquet(str(stage))
+        # carry the seq high-water mark: claims live in the log dir, and
+        # dropping them would let _next_seq re-issue an old seq
+        claims = [
+            int(p.name[5:13])
+            for p in root.iterdir()
+            if p.name.startswith(".seq-") and p.name.endswith(".claim")
+        ]
+        high = max([*claims, int(stats.max_seq)])
+        (stage / f".seq-{high:08d}.claim").touch()
+        (stage / "_epoch.json").write_text(
+            json.dumps({"epoch_ts": before.isoformat()}, sort_keys=True)
+        )
+        old = root.with_name(root.name + f".old-{uuid.uuid4().hex[:8]}")
+        root.rename(old)
+        stage.rename(root)
+        shutil.rmtree(old)
+        return int(stats.n)
 
     # -- snapshots (qdrant create_snapshot / recover_snapshot parity) --------
     #

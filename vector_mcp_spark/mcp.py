@@ -41,6 +41,7 @@ COLLECTION_ACTIONS = (
     "build_search_index",
     "index_status",
     "collection_history",
+    "compact_changelog",
     "count_documents",
     "set_payload",
     "delete_payload",
@@ -128,6 +129,7 @@ class McpVeneer:
         new_collection_name: str | None = None,
         document_paths: list[str] | None = None,
         include_configured_directory: bool = False,
+        before_ts: str | None = None,
     ) -> dict[str, Any]:
         resolved = resolve_action(action, COLLECTION_ACTIONS)
         if isinstance(resolved, dict):
@@ -251,6 +253,17 @@ class McpVeneer:
                     return {"error": "snapshot_input_required"}
                 self.engine.delete_snapshot(snapshot_id)
                 return {"deleted_snapshot": snapshot_id}
+            if resolved == "compact_changelog":
+                if not before_ts:
+                    return {"error": "before_ts_required"}
+                from datetime import datetime as _dt
+
+                try:
+                    cut = _dt.fromisoformat(before_ts)
+                except ValueError:
+                    return {"error": "before_ts_invalid"}
+                n = self.engine.compact_changelog(collection_name, cut)
+                return {"collection_name": collection_name, "batches_collapsed": n}
             if resolved == "collection_history":
                 batches = [
                     {"seq": r.seq, "op": r.op, "n_rows": r.n_rows,

@@ -169,7 +169,9 @@ _ROUND9_LEAD = [
 
 # (b) New round-9 operators are appended here as they land so they get a
 # driver row the round they ship (each displaces one _ROUND9_FILL slot).
-_PROMOTED_R9: list[str] = []
+_PROMOTED_R9: list[str] = [
+    "ann_hnsw_topk",
+]
 
 # (c) Stalest remaining greens (latest driver rows r5, alphabetical).
 # Entries displaced past slot 50 here head the ROUND-10 window.

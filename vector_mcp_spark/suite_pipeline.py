@@ -2394,3 +2394,167 @@ def q_corpus_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("_c") / F.sum("_s").cast("double"), 4).alias("chars_per_token"),
         )
     )
+
+
+# -- HNSW-style layered graph ANN ---------------------------------------------
+
+_HNSW_M = 12
+_HNSW_EF = 48
+_HNSW_K = 5
+_HNSW_NQ = 20
+
+
+def _hnsw_oracle() -> str:
+    """Full SQL replay of the layered graph-ANN index AND its beam search
+    (operators/graph_ann.py — the reference's HNSW family,
+    epistemic_graph.py:5-9 / postgres.py:182-188). Shares the ivf_16 k-means
+    CTEs for the cluster blocking, then: sha-drawn levels, two blocking
+    families → top-M, 2 NN-descent rounds, symmetrize, upper layers on
+    coarser blocks, and the FIXED 7-stage beam descent (1 hop at layer 2,
+    2 at layer 1, 4 at layer 0, ef=48) — every stage a bounded CTE."""
+    sim = _ivf_sim_sql
+
+    def top_m(name: str, cand: str) -> str:
+        return f""",
+{name}_s AS (
+  SELECT c.src, c.dst, {sim("a.v", "b.v")} AS sm
+  FROM {cand} c JOIN lv a ON a.vec_id = c.src JOIN lv b ON b.vec_id = c.dst
+),
+{name} AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sm DESC, dst ASC) AS rn
+    FROM {name}_s
+  ) WHERE rn <= {_HNSW_M}
+)"""
+
+    def sym(name: str, e: str) -> str:
+        return f""",
+{name} AS MATERIALIZED (SELECT src, dst FROM {e} UNION SELECT dst AS src, src AS dst FROM {e})"""
+
+    def nd_round(name: str, prev: str) -> str:
+        return f""",
+{name} AS (
+  SELECT src, dst FROM {prev}
+  UNION
+  SELECT dst AS src, src AS dst FROM {prev}
+  UNION
+  SELECT e1.src, e2.dst FROM {prev} e1 JOIN {prev} e2 ON e2.src = e1.dst AND e2.dst != e1.src
+)"""
+
+    def beam_stage(i: int, edge_cte: str) -> str:
+        return f""",
+bc{i} AS (
+  SELECT query_id, node FROM b{i - 1}
+  UNION
+  SELECT b.query_id, e.dst AS node FROM b{i - 1} b JOIN {edge_cte} e ON e.src = b.node
+),
+b{i} AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT c.query_id, c.node,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY {sim("q.qv", "n.v")} DESC, c.node ASC) AS rn
+    FROM bc{i} c JOIN q ON q.query_id = c.query_id JOIN lv n ON n.vec_id = c.node
+  ) WHERE rn <= {_HNSW_EF}
+)"""
+
+    parts = [_kmeans_replay_ctes()]
+    parts.append(""",
+lv0 AS (
+  SELECT vec_id, v, cluster,
+         CAST('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 61, 4) AS INTEGER) AS hx
+  FROM a3
+),
+lv AS MATERIALIZED (
+  SELECT vec_id, v, cluster, hx,
+         CASE WHEN hx % 64 = 0 THEN 2 WHEN hx % 8 = 0 THEN 1 ELSE 0 END AS level
+  FROM lv0
+),
+cand0 AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM lv a JOIN lv b ON b.cluster = a.cluster AND b.vec_id != a.vec_id
+  UNION
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM lv a JOIN lv b ON b.hx % 16 = a.hx % 16 AND b.vec_id != a.vec_id
+)""")
+    parts.append(top_m("e0a", "cand0"))
+    parts.append(nd_round("cnd1", "e0a"))
+    parts.append(top_m("e0b", "cnd1"))
+    parts.append(nd_round("cnd2", "e0b"))
+    parts.append(top_m("e0c", "cnd2"))
+    parts.append(sym("s0", "e0c"))
+    parts.append(""",
+cand1 AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM lv a JOIN lv b ON b.cluster % 4 = a.cluster % 4 AND b.vec_id != a.vec_id
+  WHERE a.level >= 1 AND b.level >= 1
+)""")
+    parts.append(top_m("e1", "cand1"))
+    parts.append(sym("s1", "e1"))
+    parts.append(""",
+cand2 AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM lv a JOIN lv b ON b.vec_id != a.vec_id
+  WHERE a.level >= 2 AND b.level >= 2
+)""")
+    parts.append(top_m("e2", "cand2"))
+    parts.append(sym("s2", "e2"))
+    parts.append(f""",
+entry AS (SELECT min(vec_id) AS node FROM lv WHERE level = (SELECT max(level) FROM lv)),
+q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM lv WHERE vec_id < {_HNSW_NQ}),
+b0 AS (SELECT query_id, node FROM q, entry)""")
+    stage_layers = ["s2"] + ["s1"] * 2 + ["s0"] * 4
+    for i, edge_cte in enumerate(stage_layers, start=1):
+        parts.append(beam_stage(i, edge_cte))
+    n_final = len(stage_layers)
+    parts.append(f"""
+SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, ROUND(sm, 6) AS score FROM (
+  SELECT b.query_id, b.node AS neighbor_id, {sim("q.qv", "n.v")} AS sm,
+         row_number() OVER (PARTITION BY b.query_id
+                            ORDER BY {sim("q.qv", "n.v")} DESC, b.node ASC) AS rn
+  FROM b{n_final} b JOIN q ON q.query_id = b.query_id JOIN lv n ON n.vec_id = b.node
+  WHERE b.node != b.query_id
+) WHERE rn <= {_HNSW_K}
+""")
+    return "".join(parts)
+
+
+@register("ann_hnsw_topk", _hnsw_oracle(), "similarity", "pipeline")
+def q_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW-style graph ANN over the shared ivf_16 coarse quantizer: the
+    layered neighbor graph is built once (cached like the IVF/PQ indexes),
+    queries descend it with a fixed beam schedule. Recall@5 vs the exact
+    scorer is gated ≥ 0.85 in tools/recall_report.py / test_similarity."""
+    import json
+    import os
+
+    from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk, hnsw_build
+    from vector_mcp_spark.operators.similarity import ivf_build
+
+    embs = load(spark, sf_dir, "embeddings")
+    ivf_cache = _index_cache(sf_dir, "ivf_16")
+    cent_path = os.path.join(ivf_cache, "centroids.json")
+    assigned_path = os.path.join(ivf_cache, "assigned")
+    if not (os.path.exists(cent_path) and os.path.exists(os.path.join(assigned_path, "_SUCCESS"))):
+        assigned, centroids = ivf_build(embs, n_centroids=16, id_col="vec_id", max_iter=2)
+        assigned.write.mode("overwrite").parquet(assigned_path)
+        os.makedirs(ivf_cache, exist_ok=True)
+        with open(cent_path, "w") as f:
+            json.dump(centroids, f)
+    assigned = spark.read.parquet(assigned_path)
+
+    cache = _index_cache(sf_dir, f"hnsw_m{_HNSW_M}")
+    edges_path = os.path.join(cache, "edges")
+    meta_path = os.path.join(cache, "meta.json")
+    if not (os.path.exists(meta_path) and os.path.exists(os.path.join(edges_path, "_SUCCESS"))):
+        edges, meta = hnsw_build(assigned, m=_HNSW_M, id_col="vec_id")
+        edges.write.mode("overwrite").parquet(edges_path)
+        os.makedirs(cache, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    edges = spark.read.parquet(edges_path)
+    queries = embs.where(F.col("vec_id") < _HNSW_NQ)
+    return ann_hnsw_topk(
+        queries, embs, edges, meta["entry"], k=_HNSW_K, ef=_HNSW_EF, id_col="vec_id"
+    )
