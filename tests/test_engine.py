@@ -1214,3 +1214,123 @@ def test_snapshot_alias_timetravel_composition(spark, tmp_path_factory):
         eng.read_asof("green", t0)
     # blue_copy's epoch is its own — untouched by the alias-routed compaction
     assert eng.read_asof("blue_copy", cut) is not None
+
+
+def test_snapshot_copy_survives_shutil_error_and_hides_torn_attempts(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Review r9: copytree aggregates per-file failures into shutil.Error
+    (not FileNotFoundError) — the retry must catch it; and a conflicted
+    attempt must never be listable (manifest written only after a quiet
+    copy)."""
+    import shutil as _sh
+
+    import pytest as _pytest
+
+    from vector_mcp_spark import engine as engine_mod
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("snap_sherr")))
+    eng.create_collection("src")
+    eng.add_documents("src", ["doc a"])
+
+    real_copytree = engine_mod.shutil.copytree
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise _sh.Error([("x", "y", "file changed during copy")])
+        return real_copytree(*a, **kw)
+
+    monkeypatch.setattr(engine_mod.shutil, "copytree", flaky)
+    snap = eng.create_snapshot("src")
+    assert calls["n"] >= 2
+    eng.restore_snapshot(snap, "ok2")
+    assert eng.count_documents("ok2") == 1
+    monkeypatch.setattr(engine_mod.shutil, "copytree", real_copytree)
+
+    # conflict path: dest dir is fully removed, so nothing half-written is
+    # ever listable or restorable
+    def always(*a, **kw):
+        raise _sh.Error([("x", "y", "churn")])
+
+    monkeypatch.setattr(engine_mod.shutil, "copytree", always)
+    before = set(eng.list_snapshots())
+    with _pytest.raises(EngineError, match="snapshot_conflict"):
+        eng.create_snapshot("src")
+    assert set(eng.list_snapshots()) == before
+    snaps_root = eng._snapshots_root()
+    assert {p.name for p in snaps_root.iterdir()} == before  # no torn dirs at all
+
+
+def test_compact_changelog_naive_datetimes_and_corrupt_epoch(spark, tmp_path_factory):
+    """Review r9: naive datetimes normalize to UTC (no TypeError on the
+    aware-epoch comparison) and a corrupt epoch sidecar fails CLOSED."""
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("compact_tz")))
+    eng.create_collection("log")
+    eng.add_documents("log", ["one"])
+    aware_cut = datetime.now(timezone.utc)
+    eng.add_documents("log", ["two"])
+    assert eng.compact_changelog("log", aware_cut) == 1
+    # naive values on BOTH apis compare fine against the aware epoch
+    naive_now = datetime.now(timezone.utc).replace(tzinfo=None)
+    assert eng.compact_changelog("log", naive_now) == 2  # epoch batch + add
+    assert len(eng.read_asof("log", naive_now).collect()) == 2
+
+    # corrupt sidecar → stable fail-closed code, not a silent epoch answer
+    root = eng._changelog_root(eng._scoped("log"))
+    (root / "_epoch.json").write_text("{truncated")
+    with _pytest.raises(EngineError, match="changelog_epoch_corrupt"):
+        eng.read_asof("log", datetime.now(timezone.utc))
+    with _pytest.raises(EngineError, match="changelog_epoch_corrupt"):
+        eng.compact_changelog("log", datetime.now(timezone.utc))
+
+
+def test_compact_changelog_carries_concurrent_foreign_batch(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Review r9: a cross-process batch landing between the compaction's
+    log read and the directory swap must survive (carried into the new
+    root), not vanish with the old dir."""
+    from datetime import datetime, timezone
+    from pathlib import Path
+
+    from vector_mcp_spark.engine import CollectionEngine
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("compact_race")))
+    eng.create_collection("log")
+    eng.add_documents("log", ["one"])
+    cut = datetime.now(timezone.utc)
+    eng.add_documents("log", ["two"])
+    root = eng._changelog_root(eng._scoped("log"))
+
+    # emulate the foreign writer: just before the root→old rename, drop a
+    # fully-formed batch (the shape the driver-side writer produces) + its
+    # seq claim into the live root
+    real_rename = Path.rename
+    state = {"fired": False}
+
+    def racy_rename(self, target):
+        if not state["fired"] and self == root:
+            state["fired"] = True
+            eng2 = CollectionEngine(spark, str(eng.root))
+            eng2._log_mutation_rows(eng._scoped("log"), "upsert",
+                               [("foreign-id", "foreign doc", None, None)])
+        return real_rename(self, target)
+
+    monkeypatch.setattr(Path, "rename", racy_rename)
+    collapsed = eng.compact_changelog("log", cut)
+    monkeypatch.setattr(Path, "rename", real_rename)
+    assert collapsed == 1 and state["fired"]
+    # the foreign batch survived the swap and is visible in history
+    ops = [(r.op, r.n_rows) for r in eng.collection_history("log").collect()]
+    assert ("upsert", 1) in ops
+    rows = {r.id for r in eng.read_asof("log", datetime.now(timezone.utc)).collect()}
+    assert "foreign-id" in rows

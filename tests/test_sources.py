@@ -601,3 +601,29 @@ def test_directory_ingestion_per_file_confinement(spark, tmp_path_factory, monke
 
     # the clean tree still ingests end-to-end through the vetted list
     assert eng.ingest_paths("c", include_configured_directory=True) == 2
+
+
+def test_ingest_caps_apply_to_combined_channels(spark, tmp_path_factory, monkeypatch):
+    """Review r9: rel_paths and include_configured_directory were capped
+    separately — the UNION must honor the same file-count bound."""
+    import pytest as _pytest
+
+    from vector_mcp_spark import engine as engine_mod
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+    from vector_mcp_spark.sources import readers
+
+    root = tmp_path_factory.mktemp("cap_root")
+    for i in range(4):
+        (root / f"f{i}.txt").write_text(f"file {i}")
+    monkeypatch.setenv(CollectionEngine.DOCUMENT_ROOT_ENV, str(root))
+    monkeypatch.setattr(readers, "MAX_DOCUMENT_FILES", 4)
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("cap_wh")))
+    eng.create_collection("c")
+    # each channel alone is exactly at the cap...
+    (root / "extra.txt").write_text("tips the union over")
+    with _pytest.raises(EngineError, match="document_paths_too_many"):
+        eng.ingest_paths(
+            "c",
+            rel_paths=[f"f{i}.txt" for i in range(4)],
+            include_configured_directory=True,
+        )

@@ -354,3 +354,55 @@ def test_cli_flags_parse_into_static_filter():
     assert f.allows("vector_search", ("search", "read"))
     assert f.allows("vector_backend_operations", ("backend", "read"))
     assert not f.allows("vector_collection_management", ("collections", "write"))
+
+
+def test_unknown_name_under_deny_filter_does_not_leak_hidden_tools(gate_agent):
+    """Review r9: an UNKNOWN tool name trivially passes a deny-only filter;
+    it must still take the visible-surface error path — falling through to
+    dispatch would list every tool (and suggest the hidden one)."""
+    from vector_mcp_spark import mcp_stdio as t
+
+    f = ToolFilter(disabled_tools=frozenset({"vector_search"}))
+    resp = t.handle_message(gate_agent, _rpc(
+        "tools/call", 1, name="vector_searc",  # typo of the HIDDEN tool
+        arguments={"action": "semantic_search"}), f)
+    out = json.loads(resp["result"]["content"][0]["text"])
+    assert out["error"] == "tool_invalid"
+    assert "vector_search" not in out["allowed"]
+    assert "vector_search" not in out["did_you_mean"]
+
+
+def test_repeated_deny_headers_all_apply(gated_http_server):
+    """Review r9: HTTP permits repeated headers (≡ comma-joined list);
+    dropping all but one would silently WIDEN a deny-list."""
+    import http.client
+    from urllib.parse import urlparse
+
+    u = urlparse(gated_http_server)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=10)
+    body = json.dumps(_rpc("tools/list", 1)).encode()
+    conn.putrequest("POST", u.path)
+    conn.putheader("Content-Type", "application/json")
+    conn.putheader("Content-Length", str(len(body)))
+    conn.putheader("x-mcp-disabled-tools", "vector_search")
+    conn.putheader("x-mcp-disabled-tools", "vector_collection_management")
+    conn.endheaders()
+    conn.send(body)
+    resp = json.loads(conn.getresponse().read())
+    conn.close()
+    # static filter already hides backend ops; BOTH repeated denies apply
+    assert [t["name"] for t in resp["result"]["tools"]] == []
+
+
+def test_joined_headers_unit():
+    from email.message import Message
+
+    from vector_mcp_spark.toolgate import joined_headers
+
+    m = Message()
+    m.add_header("X-MCP-Disabled-Tools", "a")
+    m.add_header("X-MCP-Disabled-Tools", "b")
+    m.add_header("Other", "z")
+    j = joined_headers(m)
+    assert sorted(j) == ["Other", "X-MCP-Disabled-Tools"]
+    assert set(x.strip() for x in j["X-MCP-Disabled-Tools"].split(",")) == {"a", "b"}

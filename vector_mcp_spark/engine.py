@@ -1208,6 +1208,7 @@ class CollectionEngine:
         Raises ``time_travel_unavailable`` when the collection predates its
         changelog (a non-empty table with no log can't be reconstructed)."""
         scoped = self._require(name)
+        asof = self._as_utc(asof)
         root = self._changelog_root(scoped)
         if not self._changelog_has_batches(root):
             if Path(self._table_path(scoped)).exists():
@@ -1257,8 +1258,18 @@ class CollectionEngine:
         )
 
     @staticmethod
-    def _changelog_epoch(root: Path) -> datetime | None:
-        """The compaction epoch: no as-of read below it is reconstructable."""
+    def _as_utc(dt: datetime) -> datetime:
+        """Normalize naive datetimes to UTC-aware: the engine runs UTC
+        sessions, and mixing naive/aware values in `<` raises TypeError —
+        a raw INTERNAL_ERROR on the wire instead of a stable code."""
+        return dt.replace(tzinfo=timezone.utc) if dt.tzinfo is None else dt
+
+    @classmethod
+    def _changelog_epoch(cls, root: Path) -> datetime | None:
+        """The compaction epoch: no as-of read below it is reconstructable.
+        A corrupt sidecar fails CLOSED (stable error) — returning None here
+        would silently answer pre-epoch queries with the epoch state, the
+        exact wrong answer the sidecar exists to prevent."""
         import json
 
         marker = root / "_epoch.json"
@@ -1266,9 +1277,9 @@ class CollectionEngine:
             return None
         try:
             raw = json.loads(marker.read_text())["epoch_ts"]
-        except (OSError, ValueError, KeyError):
-            return None
-        return datetime.fromisoformat(raw)
+            return cls._as_utc(datetime.fromisoformat(raw))
+        except (OSError, ValueError, KeyError, TypeError):
+            raise EngineError("changelog_epoch_corrupt", detail=str(marker)) from None
 
     @_serialized_mutation
     def compact_changelog(self, name: str, before: datetime) -> int:
@@ -1288,6 +1299,7 @@ class CollectionEngine:
         import json
 
         scoped = self._require(name)
+        before = self._as_utc(before)
         root = self._changelog_root(scoped)
         if not self._changelog_has_batches(root):
             return 0
@@ -1297,6 +1309,7 @@ class CollectionEngine:
             # already gone, and rewriting the sidecar earlier would claim
             # reconstructability this log no longer has
             return 0
+        seen = {p.name for p in root.iterdir()}  # the files this rewrite covers
         log = self.spark.read.schema(self._CHANGELOG_DDL).parquet(str(root))
         cut = F.lit(before)
         stats = log.where(F.col("ts") < cut).agg(
@@ -1343,6 +1356,16 @@ class CollectionEngine:
         old = root.with_name(root.name + f".old-{uuid.uuid4().hex[:8]}")
         root.rename(old)
         stage.rename(root)
+        # a cross-process writer (supported via O_EXCL seq claims) may have
+        # appended a batch between our log read and the rename; its files
+        # sit in `old` and are NOT in the rewritten log — carry every file
+        # this rewrite did not cover into the new root before deleting, so
+        # no concurrent mutation is ever silently dropped
+        for p in old.iterdir():
+            if p.name in seen:
+                continue
+            if p.name.endswith(".parquet") or p.name.endswith(".claim"):
+                p.rename(root / p.name)
         shutil.rmtree(old)
         return int(stats.n)
 
@@ -1399,31 +1422,37 @@ class CollectionEngine:
                     r[0] == scoped and bool(r[4]) for r in self._catalog_rows()
                 ),
             }
-            (dest / "manifest.json").write_text(json.dumps(manifest, sort_keys=True))
             table = Path(self._table_path(scoped))
             log = self._changelog_root(scoped)
             # the in-process mutation lock excludes this process's writers;
             # a mutator in ANOTHER process (cross-process writes are
             # supported via O_EXCL seq claims + stage dirs) can still
             # rewrite partition dirs mid-copy. Fingerprint before/after and
-            # retry on any change or on a file vanishing mid-walk, so the
-            # snapshot is never a torn table/changelog pair (ADVICE r8).
-            for _ in range(5):
-                before = self._mutation_fingerprint(scoped)
-                try:
-                    for sub in ("table", "changelog"):
-                        shutil.rmtree(dest / sub, ignore_errors=True)
-                    if table.exists():
-                        shutil.copytree(table, dest / "table")
-                    if log.exists():
-                        shutil.copytree(log, dest / "changelog")
-                except FileNotFoundError:
-                    continue  # source file vanished mid-copy — recopy
-                if self._mutation_fingerprint(scoped) == before:
-                    break
-            else:
+            # retry on any change or on a file vanishing mid-walk — and
+            # write the manifest only AFTER a quiet copy, so a torn or
+            # crashed attempt is never listable/restorable (list_snapshots
+            # and restore require manifest.json). copytree aggregates
+            # per-file failures into shutil.Error, so catch that too.
+            try:
+                for _ in range(5):
+                    before = self._mutation_fingerprint(scoped)
+                    try:
+                        for sub in ("table", "changelog"):
+                            shutil.rmtree(dest / sub, ignore_errors=True)
+                        if table.exists():
+                            shutil.copytree(table, dest / "table")
+                        if log.exists():
+                            shutil.copytree(log, dest / "changelog")
+                    except (FileNotFoundError, shutil.Error):
+                        continue  # source files vanished mid-copy — recopy
+                    if self._mutation_fingerprint(scoped) == before:
+                        break
+                else:
+                    raise EngineError("snapshot_conflict", detail=name)
+            except BaseException:
                 shutil.rmtree(dest, ignore_errors=True)
-                raise EngineError("snapshot_conflict", detail=name)
+                raise
+            (dest / "manifest.json").write_text(json.dumps(manifest, sort_keys=True))
         return str(dest)
 
     def restore_snapshot(self, snapshot_path: str, new_name: str) -> str:
@@ -1586,6 +1615,15 @@ class CollectionEngine:
             targets = sorted({*targets, *enumerate_document_root(root)})
         if not targets:
             return 0
+        # the two channels were capped separately — re-check the UNION so a
+        # call combining rel_paths with the whole root can't ingest double
+        # the documented file/byte bounds
+        from vector_mcp_spark.sources.readers import MAX_DOCUMENT_FILES, MAX_TOTAL_BYTES
+
+        if len(targets) > MAX_DOCUMENT_FILES:
+            raise EngineError("document_paths_too_many")
+        if sum(Path(t).stat().st_size for t in targets) > MAX_TOTAL_BYTES:
+            raise EngineError("document_paths_too_large")
         docs = read_documents(self.spark, targets)
         known = TEXT_EXTENSIONS | RICH_EXTENSIONS
         ext = F.lower(F.regexp_extract(F.col("path"), r"(\.[A-Za-z0-9]+)$", 1))

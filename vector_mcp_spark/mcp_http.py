@@ -29,7 +29,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from vector_mcp_spark.mcp_stdio import PARSE_ERROR, _error, handle_message
-from vector_mcp_spark.toolgate import ToolFilter
+from vector_mcp_spark.toolgate import ToolFilter, joined_headers
 
 MAX_BODY_BYTES = 8 * 1024 * 1024  # one MCP message, not a bulk-data channel
 
@@ -81,7 +81,7 @@ def _make_handler(agent, path: str, tool_filter: ToolFilter | None = None):
             # x-mcp-*-tools/tags headers and ?tools=/&tags= query params
             # NARROW the deployment's static filter for THIS request only
             req_filter = static_filter.narrowed(
-                ToolFilter.from_request(dict(self.headers), parse_qs(url.query))
+                ToolFilter.from_request(joined_headers(self.headers), parse_qs(url.query))
             )
             try:
                 msg = json.loads(raw)

@@ -35,7 +35,7 @@ from urllib.parse import parse_qs, urlparse
 
 from vector_mcp_spark.mcp_http import MAX_BODY_BYTES
 from vector_mcp_spark.mcp_stdio import INTERNAL_ERROR, PARSE_ERROR, _error, handle_message
-from vector_mcp_spark.toolgate import ToolFilter
+from vector_mcp_spark.toolgate import ToolFilter, joined_headers
 
 KEEPALIVE_S = 15.0
 
@@ -79,7 +79,7 @@ def _make_handler(agent, sse_path: str, msg_path: str, keepalive_s: float,
             sid = uuid.uuid4().hex
             q: queue.Queue = queue.Queue()
             session_filter = static_filter.narrowed(
-                ToolFilter.from_request(dict(self.headers), parse_qs(url.query))
+                ToolFilter.from_request(joined_headers(self.headers), parse_qs(url.query))
             )
             sessions[sid] = (q, session_filter)
             # an event stream has no Content-Length; close delimits it
@@ -132,7 +132,7 @@ def _make_handler(agent, sse_path: str, msg_path: str, keepalive_s: float,
             # a POST may narrow its session's filter further for this one
             # message (per-request headers/query), never widen it
             req_filter = session_filter.narrowed(
-                ToolFilter.from_request(dict(self.headers), post_query)
+                ToolFilter.from_request(joined_headers(self.headers), post_query)
             )
             try:
                 msg = json.loads(raw)

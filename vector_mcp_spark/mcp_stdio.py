@@ -144,14 +144,18 @@ def _dispatch_method(agent, method: str, msg: dict, msg_id: Any, tool_filter=Non
             from vector_mcp_spark.toolgate import tool_tags
 
             tags = tool_tags()
-            if not tool_filter.allows(name, tags.get(name, ())):
+            visible = [t for t in tags if tool_filter.allows(t, tags[t])]
+            # gate on "is a VISIBLE tool", not "passes the filter": an
+            # UNKNOWN name trivially passes a deny-only filter, and letting
+            # it fall through to dispatch would return allowed/did-you-mean
+            # over the FULL surface — leaking the hidden tools
+            if name not in visible:
                 # a filtered tool is indistinguishable from an unknown one:
                 # same tool_invalid error shape, with allowed/did-you-mean
                 # drawn from the VISIBLE surface only (no leak of hidden
                 # tools through suggestions)
                 import difflib
 
-                visible = [t for t in tags if tool_filter.allows(t, tags[t])]
                 out = {
                     "error": "tool_invalid",
                     "allowed": visible,

@@ -175,3 +175,12 @@ def tool_tags() -> dict[str, tuple[str, ...]]:
     from vector_mcp_spark.agent_card import SKILL_CATALOG
 
     return {s["tool"]: tuple(s.get("tags", ())) for s in SKILL_CATALOG}
+
+
+def joined_headers(message) -> dict[str, str]:
+    """HTTP message headers → {name: comma-joined values}. Repeated headers
+    are legal and semantically equal to the comma-joined list; ``dict()``
+    on an ``http.client`` message keeps only one occurrence — silently
+    WIDENING a repeated deny-list header. ``_parse_csv`` splits the joined
+    form back out."""
+    return {k: ", ".join(message.get_all(k) or []) for k in set(message.keys())}
