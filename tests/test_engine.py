@@ -1334,3 +1334,43 @@ def test_compact_changelog_carries_concurrent_foreign_batch(
     assert ("upsert", 1) in ops
     rows = {r.id for r in eng.read_asof("log", datetime.now(timezone.utc)).collect()}
     assert "foreign-id" in rows
+
+
+def test_indexed_graph_search(spark, tmp_path_factory):
+    """The third engine-side index family (HNSW-style layered graph — the
+    pgvector `USING hnsw` analogue): build persists the edge table + entry,
+    queries beam-descend it, staleness refuses, and on a beam that covers
+    the whole small collection the results equal the exact scorer's."""
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+    from vector_mcp_spark.functions.embedder import hash_embed
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("graph_idx")))
+    eng.create_collection("kb")
+    docs = [f"document number {i} about topic {i % 5}" for i in range(40)]
+    eng.add_documents("kb", docs)
+    qvec = hash_embed("document number 7 about topic 2", 64)
+
+    with _pytest.raises(EngineError, match="index_not_fresh"):
+        eng.indexed_graph_search("kb", qvec, k=3)
+    eng.build_search_index("kb")
+    assert eng.index_status("kb") == "fresh"
+
+    got = eng.indexed_graph_search("kb", qvec, k=3).collect()
+    assert len(got) == 3
+    assert got[0].score >= got[1].score >= got[2].score
+    # beam covers all 40 docs → agrees with the exact sign-bit+rerank path
+    exact = eng.indexed_semantic_search("kb", qvec, k=3, shortlist=40).collect()
+    assert [r.id for r in got] == [r.id for r in exact]
+
+    # a mutation stales the graph index too
+    eng.add_documents("kb", ["fresh doc invalidates the index"])
+    with _pytest.raises(EngineError, match="index_not_fresh"):
+        eng.indexed_graph_search("kb", qvec, k=3)
+
+    # sub-2-vector collections have no graph: empty result, stable schema
+    eng.create_collection("tiny")
+    eng.add_documents("tiny", ["only one"])
+    eng.build_search_index("tiny")
+    assert eng.indexed_graph_search("tiny", qvec, k=3).collect() == []

@@ -753,10 +753,30 @@ class CollectionEngine:
         # re-read without a schema
         n_terms = postings.select("term").distinct().count()
         n_vectors = signs.count()
+        # third index family: the HNSW-style layered graph (the engine-side
+        # analogue of pgvector `USING hnsw`, postgres.py:182-188) — built
+        # over the same ivf coarse quantizer the graph operator uses, and
+        # served by indexed_graph_search below
+        graph_meta: dict = {"entry": None, "top_layer": 0}
+        if n_vectors >= 2:
+            from vector_mcp_spark.operators.graph_ann import hnsw_build
+            from vector_mcp_spark.operators.similarity import ivf_build
+
+            vecs = df.where(F.col("embedding").isNotNull()).select("id", "embedding")
+            assigned, _cents = ivf_build(
+                vecs, n_centroids=min(16, n_vectors), id_col="id", max_iter=2
+            )
+            edges, graph_meta = hnsw_build(assigned, id_col="id")
+            edges.write.mode("overwrite").parquet(str(root / "graph"))
         fp = self._table_fingerprint(scoped)
         (root / "manifest.json").write_text(
             __import__("json").dumps(
-                {"fingerprint": fp, "n_terms": n_terms, "n_vectors": n_vectors}
+                {
+                    "fingerprint": fp,
+                    "n_terms": n_terms,
+                    "n_vectors": n_vectors,
+                    "graph": graph_meta,
+                }
             )
         )
         return {"n_terms": n_terms, "n_vectors": n_vectors, "fingerprint": fp}
@@ -826,6 +846,46 @@ class CollectionEngine:
             .select("id", "content", F.round(sim, 6).alias("score"))
             .orderBy(F.col("score").desc(), F.col("id").asc())
             .limit(k)
+        )
+
+    def indexed_graph_search(
+        self, name: str, question_vec, k: int = 5, ef: int = 48
+    ) -> DataFrame:
+        """Serve a vector query from the layered HNSW-style graph index
+        (operators/graph_ann.py): beam-descend the persisted edge table
+        from the index's entry point, exact-cosine re-rank the final beam.
+        Refuses when the index is absent or stale — same contract as the
+        postings and sign-bit families. Collections with < 2 vectors have
+        no graph; the query answers empty (nothing to traverse)."""
+        import json
+
+        from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk
+
+        scoped = self._require(name)
+        if self.index_status(name) != "fresh":
+            raise EngineError("index_not_fresh")
+        manifest = json.loads((self._index_root(scoped) / "manifest.json").read_text())
+        meta = manifest.get("graph") or {}
+        df = self.read(name)
+        if self.needs_embed(name):
+            from vector_mcp_spark.functions.embedder import embed_documents
+
+            df = embed_documents(df, text_col="content", out_col="embedding")
+        if meta.get("entry") is None:
+            return self.spark.createDataFrame([], "id string, content string, score double")
+        edges = self.spark.read.parquet(str(self._index_root(scoped) / "graph"))
+        corpus = df.where(F.col("embedding").isNotNull()).select("id", "embedding")
+        query = self.spark.createDataFrame(
+            [("__q__", [float(x) for x in question_vec])],
+            "id string, embedding array<float>",
+        )
+        hits = ann_hnsw_topk(
+            query, corpus, edges, meta["entry"], k=k, ef=ef, id_col="id"
+        ).select(F.col("neighbor_id").alias("id"), "score")
+        return (
+            df.join(F.broadcast(hits), "id")
+            .select("id", "content", "score")
+            .orderBy(F.col("score").desc(), F.col("id").asc())
         )
 
     def profile_collection(self, name: str) -> DataFrame:
