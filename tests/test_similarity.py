@@ -220,3 +220,26 @@ def test_hnsw_recall_threshold(embs):
     levels = hnsw_levels(embs.select(F.col("vec_id").alias("node")), id_col="node")
     top = levels.agg(F.max("level")).first()[0]
     assert meta["top_layer"] == top
+
+
+def test_training_triplets_label_contract(embs):
+    """Triplets pair each anchor with its best SAME-label neighbor and best
+    DIFFERENT-label neighbor — and the negative is exactly the k=1 hard
+    negative (mined in one scan, same scores)."""
+    from vector_mcp_spark.operators.similarity import (
+        hard_negative_mine,
+        training_triplets,
+    )
+
+    anchors = embs.where(F.col("vec_id") < 10)
+    got = training_triplets(anchors, embs, id_col="vec_id").collect()
+    assert {r.anchor_id for r in got} == set(range(10))
+    labels = {r.vec_id: r.label for r in embs.collect()}
+    for r in got:
+        assert labels[r.positive_id] == labels[r.anchor_id]
+        assert labels[r.negative_id] != labels[r.anchor_id]
+        assert r.positive_id != r.anchor_id
+    hn = {r.anchor_id: (r.negative_id, r.score)
+          for r in hard_negative_mine(anchors, embs, 1, id_col="vec_id").collect()}
+    for r in got:
+        assert hn[r.anchor_id] == (r.negative_id, r.neg_score)

@@ -130,6 +130,65 @@ def hard_negative_mine(
     )
 
 
+def training_triplets(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive training triplets: for each anchor, its nearest
+    SAME-label neighbor (the positive) and its nearest DIFFERENT-label
+    neighbor (the hard negative) — the (q, d+, d−) rows a bi-encoder
+    trains on (the sampling recipe behind DPR/sentence-transformers; the
+    hard negative is hard_negative_mine's k=1 case, mined in the same scan).
+
+    Returns (anchor_id, positive_id, pos_score, negative_id, neg_score);
+    anchors lacking a same-label peer drop out (no positive to pair).
+    One broadcast of the anchors over one corpus scan, map-side cosine,
+    two conditional per-anchor ranks — no pairwise stage beyond the
+    bounded |anchors| × corpus scoring every retriever-training run needs.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(emb_col).alias("avec"),
+        F.col(label_col).alias("alabel"),
+        l2_norm(F.col(emb_col)).alias("anorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(emb_col).alias("cvec"),
+        F.col(label_col).alias("clabel"),
+        l2_norm(F.col(emb_col)).alias("cnorm"),
+    )
+    scored = (
+        c.join(F.broadcast(a))
+        .where(F.col("cand_id") != F.col("anchor_id"))
+        .withColumn(
+            "score",
+            F.try_divide(dot(F.col("cvec"), F.col("avec")), F.col("cnorm") * F.col("anorm")),
+        )
+        .withColumn("same", F.col("clabel") == F.col("alabel"))
+    )
+    w = Window.partitionBy("anchor_id", "same").orderBy(
+        F.col("score").desc(), F.col("cand_id").asc()
+    )
+    best = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    pos = best.where(F.col("same")).select(
+        "anchor_id",
+        F.col("cand_id").alias("positive_id"),
+        F.round("score", SCORE_DECIMALS).alias("pos_score"),
+    )
+    neg = best.where(~F.col("same")).select(
+        "anchor_id",
+        F.col("cand_id").alias("negative_id"),
+        F.round("score", SCORE_DECIMALS).alias("neg_score"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id", "positive_id", "pos_score", "negative_id", "neg_score"
+    )
+
+
 def _hyperplanes(
     dim: int, n_planes: int, n_tables: int, seed: str = "vector_mcp_spark"
 ) -> list[list[list[float]]]:

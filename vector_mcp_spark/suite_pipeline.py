@@ -2642,3 +2642,49 @@ def q_corpus_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("accuracy"),
     )
+
+
+# -- contrastive training triplets ---------------------------------------------
+
+_TRIPLET_SIM = (
+    "list_dot_product(c.embedding::DOUBLE[], a.av) / "
+    "(sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(a.av, a.av)))"
+)
+
+_TRIPLETS_ORACLE = f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av, label AS alabel
+  FROM embeddings WHERE vec_id < 20
+),
+s AS (
+  SELECT a.anchor_id, c.vec_id AS cand_id, c.label = a.alabel AS same,
+         {_TRIPLET_SIM} AS score
+  FROM embeddings c, a
+  WHERE c.vec_id != a.anchor_id
+),
+best AS (
+  SELECT anchor_id, cand_id, same, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id, same
+                                 ORDER BY score DESC, cand_id ASC) AS rn
+    FROM s
+  ) WHERE rn = 1
+)
+SELECT p.anchor_id, p.cand_id AS positive_id, ROUND(p.score, 6) AS pos_score,
+       n.cand_id AS negative_id, ROUND(n.score, 6) AS neg_score
+FROM best p JOIN best n ON n.anchor_id = p.anchor_id
+WHERE p.same AND NOT n.same
+"""
+
+
+@register("corpus_training_triplets", _TRIPLETS_ORACLE, "similarity", "pipeline")
+def q_corpus_training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, hard-negative) triplet mining for bi-encoder
+    training (operators/similarity.py training_triplets): one anchor
+    broadcast over one corpus scan, map-side cosine, two conditional
+    per-anchor ranks."""
+    from vector_mcp_spark.operators.similarity import training_triplets
+
+    embs = load(spark, sf_dir, "embeddings")
+    anchors = embs.where(F.col("vec_id") < 20)
+    return training_triplets(anchors, embs, id_col="vec_id")
