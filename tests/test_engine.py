@@ -1240,7 +1240,7 @@ def test_snapshot_copy_survives_shutil_error_and_hides_torn_attempts(
     def flaky(*a, **kw):
         calls["n"] += 1
         if calls["n"] == 1:
-            raise _sh.Error([("x", "y", "file changed during copy")])
+            raise _sh.Error([("x", "y", "[Errno 2] No such file or directory: 'x'")])
         return real_copytree(*a, **kw)
 
     monkeypatch.setattr(engine_mod.shutil, "copytree", flaky)
@@ -1250,10 +1250,10 @@ def test_snapshot_copy_survives_shutil_error_and_hides_torn_attempts(
     assert eng.count_documents("ok2") == 1
     monkeypatch.setattr(engine_mod.shutil, "copytree", real_copytree)
 
-    # conflict path: dest dir is fully removed, so nothing half-written is
-    # ever listable or restorable
+    # conflict path (persistent vanished-source churn): dest dir is fully
+    # removed, so nothing half-written is ever listable or restorable
     def always(*a, **kw):
-        raise _sh.Error([("x", "y", "churn")])
+        raise _sh.Error([("x", "y", "[Errno 2] No such file or directory: 'x'")])
 
     monkeypatch.setattr(engine_mod.shutil, "copytree", always)
     before = set(eng.list_snapshots())
@@ -1262,6 +1262,20 @@ def test_snapshot_copy_survives_shutil_error_and_hides_torn_attempts(
     assert set(eng.list_snapshots()) == before
     snaps_root = eng._snapshots_root()
     assert {p.name for p in snaps_root.iterdir()} == before  # no torn dirs at all
+
+    # a NON-transient per-file failure (permissions) is its own code,
+    # surfaced on the first attempt — not 5 retries + a misleading conflict
+    calls2 = {"n": 0}
+
+    def denied(*a, **kw):
+        calls2["n"] += 1
+        raise _sh.Error([("x", "y", "[Errno 13] Permission denied: 'x'")])
+
+    monkeypatch.setattr(engine_mod.shutil, "copytree", denied)
+    with _pytest.raises(EngineError, match="snapshot_copy_failed"):
+        eng.create_snapshot("src")
+    assert calls2["n"] == 1
+    assert set(eng.list_snapshots()) == before
 
 
 def test_compact_changelog_naive_datetimes_and_corrupt_epoch(spark, tmp_path_factory):

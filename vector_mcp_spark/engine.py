@@ -865,6 +865,10 @@ class CollectionEngine:
         if self.index_status(name) != "fresh":
             raise EngineError("index_not_fresh")
         manifest = json.loads((self._index_root(scoped) / "manifest.json").read_text())
+        if "graph" not in manifest:
+            # a pre-graph-family index is fingerprint-fresh but has no edge
+            # table — refuse (rebuild) rather than serve silently empty
+            raise EngineError("index_not_fresh", detail="graph family missing; rebuild")
         meta = manifest.get("graph") or {}
         df = self.read(name)
         if self.needs_embed(name):
@@ -880,7 +884,10 @@ class CollectionEngine:
             "id string, embedding array<float>",
         )
         hits = ann_hnsw_topk(
-            query, corpus, edges, meta["entry"], k=k, ef=ef, id_col="id"
+            query, corpus, edges, meta["entry"], k=k, ef=ef, id_col="id",
+            exclude_self=False,  # the query is not a corpus row; a document
+            # whose id happens to equal the synthetic query id must still
+            # be returnable
         ).select(F.col("neighbor_id").alias("id"), "score")
         return (
             df.join(F.broadcast(hits), "id")
@@ -1369,8 +1376,17 @@ class CollectionEngine:
             # already gone, and rewriting the sidecar earlier would claim
             # reconstructability this log no longer has
             return 0
-        seen = {p.name for p in root.iterdir()}  # the files this rewrite covers
-        log = self.spark.read.schema(self._CHANGELOG_DDL).parquet(str(root))
+        # list once, read exactly that list: 'covered by the rewrite' and
+        # 'read by Spark' must be the SAME set, or a batch landing between
+        # the listing and the scan would be both compacted AND carried over
+        # (duplicated) by the swap logic below
+        seen = {p.name for p in root.iterdir()}
+        batch_files = [
+            str(root / n)
+            for n in sorted(seen)
+            if n.endswith(".parquet") and not n.startswith((".", "_"))
+        ]
+        log = self.spark.read.schema(self._CHANGELOG_DDL).parquet(*batch_files)
         cut = F.lit(before)
         stats = log.where(F.col("ts") < cut).agg(
             F.countDistinct("seq").alias("n"),
@@ -1503,8 +1519,20 @@ class CollectionEngine:
                             shutil.copytree(table, dest / "table")
                         if log.exists():
                             shutil.copytree(log, dest / "changelog")
-                    except (FileNotFoundError, shutil.Error):
-                        continue  # source files vanished mid-copy — recopy
+                    except FileNotFoundError:
+                        continue  # source file vanished mid-copy — recopy
+                    except shutil.Error as e:
+                        # copytree aggregates per-file failures; only a
+                        # vanished-source entry is the transient churn this
+                        # loop retries — a PermissionError-class entry will
+                        # fail all 5 attempts identically, so surface it as
+                        # its own code instead of a misleading conflict
+                        reasons = " | ".join(str(t[2]) for t in (e.args[0] or []))
+                        if "No such file" not in reasons:
+                            raise EngineError(
+                                "snapshot_copy_failed", detail=reasons[:200]
+                            ) from None
+                        continue
                     if self._mutation_fingerprint(scoped) == before:
                         break
                 else:
@@ -1675,15 +1703,11 @@ class CollectionEngine:
             targets = sorted({*targets, *enumerate_document_root(root)})
         if not targets:
             return 0
-        # the two channels were capped separately — re-check the UNION so a
-        # call combining rel_paths with the whole root can't ingest double
-        # the documented file/byte bounds
-        from vector_mcp_spark.sources.readers import MAX_DOCUMENT_FILES, MAX_TOTAL_BYTES
-
-        if len(targets) > MAX_DOCUMENT_FILES:
-            raise EngineError("document_paths_too_many")
-        if sum(Path(t).stat().st_size for t in targets) > MAX_TOTAL_BYTES:
-            raise EngineError("document_paths_too_large")
+        # no combined-channel cap is needed: rel_paths are confined to the
+        # same root enumerate_document_root fully walks, so with
+        # include_configured_directory the union EQUALS the enumerated set
+        # (already capped inside enumerate_document_root), and without it
+        # resolve_document_paths' own caps bind
         docs = read_documents(self.spark, targets)
         known = TEXT_EXTENSIONS | RICH_EXTENSIONS
         ext = F.lower(F.regexp_extract(F.col("path"), r"(\.[A-Za-z0-9]+)$", 1))

@@ -181,6 +181,7 @@ def ann_hnsw_topk(
     hops: tuple[tuple[int, int], ...] = HNSW_HOPS,
     id_col: str = "id",
     emb_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Greedy beam search over the layered graph: start every query's beam
     at the shared entry node, descend the fixed ``hops`` schedule, keep the
@@ -228,9 +229,12 @@ def ann_hnsw_topk(
             cand = beam.select("query_id", "node").union(expanded).distinct()
             beam = rescore_topn(cand, ef).select("query_id", "node")
 
-    final = rescore_topn(
-        beam.where(F.col("query_id") != F.col("node")), k
-    )
+    # exclude_self drops a query's own corpus row (queries drawn FROM the
+    # corpus); engine callers pass synthetic query ids NOT in the corpus and
+    # set False so an id-equal document can never be silently excluded
+    if exclude_self:
+        beam = beam.where(F.col("query_id") != F.col("node"))
+    final = rescore_topn(beam, k)
     return final.select(
         "query_id",
         F.col("_rn").cast("int").alias("rank"),

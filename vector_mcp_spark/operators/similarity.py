@@ -144,7 +144,11 @@ def training_triplets(
     hard negative is hard_negative_mine's k=1 case, mined in the same scan).
 
     Returns (anchor_id, positive_id, pos_score, negative_id, neg_score);
-    anchors lacking a same-label peer drop out (no positive to pair).
+    an anchor drops out when either side of its pair is missing — no
+    same-label peer (nothing to contrast FOR) or no different-label peer
+    (nothing to contrast AGAINST); NULL labels never match either side, so
+    NULL-labeled anchors drop too. Count output vs input anchors when
+    training-set coverage matters.
     One broadcast of the anchors over one corpus scan, map-side cosine,
     two conditional per-anchor ranks — no pairwise stage beyond the
     bounded |anchors| × corpus scoring every retriever-training run needs.
