@@ -49,6 +49,13 @@ HEAVY = [
     "corpus_doc_keywords",
     "embedding_nearest_centroid_eval",
     "corpus_curation_funnel",
+    "parts_bfs_reach",
+    "parts_personalized_pagerank",
+    "events_ks_two_sample",
+    "events_hll_merge_rollup",
+    "ann_hnsw_topk",
+    "corpus_nb_classifier",
+    "corpus_training_triplets",
 ]
 
 
