@@ -56,6 +56,7 @@ HEAVY = [
     "ann_hnsw_topk",
     "corpus_nb_classifier",
     "corpus_training_triplets",
+    "corpus_ccnet_filter",
 ]
 
 

@@ -138,8 +138,8 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 # (supplier_name_near_matches .. user_event_type_sets), then new round-9
 # operators (_PROMOTED_R9, so they get a driver row the round they ship),
 # then the 47 entries whose latest driver row is r5, alphabetical, up to 50.
-# ROUND 10 TODO: lead with the 12 _ROUND9_FILL entries displaced past slot
-# 50 (r5-latest rows: semantic_late_interaction,
+# ROUND 10 TODO: lead with the 13 _ROUND9_FILL entries displaced past slot
+# 50 (r5-latest rows: multimodal_video_meta, semantic_late_interaction,
 # streaming_continuous_aggregate, token_counts, top_bigrams,
 # tpch_q11_important_parts, tpch_q13_custdist, tpch_q16_supplier_cnt,
 # tpch_q20_part_share_suppliers, tpch_q21_waiting_supplier,
@@ -178,6 +178,7 @@ _PROMOTED_R9: list[str] = [
     "ann_hnsw_topk",
     "corpus_nb_classifier",
     "corpus_training_triplets",
+    "corpus_ccnet_filter",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r5, alphabetical).

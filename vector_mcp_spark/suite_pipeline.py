@@ -2688,3 +2688,79 @@ def q_corpus_training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = load(spark, sf_dir, "embeddings")
     anchors = embs.where(F.col("vec_id") < 20)
     return training_triplets(anchors, embs, id_col="vec_id")
+
+
+# -- CCNet-style perplexity-bucket filter --------------------------------------
+
+_CCNET_ORACLE = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+vocab AS MATERIALIZED (
+  SELECT tok, count(*) AS c FROM ex GROUP BY tok
+),
+total AS (SELECT SUM(c) AS n FROM vocab),
+lp AS MATERIALIZED (
+  SELECT e.doc_id, ROUND(AVG(ln(v.c / t.n)), 6) AS avg_logprob
+  FROM ex e JOIN vocab v ON e.tok = v.tok CROSS JOIN total t
+  GROUP BY e.doc_id
+),
+ranked AS (
+  SELECT l.doc_id, d.source, l.avg_logprob,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY l.avg_logprob DESC, l.doc_id ASC) AS rnk,
+         count(*) OVER (PARTITION BY d.source) AS n
+  FROM lp l JOIN documents d ON d.doc_id = l.doc_id
+)
+SELECT doc_id, source, avg_logprob,
+       CASE WHEN rnk * 3 <= n THEN 'head'
+            WHEN rnk * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       rnk * 3 <= 2 * n AS keep
+FROM ranked
+"""
+
+
+@register("corpus_ccnet_filter", _CCNET_ORACLE, "pipeline", "textstats")
+def q_corpus_ccnet_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document with the corpus unigram LM (the distributable stand-in for
+    CCNet's wiki LM — same scoring as corpus_unigram_logprob), rank within
+    each source, split into head/middle/tail tertiles, keep head+middle
+    (CCNet's default cut). Rank key is the 6-dp-rounded mean log-prob (ties
+    to doc_id) so both engines rank identical values; the per-source window
+    follows the quality-percentiles convention (source count is small and
+    fixed — not a data-sized partition)."""
+    from pyspark.sql import Window
+
+    from vector_mcp_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    vocab = ex.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    lp = (
+        ex.join(vocab, "tok")
+        .join(F.broadcast(total))
+        .withColumn("lp", F.log(F.col("c") / F.col("n")))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("lp"), 6).alias("avg_logprob"))
+    )
+    ranked = lp.join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy("source")
+    ranked = ranked.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "avg_logprob",
+        F.when(F.col("rnk") * 3 <= F.col("n"), "head")
+        .when(F.col("rnk") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        (F.col("rnk") * 3 <= 2 * F.col("n")).alias("keep"),
+    )
