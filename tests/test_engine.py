@@ -1277,6 +1277,22 @@ def test_snapshot_copy_survives_shutil_error_and_hides_torn_attempts(
     assert calls2["n"] == 1
     assert set(eng.list_snapshots()) == before
 
+    # MIXED churn+persistent entries: the persistent one must win (no
+    # 5-attempt retry masking it as a conflict)
+    calls3 = {"n": 0}
+
+    def mixed(*a, **kw):
+        calls3["n"] += 1
+        raise _sh.Error([
+            ("x", "y", "[Errno 2] No such file or directory: 'x'"),
+            ("p", "q", "[Errno 13] Permission denied: 'p'"),
+        ])
+
+    monkeypatch.setattr(engine_mod.shutil, "copytree", mixed)
+    with _pytest.raises(EngineError, match="snapshot_copy_failed"):
+        eng.create_snapshot("src")
+    assert calls3["n"] == 1
+
 
 def test_compact_changelog_naive_datetimes_and_corrupt_epoch(spark, tmp_path_factory):
     """Review r9: naive datetimes normalize to UTC (no TypeError on the
@@ -1388,3 +1404,33 @@ def test_indexed_graph_search(spark, tmp_path_factory):
     eng.add_documents("tiny", ["only one"])
     eng.build_search_index("tiny")
     assert eng.indexed_graph_search("tiny", qvec, k=3).collect() == []
+
+
+def test_pre_graph_manifest_reports_stale(spark, tmp_path_factory):
+    """Review r9: a fingerprint-fresh index whose manifest predates the
+    graph family must report 'stale' from index_status (so status-polling
+    automation rebuilds) AND refuse indexed_graph_search — the status API
+    and the query contract agree."""
+    import json
+
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("legacy_idx")))
+    eng.create_collection("kb")
+    eng.add_documents("kb", ["doc one", "doc two"])
+    eng.build_search_index("kb")
+    assert eng.index_status("kb") == "fresh"
+    # strip the graph key to simulate an index built before the family
+    mpath = eng._index_root(eng._scoped("kb")) / "manifest.json"
+    meta = json.loads(mpath.read_text())
+    del meta["graph"]
+    mpath.write_text(json.dumps(meta))
+    assert eng.index_status("kb") == "stale"
+    with _pytest.raises(EngineError, match="index_not_fresh"):
+        eng.indexed_graph_search("kb", [0.1] * 64, k=2)
+    # rebuild restores both
+    eng.build_search_index("kb")
+    assert eng.index_status("kb") == "fresh"
+    assert len(eng.indexed_graph_search("kb", [0.1] * 64, k=2).collect()) == 2

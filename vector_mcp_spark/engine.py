@@ -766,7 +766,17 @@ class CollectionEngine:
             assigned, _cents = ivf_build(
                 vecs, n_centroids=min(16, n_vectors), id_col="id", max_iter=2
             )
-            edges, graph_meta = hnsw_build(assigned, id_col="id")
+            # size the hash-bucket family to the collection: a tiny corpus
+            # spread over 16 buckets yields singleton blocks → no candidate
+            # pairs → a disconnected graph the beam can't traverse; ~128
+            # rows per bucket keeps small collections fully connected and
+            # large ones capped (the sliver inside hnsw_build takes over
+            # past 2048 vectors)
+            edges, graph_meta = hnsw_build(
+                assigned,
+                id_col="id",
+                n_hash_buckets=min(16, max(1, n_vectors // 128)),
+            )
             edges.write.mode("overwrite").parquet(str(root / "graph"))
         fp = self._table_fingerprint(scoped)
         (root / "manifest.json").write_text(
@@ -790,8 +800,13 @@ class CollectionEngine:
             return "absent"
         import json
 
-        built = json.loads(manifest.read_text())["fingerprint"]
-        return "fresh" if built == self._table_fingerprint(scoped) else "stale"
+        meta = json.loads(manifest.read_text())
+        if "graph" not in meta:
+            # a pre-graph-family index can't serve indexed_graph_search —
+            # report stale so status-polling automation rebuilds it (the
+            # graph family is written by every build_search_index since r9)
+            return "stale"
+        return "fresh" if meta["fingerprint"] == self._table_fingerprint(scoped) else "stale"
 
     def indexed_lexical_search(self, name: str, query: str, k: int = 5) -> DataFrame:
         """Serve a lexical query from the materialized index; refuses with
@@ -1158,16 +1173,19 @@ class CollectionEngine:
     )
 
     @staticmethod
-    def _changelog_has_batches(root: Path) -> bool:
-        """True when the log holds at least one data batch. Dot-prefixed seq
-        claims and Hadoop markers don't count (Spark's input format skips
-        them too, so this matches what read_asof would actually read)."""
+    def _is_batch_file(name: str) -> bool:
+        """The single definition of 'a readable changelog batch file' —
+        shared by the has-batches gate and compact_changelog's covered-set
+        listing so the two can never diverge on what Spark's input format
+        reads (dot-prefixed claims and _-prefixed markers are skipped)."""
+        return name.endswith(".parquet") and not name.startswith((".", "_"))
+
+    @classmethod
+    def _changelog_has_batches(cls, root: Path) -> bool:
+        """True when the log holds at least one data batch."""
         if not root.exists():
             return False
-        return any(
-            p.name.endswith(".parquet") and not p.name.startswith((".", "_"))
-            for p in root.iterdir()
-        )
+        return any(cls._is_batch_file(p.name) for p in root.iterdir())
 
     def _next_seq(self, root: Path) -> int:
         """Allocate the next changelog batch seq ATOMICALLY (ADVICE r7): an
@@ -1382,9 +1400,7 @@ class CollectionEngine:
         # (duplicated) by the swap logic below
         seen = {p.name for p in root.iterdir()}
         batch_files = [
-            str(root / n)
-            for n in sorted(seen)
-            if n.endswith(".parquet") and not n.startswith((".", "_"))
+            str(root / n) for n in sorted(seen) if self._is_batch_file(n)
         ]
         log = self.spark.read.schema(self._CHANGELOG_DDL).parquet(*batch_files)
         cut = F.lit(before)
@@ -1522,15 +1538,22 @@ class CollectionEngine:
                     except FileNotFoundError:
                         continue  # source file vanished mid-copy — recopy
                     except shutil.Error as e:
-                        # copytree aggregates per-file failures; only a
-                        # vanished-source entry is the transient churn this
-                        # loop retries — a PermissionError-class entry will
-                        # fail all 5 attempts identically, so surface it as
-                        # its own code instead of a misleading conflict
-                        reasons = " | ".join(str(t[2]) for t in (e.args[0] or []))
-                        if "No such file" not in reasons:
+                        # copytree aggregates per-file failures; only
+                        # vanished-source entries are the transient churn
+                        # this loop retries — a PermissionError-class entry
+                        # will fail all 5 attempts identically, so surface
+                        # it as its own code instead of a misleading
+                        # conflict. Classify per entry on the locale-
+                        # independent "[Errno 2]" prefix (Python always
+                        # formats OSError that way; the strerror TEXT is
+                        # locale-dependent), and EVERY entry must be
+                        # transient for the attempt to retry.
+                        reasons = [str(t[2]) for t in (e.args[0] or [])]
+                        if not all("[Errno 2]" in r for r in reasons):
+                            persistent = [r for r in reasons if "[Errno 2]" not in r]
                             raise EngineError(
-                                "snapshot_copy_failed", detail=reasons[:200]
+                                "snapshot_copy_failed",
+                                detail=" | ".join(persistent)[:200],
                             ) from None
                         continue
                     if self._mutation_fingerprint(scoped) == before:
@@ -1703,11 +1726,14 @@ class CollectionEngine:
             targets = sorted({*targets, *enumerate_document_root(root)})
         if not targets:
             return 0
-        # no combined-channel cap is needed: rel_paths are confined to the
-        # same root enumerate_document_root fully walks, so with
-        # include_configured_directory the union EQUALS the enumerated set
-        # (already capped inside enumerate_document_root), and without it
-        # resolve_document_paths' own caps bind
+        # in the steady state the union adds nothing past the per-channel
+        # caps (rel_paths ⊆ the enumerated root); the count re-check below
+        # only matters when the root churns BETWEEN the two walks (TOCTOU)
+        # — it is free (no re-stat), so keep the documented bound airtight
+        from vector_mcp_spark.sources.readers import MAX_DOCUMENT_FILES
+
+        if len(targets) > MAX_DOCUMENT_FILES:
+            raise EngineError("document_paths_too_many")
         docs = read_documents(self.spark, targets)
         known = TEXT_EXTENSIONS | RICH_EXTENSIONS
         ext = F.lower(F.regexp_extract(F.col("path"), r"(\.[A-Za-z0-9]+)$", 1))

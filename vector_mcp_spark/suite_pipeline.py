@@ -775,42 +775,52 @@ def q_corpus_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # explode pass the token stats already use. Low scores = surprising token
 # mix = extraction noise or boilerplate soup.
 
-_UNI_ORACLE = f"""
-WITH ex AS (
+# shared by the unigram-logprob and CCNet-filter oracles — ONE definition
+# of the corpus-LM token score so the two can never silently diverge
+_AVG_LP_CTES = f"""ex AS (
   SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
 ),
-vocab AS (
+vocab AS MATERIALIZED (
   SELECT tok, count(*) AS c FROM ex GROUP BY tok
 ),
 total AS (SELECT SUM(c) AS n FROM vocab),
-scored AS (
+lp_scored AS (
   SELECT e.doc_id, ln(v.c / t.n) AS lp
   FROM ex e JOIN vocab v ON e.tok = v.tok CROSS JOIN total t
-)
+)"""
+
+_UNI_ORACLE = f"""
+WITH {_AVG_LP_CTES}
 SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
        ROUND(AVG(lp), 6) AS avg_logprob
-FROM scored GROUP BY doc_id
+FROM lp_scored GROUP BY doc_id
 """
 
 
-@register("corpus_unigram_logprob", _UNI_ORACLE, "textstats", "pipeline")
-def q_corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _unigram_lp_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token corpus-LM log-probabilities (doc_id, lp) — the Spark twin
+    of _AVG_LP_CTES, shared by the unigram-logprob and CCNet entries.
+
+    vocab is NOT force-broadcast: a web-scale vocabulary outgrows the
+    broadcast budget, and AQE picks broadcast automatically while it fits;
+    at the largest scales cut to top-K tokens + an OOV floor probability.
+    The one-row total always broadcasts."""
     from vector_mcp_spark.functions.text import tokens
 
     docs = load(spark, sf_dir, "documents")
     ex = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
     vocab = ex.groupBy("tok").agg(F.count("*").alias("c"))
     total = vocab.agg(F.sum("c").alias("n"))
-    # vocab is NOT force-broadcast: a web-scale vocabulary outgrows the
-    # broadcast budget, and AQE picks broadcast automatically while it
-    # fits; at the largest scales cut to top-K tokens + an OOV floor
-    # probability. The one-row total always broadcasts.
-    scored = (
+    return (
         ex.join(vocab, "tok")
         .join(F.broadcast(total))
         .withColumn("lp", F.log(F.col("c") / F.col("n")))
     )
-    return scored.groupBy("doc_id").agg(
+
+
+@register("corpus_unigram_logprob", _UNI_ORACLE, "textstats", "pipeline")
+def q_corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _unigram_lp_scored(spark, sf_dir).groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
     )
@@ -2692,23 +2702,20 @@ def q_corpus_training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- CCNet-style perplexity-bucket filter --------------------------------------
 
+# the rank key is the 4-dp-rounded mean (the repo's quotient-of-
+# order-dependent-sums convention): at 6 dp a last-ulp AVG disagreement
+# between engines could flip the ORDER BY key and cascade into bucket/keep
+# mismatches; the EMITTED value stays 6 dp like corpus_unigram_logprob
 _CCNET_ORACLE = f"""
-WITH ex AS (
-  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
-),
-vocab AS MATERIALIZED (
-  SELECT tok, count(*) AS c FROM ex GROUP BY tok
-),
-total AS (SELECT SUM(c) AS n FROM vocab),
+WITH {_AVG_LP_CTES},
 lp AS MATERIALIZED (
-  SELECT e.doc_id, ROUND(AVG(ln(v.c / t.n)), 6) AS avg_logprob
-  FROM ex e JOIN vocab v ON e.tok = v.tok CROSS JOIN total t
-  GROUP BY e.doc_id
+  SELECT doc_id, ROUND(AVG(lp), 6) AS avg_logprob, ROUND(AVG(lp), 4) AS lp_key
+  FROM lp_scored GROUP BY doc_id
 ),
 ranked AS (
   SELECT l.doc_id, d.source, l.avg_logprob,
          row_number() OVER (PARTITION BY d.source
-                            ORDER BY l.avg_logprob DESC, l.doc_id ASC) AS rnk,
+                            ORDER BY l.lp_key DESC, l.doc_id ASC) AS rnk,
          count(*) OVER (PARTITION BY d.source) AS n
   FROM lp l JOIN documents d ON d.doc_id = l.doc_id
 )
@@ -2727,28 +2734,21 @@ def q_corpus_ccnet_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     document with the corpus unigram LM (the distributable stand-in for
     CCNet's wiki LM — same scoring as corpus_unigram_logprob), rank within
     each source, split into head/middle/tail tertiles, keep head+middle
-    (CCNet's default cut). Rank key is the 6-dp-rounded mean log-prob (ties
-    to doc_id) so both engines rank identical values; the per-source window
+    (CCNet's default cut). Rank key is the 4-dp-rounded mean log-prob (ties
+    to doc_id; 4 dp is the quotient-of-order-dependent-sums convention, so
+    both engines rank identical values); the per-source window
     follows the quality-percentiles convention (source count is small and
     fixed — not a data-sized partition)."""
     from pyspark.sql import Window
 
-    from vector_mcp_spark.functions.text import tokens
-
     docs = load(spark, sf_dir, "documents")
-    ex = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
-    vocab = ex.groupBy("tok").agg(F.count("*").alias("c"))
-    total = vocab.agg(F.sum("c").alias("n"))
-    lp = (
-        ex.join(vocab, "tok")
-        .join(F.broadcast(total))
-        .withColumn("lp", F.log(F.col("c") / F.col("n")))
-        .groupBy("doc_id")
-        .agg(F.round(F.avg("lp"), 6).alias("avg_logprob"))
+    lp = _unigram_lp_scored(spark, sf_dir).groupBy("doc_id").agg(
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.round(F.avg("lp"), 4).alias("lp_key"),
     )
     ranked = lp.join(docs.select("doc_id", "source"), "doc_id")
     w = Window.partitionBy("source").orderBy(
-        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+        F.col("lp_key").desc(), F.col("doc_id").asc()
     )
     wn = Window.partitionBy("source")
     ranked = ranked.withColumn("rnk", F.row_number().over(w)).withColumn(
