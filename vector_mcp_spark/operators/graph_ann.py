@@ -182,11 +182,18 @@ def ann_hnsw_topk(
     id_col: str = "id",
     emb_col: str = "embedding",
     exclude_self: bool = True,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy beam search over the layered graph: start every query's beam
     at the shared entry node, descend the fixed ``hops`` schedule, keep the
     top-``ef`` per query each hop, answer with the final beam's top-``k``.
     Returns (query_id, rank, neighbor_id, score) like every ANN operator.
+
+    ``allowed`` (a one-column id DataFrame) post-filters the final beam
+    before the top-k — the qdrant filtered-search composition in its
+    "plain" (unfiltered-traversal) mode: under selective filters fewer
+    than ``k`` rows may return; raise ``ef`` to deepen the pool, or
+    pre-filter + exact re-rank when selectivity is extreme.
 
     Each hop is one equi-join of the beam (≤ ef rows/query) against the
     layer's edge partition (≤ 2m rows/node) plus a per-query top-ef window —
@@ -234,6 +241,9 @@ def ann_hnsw_topk(
     # set False so an id-equal document can never be silently excluded
     if exclude_self:
         beam = beam.where(F.col("query_id") != F.col("node"))
+    if allowed is not None:
+        ids = allowed.select(F.col(allowed.columns[0]).alias("node")).distinct()
+        beam = beam.join(F.broadcast(ids), "node", "left_semi")
     final = rescore_topn(beam, k)
     return final.select(
         "query_id",

@@ -138,15 +138,16 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 # (supplier_name_near_matches .. user_event_type_sets), then new round-9
 # operators (_PROMOTED_R9, so they get a driver row the round they ship),
 # then the 47 entries whose latest driver row is r5, alphabetical, up to 50.
-# ROUND 10 TODO: lead with the 13 _ROUND9_FILL entries displaced past slot
-# 50 (r5-latest rows: multimodal_video_meta, semantic_late_interaction,
-# streaming_continuous_aggregate, token_counts, top_bigrams,
-# tpch_q11_important_parts, tpch_q13_custdist, tpch_q16_supplier_cnt,
-# tpch_q20_part_share_suppliers, tpch_q21_waiting_supplier,
-# tpch_q2_min_cost_supplier, tpch_q5_local_supplier,
-# tpch_q9_product_profit — recompute as (_ROUND9_LEAD + _PROMOTED_R9 +
-# _ROUND9_FILL)[50:] if _PROMOTED_R9 changed), then _PROMOTED_R10, then the
-# r6-latest entries (CORRECTNESS_r06 keys, alphabetical) up to 50.
+# ROUND 10 TODO: lead with the 14 _ROUND9_FILL entries displaced past slot
+# 50 (r5-latest rows: multimodal_image_dims, multimodal_video_meta,
+# semantic_late_interaction, streaming_continuous_aggregate, token_counts,
+# top_bigrams, tpch_q11_important_parts, tpch_q13_custdist,
+# tpch_q16_supplier_cnt, tpch_q20_part_share_suppliers,
+# tpch_q21_waiting_supplier, tpch_q2_min_cost_supplier,
+# tpch_q5_local_supplier, tpch_q9_product_profit — recompute as
+# (_ROUND9_LEAD + _PROMOTED_R9 + _ROUND9_FILL)[50:] if _PROMOTED_R9
+# changed), then _PROMOTED_R10, then the r6-latest entries
+# (CORRECTNESS_r06 keys, alphabetical) up to 50.
 from vector_mcp_spark import suite_relational  # noqa: E402,F401
 from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401
@@ -179,6 +180,7 @@ _PROMOTED_R9: list[str] = [
     "corpus_nb_classifier",
     "corpus_training_triplets",
     "corpus_ccnet_filter",
+    "ann_hnsw_filtered_topk",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r5, alphabetical).

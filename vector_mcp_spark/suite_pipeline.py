@@ -2414,7 +2414,7 @@ _HNSW_K = 5
 _HNSW_NQ = 20
 
 
-def _hnsw_oracle() -> str:
+def _hnsw_oracle(final_filter_sql: str = "") -> str:
     """Full SQL replay of the layered graph-ANN index AND its beam search
     (operators/graph_ann.py — the reference's HNSW family,
     epistemic_graph.py:5-9 / postgres.py:182-188). Shares the ivf_16 k-means
@@ -2533,7 +2533,7 @@ SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, ROUND(sm, 6) AS score
          row_number() OVER (PARTITION BY b.query_id
                             ORDER BY {sim("q.qv", "n.v")} DESC, b.node ASC) AS rn
   FROM b{n_final} b JOIN q ON q.query_id = b.query_id JOIN lv n ON n.vec_id = b.node
-  WHERE b.node != b.query_id
+  WHERE b.node != b.query_id{final_filter_sql}
 ) WHERE rn <= {_HNSW_K}
 """)
     return "".join(parts)
@@ -2763,4 +2763,42 @@ def q_corpus_ccnet_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
         (F.col("rnk") * 3 <= 2 * F.col("n")).alias("keep"),
+    )
+
+
+_HNSW_FILT_SQL = (
+    "\n    AND b.node IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)"
+)
+
+
+@register(
+    "ann_hnsw_filtered_topk", _hnsw_oracle(_HNSW_FILT_SQL), "similarity", "filtered"
+)
+def q_ann_hnsw_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered graph-ANN (the qdrant filter+vector composition, plain
+    mode): the beam descends the SAME cached index as ann_hnsw_topk, the
+    payload predicate (even label) post-filters the final beam before the
+    top-k — one broadcast semi-join, no second traversal. Selective
+    filters may return < k rows per query; the exact-path twin is
+    semantic_filtered_topk."""
+    import json
+    import os
+
+    from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk
+
+    embs = load(spark, sf_dir, "embeddings")
+    cache = _index_cache(sf_dir, f"hnsw_m{_HNSW_M}")
+    meta_path = os.path.join(cache, "meta.json")
+    edges_path = os.path.join(cache, "edges")
+    if not (os.path.exists(meta_path) and os.path.exists(os.path.join(edges_path, "_SUCCESS"))):
+        # cold cache: let the unfiltered entry build the shared index
+        q_ann_hnsw_topk(spark, sf_dir).count()
+    with open(meta_path) as f:
+        meta = json.load(f)
+    edges = spark.read.parquet(edges_path)
+    queries = embs.where(F.col("vec_id") < _HNSW_NQ)
+    allowed = embs.where(F.col("label") % 2 == 0).select("vec_id")
+    return ann_hnsw_topk(
+        queries, embs, edges, meta["entry"], k=_HNSW_K, ef=_HNSW_EF,
+        id_col="vec_id", allowed=allowed,
     )
