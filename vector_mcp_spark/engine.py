@@ -881,8 +881,10 @@ class CollectionEngine:
             raise EngineError("index_not_fresh")
         manifest = json.loads((self._index_root(scoped) / "manifest.json").read_text())
         if "graph" not in manifest:
-            # a pre-graph-family index is fingerprint-fresh but has no edge
-            # table — refuse (rebuild) rather than serve silently empty
+            # normally unreachable — index_status already reports 'stale'
+            # for a pre-graph manifest — but the manifest is re-read here,
+            # so this guards the race where it is rewritten between the two
+            # reads; refusing beats serving silently empty results
             raise EngineError("index_not_fresh", detail="graph family missing; rebuild")
         meta = manifest.get("graph") or {}
         df = self.read(name)
@@ -1544,13 +1546,17 @@ class CollectionEngine:
                         # will fail all 5 attempts identically, so surface
                         # it as its own code instead of a misleading
                         # conflict. Classify per entry on the locale-
-                        # independent "[Errno 2]" prefix (Python always
-                        # formats OSError that way; the strerror TEXT is
-                        # locale-dependent), and EVERY entry must be
-                        # transient for the attempt to retry.
+                        # independent errno prefix (the strerror TEXT is
+                        # locale-dependent; Windows filesystem OSErrors
+                        # format as [WinError 2/3] for the same vanished-
+                        # path class), and EVERY entry must be transient
+                        # for the attempt to retry.
+                        transient = ("[Errno 2]", "[WinError 2]", "[WinError 3]")
                         reasons = [str(t[2]) for t in (e.args[0] or [])]
-                        if not all("[Errno 2]" in r for r in reasons):
-                            persistent = [r for r in reasons if "[Errno 2]" not in r]
+                        if not all(any(m in r for m in transient) for r in reasons):
+                            persistent = [
+                                r for r in reasons if not any(m in r for m in transient)
+                            ]
                             raise EngineError(
                                 "snapshot_copy_failed",
                                 detail=" | ".join(persistent)[:200],
@@ -1727,13 +1733,23 @@ class CollectionEngine:
         if not targets:
             return 0
         # in the steady state the union adds nothing past the per-channel
-        # caps (rel_paths ⊆ the enumerated root); the count re-check below
-        # only matters when the root churns BETWEEN the two walks (TOCTOU)
-        # — it is free (no re-stat), so keep the documented bound airtight
-        from vector_mcp_spark.sources.readers import MAX_DOCUMENT_FILES
+        # caps (rel_paths ⊆ the enumerated root); the re-checks below only
+        # matter when the root churns BETWEEN the two walks (TOCTOU) — keep
+        # BOTH documented bounds airtight on the final list. A file
+        # vanishing before its stat counts zero bytes (it won't be read).
+        from vector_mcp_spark.sources.readers import MAX_DOCUMENT_FILES, MAX_TOTAL_BYTES
 
         if len(targets) > MAX_DOCUMENT_FILES:
             raise EngineError("document_paths_too_many")
+
+        def _size(t: str) -> int:
+            try:
+                return Path(t).stat().st_size
+            except OSError:
+                return 0
+
+        if sum(_size(t) for t in targets) > MAX_TOTAL_BYTES:
+            raise EngineError("document_paths_too_large")
         docs = read_documents(self.spark, targets)
         known = TEXT_EXTENSIONS | RICH_EXTENSIONS
         ext = F.lower(F.regexp_extract(F.col("path"), r"(\.[A-Za-z0-9]+)$", 1))

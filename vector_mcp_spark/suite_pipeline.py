@@ -2539,16 +2539,16 @@ SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, ROUND(sm, 6) AS score
     return "".join(parts)
 
 
-@register("ann_hnsw_topk", _hnsw_oracle(), "similarity", "pipeline")
-def q_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HNSW-style graph ANN over the shared ivf_16 coarse quantizer: the
-    layered neighbor graph is built once (cached like the IVF/PQ indexes),
-    queries descend it with a fixed beam schedule. Recall@5 vs the exact
-    scorer is gated ≥ 0.85 in tools/recall_report.py / test_similarity."""
+def _hnsw_index(spark: SparkSession, sf_dir: str):
+    """The shared layered-graph index over the shared ivf_16 coarse
+    quantizer, built once per sf_dir and cached like the IVF/PQ indexes.
+    Returns (edges DataFrame, meta dict). Shared by the unfiltered and
+    filtered graph-ANN entries so neither pays a search to warm the other's
+    cache."""
     import json
     import os
 
-    from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk, hnsw_build
+    from vector_mcp_spark.operators.graph_ann import hnsw_build
     from vector_mcp_spark.operators.similarity import ivf_build
 
     embs = load(spark, sf_dir, "embeddings")
@@ -2574,7 +2574,19 @@ def q_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             json.dump(meta, f)
     with open(meta_path) as f:
         meta = json.load(f)
-    edges = spark.read.parquet(edges_path)
+    return spark.read.parquet(edges_path), meta
+
+
+@register("ann_hnsw_topk", _hnsw_oracle(), "similarity", "pipeline")
+def q_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW-style graph ANN over the shared ivf_16 coarse quantizer: the
+    layered neighbor graph is built once (cached like the IVF/PQ indexes),
+    queries descend it with a fixed beam schedule. Recall@5 vs the exact
+    scorer is gated ≥ 0.85 in tools/recall_report.py / test_similarity."""
+    from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk
+
+    embs = load(spark, sf_dir, "embeddings")
+    edges, meta = _hnsw_index(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < _HNSW_NQ)
     return ann_hnsw_topk(
         queries, embs, edges, meta["entry"], k=_HNSW_K, ef=_HNSW_EF, id_col="vec_id"
@@ -2781,21 +2793,10 @@ def q_ann_hnsw_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k — one broadcast semi-join, no second traversal. Selective
     filters may return < k rows per query; the exact-path twin is
     semantic_filtered_topk."""
-    import json
-    import os
-
     from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk
 
     embs = load(spark, sf_dir, "embeddings")
-    cache = _index_cache(sf_dir, f"hnsw_m{_HNSW_M}")
-    meta_path = os.path.join(cache, "meta.json")
-    edges_path = os.path.join(cache, "edges")
-    if not (os.path.exists(meta_path) and os.path.exists(os.path.join(edges_path, "_SUCCESS"))):
-        # cold cache: let the unfiltered entry build the shared index
-        q_ann_hnsw_topk(spark, sf_dir).count()
-    with open(meta_path) as f:
-        meta = json.load(f)
-    edges = spark.read.parquet(edges_path)
+    edges, meta = _hnsw_index(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < _HNSW_NQ)
     allowed = embs.where(F.col("label") % 2 == 0).select("vec_id")
     return ann_hnsw_topk(
