@@ -1366,6 +1366,114 @@ def test_compact_changelog_carries_concurrent_foreign_batch(
     assert "foreign-id" in rows
 
 
+def test_compact_changelog_rejects_future_cut(spark, tmp_path_factory):
+    """ADVICE r9 (medium): a future ``before`` collapses every row into the
+    epoch and stamps the sidecar with the future instant, so every
+    subsequent read_asof — including asof=now — refuses until wall clock
+    passes the cut. One bad MCP before_ts must not disable time travel:
+    reject with a stable code, leave the log untouched."""
+    from datetime import datetime, timedelta, timezone
+
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("compact_future")))
+    eng.create_collection("log")
+    eng.add_documents("log", ["one", "two"])
+    with _pytest.raises(EngineError, match="compaction_cut_in_future"):
+        eng.compact_changelog("log", datetime.now(timezone.utc) + timedelta(hours=1))
+    # naive datetimes normalize to UTC before the check (the MCP veneer
+    # passes whatever isoformat the client sent)
+    naive_future = datetime.now(timezone.utc).replace(tzinfo=None) + timedelta(hours=1)
+    with _pytest.raises(EngineError, match="compaction_cut_in_future"):
+        eng.compact_changelog("log", naive_future)
+    # the log is untouched: no epoch sidecar, time travel still answers
+    root = eng._changelog_root(eng._scoped("log"))
+    assert not (root / "_epoch.json").exists()
+    assert len(eng.read_asof("log", datetime.now(timezone.utc)).collect()) == 2
+
+
+def test_next_seq_swap_lock_protocol(spark, tmp_path_factory):
+    """ADVICE r9 (medium): compact_changelog's two-rename swap is
+    serialized against cross-process writers via an O_EXCL lock that
+    _next_seq honors — a live FOREIGN lock is waited out (the writer's
+    mkdir would otherwise recreate the log root mid-swap and strand the
+    log in .old-*), a stale lock is skipped, and a same-pid lock is
+    skipped (in-process writers are already excluded by the per-collection
+    mutation lock the compactor holds)."""
+    import os as _os
+    import threading
+    import time as _time
+
+    from vector_mcp_spark.engine import CollectionEngine
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("swap_lock")))
+    eng.create_collection("log")
+    eng.add_documents("log", ["seed"])
+    scoped = eng._scoped("log")
+    root = eng._changelog_root(scoped)
+    lock = eng._swap_lock_path(root)
+
+    # stale lock (provably dead pid): skipped immediately
+    lock.write_text(f"999999 {_time.time():.3f}")
+    t0 = _time.monotonic()
+    eng._log_mutation_rows(scoped, "upsert", [("a", "a", None, None)])
+    assert _time.monotonic() - t0 < 2.0
+    lock.unlink()
+
+    # same-pid lock: skipped immediately (mutation lock covers in-process)
+    lock.write_text(f"{_os.getpid()} {_time.time():.3f}")
+    t0 = _time.monotonic()
+    eng._log_mutation_rows(scoped, "upsert", [("b", "b", None, None)])
+    assert _time.monotonic() - t0 < 2.0
+    lock.unlink()
+
+    # live foreign lock (pid 1 is alive and not us; the engine treats a
+    # same-uid live holder as genuine): the writer must WAIT until the
+    # lock is released, then proceed
+    lock.write_text(f"1 {_time.time():.3f}")
+    released = {"at": None}
+
+    def release():
+        _time.sleep(0.5)
+        released["at"] = _time.monotonic()
+        lock.unlink()
+
+    t = threading.Thread(target=release)
+    t.start()
+    t0 = _time.monotonic()
+    eng._log_mutation_rows(scoped, "upsert", [("c", "c", None, None)])
+    waited = _time.monotonic() - t0
+    t.join()
+    assert released["at"] is not None and waited >= 0.4
+    assert eng.count_documents("log") >= 1  # log still consistent
+
+
+def test_indexed_graph_search_dimension_mismatch(spark, tmp_path_factory):
+    """ADVICE r9 (low): a query vector that disagrees with the collection's
+    locked dimension would NULL-pad through zip_with and return k arbitrary
+    rows with NULL scores — refuse with the same stable code the ingest
+    gate uses instead of silently returning garbage."""
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("graph_dim")))
+    eng.create_collection("kb", dimension=4)
+    eng.add_documents(
+        "kb",
+        ["alpha", "beta", "gamma"],
+        embeddings=[[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]],
+    )
+    eng.build_search_index("kb")
+    with _pytest.raises(EngineError, match="collection_vector_schema_mismatch"):
+        eng.indexed_graph_search("kb", [1.0, 0.0], k=2)
+    # the right width still answers
+    got = eng.indexed_graph_search("kb", [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert len(got) == 2 and all(r.score is not None for r in got)
+
+
 def test_indexed_graph_search(spark, tmp_path_factory):
     """The third engine-side index family (HNSW-style layered graph — the
     pgvector `USING hnsw` analogue): build persists the edge table + entry,

@@ -877,6 +877,19 @@ class CollectionEngine:
         from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk
 
         scoped = self._require(name)
+        question_vec = [float(x) for x in question_vec]
+        dim = self._locked_dimension(scoped)
+        if dim is not None and len(question_vec) != dim:
+            # zip_with against a shorter/longer query pads with NULL, making
+            # every cosine NULL — the beam and top-k would return k arbitrary
+            # rows with NULL scores instead of an error (ADVICE r9). The
+            # sign-bit path degrades gracefully by construction; this one
+            # cannot, so refuse with the same stable code the ingest gate
+            # uses for width violations.
+            raise EngineError(
+                "collection_vector_schema_mismatch",
+                detail=f"query dimension {len(question_vec)} != locked {dim}",
+            )
         if self.index_status(name) != "fresh":
             raise EngineError("index_not_fresh")
         manifest = json.loads((self._index_root(scoped) / "manifest.json").read_text())
@@ -1189,13 +1202,36 @@ class CollectionEngine:
             return False
         return any(cls._is_batch_file(p.name) for p in root.iterdir())
 
+    @staticmethod
+    def _swap_lock_path(root: Path) -> Path:
+        return root.with_name(root.name + ".swaplock")
+
     def _next_seq(self, root: Path) -> int:
         """Allocate the next changelog batch seq ATOMICALLY (ADVICE r7): an
         O_EXCL-created dot-claim file per seq, so two writers (threads or
         processes) can never stamp the same seq — a collision would break
         read_asof's (ts, seq) tiebreak determinism. Legacy logs without
         claims start from the batch-file count (each batch wrote ≥1 file, so
-        count ≥ max_seq+1 — monotonicity preserved)."""
+        count ≥ max_seq+1 — monotonicity preserved).
+
+        Honors compact_changelog's swap lock (ADVICE r9): during the
+        millisecond window where the compactor renames root→old and
+        stage→root, this mkdir would RECREATE the log root and make the
+        stage rename fail, stranding the whole log in the .old dir — so
+        wait out a live FOREIGN lock before touching the directory. A
+        same-pid lock is skipped: in-process writers are already excluded
+        by the per-collection mutation lock the compactor holds, so the
+        only same-pid arrivals here are test harnesses emulating foreign
+        writers — blocking them would deadlock the very swap they race.
+        A stale lock (holder provably dead / past TTL) is also skipped."""
+        lock = self._swap_lock_path(root)
+        while lock.exists() and not self._lock_is_stale(lock):
+            try:
+                if int(lock.read_text().split()[0]) == os.getpid():
+                    break
+            except (OSError, ValueError, IndexError):
+                pass  # unreadable holder — treat as foreign, keep waiting
+            time.sleep(0.005)
         root.mkdir(parents=True, exist_ok=True)
         claims = [
             int(p.name[5:13])
@@ -1387,6 +1423,12 @@ class CollectionEngine:
 
         scoped = self._require(name)
         before = self._as_utc(before)
+        if before > datetime.now(timezone.utc):
+            # a future cut would collapse EVERY row into the epoch and stamp
+            # the sidecar with the future instant, so every read_asof —
+            # including asof=now — refuses until wall clock passes the cut:
+            # one bad MCP before_ts would disable time travel (ADVICE r9)
+            raise EngineError("compaction_cut_in_future", detail=before.isoformat())
         root = self._changelog_root(scoped)
         if not self._changelog_has_batches(root):
             return 0
@@ -1448,19 +1490,51 @@ class CollectionEngine:
             json.dumps({"epoch_ts": before.isoformat()}, sort_keys=True)
         )
         old = root.with_name(root.name + f".old-{uuid.uuid4().hex[:8]}")
-        root.rename(old)
-        stage.rename(root)
-        # a cross-process writer (supported via O_EXCL seq claims) may have
-        # appended a batch between our log read and the rename; its files
-        # sit in `old` and are NOT in the rewritten log — carry every file
-        # this rewrite did not cover into the new root before deleting, so
-        # no concurrent mutation is ever silently dropped
-        for p in old.iterdir():
-            if p.name in seen:
-                continue
-            if p.name.endswith(".parquet") or p.name.endswith(".claim"):
-                p.rename(root / p.name)
-        shutil.rmtree(old)
+        # Serialize the swap against cross-process writers (ADVICE r9):
+        # _next_seq's mkdir can recreate the root between the two renames,
+        # making stage.rename(root) fail and stranding the log in .old-*.
+        # Writers honor this lock before touching the directory; the lock
+        # covers only the renames + carry-over (milliseconds), never the
+        # Spark rewrite above.
+        swap_lock = self._swap_lock_path(root)
+        fd = self._acquire_file_lock(swap_lock)
+        try:
+            root.rename(old)
+            try:
+                stage.rename(root)
+            except OSError:
+                # a non-honoring writer (legacy binary, crashed-lock skip)
+                # recreated the root mid-swap — merge the rewrite into it
+                # rather than stranding the log; the writer's fresh files
+                # are not in `stage` so they survive untouched
+                root.mkdir(parents=True, exist_ok=True)
+                for p in stage.iterdir():
+                    target = root / p.name
+                    if not target.exists():
+                        p.rename(target)
+                shutil.rmtree(stage, ignore_errors=True)
+            # a cross-process writer (supported via O_EXCL seq claims) may
+            # have appended a batch between our log read and the rename; its
+            # files sit in `old` and are NOT in the rewritten log — carry
+            # every file this rewrite did not cover into the new root before
+            # deleting, so no concurrent mutation is ever silently dropped.
+            # Loop until a pass moves nothing: a writer mid-write when the
+            # swap started can still materialize a file in `old` through an
+            # already-open handle after the first pass.
+            while True:
+                moved = 0
+                for p in old.iterdir():
+                    if p.name in seen:
+                        continue
+                    if p.name.endswith(".parquet") or p.name.endswith(".claim"):
+                        p.rename(root / p.name)
+                        moved += 1
+                if not moved:
+                    break
+            shutil.rmtree(old)
+        finally:
+            os.close(fd)
+            swap_lock.unlink(missing_ok=True)
         return int(stats.n)
 
     # -- snapshots (qdrant create_snapshot / recover_snapshot parity) --------
@@ -1545,18 +1619,37 @@ class CollectionEngine:
                         # this loop retries — a PermissionError-class entry
                         # will fail all 5 attempts identically, so surface
                         # it as its own code instead of a misleading
-                        # conflict. Classify per entry on the locale-
-                        # independent errno prefix (the strerror TEXT is
-                        # locale-dependent; Windows filesystem OSErrors
-                        # format as [WinError 2/3] for the same vanished-
-                        # path class), and EVERY entry must be transient
+                        # conflict. Classify per entry: the errno prefix
+                        # ("[Errno 2]" / "[WinError 2/3]" — locale-
+                        # independent, unlike the strerror text) OR,
+                        # because copytree stringifies the underlying
+                        # exception (an OSError built without an errno, or
+                        # a wrapped one, has no prefix — ADVICE r9), a
+                        # re-stat of the failing source path: a source that
+                        # no longer exists IS the vanished-file churn the
+                        # retry exists for. EVERY entry must be transient
                         # for the attempt to retry.
                         transient = ("[Errno 2]", "[WinError 2]", "[WinError 3]")
-                        reasons = [str(t[2]) for t in (e.args[0] or [])]
-                        if not all(any(m in r for m in transient) for r in reasons):
-                            persistent = [
-                                r for r in reasons if not any(m in r for m in transient)
-                            ]
+
+                        def _is_transient(entry) -> bool:
+                            reason = str(entry[2])
+                            if any(m in reason for m in transient):
+                                return True
+                            if "[Errno" in reason or "[WinError" in reason:
+                                return False  # parseable, and not errno-2
+                            # no errno prefix to classify on — re-stat the
+                            # failing source: gone means vanished-file churn
+                            try:
+                                os.stat(str(entry[0]))
+                            except OSError:
+                                return True
+                            return False
+
+                        entries = list(e.args[0] or [])
+                        persistent = [
+                            str(t[2]) for t in entries if not _is_transient(t)
+                        ]
+                        if persistent:
                             raise EngineError(
                                 "snapshot_copy_failed",
                                 detail=" | ".join(persistent)[:200],

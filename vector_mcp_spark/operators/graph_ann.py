@@ -46,6 +46,20 @@ from vector_mcp_spark.operators.similarity import SCORE_DECIMALS
 #: beam hops per layer, top layer first — FIXED so the SQL oracle can unroll
 HNSW_HOPS: tuple[tuple[int, int], ...] = ((2, 1), (1, 2), (0, 4))
 
+# Build-geometry constants shared with the suite's SQL oracle
+# (suite_pipeline._hnsw_oracle derives its literals from these and asserts
+# the pinned values — changing any of them must fail that assert rather
+# than silently diverging the Spark path from the oracle; ADVICE r9).
+#: expected rows per blocking block — the hash-sliver cap keeps Σ|block|²
+#: linear in n (10× probe: 31.5× → 5.0× after the cap)
+HNSW_BLOCK_CAP = 128
+#: geometric level fan-out: P[level ≥ L] = FANOUT^-L (hx%8, hx%64 draws)
+HNSW_LEVEL_FANOUT = 8
+#: layer-1 blocks coarsen the IVF clusters by this factor (cluster % 4)
+HNSW_UPPER_COARSEN = 4
+#: default hash-bucket count for the second layer-0 blocking family
+HNSW_N_HASH_BUCKETS = 16
+
 
 def _guarded_norm(col: F.Column) -> F.Column:
     # zero-norm → 1 (the IVF-oracle convention) so pair sims never go NULL
@@ -61,8 +75,8 @@ def hnsw_levels(df: DataFrame, id_col: str = "id") -> DataFrame:
     )
     return df.withColumn("hx", hx).withColumn(
         "level",
-        F.when(F.col("hx") % 64 == 0, F.lit(2))
-        .when(F.col("hx") % 8 == 0, F.lit(1))
+        F.when(F.col("hx") % (HNSW_LEVEL_FANOUT**2) == 0, F.lit(2))
+        .when(F.col("hx") % HNSW_LEVEL_FANOUT == 0, F.lit(1))
         .otherwise(F.lit(0)),
     )
 
@@ -91,7 +105,7 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 def hnsw_build(
     assigned: DataFrame,
     m: int = 12,
-    n_hash_buckets: int = 16,
+    n_hash_buckets: int = HNSW_N_HASH_BUCKETS,
     nn_descent_rounds: int = 2,
     id_col: str = "id",
     emb_col: str = "embedding",
@@ -128,7 +142,10 @@ def hnsw_build(
     # subdivision only engages at scale. NN-descent then recovers edge
     # quality from the narrower seed candidates.
     n_rows = nodes.count()
-    s = max(1, -(-n_rows // (16 * 128)))  # ceil(n / 2048)
+    # slivers are derived from the DEFAULT bucket count (not the caller's
+    # n_hash_buckets) so the suite oracle's literals stay a pure function
+    # of the module constants: ceil(n / 2048)
+    s = max(1, -(-n_rows // (HNSW_N_HASH_BUCKETS * HNSW_BLOCK_CAP)))
 
     # layer 0: two independent blocking families seed the kNN graph
     cand0 = pairs_on(nodes, F.col("cluster"), F.col("hx") % s).union(
@@ -150,12 +167,23 @@ def hnsw_build(
 
     # upper layers: level-filtered nodes, coarser blocks each level up —
     # with the same block-size cap (layer L holds ~n/8^L nodes)
-    s1 = max(1, -(-n_rows // (8 * 4 * 128)))  # ceil((n/8) / (4*128))
+    # ceil((n/8) / (4*128)) = ceil(n / 4096)
+    s1 = max(1, -(-n_rows // (HNSW_LEVEL_FANOUT * HNSW_UPPER_COARSEN * HNSW_BLOCK_CAP)))
     up1 = nodes.where(F.col("level") >= 1)
     layers.append(
-        (_symmetrize(_top_m(pairs_on(up1, F.col("cluster") % 4, F.col("hx") % s1), nodes, m)), 1)
+        (
+            _symmetrize(
+                _top_m(
+                    pairs_on(up1, F.col("cluster") % HNSW_UPPER_COARSEN, F.col("hx") % s1),
+                    nodes,
+                    m,
+                )
+            ),
+            1,
+        )
     )
-    s2 = max(1, -(-n_rows // (64 * 128)))  # ceil((n/64) / 128)
+    # ceil((n/64) / 128) = ceil(n / 8192)
+    s2 = max(1, -(-n_rows // (HNSW_LEVEL_FANOUT**2 * HNSW_BLOCK_CAP)))
     up2 = nodes.where(F.col("level") >= 2)
     layers.append((_symmetrize(_top_m(pairs_on(up2, F.col("hx") % s2), nodes, m)), 2))
 

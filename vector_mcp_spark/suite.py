@@ -133,21 +133,18 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 #
 # Registration order is the driver's correctness-check order, and the driver
 # verifies only the first 50 entries per round. Rotate so every entry gets an
-# oracle row across rounds. Round 9 window (see lists below the imports):
-# the 12 displaced _ROUND8_FILL entries whose latest driver row is r4
-# (supplier_name_near_matches .. user_event_type_sets), then new round-9
-# operators (_PROMOTED_R9, so they get a driver row the round they ship),
-# then the 47 entries whose latest driver row is r5, alphabetical, up to 50.
-# ROUND 10 TODO: lead with the 14 _ROUND9_FILL entries displaced past slot
-# 50 (r5-latest rows: multimodal_image_dims, multimodal_video_meta,
-# semantic_late_interaction, streaming_continuous_aggregate, token_counts,
-# top_bigrams, tpch_q11_important_parts, tpch_q13_custdist,
-# tpch_q16_supplier_cnt, tpch_q20_part_share_suppliers,
-# tpch_q21_waiting_supplier, tpch_q2_min_cost_supplier,
-# tpch_q5_local_supplier, tpch_q9_product_profit — recompute as
-# (_ROUND9_LEAD + _PROMOTED_R9 + _ROUND9_FILL)[50:] if _PROMOTED_R9
-# changed), then _PROMOTED_R10, then the r6-latest entries
-# (CORRECTNESS_r06 keys, alphabetical) up to 50.
+# oracle row across rounds. Round 10 window (see lists below the imports):
+# the 14 _ROUND9_FILL entries displaced past slot 50 last round (latest
+# driver rows r5, the stalest in the registry), then new round-10 operators
+# (_PROMOTED_R10, so they get a driver row the round they ship), then the 50
+# entries whose latest driver row is r6 (CORRECTNESS_r06 keys, alphabetical)
+# up to 50.
+# ROUND 11 TODO: lead with the _ROUND10_FILL entries displaced past slot 50
+# this round — recompute as (_ROUND10_LEAD + _PROMOTED_R10 +
+# _ROUND10_FILL)[50:] (with _PROMOTED_R10 empty that is the last 14 r6-latest
+# keys alphabetically, tpch_q12_ship_latency backwards; each promotion
+# displaces one more) — then _PROMOTED_R11, then the r7-latest entries
+# (CORRECTNESS_r07 keys minus any later-green, alphabetical) up to 50.
 from vector_mcp_spark import suite_relational  # noqa: E402,F401
 from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401
@@ -155,70 +152,10 @@ from vector_mcp_spark import suite_mutation  # noqa: E402,F401
 from vector_mcp_spark import suite_tpch  # noqa: E402,F401
 from vector_mcp_spark import suite_mining  # noqa: E402,F401
 from vector_mcp_spark import suite_vecapi  # noqa: E402,F401
-# --- Round-9 window --------------------------------------------------------
-# (a) The 12 _ROUND8_FILL entries displaced past slot 50 last round (latest
-# driver rows r4, the stalest in the registry).
-_ROUND9_LEAD = [
-    "supplier_name_near_matches",
-    "tpch_q10_returned_items",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_dormant_customers",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "udtf_parse_props",
-    "user_event_type_sets",
-]
-
-# (b) New round-9 operators are appended here as they land so they get a
-# driver row the round they ship (each displaces one _ROUND9_FILL slot).
-_PROMOTED_R9: list[str] = [
-    "ann_hnsw_topk",
-    "corpus_nb_classifier",
-    "corpus_training_triplets",
-    "corpus_ccnet_filter",
-    "ann_hnsw_filtered_topk",
-]
-
-# (c) Stalest remaining greens (latest driver rows r5, alphabetical).
-# Entries displaced past slot 50 here head the ROUND-10 window.
-_ROUND9_FILL = [
-    "corpus_bloom_decontaminate",
-    "corpus_dsir_weights",
-    "corpus_expectations",
-    "corpus_leakage_safe_split",
-    "corpus_lexical_diversity",
-    "corpus_manifest",
-    "corpus_quality_filter",
-    "corpus_source_overlap",
-    "corpus_unigram_logprob",
-    "dedup_incremental_lsh",
-    "embed_documents",
-    "embedding_binary_sign_topk",
-    "embedding_hard_negatives",
-    "embedding_pq_adc_topk",
-    "embedding_pq_codes",
-    "events_ab_readout",
-    "events_daily_trend",
-    "events_hourly_seasonality",
-    "events_json_extract",
-    "events_key_skew_report",
-    "events_mad_udaf",
-    "events_retention_cohorts",
-    "events_robust_outliers",
-    "events_salted_enrich_join",
-    "events_scd2_intervals",
-    "events_snapshot_diff",
-    "events_value_histogram",
-    "graph_pagerank_event_types",
-    "lexical_postings_index",
-    "lexical_snippets",
-    "lineitem_decimal_totals",
-    "multimodal_audio_meta",
-    "multimodal_frame_sample",
+# --- Round-10 window -------------------------------------------------------
+# (a) The 14 _ROUND9_FILL entries displaced past slot 50 last round (latest
+# driver rows r5, the stalest in the registry).
+_ROUND10_LEAD = [
     "multimodal_image_dims",
     "multimodal_video_meta",
     "semantic_late_interaction",
@@ -235,7 +172,67 @@ _ROUND9_FILL = [
     "tpch_q9_product_profit",
 ]
 
-_window = (_ROUND9_LEAD + _PROMOTED_R9 + _ROUND9_FILL)[:50]
+# (b) New round-10 operators are appended here as they land so they get a
+# driver row the round they ship (each displaces one _ROUND10_FILL slot).
+_PROMOTED_R10: list[str] = []
+
+# (c) Stalest remaining greens (latest driver rows r6 = CORRECTNESS_r06
+# keys, alphabetical). Entries displaced past slot 50 here head the
+# ROUND-11 window.
+_ROUND10_FILL = [
+    "corpus_bigram_heldout_ppl",
+    "corpus_bigram_logprob",
+    "corpus_bpe_merges",
+    "corpus_bpe_top_tokens",
+    "corpus_collocations_pmi",
+    "corpus_curation_funnel",
+    "corpus_curriculum_sample",
+    "corpus_doc_keywords",
+    "corpus_lang_confusion",
+    "corpus_lang_source_chi2",
+    "corpus_pii_report",
+    "corpus_quality_percentile_by_source",
+    "corpus_shard_assignment",
+    "corpus_source_cap",
+    "corpus_span_novelty",
+    "corpus_stratified_sample",
+    "dedup_clusters",
+    "dedup_sorted_neighborhood",
+    "embedding_covariance_cells",
+    "embedding_diag_mahalanobis",
+    "embedding_isotropy_report",
+    "embedding_nearest_centroid_eval",
+    "embedding_top_pc",
+    "events_anomaly_zscore",
+    "events_bootstrap_mean_ci",
+    "events_cusum_changepoint",
+    "events_equidepth_histogram",
+    "events_markov_transitions",
+    "events_seasonal_decomposition",
+    "events_theil_sen_trend",
+    "events_trajectory_similarity",
+    "events_twap_user_day",
+    "events_value_winsorized",
+    "lexical_fuzzy_term",
+    "lexical_indexed_tf",
+    "lexical_tf",
+    "lineitem_price_discount_skyline",
+    "parts_item_similarity",
+    "parts_label_propagation",
+    "parts_top_communities",
+    "parts_triangle_count",
+    "semantic_multiquery",
+    "semantic_rerank_crossencoder",
+    "semantic_threshold",
+    "semantic_topk",
+    "streaming_abandoned_clicks",
+    "streaming_dedup_ingest",
+    "streaming_kmv_distinct",
+    "streaming_session_windows",
+    "tpch_q12_ship_latency",
+]
+
+_window = (_ROUND10_LEAD + _PROMOTED_R10 + _ROUND10_FILL)[:50]
 _missing = [n for n in _window if n not in SUITE]
 if _missing:  # fail loudly at import so a typo can't silently shrink coverage
     raise RuntimeError(f"rotation names not in SUITE: {_missing}")

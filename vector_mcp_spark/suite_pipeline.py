@@ -2413,6 +2413,24 @@ _HNSW_EF = 48
 _HNSW_K = 5
 _HNSW_NQ = 20
 
+# The oracle SQL below replays hnsw_build's geometry; its literals are
+# derived from graph_ann's module constants so a changed build default
+# fails HERE instead of silently diverging Spark from the oracle
+# (ADVICE r9). The pins double as documentation of the expected values.
+from vector_mcp_spark.operators.graph_ann import (  # noqa: E402
+    HNSW_BLOCK_CAP as _G_CAP,
+    HNSW_LEVEL_FANOUT as _G_FAN,
+    HNSW_N_HASH_BUCKETS as _G_NHASH,
+    HNSW_UPPER_COARSEN as _G_COARSEN,
+)
+
+_HNSW_D0 = _G_NHASH * _G_CAP  # layer-0 sliver divisor
+_HNSW_D1 = _G_FAN * _G_COARSEN * _G_CAP  # layer-1 sliver divisor
+_HNSW_D2 = _G_FAN**2 * _G_CAP  # layer-2 sliver divisor
+assert (_G_NHASH, _G_FAN, _G_COARSEN) == (16, 8, 4), "hnsw geometry changed: re-derive oracle"
+assert (_HNSW_D0, _HNSW_D1, _HNSW_D2) == (2048, 4096, 8192), "hnsw slivers changed"
+assert _HNSW_M == 12, "suite _HNSW_M must match the recall-gated build default"
+
 
 def _hnsw_oracle(final_filter_sql: str = "") -> str:
     """Full SQL replay of the layered graph-ANN index AND its beam search
@@ -2468,7 +2486,7 @@ b{i} AS MATERIALIZED (
 )"""
 
     parts = [_kmeans_replay_ctes()]
-    parts.append(""",
+    parts.append(f""",
 lv0 AS (
   SELECT vec_id, v, cluster,
          CAST('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 61, 4) AS INTEGER) AS hx
@@ -2476,13 +2494,13 @@ lv0 AS (
 ),
 lv AS MATERIALIZED (
   SELECT vec_id, v, cluster, hx,
-         CASE WHEN hx % 64 = 0 THEN 2 WHEN hx % 8 = 0 THEN 1 ELSE 0 END AS level
+         CASE WHEN hx % {_G_FAN**2} = 0 THEN 2 WHEN hx % {_G_FAN} = 0 THEN 1 ELSE 0 END AS level
   FROM lv0
 ),
 prm AS (
-  SELECT CAST(ceil(count(*) / 2048.0) AS INTEGER) AS s,
-         CAST(ceil(count(*) / 4096.0) AS INTEGER) AS s1,
-         CAST(ceil(count(*) / 8192.0) AS INTEGER) AS s2
+  SELECT CAST(ceil(count(*) / {_HNSW_D0}.0) AS INTEGER) AS s,
+         CAST(ceil(count(*) / {_HNSW_D1}.0) AS INTEGER) AS s1,
+         CAST(ceil(count(*) / {_HNSW_D2}.0) AS INTEGER) AS s2
   FROM lv
 ),
 cand0 AS (
@@ -2492,7 +2510,8 @@ cand0 AS (
   UNION
   SELECT a.vec_id AS src, b.vec_id AS dst
   FROM prm, lv a, lv b
-  WHERE b.hx % 16 = a.hx % 16 AND (b.hx // 16) % prm.s = (a.hx // 16) % prm.s
+  WHERE b.hx % {_G_NHASH} = a.hx % {_G_NHASH}
+    AND (b.hx // {_G_NHASH}) % prm.s = (a.hx // {_G_NHASH}) % prm.s
     AND b.vec_id != a.vec_id
 )""")
     parts.append(top_m("e0a", "cand0"))
@@ -2501,11 +2520,12 @@ cand0 AS (
     parts.append(nd_round("cnd2", "e0b"))
     parts.append(top_m("e0c", "cnd2"))
     parts.append(sym("s0", "e0c"))
-    parts.append(""",
+    parts.append(f""",
 cand1 AS (
   SELECT a.vec_id AS src, b.vec_id AS dst
   FROM prm, lv a, lv b
-  WHERE b.cluster % 4 = a.cluster % 4 AND b.hx % prm.s1 = a.hx % prm.s1
+  WHERE b.cluster % {_G_COARSEN} = a.cluster % {_G_COARSEN}
+    AND b.hx % prm.s1 = a.hx % prm.s1
     AND b.vec_id != a.vec_id AND a.level >= 1 AND b.level >= 1
 )""")
     parts.append(top_m("e1", "cand1"))
