@@ -34,7 +34,7 @@ from vector_mcp_spark.toolgate import ToolFilter, joined_headers
 MAX_BODY_BYTES = 8 * 1024 * 1024  # one MCP message, not a bulk-data channel
 
 
-def _make_handler(agent, path: str, tool_filter: ToolFilter | None = None):
+def _make_handler(agent, path: str, tool_filter: ToolFilter | None = None, surface=None):
     static_filter = tool_filter or ToolFilter()
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -88,7 +88,7 @@ def _make_handler(agent, path: str, tool_filter: ToolFilter | None = None):
             except json.JSONDecodeError:
                 resp: dict | None = _error(None, PARSE_ERROR, "invalid JSON")
             else:
-                resp = handle_message(agent, msg, req_filter)
+                resp = handle_message(agent, msg, req_filter, surface)
             if resp is None:
                 self._send(202, b"")
             else:
@@ -98,19 +98,19 @@ def _make_handler(agent, path: str, tool_filter: ToolFilter | None = None):
 
 
 def start_http(agent, host: str = "127.0.0.1", port: int = 0, path: str = "/mcp",
-               tool_filter: ToolFilter | None = None):
+               tool_filter: ToolFilter | None = None, surface=None):
     """Bind and return a ready ``ThreadingHTTPServer`` (not yet serving).
 
     Callers run ``serve_forever()`` on a thread (tests) or inline (``main``);
     ``server.server_address[1]`` is the bound port when ``port=0``."""
-    return ThreadingHTTPServer((host, port), _make_handler(agent, path, tool_filter))
+    return ThreadingHTTPServer((host, port), _make_handler(agent, path, tool_filter, surface))
 
 
 def serve_http(agent, host: str = "127.0.0.1", port: int = 8000, path: str = "/mcp",
-               tool_filter: ToolFilter | None = None) -> None:
+               tool_filter: ToolFilter | None = None, surface=None) -> None:
     import sys
 
-    server = start_http(agent, host, port, path, tool_filter)
+    server = start_http(agent, host, port, path, tool_filter, surface)
     bound = server.server_address[1]
     print(f"vector-mcp-spark MCP serving streamable-http on http://{host}:{bound}{path}",
           file=sys.stderr, flush=True)

@@ -45,7 +45,7 @@ def _sse_event(event: str, data: str) -> bytes:
 
 
 def _make_handler(agent, sse_path: str, msg_path: str, keepalive_s: float,
-                  tool_filter: ToolFilter | None = None):
+                  tool_filter: ToolFilter | None = None, surface=None):
     static_filter = tool_filter or ToolFilter()
     # sid -> (response queue, the session's tool filter). The filter is
     # captured ONCE at stream connect (headers/query on the GET — the
@@ -148,7 +148,7 @@ def _make_handler(agent, sse_path: str, msg_path: str, keepalive_s: float,
 
             def _dispatch(q=q, msg=msg, req_filter=req_filter):
                 try:
-                    resp = handle_message(agent, msg, req_filter)
+                    resp = handle_message(agent, msg, req_filter, surface)
                 except Exception as e:  # handle_message already contains
                     # dispatch errors; this guards the transport itself
                     resp = _error(msg.get("id") if isinstance(msg, dict) else None,
@@ -170,12 +170,13 @@ def start_sse(
     msg_path: str = "/messages",
     keepalive_s: float = KEEPALIVE_S,
     tool_filter: ToolFilter | None = None,
+    surface=None,
 ) -> ThreadingHTTPServer:
     """Bind and return a ready ``ThreadingHTTPServer`` (not yet serving);
     ``server.server_address[1]`` is the bound port when ``port=0``. Handler
     threads are daemons so a test teardown never hangs on an open stream."""
     server = ThreadingHTTPServer(
-        (host, port), _make_handler(agent, sse_path, msg_path, keepalive_s, tool_filter)
+        (host, port), _make_handler(agent, sse_path, msg_path, keepalive_s, tool_filter, surface)
     )
     server.daemon_threads = True
     return server
@@ -183,11 +184,12 @@ def start_sse(
 
 def serve_sse(
     agent, host: str = "127.0.0.1", port: int = 8001, sse_path: str = "/sse",
-    msg_path: str = "/messages", tool_filter: ToolFilter | None = None,
+    msg_path: str = "/messages", tool_filter: ToolFilter | None = None, surface=None,
 ) -> None:
     import sys
 
-    server = start_sse(agent, host, port, sse_path, msg_path, tool_filter=tool_filter)
+    server = start_sse(agent, host, port, sse_path, msg_path, tool_filter=tool_filter,
+                       surface=surface)
     bound = server.server_address[1]
     print(f"vector-mcp-spark MCP serving sse on http://{host}:{bound}{sse_path}",
           file=sys.stderr, flush=True)

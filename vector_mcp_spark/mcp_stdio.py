@@ -36,44 +36,34 @@ def _result(msg_id: Any, result: dict) -> dict:
     return {"jsonrpc": "2.0", "id": msg_id, "result": result}
 
 
-def tool_listing(tool_filter=None) -> list[dict]:
-    """The MCP ``tools/list`` payload, derived from the same skill catalog
-    the agent card serves (one schema per action-routed tool). An optional
-    :class:`~vector_mcp_spark.toolgate.ToolFilter` hides tools the
-    deployment (CLI/env) or the request (headers/query) filtered out —
-    the reference's dynamic tool visibility (README.md:91-106)."""
-    from vector_mcp_spark.agent_card import SKILL_CATALOG
+def _surface(surface=None):
+    """The active tool surface; defaults to the environment's
+    (``MCP_TOOL_MODE`` + ``<DOMAIN>TOOL`` toggles — toolmode.py)."""
+    if surface is not None:
+        return surface
+    from vector_mcp_spark.toolmode import ToolSurface
 
-    tools = []
-    for skill in SKILL_CATALOG:
-        if tool_filter is not None and not tool_filter.allows(
-            skill["tool"], skill.get("tags", ())
-        ):
-            continue
-        tools.append(
-            {
-                "name": skill["tool"],
-                "description": skill["description"],
-                "inputSchema": {
-                    "type": "object",
-                    "properties": {
-                        "action": {"type": "string", "enum": list(skill["actions"])},
-                    },
-                    "required": ["action"],
-                    "additionalProperties": True,
-                },
-            }
-        )
-    return tools
+    return ToolSurface.from_env()
 
 
-def handle_message(agent, msg: Any, tool_filter=None) -> dict | None:
+def tool_listing(tool_filter=None, surface=None) -> list[dict]:
+    """The MCP ``tools/list`` payload: the deployment's active tool surface
+    (condensed action-routed / verbose 1:1 / both — ``MCP_TOOL_MODE`` and
+    the ``<DOMAIN>TOOL`` toggles, reference README.md:63-89), further
+    narrowed by an optional :class:`~vector_mcp_spark.toolgate.ToolFilter`
+    (CLI/env statically, headers/query per request — README.md:91-106)."""
+    return _surface(surface).listing(tool_filter)
+
+
+def handle_message(agent, msg: Any, tool_filter=None, surface=None) -> dict | None:
     """One JSON-RPC message → response dict, or None for notifications.
 
     ``agent`` is anything with ``.dispatch(tool, action, **kwargs)`` and
     ``.card()`` (AgentCardVeneer in production, a stub in tests).
     ``tool_filter`` (a ``toolgate.ToolFilter``) hides filtered tools from
     ``tools/list`` and makes calling one a ``tool_invalid`` tool result.
+    ``surface`` (a ``toolmode.ToolSurface``) selects WHICH tools exist —
+    condensed, verbose 1:1, or both; None = derive from the environment.
 
     JSON-RPC 2.0 §4.1: a request without ``id`` is a notification and MUST
     NOT receive a response — side effects (e.g. an id-less ``tools/call``)
@@ -85,13 +75,15 @@ def handle_message(agent, msg: Any, tool_filter=None) -> dict | None:
     msg_id = msg.get("id")
     is_notification = "id" not in msg
     try:
-        resp = _dispatch_method(agent, method, msg, msg_id, tool_filter)
+        resp = _dispatch_method(agent, method, msg, msg_id, tool_filter, surface)
     except Exception as e:  # dispatch must never leak a traceback onto the wire
         resp = _error(msg_id, INTERNAL_ERROR, f"{type(e).__name__}: {e}")
     return None if is_notification else resp
 
 
-def _dispatch_method(agent, method: str, msg: dict, msg_id: Any, tool_filter=None) -> dict | None:
+def _dispatch_method(
+    agent, method: str, msg: dict, msg_id: Any, tool_filter=None, surface=None
+) -> dict | None:
     if method == "initialize":
         card = agent.card()
         return _result(
@@ -108,7 +100,7 @@ def _dispatch_method(agent, method: str, msg: dict, msg_id: Any, tool_filter=Non
     if method == "ping":
         return _result(msg_id, {})
     if method == "tools/list":
-        return _result(msg_id, {"tools": tool_listing(tool_filter)})
+        return _result(msg_id, {"tools": tool_listing(tool_filter, surface)})
     if method == "prompts/list":
         from vector_mcp_spark.governance import list_prompts
 
@@ -137,38 +129,50 @@ def _dispatch_method(agent, method: str, msg: dict, msg_id: Any, tool_filter=Non
         params = msg.get("params") or {}
         name = params.get("name")
         arguments = dict(params.get("arguments") or {})
-        if not isinstance(name, str) or "action" not in arguments:
-            return _error(msg_id, INVALID_PARAMS, "tools/call needs name and arguments.action")
-        action = arguments.pop("action")
-        if tool_filter is not None and not tool_filter.is_noop():
-            from vector_mcp_spark.toolgate import tool_tags
+        if not isinstance(name, str):
+            return _error(msg_id, INVALID_PARAMS, "tools/call needs a string name")
+        surf = _surface(surface)
+        spec = surf.get(name)
+        # gate on "is a VISIBLE tool of the ACTIVE surface", not "passes
+        # the filter": an UNKNOWN name trivially passes a deny-only filter,
+        # and letting it fall through to dispatch would return
+        # allowed/did-you-mean over the FULL surface — leaking both the
+        # filtered tools and the tools the mode/domain toggles removed
+        if spec is None or (
+            tool_filter is not None
+            and not tool_filter.allows(name, spec.get("tags", ()))
+        ):
+            # a filtered/mode-hidden tool is indistinguishable from an
+            # unknown one: same tool_invalid error shape, with
+            # allowed/did-you-mean drawn from the VISIBLE surface only
+            import difflib
 
-            tags = tool_tags()
-            visible = [t for t in tags if tool_filter.allows(t, tags[t])]
-            # gate on "is a VISIBLE tool", not "passes the filter": an
-            # UNKNOWN name trivially passes a deny-only filter, and letting
-            # it fall through to dispatch would return allowed/did-you-mean
-            # over the FULL surface — leaking the hidden tools
-            if name not in visible:
-                # a filtered tool is indistinguishable from an unknown one:
-                # same tool_invalid error shape, with allowed/did-you-mean
-                # drawn from the VISIBLE surface only (no leak of hidden
-                # tools through suggestions)
-                import difflib
-
-                out = {
-                    "error": "tool_invalid",
-                    "allowed": visible,
-                    "did_you_mean": difflib.get_close_matches(name, visible, n=3, cutoff=0.4),
-                }
-                return _result(
-                    msg_id,
-                    {
-                        "content": [{"type": "text", "text": json.dumps(out)}],
-                        "isError": True,
-                    },
+            visible = surf.visible(tool_filter)
+            out = {
+                "error": "tool_invalid",
+                "allowed": visible,
+                "did_you_mean": difflib.get_close_matches(name, visible, n=3, cutoff=0.4),
+            }
+            return _result(
+                msg_id,
+                {
+                    "content": [{"type": "text", "text": json.dumps(out)}],
+                    "isError": True,
+                },
+            )
+        if spec["route_action"] is not None:
+            # verbose 1:1 tool: the action is implied by the name; a stray
+            # explicit action argument is ignored (the schema declares
+            # additionalProperties: false — the name IS the action)
+            arguments.pop("action", None)
+            action = spec["route_action"]
+        else:
+            if "action" not in arguments:
+                return _error(
+                    msg_id, INVALID_PARAMS, "tools/call needs name and arguments.action"
                 )
-        out = agent.dispatch(name, action, **arguments)
+            action = arguments.pop("action")
+        out = agent.dispatch(spec["route_tool"], action, **arguments)
         # MCP tool results carry the payload as text content; the stable
         # snake_case error dicts ride through as isError results — a bad
         # action is a TOOL-level outcome, not a protocol failure
@@ -182,7 +186,7 @@ def _dispatch_method(agent, method: str, msg: dict, msg_id: Any, tool_filter=Non
     return _error(msg_id, METHOD_NOT_FOUND, f"unknown method: {method}")
 
 
-def serve(agent, stdin: TextIO, stdout: TextIO, tool_filter=None) -> None:
+def serve(agent, stdin: TextIO, stdout: TextIO, tool_filter=None, surface=None) -> None:
     """Blocking newline-delimited JSON-RPC loop until EOF on ``stdin``."""
     for line in stdin:
         line = line.strip()
@@ -193,7 +197,7 @@ def serve(agent, stdin: TextIO, stdout: TextIO, tool_filter=None) -> None:
         except json.JSONDecodeError:
             resp: dict | None = _error(None, PARSE_ERROR, "invalid JSON")
         else:
-            resp = handle_message(agent, msg, tool_filter)
+            resp = handle_message(agent, msg, tool_filter, surface)
         if resp is not None:
             stdout.write(json.dumps(resp) + "\n")
             stdout.flush()
@@ -219,7 +223,13 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--toolsets", default=None, help="comma-separated toolsets (tags) to enable")
     parser.add_argument("--disabled-tools", default=None)
     parser.add_argument("--disabled-toolsets", default=None)
+    # tool surface (reference README.md:63-89): condensed action-routed
+    # (default), verbose 1:1 API-mapped, or both; the flag overrides the
+    # MCP_TOOL_MODE env var
+    parser.add_argument("--tool-mode", default=None, choices=["condensed", "verbose", "both"])
     args = parser.parse_args(argv)
+
+    import os
 
     from vector_mcp_spark.agent_card import AgentCardVeneer
     from vector_mcp_spark.api import VectorSearchApi
@@ -227,6 +237,7 @@ def main(argv: list[str] | None = None) -> int:
     from vector_mcp_spark.mcp import McpVeneer
     from vector_mcp_spark.session import get_spark
     from vector_mcp_spark.toolgate import ToolFilter
+    from vector_mcp_spark.toolmode import ENV_TOOL_MODE, ToolSurface
 
     tool_filter = ToolFilter.static_filter(
         tools=args.tools,
@@ -234,19 +245,27 @@ def main(argv: list[str] | None = None) -> int:
         disabled_tools=args.disabled_tools,
         disabled_toolsets=args.disabled_toolsets,
     )
+    env = dict(os.environ)
+    if args.tool_mode:
+        env[ENV_TOOL_MODE] = args.tool_mode
+    surface = ToolSurface.from_env(env)  # fail loudly on a typo'd mode NOW
     spark = get_spark("vector-mcp-stdio")
     engine = CollectionEngine(spark, args.root, tenant=args.tenant)
     agent = AgentCardVeneer(McpVeneer(engine, VectorSearchApi(engine)))
     if args.transport == "streamable-http":
         from vector_mcp_spark.mcp_http import serve_http
 
-        serve_http(agent, host=args.host, port=args.port, tool_filter=tool_filter)
+        serve_http(agent, host=args.host, port=args.port, tool_filter=tool_filter, surface=surface)
         return 0
     if args.transport == "sse":
         from vector_mcp_spark.mcp_sse import serve_sse
 
-        serve_sse(agent, host=args.host, port=args.port, tool_filter=tool_filter)
+        serve_sse(agent, host=args.host, port=args.port, tool_filter=tool_filter, surface=surface)
         return 0
-    print(f"vector-mcp-spark MCP serving stdio (root={args.root})", file=sys.stderr, flush=True)
-    serve(agent, sys.stdin, sys.stdout, tool_filter)
+    print(
+        f"vector-mcp-spark MCP serving stdio (root={args.root}, tool mode={surface.mode})",
+        file=sys.stderr,
+        flush=True,
+    )
+    serve(agent, sys.stdin, sys.stdout, tool_filter, surface)
     return 0

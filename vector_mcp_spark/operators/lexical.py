@@ -186,6 +186,17 @@ def lexical_tf_topk_multi(
                 F.size(F.array_distinct(matched)) == F.lit(len(terms)), score
             ).otherwise(F.lit(None).cast("double"))
         entries.append(F.struct(F.lit(qid).alias("query_id"), score.alias("score")))
+    if not entries:
+        # every query tokenized to nothing (e.g. one-char/punctuation-only
+        # questions): F.array() of zero structs is VOID and explode would
+        # raise a raw AnalysisException — return the empty result instead,
+        # matching the single-query guard above
+        return docs.select(
+            F.lit(0).alias("query_id"),
+            F.lit(0).alias("rank"),
+            F.col(id_col),
+            F.lit(0.0).alias("score"),
+        ).where(F.lit(False))
     scored = (
         docs.select(F.col(id_col), F.explode(F.array(*entries)).alias("_q"))
         .select(id_col, F.col("_q.query_id").alias("query_id"), F.col("_q.score").alias("score"))
