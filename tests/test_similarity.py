@@ -243,3 +243,55 @@ def test_training_triplets_label_contract(embs):
           for r in hard_negative_mine(anchors, embs, 1, id_col="vec_id").collect()}
     for r in got:
         assert hn[r.anchor_id] == (r.negative_id, r.neg_score)
+
+
+def test_filtered_ann_selectivity_routing(embs):
+    """The routed filtered-ANN composition (qdrant's planner behavior):
+    a selective payload predicate (label=3 AND even id, ~3%) MUST route to
+    pre-filter + exact re-rank — and the result IS the true top-k of the
+    allowed set; a broad one (even label, ~49%) MUST route to graph beam +
+    post-filter. Both extremes pinned so a threshold regression fails here,
+    not just in the suite's hash gate."""
+    from vector_mcp_spark.operators.graph_ann import (
+        ann_filtered_topk_routed,
+        hnsw_build,
+    )
+    from vector_mcp_spark.operators.similarity import ivf_build
+
+    queries = embs.where(F.col("vec_id") < 10)
+    assigned, _ = ivf_build(embs, n_centroids=16, id_col="vec_id", max_iter=2)
+    edges, meta = hnsw_build(assigned, m=12, id_col="vec_id")
+
+    selective = embs.where(
+        (F.col("label") == 3) & (F.col("vec_id") % 2 == 0)
+    ).select("vec_id")
+    broad = embs.where(F.col("label") % 2 == 0).select("vec_id")
+
+    out_sel, regime_sel = ann_filtered_topk_routed(
+        queries, embs, edges, meta["entry"], selective, k=5, id_col="vec_id"
+    )
+    out_broad, regime_broad = ann_filtered_topk_routed(
+        queries, embs, edges, meta["entry"], broad, k=5, id_col="vec_id"
+    )
+    assert regime_sel == "exact"
+    assert regime_broad == "graph"
+
+    # exact regime = the true top-k of the allowed set
+    allowed_corpus = embs.join(selective, "vec_id", "left_semi")
+    truth = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in cosine_self_join_topk(
+            queries, allowed_corpus, 5, id_col="vec_id"
+        ).collect()
+    }
+    got = {(r.query_id, r.rank, r.neighbor_id) for r in out_sel.collect()}
+    assert got == truth
+
+    # graph regime honors the filter and never exceeds k
+    broad_ids = {r.vec_id for r in broad.collect()}
+    rows = out_broad.collect()
+    assert all(r.neighbor_id in broad_ids for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(len(v) <= 5 for v in per_q.values())

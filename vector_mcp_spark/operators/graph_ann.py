@@ -279,3 +279,84 @@ def ann_hnsw_topk(
         F.col("node").alias("neighbor_id"),
         F.round("_sm", SCORE_DECIMALS).alias("score"),
     )
+
+
+def ann_filtered_topk_routed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    edges: DataFrame,
+    entry: object,
+    allowed: DataFrame,
+    k: int,
+    ef: int = 48,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+    selectivity_threshold: float = 0.25,
+) -> tuple[DataFrame, str]:
+    """Selectivity-routed filtered ANN — the composition qdrant's query
+    planner actually performs for filter+vector queries (its cardinality
+    estimator picks between a filtered exact scan and the HNSW traversal;
+    ``vector_mcp/vectordb/qdrant.py`` delegates to that planner): when the
+    payload predicate is SELECTIVE (|allowed| / |corpus| below the
+    threshold), pre-filter and exact-rank — the filter prunes the scan and
+    the true top-k of the allowed set always comes back; when it is BROAD,
+    beam-search the graph and post-filter the final beam — the traversal
+    cost is independent of the (nearly useless) filter.
+
+    Returns ``(result, regime)`` with regime ``"exact"`` or ``"graph"`` so
+    callers and tests can pin the routing decision. Both regimes emit the
+    same shape as :func:`ann_hnsw_topk`: (query_id, rank, neighbor_id,
+    score), scores rounded to ``SCORE_DECIMALS``, self-matches excluded
+    when ``exclude_self``.
+
+    Cost of the estimate: two driver-side counts (the ``allowed`` side is
+    a pushed-down metadata predicate — a row-group-pruned count at scale).
+    At 100 TB the exact branch is a broadcast of the bounded query batch
+    against the FILTERED corpus scan (predicate reaches parquet), and the
+    graph branch touches only beam-frontier edge partitions.
+    """
+    n_total = corpus.count()
+    n_allowed = allowed.count()
+    sel = (n_allowed / n_total) if n_total else 0.0
+    if sel >= selectivity_threshold:
+        return (
+            ann_hnsw_topk(
+                queries, corpus, edges, entry, k=k, ef=ef, id_col=id_col,
+                emb_col=emb_col, exclude_self=exclude_self, allowed=allowed,
+            ),
+            "graph",
+        )
+    allowed_ids = allowed.select(F.col(allowed.columns[0]).alias("node")).distinct()
+    nodes = (
+        corpus.select(
+            F.col(id_col).alias("node"),
+            F.col(emb_col).alias("v"),
+            _guarded_norm(F.col(emb_col)).alias("n"),
+        )
+        .join(F.broadcast(allowed_ids), "node", "left_semi")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("qv"),
+        _guarded_norm(F.col(emb_col)).alias("qn"),
+    )
+    # bounded broadcast cross join: |queries| ≤ the caller's batch, never
+    # corpus-sized — the same shape as semantic_topk_multi's scorer
+    scored = nodes.join(F.broadcast(q)).withColumn(
+        "_sm", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("node"))
+    w = Window.partitionBy("query_id").orderBy(F.col("_sm").desc(), F.col("node").asc())
+    out = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(
+            "query_id",
+            F.col("_rn").cast("int").alias("rank"),
+            F.col("node").alias("neighbor_id"),
+            F.round("_sm", SCORE_DECIMALS).alias("score"),
+        )
+    )
+    return out, "exact"

@@ -174,7 +174,9 @@ _ROUND10_LEAD = [
 
 # (b) New round-10 operators are appended here as they land so they get a
 # driver row the round they ship (each displaces one _ROUND10_FILL slot).
-_PROMOTED_R10: list[str] = []
+_PROMOTED_R10: list[str] = [
+    "ann_filtered_routed_topk",
+]
 
 # (c) Stalest remaining greens (latest driver rows r6 = CORRECTNESS_r06
 # keys, alphabetical). Entries displaced past slot 50 here head the

@@ -2823,3 +2823,64 @@ def q_ann_hnsw_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, embs, edges, meta["entry"], k=_HNSW_K, ef=_HNSW_EF,
         id_col="vec_id", allowed=allowed,
     )
+
+
+# -- selectivity-routed filtered ANN (qdrant query-planner composition) -------
+# The two filtered paths above are the REGIMES; this entry is the router
+# that picks between them by estimated selectivity, the composition qdrant's
+# planner actually performs. Predicates are chosen so the decision is firmly
+# bimodal at every suite SF: label=3 AND even id ≈ 0.03-0.06 (exact route),
+# even label ≈ 0.49-0.51 (graph route), threshold 0.25.
+
+_ROUTED_SELECTIVE_SQL = "label = 3 AND vec_id % 2 = 0"
+_ROUTED_EXACT_SIM = _ivf_sim_sql("q.qv", "d.v")
+_ROUTED_ORACLE = f"""
+SELECT 'exact' AS regime, query_id, rank, neighbor_id, score FROM (
+  SELECT q.vec_id AS query_id,
+         CAST(row_number() OVER (PARTITION BY q.vec_id
+                                 ORDER BY {_ROUTED_EXACT_SIM} DESC,
+                                          d.vec_id ASC) AS INTEGER) AS rank,
+         d.vec_id AS neighbor_id,
+         ROUND({_ROUTED_EXACT_SIM}, 6) AS score
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id < {_HNSW_NQ}) q
+  CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE {_ROUTED_SELECTIVE_SQL}) d
+  WHERE d.vec_id != q.vec_id
+) WHERE rank <= {_HNSW_K}
+UNION ALL
+SELECT 'graph' AS regime, query_id, rank, neighbor_id, score
+FROM ({_hnsw_oracle(_HNSW_FILT_SQL)})
+"""
+
+
+@register("ann_filtered_routed_topk", _ROUTED_ORACLE, "similarity", "filtered")
+def q_ann_filtered_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selectivity-routed filtered ANN (VERDICT r9 #3 — the missing
+    composition between semantic_filtered_topk and ann_hnsw_filtered_topk):
+    a selective payload predicate routes to pre-filter + exact re-rank (the
+    true top-k of the allowed set, filter pushed to the scan); a broad one
+    routes to graph beam + post-filter (traversal cost independent of the
+    filter). Runs the router at BOTH extremes and unions the two regimes,
+    so the driver hash-checks each against its own replay; the routing
+    decision itself is asserted — a regression re-routes and fails the
+    row-count/hash gate loudly."""
+    from vector_mcp_spark.operators.graph_ann import ann_filtered_topk_routed
+
+    embs = load(spark, sf_dir, "embeddings")
+    edges, meta = _hnsw_index(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < _HNSW_NQ)
+    selective = embs.where((F.col("label") == 3) & (F.col("vec_id") % 2 == 0)).select("vec_id")
+    broad = embs.where(F.col("label") % 2 == 0).select("vec_id")
+    kw = dict(k=_HNSW_K, ef=_HNSW_EF, id_col="vec_id")
+    a, regime_a = ann_filtered_topk_routed(
+        queries, embs, edges, meta["entry"], selective, **kw
+    )
+    b, regime_b = ann_filtered_topk_routed(
+        queries, embs, edges, meta["entry"], broad, **kw
+    )
+    if (regime_a, regime_b) != ("exact", "graph"):
+        raise AssertionError(f"selectivity routing regressed: {(regime_a, regime_b)}")
+    return a.withColumn("regime", F.lit("exact")).union(
+        b.withColumn("regime", F.lit("graph"))
+    )
