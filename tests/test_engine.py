@@ -1542,3 +1542,109 @@ def test_pre_graph_manifest_reports_stale(spark, tmp_path_factory):
     eng.build_search_index("kb")
     assert eng.index_status("kb") == "fresh"
     assert len(eng.indexed_graph_search("kb", [0.1] * 64, k=2).collect()) == 2
+
+
+def test_repair_search_index_grows_and_serves(spark, tmp_path_factory):
+    """Incremental index repair (VERDICT r9 #4): after an append-only grow,
+    repair_search_index extends all three families without a rebuild —
+    status becomes 'repaired', every indexed search serves again, a brand
+    new document is reachable through the repaired graph, and batch recall
+    on the grown corpus clears the rebuild floor (0.85)."""
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions.embedder import embed_documents, hash_embed
+    from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk
+    from vector_mcp_spark.operators.similarity import cosine_self_join_topk
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("repair_root")))
+    eng.create_collection("g")
+    eng.add_documents("g", [f"base doc {i} topic {i % 11}" for i in range(150)])
+    eng.build_search_index("g")
+    assert eng.index_status("g") == "fresh"
+
+    eng.add_documents(
+        "g", [f"grown doc {i} zanzibar subject {i % 7}" for i in range(50)]
+    )
+    assert eng.index_status("g") == "stale"
+    info = eng.repair_search_index("g")
+    assert info["repaired"] == 50
+    assert info["n_vectors"] == 200
+    assert eng.index_status("g") == "repaired"
+
+    # all three families serve in the repaired state
+    assert eng.indexed_lexical_search("g", "zanzibar", k=5).count() == 5
+    qv = hash_embed("grown doc 3 zanzibar subject 3", 64)
+    top = eng.indexed_graph_search("g", qv, k=3).collect()
+    assert top and top[0].content == "grown doc 3 zanzibar subject 3"
+    assert top[0].score == 1.0
+    sem = eng.indexed_semantic_search("g", qv, k=3, shortlist=50).collect()
+    assert sem and sem[0].content == "grown doc 3 zanzibar subject 3"
+
+    # batch recall over the grown corpus >= the rebuild floor
+    scoped = eng._require("g")
+    import json
+
+    manifest = json.loads(
+        (eng._index_root(scoped) / "manifest.json").read_text()
+    )
+    edges = spark.read.parquet(str(eng._index_root(scoped) / "graph"))
+    corpus = embed_documents(eng.read("g"), text_col="content", out_col="embedding")
+    queries = corpus.orderBy("id").limit(20)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_hnsw_topk(
+            queries, corpus, edges, manifest["graph"]["entry"], k=5, ef=48
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_self_join_topk(queries, corpus, 5).collect()
+    }
+    rec = len(exact & approx) / len(exact)
+    assert rec >= 0.85, f"repaired-graph recall@5 {rec} < 0.85"
+
+    # a second grow repairs again (the ids sidecar was extended)
+    eng.add_documents("g", ["third wave quetzal document"])
+    assert eng.index_status("g") == "stale"
+    assert eng.repair_search_index("g")["repaired"] == 1
+    assert eng.index_status("g") == "repaired"
+    assert eng.indexed_lexical_search("g", "quetzal", k=2).count() == 1
+
+    # a full rebuild restores 'fresh'
+    eng.build_search_index("g")
+    assert eng.index_status("g") == "fresh"
+
+
+def test_repair_search_index_refuses_non_append(spark, tmp_path_factory):
+    """Repair is append-only by contract: a deleted or in-place-changed
+    indexed row refuses with index_repair_requires_rebuild (stable code) —
+    serving a graph whose edges point at vanished/moved vectors would be
+    silently wrong. A fresh index is a no-op; no index refuses."""
+    import pytest
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.validation import EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("repair_neg")))
+    eng.create_collection("r")
+    with pytest.raises(EngineError, match="index_not_fresh"):
+        eng.repair_search_index("r")
+    eng.add_documents("r", [f"row {i} words {i % 5}" for i in range(30)])
+    eng.build_search_index("r")
+    assert eng.repair_search_index("r")["repaired"] == 0  # fresh no-op
+
+    # deletion -> rebuild required
+    victim = eng.read("r").orderBy("id").first().id
+    eng.delete_documents("r", [victim])
+    with pytest.raises(EngineError, match="index_repair_requires_rebuild"):
+        eng.repair_search_index("r")
+    eng.build_search_index("r")
+
+    # in-place content change -> rebuild required
+    kept = eng.read("r").orderBy("id").first()
+    changed = spark.createDataFrame(
+        [(kept.id, "rewritten body", None, None)],
+        "id string, content string, metadata map<string,string>, embedding array<float>",
+    )
+    eng.update_documents("r", changed)
+    with pytest.raises(EngineError, match="index_repair_requires_rebuild"):
+        eng.repair_search_index("r")

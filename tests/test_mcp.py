@@ -752,6 +752,15 @@ def test_veneer_index_actions(spark, tmp_path_factory):
     assert v.vector_collection_management("index_status", collection_name="vi")[
         "status"
     ] == "fresh"
+    # incremental repair action: grow, repair, status reports 'repaired'
+    v.vector_collection_management(
+        "add_documents", collection_name="vi", document_contents=["joins shuffle"],
+    )
+    out = v.vector_collection_management("repair_search_index", collection_name="vi")
+    assert out["collection_name"] == "vi" and out["repaired"] == 1
+    assert v.vector_collection_management("index_status", collection_name="vi")[
+        "status"
+    ] == "repaired"
     # stable error dict for a missing collection, never a traceback
     assert v.vector_collection_management("index_status", collection_name="nope") == {
         "error": "collection_not_found"
@@ -1327,7 +1336,7 @@ def test_describe_collection_action(veneer):
     assert out["points_count"] == 2
     assert out["needs_embed"] is True  # contents ingested without vectors
     assert out["aliases"] == ["desc_alias"]
-    assert out["index_status"] in {"absent", "stale", "fresh"}
+    assert out["index_status"] in {"absent", "stale", "fresh", "repaired"}
     # describing through the alias reports the live target's state
     via = v.vector_collection_management("describe_collection", collection_name="desc_alias")
     assert via["points_count"] == 2 and via["dimension"] == 8

@@ -134,7 +134,60 @@ def build_corpus(spark) -> str:
     return probe
 
 
+def changelog_probe() -> int:
+    """Long-log time-travel scenario (VERDICT r9 #6): hundreds of changelog
+    batches on one collection, ``read_asof`` timed before and after
+    ``compact_changelog``. The claim under test: pre-compaction asof cost is
+    O(all batches); post-compaction it is O(epoch + post-cut batches), with
+    identical results. Run: ``python tools/scale_probe.py changelog``."""
+    import shutil
+    from datetime import datetime, timezone
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.session import get_spark
+
+    spark = get_spark("scale_probe_changelog")
+    root = os.path.abspath(os.path.join(PROBE_DIR, "changelog_root"))
+    shutil.rmtree(root, ignore_errors=True)
+    eng = CollectionEngine(spark, root)
+    eng.create_collection("log")
+    n_batches = int(os.environ.get("PROBE_LOG_BATCHES", "240"))
+    t0 = time.time()
+    for i in range(n_batches):
+        eng.add_documents("log", [f"log probe doc {i}"])
+    print(f"wrote {n_batches} changelog batches in {time.time() - t0:.1f}s")
+    cut = datetime.now(timezone.utc)
+    eng.add_documents("log", ["post-cut doc a"])
+    eng.add_documents("log", ["post-cut doc b"])
+    now = datetime.now(timezone.utc)
+
+    def timed_asof() -> tuple[float, int]:
+        eng.read_asof("log", now).count()  # warm plans/JVM
+        t = time.time()
+        n = eng.read_asof("log", now).count()
+        return time.time() - t, n
+
+    t_before, n_before = timed_asof()
+    t0 = time.time()
+    collapsed = eng.compact_changelog("log", cut)
+    t_compact = time.time() - t0
+    t_after, n_after = timed_asof()
+    if n_before != n_after:
+        print(f"FAIL: asof row count changed {n_before} -> {n_after}")
+        return 1
+    print(f"{'scenario':34s} {'batches':>8s} {'asof_s':>8s}")
+    print(f"{'read_asof pre-compaction':34s} {n_batches + 2:8d} {t_before:8.2f}")
+    print(f"{'read_asof post-compaction':34s} {'epoch+2':>8s} {t_after:8.2f}")
+    print(
+        f"compact collapsed {collapsed} batches in {t_compact:.1f}s; "
+        f"asof speedup {t_before / max(t_after, 1e-9):.1f}x at {n_before} rows"
+    )
+    return 0
+
+
 def main() -> int:
+    if sys.argv[1:] == ["changelog"]:
+        return changelog_probe()
     only = sys.argv[1:] or HEAVY
 
     from vector_mcp_spark.session import get_spark

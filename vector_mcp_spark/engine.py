@@ -391,12 +391,15 @@ class CollectionEngine:
         with a ``WHERE embedding IS NULL LIMIT 1`` count, costs an extra
         scan per search at scale). Resolves aliases: a search through an
         alias must see the TARGET's flag, not default to the conservative
-        embed-everything path."""
+        embed-everything path. Missing collections raise the same stable
+        ``collection_not_found`` as every other name-gated surface (the
+        tenant-matrix contract: tenant B probing A's name learns nothing a
+        nonexistent name wouldn't tell it) — still catalog-only, no job."""
         scoped = self._resolve_scoped(name)
         for r in self._catalog_rows():
             if r[0] == scoped:
                 return bool(r[4])
-        return True
+        raise EngineError("collection_not_found")
 
     def _mark_needs_embed(self, scoped: str) -> None:
         with self._mutation_lock("__catalog__"):  # serialized RMW
@@ -699,6 +702,14 @@ class CollectionEngine:
             self._mark_needs_embed(scoped)
         return len(ids)
 
+    @staticmethod
+    def _row_fingerprint(_df: DataFrame) -> F.Column:
+        """Served-representation row fingerprint for the index ``ids``
+        sidecar: id + content + embedding (the embedding participates —
+        an in-place vector swap with unchanged text still invalidates
+        incremental repair). NULLs hash stably."""
+        return F.xxhash64("id", "content", "embedding")
+
     # -- persistent search index (build offline / serve online) -------------
     #
     # The reference's engines keep server-side text/vector indexes (pg GIN,
@@ -748,6 +759,12 @@ class CollectionEngine:
         )
         signs = sign_pack(df.where(F.col("embedding").isNotNull()), "embedding", "id")
         signs.select("id", "lo", "hi").write.mode("overwrite").parquet(str(root / "signs"))
+        # membership + per-row change sidecar: lets repair_search_index
+        # prove the growth was append-only (old rows present AND unchanged
+        # in their SERVED representation) without any full re-index
+        df.select("id", self._row_fingerprint(df).alias("rowhash")).write.mode(
+            "overwrite"
+        ).parquet(str(root / "ids"))
         # counts come from the source plans, not a read-back: an EMPTY
         # collection writes only _SUCCESS markers, which parquet cannot
         # re-read without a schema
@@ -792,8 +809,11 @@ class CollectionEngine:
         return {"n_terms": n_terms, "n_vectors": n_vectors, "fingerprint": fp}
 
     def index_status(self, name: str) -> str:
-        """'absent' | 'fresh' | 'stale' — stale when the table changed after
-        the index was built (any mutation rewrites partition files)."""
+        """'absent' | 'fresh' | 'repaired' | 'stale' — stale when the table
+        changed after the index was built (any mutation rewrites partition
+        files); 'repaired' when the change was covered by an incremental
+        :meth:`repair_search_index` instead of a full rebuild (all three
+        families serve, but a rebuild restores the build-quality graph)."""
         scoped = self._require(name)
         manifest = self._index_root(scoped) / "manifest.json"
         if not manifest.exists():
@@ -806,16 +826,159 @@ class CollectionEngine:
             # report stale so status-polling automation rebuilds it (the
             # graph family is written by every build_search_index since r9)
             return "stale"
-        return "fresh" if meta["fingerprint"] == self._table_fingerprint(scoped) else "stale"
+        fp = self._table_fingerprint(scoped)
+        if meta["fingerprint"] == fp:
+            return "fresh"
+        if meta.get("repaired_fingerprint") == fp:
+            return "repaired"
+        return "stale"
+
+    @_serialized_mutation
+    def repair_search_index(self, name: str) -> dict:
+        """Incrementally extend all three index families after APPEND-ONLY
+        growth — the alternative to a full :meth:`build_search_index` when a
+        batch landed on an indexed collection: new postings and sign rows
+        are appended, and the graph gets the batch HNSW-insert repair
+        (:func:`~vector_mcp_spark.operators.graph_ann.hnsw_repair` — layer
+        draws + beam-searched top-M links against the frozen graph). Cost is
+        bounded by the batch, never the corpus.
+
+        Refuses with ``index_repair_requires_rebuild`` when the growth was
+        NOT append-only (an indexed row vanished or changed its served
+        representation — detected against the ``ids`` sidecar) or when the
+        index predates the sidecar / has no graph family. A fresh index is
+        a no-op. After repair :meth:`index_status` reports ``'repaired'``
+        (serving resumes; a rebuild restores build-quality edge lists).
+
+        Serialized with the table mutations: the repair reads the table and
+        stamps the covering fingerprint, so a mutation interleaving between
+        the two would stamp coverage it never indexed."""
+        import json
+
+        from vector_mcp_spark.operators.graph_ann import hnsw_repair
+        from vector_mcp_spark.operators.lexical import build_postings, term_bucket
+        from vector_mcp_spark.operators.quantize import sign_pack
+
+        scoped = self._require(name)
+        root = self._index_root(scoped)
+        manifest_path = root / "manifest.json"
+        if not manifest_path.exists():
+            raise EngineError(
+                "index_not_fresh", detail="no index to repair — build_search_index first"
+            )
+        manifest = json.loads(manifest_path.read_text())
+        status = self.index_status(name)
+        if status in ("fresh", "repaired"):
+            return {"repaired": 0, "n_vectors": manifest.get("n_vectors", 0)}
+        graph_meta = manifest.get("graph") or {}
+        if "graph" not in manifest or not (root / "ids").exists():
+            raise EngineError(
+                "index_repair_requires_rebuild",
+                detail="index predates incremental repair; rebuild",
+            )
+        if graph_meta.get("entry") is None:
+            raise EngineError(
+                "index_repair_requires_rebuild",
+                detail="collection had <2 vectors at build; rebuild",
+            )
+        df = self.read(name)
+        if self.needs_embed(name):
+            from vector_mcp_spark.functions.embedder import embed_documents
+
+            df = embed_documents(df, text_col="content", out_col="embedding")
+        df = df.localCheckpoint(eager=True)  # feeds membership + both phases
+        indexed = self.spark.read.parquet(str(root / "ids"))
+        removed = indexed.join(df.select("id"), "id", "left_anti").count()
+        if removed:
+            raise EngineError(
+                "index_repair_requires_rebuild",
+                detail=f"{removed} indexed row(s) deleted since build",
+            )
+        fingerprinted = df.select("id", self._row_fingerprint(df).alias("rowhash"))
+        changed = (
+            fingerprinted.join(indexed, "id")
+            .where(fingerprinted["rowhash"] != indexed["rowhash"])
+            .count()
+        )
+        if changed:
+            raise EngineError(
+                "index_repair_requires_rebuild",
+                detail=f"{changed} indexed row(s) changed since build",
+            )
+        new = df.join(indexed, "id", "left_anti").localCheckpoint(eager=True)
+        n_new = new.count()
+        if n_new == 0:
+            # logically identical table in rewritten files (e.g. a no-op
+            # upsert): stamp coverage, nothing to index
+            manifest["repaired_fingerprint"] = self._table_fingerprint(scoped)
+            manifest_path.write_text(json.dumps(manifest))
+            return {"repaired": 0, "n_vectors": manifest.get("n_vectors", 0)}
+
+        new_postings = build_postings(new.select("id", "content"), "id", "content").withColumn(
+            "term_bucket", term_bucket("term")
+        )
+        new_postings.write.mode("append").partitionBy("term_bucket").parquet(
+            str(root / "postings")
+        )
+        new_emb = new.where(F.col("embedding").isNotNull())
+        sign_pack(new_emb, "embedding", "id").select("id", "lo", "hi").write.mode(
+            "append"
+        ).parquet(str(root / "signs"))
+        n_new_vecs = new_emb.count()
+        if n_new_vecs:
+            old_vecs = (
+                df.join(indexed.select("id"), "id", "left_semi")
+                .where(F.col("embedding").isNotNull())
+                .select("id", "embedding")
+            )
+            new_edges, graph_meta = hnsw_repair(
+                new_emb.select("id", "embedding"),
+                old_vecs,
+                self.spark.read.parquet(str(root / "graph")),
+                graph_meta["entry"],
+                int(graph_meta.get("top_layer", 0)),
+                id_col="id",
+            )
+            new_edges.write.mode("append").parquet(str(root / "graph"))
+        fingerprinted.join(indexed.select("id"), "id", "left_anti").write.mode(
+            "append"
+        ).parquet(str(root / "ids"))
+        # n_terms is a distinct over the merged postings — recount from the
+        # index (bounded by vocabulary, and repair only runs on collections
+        # that had a graph, so the postings directory is readable)
+        try:
+            n_terms = (
+                self.spark.read.parquet(str(root / "postings"))
+                .select("term")
+                .distinct()
+                .count()
+            )
+        except Exception:
+            n_terms = manifest.get("n_terms", 0)
+        manifest.update(
+            {
+                "n_terms": n_terms,
+                "n_vectors": int(manifest.get("n_vectors", 0)) + n_new_vecs,
+                "graph": graph_meta,
+                "repaired_fingerprint": self._table_fingerprint(scoped),
+            }
+        )
+        manifest_path.write_text(json.dumps(manifest))
+        return {
+            "repaired": n_new,
+            "n_vectors": int(manifest["n_vectors"]),
+            "n_terms": n_terms,
+        }
 
     def indexed_lexical_search(self, name: str, query: str, k: int = 5) -> DataFrame:
         """Serve a lexical query from the materialized index; refuses with
         ``index_not_fresh`` when the index is absent or stale (never serve
-        silently wrong results — rebuild first)."""
+        silently wrong results — rebuild first); an incrementally
+        ``repaired`` index serves."""
         from vector_mcp_spark.operators.lexical import indexed_lexical_topk
 
         scoped = self._require(name)
-        if self.index_status(name) != "fresh":
+        if self.index_status(name) not in ("fresh", "repaired"):
             raise EngineError("index_not_fresh")
         return indexed_lexical_topk(
             self.spark, str(self._index_root(scoped) / "postings"), query, k
@@ -837,7 +1000,7 @@ class CollectionEngine:
         from vector_mcp_spark.operators.quantize import sign_pack_py
 
         scoped = self._require(name)
-        if self.index_status(name) != "fresh":
+        if self.index_status(name) not in ("fresh", "repaired"):
             raise EngineError("index_not_fresh")
         qlo, qhi = sign_pack_py(list(question_vec))
         signs = self.spark.read.parquet(str(self._index_root(scoped) / "signs"))
@@ -890,7 +1053,7 @@ class CollectionEngine:
                 "collection_vector_schema_mismatch",
                 detail=f"query dimension {len(question_vec)} != locked {dim}",
             )
-        if self.index_status(name) != "fresh":
+        if self.index_status(name) not in ("fresh", "repaired"):
             raise EngineError("index_not_fresh")
         manifest = json.loads((self._index_root(scoped) / "manifest.json").read_text())
         if "graph" not in manifest:

@@ -39,6 +39,7 @@ COLLECTION_ACTIONS = (
     "delete_collection",
     "list_collections",
     "build_search_index",
+    "repair_search_index",
     "index_status",
     "collection_history",
     "compact_changelog",
@@ -175,6 +176,9 @@ class McpVeneer:
                 return {"deleted": collection_name}
             if resolved == "build_search_index":
                 info = self.engine.build_search_index(collection_name)
+                return {"collection_name": collection_name, **info}
+            if resolved == "repair_search_index":
+                info = self.engine.repair_search_index(collection_name)
                 return {"collection_name": collection_name, **info}
             if resolved == "index_status":
                 return {

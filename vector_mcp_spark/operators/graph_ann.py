@@ -281,6 +281,113 @@ def ann_hnsw_topk(
     )
 
 
+def hnsw_repair(
+    new_vecs: DataFrame,
+    old_vecs: DataFrame,
+    edges: DataFrame,
+    entry: object,
+    top_layer: int,
+    m: int = 12,
+    ef: int = 48,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, dict]:
+    """Incremental graph repair for an append-only grown corpus — the batch
+    form of the HNSW insert (search phase + connect phase), so a mutated
+    collection can be served again without a full rebuild:
+
+    * **Search phase**: every new node beam-descends the FROZEN graph for
+      its ``ef`` nearest old nodes (one :func:`ann_hnsw_topk` job — cost is
+      batch × hops, independent of corpus size).
+    * **Batch-internal candidates**: hash-block pairs among the new nodes
+      (expected block ≈ :data:`HNSW_BLOCK_CAP`, so Σ|block|² stays linear
+      in the batch) — a batch of mutually-near vectors still interconnects.
+    * **Connect phase**: a new node at level ``L`` (the same deterministic
+      sha draw as the build) links at every layer ``l ≤ L`` to its top-``m``
+      candidates living at layer ``≥ l``, then edges are symmetrized — the
+      reverse old→new links are what make the new nodes reachable from the
+      entry point. Old nodes' neighbor lists are NOT re-pruned (degree can
+      exceed ``2m`` by one repair batch's reverse links; recall is
+      unaffected, only hop fan-out — a rebuild restores the invariant).
+
+    Returns ``(new_edges, meta)``: edges to APPEND to the persisted table
+    (disjoint from it — every edge touches a new node) and the possibly
+    updated ``{"entry", "top_layer"}`` (a new node can draw a level above
+    the current top; levels are capped at 2, matching the build)."""
+    new_nodes = (
+        hnsw_levels(
+            new_vecs.select(F.col(id_col).alias("node"), F.col(emb_col).alias("v")),
+            id_col="node",
+        )
+        .withColumn("n", _guarded_norm(F.col("v")))
+        .localCheckpoint(eager=True)
+    )
+    old_nodes = hnsw_levels(
+        old_vecs.select(F.col(id_col).alias("node"), F.col(emb_col).alias("v")),
+        id_col="node",
+    ).withColumn("n", _guarded_norm(F.col("v")))
+    # feeds the connect-phase scoring joins (levels of OLD candidates are
+    # re-derived from the same sha draw — no persisted level state needed)
+    all_nodes = old_nodes.unionByName(new_nodes).localCheckpoint(eager=True)
+
+    beam = ann_hnsw_topk(
+        new_vecs, old_vecs, edges, entry, k=ef, ef=ef,
+        id_col=id_col, emb_col=emb_col, exclude_self=False,
+    ).select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+
+    n_new = new_nodes.count()
+    buckets = max(1, n_new // HNSW_BLOCK_CAP)
+    keyed = new_nodes.select("node", (F.col("hx") % buckets).alias("_blk"))
+    batch_pairs = (
+        keyed.select(F.col("node").alias("src"), "_blk")
+        .join(keyed.select(F.col("node").alias("dst"), "_blk"), "_blk")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+
+    cand = beam.union(batch_pairs).distinct()
+    scored = (
+        cand.join(
+            all_nodes.select(
+                F.col("node").alias("src"), F.col("v").alias("_av"),
+                F.col("n").alias("_an"), F.col("level").alias("_sl"),
+            ),
+            "src",
+        )
+        .join(
+            all_nodes.select(
+                F.col("node").alias("dst"), F.col("v").alias("_bv"),
+                F.col("n").alias("_bn"), F.col("level").alias("_dl"),
+            ),
+            "dst",
+        )
+        .withColumn("_sm", dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")))
+        .localCheckpoint(eager=True)  # feeds the three per-layer windows
+    )
+    out = None
+    for layer in range(3):
+        el = scored.where((F.col("_sl") >= layer) & (F.col("_dl") >= layer))
+        w = Window.partitionBy("src").orderBy(F.col("_sm").desc(), F.col("dst").asc())
+        top = (
+            el.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= m)
+            .select("src", "dst")
+        )
+        tagged = _symmetrize(top).select(F.lit(layer).alias("layer"), "src", "dst")
+        out = tagged if out is None else out.union(tagged)
+
+    new_top = new_nodes.agg(F.max("level").alias("l")).first().l
+    if new_top is not None and int(new_top) > int(top_layer):
+        # the old corpus has no node at this level (its top was lower), so
+        # the build's "smallest id on the highest occupied level" rule
+        # resolves within the batch
+        entry = new_nodes.where(F.col("level") == new_top).agg(
+            F.min("node").alias("e")
+        ).first().e
+        top_layer = int(new_top)
+    return out, {"entry": entry, "top_layer": int(top_layer)}
+
+
 def ann_filtered_topk_routed(
     queries: DataFrame,
     corpus: DataFrame,
