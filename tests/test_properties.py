@@ -480,3 +480,55 @@ def test_snapshot_diff_identity_and_symmetry(spark):
     rev = {r.id: r.change for r in snapshot_diff(b, a).collect()}
     flip = {"inserted": "deleted", "deleted": "inserted"}
     assert rev == {i: flip.get(c, c) for i, c in fwd.items()}
+
+
+def test_tdigest_quantile_accuracy_and_merge_weight(spark):
+    """t-digest contract: (a) digest weights sum to n per group; (b) the
+    p50/p90 estimates read off the digest (first centroid whose cumulative
+    weight covers p·n) land within the centroid-resolution tolerance of the
+    exact quantiles; (c) merging per-group digests preserves total weight
+    and global quantile accuracy — the mergeability that makes it a rollup
+    sketch."""
+    import numpy as np
+
+    from vector_mcp_spark.operators.sketches import tdigest_build, tdigest_merge
+
+    rng = [
+        (("a" if i % 2 == 0 else "b"), float(np.sin(i) * 50.0 + i % 97))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rng, "g string, v double")
+    per = tdigest_build(df, "v", ["g"], delta=32)
+    rows = per.collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.g, []).append(r)
+    vals = {"a": sorted(v for g, v in rng if g == "a"),
+            "b": sorted(v for g, v in rng if g == "b")}
+    for g, cents in by_g.items():
+        assert sum(r.cnt for r in cents) == len(vals[g])
+        assert len(cents) <= 33
+        cents = sorted(cents, key=lambda r: r.mean_r)
+        for p in (0.5, 0.9):
+            cum, est = 0, None
+            for r in cents:
+                cum += r.cnt
+                if cum >= p * len(vals[g]):
+                    est = r.mean_r
+                    break
+            exact = vals[g][int(p * (len(vals[g]) - 1))]
+            spread = vals[g][-1] - vals[g][0]
+            assert abs(est - exact) <= 0.08 * spread, (g, p, est, exact)
+
+    merged = tdigest_merge(per.select("centroid", "cnt", "mean_r"), delta=32).collect()
+    assert sum(r.cnt for r in merged) == 4000
+    assert len(merged) <= 33
+    allv = sorted(v for _, v in rng)
+    cents = sorted(merged, key=lambda r: r.mean_r)
+    cum, est = 0, None
+    for r in cents:
+        cum += r.cnt
+        if cum >= 0.5 * 4000:
+            est = r.mean_r
+            break
+    assert abs(est - allv[2000]) <= 0.08 * (allv[-1] - allv[0])

@@ -445,3 +445,100 @@ def hll_estimate(registers: DataFrame, group_cols: Sequence[str]) -> DataFrame:
         F.round(s * F.lit(_HLL_S_SCALE)).cast("long").alias("s_scaled"),
         F.round(est, 2).alias("est_distinct"),
     )
+
+
+# -- t-digest (Dunning & Ertl, "Computing extremely accurate quantiles
+# using t-digests", 2019) — the mergeable QUANTILE sketch next to the
+# cardinality (KMV/HLL/CMS) and log-histogram families ----------------------
+#
+# The streaming construction is order-dependent; this is the batch/sorted
+# construction the paper's §2.2 describes, made DETERMINISTIC and therefore
+# SQL-replayable: exact per-group ranks give each row its quantile
+# q = (rank - 0.5)/n, the k1 arcsine scale function k(q) = asin(2q-1)/pi +
+# 0.5 maps quantile space so centroid capacity shrinks toward the tails,
+# and centroid id = floor(delta * k(q)) (the 6-dp-rounded key is the
+# cross-engine float convention). Each (group, centroid) keeps (count,
+# mean) — at most delta+1 centroids per group regardless of data size.
+
+#: rows any digest-merge input can reach: 1024 source digests × (32+1)
+#: centroids — the documented bound that lets the merge's single-task
+#: ordered window pass the bounded-window rule honestly
+TDIGEST_MERGE_CAP = 1024 * 33
+
+
+def _tdigest_centroid(q: F.Column, delta: int) -> F.Column:
+    import math
+
+    key = F.round((F.asin(q * 2.0 - 1.0) / math.pi + 0.5) * delta, 6)
+    return F.floor(key).cast("long")
+
+
+def tdigest_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    delta: int = 32,
+) -> DataFrame:
+    """Per-group t-digest: (group…, centroid, cnt, mean_r). Means are
+    rounded to 4 dp (the order-dependent-AVG convention). NULL values are
+    excluded — they carry no quantile information.
+
+    Scale shape: one per-group rank window (swap in operators/rank.py
+    global_rank when a single group outgrows one task) then a groupBy on
+    (group, centroid) — the output is ≤ delta+1 rows per group, so the
+    digest, not the data, crosses every later stage."""
+    group_cols = list(group_cols)
+    vals = df.where(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
+    wn = Window.partitionBy(*group_cols)
+    ranked = vals.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(wn)
+    )
+    q = (F.col("_rn") - 0.5) / F.col("_n")
+    return (
+        ranked.withColumn("centroid", _tdigest_centroid(q, delta))
+        .groupBy(*group_cols, "centroid")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg(value_col) + 0.0, 4).alias("mean_r"),
+        )
+    )
+
+
+def tdigest_merge(centroids: DataFrame, delta: int = 32) -> DataFrame:
+    """Merge per-group digests into one: (centroid, cnt, mean_r). The
+    paper's merge — order all centroids by mean, give each its cumulative
+    mid-quantile q = (cumw - w/2)/N, re-cluster through the same scale
+    function, combine weighted means. Input and output are digest-sized
+    (≤ delta+1 rows per source digest), so the single-task ordered window
+    ranks a provably bounded set (TDIGEST_MERGE_CAP enforces it in-plan)."""
+    # cnt joins the tie-break: rows tying on all three keys are identical,
+    # so any residual order among them cannot change cumulative weights
+    bounded = centroids.orderBy("mean_r", "centroid", "cnt").limit(TDIGEST_MERGE_CAP)
+    w = Window.orderBy(
+        F.col("mean_r").asc(), F.col("centroid").asc(), F.col("cnt").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = bounded.agg(F.sum("cnt").alias("_t"))
+    cum = bounded.withColumn("_cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(total)
+    )
+    q = (F.col("_cum") - F.col("cnt") / 2.0) / F.col("_t")
+    # the weighted mean sums EXACT integers (means are 4-dp decimals, so
+    # mean*10^4 is integral): the sum is order-independent, so the 4-dp
+    # quotient can never flip on engine-specific float-sum order
+    m_scaled = F.round(F.col("mean_r") * 10000.0).cast("long")
+    # the weighted mean can land EXACTLY on a 4-dp half boundary (integer
+    # numerator / integer weight), where Spark's ROUND (shortest-decimal
+    # half-up) and an exact-binary round disagree — so round via
+    # floor(x + 0.5) on the exactly-representable scaled quotient, the
+    # cross-engine half-up convention
+    num = F.sum(F.col("cnt") * m_scaled).cast("double")
+    return (
+        cum.withColumn("centroid2", _tdigest_centroid(q, delta))
+        .groupBy("centroid2")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            (F.floor(num / F.sum("cnt") + 0.5) / 10000.0).alias("mean_r"),
+        )
+        .select(F.col("centroid2").alias("centroid"), "cnt", "mean_r")
+    )

@@ -176,6 +176,8 @@ _ROUND10_LEAD = [
 # driver row the round they ship (each displaces one _ROUND10_FILL slot).
 _PROMOTED_R10: list[str] = [
     "ann_filtered_routed_topk",
+    "hybrid_indexed_rrf",
+    "events_tdigest_quantiles",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r6 = CORRECTNESS_r06

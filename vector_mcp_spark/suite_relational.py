@@ -2298,3 +2298,66 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("event_type"), "register", "rho")
     )
     return hll_estimate(regs.unionByName(merged), ["event_type"])
+
+
+# -- t-digest quantile sketch (mergeable, deterministic — VERDICT r8/r9
+# optional-breadth pick): per-event-type digests + their merged global
+# digest, both fully SQL-replayable ------------------------------------------
+
+_TDIGEST_DELTA = 32
+_TDIGEST_KEY = "ROUND((ASIN(2.0 * {q} - 1.0) / PI() + 0.5) * {d}, 6)"
+
+_TDIGEST_ORACLE = f"""
+WITH vals AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+cents AS (
+  SELECT event_type AS scope,
+         CAST(FLOOR({_TDIGEST_KEY.format(q="(rn - 0.5) / n", d=_TDIGEST_DELTA)}) AS BIGINT) AS centroid,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         ROUND(AVG(value) + 0.0, 4) AS mean_r
+  FROM vals GROUP BY 1, 2
+),
+ordered AS (
+  SELECT *,
+         CAST(SUM(cnt) OVER (ORDER BY mean_r, centroid, cnt
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST((SELECT SUM(cnt) FROM cents) AS BIGINT) AS total
+  FROM cents
+),
+merged AS (
+  SELECT CAST(FLOOR({_TDIGEST_KEY.format(q="(cum - cnt / 2.0) / total", d=_TDIGEST_DELTA)}) AS BIGINT) AS centroid,
+         CAST(SUM(cnt) AS BIGINT) AS cnt,
+         FLOOR(CAST(SUM(cnt * CAST(ROUND(mean_r * 10000.0) AS BIGINT)) AS DOUBLE)
+               / SUM(cnt) + 0.5) / 10000.0 AS mean_r
+  FROM ordered GROUP BY 1
+)
+SELECT scope, centroid, cnt, mean_r FROM cents
+UNION ALL
+SELECT '__merged__' AS scope, centroid, cnt, mean_r FROM merged
+"""
+
+
+@register("events_tdigest_quantiles", _TDIGEST_ORACLE, "relational", "sketch")
+def q_events_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic t-digest (Dunning & Ertl 2019, batch construction):
+    per-event-type quantile digests — centroid ids from the k1 arcsine
+    scale function over exact ranks, capacity shrinking toward the tails —
+    PLUS the merged global digest (re-cluster the union of centroids by
+    cumulative mid-quantile), the mergeability that makes the sketch usable
+    as a 100 TB rollup: per-shard digests of ≤ delta+1 rows combine without
+    touching the data again. Output: (scope, centroid, cnt, mean_r); scope
+    '__merged__' carries the merged digest."""
+    from vector_mcp_spark.operators.sketches import tdigest_build, tdigest_merge
+
+    ev = load(spark, sf_dir, "events")
+    per = tdigest_build(ev, "value", ["event_type"], delta=_TDIGEST_DELTA)
+    merged = tdigest_merge(
+        per.select("centroid", "cnt", "mean_r"), delta=_TDIGEST_DELTA
+    )
+    return per.select(
+        F.col("event_type").alias("scope"), "centroid", "cnt", "mean_r"
+    ).unionByName(merged.withColumn("scope", F.lit("__merged__")))

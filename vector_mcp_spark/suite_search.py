@@ -842,3 +842,68 @@ def q_semantic_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         coll, SEM_QUERY_VEC, group_col="source", k_groups=_GRP_K,
         per_group=_GRP_PER, id_col="doc_id", emb_col="embedding",
     )
+
+
+# ---------------------------------------------------------------------------
+# Indexed hybrid — weighted RRF over the GRAPH-ANN leg + the BM25 leg
+# (VERDICT r9 #8: hybrid_rrf fuses exact legs; this is the fusion a vector
+# DB actually serves at scale — both legs come from persisted indexes: the
+# HNSW-style beam for the vector side, the ranked postings math for text)
+# ---------------------------------------------------------------------------
+
+def _indexed_hybrid_oracle() -> str:
+    # imported lazily at module load; suite_pipeline is fully initialized
+    # before suite_search (suite.py import order), so this is safe
+    from vector_mcp_spark.suite_pipeline import _hnsw_oracle
+
+    return f"""
+WITH ann AS (
+  SELECT neighbor_id AS doc_id, score FROM ({_hnsw_oracle()}) WHERE query_id = 0
+),
+ann_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM ann
+),
+lex AS (SELECT doc_id, score FROM ({_BM25_ORACLE})),
+lex_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM lex
+),
+fused AS (
+  SELECT doc_id, SUM(contrib) AS s FROM (
+    SELECT doc_id, {HYBRID_W_SEM} / ({RRF_K} + rnk) AS contrib FROM ann_rank
+    UNION ALL
+    SELECT doc_id, {HYBRID_W_LEX} / ({RRF_K} + rnk) AS contrib FROM lex_rank
+  ) GROUP BY doc_id
+)
+SELECT doc_id, ROUND(s, 6) AS score FROM fused
+ORDER BY ROUND(s, 6) DESC, doc_id ASC LIMIT {HYBRID_N}
+"""
+
+
+@register("hybrid_indexed_rrf", _indexed_hybrid_oracle(), "search", "hybrid")
+def q_hybrid_indexed_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed hybrid search: the vector leg beam-descends the SAME cached
+    HNSW-style graph index the ANN entries share (one query — doc 0's
+    embedding, self excluded), the text leg is ranked BM25, and the two
+    fuse by weighted RRF exactly like hybrid_rrf. At scale this is the
+    query a serving tier answers without any exact corpus scan: beam hops
+    prune to frontier edge partitions, postings prune to the query terms'
+    buckets, and fusion touches leg-k rows."""
+    from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk
+    from vector_mcp_spark.operators.hybrid import rrf_fuse
+    from vector_mcp_spark.operators.lexical import bm25_topk
+    from vector_mcp_spark.suite_pipeline import _HNSW_EF, _HNSW_K, _hnsw_index
+
+    embs = load(spark, sf_dir, "embeddings")
+    edges, meta = _hnsw_index(spark, sf_dir)
+    ann = ann_hnsw_topk(
+        embs.where(F.col("vec_id") == 0), embs, edges, meta["entry"],
+        k=_HNSW_K, ef=_HNSW_EF, id_col="vec_id",
+    ).select(F.col("neighbor_id").alias("doc_id"), "score")
+    docs = load(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, LEX_QUERY, LEX_K, id_col="doc_id", content_col="text")
+    return rrf_fuse(
+        [(ann, HYBRID_W_SEM), (lex, HYBRID_W_LEX)],
+        HYBRID_N, rrf_k=RRF_K, id_col="doc_id",
+    )
