@@ -102,6 +102,62 @@ def test_both_mode_unions_and_condensed_wins_collision():
     # the name collision (vector_search) resolves to the condensed variant,
     # whose dispatch accepts every verbose call plus an explicit action
     assert s.get("vector_search")["route_action"] is None
+    # ...which requires the union spec to default the missing action (the
+    # verbose twin's routed action) and drop it from required — otherwise
+    # a verbose-style call breaks the moment a deployment flips to 'both'
+    assert s.get("vector_search")["default_action"] == "search"
+    assert s.get("vector_search")["schema"]["required"] == []
+    # condensed-only mode keeps the strict schema: action is required
+    c = ToolSurface.from_env({"MCP_TOOL_MODE": "condensed"})
+    assert "default_action" not in c.get("vector_search")
+    assert c.get("vector_search")["schema"]["required"] == ["action"]
+
+
+def test_both_mode_accepts_verbose_style_search_call(agent):
+    """The collision-resolution contract end-to-end: in 'both' mode a
+    verbose-style vector_search call (collection_name + question, NO
+    action) runs the hybrid search instead of INVALID_PARAMS."""
+    from vector_mcp_spark import mcp_stdio as t
+
+    surf = ToolSurface.from_env({"MCP_TOOL_MODE": "both"})
+    _text(
+        t.handle_message(
+            agent,
+            _rpc("tools/call", 1, name="vector_collection_management",
+                 arguments={"action": "create_collection", "collection_name": "bb",
+                            "document_contents": ["gamma doc"]}),
+            None, surf,
+        )
+    )
+    out = _text(
+        t.handle_message(
+            agent,
+            _rpc("tools/call", 2, name="vector_search",
+                 arguments={"collection_name": "bb", "question": "gamma"}),
+            None, surf,
+        )
+    )
+    assert out["action"] == "search" and out["results"]
+    # an explicit action still wins over the default
+    out = _text(
+        t.handle_message(
+            agent,
+            _rpc("tools/call", 3, name="vector_search",
+                 arguments={"collection_name": "bb", "question": "gamma",
+                            "action": "semantic_search"}),
+            None, surf,
+        )
+    )
+    assert out["action"] == "semantic_search"
+    # a condensed-only surface still rejects the action-less call loudly
+    strict = ToolSurface.from_env({"MCP_TOOL_MODE": "condensed"})
+    resp = t.handle_message(
+        agent,
+        _rpc("tools/call", 4, name="vector_search",
+             arguments={"collection_name": "bb", "question": "gamma"}),
+        None, strict,
+    )
+    assert "error" in resp and resp["error"]["code"] == t.INVALID_PARAMS
 
 
 def test_domain_toggles_shape_the_surface():

@@ -840,8 +840,13 @@ class CollectionEngine:
         batch landed on an indexed collection: new postings and sign rows
         are appended, and the graph gets the batch HNSW-insert repair
         (:func:`~vector_mcp_spark.operators.graph_ann.hnsw_repair` — layer
-        draws + beam-searched top-M links against the frozen graph). Cost is
-        bounded by the batch, never the corpus.
+        draws + beam-searched top-M links against the frozen graph).
+
+        Cost, honestly: the append-only PROOF is one verification pass over
+        the table + sidecar (two equi-joins and a postings re-count — linear
+        scans, embarrassingly parallel); the INDEX work after it is bounded
+        by the batch. What never reruns is the expensive part of a rebuild —
+        corpus-wide candidate pair generation and NN-descent.
 
         Refuses with ``index_repair_requires_rebuild`` when the growth was
         NOT append-only (an indexed row vanished or changed its served
@@ -943,9 +948,10 @@ class CollectionEngine:
         fingerprinted.join(indexed.select("id"), "id", "left_anti").write.mode(
             "append"
         ).parquet(str(root / "ids"))
-        # n_terms is a distinct over the merged postings — recount from the
-        # index (bounded by vocabulary, and repair only runs on collections
-        # that had a graph, so the postings directory is readable)
+        # n_terms is a distinct over the merged postings — a linear scan of
+        # the postings index (its OUTPUT is vocabulary-bounded, the scan is
+        # not); repair only runs on collections that had a graph, so the
+        # postings directory is readable
         try:
             n_terms = (
                 self.spark.read.parquet(str(root / "postings"))

@@ -167,11 +167,11 @@ def _dispatch_method(
             arguments.pop("action", None)
             action = spec["route_action"]
         else:
-            if "action" not in arguments:
+            action = arguments.pop("action", None) or spec.get("default_action")
+            if action is None:
                 return _error(
                     msg_id, INVALID_PARAMS, "tools/call needs name and arguments.action"
                 )
-            action = arguments.pop("action")
         out = agent.dispatch(spec["route_tool"], action, **arguments)
         # MCP tool results carry the payload as text content; the stable
         # snake_case error dicts ride through as isError results — a bad

@@ -270,8 +270,12 @@ def ann_hnsw_topk(
     if exclude_self:
         beam = beam.where(F.col("query_id") != F.col("node"))
     if allowed is not None:
+        # no broadcast hint: the allowed set is FILTER-sized (a broad
+        # predicate can cover half the corpus), not batch-sized — a forced
+        # broadcast would hit the driver/broadcast limits at scale; AQE
+        # still picks broadcast when the set is actually small
         ids = allowed.select(F.col(allowed.columns[0]).alias("node")).distinct()
-        beam = beam.join(F.broadcast(ids), "node", "left_semi")
+        beam = beam.join(ids, "node", "left_semi")
     final = rescore_topn(beam, k)
     return final.select(
         "query_id",
@@ -336,7 +340,9 @@ def hnsw_repair(
     ).select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
 
     n_new = new_nodes.count()
-    buckets = max(1, n_new // HNSW_BLOCK_CAP)
+    # ceil, matching the build's sliver math: floor would leave any batch
+    # under 2*CAP rows in ONE all-pairs block (~4x the intended pair budget)
+    buckets = max(1, -(-n_new // HNSW_BLOCK_CAP))
     keyed = new_nodes.select("node", (F.col("hx") % buckets).alias("_blk"))
     batch_pairs = (
         keyed.select(F.col("node").alias("src"), "_blk")
@@ -434,6 +440,9 @@ def ann_filtered_topk_routed(
             ),
             "graph",
         )
+    # no broadcast hint (same reasoning as the graph branch): even the
+    # selective regime's allowed set scales with the corpus, only its
+    # FRACTION is bounded; AQE broadcasts it when it is actually small
     allowed_ids = allowed.select(F.col(allowed.columns[0]).alias("node")).distinct()
     nodes = (
         corpus.select(
@@ -441,7 +450,7 @@ def ann_filtered_topk_routed(
             F.col(emb_col).alias("v"),
             _guarded_norm(F.col(emb_col)).alias("n"),
         )
-        .join(F.broadcast(allowed_ids), "node", "left_semi")
+        .join(allowed_ids, "node", "left_semi")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -513,7 +513,17 @@ def tdigest_merge(centroids: DataFrame, delta: int = 32) -> DataFrame:
     (≤ delta+1 rows per source digest), so the single-task ordered window
     ranks a provably bounded set (TDIGEST_MERGE_CAP enforces it in-plan)."""
     # cnt joins the tie-break: rows tying on all three keys are identical,
-    # so any residual order among them cannot change cumulative weights
+    # so any residual order among them cannot change cumulative weights.
+    # The cap is a loud contract, not a silent truncation: dropping
+    # centroids would return a digest whose weights no longer sum to n
+    # (every upper quantile silently wrong) — merge hierarchically instead
+    n_in = centroids.count()
+    if n_in > TDIGEST_MERGE_CAP:
+        raise ValueError(
+            f"tdigest_merge: {n_in} centroids exceeds TDIGEST_MERGE_CAP="
+            f"{TDIGEST_MERGE_CAP}; merge in a tree (merge shards, then merge"
+            " the merged digests)"
+        )
     bounded = centroids.orderBy("mean_r", "centroid", "cnt").limit(TDIGEST_MERGE_CAP)
     w = Window.orderBy(
         F.col("mean_r").asc(), F.col("centroid").asc(), F.col("cnt").asc()

@@ -249,9 +249,20 @@ class ToolSurface:
             specs.extend(_condensed_specs())
         if mode in ("verbose", "both"):
             seen = {s["name"] for s in specs}
-            # name collision (vector_search): the condensed action-routed
-            # variant wins in 'both' — its dispatch is a superset
-            specs.extend(s for s in _verbose_specs() if s["name"] not in seen)
+            verbose = _verbose_specs()
+            if mode == "both":
+                # name collision (vector_search): the condensed action-routed
+                # variant wins — and it absorbs the verbose twin's callers by
+                # defaulting a missing ``action`` to the twin's routed action
+                # (and dropping ``action`` from required), so a verbose-style
+                # call keeps working when a deployment flips verbose -> both
+                twins = {v["name"]: v for v in verbose if v["name"] in seen}
+                for spec in specs:
+                    twin = twins.get(spec["name"])
+                    if twin is not None:
+                        spec["default_action"] = twin["route_action"]
+                        spec["schema"] = {**spec["schema"], "required": []}
+            specs.extend(v for v in verbose if v["name"] not in seen)
         specs = [s for s in specs if domain_enabled(s["domain"], env)]
         return cls(mode=mode, _by_name={s["name"]: s for s in specs})
 
