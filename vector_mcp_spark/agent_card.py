@@ -86,13 +86,25 @@ class AgentCardVeneer:
         name: str = DEFAULT_AGENT_NAME,
         description: str = DEFAULT_AGENT_DESCRIPTION,
         entitlements: EntitlementResolver | None = None,
+        telemetry=None,
+        authz=None,
     ):
+        from vector_mcp_spark.authz import AuthorizationPolicy
+        from vector_mcp_spark.telemetry import Telemetry
+
         self.veneer = veneer
         self.name = name
         self.description = description
         # default to the veneer's resolver so one identity scopes both
         # listings and the card
         self.entitlements = entitlements if entitlements is not None else veneer.entitlements
+        # the deployment layers (reference README.md:329-339): OTel-shaped
+        # span recording and the Eunomia-shaped policy gate, both built from
+        # the reference's env contract when not injected. from_env fails
+        # LOUDLY on a broken embedded policy — serving allow-all because the
+        # policy file was unreadable is the failure mode this exists to stop
+        self.telemetry = telemetry if telemetry is not None else Telemetry()
+        self.authz = authz if authz is not None else AuthorizationPolicy.from_env()
 
     def _entitled(self, namespace: str, names: list[str]) -> list[str]:
         if self.entitlements is None:
@@ -122,14 +134,31 @@ class AgentCardVeneer:
             "tools": [s["tool"] for s in skills],
         }
 
-    def dispatch(self, tool: str, action: str, **kwargs: Any) -> dict[str, Any]:
-        """Route one authenticated action; stable error dicts throughout."""
+    def dispatch(
+        self, tool: str, action: str, principal: str | None = None, **kwargs: Any
+    ) -> dict[str, Any]:
+        """Route one authenticated action; stable error dicts throughout.
+        ``principal`` is the optional calling identity the Eunomia-shaped
+        policy can scope rules to (a transport can thread it from auth)."""
+        with self.telemetry.span("tools/call", tool=tool, action=action) as span:
+            out = self._dispatch(tool, action, principal, kwargs)
+            if span is not None and isinstance(out, dict) and "error" in out:
+                span["status"] = "error"
+                span["error"] = str(out["error"])[:200]
+            return out
+
+    def _dispatch(
+        self, tool: str, action: str, principal: str | None, kwargs: dict[str, Any]
+    ) -> dict[str, Any]:
         if tool not in TOOLS:
             return {
                 "error": "tool_invalid",
                 "allowed": list(TOOLS),
                 "did_you_mean": difflib.get_close_matches(tool or "", TOOLS, n=3, cutoff=0.4),
             }
+        # the Eunomia-shaped policy gate (fails closed in remote mode)
+        if not self.authz.check(tool, action, principal):
+            return {"error": "authorization_denied", "tool": tool, "action": action}
         # Authorization fails CLOSED: a resolver outage must deny actions
         # (including delete_collection), unlike discovery where _entitled
         # fail-opens so an outage never blanks the card.

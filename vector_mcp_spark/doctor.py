@@ -102,6 +102,36 @@ def doctor(warehouse_root: str | None = None) -> dict[str, Any]:
         status["remote_rerank_config_valid"] = rr_ok
         checks.append(rr_ok)
 
+    # telemetry + authorization deployment seams (reference
+    # README.md:329-339): report the configured shape; an embedded policy
+    # that is configured but unreadable is a failed check (an authz layer
+    # silently degrading to allow-all is the worst readiness lie)
+    from vector_mcp_spark.telemetry import TelemetryConfig
+
+    tcfg = TelemetryConfig.from_env()
+    status["otel_enabled"] = tcfg.enabled
+    status["otel_endpoint_configured"] = tcfg.endpoint is not None
+
+    from vector_mcp_spark.authz import AUTHZ_MODES
+
+    eunomia = (os.environ.get("EUNOMIA_TYPE") or "none").strip().lower()
+    status["eunomia_type"] = eunomia
+    if eunomia != "none":
+        from vector_mcp_spark.authz import AuthorizationPolicy
+
+        try:
+            # remote needs an injected transport at serve time; for the
+            # static report only validate the MODE string itself
+            authz_ok = (
+                eunomia in AUTHZ_MODES
+                if eunomia == "remote"
+                else AuthorizationPolicy.from_env(dict(os.environ)) is not None
+            )
+        except ValueError:
+            authz_ok = False
+        status["eunomia_config_valid"] = authz_ok
+        checks.append(authz_ok)
+
     status["ok"] = all(checks)
     return status
 

@@ -172,6 +172,11 @@ def _dispatch_method(
                 return _error(
                     msg_id, INVALID_PARAMS, "tools/call needs name and arguments.action"
                 )
+        # 'principal' is the SERVER-side identity slot (threaded by a
+        # transport from real auth into dispatch) — a client asserting it
+        # through tool arguments could match principal-scoped allow rules,
+        # so it is stripped here, never trusted from the wire
+        arguments.pop("principal", None)
         out = agent.dispatch(spec["route_tool"], action, **arguments)
         # MCP tool results carry the payload as text content; the stable
         # snake_case error dicts ride through as isError results — a bad

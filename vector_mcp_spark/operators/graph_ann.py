@@ -250,9 +250,28 @@ def ann_hnsw_topk(
         w = Window.partitionBy("query_id").orderBy(F.col("_sm").desc(), F.col("node").asc())
         return scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= n_keep)
 
+    first_hop = True
     for layer, n_hops in hops:
         e = edges.where(F.col("layer") == layer).select("src", "dst")
         for _ in range(n_hops):
+            if first_hop:
+                # Hop 1 is query-INDEPENDENT: every beam is {entry}, so its
+                # expansion is exactly entry's neighbor list on this layer.
+                # Joining a million concurrent beams against the one edge
+                # partition holding src=entry is the known 100 TB hotspot;
+                # instead compute the shared candidate set ONCE (≤ 2m+1
+                # rows) and broadcast-cross it to the queries. Same
+                # candidates per query → bit-identical results.
+                seed = (
+                    e.where(F.col("src") == F.lit(entry))
+                    .select(F.col("dst").alias("node"))
+                    .union(q.select(F.lit(entry).alias("node")).limit(1))
+                    .distinct()
+                )
+                cand = q.select("query_id").join(F.broadcast(seed))
+                beam = rescore_topn(cand, ef).select("query_id", "node")
+                first_hop = False
+                continue
             # checkpoint per hop: the keep-and-expand union references the
             # beam sub-plan on BOTH branches, which trips Catalyst's union
             # constraint rewriting unless the beam is a leaf — and it

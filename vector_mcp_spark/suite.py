@@ -141,10 +141,11 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 # up to 50.
 # ROUND 11 TODO: lead with the _ROUND10_FILL entries displaced past slot 50
 # this round — recompute as (_ROUND10_LEAD + _PROMOTED_R10 +
-# _ROUND10_FILL)[50:] (with _PROMOTED_R10 empty that is the last 14 r6-latest
-# keys alphabetically, tpch_q12_ship_latency backwards; each promotion
-# displaces one more) — then _PROMOTED_R11, then the r7-latest entries
-# (CORRECTNESS_r07 keys minus any later-green, alphabetical) up to 50.
+# _ROUND10_FILL)[50:] (with the 3 _PROMOTED_R10 entries that is the last 17
+# r6-latest keys alphabetically: lexical_fuzzy_term through
+# tpch_q12_ship_latency) — then _PROMOTED_R11, then the
+# r7-latest entries (CORRECTNESS_r07 keys minus any later-green,
+# alphabetical) up to 50.
 from vector_mcp_spark import suite_relational  # noqa: E402,F401
 from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401
