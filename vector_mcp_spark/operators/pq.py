@@ -173,3 +173,46 @@ def pq_adc_topk(
         )
         .select(id_col, "rank", "adc_dist")
     )
+
+
+def ann_ivf_adc_topk(
+    assigned: DataFrame,
+    encoded: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int,
+    nprobe: int = 4,
+    id_col: str = "id",
+) -> DataFrame:
+    """IVF-ADC — the composition billion-vector serving actually runs
+    (Jégou et al.'s IVFADC; FAISS ``IndexIVFPQ``): the coarse quantizer
+    prunes the corpus to the query's top-``nprobe`` clusters, and ONLY the
+    shortlisted vectors are ADC-scored from their m code bytes. Neither
+    stage reads a full-precision corpus vector: the probe is driver-side
+    math over the (tiny, broadcastable) centroid table, the scan reads the
+    code column of the probed clusters' partitions, and the distance is m
+    table lookups per candidate.
+
+    Probe selection mirrors ``ann_ivf_topk``'s contract (cosine DESC, tie
+    to the lowest centroid index) with the same sequential float sums as
+    the SQL replay, so the whole composition stays oracle-checkable.
+    Returns (id, rank, adc_dist) like :func:`pq_adc_topk`."""
+    import math
+
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q)) or 1.0
+
+    def cos(c: list[float]) -> float:
+        num = 0.0
+        nn = 0.0
+        for a, b in zip(q, c):
+            num += a * b
+            nn += b * b
+        return num / (qn * (math.sqrt(nn) or 1.0))
+
+    order = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))
+    probes = [int(i) for i in order[:nprobe]]
+    shortlist = assigned.where(F.col("cluster").isin(probes)).select(id_col)
+    cand = encoded.join(shortlist, id_col, "left_semi")
+    return pq_adc_topk(cand, codebooks, query_vec, k, id_col=id_col)

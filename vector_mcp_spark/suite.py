@@ -179,6 +179,7 @@ _PROMOTED_R10: list[str] = [
     "ann_filtered_routed_topk",
     "hybrid_indexed_rrf",
     "events_tdigest_quantiles",
+    "ann_ivfpq_topk",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r6 = CORRECTNESS_r06

@@ -1504,27 +1504,36 @@ SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, ROUND(sm, 6) AS scor
 """
 
 
-@register("ann_ivf_topk", _ann_ivf_oracle(), "similarity", "pipeline")
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN (rows-only: approximate by construction;
-    recall pytest-gated against the exact operator in test_similarity)."""
+def _ivf_cached(spark: SparkSession, sf_dir: str):
+    """The One IVF index the suite caches per sf (assigned parquet +
+    centroids JSON) — shared by the IVF-ANN, IVF-PQ, and graph entries."""
     import json
     import os
 
-    from vector_mcp_spark.operators.similarity import ann_ivf_topk, ivf_build
+    from vector_mcp_spark.operators.similarity import ivf_build
 
-    embs = load(spark, sf_dir, "embeddings")
     cache = _index_cache(sf_dir, "ivf_16")
     cent_path = os.path.join(cache, "centroids.json")
     assigned_path = os.path.join(cache, "assigned")
     if not (os.path.exists(cent_path) and os.path.exists(os.path.join(assigned_path, "_SUCCESS"))):
+        embs = load(spark, sf_dir, "embeddings")
         assigned, centroids = ivf_build(embs, n_centroids=16, id_col="vec_id", max_iter=2)
         assigned.write.mode("overwrite").parquet(assigned_path)
         with open(cent_path, "w") as f:
             json.dump(centroids, f)
     with open(cent_path) as f:
         centroids = json.load(f)
-    assigned = spark.read.parquet(assigned_path)
+    return spark.read.parquet(assigned_path), centroids
+
+
+@register("ann_ivf_topk", _ann_ivf_oracle(), "similarity", "pipeline")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (rows-only: approximate by construction;
+    recall pytest-gated against the exact operator in test_similarity)."""
+    from vector_mcp_spark.operators.similarity import ann_ivf_topk
+
+    embs = load(spark, sf_dir, "embeddings")
+    assigned, centroids = _ivf_cached(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 20)
     return ann_ivf_topk(queries, assigned, centroids, 5, nprobe=4, id_col="vec_id")
 
@@ -2883,4 +2892,83 @@ def q_ann_filtered_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(f"selectivity routing regressed: {(regime_a, regime_b)}")
     return a.withColumn("regime", F.lit("exact")).union(
         b.withColumn("regime", F.lit("graph"))
+    )
+
+
+# -- IVF-PQ: coarse-probe + ADC re-rank (FAISS IndexIVFPQ composition) --------
+# The two index families above each have an entry; this is the composition
+# a billion-vector serving tier actually runs: the IVF coarse quantizer
+# prunes to nprobe clusters, ADC scores only the shortlist from code bytes.
+
+_IVFPQ_K, _IVFPQ_NPROBE = 10, 4
+
+
+def _ivfpq_oracle() -> str:
+    import re
+
+    from vector_mcp_spark.suite import SEM_QUERY_VEC, _vec_sql_literal
+
+    base = _pq_oracle()
+    chain = base[: base.rindex("SELECT vec_id,")].rstrip()
+    # strip the leading WITH; rename the PQ chain's assignment CTEs — the
+    # k-means replay defines its own a1/a2 generations and DuckDB would
+    # otherwise see duplicate CTE names
+    chain = chain[chain.index("WITH ") + 5 :]
+    chain = re.sub(r"\b(a1_d|a2_d|a1|a2)\b", r"pq\1", chain)
+
+    branches = []
+    for s in range(_PQ_M):
+        qs = _vec_sql_literal(
+            [float(x) for x in SEM_QUERY_VEC[s * _PQ_SUB : (s + 1) * _PQ_SUB]]
+        )
+        branches.append(f"""
+  SELECT {s} AS s, code,
+         list_dot_product(d, d) AS t FROM (
+    SELECT code, [ ({qs})[i + 1] - c[i + 1] FOR i IN range(0, {_PQ_SUB}) ] AS d
+    FROM cb1 WHERE s = {s}
+  )""")
+    qtab = " UNION ALL ".join(branches)
+    qlit = _vec_sql_literal([float(x) for x in SEM_QUERY_VEC])
+    sim = _ivf_sim_sql
+    return f"""{_kmeans_replay_ctes()},
+{chain},
+qtab AS ({qtab}),
+qprobe AS (
+  SELECT idx FROM (
+    SELECT s.idx, row_number() OVER (ORDER BY {sim(qlit, "s.c")} DESC, s.idx ASC) AS rn
+    FROM c2 s
+  ) WHERE rn <= {_IVFPQ_NPROBE}
+),
+shortlist AS (SELECT a3.vec_id FROM a3 JOIN qprobe p ON a3.cluster = p.idx),
+scored AS (
+  SELECT a.vec_id, ROUND(SUM(q.t), 6) AS adc_dist
+  FROM pqa2 a JOIN qtab q ON q.s = a.s AND q.code = a.code
+  JOIN shortlist sl ON sl.vec_id = a.vec_id
+  GROUP BY a.vec_id
+)
+SELECT vec_id, CAST(rnk AS INTEGER) AS rank, adc_dist FROM (
+  SELECT vec_id, adc_dist,
+         row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {_IVFPQ_K}
+"""
+
+
+@register("ann_ivfpq_topk", _ivfpq_oracle(), "similarity", "pipeline")
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC (Jégou et al. TPAMI'11; the FAISS IndexIVFPQ serving path):
+    probe the query's top-nprobe coarse clusters from the cached ivf_16
+    index, then ADC-score ONLY the shortlisted vectors from their m code
+    bytes (cached pq_4x16 index) — no full-precision corpus vector is read
+    anywhere. The oracle composes the two existing replays (k-means CTEs +
+    codebook CTEs, PQ assignment generations renamed) with the probe and
+    the shortlisted ADC sum."""
+    from vector_mcp_spark.operators.pq import ann_ivf_adc_topk
+    from vector_mcp_spark.suite import SEM_QUERY_VEC
+
+    assigned, centroids = _ivf_cached(spark, sf_dir)
+    encoded, codebooks = _pq_cached(spark, sf_dir)
+    return ann_ivf_adc_topk(
+        assigned, encoded, centroids, codebooks, SEM_QUERY_VEC,
+        _IVFPQ_K, nprobe=_IVFPQ_NPROBE, id_col="vec_id",
     )
