@@ -84,6 +84,20 @@ class AuthorizationPolicy:
             for r in rules:
                 if r.get("effect") not in ("allow", "deny"):
                     raise ValueError(f"policy {path}: rule missing effect allow|deny: {r}")
+                for dim in ("tools", "actions", "principals"):
+                    wanted = r.get(dim)
+                    # a bare string would make `value in wanted` a SUBSTRING
+                    # test ("search" in "semantic_search" -> True) — the
+                    # silent-misconfiguration mode this loud load exists to
+                    # stop; require a list of strings or absence
+                    if wanted is not None and (
+                        not isinstance(wanted, list)
+                        or not all(isinstance(x, str) for x in wanted)
+                    ):
+                        raise ValueError(
+                            f"policy {path}: rule {dim} must be a LIST of "
+                            f"strings, got {wanted!r}"
+                        )
             return cls(mode="embedded", rules=rules, default=doc.get("default", "allow"))
         return cls(mode=mode, remote=remote)
 

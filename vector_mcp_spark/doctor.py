@@ -120,13 +120,15 @@ def doctor(warehouse_root: str | None = None) -> dict[str, Any]:
         from vector_mcp_spark.authz import AuthorizationPolicy
 
         try:
-            # remote needs an injected transport at serve time; for the
-            # static report only validate the MODE string itself
-            authz_ok = (
-                eunomia in AUTHZ_MODES
-                if eunomia == "remote"
-                else AuthorizationPolicy.from_env(dict(os.environ)) is not None
-            )
+            if eunomia == "remote":
+                # remote needs an injected decider at serve time and nothing
+                # in this deployment injects one, so construction WILL raise
+                # — reporting ready here would be the readiness lie this
+                # check exists to stop
+                authz_ok = False
+                status["eunomia_remote_requires_injected_decider"] = True
+            else:
+                authz_ok = AuthorizationPolicy.from_env(dict(os.environ)) is not None
         except ValueError:
             authz_ok = False
         status["eunomia_config_valid"] = authz_ok

@@ -268,7 +268,9 @@ def ann_hnsw_topk(
                     .union(q.select(F.lit(entry).alias("node")).limit(1))
                     .distinct()
                 )
-                cand = q.select("query_id").join(F.broadcast(seed))
+                # distinct matches the replaced path's cand.distinct(): a duplicated
+                # query id must not burn beam slots on duplicate candidate rows
+                cand = q.select("query_id").distinct().join(F.broadcast(seed))
                 beam = rescore_topn(cand, ef).select("query_id", "node")
                 first_hop = False
                 continue
