@@ -2972,3 +2972,62 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned, encoded, centroids, codebooks, SEM_QUERY_VEC,
         _IVFPQ_K, nprobe=_IVFPQ_NPROBE, id_col="vec_id",
     )
+
+
+# -- near-dup canonicalization: best-quality representative per cluster -------
+# What a pipeline actually does AFTER clustering: keep ONE document per
+# near-dup cluster, chosen by a quality policy (here: most tokens, ties to
+# the smallest id) — not the arbitrary min-id the CC labeling happens to
+# produce. The oracle extends the recursive-CTE closure with the quality
+# rank; the Spark side runs the same policy window over the CC output.
+
+_CANON_ORACLE = (
+    _CLUSTER_ORACLE[: _CLUSTER_ORACLE.rindex("SELECT node AS doc_id")].rstrip()
+    + f""",
+clusters AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+),
+q AS (SELECT doc_id, len({_TOKS}) AS quality_toks FROM documents),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id, q.quality_toks,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_toks DESC, c.doc_id ASC) AS rnk
+  FROM clusters c JOIN q USING (doc_id)
+)
+SELECT doc_id, cluster_id, quality_toks, rnk = 1 AS keep FROM ranked
+"""
+)
+# the slice point must land on the closure's final SELECT, after the last
+# CTE's comma — guard the surgery so an oracle edit can't silently break it
+assert _CANON_ORACLE.count("WITH RECURSIVE") == 1 and "reach GROUP BY node" in _CANON_ORACLE
+
+
+@register("dedup_canonicalize", _CANON_ORACLE, "dedup", "pipeline")
+def q_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster with a QUALITY policy: every document gets its
+    near-dup cluster id (the same blocked set-level CC as dedup_clusters)
+    and the cluster's highest-token-count member (ties to the smallest id)
+    is the keeper. At scale the policy window partitions by cluster_id —
+    cluster sizes are bounded by the near-dup radius, never corpus-sized."""
+    from pyspark.sql import Window
+    from vector_mcp_spark.functions.text import tokens
+    from vector_mcp_spark.operators.dedup import near_dup_clusters_blocked
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 100)
+    )
+    clusters = near_dup_clusters_blocked(
+        docs, _JACCARD_T, id_col="doc_id", content_col="text",
+        block_cols=("lang", "len_bucket"),
+    ).select("doc_id", "cluster_id")
+    qual = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("quality_toks"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_toks").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(qual, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "doc_id", "cluster_id", "quality_toks", (F.col("rnk") == 1).alias("keep")
+        )
+    )
