@@ -505,13 +505,18 @@ def tdigest_build(
     )
 
 
-def tdigest_merge(centroids: DataFrame, delta: int = 32) -> DataFrame:
-    """Merge per-group digests into one: (centroid, cnt, mean_r). The
-    paper's merge — order all centroids by mean, give each its cumulative
-    mid-quantile q = (cumw - w/2)/N, re-cluster through the same scale
-    function, combine weighted means. Input and output are digest-sized
-    (≤ delta+1 rows per source digest), so the single-task ordered window
-    ranks a provably bounded set (TDIGEST_MERGE_CAP enforces it in-plan)."""
+def tdigest_merge(
+    centroids: DataFrame, delta: int = 32, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge digests: (group…, centroid, cnt, mean_r). The paper's merge —
+    order the centroids by mean, give each its cumulative mid-quantile
+    q = (cumw - w/2)/N, re-cluster through the same scale function, combine
+    weighted means. With ``group_cols`` the merge runs independently per
+    group (the streaming case: per-type batch digests fold into per-type
+    digests). Input and output are digest-sized (≤ delta+1 rows per source
+    digest), so the ordered windows rank a provably bounded set
+    (TDIGEST_MERGE_CAP enforces it in-plan)."""
+    group_cols = list(group_cols)
     # cnt joins the tie-break: rows tying on all three keys are identical,
     # so any residual order among them cannot change cumulative weights.
     # The cap is a loud contract, not a silent truncation: dropping
@@ -524,14 +529,23 @@ def tdigest_merge(centroids: DataFrame, delta: int = 32) -> DataFrame:
             f"{TDIGEST_MERGE_CAP}; merge in a tree (merge shards, then merge"
             " the merged digests)"
         )
-    bounded = centroids.orderBy("mean_r", "centroid", "cnt").limit(TDIGEST_MERGE_CAP)
-    w = Window.orderBy(
-        F.col("mean_r").asc(), F.col("centroid").asc(), F.col("cnt").asc()
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    total = bounded.agg(F.sum("cnt").alias("_t"))
-    cum = bounded.withColumn("_cum", F.sum("cnt").over(w)).crossJoin(
-        F.broadcast(total)
+    bounded = centroids.orderBy(
+        *group_cols, "mean_r", "centroid", "cnt"
+    ).limit(TDIGEST_MERGE_CAP)
+    order = [F.col("mean_r").asc(), F.col("centroid").asc(), F.col("cnt").asc()]
+    w = Window.partitionBy(*group_cols).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
+    if group_cols:
+        total = bounded.groupBy(*group_cols).agg(F.sum("cnt").alias("_t"))
+        cum = bounded.withColumn("_cum", F.sum("cnt").over(w)).join(
+            F.broadcast(total), group_cols
+        )
+    else:
+        total = bounded.agg(F.sum("cnt").alias("_t"))
+        cum = bounded.withColumn("_cum", F.sum("cnt").over(w)).crossJoin(
+            F.broadcast(total)
+        )
     q = (F.col("_cum") - F.col("cnt") / 2.0) / F.col("_t")
     # the weighted mean sums EXACT integers (means are 4-dp decimals, so
     # mean*10^4 is integral): the sum is order-independent, so the 4-dp
@@ -545,10 +559,10 @@ def tdigest_merge(centroids: DataFrame, delta: int = 32) -> DataFrame:
     num = F.sum(F.col("cnt") * m_scaled).cast("double")
     return (
         cum.withColumn("centroid2", _tdigest_centroid(q, delta))
-        .groupBy("centroid2")
+        .groupBy(*group_cols, "centroid2")
         .agg(
             F.sum("cnt").alias("cnt"),
             (F.floor(num / F.sum("cnt") + 0.5) / 10000.0).alias("mean_r"),
         )
-        .select(F.col("centroid2").alias("centroid"), "cnt", "mean_r")
+        .select(*group_cols, F.col("centroid2").alias("centroid"), "cnt", "mean_r")
     )

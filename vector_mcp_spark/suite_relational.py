@@ -2361,3 +2361,121 @@ def q_events_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         F.col("event_type").alias("scope"), "centroid", "cnt", "mean_r"
     ).unionByName(merged.withColumn("scope", F.lit("__merged__")))
+
+
+# -- t-digest maintained BY THE STREAM (two pinned micro-batches merge) -------
+# The sketch's mergeability doing its actual job: each micro-batch builds
+# its own bounded per-type digest (ranks are WITHIN-batch — no cross-batch
+# state), the digests append to a store, and reading the store is one
+# per-type merge. Batch boundaries are pinned (half = event_id % 2, two
+# mtime-ordered single files, maxFilesPerTrigger=1) so the oracle can
+# replay the exact per-batch digests and their merge.
+
+_STREAM_TDIGEST_ORACLE = f"""
+WITH vals AS (
+  SELECT event_id % 2 AS half, event_type, value,
+         row_number() OVER (PARTITION BY event_id % 2, event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_id % 2, event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+cents AS (
+  SELECT event_type AS scope,
+         CAST(FLOOR({_TDIGEST_KEY.format(q="(rn - 0.5) / n", d=_TDIGEST_DELTA)}) AS BIGINT) AS centroid,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         ROUND(AVG(value) + 0.0, 4) AS mean_r
+  FROM vals GROUP BY half, 1, 2
+),
+tot AS (SELECT scope, CAST(SUM(cnt) AS BIGINT) AS total FROM cents GROUP BY scope),
+ordered AS (
+  SELECT c.scope, c.centroid, c.cnt, c.mean_r, t.total,
+         CAST(SUM(c.cnt) OVER (PARTITION BY c.scope
+                               ORDER BY c.mean_r, c.centroid, c.cnt
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM cents c JOIN tot t USING (scope)
+),
+merged AS (
+  SELECT scope,
+         CAST(FLOOR({_TDIGEST_KEY.format(q="(cum - cnt / 2.0) / total", d=_TDIGEST_DELTA)}) AS BIGINT) AS centroid,
+         CAST(SUM(cnt) AS BIGINT) AS cnt,
+         FLOOR(CAST(SUM(cnt * CAST(ROUND(mean_r * 10000.0) AS BIGINT)) AS DOUBLE)
+               / SUM(cnt) + 0.5) / 10000.0 AS mean_r
+  FROM ordered GROUP BY 1, 2
+)
+SELECT scope, centroid, cnt, mean_r FROM merged
+"""
+
+
+def _halved_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events split into two single-file halves (event_id parity), second
+    file strictly newer — availableNow + maxFilesPerTrigger=1 pins the
+    batch sequence to exactly [half-0], [half-1]. Idempotent per sf."""
+    import glob
+    import os
+    import time
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    d = os.path.abspath(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", ".tmp",
+            f"events_halves_{sf_tag}",
+        )
+    )
+    marker = os.path.join(d, "_staged")
+    if not os.path.exists(marker):
+        ev = load(spark, sf_dir, "events")
+        now = time.time()
+        os.makedirs(d, exist_ok=True)
+        for half in (0, 1):
+            tmp = d + f"_h{half}"
+            ev.where(F.col("event_id") % 2 == half).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"half-{half}.parquet")
+            os.replace(src, dst)
+            os.utime(dst, (now + 10 * half, now + 10 * half))
+        with open(marker, "w") as fh:
+            fh.write("2")
+    return d
+
+
+@register("streaming_tdigest_value", _STREAM_TDIGEST_ORACLE, "streaming", "sketch")
+def q_streaming_tdigest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type t-digests maintained BY THE STREAM: foreachBatch
+    builds each micro-batch's own digest (ranks never cross a batch — no
+    unbounded streaming state, ≤ delta+1 rows per (batch, type) land in
+    the store) and the read side folds the store with one per-type merge.
+    This is the sketch's 100 TB deployment shape: shards/batches digest
+    independently, dashboards merge digests, raw data is touched once."""
+    import os
+    import shutil
+
+    from vector_mcp_spark.operators.sketches import tdigest_build, tdigest_merge
+    from vector_mcp_spark.streaming.ingest import read_event_stream
+
+    d = _halved_events_dir(spark, sf_dir)
+    seq = next(_STREAM_SINK_SEQ)
+    base = os.path.join(os.path.dirname(d), f"tdigest_stream_{seq}")
+    store = os.path.join(base, "digests")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    def _digest_batch(batch_df, batch_id: int) -> None:
+        tdigest_build(batch_df, "value", ["event_type"], delta=_TDIGEST_DELTA).write.mode(
+            "append"
+        ).parquet(store)
+
+    q = (
+        read_event_stream(spark, d, options={"maxFilesPerTrigger": 1})
+        .writeStream.foreachBatch(_digest_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batch_digests = spark.read.parquet(store).withColumnRenamed("event_type", "scope")
+    return tdigest_merge(
+        batch_digests.select("scope", "centroid", "cnt", "mean_r"),
+        delta=_TDIGEST_DELTA,
+        group_cols=["scope"],
+    )
