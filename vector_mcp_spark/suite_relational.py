@@ -2479,3 +2479,77 @@ def q_streaming_tdigest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta=_TDIGEST_DELTA,
         group_cols=["scope"],
     )
+
+
+# -- quantile READ off the digest (the query the sketch exists to answer) -----
+# Estimate rule: the first centroid (in mean order) whose cumulative weight
+# reaches p·N answers quantile p with its mean — the nearest-centroid read,
+# deterministic and exactly replayable (no interpolation float hazards).
+
+_TDIGEST_READ_PS = (0.5, 0.9, 0.99)
+_TDIGEST_READ_ORACLE = f"""
+WITH vals AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+cents AS (
+  SELECT event_type AS scope,
+         CAST(FLOOR({_TDIGEST_KEY.format(q="(rn - 0.5) / n", d=_TDIGEST_DELTA)}) AS BIGINT) AS centroid,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         ROUND(AVG(value) + 0.0, 4) AS mean_r
+  FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT scope, centroid, mean_r,
+         CAST(SUM(cnt) OVER (PARTITION BY scope
+                             ORDER BY mean_r, centroid, cnt
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+         CAST(SUM(cnt) OVER (PARTITION BY scope) AS BIGINT) AS total
+  FROM cents
+),
+ps(p) AS (VALUES {", ".join(f"(CAST({p} AS DOUBLE))" for p in _TDIGEST_READ_PS)}),
+hits AS (
+  SELECT c.scope, ps.p, c.mean_r,
+         row_number() OVER (PARTITION BY c.scope, ps.p
+                            ORDER BY c.cumw ASC, c.centroid ASC) AS rnk
+  FROM cum c JOIN ps ON c.cumw >= ps.p * c.total
+)
+SELECT scope, p, mean_r AS estimate FROM hits WHERE rnk = 1
+"""
+
+
+@register("events_tdigest_read", _TDIGEST_READ_ORACLE, "relational", "sketch")
+def q_events_tdigest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 per event type read off the t-digest: build the same
+    per-type digest as events_tdigest_quantiles, take the first centroid
+    whose cumulative weight covers p·N. The read touches only digest rows
+    (≤ delta+1 per type) — at 100 TB the quantile dashboard never rescans
+    the data, which is the whole point of keeping the digest."""
+    from pyspark.sql import Window
+    from vector_mcp_spark.operators.sketches import tdigest_build
+
+    ev = load(spark, sf_dir, "events")
+    cents = tdigest_build(ev, "value", ["event_type"], delta=_TDIGEST_DELTA)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("mean_r").asc(), F.col("centroid").asc(), F.col("cnt").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy("event_type")
+    cum = cents.select(
+        F.col("event_type").alias("scope"),
+        "centroid",
+        "mean_r",
+        F.sum("cnt").over(w).alias("cumw"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    ps = spark.createDataFrame([(p,) for p in _TDIGEST_READ_PS], "p double")
+    hits = cum.join(F.broadcast(ps), F.col("cumw") >= F.col("p") * F.col("total"))
+    wr = Window.partitionBy("scope", "p").orderBy(
+        F.col("cumw").asc(), F.col("centroid").asc()
+    )
+    return (
+        hits.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") == 1)
+        .select("scope", "p", F.col("mean_r").alias("estimate"))
+    )
