@@ -2997,9 +2997,12 @@ ranked AS (
 SELECT doc_id, cluster_id, quality_toks, rnk = 1 AS keep FROM ranked
 """
 )
-# the slice point must land on the closure's final SELECT, after the last
-# CTE's comma — guard the surgery so an oracle edit can't silently break it
-assert _CANON_ORACLE.count("WITH RECURSIVE") == 1 and "reach GROUP BY node" in _CANON_ORACLE
+# the slice point must land AFTER the closure's last CTE and BEFORE its
+# final SELECT: the sliced prefix must still define the recursion but must
+# NOT contain the final select's GROUP BY (the appended suffix brings its
+# own, so checking the composed string would be tautological)
+_canon_prefix = _CLUSTER_ORACLE[: _CLUSTER_ORACLE.rindex("SELECT node AS doc_id")]
+assert "reach(node, label)" in _canon_prefix and "GROUP BY node" not in _canon_prefix
 
 
 @register("dedup_canonicalize", _CANON_ORACLE, "dedup", "pipeline")

@@ -1843,6 +1843,22 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
 """
 
 
+def _stage_single_file(df: DataFrame, dst: str, mtime: float) -> None:
+    """Write ``df`` as ONE parquet file at ``dst`` with a pinned mtime —
+    the staging primitive every pinned-batch-order stream fixture uses
+    (file sources batch by mtime). Cleans its tmp dir."""
+    import glob
+    import os
+    import shutil
+
+    tmp = dst + "_stage"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    os.replace(src, dst)
+    os.utime(dst, (mtime, mtime))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _sentineled_events_dir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     """Events re-write plus two sentinel batches; returns (dir, n_base_files).
 
@@ -1881,12 +1897,10 @@ def _sentineled_events_dir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
                 ],
                 "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
             )
-            tmp = d + f"_s{i}"
-            sent.coalesce(1).write.mode("overwrite").parquet(tmp)
-            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(d, f"zz-sentinel-{i}.parquet")
-            os.replace(src, dst)
-            os.utime(dst, (now + 10 * (i + 1), now + 10 * (i + 1)))
+            _stage_single_file(
+                sent, os.path.join(d, f"zz-sentinel-{i}.parquet"),
+                now + 10 * (i + 1),
+            )
         with open(marker, "w") as fh:
             fh.write(str(len(base_files)))
     with open(marker) as fh:
@@ -2060,14 +2074,8 @@ def _late_audit_dir(spark: SparkSession, sf_dir: str) -> str:
         (spark.createDataFrame([(-991, max_ts + timedelta(days=31), -1, "_sentinel", 0.0, "{}")], schema),
          "zz-sentinel-1.parquet", now + 40),
     ]
-    for i, (df, fname, mtime) in enumerate(stages):
-        tmp = d + f"_t{i}"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(d, fname)
-        os.replace(src, dst)
-        os.utime(dst, (mtime, mtime))
-        shutil.rmtree(tmp, ignore_errors=True)
+    for df, fname, mtime in stages:
+        _stage_single_file(df, os.path.join(d, fname), mtime)
     with open(marker, "w") as fh:
         fh.write("5")
     return d
@@ -2426,14 +2434,11 @@ def _halved_events_dir(spark: SparkSession, sf_dir: str) -> str:
         now = time.time()
         os.makedirs(d, exist_ok=True)
         for half in (0, 1):
-            tmp = d + f"_h{half}"
-            ev.where(F.col("event_id") % 2 == half).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(d, f"half-{half}.parquet")
-            os.replace(src, dst)
-            os.utime(dst, (now + 10 * half, now + 10 * half))
+            _stage_single_file(
+                ev.where(F.col("event_id") % 2 == half),
+                os.path.join(d, f"half-{half}.parquet"),
+                now + 10 * half,
+            )
         with open(marker, "w") as fh:
             fh.write("2")
     return d
@@ -2455,7 +2460,13 @@ def q_streaming_tdigest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _halved_events_dir(spark, sf_dir)
     seq = next(_STREAM_SINK_SEQ)
-    base = os.path.join(os.path.dirname(d), f"tdigest_stream_{seq}")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    # pid + sf + seq: two concurrent suite PROCESSES (bench overlapping the
+    # pytest gate) must not rmtree each other's live checkpoint or
+    # interleave digests from different SFs in one store
+    base = os.path.join(
+        os.path.dirname(d), f"tdigest_stream_{os.getpid()}_{sf_tag}_{seq}"
+    )
     store = os.path.join(base, "digests")
     ckpt = os.path.join(base, "ckpt")
     shutil.rmtree(base, ignore_errors=True)
