@@ -120,6 +120,20 @@ def main() -> int:
         ivfpq_hits |= {(qid, r.vec_id) for r in got.collect()}
     rows.append(("IVF-PQ (nprobe=4 probe + ADC 4x16), top-5 raw", recall(ivfpq_hits, exact)))
 
+    from vector_mcp_spark.operators.pq import ann_ivf_adc_rerank_topk
+
+    ivfpq_rr_hits = set()
+    for qid, qv in sorted(qvecs.items()):
+        got = ann_ivf_adc_rerank_topk(
+            assigned, encoded.where(F.col("vec_id") != qid), cents, cbs,
+            embs.where(F.col("vec_id") != qid), qv, K,
+            shortlist=50, nprobe=4, id_col="vec_id",
+        )
+        ivfpq_rr_hits |= {(qid, r.vec_id) for r in got.collect()}
+    rows.append(
+        ("IVF-PQ, shortlist=50 + exact re-rank", recall(ivfpq_rr_hits, exact))
+    )
+
     lines = [
         "# ANN recall audit (generated by tools/recall_report.py)",
         "",

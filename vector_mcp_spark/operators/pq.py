@@ -216,3 +216,47 @@ def ann_ivf_adc_topk(
     shortlist = assigned.where(F.col("cluster").isin(probes)).select(id_col)
     cand = encoded.join(shortlist, id_col, "left_semi")
     return pq_adc_topk(cand, codebooks, query_vec, k, id_col=id_col)
+
+
+def ann_ivf_adc_rerank_topk(
+    assigned: DataFrame,
+    encoded: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int,
+    shortlist: int = 50,
+    nprobe: int = 4,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """The COMPLETE IVF-PQ serving path: coarse probe → ADC shortlist →
+    exact re-rank. ADC distances are distorted by quantization (the raw
+    recall floor is low by design — see RECALL.md); production always
+    re-ranks the shortlist against the full-precision vectors, and only
+    those ``shortlist`` rows are ever read from the vector column. Returns
+    (id, rank, score) with exact cosine, like the exact ANN operators."""
+    from vector_mcp_spark.functions.vector import dot, l2_norm
+
+    short = ann_ivf_adc_topk(
+        assigned, encoded, centroids, codebooks, query_vec,
+        shortlist, nprobe=nprobe, id_col=id_col,
+    ).select(id_col)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = F.col(emb_col)
+    sim = dot(emb, qlit) / (l2_norm(emb) * l2_norm(qlit))
+    cand = corpus.join(F.broadcast(short), id_col, "left_semi").select(
+        F.col(id_col), sim.alias("_sim")
+    )
+    return (
+        cand.orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+            ),
+        )
+        .select(id_col, "rank", F.round("_sim", 6).alias("score"))
+    )

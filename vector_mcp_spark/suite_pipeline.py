@@ -2903,7 +2903,7 @@ def q_ann_filtered_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_K, _IVFPQ_NPROBE = 10, 4
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(k: int = _IVFPQ_K) -> str:
     import re
 
     from vector_mcp_spark.suite import SEM_QUERY_VEC, _vec_sql_literal
@@ -2950,7 +2950,7 @@ SELECT vec_id, CAST(rnk AS INTEGER) AS rank, adc_dist FROM (
   SELECT vec_id, adc_dist,
          row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS rnk
   FROM scored
-) WHERE rnk <= {_IVFPQ_K}
+) WHERE rnk <= {k}
 """
 
 
@@ -3033,4 +3033,44 @@ def q_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "cluster_id", "quality_toks", (F.col("rnk") == 1).alias("keep")
         )
+    )
+
+
+# -- IVF-PQ + exact re-rank: the complete production serving path ------------
+
+_IVFPQ_RR_SHORTLIST = 50
+
+
+def _ivfpq_rerank_oracle() -> str:
+    from vector_mcp_spark.suite import SEM_QUERY_VEC, _cosine_sql
+
+    sim = _cosine_sql("e.embedding", SEM_QUERY_VEC)
+    return f"""
+SELECT vec_id, CAST(rnk AS INTEGER) AS rank, ROUND(sim, 6) AS score FROM (
+  SELECT e.vec_id, {sim} AS sim,
+         row_number() OVER (ORDER BY {sim} DESC, e.vec_id ASC) AS rnk
+  FROM embeddings e
+  JOIN ({_ivfpq_oracle(_IVFPQ_RR_SHORTLIST)}) s ON s.vec_id = e.vec_id
+) WHERE rnk <= {_IVFPQ_K}
+"""
+
+
+@register("ann_ivfpq_rerank_topk", _ivfpq_rerank_oracle(), "similarity", "pipeline")
+def q_ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the exact re-rank production always chains on: coarse
+    probe → ADC shortlist of 50 from code bytes → full-precision cosine
+    re-rank of ONLY those 50 rows. At billion scale the vector column is
+    read for 50 rows per query; everything before is centroid math and
+    4-byte codes. RECALL.md shows why the re-rank matters (raw ADC floor
+    vs re-ranked)."""
+    from vector_mcp_spark.operators.pq import ann_ivf_adc_rerank_topk
+    from vector_mcp_spark.suite import SEM_QUERY_VEC
+
+    embs = load(spark, sf_dir, "embeddings")
+    assigned, centroids = _ivf_cached(spark, sf_dir)
+    encoded, codebooks = _pq_cached(spark, sf_dir)
+    return ann_ivf_adc_rerank_topk(
+        assigned, encoded, centroids, codebooks, embs, SEM_QUERY_VEC,
+        _IVFPQ_K, shortlist=_IVFPQ_RR_SHORTLIST, nprobe=_IVFPQ_NPROBE,
+        id_col="vec_id",
     )
