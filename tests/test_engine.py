@@ -1648,3 +1648,54 @@ def test_repair_search_index_refuses_non_append(spark, tmp_path_factory):
     eng.update_documents("r", changed)
     with pytest.raises(EngineError, match="index_repair_requires_rebuild"):
         eng.repair_search_index("r")
+
+
+def test_payload_field_index_accelerates_and_never_lies(spark, tmp_path_factory):
+    """Payload field index (qdrant create_payload_index analogue): a fresh
+    index serves equality counts from its own value partition; a mutation
+    makes it stale and the count transparently falls back to the table
+    scan — the accelerator can be slow but never wrong. Numeric-looking
+    string values survive the round trip ('01' stays '01'), a key with no
+    values yields an empty-but-servable index, and bad keys refuse."""
+    import pytest
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.validation import EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("pidx_root")))
+    eng.create_collection("p")
+    eng.add_documents(
+        "p",
+        [f"doc {i}" for i in range(30)],
+        metadatas=[
+            {"team": f"t{i % 3}", "rank": "01" if i % 5 == 0 else str(i % 5)}
+            for i in range(30)
+        ],
+    )
+    assert eng.payload_index_status("p", "team") == "absent"
+    info = eng.create_payload_index("p", "team")
+    assert info["n_values"] == 3 and info["n_rows"] == 30
+    assert eng.payload_index_status("p", "team") == "fresh"
+    assert eng.count_by_payload("p", "team", "t1") == 10
+
+    # numeric-looking strings: partition-type inference must not coerce
+    eng.create_payload_index("p", "rank")
+    assert eng.count_by_payload("p", "rank", "01") == 6
+    assert eng.count_by_payload("p", "rank", "1") == 6  # i%5==1, i%5!=0
+
+    # a key nobody set: empty index is servable, count is 0
+    eng.create_payload_index("p", "ghost")
+    assert eng.payload_index_status("p", "ghost") == "fresh"
+    assert eng.count_by_payload("p", "ghost", "x") == 0
+
+    # mutation -> stale -> fallback scan stays CORRECT
+    eng.add_documents("p", ["late doc"], metadatas=[{"team": "t1"}])
+    assert eng.payload_index_status("p", "team") == "stale"
+    assert eng.count_by_payload("p", "team", "t1") == 11
+    eng.create_payload_index("p", "team")
+    assert eng.count_by_payload("p", "team", "t1") == 11
+
+    with pytest.raises(EngineError, match="payload_key_invalid"):
+        eng.create_payload_index("p", "bad key!")
+    with pytest.raises(EngineError, match="collection_not_found"):
+        eng.create_payload_index("nope", "team")

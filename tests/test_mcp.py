@@ -752,6 +752,14 @@ def test_veneer_index_actions(spark, tmp_path_factory):
     assert v.vector_collection_management("index_status", collection_name="vi")[
         "status"
     ] == "fresh"
+    # payload index action: key arrives via the payload dict
+    out = v.vector_collection_management(
+        "create_payload_index", collection_name="vi", payload={"team": ""},
+    )
+    assert out["key"] == "team" and out["collection_name"] == "vi"
+    assert v.vector_collection_management(
+        "create_payload_index", collection_name="vi",
+    ) == {"error": "payload_key_invalid", "detail": "pass the key via payload"}
     # incremental repair action: grow, repair, status reports 'repaired'
     v.vector_collection_management(
         "add_documents", collection_name="vi", document_contents=["joins shuffle"],

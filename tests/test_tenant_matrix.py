@@ -41,6 +41,9 @@ NAME_GATED_SURFACES = [
     "compact_collection",
     "needs_embed",
     "create_alias_target",
+    "create_payload_index",
+    "payload_index_status",
+    "count_by_payload",
 ]
 
 
@@ -98,6 +101,9 @@ def test_cross_tenant_name_gated_surface_refuses(surface, two_tenants, spark):
         "compact_collection": lambda e: e.compact_collection(NAME),
         "needs_embed": lambda e: e.needs_embed(NAME),
         "create_alias_target": lambda e: e.create_alias("steal_alias", NAME),
+        "create_payload_index": lambda e: e.create_payload_index(NAME, "k"),
+        "payload_index_status": lambda e: e.payload_index_status(NAME, "k"),
+        "count_by_payload": lambda e: e.count_by_payload(NAME, "k", "v"),
     }
     with pytest.raises(EngineError, match="collection_not_found"):
         ops[surface](bravo)

@@ -1214,6 +1214,77 @@ class CollectionEngine:
             df = df.where(where)
         return df.count()
 
+    # -- payload field index (qdrant create_payload_index analogue) ---------
+    #
+    # A per-metadata-key value → id table the equality paths prune into —
+    # counting one payload value reads a few kilobytes of index partitions
+    # instead of the collection's metadata maps. Unlike the text/vector
+    # families this one is a pure ACCELERATOR: a stale index is never
+    # served (the caller transparently falls back to the table scan, which
+    # is always correct), so mutations can't make it lie — only slow.
+
+    def create_payload_index(self, name: str, key: str) -> dict:
+        """Materialize the (value, id) index for one metadata key,
+        hive-partitioned by value so an equality lookup opens only its own
+        partition. Returns {"key", "n_values", "n_rows", "fingerprint"}."""
+        import json
+        import re
+
+        scoped = self._require(name)
+        if not re.fullmatch(r"[A-Za-z0-9_.-]{1,64}", key or ""):
+            raise EngineError("payload_key_invalid", detail=repr(key))
+        root = self._index_root(scoped)
+        idx = (
+            self.read(name)
+            .select("id", F.col("metadata")[key].alias("value"))
+            .where(F.col("value").isNotNull())
+        )
+        idx.write.mode("overwrite").partitionBy("value").parquet(
+            str(root / f"payload_{key}")
+        )
+        n_rows = idx.count()
+        n_values = idx.select("value").distinct().count()
+        fp = self._table_fingerprint(scoped)
+        manifest = root / f"payload_{key}.json"
+        manifest.write_text(
+            json.dumps({"key": key, "fingerprint": fp, "n_values": n_values})
+        )
+        return {"key": key, "n_values": n_values, "n_rows": n_rows, "fingerprint": fp}
+
+    def payload_index_status(self, name: str, key: str) -> str:
+        """'absent' | 'fresh' | 'stale' for one key's payload index."""
+        scoped = self._require(name)
+        manifest = self._index_root(scoped) / f"payload_{key}.json"
+        if not manifest.exists():
+            return "absent"
+        import json
+
+        meta = json.loads(manifest.read_text())
+        return (
+            "fresh"
+            if meta.get("fingerprint") == self._table_fingerprint(scoped)
+            else "stale"
+        )
+
+    def count_by_payload(self, name: str, key: str, value: str) -> int:
+        """Equality-filtered count served from the payload index when it is
+        fresh (partition-pruned: only the one value's files open), else
+        from the table scan — the accelerator contract: never wrong, at
+        worst unaccelerated."""
+        scoped = self._require(name)
+        if self.payload_index_status(name, key) == "fresh":
+            # explicit schema: partition-column type inference would read
+            # all-numeric values back as ints ("01" -> 1, comparisons then
+            # lie) and a value-less index directory (every row had a NULL
+            # for the key) has nothing to infer from
+            idx = self.spark.read.schema("id string, value string").parquet(
+                str(self._index_root(scoped) / f"payload_{key}")
+            )
+            return idx.where(F.col("value") == str(value)).count()
+        return self.count_documents(
+            name, where=F.col("metadata")[key] == str(value)
+        )
+
     @staticmethod
     def _metadata_entries_without(keys_arr: "F.Column") -> "F.Column":
         """Entries of the (NULL-coalesced) metadata map minus the given keys

@@ -41,6 +41,7 @@ COLLECTION_ACTIONS = (
     "build_search_index",
     "repair_search_index",
     "index_status",
+    "create_payload_index",
     "collection_history",
     "compact_changelog",
     "count_documents",
@@ -179,6 +180,12 @@ class McpVeneer:
                 return {"collection_name": collection_name, **info}
             if resolved == "repair_search_index":
                 info = self.engine.repair_search_index(collection_name)
+                return {"collection_name": collection_name, **info}
+            if resolved == "create_payload_index":
+                key = next(iter(sorted(payload))) if payload else None
+                if not key:
+                    return {"error": "payload_key_invalid", "detail": "pass the key via payload"}
+                info = self.engine.create_payload_index(collection_name, key)
                 return {"collection_name": collection_name, **info}
             if resolved == "index_status":
                 return {
