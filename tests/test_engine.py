@@ -1695,6 +1695,23 @@ def test_payload_field_index_accelerates_and_never_lies(spark, tmp_path_factory)
     eng.create_payload_index("p", "team")
     assert eng.count_by_payload("p", "team", "t1") == 11
 
+    # hive-hostile values must not lie: empty string and the hive default
+    # partition literal round-trip exactly through the hex encoding
+    eng.add_documents(
+        "p", ["edge a", "edge b"],
+        metadatas=[{"team": ""}, {"team": "__HIVE_DEFAULT_PARTITION__"}],
+    )
+    eng.create_payload_index("p", "team")
+    assert eng.count_by_payload("p", "team", "") == 1
+    assert eng.count_by_payload("p", "team", "__HIVE_DEFAULT_PARTITION__") == 1
+    assert eng.count_by_payload("p", "team", "t1") == 11
+
+    # dotted keys cannot collide with another key's manifest
+    eng.create_payload_index("p", "x.json")
+    eng.create_payload_index("p", "x")
+    assert eng.payload_index_status("p", "x.json") == "fresh"
+    assert eng.payload_index_status("p", "x") == "fresh"
+
     with pytest.raises(EngineError, match="payload_key_invalid"):
         eng.create_payload_index("p", "bad key!")
     with pytest.raises(EngineError, match="collection_not_found"):

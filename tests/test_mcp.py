@@ -759,7 +759,18 @@ def test_veneer_index_actions(spark, tmp_path_factory):
     assert out["key"] == "team" and out["collection_name"] == "vi"
     assert v.vector_collection_management(
         "create_payload_index", collection_name="vi",
-    ) == {"error": "payload_key_invalid", "detail": "pass the key via payload"}
+    ) == {"error": "payload_key_invalid", "detail": "pass exactly one key via payload"}
+    # multi-key refuses too — silently indexing one of N keys is worse
+    assert v.vector_collection_management(
+        "create_payload_index", collection_name="vi",
+        payload={"team": "", "zone": ""},
+    ) == {"error": "payload_key_invalid", "detail": "pass exactly one key via payload"}
+    # the single-key equality count routes through the index-accelerated
+    # path (identical answer either way — the accelerator contract)
+    out = v.vector_collection_management(
+        "count_documents", collection_name="vi", payload={"team": "t9"},
+    )
+    assert out == {"collection_name": "vi", "count": 0}
     # incremental repair action: grow, repair, status reports 'repaired'
     v.vector_collection_management(
         "add_documents", collection_name="vi", document_contents=["joins shuffle"],

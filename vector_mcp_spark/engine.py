@@ -1225,36 +1225,62 @@ class CollectionEngine:
 
     def create_payload_index(self, name: str, key: str) -> dict:
         """Materialize the (value, id) index for one metadata key,
-        hive-partitioned by value so an equality lookup opens only its own
-        partition. Returns {"key", "n_values", "n_rows", "fingerprint"}."""
+        hive-partitioned by the HEX-ENCODED value so an equality lookup
+        opens only its own partition. Encoding sidesteps hive partition
+        semantics that would make the index lie: an empty string (or a
+        value spelled __HIVE_DEFAULT_PARTITION__) round-trips as NULL in
+        raw form. Layout is payload_<key>/data + payload_<key>/manifest.json
+        (a dotted key like "x.json" can never collide with another key's
+        manifest). Returns {"key", "n_values", "n_rows", "fingerprint"}."""
         import json
         import re
 
         scoped = self._require(name)
         if not re.fullmatch(r"[A-Za-z0-9_.-]{1,64}", key or ""):
             raise EngineError("payload_key_invalid", detail=repr(key))
-        root = self._index_root(scoped)
+        # fingerprint BEFORE reading: a mutation landing mid-build then
+        # makes the manifest's fp mismatch the table -> 'stale' -> scan
+        # fallback. Capturing after the write would stamp a post-mutation
+        # fp over pre-mutation index data — a fresh-but-wrong index.
+        fp = self._table_fingerprint(scoped)
+        root = self._index_root(scoped) / f"payload_{key}"
         idx = (
             self.read(name)
             .select("id", F.col("metadata")[key].alias("value"))
             .where(F.col("value").isNotNull())
+            # 'v' prefix: hex('') is '' and an EMPTY partition value is the
+            # same hive-default trap the encoding exists to avoid
+            .select(
+                "id",
+                F.concat(
+                    F.lit("v"), F.hex(F.encode(F.col("value"), "UTF-8"))
+                ).alias("vkey"),
+            )
         )
-        idx.write.mode("overwrite").partitionBy("value").parquet(
-            str(root / f"payload_{key}")
+        idx.write.mode("overwrite").partitionBy("vkey").parquet(str(root / "data"))
+        # counts come from the files just written (one job, and they can
+        # never disagree with the index under a concurrent mutation)
+        written = self.spark.read.schema("id string, vkey string").parquet(
+            str(root / "data")
         )
-        n_rows = idx.count()
-        n_values = idx.select("value").distinct().count()
-        fp = self._table_fingerprint(scoped)
-        manifest = root / f"payload_{key}.json"
-        manifest.write_text(
-            json.dumps({"key": key, "fingerprint": fp, "n_values": n_values})
+        counts = written.agg(
+            F.count("*").alias("n"), F.countDistinct("vkey").alias("d")
+        ).first()
+        root.mkdir(parents=True, exist_ok=True)
+        (root / "manifest.json").write_text(
+            json.dumps({"key": key, "fingerprint": fp, "n_values": int(counts.d)})
         )
-        return {"key": key, "n_values": n_values, "n_rows": n_rows, "fingerprint": fp}
+        return {
+            "key": key,
+            "n_values": int(counts.d),
+            "n_rows": int(counts.n),
+            "fingerprint": fp,
+        }
 
     def payload_index_status(self, name: str, key: str) -> str:
         """'absent' | 'fresh' | 'stale' for one key's payload index."""
         scoped = self._require(name)
-        manifest = self._index_root(scoped) / f"payload_{key}.json"
+        manifest = self._index_root(scoped) / f"payload_{key}" / "manifest.json"
         if not manifest.exists():
             return "absent"
         import json
@@ -1274,13 +1300,15 @@ class CollectionEngine:
         scoped = self._require(name)
         if self.payload_index_status(name, key) == "fresh":
             # explicit schema: partition-column type inference would read
-            # all-numeric values back as ints ("01" -> 1, comparisons then
-            # lie) and a value-less index directory (every row had a NULL
-            # for the key) has nothing to infer from
-            idx = self.spark.read.schema("id string, value string").parquet(
-                str(self._index_root(scoped) / f"payload_{key}")
+            # all-numeric hex keys back as ints, and a value-less index
+            # directory (every row had a NULL for the key) has nothing to
+            # infer from. The lookup key uses the same UTF-8 hex encoding
+            # the build wrote (uppercase, matching Spark's hex()).
+            idx = self.spark.read.schema("id string, vkey string").parquet(
+                str(self._index_root(scoped) / f"payload_{key}" / "data")
             )
-            return idx.where(F.col("value") == str(value)).count()
+            vkey = "v" + str(value).encode("utf-8").hex().upper()
+            return idx.where(F.col("vkey") == vkey).count()
         return self.count_documents(
             name, where=F.col("metadata")[key] == str(value)
         )

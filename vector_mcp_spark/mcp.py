@@ -182,10 +182,15 @@ class McpVeneer:
                 info = self.engine.repair_search_index(collection_name)
                 return {"collection_name": collection_name, **info}
             if resolved == "create_payload_index":
-                key = next(iter(sorted(payload))) if payload else None
-                if not key:
-                    return {"error": "payload_key_invalid", "detail": "pass the key via payload"}
-                info = self.engine.create_payload_index(collection_name, key)
+                if not payload or len(payload) != 1:
+                    # refusing beats silently indexing one of N keys
+                    return {
+                        "error": "payload_key_invalid",
+                        "detail": "pass exactly one key via payload",
+                    }
+                info = self.engine.create_payload_index(
+                    collection_name, sorted(payload)[0]
+                )
                 return {"collection_name": collection_name, **info}
             if resolved == "index_status":
                 return {
@@ -193,6 +198,16 @@ class McpVeneer:
                     "status": self.engine.index_status(collection_name),
                 }
             if resolved == "count_documents":
+                if payload and len(payload) == 1:
+                    # the single-key equality count is what the payload
+                    # field index accelerates — count_by_payload serves
+                    # from the index while fresh and falls back to the
+                    # scan otherwise (identical answers either way)
+                    [(k, v)] = sorted(payload.items())
+                    return {
+                        "collection_name": collection_name,
+                        "count": self.engine.count_by_payload(collection_name, k, v),
+                    }
                 cond = None
                 if payload:
                     # equality filter over payload keys, AND-combined — the
