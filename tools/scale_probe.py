@@ -57,6 +57,13 @@ HEAVY = [
     "corpus_nb_classifier",
     "corpus_training_triplets",
     "corpus_ccnet_filter",
+    "ann_filtered_routed_topk",
+    "hybrid_indexed_rrf",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_rerank_topk",
+    "dedup_canonicalize",
+    "events_tdigest_quantiles",
+    "events_tdigest_read",
 ]
 
 
