@@ -1712,7 +1712,20 @@ def test_payload_field_index_accelerates_and_never_lies(spark, tmp_path_factory)
     assert eng.payload_index_status("p", "x.json") == "fresh"
     assert eng.payload_index_status("p", "x") == "fresh"
 
+    # overlong values partition under their sha bucket, still exact
+    long_v = "L" * 150
+    eng.add_documents("p", ["long doc"], metadatas=[{"team": long_v}])
+    eng.create_payload_index("p", "team")
+    assert eng.count_by_payload("p", "team", long_v) == 1
+    assert eng.count_by_payload("p", "team", "L" * 151) == 0
+
     with pytest.raises(EngineError, match="payload_key_invalid"):
         eng.create_payload_index("p", "bad key!")
+    # the READ paths validate too — a traversal key must refuse, not
+    # resolve into another key's manifest
+    with pytest.raises(EngineError, match="payload_key_invalid"):
+        eng.payload_index_status("p", "team/../payload_team")
+    with pytest.raises(EngineError, match="payload_key_invalid"):
+        eng.count_by_payload("p", "x..y", "v")
     with pytest.raises(EngineError, match="collection_not_found"):
         eng.create_payload_index("nope", "team")

@@ -1223,48 +1223,92 @@ class CollectionEngine:
     # served (the caller transparently falls back to the table scan, which
     # is always correct), so mutations can't make it lie — only slow.
 
+    @staticmethod
+    def _validate_payload_key(key: str) -> None:
+        """Every payload-index surface builds filesystem paths from the key
+        — the READ paths validate too, or a key like "team/../payload_team"
+        traverses into another key's manifest and serves its counts."""
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9_.-]{1,64}", key or "") or ".." in key:
+            raise EngineError("payload_key_invalid", detail=repr(key))
+
+    #: hex-encoded values longer than this go to a sha-named partition (the
+    #: raw hex would exceed the ~255-byte filename limit); exactness is kept
+    #: by a post-filter on the stored raw value
+    _PAYLOAD_VKEY_MAX_HEX = 180
+
+    @classmethod
+    def _payload_vkey_col(cls) -> "F.Column":
+        hexed = F.hex(F.encode(F.col("value"), "UTF-8"))
+        return F.when(
+            F.length(hexed) <= cls._PAYLOAD_VKEY_MAX_HEX,
+            F.concat(F.lit("v"), hexed),
+        ).otherwise(F.concat(F.lit("s"), F.sha2(F.col("value"), 256)))
+
+    @classmethod
+    def _payload_vkey_py(cls, value: str) -> str:
+        import hashlib
+
+        hexed = value.encode("utf-8").hex().upper()
+        if len(hexed) <= cls._PAYLOAD_VKEY_MAX_HEX:
+            return "v" + hexed
+        return "s" + hashlib.sha256(value.encode("utf-8")).hexdigest()
+
     def create_payload_index(self, name: str, key: str) -> dict:
         """Materialize the (value, id) index for one metadata key,
         hive-partitioned by the HEX-ENCODED value so an equality lookup
         opens only its own partition. Encoding sidesteps hive partition
         semantics that would make the index lie: an empty string (or a
         value spelled __HIVE_DEFAULT_PARTITION__) round-trips as NULL in
-        raw form. Layout is payload_<key>/data + payload_<key>/manifest.json
-        (a dotted key like "x.json" can never collide with another key's
+        raw form; values too long to hex into a filename partition under
+        their sha256 and the lookup post-filters on the stored raw value.
+        Layout is payload_<key>/data + payload_<key>/manifest.json (a
+        dotted key like "x.json" can never collide with another key's
         manifest). Returns {"key", "n_values", "n_rows", "fingerprint"}."""
         import json
-        import re
+        import shutil
 
         scoped = self._require(name)
-        if not re.fullmatch(r"[A-Za-z0-9_.-]{1,64}", key or ""):
-            raise EngineError("payload_key_invalid", detail=repr(key))
+        self._validate_payload_key(key)
         # fingerprint BEFORE reading: a mutation landing mid-build then
         # makes the manifest's fp mismatch the table -> 'stale' -> scan
         # fallback. Capturing after the write would stamp a post-mutation
         # fp over pre-mutation index data — a fresh-but-wrong index.
         fp = self._table_fingerprint(scoped)
         root = self._index_root(scoped) / f"payload_{key}"
+        # clear the pre-hardening layout (flat manifest file + raw value=*
+        # dirs directly under the key dir) so a rebuild never leaves a
+        # mixed-layout orphan behind
+        legacy_manifest = self._index_root(scoped) / f"payload_{key}.json"
+        if legacy_manifest.is_file():
+            legacy_manifest.unlink()
+        if root.exists():
+            for entry in root.iterdir():
+                if entry.name.startswith("value="):
+                    shutil.rmtree(entry, ignore_errors=True)
         idx = (
             self.read(name)
             .select("id", F.col("metadata")[key].alias("value"))
             .where(F.col("value").isNotNull())
             # 'v' prefix: hex('') is '' and an EMPTY partition value is the
-            # same hive-default trap the encoding exists to avoid
-            .select(
-                "id",
-                F.concat(
-                    F.lit("v"), F.hex(F.encode(F.col("value"), "UTF-8"))
-                ).alias("vkey"),
-            )
+            # same hive-default trap the encoding exists to avoid. The raw
+            # value is STORED so sha-bucketed lookups stay exact.
+            .select("id", "value", self._payload_vkey_col().alias("vkey"))
         )
-        idx.write.mode("overwrite").partitionBy("vkey").parquet(str(root / "data"))
+        # pin static overwrite: under partitionOverwriteMode=dynamic a
+        # rebuild would keep partitions for values that no longer exist —
+        # a fresh-but-lying index for every deleted value
+        idx.write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("vkey").parquet(str(root / "data"))
         # counts come from the files just written (one job, and they can
         # never disagree with the index under a concurrent mutation)
-        written = self.spark.read.schema("id string, vkey string").parquet(
+        written = self.spark.read.schema("id string, value string, vkey string").parquet(
             str(root / "data")
         )
         counts = written.agg(
-            F.count("*").alias("n"), F.countDistinct("vkey").alias("d")
+            F.count("*").alias("n"), F.countDistinct("value").alias("d")
         ).first()
         root.mkdir(parents=True, exist_ok=True)
         (root / "manifest.json").write_text(
@@ -1280,6 +1324,7 @@ class CollectionEngine:
     def payload_index_status(self, name: str, key: str) -> str:
         """'absent' | 'fresh' | 'stale' for one key's payload index."""
         scoped = self._require(name)
+        self._validate_payload_key(key)
         manifest = self._index_root(scoped) / f"payload_{key}" / "manifest.json"
         if not manifest.exists():
             return "absent"
@@ -1298,17 +1343,21 @@ class CollectionEngine:
         from the table scan — the accelerator contract: never wrong, at
         worst unaccelerated."""
         scoped = self._require(name)
+        self._validate_payload_key(key)
         if self.payload_index_status(name, key) == "fresh":
             # explicit schema: partition-column type inference would read
             # all-numeric hex keys back as ints, and a value-less index
             # directory (every row had a NULL for the key) has nothing to
-            # infer from. The lookup key uses the same UTF-8 hex encoding
-            # the build wrote (uppercase, matching Spark's hex()).
-            idx = self.spark.read.schema("id string, vkey string").parquet(
+            # infer from. The lookup key uses the same encoding the build
+            # wrote; the raw-value post-filter keeps sha-bucketed (long)
+            # values exact and is a no-op for hex buckets.
+            idx = self.spark.read.schema("id string, value string, vkey string").parquet(
                 str(self._index_root(scoped) / f"payload_{key}" / "data")
             )
-            vkey = "v" + str(value).encode("utf-8").hex().upper()
-            return idx.where(F.col("vkey") == vkey).count()
+            vkey = self._payload_vkey_py(str(value))
+            return idx.where(
+                (F.col("vkey") == vkey) & (F.col("value") == str(value))
+            ).count()
         return self.count_documents(
             name, where=F.col("metadata")[key] == str(value)
         )

@@ -199,15 +199,22 @@ class McpVeneer:
                 }
             if resolved == "count_documents":
                 if payload and len(payload) == 1:
-                    # the single-key equality count is what the payload
-                    # field index accelerates — count_by_payload serves
-                    # from the index while fresh and falls back to the
-                    # scan otherwise (identical answers either way)
                     [(k, v)] = sorted(payload.items())
-                    return {
-                        "collection_name": collection_name,
-                        "count": self.engine.count_by_payload(collection_name, k, v),
-                    }
+                    # the single-key STRING equality count is what the
+                    # payload field index accelerates — count_by_payload
+                    # serves from the index while fresh and falls back to
+                    # the scan otherwise (identical answers either way).
+                    # Non-string values keep the generic scan below: the
+                    # index compares strings, while metadata[k] == 1
+                    # numeric-casts ('01' matches 1) — routing those would
+                    # change answers between the one-key and two-key paths
+                    if isinstance(v, str):
+                        return {
+                            "collection_name": collection_name,
+                            "count": self.engine.count_by_payload(
+                                collection_name, k, v
+                            ),
+                        }
                 cond = None
                 if payload:
                     # equality filter over payload keys, AND-combined — the
