@@ -121,3 +121,91 @@ def test_snippet_window_and_position(spark):
     r1 = got[1]
     assert r1.hit_pos == 102  # 1-based: after 100 x's + space
     assert "vector" in r1.snippet and len(r1.snippet) <= 20
+
+
+# --- phrase search -----------------------------------------------------------
+
+
+def test_phrase_counts_adjacent_occurrences(docs):
+    from vector_mcp_spark.operators.lexical import phrase_topk
+
+    got = {
+        r.doc_id: r.score
+        for r in phrase_topk(docs, "spark join", 10, id_col="doc_id", content_col="text").collect()
+    }
+    # doc1: "...spark shuffle join" has no adjacent pair; "joins data" is a
+    # different token; only "spark join" occurring token-adjacent counts
+    assert got == {}
+
+
+def test_phrase_matches_and_counts_repeats(spark):
+    rows = [
+        (1, "vector search beats plain search"),
+        (2, "vector search then vector search again"),
+        (3, "search vector"),  # reversed order — no phrase hit
+        (4, "vector gap search"),  # gap token — no hit ("x" wouldn't count:
+        # 1-char strings fall below the [A-Za-z0-9_]{2,} token floor)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    from vector_mcp_spark.operators.lexical import phrase_topk
+
+    got = {r.doc_id: r.score for r in phrase_topk(df, "vector search", 10, id_col="doc_id", content_col="text").collect()}
+    assert got == {1: 1.0, 2: 2.0}
+
+
+def test_phrase_single_term_is_term_count(docs):
+    from vector_mcp_spark.operators.lexical import phrase_topk
+
+    got = {r.doc_id: r.score for r in phrase_topk(docs, "spark", 10, id_col="doc_id", content_col="text").collect()}
+    assert got[5] == 3.0 and got[1] == 2.0
+
+
+def test_phrase_shorter_doc_than_phrase_scores_zero(spark):
+    df = spark.createDataFrame([(1, "spark")], "doc_id int, text string")
+    from vector_mcp_spark.operators.lexical import phrase_topk
+
+    assert phrase_topk(df, "spark join vector", 10, id_col="doc_id", content_col="text").count() == 0
+
+
+def test_phrase_empty_query_returns_empty(docs):
+    from vector_mcp_spark.operators.lexical import phrase_topk
+
+    assert phrase_topk(docs, "!!", 10, id_col="doc_id", content_col="text").count() == 0
+
+
+# --- RM3 expansion -----------------------------------------------------------
+
+
+def test_rm3_expands_beyond_original_terms(spark):
+    # docs about "spark" also mention "shuffle"; a doc with only "shuffle"
+    # should surface via expansion even though the query never says it
+    rows = [
+        (1, "spark shuffle spark shuffle tuning"),
+        (2, "spark shuffle partitions"),
+        (3, "shuffle service internals deep dive"),
+        (4, "gardening tips for spring"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    from vector_mcp_spark.operators.lexical import rm3_topk
+
+    got = [r.doc_id for r in rm3_topk(df, "spark", 10, id_col="doc_id", content_col="text", fb_docs=2, fb_terms=2).collect()]
+    assert 3 in got  # expansion-only match
+    assert 4 not in got
+
+
+def test_rm3_original_terms_dominate_with_high_orig_weight(spark):
+    rows = [
+        (1, "spark spark spark"),
+        (2, "shuffle shuffle shuffle"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    from vector_mcp_spark.operators.lexical import rm3_topk
+
+    top = rm3_topk(df, "spark", 1, id_col="doc_id", content_col="text", fb_docs=1, fb_terms=1, orig_weight=0.9).collect()
+    assert top[0].doc_id == 1
+
+
+def test_rm3_empty_query_returns_empty(docs):
+    from vector_mcp_spark.operators.lexical import rm3_topk
+
+    assert rm3_topk(docs, "??", 5, id_col="doc_id", content_col="text").count() == 0

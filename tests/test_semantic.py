@@ -200,3 +200,27 @@ def test_grouped_topk_k_groups_bound(spark):
     )
     out = grouped_topk(df, [1.0, 0.0], "src", k_groups=10, per_group=5, id_col="id")
     assert [(r.src, r.group_rank) for r in out.collect()] == [("A", 1), ("B", 2)]
+
+
+def test_payload_boost_reorders_by_decay(spark):
+    """Two docs with identical vectors: the one whose payload sits at the
+    gauss target wins; weight=0 degrades to plain cosine ordering (id ties)."""
+    from vector_mcp_spark.operators.semantic import payload_boost_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 900),   # far from target
+            (2, [1.0, 0.0], 300),   # at target → +weight boost
+            (3, [0.0, 1.0], 300),   # orthogonal: boost alone can't win
+        ],
+        "id int, embedding array<float>, n_chars int",
+    )
+    out = payload_boost_topk(
+        df, [1.0, 0.0], 3, boost_col="n_chars", target=300.0, scale=150.0, weight=0.2
+    ).collect()
+    assert [r.id for r in out] == [2, 1, 3]
+    assert abs(out[0].score - 1.2) < 1e-6  # cosine 1 + full boost
+    flat = payload_boost_topk(
+        df, [1.0, 0.0], 3, boost_col="n_chars", target=300.0, scale=150.0, weight=0.0
+    ).collect()
+    assert [r.id for r in flat] == [1, 2, 3]  # pure cosine, id tie-break

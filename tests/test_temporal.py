@@ -371,3 +371,43 @@ def test_global_rank_equals_naive_window(spark):
     import re
 
     assert not re.search(r"Window .*windowspecdefinition\(v", plan.replace("\n", " ")) or "_gb" in plan
+
+
+def test_autocorrelation_matches_numpy_definition(spark):
+    """ACF of a deterministic daily series equals the direct numpy
+    computation, including zero-filled gap days."""
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from vector_mcp_spark.operators.temporal import autocorrelation
+
+    # key A: 10 consecutive days with counts 1..10 via repeated rows;
+    # a gap on day 5 (zero-filled by the dense spine)
+    rows = []
+    counts = [3, 1, 4, 1, 0, 9, 2, 6, 5, 3]
+    for d, c in enumerate(counts):
+        for i in range(c):
+            rows.append(("A", f"2024-01-{d + 1:02d} 00:00:0{i % 10}"))
+    df = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.to_timestamp("ts_s").alias("ts")
+    )
+    got = {r.lag: r.acf for r in autocorrelation(df, 3).collect()}
+    x = np.array(counts, dtype=float)
+    c = x - x.mean()
+    for k in (1, 2, 3):
+        expect = float((c[:-k] * c[k:]).sum() / (c * c).sum())
+        assert abs(got[k] - round(expect, 6)) < 1e-9, (k, got[k], expect)
+
+
+def test_autocorrelation_constant_series_excluded(spark):
+    """A key whose series has zero variance (ss == 0) is dropped rather
+    than emitting NULL/NaN ratios."""
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.temporal import autocorrelation
+
+    rows = [("B", f"2024-02-{d + 1:02d} 00:00:00") for d in range(5)]  # 1/day
+    df = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.to_timestamp("ts_s").alias("ts")
+    )
+    assert autocorrelation(df, 2).count() == 0

@@ -368,3 +368,182 @@ def indexed_lexical_topk(
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def phrase_topk(
+    docs: DataFrame,
+    phrase: str,
+    k: int,
+    id_col: str = "id",
+    content_col: str = "content",
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Positional phrase search: score = number of occurrences of the exact
+    token-adjacent phrase (PostgreSQL ``phraseto_tsquery`` / ``<->``
+    semantics, ``vector_mcp/vectordb/postgres.py:358-365`` is the AND form
+    this tightens; Couchbase FTS ``match_phrase`` is the same contract).
+
+    Scale design: matching is a single map-side pass per document — the
+    token array plus a bounded ``sequence`` over its start positions,
+    entirely JVM higher-order functions (no Python, no shuffle before the
+    TakeOrderedAndProject top-k). A positional-postings join would shuffle
+    (doc, term, pos) triples for every phrase term; the scan form moves
+    nothing and still prunes early: documents missing any phrase term
+    short-circuit to score 0 via the cheap ``array_contains`` guard before
+    the positional walk runs.
+    """
+    terms = tokenize_py(phrase)
+    n = len(terms)
+    if n == 0:
+        return (
+            docs.select(id_col, *payload_cols)
+            .where(F.lit(False))
+            .withColumn("score", F.lit(0.0))
+        )
+    toks = tokens(F.col(content_col))
+    if n == 1:
+        count = F.size(F.filter(toks, lambda t: t == F.lit(terms[0])))
+    else:
+        # all-terms guard first: the positional walk only runs on documents
+        # that contain every distinct phrase term as a token
+        has_all = None
+        for t in set(terms):
+            cond = F.array_contains(toks, t)
+            has_all = cond if has_all is None else (has_all & cond)
+
+        def _match_at(i):
+            cond = None
+            for j, t in enumerate(terms):
+                c = F.element_at(toks, i + F.lit(j + 1)) == F.lit(t)
+                cond = c if cond is None else (cond & c)
+            return cond
+
+        walk = F.size(F.filter(F.sequence(F.lit(0), F.size(toks) - F.lit(n)), _match_at))
+        # sequence(0, negative) would generate a DESCENDING range — guard
+        # short documents explicitly
+        count = F.when((F.size(toks) >= F.lit(n)) & has_all, walk).otherwise(F.lit(0))
+    scored = docs.withColumn("score", count.cast("double")).where(F.col("score") > 0)
+    return (
+        scored.select(id_col, *payload_cols, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def rm3_topk(
+    docs: DataFrame,
+    query: str,
+    k: int,
+    id_col: str = "id",
+    content_col: str = "content",
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    orig_weight: float = 0.6,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """RM3 pseudo-relevance-feedback expansion over BM25 (Lavrenko &
+    Croft relevance models; the classic Anserini/Indri default re-ranker).
+
+    1. Feedback: BM25 top ``fb_docs`` for the original query.
+    2. Expansion: RM1 term weights over the feedback set —
+       rel(t) = Σ_d (tf(t,d)/len(d)) · (score(d)/Σ score) — top ``fb_terms``
+       new terms (original terms excluded), ties by term ascending.
+    3. Re-score: final(d) = Σ_t w_t · idf(t) · tf_norm(t,d) with original
+       terms sharing ``orig_weight`` uniformly and expansion terms sharing
+       (1 − orig_weight) proportionally to their normalized rel weights.
+
+    Scale design: the feedback set is ≤ fb_docs rows (broadcast); expansion
+    term extraction joins postings against those ids only; the final pass
+    semi-join-filters postings to |Q| + fb_terms terms before any shuffle —
+    every stage is bounded by query size, never corpus size.
+    """
+    terms = _distinct_terms(query)
+    if not terms:
+        return docs.select(id_col).where(F.lit(False)).withColumn("score", F.lit(0.0))
+    terms_lit = F.array(*[F.lit(t) for t in terms])
+
+    postings = build_postings(docs, id_col, content_col)
+    lengths = docs.select(id_col, F.size(tokens(F.col(content_col))).alias("doc_len"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(tokens(F.col(content_col)))).alias("avg_len"),
+    )
+
+    def _bm25(qpost: DataFrame, weights: DataFrame | None) -> DataFrame:
+        """BM25 component sum, optionally weighted per term."""
+        df_per_term = qpost.groupBy("term").agg(F.count("*").alias("df"))
+        scored = (
+            qpost.join(F.broadcast(df_per_term), "term")
+            .join(lengths, id_col)
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "idf",
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+            )
+            .withColumn(
+                "tf_norm",
+                (F.col("tf") * (F.lit(k1) + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("doc_len") / F.col("avg_len"))
+                ),
+            )
+        )
+        contrib = F.col("idf") * F.col("tf_norm")
+        if weights is not None:
+            scored = scored.join(F.broadcast(weights), "term")
+            contrib = contrib * F.col("w")
+        return scored.groupBy(id_col).agg(F.sum(contrib).alias("s"))
+
+    # --- stage 1: feedback docs (original-query BM25 top fb_docs) ---------
+    qpost = postings.where(F.array_contains(terms_lit, F.col("term")))
+    fb = (
+        _bm25(qpost, None)
+        .withColumn("score", F.round("s", SCORE_DECIMALS))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(fb_docs)
+        .select(id_col, "score")
+    )
+
+    # --- stage 2: RM1 expansion weights over the feedback set -------------
+    fb_norm = fb.crossJoin(
+        F.broadcast(fb.agg(F.sum("score").alias("fb_total")))
+    ).select(id_col, (F.col("score") / F.col("fb_total")).alias("nscore"))
+    expansion = (
+        postings.join(F.broadcast(fb_norm), id_col)
+        .where(~F.array_contains(terms_lit, F.col("term")))
+        .join(lengths, id_col)
+        .groupBy("term")
+        .agg(F.round(F.sum(F.col("tf") / F.col("doc_len") * F.col("nscore")), SCORE_DECIMALS).alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("term").asc())
+        .limit(fb_terms)
+    )
+    exp_w = expansion.crossJoin(
+        F.broadcast(expansion.agg(F.sum("rel").alias("rel_total")))
+    ).select(
+        "term",
+        (F.lit(1.0 - orig_weight) * F.col("rel") / F.col("rel_total")).alias("w"),
+    )
+    orig_w = None
+    for t in terms:
+        row = F.struct(F.lit(t).alias("term"), F.lit(orig_weight / len(terms)).alias("w"))
+        orig_w = [row] if orig_w is None else orig_w + [row]
+    spark = docs.sparkSession
+    orig_w_df = spark.range(1).select(F.explode(F.array(*orig_w)).alias("q")).select("q.term", "q.w")
+    weights = orig_w_df.unionByName(exp_w)
+
+    # --- stage 3: weighted BM25 over the expanded query -------------------
+    expanded_post = postings.join(F.broadcast(weights.select("term")), "term", "leftsemi")
+    final = _bm25(expanded_post, weights)
+    return (
+        final.withColumn("score", F.round("s", SCORE_DECIMALS))
+        .select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

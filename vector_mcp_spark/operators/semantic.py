@@ -236,3 +236,44 @@ def late_interaction_topk(
         .withColumn("rank", F.row_number().over(w))
         .select(group_col, "rank", "score")
     )
+
+
+def payload_boost_topk(
+    docs: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    boost_col: str,
+    target: float,
+    scale: float,
+    weight: float = 0.2,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Formula-rescored semantic search: score = cosine + weight ·
+    gauss_decay(payload) — the qdrant score-boosting / formula-query
+    surface (decay functions over numeric payload fields composed with the
+    vector score; the reference's qdrant backend exposes the same
+    collections this operator re-ranks, ``vector_mcp/vectordb/qdrant.py``).
+
+    gauss_decay(x) = exp(−(x − target)² / (2·scale²)) — 1 at the target,
+    smoothly → 0 away from it; ``weight`` trades vector relevance against
+    payload affinity.
+
+    Scale design: the decay term is one more codegen'd map-side expression
+    on the row already being scored — the plan is identical to exact KNN
+    (scan → project → TakeOrderedAndProject), zero extra shuffle, and the
+    payload column rides the same scan (no join).
+    """
+    dev = F.col(boost_col).cast("double") - F.lit(float(target))
+    # dev*dev, not pow(dev, 2): POWER can differ from the product by an ulp
+    # between engines, and the oracle mirrors the product form exactly
+    gauss = F.exp(-(dev * dev) / F.lit(2.0 * float(scale) * float(scale)))
+    scored = with_similarity(docs, query_vec, emb_col, out_col="_sim").withColumn(
+        "score", F.col("_sim") + F.lit(float(weight)) * gauss
+    )
+    return (
+        scored.select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("score", F.round("score", SCORE_DECIMALS))
+    )

@@ -249,3 +249,73 @@ def ohlc_bars(
         F.count("*").alias("n_events"),
         F.round(F.sum(value_col), 4).alias("volume"),
     )
+
+
+def autocorrelation(
+    events: DataFrame,
+    max_lag: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_agg: Column | None = None,
+) -> DataFrame:
+    """Per-key autocorrelation function of the daily series at lags
+    1..max_lag (the hypertable/time-series diagnostic next to the
+    seasonal-decomposition and CUSUM operators):
+
+        r_k = Σ_t (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+
+    with x_t the per-day aggregate (count(*) by default, ``value_agg``
+    otherwise) over the key's observed span — days with no events count as
+    x_t = 0, which is what a gap in an activity series means.
+
+    Scale design: the raw table collapses to one row per (key, day) in a
+    single partial-aggregated shuffle; everything after runs on that tiny
+    frame (keys × days). The lag alignment is a self-equi-join on
+    (key, day + k) — never a window over the raw events — so the expensive
+    input is touched exactly once regardless of max_lag.
+    """
+    from pyspark.sql import functions as F
+
+    agg = value_agg if value_agg is not None else F.count("*").cast("double")
+    daily = events.groupBy(
+        F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
+    ).agg(agg.alias("x"))
+
+    # dense day spine per key (bounded: keys × span-days rows)
+    span = daily.groupBy("key").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = span.select(
+        "key", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    dense = (
+        spine.join(daily, ["key", "day"], "left")
+        .withColumn("x", F.coalesce(F.col("x"), F.lit(0.0)))
+    )
+
+    mean = dense.groupBy("key").agg(F.avg("x").alias("xbar"))
+    centered = dense.join(F.broadcast(mean), "key").select(
+        "key", "day", (F.col("x") - F.col("xbar")).alias("c")
+    )
+    denom = centered.groupBy("key").agg(F.sum(F.col("c") * F.col("c")).alias("ss"))
+
+    lags = centered.sparkSession.range(1, max_lag + 1).select(F.col("id").alias("lag"))
+    lagged = centered.crossJoin(F.broadcast(lags)).select(
+        "key",
+        "lag",
+        F.date_add(F.col("day"), F.col("lag").cast("int")).alias("day"),
+        F.col("c").alias("c_lag"),
+    )
+    num = (
+        centered.join(lagged, ["key", "day"])
+        .groupBy("key", "lag")
+        .agg(F.sum(F.col("c") * F.col("c_lag")).alias("sp"))
+    )
+    return (
+        num.join(F.broadcast(denom), "key")
+        .where(F.col("ss") > 0)
+        .select(
+            F.col("key"),
+            F.col("lag"),
+            F.round(F.col("sp") / F.col("ss"), 6).alias("acf"),
+        )
+        .orderBy("key", "lag")
+    )

@@ -141,8 +141,8 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 # up to 50.
 # ROUND 11 TODO: lead with the _ROUND10_FILL entries displaced past slot 50
 # this round — recompute as (_ROUND10_LEAD + _PROMOTED_R10 +
-# _ROUND10_FILL)[50:] (with the 8 _PROMOTED_R10 entries that is the last 22
-# r6-latest keys alphabetically: events_seasonal_decomposition through
+# _ROUND10_FILL)[50:] (with the 12 _PROMOTED_R10 entries that is the last 26
+# r6-latest keys alphabetically: events_bootstrap_mean_ci through
 # tpch_q12_ship_latency) — then _PROMOTED_R11, then the
 # r7-latest entries (CORRECTNESS_r07 keys minus any later-green,
 # alphabetical) up to 50.
@@ -184,6 +184,10 @@ _PROMOTED_R10: list[str] = [
     "streaming_tdigest_value",
     "events_tdigest_read",
     "ann_ivfpq_rerank_topk",
+    "lexical_phrase",
+    "lexical_rm3_expansion",
+    "semantic_payload_boost_topk",
+    "events_autocorrelation",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r6 = CORRECTNESS_r06

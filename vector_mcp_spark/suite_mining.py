@@ -2472,3 +2472,50 @@ def q_parts_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame
         pr.select(F.col("node").alias("partkey"), F.round("pr", 6).alias("pr"))
         .where(F.col("pr") > 0)
     )
+
+
+# -- autocorrelation of daily event counts ------------------------------------
+
+_ACF_MAX_LAG = 7
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY key),
+spine AS (
+  SELECT key, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+dense AS (
+  SELECT s.key, s.day, COALESCE(d.x, 0.0) AS x
+  FROM spine s LEFT JOIN daily d ON s.key = d.key AND s.day = d.day
+),
+m AS (SELECT key, avg(x) AS xbar FROM dense GROUP BY key),
+centered AS (
+  SELECT d.key, d.day, d.x - m.xbar AS c FROM dense d JOIN m ON d.key = m.key
+),
+denom AS (SELECT key, sum(c * c) AS ss FROM centered GROUP BY key),
+lags AS (SELECT CAST(unnest(generate_series(1, {_ACF_MAX_LAG})) AS BIGINT) AS lag),
+num AS (
+  SELECT a.key, l.lag, sum(a.c * b.c) AS sp
+  FROM centered a
+  CROSS JOIN lags l
+  JOIN centered b ON a.key = b.key AND b.day = a.day + CAST(l.lag AS INTEGER)
+  GROUP BY a.key, l.lag
+)
+SELECT n.key AS key, n.lag AS lag, ROUND(n.sp / d.ss, 6) AS acf
+FROM num n JOIN denom d ON n.key = d.key
+WHERE d.ss > 0
+ORDER BY key, lag
+"""
+
+
+@register("events_autocorrelation", _ACF_ORACLE, "temporal", "relational")
+def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.temporal import autocorrelation
+
+    ev = load(spark, sf_dir, "events")
+    return autocorrelation(ev, _ACF_MAX_LAG, key_col="event_type", ts_col="ts")

@@ -907,3 +907,174 @@ def q_hybrid_indexed_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(ann, HYBRID_W_SEM), (lex, HYBRID_W_LEX)],
         HYBRID_N, rrf_k=RRF_K, id_col="doc_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search — pg phraseto_tsquery / Couchbase match_phrase
+# ---------------------------------------------------------------------------
+
+_PHRASE_QUERY = "table hash"
+
+_PHRASE_ORACLE = f"""
+WITH arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]{{2,}}') AS a
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(len(list_filter(generate_series(1, len(a) - 1),
+                              i -> a[i] = 'table' AND a[i + 1] = 'hash'))
+              AS DOUBLE) AS score
+  FROM arrs
+  WHERE len(a) >= 2 AND list_contains(a, 'table') AND list_contains(a, 'hash')
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT {LEX_K}
+"""
+
+
+@register("lexical_phrase", _PHRASE_ORACLE, "search", "lexical")
+def q_lexical_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.lexical import phrase_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return phrase_topk(docs, _PHRASE_QUERY, LEX_K, id_col="doc_id", content_col="text")
+
+
+# ---------------------------------------------------------------------------
+# RM3 pseudo-relevance feedback — BM25 feedback docs → expansion terms →
+# weighted re-score (Lavrenko & Croft relevance models)
+# ---------------------------------------------------------------------------
+
+_RM3_FB_DOCS = 10
+_RM3_FB_TERMS = 5
+_RM3_ORIG_W = 0.6
+
+_RM3_ORACLE = f"""
+WITH {_TOKS_CTE},
+lens AS (
+  SELECT d.doc_id, count(t.tok) AS doc_len
+  FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(doc_len) FROM lens) AS avg_len
+),
+post_all AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+),
+post_q AS (SELECT * FROM post_all WHERE tok IN {_LEX_TERMS_SQL}),
+dfreq_q AS (SELECT tok, count(*) AS df FROM post_q GROUP BY tok),
+fb AS (
+  SELECT p.doc_id,
+         ROUND(SUM(
+           ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) *
+           (p.tf * (1.2 + 1.0)) /
+           (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.doc_len / s.avg_len))
+         ), 6) AS score
+  FROM post_q p
+  JOIN dfreq_q f ON p.tok = f.tok
+  JOIN lens l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+  ORDER BY score DESC, p.doc_id ASC LIMIT {_RM3_FB_DOCS}
+),
+fb_norm AS (
+  SELECT doc_id, score / (SELECT SUM(score) FROM fb) AS nscore FROM fb
+),
+expansion AS (
+  SELECT p.tok AS term,
+         ROUND(SUM(p.tf * 1.0 / l.doc_len * n.nscore), 6) AS rel
+  FROM post_all p
+  JOIN fb_norm n ON p.doc_id = n.doc_id
+  JOIN lens l ON p.doc_id = l.doc_id
+  WHERE p.tok NOT IN {_LEX_TERMS_SQL}
+  GROUP BY p.tok
+  ORDER BY rel DESC, term ASC LIMIT {_RM3_FB_TERMS}
+),
+weights AS (
+  SELECT term, {1.0 - _RM3_ORIG_W} * rel / (SELECT SUM(rel) FROM expansion) AS w
+  FROM expansion
+  UNION ALL
+  SELECT unnest(['spark', 'join', 'vector']) AS term, {_RM3_ORIG_W} / 3 AS w
+),
+post_w AS (
+  SELECT p.* FROM post_all p WHERE p.tok IN (SELECT term FROM weights)
+),
+dfreq_w AS (SELECT tok, count(*) AS df FROM post_w GROUP BY tok),
+final AS (
+  SELECT p.doc_id,
+         ROUND(SUM(
+           w.w *
+           ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) *
+           (p.tf * (1.2 + 1.0)) /
+           (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.doc_len / s.avg_len))
+         ), 6) AS score
+  FROM post_w p
+  JOIN weights w ON p.tok = w.term
+  JOIN dfreq_w f ON p.tok = f.tok
+  JOIN lens l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM final
+ORDER BY score DESC, doc_id ASC LIMIT {LEX_K}
+"""
+
+
+@register("lexical_rm3_expansion", _RM3_ORACLE, "search", "lexical")
+def q_lexical_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.lexical import rm3_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return rm3_topk(
+        docs,
+        LEX_QUERY,
+        LEX_K,
+        id_col="doc_id",
+        content_col="text",
+        fb_docs=_RM3_FB_DOCS,
+        fb_terms=_RM3_FB_TERMS,
+        orig_weight=_RM3_ORIG_W,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Formula-rescored search — qdrant score boosting (decay over payload)
+# ---------------------------------------------------------------------------
+
+_BOOST_TARGET = 300.0
+_BOOST_SCALE = 150.0
+_BOOST_W = 0.2
+
+_BOOST_EXPR = (
+    f"{_cosine_sql('e.embedding', SEM_QUERY_VEC)} + {_BOOST_W} * "
+    f"exp(-((d.n_chars - {_BOOST_TARGET}) * (d.n_chars - {_BOOST_TARGET})) "
+    f"/ (2.0 * {_BOOST_SCALE} * {_BOOST_SCALE}))"
+)
+
+_BOOST_ORACLE = f"""
+SELECT d.doc_id AS doc_id, ROUND({_BOOST_EXPR}, 6) AS score
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY {_BOOST_EXPR} DESC, d.doc_id ASC
+LIMIT {SEM_K}
+"""
+
+
+@register("semantic_payload_boost_topk", _BOOST_ORACLE, "search", "rescoring")
+def q_semantic_payload_boost_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.semantic import payload_boost_topk
+
+    coll = docs_with_embeddings(spark, sf_dir)
+    return payload_boost_topk(
+        coll,
+        SEM_QUERY_VEC,
+        SEM_K,
+        boost_col="n_chars",
+        target=_BOOST_TARGET,
+        scale=_BOOST_SCALE,
+        weight=_BOOST_W,
+        id_col="doc_id",
+        emb_col="embedding",
+    )
