@@ -64,6 +64,10 @@ HEAVY = [
     "dedup_canonicalize",
     "events_tdigest_quantiles",
     "events_tdigest_read",
+    "lexical_phrase",
+    "lexical_rm3_expansion",
+    "semantic_payload_boost_topk",
+    "events_autocorrelation",
 ]
 
 

@@ -453,10 +453,16 @@ def rm3_topk(
        terms sharing ``orig_weight`` uniformly and expansion terms sharing
        (1 − orig_weight) proportionally to their normalized rel weights.
 
-    Scale design: the feedback set is ≤ fb_docs rows (broadcast); expansion
-    term extraction joins postings against those ids only; the final pass
-    semi-join-filters postings to |Q| + fb_terms terms before any shuffle —
-    every stage is bounded by query size, never corpus size.
+    Scale design — two bounded driver round-trips, exactly like the
+    classic two-pass RM3 retrieval loop: stage 1 collects the ≤ fb_docs
+    (id, score) feedback rows, stage 2 collects the ≤ fb_terms expansion
+    weights; stage 3 is the returned distributed plan. Folding all three
+    stages into one lazy DAG re-derives the corpus-wide postings subtree
+    combinatorially (the fb frame alone appears 4× via the normalization
+    joins — a 77-exchange plan at audit); with the two collects, postings
+    are exploded once per stage and the final plan is a handful of
+    broadcast joins of literal weight rows. Both collects are bounded by
+    the query parameters, never the corpus.
     """
     terms = _distinct_terms(query)
     if not terms:
@@ -501,44 +507,48 @@ def rm3_topk(
             contrib = contrib * F.col("w")
         return scored.groupBy(id_col).agg(F.sum(contrib).alias("s"))
 
-    # --- stage 1: feedback docs (original-query BM25 top fb_docs) ---------
+    spark = docs.sparkSession
+
+    # --- stage 1 (bounded collect #1): feedback docs — original-query BM25
     qpost = postings.where(F.array_contains(terms_lit, F.col("term")))
-    fb = (
+    fb_rows = (
         _bm25(qpost, None)
         .withColumn("score", F.round("s", SCORE_DECIMALS))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(fb_docs)
         .select(id_col, "score")
+        .collect()
+    )
+    if not fb_rows:
+        return docs.select(id_col).where(F.lit(False)).withColumn("score", F.lit(0.0))
+    fb_total = sum(r.score for r in fb_rows)
+    fb_norm = F.broadcast(
+        spark.createDataFrame(
+            [(r[0], r.score / fb_total) for r in fb_rows],
+            schema=f"{id_col} {dict(docs.dtypes)[id_col]}, nscore double",
+        )
     )
 
-    # --- stage 2: RM1 expansion weights over the feedback set -------------
-    fb_norm = fb.crossJoin(
-        F.broadcast(fb.agg(F.sum("score").alias("fb_total")))
-    ).select(id_col, (F.col("score") / F.col("fb_total")).alias("nscore"))
-    expansion = (
-        postings.join(F.broadcast(fb_norm), id_col)
+    # --- stage 2 (bounded collect #2): RM1 expansion weights ---------------
+    exp_rows = (
+        postings.join(fb_norm, id_col)
         .where(~F.array_contains(terms_lit, F.col("term")))
         .join(lengths, id_col)
         .groupBy("term")
         .agg(F.round(F.sum(F.col("tf") / F.col("doc_len") * F.col("nscore")), SCORE_DECIMALS).alias("rel"))
         .orderBy(F.col("rel").desc(), F.col("term").asc())
         .limit(fb_terms)
+        .collect()
     )
-    exp_w = expansion.crossJoin(
-        F.broadcast(expansion.agg(F.sum("rel").alias("rel_total")))
-    ).select(
-        "term",
-        (F.lit(1.0 - orig_weight) * F.col("rel") / F.col("rel_total")).alias("w"),
-    )
-    orig_w = None
-    for t in terms:
-        row = F.struct(F.lit(t).alias("term"), F.lit(orig_weight / len(terms)).alias("w"))
-        orig_w = [row] if orig_w is None else orig_w + [row]
-    spark = docs.sparkSession
-    orig_w_df = spark.range(1).select(F.explode(F.array(*orig_w)).alias("q")).select("q.term", "q.w")
-    weights = orig_w_df.unionByName(exp_w)
+    rel_total = sum(r.rel for r in exp_rows)
+    weight_rows = [(t, orig_weight / len(terms)) for t in terms]
+    if rel_total > 0:
+        weight_rows += [
+            (r.term, (1.0 - orig_weight) * r.rel / rel_total) for r in exp_rows
+        ]
+    weights = spark.createDataFrame(weight_rows, schema="term string, w double")
 
-    # --- stage 3: weighted BM25 over the expanded query -------------------
+    # --- stage 3 (returned distributed plan): weighted BM25 ----------------
     expanded_post = postings.join(F.broadcast(weights.select("term")), "term", "leftsemi")
     final = _bm25(expanded_post, weights)
     return (

@@ -280,6 +280,12 @@ def autocorrelation(
     daily = events.groupBy(
         F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
     ).agg(agg.alias("x"))
+    # daily is referenced by span/spine/mean/denom/num — without a
+    # materialization each reference re-derives it and the raw events table
+    # is scanned four times. The frame is BOUNDED (keys × observed days),
+    # so localCheckpoint is the repo's standard cut here: raw input read
+    # exactly once, everything downstream runs on the tiny checkpoint.
+    daily = daily.localCheckpoint(eager=True)
 
     # dense day spine per key (bounded: keys × span-days rows)
     span = daily.groupBy("key").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
