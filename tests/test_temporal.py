@@ -411,3 +411,40 @@ def test_autocorrelation_constant_series_excluded(spark):
         "event_type", F.to_timestamp("ts_s").alias("ts")
     )
     assert autocorrelation(df, 2).count() == 0
+
+
+def test_grouped_rank_equals_naive_grouped_window(spark):
+    """Bucketed per-group two-phase rank must equal row_number over the
+    naive grouped window, including heavy in-group value ties, and must
+    attach the exact group size via count_col."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.rank import grouped_rank
+
+    rows = [(i % 3, i, float((i * 7) % 13)) for i in range(600)]
+    df = spark.createDataFrame(rows, "g int, id long, v double")
+    got = grouped_rank(df, "v", ["g"], tiebreak_cols=["id"], n_buckets=8,
+                       out_col="rank", count_col="n")
+    naive = df.withColumn(
+        "rank", F.row_number().over(Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc()))
+    ).withColumn("n", F.count("*").over(Window.partitionBy("g")))
+    assert {(r.g, r.id, r.rank, r.n) for r in got.collect()} == {
+        (r.g, r.id, r.rank, r.n) for r in naive.collect()
+    }
+
+
+def test_grouped_rank_falls_back_above_group_cap(spark):
+    """More groups than group_cap: ranks still exact via the naive window."""
+    from vector_mcp_spark.operators.rank import grouped_rank
+
+    rows = [(i, j, float(j * 3 % 7)) for i in range(30) for j in range(4)]
+    df = spark.createDataFrame(rows, "g int, id long, v double")
+    got = grouped_rank(df, "v", ["g"], tiebreak_cols=["id"], group_cap=5, count_col="n")
+    res = {(r.g, r.id): (r.rank, r.n) for r in got.collect()}
+    assert len(res) == 120 and all(n == 4 for _, n in res.values())
+    # within each group the rank ordering follows (v, id)
+    for g in range(3):
+        order = sorted(((v * 3 % 7), j) for j, v in [(j, j) for j in range(4)])
+        ranked = sorted(((res[(g, j)][0]), j) for j in range(4))
+        assert [j for _, j in ranked] == [j for _, j in order]

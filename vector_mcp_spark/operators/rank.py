@@ -74,3 +74,86 @@ def global_rank(
         .withColumn(out_col, (off_map[F.col("_gb")] + F.col("_lr")).cast("long"))
         .drop("_gb", "_lr")
     )
+
+
+def grouped_rank(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+    n_buckets: int = 32,
+    out_col: str = "rank",
+    count_col: str | None = None,
+    group_cap: int = 1024,
+    materialize: bool = False,
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY group ORDER BY value, *ties)`` —
+    exact, but without the one-task-per-group straggler when a single group
+    holds most of the table (few-groups × many-rows, the regime that made
+    the t-digest build probe 2.5× at 10×).
+
+    Same two-phase shape as :func:`global_rank`, per group: approx-percentile
+    split points computed per group in ONE aggregate, broadcast-joined back;
+    rows bucket by strict-greater-than on the value alone (ties always land
+    together, so rank output is exact and order-invariant for any data);
+    per-(group, bucket) counts prefix-sum into offsets on a groups×buckets
+    frame; local window within (group, bucket) + offset = the exact
+    per-group rank. ``count_col`` optionally attaches the group size from
+    the same aggregate (no extra pass).
+
+    When the group count exceeds ``group_cap`` the split-point frame stops
+    being collectable — and with that many groups the plain per-group
+    window already has ample parallelism — so the naive form is used (the
+    one bounds aggregate is the only wasted work, discovered and abandoned
+    in the same job).
+
+    ``materialize=False`` by default: the usual input is a pruned columnar
+    scan, and re-scanning it for the two passes is cheaper than
+    localCheckpointing it; set True when the upstream is expensive.
+    """
+    groups = list(group_cols)
+    ties = list(tiebreak_cols)
+    if materialize:
+        df = df.localCheckpoint(eager=True)
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds_agg = df.groupBy(*groups).agg(
+        F.array_sort(
+            F.array_distinct(F.percentile_approx(value_col, probs, 10_000))
+        ).alias("_bs"),
+        F.count("*").alias("_gn"),
+    )
+    bound_rows = bounds_agg.limit(group_cap + 1).collect()
+    if len(bound_rows) > group_cap:
+        w_naive = Window.partitionBy(*groups).orderBy(
+            F.col(value_col).asc(), *[F.col(c).asc() for c in ties]
+        )
+        out = df.withColumn(out_col, F.row_number().over(w_naive))
+        if count_col:
+            out = out.withColumn(count_col, F.count("*").over(Window.partitionBy(*groups)))
+        return out
+
+    bounds = df.sparkSession.createDataFrame(bound_rows, schema=bounds_agg.schema)
+    bucketed = df.join(F.broadcast(bounds), groups).withColumn(
+        "_gb", F.size(F.filter(F.col("_bs"), lambda b: F.col(value_col) > b))
+    )
+    counts = bucketed.groupBy(*groups, "_gb").agg(F.count("*").alias("_c"))
+    w_off = (
+        Window.partitionBy(*groups)
+        .orderBy(F.col("_gb").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))).select(
+        *groups, "_gb", "_off"
+    )
+    w_local = Window.partitionBy(*groups, "_gb").orderBy(
+        F.col(value_col).asc(), *[F.col(c).asc() for c in ties]
+    )
+    out = (
+        bucketed.join(F.broadcast(offsets), [*groups, "_gb"])
+        .withColumn("_lr", F.row_number().over(w_local))
+        .withColumn(out_col, (F.col("_off") + F.col("_lr")).cast("long"))
+    )
+    if count_col:
+        out = out.withColumn(count_col, F.col("_gn"))
+    return out.drop("_gb", "_lr", "_off", "_bs", "_gn")

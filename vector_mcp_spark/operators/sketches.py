@@ -483,16 +483,18 @@ def tdigest_build(
     rounded to 4 dp (the order-dependent-AVG convention). NULL values are
     excluded — they carry no quantile information.
 
-    Scale shape: one per-group rank window (swap in operators/rank.py
-    global_rank when a single group outgrows one task) then a groupBy on
-    (group, centroid) — the output is ≤ delta+1 rows per group, so the
+    Scale shape: the per-group exact rank runs through
+    operators/rank.py grouped_rank — bucketed two-phase, so a group never
+    funnels into one window task (the naive per-group window probed 2.5×
+    at 10× with 5 groups × 10× rows) — then a groupBy on
+    (group, centroid); the output is ≤ delta+1 rows per group, so the
     digest, not the data, crosses every later stage."""
+    from vector_mcp_spark.operators.rank import grouped_rank
+
     group_cols = list(group_cols)
     vals = df.where(F.col(value_col).isNotNull())
-    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
-    wn = Window.partitionBy(*group_cols)
-    ranked = vals.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_n", F.count("*").over(wn)
+    ranked = grouped_rank(
+        vals, value_col, group_cols, out_col="_rn", count_col="_n"
     )
     q = (F.col("_rn") - 0.5) / F.col("_n")
     return (
