@@ -448,3 +448,29 @@ def test_grouped_rank_falls_back_above_group_cap(spark):
         order = sorted(((v * 3 % 7), j) for j, v in [(j, j) for j in range(4)])
         ranked = sorted(((res[(g, j)][0]), j) for j in range(4))
         assert [j for _, j in ranked] == [j for _, j in order]
+
+
+def test_grouped_rank_keeps_null_group_keys(spark):
+    """NULL group keys are a group (groupBy semantics); the bucketed path's
+    joins must be null-safe rather than silently dropping those rows."""
+    from vector_mcp_spark.operators.rank import grouped_rank
+
+    rows = [(None, 1, 1.0), (None, 2, 2.0), ("a", 3, 1.0), ("a", 4, 0.5)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {(r.g, r.id): (r.rank, r.n) for r in
+           grouped_rank(df, "v", ["g"], tiebreak_cols=["id"], count_col="n").collect()}
+    assert got == {
+        (None, 1): (1, 2), (None, 2): (2, 2),
+        ("a", 4): (1, 2), ("a", 3): (2, 2),
+    }
+
+
+def test_grouped_rank_single_bucket_degrades_to_naive(spark):
+    """n_buckets < 2 has no split points; it must rank via the naive window,
+    never return empty."""
+    from vector_mcp_spark.operators.rank import grouped_rank
+
+    df = spark.createDataFrame([("a", 1, 2.0), ("a", 2, 1.0)], "g string, id long, v double")
+    got = {(r.g, r.id): r.rank for r in
+           grouped_rank(df, "v", ["g"], tiebreak_cols=["id"], n_buckets=1).collect()}
+    assert got == {("a", 2): 1, ("a", 1): 2}

@@ -30,7 +30,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vector_mcp_spark.functions.text import tokenize_py, tokens
+from vector_mcp_spark.functions.text import term_count, tokenize_py, tokens
 
 SCORE_DECIMALS = 6
 
@@ -102,6 +102,44 @@ def build_postings(
     )
 
 
+def _bm25_sum(
+    qpost: DataFrame,
+    lengths: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    k1: float,
+    b: float,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """The one BM25 scorer: Σ over the (term, id, tf) rows of ``qpost`` of
+    idf(t)·tf_norm(t, d), optionally weighted per term by a (term, w)
+    frame. Shared by plain BM25 and every RM3 stage so the idf/tf_norm
+    forms cannot drift apart. Returns (id, s) with the UNROUNDED sum.
+    """
+    df_per_term = qpost.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        qpost.join(F.broadcast(df_per_term), "term")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "tf_norm",
+            (F.col("tf") * (F.lit(k1) + 1.0))
+            / (F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("doc_len") / F.col("avg_len"))),
+        )
+    )
+    contrib = F.col("idf") * F.col("tf_norm")
+    if weights is not None:
+        scored = scored.join(F.broadcast(weights), "term")
+        contrib = contrib * F.col("w")
+    return scored.groupBy(id_col).agg(F.sum(contrib).alias("s"))
+
+
 def bm25_topk(
     docs: DataFrame,
     query: str,
@@ -132,27 +170,14 @@ def bm25_topk(
         F.count("*").alias("n_docs"),
         F.avg(F.size(tokens(F.col(content_col)))).alias("avg_len"),
     )
-    df_per_term = qpost.groupBy("term").agg(F.count("*").alias("df"))
-
-    scored = (
-        qpost.join(F.broadcast(df_per_term), "term")
-        .join(lengths, id_col)
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)
-            ),
-        )
-        .withColumn(
-            "tf_norm",
-            (F.col("tf") * (F.lit(k1) + 1.0))
-            / (F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("doc_len") / F.col("avg_len"))),
-        )
-        .groupBy(id_col)
-        .agg(F.round(F.sum(F.col("idf") * F.col("tf_norm")), SCORE_DECIMALS).alias("score"))
+    scored = _bm25_sum(qpost, lengths, stats, id_col, k1, b).withColumn(
+        "score", F.round("s", SCORE_DECIMALS)
     )
-    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    return (
+        scored.select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def lexical_tf_topk_multi(
@@ -402,12 +427,13 @@ def phrase_topk(
         )
     toks = tokens(F.col(content_col))
     if n == 1:
-        count = F.size(F.filter(toks, lambda t: t == F.lit(terms[0])))
+        count = term_count(F.col(content_col), terms[0])
     else:
         # all-terms guard first: the positional walk only runs on documents
-        # that contain every distinct phrase term as a token
+        # that contain every distinct phrase term as a token (first-seen
+        # order, so the generated plan is deterministic across processes)
         has_all = None
-        for t in set(terms):
+        for t in dict.fromkeys(terms):
             cond = F.array_contains(toks, t)
             has_all = cond if has_all is None else (has_all & cond)
 
@@ -476,43 +502,12 @@ def rm3_topk(
         F.avg(F.size(tokens(F.col(content_col)))).alias("avg_len"),
     )
 
-    def _bm25(qpost: DataFrame, weights: DataFrame | None) -> DataFrame:
-        """BM25 component sum, optionally weighted per term."""
-        df_per_term = qpost.groupBy("term").agg(F.count("*").alias("df"))
-        scored = (
-            qpost.join(F.broadcast(df_per_term), "term")
-            .join(lengths, id_col)
-            .crossJoin(F.broadcast(stats))
-            .withColumn(
-                "idf",
-                F.log(
-                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                    + F.lit(1.0)
-                ),
-            )
-            .withColumn(
-                "tf_norm",
-                (F.col("tf") * (F.lit(k1) + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(k1)
-                    * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("doc_len") / F.col("avg_len"))
-                ),
-            )
-        )
-        contrib = F.col("idf") * F.col("tf_norm")
-        if weights is not None:
-            scored = scored.join(F.broadcast(weights), "term")
-            contrib = contrib * F.col("w")
-        return scored.groupBy(id_col).agg(F.sum(contrib).alias("s"))
-
     spark = docs.sparkSession
 
     # --- stage 1 (bounded collect #1): feedback docs — original-query BM25
     qpost = postings.where(F.array_contains(terms_lit, F.col("term")))
     fb_rows = (
-        _bm25(qpost, None)
+        _bm25_sum(qpost, lengths, stats, id_col, k1, b)
         .withColumn("score", F.round("s", SCORE_DECIMALS))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(fb_docs)
@@ -522,6 +517,17 @@ def rm3_topk(
     if not fb_rows:
         return docs.select(id_col).where(F.lit(False)).withColumn("score", F.lit(0.0))
     fb_total = sum(r.score for r in fb_rows)
+    if fb_total <= 0:
+        # every feedback score rounded to 0 (query terms in ~all docs):
+        # no usable relevance signal — fall back to unexpanded BM25,
+        # ranked by the UNROUNDED sum (the rounded one is all zeros here,
+        # which would degenerate the order to id-ascending)
+        return (
+            _bm25_sum(qpost, lengths, stats, id_col, k1, b)
+            .orderBy(F.col("s").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, F.round("s", SCORE_DECIMALS).alias("score"))
+        )
     fb_norm = F.broadcast(
         spark.createDataFrame(
             [(r[0], r.score / fb_total) for r in fb_rows],
@@ -550,7 +556,7 @@ def rm3_topk(
 
     # --- stage 3 (returned distributed plan): weighted BM25 ----------------
     expanded_post = postings.join(F.broadcast(weights.select("term")), "term", "leftsemi")
-    final = _bm25(expanded_post, weights)
+    final = _bm25_sum(expanded_post, lengths, stats, id_col, k1, b, weights=weights)
     return (
         final.withColumn("score", F.round("s", SCORE_DECIMALS))
         .select(id_col, "score")

@@ -109,12 +109,35 @@ def grouped_rank(
 
     ``materialize=False`` by default: the usual input is a pruned columnar
     scan, and re-scanning it for the two passes is cheaper than
-    localCheckpointing it; set True when the upstream is expensive.
+    localCheckpointing it; set True when the upstream is expensive — or
+    when the source can CHANGE between plan build and execution: the split
+    points and group sizes are collected once at build time and baked into
+    the returned plan, so rows of a group that appears only later would be
+    dropped by the bounds join and stale counts reported. Immutable inputs
+    (the suite's parquet snapshots) are unaffected.
+
+    ``value_col`` must be non-null (callers filter first, as t-digest
+    does): an all-null group yields a NULL split-point array, which would
+    silently corrupt that group's buckets rather than raise. NULL group
+    KEYS are supported (null-safe joins throughout, matching groupBy/
+    window semantics).
     """
     groups = list(group_cols)
     ties = list(tiebreak_cols)
     if materialize:
         df = df.localCheckpoint(eager=True)
+
+    def naive() -> DataFrame:
+        w_naive = Window.partitionBy(*groups).orderBy(
+            F.col(value_col).asc(), *[F.col(c).asc() for c in ties]
+        )
+        out = df.withColumn(out_col, F.row_number().over(w_naive))
+        if count_col:
+            out = out.withColumn(count_col, F.count("*").over(Window.partitionBy(*groups)))
+        return out
+
+    if n_buckets < 2:
+        return naive()  # no split points to bucket by
 
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds_agg = df.groupBy(*groups).agg(
@@ -125,16 +148,26 @@ def grouped_rank(
     )
     bound_rows = bounds_agg.limit(group_cap + 1).collect()
     if len(bound_rows) > group_cap:
-        w_naive = Window.partitionBy(*groups).orderBy(
-            F.col(value_col).asc(), *[F.col(c).asc() for c in ties]
-        )
-        out = df.withColumn(out_col, F.row_number().over(w_naive))
-        if count_col:
-            out = out.withColumn(count_col, F.count("*").over(Window.partitionBy(*groups)))
-        return out
+        return naive()
+
+    # null-safe equi-joins on the group keys: groupBy keeps NULL keys as a
+    # group, and a plain inner join would silently drop that group's rows
+    keyed = [f"_k{i}" for i in range(len(groups))]
+
+    def key_join(left: DataFrame, right: DataFrame, extra=None) -> DataFrame:
+        cond = None
+        for g, kcol in zip(groups, keyed):
+            c = left[g].eqNullSafe(right[kcol])
+            cond = c if cond is None else (cond & c)
+        if extra is not None:
+            cond = cond & extra(left, right)
+        return left.join(F.broadcast(right), cond).drop(*keyed)
 
     bounds = df.sparkSession.createDataFrame(bound_rows, schema=bounds_agg.schema)
-    bucketed = df.join(F.broadcast(bounds), groups).withColumn(
+    bounds = bounds.select(
+        *[F.col(g).alias(kcol) for g, kcol in zip(groups, keyed)], "_bs", "_gn"
+    )
+    bucketed = key_join(df, bounds).withColumn(
         "_gb", F.size(F.filter(F.col("_bs"), lambda b: F.col(value_col) > b))
     )
     counts = bucketed.groupBy(*groups, "_gb").agg(F.count("*").alias("_c"))
@@ -144,16 +177,18 @@ def grouped_rank(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))).select(
-        *groups, "_gb", "_off"
+        *[F.col(g).alias(kcol) for g, kcol in zip(groups, keyed)],
+        F.col("_gb").alias("_gb2"),
+        "_off",
     )
     w_local = Window.partitionBy(*groups, "_gb").orderBy(
         F.col(value_col).asc(), *[F.col(c).asc() for c in ties]
     )
     out = (
-        bucketed.join(F.broadcast(offsets), [*groups, "_gb"])
+        key_join(bucketed, offsets, extra=lambda l, r: l["_gb"] == r["_gb2"])
         .withColumn("_lr", F.row_number().over(w_local))
         .withColumn(out_col, (F.col("_off") + F.col("_lr")).cast("long"))
     )
     if count_col:
         out = out.withColumn(count_col, F.col("_gn"))
-    return out.drop("_gb", "_lr", "_off", "_bs", "_gn")
+    return out.drop("_gb", "_gb2", "_lr", "_off", "_bs", "_gn")

@@ -274,8 +274,6 @@ def autocorrelation(
     (key, day + k) — never a window over the raw events — so the expensive
     input is touched exactly once regardless of max_lag.
     """
-    from pyspark.sql import functions as F
-
     agg = value_agg if value_agg is not None else F.count("*").cast("double")
     daily = events.groupBy(
         F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
