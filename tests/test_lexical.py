@@ -209,3 +209,31 @@ def test_rm3_empty_query_returns_empty(docs):
     from vector_mcp_spark.operators.lexical import rm3_topk
 
     assert rm3_topk(docs, "??", 5, id_col="doc_id", content_col="text").count() == 0
+
+
+# --- More-Like-This ----------------------------------------------------------
+
+
+def test_mlt_finds_lexical_twin_and_excludes_seed(spark):
+    rows = [
+        (1, "quantum entanglement superposition qubits decoherence"),
+        (2, "quantum entanglement qubits laboratory experiment"),
+        (3, "gardening compost tomato seedlings watering"),
+        (4, "entanglement decoherence superposition quantum theory"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    from vector_mcp_spark.operators.lexical import more_like_this_topk
+
+    out = more_like_this_topk(df, 1, 10, id_col="doc_id", content_col="text").collect()
+    ids = [r.doc_id for r in out]
+    assert 1 not in ids  # seed never returned
+    assert ids[0] == 4  # shares 4 of the seed's rare terms; doc2 shares 3
+    assert 3 not in ids or out[-1].doc_id == 3  # gardening at best ranks last
+
+
+def test_mlt_missing_seed_returns_empty(spark):
+    rows = [(1, "alpha beta"), (2, "beta gamma")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    from vector_mcp_spark.operators.lexical import more_like_this_topk
+
+    assert more_like_this_topk(df, 99, 5, id_col="doc_id", content_col="text").count() == 0

@@ -68,6 +68,7 @@ HEAVY = [
     "lexical_rm3_expansion",
     "semantic_payload_boost_topk",
     "events_autocorrelation",
+    "lexical_more_like_this",
 ]
 
 

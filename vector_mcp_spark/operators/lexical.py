@@ -563,3 +563,80 @@ def rm3_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def more_like_this_topk(
+    docs: DataFrame,
+    seed_id,
+    k: int,
+    id_col: str = "id",
+    content_col: str = "content",
+    max_terms: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Lucene/Elasticsearch More-Like-This: find documents lexically similar
+    to a seed document — the BM25 twin of the vector-side ``recommend``
+    operator. The seed's terms are ranked by tf·idf, the top ``max_terms``
+    become a weighted query (weights ∝ their tf·idf), and the corpus is
+    scored with the shared BM25 scorer; the seed itself is excluded.
+
+    Scale design: stage 1 collects ≤ max_terms rows — the seed document's
+    postings are one id's worth, and the df counts come from a semi-joined
+    postings aggregate over just those terms. Stage 2 is the same bounded
+    weighted-BM25 plan RM3 returns (postings semi-join-filtered to the
+    selected terms before any shuffle). Nothing scales with the corpus
+    except the one postings pass.
+    """
+    postings = build_postings(docs, id_col, content_col)
+    lengths = docs.select(id_col, F.size(tokens(F.col(content_col))).alias("doc_len"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(tokens(F.col(content_col)))).alias("avg_len"),
+    )
+    spark = docs.sparkSession
+
+    # --- stage 1 (bounded collect): the seed's top tf·idf terms -----------
+    seed_post = postings.where(F.col(id_col) == F.lit(seed_id)).select("term", "tf")
+    seed_df = (
+        postings.join(F.broadcast(seed_post.select("term")), "term", "leftsemi")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    term_rows = (
+        seed_post.join(F.broadcast(seed_df), "term")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+                SCORE_DECIMALS,
+            ),
+        )
+        .orderBy(F.col("tfidf").desc(), F.col("term").asc())
+        .limit(max_terms)
+        .select("term", "tfidf")
+        .collect()
+    )
+    total = sum(r.tfidf for r in term_rows)
+    if not term_rows or total <= 0:
+        return docs.select(id_col).where(F.lit(False)).withColumn("score", F.lit(0.0))
+    weights = spark.createDataFrame(
+        [(r.term, r.tfidf / total) for r in term_rows], schema="term string, w double"
+    )
+
+    # --- stage 2 (returned distributed plan): weighted BM25, seed excluded
+    qpost = postings.join(F.broadcast(weights.select("term")), "term", "leftsemi")
+    final = _bm25_sum(qpost, lengths, stats, id_col, k1, b, weights=weights)
+    return (
+        final.where(F.col(id_col) != F.lit(seed_id))
+        .withColumn("score", F.round("s", SCORE_DECIMALS))
+        .select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1078,3 +1078,73 @@ def q_semantic_payload_boost_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         id_col="doc_id",
         emb_col="embedding",
     )
+
+
+# ---------------------------------------------------------------------------
+# More-Like-This — Lucene/ES MLT: seed doc's top tf·idf terms as a weighted
+# BM25 query (the lexical twin of semantic_recommend)
+# ---------------------------------------------------------------------------
+
+_MLT_SEED = 7
+_MLT_TERMS = 10
+
+_MLT_ORACLE = f"""
+WITH {_TOKS_CTE},
+lens AS (
+  SELECT d.doc_id, count(t.tok) AS doc_len
+  FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(doc_len) FROM lens) AS avg_len
+),
+post_all AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+),
+seed AS (SELECT tok, tf FROM post_all WHERE doc_id = {_MLT_SEED}),
+seed_df AS (
+  SELECT tok, count(*) AS df FROM post_all
+  WHERE tok IN (SELECT tok FROM seed) GROUP BY tok
+),
+mlt AS (
+  SELECT s.tok AS term,
+         ROUND(s.tf * ln((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6) AS tfidf
+  FROM seed s JOIN seed_df d ON s.tok = d.tok CROSS JOIN stats st
+  ORDER BY tfidf DESC, term ASC LIMIT {_MLT_TERMS}
+),
+weights AS (
+  SELECT term, tfidf / (SELECT SUM(tfidf) FROM mlt) AS w FROM mlt
+),
+post_w AS (
+  SELECT p.* FROM post_all p WHERE p.tok IN (SELECT term FROM weights)
+),
+dfreq_w AS (SELECT tok, count(*) AS df FROM post_w GROUP BY tok),
+final AS (
+  SELECT p.doc_id,
+         ROUND(SUM(
+           w.w *
+           ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) *
+           (p.tf * (1.2 + 1.0)) /
+           (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.doc_len / s.avg_len))
+         ), 6) AS score
+  FROM post_w p
+  JOIN weights w ON p.tok = w.term
+  JOIN dfreq_w f ON p.tok = f.tok
+  JOIN lens l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM final WHERE doc_id <> {_MLT_SEED}
+ORDER BY score DESC, doc_id ASC LIMIT {LEX_K}
+"""
+
+
+@register("lexical_more_like_this", _MLT_ORACLE, "search", "lexical")
+def q_lexical_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.lexical import more_like_this_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return more_like_this_topk(
+        docs, _MLT_SEED, LEX_K, id_col="doc_id", content_col="text", max_terms=_MLT_TERMS
+    )
