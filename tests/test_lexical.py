@@ -237,3 +237,42 @@ def test_mlt_missing_seed_returns_empty(spark):
     from vector_mcp_spark.operators.lexical import more_like_this_topk
 
     assert more_like_this_topk(df, 99, 5, id_col="doc_id", content_col="text").count() == 0
+
+
+# --- proximity (NEAR) --------------------------------------------------------
+
+
+def test_proximity_counts_anchors_within_window(spark):
+    rows = [
+        (1, "alpha one two beta"),        # gap 3 ≤ window 3 → 1
+        (2, "alpha one two three beta"),  # gap 4 > window 3 → 0
+        (3, "alpha beta alpha junk beta"),  # both anchors match → 2
+        (4, "beta alpha"),                # wrong order → 0
+        (5, "alpha beta beta"),           # anchor counts ONCE → 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    from vector_mcp_spark.operators.lexical import proximity_topk
+
+    got = {r.doc_id: r.score for r in
+           proximity_topk(df, "alpha", "beta", 3, 10, id_col="doc_id", content_col="text").collect()}
+    assert got == {1: 1.0, 3: 2.0, 5: 1.0}
+
+
+def test_proximity_window_one_is_exact_phrase(spark):
+    rows = [(1, "alpha beta"), (2, "alpha gap beta")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    from vector_mcp_spark.operators.lexical import phrase_topk, proximity_topk
+
+    prox = {r.doc_id: r.score for r in
+            proximity_topk(df, "alpha", "beta", 1, 10, id_col="doc_id", content_col="text").collect()}
+    phr = {r.doc_id: r.score for r in
+           phrase_topk(df, "alpha beta", 10, id_col="doc_id", content_col="text").collect()}
+    assert prox == phr == {1: 1.0}
+
+
+def test_proximity_invalid_inputs_return_empty(spark):
+    df = spark.createDataFrame([(1, "alpha beta")], "doc_id int, text string")
+    from vector_mcp_spark.operators.lexical import proximity_topk
+
+    assert proximity_topk(df, "!!", "beta", 3, 5, id_col="doc_id", content_col="text").count() == 0
+    assert proximity_topk(df, "alpha", "beta", 0, 5, id_col="doc_id", content_col="text").count() == 0

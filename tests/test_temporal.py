@@ -474,3 +474,23 @@ def test_grouped_rank_single_bucket_degrades_to_naive(spark):
     got = {(r.g, r.id): r.rank for r in
            grouped_rank(df, "v", ["g"], tiebreak_cols=["id"], n_buckets=1).collect()}
     assert got == {("a", 2): 1, ("a", 1): 2}
+
+
+def test_ewma_matches_pandas_adjust_true(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.temporal import ewma_daily
+
+    counts = [3, 1, 4, 1, 5, 9, 2]
+    rows = []
+    for d, c in enumerate(counts):
+        for i in range(c):
+            rows.append(("A", f"2024-03-{d + 1:02d} 00:00:0{i % 10}"))
+    df = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.to_timestamp("ts_s").alias("ts")
+    )
+    got = [r.ewma for r in ewma_daily(df, 0.3).orderBy("day").collect()]
+    expect = pd.Series([float(c) for c in counts]).ewm(alpha=0.3, adjust=True).mean()
+    for g, e in zip(got, expect):
+        assert abs(g - round(float(e), 6)) < 1e-9

@@ -69,6 +69,8 @@ HEAVY = [
     "semantic_payload_boost_topk",
     "events_autocorrelation",
     "lexical_more_like_this",
+    "lexical_proximity",
+    "events_ewma_daily",
 ]
 
 

@@ -651,3 +651,47 @@ def more_like_this_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def proximity_topk(
+    docs: DataFrame,
+    first: str,
+    second: str,
+    window: int,
+    k: int,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Ordered proximity (NEAR) search — pg tsquery's ``<N>`` distance
+    operator / FTS proximity: score = number of occurrences of ``first``
+    followed by ``second`` within the next ``window`` tokens (anchor-count
+    semantics: each anchor counts once however many matches follow it).
+    ``window=1`` degenerates to the two-term exact phrase.
+
+    Same zero-shuffle scan shape as :func:`phrase_topk`, with the token
+    array bound once per row via the one-element ``transform`` (a plain
+    reference would re-run the regexp per position — see phrase_topk).
+    """
+    t1 = (tokenize_py(first) or [""])[0]
+    t2 = (tokenize_py(second) or [""])[0]
+    if not t1 or not t2 or window < 1:
+        return (
+            docs.select(id_col).where(F.lit(False)).withColumn("score", F.lit(0.0))
+        )
+
+    def _count_in(tk):
+        guard = F.array_contains(tk, t1) & F.array_contains(tk, t2)
+        anchors = F.filter(
+            F.sequence(F.lit(1), F.size(tk)),
+            lambda i: (F.element_at(tk, i) == F.lit(t1))
+            & F.exists(F.slice(tk, i + F.lit(1), window), lambda x: x == F.lit(t2)),
+        )
+        return F.when(guard, F.size(anchors)).otherwise(F.lit(0))
+
+    count = F.element_at(F.transform(F.array(tokens(F.col(content_col))), _count_in), 1)
+    scored = docs.withColumn("score", count.cast("double")).where(F.col("score") > 0)
+    return (
+        scored.select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -323,3 +323,45 @@ def autocorrelation(
         )
         .orderBy("key", "lag")
     )
+
+
+def ewma_daily(
+    events: DataFrame,
+    alpha: float,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_agg: Column | None = None,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average of the daily series
+    (pandas ``ewm(alpha, adjust=True)`` semantics over each key's observed
+    days in order):
+
+        y_t = Σ_{s≤t} (1−α)^{t−s} x_s / Σ_{s≤t} (1−α)^{t−s}
+
+    Computed WITHOUT recursion: with r = 1−α and i the per-key day ordinal,
+    y_t = Σ x_s·r^{−s} / Σ r^{−s} — two cumulative sums over an ordered
+    window of per-row precomputable terms. r^{−i} grows exponentially, so
+    the closed form is numerically sound to a few thousand observations
+    per key (doubles overflow near i·ln(1/r) ≈ 700); far beyond any daily
+    span this engine rolls up.
+
+    Scale design: identical to :func:`autocorrelation` — the raw table
+    collapses to the bounded (key, day) frame in one partial-aggregated
+    shuffle; the cumulative window runs per key on that tiny frame.
+    """
+    agg = value_agg if value_agg is not None else F.count("*").cast("double")
+    daily = events.groupBy(
+        F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
+    ).agg(agg.alias("x"))
+    w_ord = Window.partitionBy("key").orderBy(F.col("day").asc())
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = 1.0 - float(alpha)
+    indexed = daily.withColumn("_i", F.row_number().over(w_ord) - F.lit(1))
+    terms = indexed.withColumn("_w", F.pow(F.lit(r), -F.col("_i")))
+    return terms.select(
+        "key",
+        "day",
+        F.round(
+            F.sum(F.col("x") * F.col("_w")).over(w_cum) / F.sum("_w").over(w_cum), 6
+        ).alias("ewma"),
+    ).orderBy("key", "day")

@@ -2519,3 +2519,40 @@ def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return autocorrelation(ev, _ACF_MAX_LAG, key_col="event_type", ts_col="ts")
+
+
+# -- per-key EWMA of daily event counts (pandas adjust=True, closed form) -----
+
+_EWMA_ALPHA = 0.3
+
+_EWMA_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT key, day, x,
+         row_number() OVER (PARTITION BY key ORDER BY day) - 1 AS i
+  FROM daily
+),
+cum AS (
+  SELECT key, day,
+         SUM(x * power({1.0 - _EWMA_ALPHA}, -i))
+           OVER (PARTITION BY key ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num,
+         SUM(power({1.0 - _EWMA_ALPHA}, -i))
+           OVER (PARTITION BY key ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS den
+  FROM idx
+)
+SELECT key, day, ROUND(num / den, 6) AS ewma FROM cum ORDER BY key, day
+"""
+
+
+@register("events_ewma_daily", _EWMA_ORACLE, "temporal", "relational")
+def q_events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.temporal import ewma_daily
+
+    ev = load(spark, sf_dir, "events")
+    return ewma_daily(ev, _EWMA_ALPHA, key_col="event_type", ts_col="ts")

@@ -1148,3 +1148,43 @@ def q_lexical_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return more_like_this_topk(
         docs, _MLT_SEED, LEX_K, id_col="doc_id", content_col="text", max_terms=_MLT_TERMS
     )
+
+
+# ---------------------------------------------------------------------------
+# Proximity (NEAR) search — pg tsquery <N> distance operator
+# ---------------------------------------------------------------------------
+
+_PROX_FIRST = "table"
+_PROX_SECOND = "hash"
+_PROX_WINDOW = 4
+
+_PROX_ORACLE = f"""
+WITH arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]{{2,}}') AS a
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(len(list_filter(generate_series(1, len(a)),
+                i -> a[i] = '{_PROX_FIRST}'
+                AND len(list_filter(
+                      generate_series(i + 1, least(i + {_PROX_WINDOW}, len(a))),
+                      j -> a[j] = '{_PROX_SECOND}')) > 0))
+              AS DOUBLE) AS score
+  FROM arrs
+  WHERE list_contains(a, '{_PROX_FIRST}') AND list_contains(a, '{_PROX_SECOND}')
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT {LEX_K}
+"""
+
+
+@register("lexical_proximity", _PROX_ORACLE, "search", "lexical")
+def q_lexical_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.lexical import proximity_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return proximity_topk(
+        docs, _PROX_FIRST, _PROX_SECOND, _PROX_WINDOW, LEX_K,
+        id_col="doc_id", content_col="text",
+    )
