@@ -276,3 +276,13 @@ def test_proximity_invalid_inputs_return_empty(spark):
 
     assert proximity_topk(df, "!!", "beta", 3, 5, id_col="doc_id", content_col="text").count() == 0
     assert proximity_topk(df, "alpha", "beta", 0, 5, id_col="doc_id", content_col="text").count() == 0
+
+
+def test_proximity_multi_token_arguments_raise(spark):
+    df = spark.createDataFrame([(1, "alpha beta")], "doc_id int, text string")
+    import pytest
+
+    from vector_mcp_spark.operators.lexical import proximity_topk
+
+    with pytest.raises(ValueError, match="single terms"):
+        proximity_topk(df, "hash table", "join", 4, 5, id_col="doc_id", content_col="text")

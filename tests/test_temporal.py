@@ -494,3 +494,35 @@ def test_ewma_matches_pandas_adjust_true(spark):
     expect = pd.Series([float(c) for c in counts]).ewm(alpha=0.3, adjust=True).mean()
     for g, e in zip(got, expect):
         assert abs(g - round(float(e), 6)) < 1e-9
+
+
+def test_ewma_overflow_and_alpha_guards(spark):
+    """alpha outside (0,1) and series longer than the closed form's safe
+    length must raise loudly instead of silently emitting NaN."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.operators.temporal import ewma_daily
+
+    rows = [("A", f"2024-01-{d + 1:02d} 00:00:00") for d in range(5)]
+    df = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.to_timestamp("ts_s").alias("ts")
+    )
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_daily(df, 1.0)
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_daily(df, 0.0)
+    # a 400-day series at alpha=0.9 crosses the ~300-day safe length
+    long_rows = []
+    import datetime
+    d0 = datetime.date(2020, 1, 1)
+    for d in range(400):
+        long_rows.append(("B", f"{d0 + datetime.timedelta(days=d)} 00:00:00"))
+    long_df = spark.createDataFrame(long_rows, "event_type string, ts_s string").select(
+        "event_type", F.to_timestamp("ts_s").alias("ts")
+    )
+    with pytest.raises(ValueError, match="overflow"):
+        ewma_daily(long_df, 0.9)
+    # ...but passes at a safe alpha and matches finite output
+    out = ewma_daily(long_df, 0.3).collect()
+    assert len(out) == 400 and all(r.ewma == 1.0 for r in out)

@@ -35,3 +35,16 @@ def term_count(content: Column | str, term: str) -> Column:
     """Occurrences of ``term`` as a token in ``content`` — the reference's
     scan-fallback ``content.count(term)`` scoring, on token boundaries."""
     return F.size(F.filter(tokens(content), lambda t: t == F.lit(term.casefold())))
+
+
+def with_bound_tokens(content: Column | str, fn) -> Column:
+    """Evaluate ``fn(tk)`` with the token array bound ONCE per row.
+
+    ``fn`` receives the tokenized array as a lambda variable and returns a
+    Column over it. Needed whenever an expression references the token
+    array more than once (positional walks, guards): a plain projection
+    gets CollapseProject-inlined, so every reference re-runs the regexp
+    extraction — measured 6× slower for a two-term phrase walk. transform
+    over a one-element array pins a single evaluation.
+    """
+    return F.element_at(F.transform(F.array(tokens(content)), fn), 1)

@@ -30,7 +30,12 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vector_mcp_spark.functions.text import term_count, tokenize_py, tokens
+from vector_mcp_spark.functions.text import (
+    term_count,
+    tokenize_py,
+    tokens,
+    with_bound_tokens,
+)
 
 SCORE_DECIMALS = 6
 
@@ -102,6 +107,32 @@ def build_postings(
     )
 
 
+def _idf(df_col, n_docs_col):
+    """The one idf form (Lucene/ATIRE, always ≥ 0):
+    ln((N − df + 0.5)/(df + 0.5) + 1). Shared by BM25 scoring and MLT term
+    selection so the expression cannot drift between the two."""
+    return F.log((n_docs_col - df_col + F.lit(0.5)) / (df_col + F.lit(0.5)) + F.lit(1.0))
+
+
+def _corpus_stats(
+    docs: DataFrame,
+    id_col: str,
+    content_col: str,
+    postings: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared BM25 prologue: (postings, lengths, stats) — one tokenizer
+    pass declared three ways. Used by bm25_topk, rm3_topk and
+    more_like_this_topk so the corpus statistics are defined once."""
+    if postings is None:
+        postings = build_postings(docs, id_col, content_col)
+    lengths = docs.select(id_col, F.size(tokens(F.col(content_col))).alias("doc_len"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(tokens(F.col(content_col)))).alias("avg_len"),
+    )
+    return postings, lengths, stats
+
+
 def _bm25_sum(
     qpost: DataFrame,
     lengths: DataFrame,
@@ -121,12 +152,7 @@ def _bm25_sum(
         qpost.join(F.broadcast(df_per_term), "term")
         .join(lengths, id_col)
         .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)
-            ),
-        )
+        .withColumn("idf", _idf(F.col("df"), F.col("n_docs")))
         .withColumn(
             "tf_norm",
             (F.col("tf") * (F.lit(k1) + 1.0))
@@ -161,15 +187,8 @@ def bm25_topk(
         return docs.select(id_col).where(F.lit(False)).withColumn("score", F.lit(0.0))
     terms_lit = F.array(*[F.lit(t) for t in terms])
 
-    lengths = docs.select(id_col, F.size(tokens(F.col(content_col))).alias("doc_len"))
-    if postings is None:
-        postings = build_postings(docs, id_col, content_col)
+    postings, lengths, stats = _corpus_stats(docs, id_col, content_col, postings)
     qpost = postings.where(F.array_contains(terms_lit, F.col("term")))
-
-    stats = docs.agg(
-        F.count("*").alias("n_docs"),
-        F.avg(F.size(tokens(F.col(content_col)))).alias("avg_len"),
-    )
     scored = _bm25_sum(qpost, lengths, stats, id_col, k1, b).withColumn(
         "score", F.round("s", SCORE_DECIMALS)
     )
@@ -428,13 +447,8 @@ def phrase_topk(
     if n == 1:
         count = term_count(F.col(content_col), terms[0])
     else:
-        # Bind the token array ONCE as a lambda variable: every
-        # element_at/size/array_contains below references the bound value.
-        # A plain projection does NOT achieve this — CollapseProject
-        # re-inlines the expression into each use site and the regexp
-        # extraction re-runs per walk position (measured 3.1 s vs 0.4 s at
-        # sf0.1 for a two-term phrase). transform over a one-element array
-        # evaluates the extraction exactly once per row.
+        # the walk references the token array many times → bind it once per
+        # row (functions/text.with_bound_tokens explains the 6× trap)
         def _count_in(tk):
             # all-terms guard first: the positional walk only runs on
             # documents containing every distinct phrase term as a token
@@ -456,9 +470,7 @@ def phrase_topk(
             # guard short documents explicitly
             return F.when((F.size(tk) >= F.lit(n)) & has_all, walk).otherwise(F.lit(0))
 
-        count = F.element_at(
-            F.transform(F.array(tokens(F.col(content_col))), _count_in), 1
-        )
+        count = with_bound_tokens(F.col(content_col), _count_in)
     scored = docs.withColumn("score", count.cast("double")).where(F.col("score") > 0)
     return (
         scored.select(id_col, *payload_cols, "score")
@@ -506,13 +518,7 @@ def rm3_topk(
         return docs.select(id_col).where(F.lit(False)).withColumn("score", F.lit(0.0))
     terms_lit = F.array(*[F.lit(t) for t in terms])
 
-    postings = build_postings(docs, id_col, content_col)
-    lengths = docs.select(id_col, F.size(tokens(F.col(content_col))).alias("doc_len"))
-    stats = docs.agg(
-        F.count("*").alias("n_docs"),
-        F.avg(F.size(tokens(F.col(content_col)))).alias("avg_len"),
-    )
-
+    postings, lengths, stats = _corpus_stats(docs, id_col, content_col)
     spark = docs.sparkSession
 
     # --- stage 1 (bounded collect #1): feedback docs — original-query BM25
@@ -599,12 +605,7 @@ def more_like_this_topk(
     selected terms before any shuffle). Nothing scales with the corpus
     except the one postings pass.
     """
-    postings = build_postings(docs, id_col, content_col)
-    lengths = docs.select(id_col, F.size(tokens(F.col(content_col))).alias("doc_len"))
-    stats = docs.agg(
-        F.count("*").alias("n_docs"),
-        F.avg(F.size(tokens(F.col(content_col)))).alias("avg_len"),
-    )
+    postings, lengths, stats = _corpus_stats(docs, id_col, content_col)
     spark = docs.sparkSession
 
     # --- stage 1 (bounded collect): the seed's top tf·idf terms -----------
@@ -619,15 +620,7 @@ def more_like_this_topk(
         .crossJoin(F.broadcast(stats.select("n_docs")))
         .withColumn(
             "tfidf",
-            F.round(
-                F.col("tf")
-                * F.log(
-                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                    + F.lit(1.0)
-                ),
-                SCORE_DECIMALS,
-            ),
+            F.round(F.col("tf") * _idf(F.col("df"), F.col("n_docs")), SCORE_DECIMALS),
         )
         .orderBy(F.col("tfidf").desc(), F.col("term").asc())
         .limit(max_terms)
@@ -669,15 +662,25 @@ def proximity_topk(
     ``window=1`` degenerates to the two-term exact phrase.
 
     Same zero-shuffle scan shape as :func:`phrase_topk`, with the token
-    array bound once per row via the one-element ``transform`` (a plain
-    reference would re-run the regexp per position — see phrase_topk).
+    array bound once per row (functions/text.with_bound_tokens).
+
+    ``first``/``second`` must each tokenize to exactly ONE term: a
+    multi-token argument raises rather than silently searching only its
+    first token (for a multi-token needle use :func:`phrase_topk`). Terms
+    that tokenize to nothing (punctuation-only) match nothing → empty,
+    the same empty-query contract as the other lexical operators.
     """
-    t1 = (tokenize_py(first) or [""])[0]
-    t2 = (tokenize_py(second) or [""])[0]
-    if not t1 or not t2 or window < 1:
+    t1s, t2s = tokenize_py(first), tokenize_py(second)
+    if len(t1s) > 1 or len(t2s) > 1:
+        raise ValueError(
+            "proximity_topk expects single terms; got "
+            f"{first!r}/{second!r} — use phrase_topk for multi-token needles"
+        )
+    if not t1s or not t2s or window < 1:
         return (
             docs.select(id_col).where(F.lit(False)).withColumn("score", F.lit(0.0))
         )
+    t1, t2 = t1s[0], t2s[0]
 
     def _count_in(tk):
         guard = F.array_contains(tk, t1) & F.array_contains(tk, t2)
@@ -688,7 +691,7 @@ def proximity_topk(
         )
         return F.when(guard, F.size(anchors)).otherwise(F.lit(0))
 
-    count = F.element_at(F.transform(F.array(tokens(F.col(content_col))), _count_in), 1)
+    count = with_bound_tokens(F.col(content_col), _count_in)
     scored = docs.withColumn("score", count.cast("double")).where(F.col("score") > 0)
     return (
         scored.select(id_col, "score")

@@ -340,19 +340,33 @@ def ewma_daily(
 
     Computed WITHOUT recursion: with r = 1−α and i the per-key day ordinal,
     y_t = Σ x_s·r^{−s} / Σ r^{−s} — two cumulative sums over an ordered
-    window of per-row precomputable terms. r^{−i} grows exponentially, so
-    the closed form is numerically sound to a few thousand observations
-    per key (doubles overflow near i·ln(1/r) ≈ 700); far beyond any daily
-    span this engine rolls up.
+    window of per-row precomputable terms. r^{−i} grows exponentially
+    (doubles overflow where i·ln(1/r) ≈ 700 and the ratio would silently
+    turn NaN), so the span is CHECKED: series longer than the α-dependent
+    safe length raise rather than emit garbage — e.g. ~2 000 days at
+    α=0.3 but only ~300 at α=0.9; chunk the series or lower α past that.
 
     Scale design: identical to :func:`autocorrelation` — the raw table
     collapses to the bounded (key, day) frame in one partial-aggregated
     shuffle; the cumulative window runs per key on that tiny frame.
     """
+    import math
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
     agg = value_agg if value_agg is not None else F.count("*").cast("double")
     daily = events.groupBy(
         F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
     ).agg(agg.alias("x"))
+    # overflow guard on the tiny post-agg frame: one cheap max over keys
+    safe_len = int(700.0 / math.log(1.0 / (1.0 - float(alpha))))
+    longest = daily.groupBy("key").count().agg(F.max("count")).first()[0] or 0
+    if longest > safe_len:
+        raise ValueError(
+            f"ewma_daily(alpha={alpha}): a key has {longest} observed days; "
+            f"the closed form overflows past {safe_len} — chunk the series "
+            "or lower alpha"
+        )
     w_ord = Window.partitionBy("key").orderBy(F.col("day").asc())
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r = 1.0 - float(alpha)
