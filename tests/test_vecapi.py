@@ -150,3 +150,38 @@ def test_dbsf_fuse_magnitude_and_sigma_zero(spark):
     # magnitude preserved: the 10.0 hit beats the 5.0 hit by more than the
     # rank gap alone would give
     assert out[1] > out[2] - 0.5 > out[3]
+
+
+def test_recommend_best_score_prefers_any_positive_and_penalizes_negatives(spark):
+    """best_score ranks by the best SINGLE positive match (multi-modal
+    preference), and a candidate matching a negative better than any
+    positive flips to -(best_neg^2) — ranked below everything positive."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),   # positive example A
+        (2, [0.0, 1.0, 0.0]),   # positive example B
+        (3, [0.0, 0.0, 1.0]),   # negative example
+        (10, [0.9, 0.1, 0.0]),  # close to A only
+        (11, [0.1, 0.9, 0.0]),  # close to B only
+        (12, [0.1, 0.1, 0.9]),  # close to the negative → flipped score
+    ]
+    df = spark.createDataFrame(rows, "id int, embedding array<float>")
+    from vector_mcp_spark.operators.vecapi import recommend_best_score_topk
+
+    out = recommend_best_score_topk(df, [1, 2], [3], 10).collect()
+    got = {r.id: r.score for r in out}
+    assert set(got) == {10, 11, 12}
+    assert got[10] > 0.9 and got[11] > 0.9  # each matches ITS closest positive
+    assert got[12] < 0  # negative-dominated → -(best_neg^2)
+    # average-vector strategy would score 10 and 11 equally mediocre against
+    # the centroid; best_score keeps both near 1 — the strategies differ
+    order = [r.id for r in out]
+    assert order[-1] == 12
+
+
+def test_recommend_best_score_no_negatives_is_best_positive(spark):
+    rows = [(1, [1.0, 0.0]), (20, [0.8, 0.2]), (21, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "id int, embedding array<float>")
+    from vector_mcp_spark.operators.vecapi import recommend_best_score_topk
+
+    out = recommend_best_score_topk(df, [1], [], 10).collect()
+    assert [r.id for r in out] == [20, 21]

@@ -126,6 +126,23 @@ def _quantize9(x: float) -> float:
     return math.floor(x * 1e9 + 0.5) / 1e9
 
 
+def _fetch_examples(
+    coll: DataFrame, ids: list[int], id_col: str, emb_col: str
+) -> dict[int, list[float]]:
+    """Bounded example-vector point lookup shared by both recommend
+    strategies — the same fetch the qdrant server performs. Collects |ids|
+    vectors to the driver; bounded the way the API layer bounds k
+    (1000 examples ≈ 256 KB of vectors, far past any real use)."""
+    if len(ids) > 1000:
+        raise ValueError("recommend accepts at most 1000 example ids")
+    rows = coll.where(F.col(id_col).isin(ids)).select(id_col, emb_col).collect()
+    by_id = {row[0]: [float(x) for x in row[1]] for row in rows}
+    missing = [i for i in ids if i not in by_id]
+    if missing:
+        raise ValueError(f"example ids not found: {missing}")
+    return by_id
+
+
 def recommend_topk(
     coll: DataFrame,
     positive_ids: Sequence[int],
@@ -147,20 +164,7 @@ def recommend_topk(
     neg = [int(i) for i in negative_ids]
     if not pos:
         raise ValueError("recommend requires at least one positive example")
-    # the example fetch collects |ids| vectors to the driver — bound it the
-    # way the API layer bounds k (user-supplied ids are unbounded in
-    # principle; 1000 examples ≈ 256 KB of vectors, far past any real use)
-    if len(pos) + len(neg) > 1000:
-        raise ValueError("recommend accepts at most 1000 example ids")
-    rows = (
-        coll.where(F.col(id_col).isin(pos + neg))
-        .select(id_col, emb_col)
-        .collect()
-    )
-    by_id = {row[0]: [float(x) for x in row[1]] for row in rows}
-    missing = [i for i in pos + neg if i not in by_id]
-    if missing:
-        raise ValueError(f"example ids not found: {missing}")
+    by_id = _fetch_examples(coll, pos + neg, id_col, emb_col)
 
     def _avg(ids: list[int]) -> list[float]:
         vecs = [by_id[i] for i in sorted(ids)]  # fixed fold order
@@ -175,6 +179,52 @@ def recommend_topk(
     qvec = [_quantize9(x) for x in qvec]
     rest = coll.where(~F.col(id_col).isin(pos + neg))
     return semantic_topk(rest, qvec, k, id_col=id_col, emb_col=emb_col)
+
+
+def recommend_best_score_topk(
+    coll: DataFrame,
+    positive_ids: Sequence[int],
+    negative_ids: Sequence[int],
+    k: int,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Recommendation search, best-score strategy (the Qdrant recommend
+    API's second strategy): each candidate scores by its BEST similarity
+    to any single positive example — unless some negative example matches
+    it even better, in which case the score flips to −(best_neg²), pushing
+    strongly-negative-matching points far down the ranking. Unlike the
+    average-vector strategy, this finds points similar to ANY positive
+    (multi-modal preference sets) rather than to their centroid.
+
+    Same bounded example fetch; the scoring is one map-side expression per
+    example vector (|pos|+|neg| literal cosines folded with greatest) —
+    zero shuffle before the TakeOrdered top-k. Example points excluded.
+    """
+    pos = [int(i) for i in positive_ids]
+    neg = [int(i) for i in negative_ids]
+    if not pos:
+        raise ValueError("recommend requires at least one positive example")
+    by_id = _fetch_examples(coll, pos + neg, id_col, emb_col)
+
+    def _best(ids: list[int]) -> Column:
+        sims = [cosine_similarity_lit(F.col(emb_col), by_id[i]) for i in sorted(ids)]
+        return F.greatest(*sims) if len(sims) > 1 else sims[0]
+
+    best_pos = _best(pos)
+    if neg:
+        best_neg = _best(neg)
+        score = F.when(best_pos > best_neg, best_pos).otherwise(-(best_neg * best_neg))
+    else:
+        score = best_pos
+    rest = coll.where(~F.col(id_col).isin(pos + neg))
+    return (
+        rest.withColumn("score", score)
+        .select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("score", F.round("score", 6))
+    )
 
 
 def discover_topk(

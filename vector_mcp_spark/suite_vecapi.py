@@ -362,3 +362,55 @@ def q_payload_ordered_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=("source",),
         descending=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Recommend, best-score strategy (qdrant's second strategy): best single
+# positive similarity, flipped to -(best_neg^2) when a negative matches
+# better
+# ---------------------------------------------------------------------------
+
+def _cos_pair_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+_RECO_BS_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id IN ({_RECO_ALL})
+),
+cand AS (
+  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id NOT IN ({_RECO_ALL})
+),
+sims AS (
+  SELECT c.doc_id,
+         MAX(CASE WHEN e.vec_id IN ({_RECO_POS_SQL})
+                  THEN {_cos_pair_sql('c.v', 'e.v')} END) AS best_pos,
+         MAX(CASE WHEN e.vec_id IN ({_RECO_NEG_SQL})
+                  THEN {_cos_pair_sql('c.v', 'e.v')} END) AS best_neg
+  FROM cand c CROSS JOIN ex e
+  GROUP BY c.doc_id
+),
+scored AS (
+  SELECT doc_id,
+         CASE WHEN best_pos > best_neg THEN best_pos
+              ELSE -(best_neg * best_neg) END AS s
+  FROM sims
+)
+SELECT doc_id, ROUND(s, 6) AS score
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {RECO_K}
+"""
+
+
+@register("semantic_recommend_best_score", _RECO_BS_ORACLE, "search", "vecapi")
+def q_semantic_recommend_best_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.vecapi import recommend_best_score_topk
+
+    coll = docs_with_embeddings(spark, sf_dir)
+    return recommend_best_score_topk(
+        coll, RECO_POS, RECO_NEG, RECO_K, id_col="doc_id", emb_col="embedding"
+    )
