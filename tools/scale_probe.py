@@ -71,6 +71,7 @@ HEAVY = [
     "lexical_more_like_this",
     "lexical_proximity",
     "events_ewma_daily",
+    "semantic_recommend_best_score",
 ]
 
 
