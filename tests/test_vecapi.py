@@ -185,3 +185,22 @@ def test_recommend_best_score_no_negatives_is_best_positive(spark):
 
     out = recommend_best_score_topk(df, [1], [], 10).collect()
     assert [r.id for r in out] == [20, 21]
+
+
+def test_context_search_zero_loss_region_wins(spark):
+    """Points satisfying every pair score exactly 0 (tie-broken by id);
+    points on the wrong side of a boundary carry that pair's negative
+    margin."""
+    pos, neg = [1.0, 0.0], [0.0, 1.0]
+    rows = [
+        (10, [0.9, 0.1]),   # deep in the positive half-space → 0
+        (11, [0.8, 0.2]),   # also satisfied → 0, ranks after 10 by id
+        (12, [0.1, 0.9]),   # violates the pair → negative score
+    ]
+    df = spark.createDataFrame(rows, "id int, embedding array<float>")
+    from vector_mcp_spark.operators.vecapi import context_topk
+
+    out = context_topk(df, [(pos, neg)], 10).collect()
+    assert [r.id for r in out] == [10, 11, 12]
+    assert out[0].score == 0.0 and out[1].score == 0.0
+    assert out[2].score < 0

@@ -72,6 +72,7 @@ HEAVY = [
     "lexical_proximity",
     "events_ewma_daily",
     "semantic_recommend_best_score",
+    "semantic_context_topk",
 ]
 
 

@@ -261,6 +261,41 @@ def discover_topk(
     )
 
 
+def context_topk(
+    coll: DataFrame,
+    context_pairs: Sequence[tuple[Sequence[float], Sequence[float]]],
+    k: int,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Context search (the Qdrant context API — the third of the explore
+    trio next to recommend and discover): no target vector at all; each
+    (positive, negative) pair contributes loss = min(0, sim_pos − sim_neg),
+    and points rank by the SUM of losses. A point inside every pair's
+    positive half-space scores a perfect 0 — context search returns the
+    zero-loss region rather than nearest neighbors, which is how qdrant
+    implements "show me more like this side of the boundary" exploration.
+
+    Ties at 0 (the common case) break by id ascending, pinned on both
+    engines. One literal map-side cosine pair per context pair, zero
+    shuffle before the TakeOrdered top-k.
+    """
+    loss: Column = F.lit(0.0)
+    for pos_vec, neg_vec in context_pairs:
+        loss = loss + F.least(
+            F.lit(0.0),
+            cosine_similarity_lit(F.col(emb_col), pos_vec)
+            - cosine_similarity_lit(F.col(emb_col), neg_vec),
+        )
+    return (
+        coll.withColumn("score", loss)
+        .select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("score", F.round("score", SCORE_DECIMALS))
+    )
+
+
 def sparse_dot_topk(
     docs: DataFrame,
     query_weights: Sequence[tuple[str, float]],

@@ -414,3 +414,29 @@ def q_semantic_recommend_best_score(spark: SparkSession, sf_dir: str) -> DataFra
     return recommend_best_score_topk(
         coll, RECO_POS, RECO_NEG, RECO_K, id_col="doc_id", emb_col="embedding"
     )
+
+
+# ---------------------------------------------------------------------------
+# Context search — the third qdrant explore API: no target, rank by summed
+# pair loss min(0, sim_pos - sim_neg); the zero-loss region wins
+# ---------------------------------------------------------------------------
+
+_CTX_LOSS_SQL = " + ".join(
+    f"LEAST(0.0, ({_cosine_sql('e.embedding', p)}) - ({_cosine_sql('e.embedding', n)}))"
+    for p, n in DISC_PAIRS
+)
+
+_CTX_ORACLE = f"""
+SELECT d.doc_id AS doc_id, ROUND({_CTX_LOSS_SQL}, 6) AS score
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY ({_CTX_LOSS_SQL}) DESC, d.doc_id ASC
+LIMIT {DISC_K}
+"""
+
+
+@register("semantic_context_topk", _CTX_ORACLE, "search", "vecapi")
+def q_semantic_context_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.vecapi import context_topk
+
+    coll = docs_with_embeddings(spark, sf_dir)
+    return context_topk(coll, DISC_PAIRS, DISC_K, id_col="doc_id", emb_col="embedding")
