@@ -286,3 +286,57 @@ def test_proximity_multi_token_arguments_raise(spark):
 
     with pytest.raises(ValueError, match="single terms"):
         proximity_topk(df, "hash table", "join", 4, 5, id_col="doc_id", content_col="text")
+
+
+# --- boolean queries ---------------------------------------------------------
+
+
+def test_boolean_query_grammar(spark):
+    rows = [
+        (1, "spark join fast"),
+        (2, "spark vector store"),
+        (3, "spark slow join"),     # excluded by !slow
+        (4, "join vector no spark-mention"),  # hmm: 'spark' IS a token here
+        (5, "gardening only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    from vector_mcp_spark.operators.lexical import boolean_topk
+
+    got = {r.doc_id: r.score for r in
+           boolean_topk(df, "spark & (join | vector) & !slow", 10,
+                        id_col="doc_id", content_col="text").collect()}
+    # doc4 contains token 'spark' (from spark-mention) + join + vector → 3 hits
+    assert set(got) == {1, 2, 4}
+    assert got[1] == 2.0 and got[2] == 2.0 and got[4] == 3.0
+
+
+def test_boolean_pure_negation_matches_constant_rank(spark):
+    rows = [(1, "alpha"), (2, "beta")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    from vector_mcp_spark.operators.lexical import boolean_topk
+
+    got = [r.doc_id for r in boolean_topk(df, "!alpha", 10, id_col="doc_id", content_col="text").collect()]
+    assert got == [2]
+
+
+def test_boolean_operator_precedence_and_parens(spark):
+    # a | b & c  parses as  a | (b & c)
+    rows = [(1, "aa"), (2, "bb cc"), (3, "bb")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    from vector_mcp_spark.operators.lexical import boolean_topk
+
+    got = {r.doc_id for r in boolean_topk(df, "aa | bb & cc", 10, id_col="doc_id", content_col="text").collect()}
+    assert got == {1, 2}
+    got2 = {r.doc_id for r in boolean_topk(df, "(aa | bb) & cc", 10, id_col="doc_id", content_col="text").collect()}
+    assert got2 == {2}
+
+
+def test_boolean_malformed_queries_raise(spark):
+    df = spark.createDataFrame([(1, "alpha")], "doc_id int, text string")
+    import pytest
+
+    from vector_mcp_spark.operators.lexical import boolean_topk
+
+    for bad in ["a &", "& a", "(a", "a )", "a b", "", "a & ()"]:
+        with pytest.raises(ValueError):
+            boolean_topk(df, bad, 5, id_col="doc_id", content_col="text")

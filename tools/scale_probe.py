@@ -73,6 +73,7 @@ HEAVY = [
     "events_ewma_daily",
     "semantic_recommend_best_score",
     "semantic_context_topk",
+    "lexical_boolean",
 ]
 
 

@@ -698,3 +698,145 @@ def proximity_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# --- boolean full-text queries (pg to_tsquery grammar) -----------------------
+
+def parse_boolean_query(query: str):
+    """Parse a pg ``to_tsquery``-style boolean query — ``&`` (AND), ``|``
+    (OR), ``!`` (NOT), parentheses, term leaves — into a nested AST of
+    ``("and"|"or", left, right) | ("not", child) | ("term", t)`` tuples.
+    Terms are casefolded through the standard tokenizer; a term that
+    tokenizes to nothing (or to several tokens) is rejected. Raises
+    ``ValueError`` on any malformed input — a governed query surface must
+    refuse, not guess."""
+    tokens_lex: list[str] = []
+    i = 0
+    while i < len(query):
+        c = query[i]
+        if c.isspace():
+            i += 1
+        elif c in "&|!()":
+            tokens_lex.append(c)
+            i += 1
+        else:
+            j = i
+            while j < len(query) and not query[j].isspace() and query[j] not in "&|!()":
+                j += 1
+            tokens_lex.append(query[i:j])
+            i = j
+    pos = 0
+
+    def peek():
+        return tokens_lex[pos] if pos < len(tokens_lex) else None
+
+    def take(expected=None):
+        nonlocal pos
+        if pos >= len(tokens_lex):
+            raise ValueError(f"boolean query ended unexpectedly: {query!r}")
+        t = tokens_lex[pos]
+        if expected is not None and t != expected:
+            raise ValueError(f"expected {expected!r} at {t!r} in {query!r}")
+        pos += 1
+        return t
+
+    def atom():
+        t = peek()
+        if t == "!":
+            take()
+            return ("not", atom())
+        if t == "(":
+            take()
+            node = or_expr()
+            take(")")
+            return node
+        if t is None or t in "&|)":
+            raise ValueError(f"expected a term at position {pos} in {query!r}")
+        words = tokenize_py(take())
+        if len(words) != 1:
+            raise ValueError(f"each leaf must be one term; got {t!r} in {query!r}")
+        return ("term", words[0])
+
+    def and_expr():
+        node = atom()
+        while peek() == "&":
+            take()
+            node = ("and", node, atom())
+        return node
+
+    def or_expr():
+        node = and_expr()
+        while peek() == "|":
+            take()
+            node = ("or", node, and_expr())
+        return node
+
+    ast = or_expr()
+    if pos != len(tokens_lex):
+        raise ValueError(f"trailing input {tokens_lex[pos:]!r} in {query!r}")
+    return ast
+
+
+def positive_terms(ast) -> list[str]:
+    """Terms at even negation depth — the ones whose presence the query
+    rewards; ranking counts their occurrences (first-seen order)."""
+    out: dict[str, None] = {}
+
+    def walk(node, neg: bool):
+        kind = node[0]
+        if kind == "term":
+            if not neg:
+                out.setdefault(node[1])
+        elif kind == "not":
+            walk(node[1], not neg)
+        else:
+            walk(node[1], neg)
+            walk(node[2], neg)
+
+    walk(ast, False)
+    return list(out)
+
+
+def boolean_topk(
+    docs: DataFrame,
+    query: str,
+    k: int,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Boolean full-text search with pg ``to_tsquery`` semantics
+    (``postgres.py:358-365`` exposes the plainto AND form; this is the
+    full operator grammar those backends accept): a document matches when
+    the boolean expression over "term appears as a token" is true; matches
+    rank by total occurrences of the query's positive terms (the tf
+    convention shared with the reference's scan fallback), ties by id.
+
+    Zero-shuffle scan: the predicate and the tf score are each one
+    map-side expression over the bound token array."""
+    ast = parse_boolean_query(query)
+    pos_terms = positive_terms(ast)
+
+    def _eval(tk):
+        def pred(node):
+            kind = node[0]
+            if kind == "term":
+                return F.array_contains(tk, node[1])
+            if kind == "not":
+                return ~pred(node[1])
+            left, right = pred(node[1]), pred(node[2])
+            return (left & right) if kind == "and" else (left | right)
+
+        if pos_terms:
+            plit = F.array(*[F.lit(t) for t in pos_terms])
+            score = F.size(F.filter(tk, lambda t: F.array_contains(plit, t)))
+        else:
+            score = F.lit(0)  # pure-negation query: constant rank, id order
+        return F.when(pred(ast), score).otherwise(F.lit(-1))
+
+    matched = with_bound_tokens(F.col(content_col), _eval)
+    scored = docs.withColumn("score", matched.cast("double")).where(F.col("score") >= 0)
+    return (
+        scored.select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

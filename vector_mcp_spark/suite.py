@@ -141,8 +141,8 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 # up to 50.
 # ROUND 11 TODO: lead with the _ROUND10_FILL entries displaced past slot 50
 # this round — recompute as (_ROUND10_LEAD + _PROMOTED_R10 +
-# _ROUND10_FILL)[50:] (with the 17 _PROMOTED_R10 entries that is the last 31
-# r6-latest keys alphabetically: embedding_diag_mahalanobis through
+# _ROUND10_FILL)[50:] (with the 18 _PROMOTED_R10 entries that is the last 32
+# r6-latest keys alphabetically: embedding_covariance_cells through
 # tpch_q12_ship_latency) — then _PROMOTED_R11, then the
 # r7-latest entries (CORRECTNESS_r07 keys minus any later-green,
 # alphabetical) up to 50.
@@ -193,6 +193,7 @@ _PROMOTED_R10: list[str] = [
     "events_ewma_daily",
     "semantic_recommend_best_score",
     "semantic_context_topk",
+    "lexical_boolean",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r6 = CORRECTNESS_r06

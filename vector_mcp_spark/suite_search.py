@@ -1188,3 +1188,50 @@ def q_lexical_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, _PROX_FIRST, _PROX_SECOND, _PROX_WINDOW, LEX_K,
         id_col="doc_id", content_col="text",
     )
+
+
+# ---------------------------------------------------------------------------
+# Boolean full-text query — pg to_tsquery grammar (& | ! parentheses)
+# ---------------------------------------------------------------------------
+
+_BOOL_QUERY = "spark & (join | vector) & !slow"
+
+
+def _bool_oracle() -> str:
+    from vector_mcp_spark.operators.lexical import parse_boolean_query, positive_terms
+
+    ast = parse_boolean_query(_BOOL_QUERY)
+
+    def render(node) -> str:
+        kind = node[0]
+        if kind == "term":
+            return f"list_contains(a, '{node[1]}')"
+        if kind == "not":
+            return f"(NOT {render(node[1])})"
+        op = "AND" if kind == "and" else "OR"
+        return f"({render(node[1])} {op} {render(node[2])})"
+
+    pos = ", ".join(f"'{t}'" for t in positive_terms(ast))
+    return f"""
+WITH arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]{{2,}}') AS a
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(a, t -> t IN ({pos}))) AS DOUBLE) AS score
+FROM arrs
+WHERE {render(ast)}
+ORDER BY len(list_filter(a, t -> t IN ({pos}))) DESC, doc_id ASC
+LIMIT {LEX_K}
+"""
+
+
+@register("lexical_boolean", _bool_oracle(), "search", "lexical")
+def q_lexical_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean to_tsquery search: the SQL WHERE clause and the positive-term
+    score are rendered from the SAME parsed AST the Spark operator
+    evaluates, so the two engines cannot disagree on the grammar."""
+    from vector_mcp_spark.operators.lexical import boolean_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return boolean_topk(docs, _BOOL_QUERY, LEX_K, id_col="doc_id", content_col="text")
