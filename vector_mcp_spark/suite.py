@@ -133,19 +133,19 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
 #
 # Registration order is the driver's correctness-check order, and the driver
 # verifies only the first 50 entries per round. Rotate so every entry gets an
-# oracle row across rounds. Round 10 window (see lists below the imports):
-# the 14 _ROUND9_FILL entries displaced past slot 50 last round (latest
-# driver rows r5, the stalest in the registry), then new round-10 operators
-# (_PROMOTED_R10, so they get a driver row the round they ship), then the 50
-# entries whose latest driver row is r6 (CORRECTNESS_r06 keys, alphabetical)
-# up to 50.
-# ROUND 11 TODO: lead with the _ROUND10_FILL entries displaced past slot 50
-# this round — recompute as (_ROUND10_LEAD + _PROMOTED_R10 +
-# _ROUND10_FILL)[50:] (with the 18 _PROMOTED_R10 entries that is the last 32
-# r6-latest keys alphabetically: embedding_covariance_cells through
-# tpch_q12_ship_latency) — then _PROMOTED_R11, then the
-# r7-latest entries (CORRECTNESS_r07 keys minus any later-green,
-# alphabetical) up to 50.
+# oracle row across rounds. Round 11 window (see lists below the imports):
+# the 32 _ROUND10_FILL entries displaced past slot 50 last round (latest
+# driver rows r6, the stalest in the registry — exactly
+# (_ROUND10_LEAD + _PROMOTED_R10 + _ROUND10_FILL)[50:] of the r10 lists,
+# recorded in git history at d5867f3), then new round-11 operators
+# (_PROMOTED_R11, so they get a driver row the round they ship), then the
+# entries whose latest driver row is r7 (CORRECTNESS_r07 keys minus any
+# later-green, alphabetical) up to 50.
+# ROUND 12 TODO: lead with the _ROUND11_FILL entries displaced past slot 50
+# this round — recompute as (_ROUND11_LEAD + _PROMOTED_R11 +
+# _ROUND11_FILL)[50:] — then _PROMOTED_R12, then the remaining r7-latest
+# entries and (if slots remain) the stalest r8 greens, alphabetical, up
+# to 50.
 from vector_mcp_spark import suite_relational  # noqa: E402,F401
 from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401
@@ -153,71 +153,10 @@ from vector_mcp_spark import suite_mutation  # noqa: E402,F401
 from vector_mcp_spark import suite_tpch  # noqa: E402,F401
 from vector_mcp_spark import suite_mining  # noqa: E402,F401
 from vector_mcp_spark import suite_vecapi  # noqa: E402,F401
-# --- Round-10 window -------------------------------------------------------
-# (a) The 14 _ROUND9_FILL entries displaced past slot 50 last round (latest
-# driver rows r5, the stalest in the registry).
-_ROUND10_LEAD = [
-    "multimodal_image_dims",
-    "multimodal_video_meta",
-    "semantic_late_interaction",
-    "streaming_continuous_aggregate",
-    "token_counts",
-    "top_bigrams",
-    "tpch_q11_important_parts",
-    "tpch_q13_custdist",
-    "tpch_q16_supplier_cnt",
-    "tpch_q20_part_share_suppliers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q5_local_supplier",
-    "tpch_q9_product_profit",
-]
-
-# (b) New round-10 operators are appended here as they land so they get a
-# driver row the round they ship (each displaces one _ROUND10_FILL slot).
-_PROMOTED_R10: list[str] = [
-    "ann_filtered_routed_topk",
-    "hybrid_indexed_rrf",
-    "events_tdigest_quantiles",
-    "ann_ivfpq_topk",
-    "dedup_canonicalize",
-    "streaming_tdigest_value",
-    "events_tdigest_read",
-    "ann_ivfpq_rerank_topk",
-    "lexical_phrase",
-    "lexical_rm3_expansion",
-    "semantic_payload_boost_topk",
-    "events_autocorrelation",
-    "lexical_more_like_this",
-    "lexical_proximity",
-    "events_ewma_daily",
-    "semantic_recommend_best_score",
-    "semantic_context_topk",
-    "lexical_boolean",
-]
-
-# (c) Stalest remaining greens (latest driver rows r6 = CORRECTNESS_r06
-# keys, alphabetical). Entries displaced past slot 50 here head the
-# ROUND-11 window.
-_ROUND10_FILL = [
-    "corpus_bigram_heldout_ppl",
-    "corpus_bigram_logprob",
-    "corpus_bpe_merges",
-    "corpus_bpe_top_tokens",
-    "corpus_collocations_pmi",
-    "corpus_curation_funnel",
-    "corpus_curriculum_sample",
-    "corpus_doc_keywords",
-    "corpus_lang_confusion",
-    "corpus_lang_source_chi2",
-    "corpus_pii_report",
-    "corpus_quality_percentile_by_source",
-    "corpus_shard_assignment",
-    "corpus_source_cap",
-    "corpus_span_novelty",
-    "corpus_stratified_sample",
-    "dedup_clusters",
-    "dedup_sorted_neighborhood",
+# --- Round-11 window -------------------------------------------------------
+# (a) The 32 _ROUND10_FILL entries displaced past slot 50 last round (latest
+# driver rows r6, the stalest in the registry).
+_ROUND11_LEAD = [
     "embedding_covariance_cells",
     "embedding_diag_mahalanobis",
     "embedding_isotropy_report",
@@ -252,7 +191,67 @@ _ROUND10_FILL = [
     "tpch_q12_ship_latency",
 ]
 
-_window = (_ROUND10_LEAD + _PROMOTED_R10 + _ROUND10_FILL)[:50]
+# (b) New round-11 operators are appended here as they land so they get a
+# driver row the round they ship (each displaces one _ROUND11_FILL slot).
+_PROMOTED_R11: list[str] = []
+
+# (c) Stalest remaining greens (latest driver rows r7 = CORRECTNESS_r07
+# keys minus any later-green, alphabetical). Entries displaced past slot 50
+# here head the ROUND-12 window.
+_ROUND11_FILL = [
+    "asof_latest_event",
+    "chunk_documents",
+    "corpus_semdedup",
+    "corpus_strip_repeated_spans",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_normalized",
+    "delete_by_ids",
+    "embedding_distance_matrix",
+    "embedding_mrl_recall",
+    "embedding_near_dup",
+    "engine_lifecycle",
+    "events_daily_pivot",
+    "events_daily_windows",
+    "events_histogram_quantiles",
+    "events_ohlc_bars",
+    "events_rollup",
+    "events_sliding_windows",
+    "events_time_travel",
+    "events_top_users",
+    "events_user_running_total",
+    "events_value_quantiles",
+    "federated_search",
+    "get_by_ids",
+    "hybrid_dbsf",
+    "hybrid_multiquery",
+    "hybrid_rrf",
+    "lexical_and",
+    "lexical_bm25",
+    "lexical_multiquery",
+    "lexical_substring",
+    "payload_facet_counts",
+    "rag_eval_metrics",
+    "sanitize_content",
+    "semantic_discover",
+    "semantic_filtered_topk",
+    "semantic_grouped_topk",
+    "semantic_recommend",
+    "semantic_scroll_page",
+    "set_ops_intersect_except",
+    "simhash_fingerprints",
+    "simjoin_top1",
+    "sparse_vector_topk",
+    "streaming_windowed_events",
+    "text_stats",
+    "top_revenue_nations",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "upsert_merge",
+]
+
+_window = (_ROUND11_LEAD + _PROMOTED_R11 + _ROUND11_FILL)[:50]
 _missing = [n for n in _window if n not in SUITE]
 if _missing:  # fail loudly at import so a typo can't silently shrink coverage
     raise RuntimeError(f"rotation names not in SUITE: {_missing}")
