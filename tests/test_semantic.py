@@ -224,3 +224,68 @@ def test_payload_boost_reorders_by_decay(spark):
         df, [1.0, 0.0], 3, boost_col="n_chars", target=300.0, scale=150.0, weight=0.0
     ).collect()
     assert [r.id for r in flat] == [1, 2, 3]  # pure cosine, id tie-break
+
+
+def test_topk_dot_matches_python_brute_force(coll):
+    q = hash_embed("machine learning", 64)
+    got = semantic_topk(coll, q, 5, id_col="doc_id", metric="dot").collect()
+    rows = coll.select("doc_id", "embedding").collect()
+    expect = sorted(
+        (
+            (r.doc_id, sum(float(x) * float(y) for x, y in zip(r.embedding, q)))
+            for r in rows
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [r.doc_id for r in got] == [d for d, _ in expect]
+    for r, (_, s) in zip(got, expect):
+        assert abs(r.score - s) < 1e-6
+
+
+def test_topk_l2_matches_python_brute_force_and_ascends(coll):
+    q = hash_embed("machine learning", 64)
+    got = semantic_topk(coll, q, 5, id_col="doc_id", metric="l2").collect()
+    rows = coll.select("doc_id", "embedding").collect()
+    expect = sorted(
+        (
+            (
+                r.doc_id,
+                math.sqrt(sum((float(x) - float(y)) ** 2 for x, y in zip(r.embedding, q))),
+            )
+            for r in rows
+        ),
+        key=lambda t: (t[1], t[0]),
+    )[:5]
+    assert [r.doc_id for r in got] == [d for d, _ in expect]
+    scores = [r.score for r in got]
+    assert scores == sorted(scores)  # L2 ranks ascend (lower is better)
+    for r, (_, s) in zip(got, expect):
+        assert abs(r.score - s) < 1e-6
+
+
+def test_topk_l2_threshold_keeps_only_within_bound(coll):
+    q = hash_embed("machine learning", 64)
+    # derive the bound from the data: the 3rd-smallest distance
+    bound = semantic_topk(coll, q, 3, id_col="doc_id", metric="l2").collect()[-1].score
+    got = semantic_topk(
+        coll, q, 1000, id_col="doc_id", metric="l2", distance_threshold=bound
+    ).collect()
+    assert got, "bound is an attained distance, at least one row must survive"
+    assert all(r.score <= bound for r in got)
+    assert len(got) <= 4  # the 3 best (+1 possible 6-dp rounding tie)
+
+
+def test_topk_dot_threshold_is_min_score(coll):
+    q = hash_embed("machine learning", 64)
+    allr = semantic_topk(coll, q, 1000, id_col="doc_id", metric="dot").collect()
+    mid = allr[len(allr) // 2].score
+    got = semantic_topk(
+        coll, q, 1000, id_col="doc_id", metric="dot", distance_threshold=mid
+    ).collect()
+    assert got and all(r.score >= mid for r in got)
+    assert len(got) < len(allr)
+
+
+def test_topk_unknown_metric_raises(coll):
+    with pytest.raises(ValueError, match="metric"):
+        semantic_topk(coll, hash_embed("x", 64), 5, id_col="doc_id", metric="manhattan")

@@ -295,3 +295,40 @@ def test_filtered_ann_selectivity_routing(embs):
     for r in rows:
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(len(v) <= 5 for v in per_q.values())
+
+
+def test_ivf_l2_recall_vs_exact(embs):
+    """L2-metric IVF (pgvector <-> / qdrant EUCLID route): build and probe
+    under Euclidean distance; recall gate vs exact L2 top-5 mirrors the
+    cosine gate above."""
+    import math
+
+    from vector_mcp_spark.operators.similarity import ann_ivf_topk, ivf_build
+
+    queries = embs.where(F.col("vec_id") < 20)
+    assigned, centroids = ivf_build(embs, n_centroids=16, id_col="vec_id", metric="l2")
+    approx = ann_ivf_topk(
+        queries, assigned, centroids, 5, nprobe=12, id_col="vec_id", metric="l2"
+    ).collect()
+    # exact L2 top-5 per query, computed driver-side on the tiny fixture
+    rows = embs.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    exact = set()
+    for qid in range(20):
+        qv = vecs[qid]
+        d = sorted(
+            (
+                (math.sqrt(sum((x - y) ** 2 for x, y in zip(v, qv))), nid)
+                for nid, v in vecs.items()
+                if nid != qid
+            ),
+        )[:5]
+        exact |= {(qid, nid) for _, nid in d}
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    rec = len(exact & got) / len(exact)
+    assert rec >= 0.85, f"IVF-L2(16 centroids, nprobe=12) recall@5 {rec} < 0.85"
+    # scores ascend per query (lower distance = better rank)
+    by_q = {}
+    for r in sorted(approx, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.score)
+    assert all(s == sorted(s) for s in by_q.values())

@@ -95,6 +95,63 @@ def cosine_similarity_lit(col: Column | str, vec: Sequence[float]) -> Column:
     return F.try_divide(dot_lit(col, vec), l2_norm_fixed(col, len(vec)) * l2_norm_lit(vec))
 
 
+def sq_norm_fixed(col: Column | str, dim: int) -> Column:
+    """Codegen'd SUM of squares (no sqrt) for a known dimension — the same
+    left-associative fold as DuckDB ``list_dot_product(e, e)``, so the two
+    are bit-equal on identical float32→float64 widened inputs."""
+    col = F.col(col) if isinstance(col, str) else col
+    acc: Column | None = None
+    for i in range(dim):
+        x = col[i].cast("double")
+        term = x * x
+        acc = term if acc is None else acc + term
+    return acc if acc is not None else F.lit(0.0)
+
+
+def sq_norm_py(vec: Sequence[float]) -> float:
+    """Sequential-fold sum of squares of a Python vector — inline this
+    EXACT float into both the Spark plan and the oracle SQL so the query
+    side of an L2 expansion is the same constant in both engines."""
+    s = 0.0
+    for x in vec:
+        s += float(x) * float(x)
+    return s
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    """Euclidean distance between two array columns via the expansion
+    ``sqrt(max(0, ||a||² + ||b||² − 2·a·b))`` — three sequential-fold dot
+    products instead of a zip-subtract-square fold, so a DuckDB oracle
+    written with ``list_dot_product`` terms reproduces the arithmetic
+    bit-for-bit. ``greatest(0, ·)`` guards the tiny negative the expansion
+    can produce for near-identical vectors (both engines guard alike).
+
+    This is the pgvector ``<->`` / qdrant ``Distance.EUCLID`` scoring
+    convention (``vector_mcp/vectordb/postgres.py:316-348`` serves
+    ``<=>``/``<->``/``<#>`` per index opclass; ``qdrant.py:122-127`` pins
+    COSINE but the enum carries EUCLID/DOT): LOWER is better.
+    """
+    aa = F.aggregate(
+        F.transform(_as_double_array(a), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    bb = F.aggregate(
+        F.transform(_as_double_array(b), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return F.sqrt(F.greatest(F.lit(0.0), aa + bb - F.lit(2.0) * dot(a, b)))
+
+
+def l2_distance_lit(col: Column | str, vec: Sequence[float]) -> Column:
+    """Codegen'd Euclidean distance against a literal query vector;
+    same expansion (and fold order) as ``l2_distance``."""
+    return F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            sq_norm_fixed(col, len(vec)) + F.lit(sq_norm_py(vec))
+            - F.lit(2.0) * dot_lit(col, vec),
+        )
+    )
+
+
 def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     """Codegen'd column×column dot for a known dimension; same
     left-associative summation order as ``dot`` — bit-equal results."""

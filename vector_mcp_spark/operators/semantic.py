@@ -32,9 +32,44 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_mcp_spark.functions.vector import cosine_similarity, cosine_similarity_lit
+from vector_mcp_spark.functions.vector import (
+    cosine_similarity,
+    cosine_similarity_lit,
+    dot_lit,
+    l2_distance_lit,
+)
 
 SCORE_DECIMALS = 6
+
+# Distance/similarity conventions per metric — the three pgvector operators
+# (<=> cosine, <#> inner product, <-> L2; vector_mcp/vectordb/
+# postgres.py:316-348) and the qdrant Distance enum (COSINE/DOT/EUCLID,
+# qdrant.py:122-127). ``higher_is_better`` decides rank order; the
+# distance_threshold contract (base.py:189-211) maps per metric to "keep
+# hits at least as good as the bound": cosine → 1−sim ≤ t, l2 → dist ≤ t,
+# dot → score ≥ t.
+_METRICS = {"cosine": True, "dot": True, "l2": False}
+
+
+def _score_lit(emb_col: str, query_vec: Sequence[float], metric: str):
+    """(score column, higher_is_better) for a literal query vector."""
+    if metric not in _METRICS:
+        raise ValueError(f"unknown metric {metric!r}; one of {sorted(_METRICS)}")
+    col = F.col(emb_col)
+    if metric == "cosine":
+        return cosine_similarity_lit(col, query_vec), True
+    if metric == "dot":
+        return dot_lit(col, query_vec), True
+    return l2_distance_lit(col, query_vec), False
+
+
+def _threshold_pred(metric: str, threshold: float):
+    t = F.lit(float(threshold))
+    if metric == "cosine":
+        return F.lit(1.0) - F.col("score") <= t
+    if metric == "l2":
+        return F.col("score") <= t
+    return F.col("score") >= t
 
 
 def with_similarity(
@@ -56,19 +91,29 @@ def semantic_topk(
     emb_col: str = "embedding",
     payload_cols: Sequence[str] = (),
     distance_threshold: float | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact cosine top-k for one query vector.
+    """Exact top-k for one query vector under ``metric`` ∈ {cosine, dot,
+    l2} — the three pgvector operators (``postgres.py:316-348``) / qdrant
+    ``Distance`` variants (``qdrant.py:122-127``); the reference pins
+    cosine, a migrating pgvector user gets all three here.
 
     Returns ``(id_col, *payload_cols, score)`` with score rounded to 6 dp,
-    ordered by (score desc, id asc). Plans as TakeOrderedAndProject.
+    ordered best-first (desc for cosine/dot, asc for l2), ties by id asc.
+    Plans as TakeOrderedAndProject either way.
     """
-    scored = with_similarity(docs, query_vec, emb_col)
-    if distance_threshold is not None and distance_threshold >= 0:
-        # base.py:189-211 — keep cosine_distance <= threshold; skip if < 0
-        scored = scored.where(F.lit(1.0) - F.col("score") <= F.lit(float(distance_threshold)))
+    score_col, higher = _score_lit(emb_col, query_vec, metric)
+    scored = docs.withColumn("score", score_col)
+    # base.py:189-211 — keep hits within the bound; a negative bound means
+    # "no threshold" for the DISTANCE metrics (cosine distance ∈ [0,2],
+    # l2 ≥ 0), but is a legitimate minimum score for dot (inner products
+    # go negative), so dot applies any non-None bound.
+    if distance_threshold is not None and (metric == "dot" or distance_threshold >= 0):
+        scored = scored.where(_threshold_pred(metric, distance_threshold))
+    order = F.col("score").desc() if higher else F.col("score").asc()
     return (
         scored.select(id_col, *payload_cols, "score")
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .orderBy(order, F.col(id_col).asc())
         .limit(k)
         .withColumn("score", F.round("score", SCORE_DECIMALS))
     )

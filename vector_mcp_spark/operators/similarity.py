@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_mcp_spark.functions.vector import cosine_similarity, dot, l2_norm
+from vector_mcp_spark.functions.vector import cosine_similarity, dot, l2_distance, l2_norm
 
 # Pairwise scoring below precomputes each vector's norm ONCE before the
 # join (norms ride along as a narrow double column) and divides the per-pair
@@ -419,27 +419,45 @@ def embedding_near_dup_pairs(
 
 
 def assign_clusters(
-    df: DataFrame, centroids: list[list[float]], emb_col: str = "embedding"
+    df: DataFrame, centroids: list[list[float]], emb_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Nearest-centroid-by-cosine assignment as ONE Arrow-batched matmul
-    per batch (B×d @ d×K) — the 16-way interpreted HOF fold was the
-    build's bottleneck; ties go to the first max index (np.argmax),
+    """Nearest-centroid assignment as ONE Arrow-batched matmul per batch
+    (B×d @ d×K) — the 16-way interpreted HOF fold was the build's
+    bottleneck; ties go to the first best index (np.argmax/argmin),
     matching array_position semantics. Shared by the offline IVF build and
     online streaming index maintenance (assignment against frozen
-    centroids is the serving-path operation)."""
+    centroids is the serving-path operation).
+
+    ``metric``: "cosine" (argmax similarity) or "l2" (argmin Euclidean —
+    via the ||v||²−2·v·c+||c||² expansion, still one matmul)."""
     from pyspark.sql.functions import pandas_udf
 
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
     cmat = np.asarray(centroids, dtype=np.float64).T  # d × K
     cnorm = np.linalg.norm(cmat, axis=0)
-    cnorm[cnorm == 0] = 1.0
+    csq = cnorm * cnorm
 
-    @pandas_udf("int")
-    def nearest(col: pd.Series) -> pd.Series:
-        mat = np.asarray(col.tolist(), dtype=np.float64)  # B × d
-        vnorm = np.linalg.norm(mat, axis=1)
-        vnorm[vnorm == 0] = 1.0
-        sims = (mat @ cmat) / (vnorm[:, None] * cnorm[None, :])
-        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+    if metric == "cosine":
+        cn = cnorm.copy()
+        cn[cn == 0] = 1.0
+
+        @pandas_udf("int")
+        def nearest(col: pd.Series) -> pd.Series:
+            mat = np.asarray(col.tolist(), dtype=np.float64)  # B × d
+            vnorm = np.linalg.norm(mat, axis=1)
+            vnorm[vnorm == 0] = 1.0
+            sims = (mat @ cmat) / (vnorm[:, None] * cn[None, :])
+            return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+    else:
+
+        @pandas_udf("int")
+        def nearest(col: pd.Series) -> pd.Series:
+            mat = np.asarray(col.tolist(), dtype=np.float64)  # B × d
+            vsq = np.einsum("ij,ij->i", mat, mat)
+            d2 = vsq[:, None] - 2.0 * (mat @ cmat) + csq[None, :]
+            return pd.Series(np.argmin(d2, axis=1).astype("int32"))
 
     return df.withColumn("cluster", nearest(F.col(emb_col)))
 
@@ -450,6 +468,7 @@ def ivf_build(
     id_col: str = "id",
     emb_col: str = "embedding",
     max_iter: int = 3,
+    metric: str = "cosine",
 ) -> tuple[DataFrame, list[list[float]]]:
     """Coarse quantizer for IVF ANN: deterministic Lloyd's k-means.
 
@@ -475,7 +494,7 @@ def ivf_build(
     centroids = [[float(x) for x in r.v] for r in seed_rows]
 
     def assign(df: DataFrame, cents: list[list[float]]) -> DataFrame:
-        return assign_clusters(df, cents, emb_col=emb_col)
+        return assign_clusters(df, cents, emb_col=emb_col, metric=metric)
 
     for _ in range(max_iter):
         assigned = assign(corpus, centroids)
@@ -500,24 +519,34 @@ def ann_ivf_topk(
     nprobe: int = 4,
     id_col: str = "id",
     emb_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """IVF query: per query, rank centroids by cosine, probe the top
-    ``nprobe`` clusters, exact-cosine re-rank inside them. Returns
-    (query_id, rank, neighbor_id, score). Recall is tuned by nprobe — the
-    beam-width analogue of the reference's Mongo ``numCandidates``
-    (``mongodb.py:277``)."""
+    """IVF query: per query, rank centroids by ``metric``, probe the top
+    ``nprobe`` clusters, exact re-rank inside them under the same metric
+    ("cosine" desc or "l2" asc — pgvector <-> / qdrant Distance.EUCLID).
+    Returns (query_id, rank, neighbor_id, score). Recall is tuned by
+    nprobe — the beam-width analogue of the reference's Mongo
+    ``numCandidates`` (``mongodb.py:277``)."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
     cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("qvec"),
         l2_norm(F.col(emb_col)).alias("qnorm"),
     )
-    sims = F.transform(cent_lit, lambda c: cosine_similarity(F.col("qvec"), c))
+    if metric == "cosine":
+        cscores = F.transform(cent_lit, lambda c: cosine_similarity(F.col("qvec"), c))
+        # best centroid first = largest similarity → sort by negated score
+        rank_key = "-s AS s"
+    else:
+        cscores = F.transform(cent_lit, lambda c: l2_distance(F.col("qvec"), c))
+        rank_key = "s AS s"
     ranked = F.expr(
         "transform(array_sort(zip_with(_csims, sequence(0, size(_csims) - 1), "
-        "(s, i) -> struct(-s AS negs, i AS idx))), p -> p.idx)"
+        f"(s, i) -> struct({rank_key}, i AS idx))), p -> p.idx)"
     )
     q = (
-        q.withColumn("_csims", sims)
+        q.withColumn("_csims", cscores)
         .withColumn("cluster", F.explode(F.slice(ranked, 1, nprobe)))
         .drop("_csims")
     )
@@ -526,10 +555,26 @@ def ann_ivf_topk(
         l2_norm(F.col(emb_col)).alias("nnorm"), "cluster"
     )
     joined = c.join(F.broadcast(q), "cluster").where(F.col("query_id") != F.col("neighbor_id"))
-    scored = joined.withColumn(
-        "score", F.try_divide(dot(F.col("nvec"), F.col("qvec")), F.col("nnorm") * F.col("qnorm"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    if metric == "cosine":
+        scored = joined.withColumn(
+            "score",
+            F.try_divide(dot(F.col("nvec"), F.col("qvec")), F.col("nnorm") * F.col("qnorm")),
+        )
+        order = F.col("score").desc()
+    else:
+        # reuse the precomputed norms: dist = sqrt(max(0, ‖n‖²+‖q‖²−2·n·q))
+        scored = joined.withColumn(
+            "score",
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("nnorm") * F.col("nnorm") + F.col("qnorm") * F.col("qnorm")
+                    - F.lit(2.0) * dot(F.col("nvec"), F.col("qvec")),
+                )
+            ),
+        )
+        order = F.col("score").asc()
+    w = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id").asc())
     return (
         scored.select("query_id", "neighbor_id", "score")
         .withColumn("rank", F.row_number().over(w))

@@ -128,6 +128,26 @@ def _cosine_sql(emb_expr: str, vec: list[float]) -> str:
     )
 
 
+def _dot_sql(emb_expr: str, vec: list[float]) -> str:
+    """Inner-product score (pgvector <#> convention, sign-flipped to
+    higher-is-better) — same sequential fold as Spark's dot_lit."""
+    return f"list_dot_product({emb_expr}::DOUBLE[], {_vec_sql_literal(vec)})"
+
+
+def _l2_sql(emb_expr: str, vec: list[float]) -> str:
+    """Euclidean distance via the same ||d||² + ||q||² − 2·d·q expansion
+    (and the same query-side constant) as functions.vector.l2_distance_lit,
+    so both engines do bit-identical arithmetic."""
+    from vector_mcp_spark.functions.vector import sq_norm_py
+
+    q = _vec_sql_literal(vec)
+    qq = repr(sq_norm_py(vec))
+    return (
+        f"sqrt(greatest(0.0, list_dot_product({emb_expr}::DOUBLE[], {emb_expr}::DOUBLE[]) "
+        f"+ {qq} - 2.0 * list_dot_product({emb_expr}::DOUBLE[], {q})))"
+    )
+
+
 # Query-suite modules register themselves on import (bottom import keeps the
 # registry and its helpers defined before the modules need them).
 #
@@ -193,7 +213,10 @@ _ROUND11_LEAD = [
 
 # (b) New round-11 operators are appended here as they land so they get a
 # driver row the round they ship (each displaces one _ROUND11_FILL slot).
-_PROMOTED_R11: list[str] = []
+_PROMOTED_R11: list[str] = [
+    "semantic_topk_dot",
+    "semantic_topk_l2",
+]
 
 # (c) Stalest remaining greens (latest driver rows r7 = CORRECTNESS_r07
 # keys minus any later-green, alphabetical). Entries displaced past slot 50

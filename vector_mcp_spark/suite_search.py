@@ -27,6 +27,8 @@ from vector_mcp_spark.suite import (
     SEM_K,
     SEM_QUERY_VEC,
     _cosine_sql,
+    _dot_sql,
+    _l2_sql,
     _vec_sql_literal,
     docs_with_embeddings,
     load,
@@ -1235,3 +1237,51 @@ def q_lexical_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return boolean_topk(docs, _BOOL_QUERY, LEX_K, id_col="doc_id", content_col="text")
+
+
+# ---------------------------------------------------------------------------
+# Q1 metric twins — dot-product and L2 distance scoring (pgvector <#> / <->,
+# postgres.py:316-348; qdrant Distance.DOT / EUCLID, qdrant.py:122-127)
+# ---------------------------------------------------------------------------
+
+_DOT_ORACLE = f"""
+SELECT d.doc_id AS doc_id,
+       ROUND({_dot_sql('e.embedding', SEM_QUERY_VEC)}, 6) AS score
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY {_dot_sql('e.embedding', SEM_QUERY_VEC)} DESC, d.doc_id ASC
+LIMIT {SEM_K}
+"""
+
+
+@register("semantic_topk_dot", _DOT_ORACLE, "search", "parity")
+def q_semantic_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner-product top-k (higher is better) — the score a migrating
+    pgvector user gets from ``ORDER BY embedding <#> q`` (sign-flipped)."""
+    from vector_mcp_spark.operators.semantic import semantic_topk
+
+    coll = docs_with_embeddings(spark, sf_dir)
+    return semantic_topk(
+        coll, SEM_QUERY_VEC, SEM_K, id_col="doc_id", emb_col="embedding", metric="dot"
+    )
+
+
+_L2_ORACLE = f"""
+SELECT d.doc_id AS doc_id,
+       ROUND({_l2_sql('e.embedding', SEM_QUERY_VEC)}, 6) AS score
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY {_l2_sql('e.embedding', SEM_QUERY_VEC)} ASC, d.doc_id ASC
+LIMIT {SEM_K}
+"""
+
+
+@register("semantic_topk_l2", _L2_ORACLE, "search", "parity")
+def q_semantic_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean-distance top-k (LOWER is better; rank order ascends) —
+    pgvector ``<->`` / qdrant ``Distance.EUCLID``. Scored via the
+    ||d||²+||q||²−2·d·q expansion on both engines (bit-equal folds)."""
+    from vector_mcp_spark.operators.semantic import semantic_topk
+
+    coll = docs_with_embeddings(spark, sf_dir)
+    return semantic_topk(
+        coll, SEM_QUERY_VEC, SEM_K, id_col="doc_id", emb_col="embedding", metric="l2"
+    )
