@@ -74,6 +74,9 @@ HEAVY = [
     "semantic_recommend_best_score",
     "semantic_context_topk",
     "lexical_boolean",
+    "semantic_topk_dot",
+    "semantic_topk_l2",
+    "hybrid_sparse_dense",
 ]
 
 

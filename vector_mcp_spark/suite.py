@@ -216,6 +216,7 @@ _ROUND11_LEAD = [
 _PROMOTED_R11: list[str] = [
     "semantic_topk_dot",
     "semantic_topk_l2",
+    "hybrid_sparse_dense",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r7 = CORRECTNESS_r07

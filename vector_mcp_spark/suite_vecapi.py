@@ -440,3 +440,71 @@ def q_semantic_context_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     coll = docs_with_embeddings(spark, sf_dir)
     return context_topk(coll, DISC_PAIRS, DISC_K, id_col="doc_id", emb_col="embedding")
+
+
+# ---------------------------------------------------------------------------
+# Sparse+dense indexed hybrid — the SPLADE-style fusion qdrant serves with
+# named sparse vectors next to the dense HNSW index (qdrant named-vector
+# queries + Fusion.RRF; the reference pins the dense leg, vector_mcp/
+# vectordb/qdrant.py:122-127). Dense leg = the shared HNSW-style graph
+# beam; sparse leg = L1-normalized token-TF dot against the query's
+# {term: weight} map; fusion = the same weighted RRF as hybrid_rrf.
+# ---------------------------------------------------------------------------
+
+def _sparse_dense_oracle() -> str:
+    # suite_pipeline is fully initialized before suite_vecapi (suite.py
+    # import order), so the lazy import is safe at module load
+    from vector_mcp_spark.suite import HYBRID_N, HYBRID_W_LEX, HYBRID_W_SEM, RRF_K
+    from vector_mcp_spark.suite_pipeline import _hnsw_oracle
+
+    return f"""
+WITH dense AS (
+  SELECT neighbor_id AS doc_id, score FROM ({_hnsw_oracle()}) WHERE query_id = 0
+),
+dense_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM dense
+),
+sparse AS (SELECT doc_id, score FROM ({_SPARSE_ORACLE})),
+sparse_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM sparse
+),
+fused AS (
+  SELECT doc_id, SUM(contrib) AS s FROM (
+    SELECT doc_id, {HYBRID_W_SEM} / ({RRF_K} + rnk) AS contrib FROM dense_rank
+    UNION ALL
+    SELECT doc_id, {HYBRID_W_LEX} / ({RRF_K} + rnk) AS contrib FROM sparse_rank
+  ) GROUP BY doc_id
+)
+SELECT doc_id, ROUND(s, 6) AS score FROM fused
+ORDER BY ROUND(s, 6) DESC, doc_id ASC LIMIT {HYBRID_N}
+"""
+
+
+@register("hybrid_sparse_dense", _sparse_dense_oracle(), "search", "hybrid")
+def q_hybrid_sparse_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse+dense hybrid: the dense leg beam-descends the SAME cached
+    HNSW-style graph index the ANN entries share (query = doc 0's vector,
+    self excluded); the sparse leg is posting-list dot-product retrieval
+    (only matching postings shuffle). Both legs are index-served — at
+    scale neither touches the full corpus — and fuse in weighted RRF over
+    ≤ leg-k rows."""
+    from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk
+    from vector_mcp_spark.operators.hybrid import rrf_fuse
+    from vector_mcp_spark.operators.vecapi import sparse_dot_topk
+    from vector_mcp_spark.suite import HYBRID_N, HYBRID_W_LEX, HYBRID_W_SEM, RRF_K
+    from vector_mcp_spark.suite_pipeline import _HNSW_EF, _HNSW_K, _hnsw_index
+
+    embs = load(spark, sf_dir, "embeddings")
+    edges, meta = _hnsw_index(spark, sf_dir)
+    dense = ann_hnsw_topk(
+        embs.where(F.col("vec_id") == 0), embs, edges, meta["entry"],
+        k=_HNSW_K, ef=_HNSW_EF, id_col="vec_id",
+    ).select(F.col("neighbor_id").alias("doc_id"), "score")
+    docs = load(spark, sf_dir, "documents")
+    sparse = sparse_dot_topk(docs, SPARSE_QUERY, SPARSE_K, id_col="doc_id", content_col="text")
+    return rrf_fuse(
+        [(dense, HYBRID_W_SEM), (sparse, HYBRID_W_LEX)],
+        HYBRID_N, rrf_k=RRF_K, id_col="doc_id",
+    )
