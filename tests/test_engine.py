@@ -1578,6 +1578,8 @@ def test_repair_search_index_grows_and_serves(spark, tmp_path_factory):
     assert top[0].score == 1.0
     sem = eng.indexed_semantic_search("g", qv, k=3, shortlist=50).collect()
     assert sem and sem[0].content == "grown doc 3 zanzibar subject 3"
+    pq = eng.indexed_ivfpq_search("g", qv, k=3, nprobe=16, shortlist=250).collect()
+    assert pq and pq[0].content == "grown doc 3 zanzibar subject 3"
 
     # batch recall over the grown corpus >= the rebuild floor
     scoped = eng._require("g")
@@ -1729,3 +1731,94 @@ def test_payload_field_index_accelerates_and_never_lies(spark, tmp_path_factory)
         eng.count_by_payload("p", "x..y", "v")
     with pytest.raises(EngineError, match="collection_not_found"):
         eng.create_payload_index("nope", "team")
+
+
+def test_ivfpq_index_lifecycle(spark, tmp_path_factory):
+    """IVF-PQ as a first-class engine index family (VERDICT r10 #5):
+    build persists cluster-partitioned codes + frozen centroids/codebooks
+    in the manifest; serving goes probe → ADC shortlist → exact re-rank
+    and refuses when stale; repair appends codes against the FROZEN
+    codebooks; a pre-ivfpq manifest reports stale and refuses."""
+    import json
+
+    import pytest
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions.embedder import embed_documents, hash_embed
+    from vector_mcp_spark.operators.semantic import semantic_topk
+    from vector_mcp_spark.validation import EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("ivfpq_root")))
+    eng.create_collection("pq")
+    eng.add_documents("pq", [f"pq doc {i} flavor {i % 9}" for i in range(80)])
+    qv = hash_embed("pq doc 7 flavor 7", 64)
+
+    with pytest.raises(EngineError, match="index_not_fresh"):
+        eng.indexed_ivfpq_search("pq", qv, k=5)
+
+    eng.build_search_index("pq")
+    assert eng.index_status("pq") == "fresh"
+
+    # full probe + shortlist >= corpus -> the exact re-rank sees every row,
+    # so the served result must EQUAL the exact cosine top-k
+    served = eng.indexed_ivfpq_search("pq", qv, k=5, nprobe=16, shortlist=100).collect()
+    docs = embed_documents(eng.read("pq"), text_col="content", out_col="embedding")
+    exact = semantic_topk(docs, qv, 5, id_col="id", emb_col="embedding").collect()
+    assert [r.id for r in served] == [r.id for r in exact]
+    assert [r.score for r in served] == [r.score for r in exact]
+
+    # the codes table is partitioned by cluster (probe -> partition pruning)
+    scoped = eng._require("pq")
+    root = eng._index_root(scoped)
+    parts = [p.name for p in (root / "ivfpq").iterdir() if p.name.startswith("cluster=")]
+    assert parts, "ivfpq codes must be cluster-partitioned"
+    manifest = json.loads((root / "manifest.json").read_text())
+    assert manifest["ivfpq"]["m"] == 4 and manifest["ivfpq"]["n_codes"] == 16
+
+    # mutation -> stale -> refuse
+    eng.add_documents("pq", ["brand new xylophone entry"])
+    assert eng.index_status("pq") == "stale"
+    with pytest.raises(EngineError, match="index_not_fresh"):
+        eng.indexed_ivfpq_search("pq", qv, k=5)
+
+    # repair appends codes against the frozen codebooks; the new doc is
+    # reachable through the repaired IVF-PQ serving path
+    eng.repair_search_index("pq")
+    assert eng.index_status("pq") == "repaired"
+    manifest2 = json.loads((root / "manifest.json").read_text())
+    assert manifest2["ivfpq"]["codebooks"] == manifest["ivfpq"]["codebooks"]
+    qv2 = hash_embed("brand new xylophone entry", 64)
+    top = eng.indexed_ivfpq_search("pq", qv2, k=3, nprobe=16, shortlist=100).collect()
+    assert top and top[0].content == "brand new xylophone entry"
+    assert top[0].score == 1.0
+
+    # dimension guard: mis-sized query refuses, not mis-probes
+    with pytest.raises(EngineError, match="collection_vector_schema_mismatch"):
+        eng.indexed_ivfpq_search("pq", [1.0, 2.0], k=3)
+
+    # a manifest predating the ivfpq family reports stale + refuses serving
+    del manifest2["ivfpq"]
+    (root / "manifest.json").write_text(json.dumps(manifest2))
+    assert eng.index_status("pq") == "stale"
+    with pytest.raises(EngineError, match="index_not_fresh"):
+        eng.indexed_ivfpq_search("pq", qv, k=5)
+    # ...and repair refuses too (rebuild is the only path forward)
+    with pytest.raises(EngineError, match="index_repair_requires_rebuild"):
+        eng.repair_search_index("pq")
+    eng.build_search_index("pq")
+    assert eng.index_status("pq") == "fresh"
+
+
+def test_ivfpq_empty_and_tiny_collections(spark, tmp_path_factory):
+    """<2 vectors at build -> no codes; serving answers empty instead of
+    erroring (same contract as the graph family)."""
+    from vector_mcp_spark.engine import CollectionEngine
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("ivfpq_tiny")))
+    eng.create_collection("tiny")
+    eng.add_documents("tiny", ["only one doc"])
+    eng.build_search_index("tiny")
+    assert eng.index_status("tiny") == "fresh"
+    from vector_mcp_spark.functions.embedder import hash_embed
+
+    assert eng.indexed_ivfpq_search("tiny", hash_embed("x", 64), k=3).collect() == []

@@ -775,14 +775,43 @@ class CollectionEngine:
         # over the same ivf coarse quantizer the graph operator uses, and
         # served by indexed_graph_search below
         graph_meta: dict = {"entry": None, "top_layer": 0}
+        ivfpq_meta: dict | None = None
         if n_vectors >= 2:
             from vector_mcp_spark.operators.graph_ann import hnsw_build
+            from vector_mcp_spark.operators.pq import pq_build
             from vector_mcp_spark.operators.similarity import ivf_build
 
             vecs = df.where(F.col("embedding").isNotNull()).select("id", "embedding")
-            assigned, _cents = ivf_build(
+            assigned, cents = ivf_build(
                 vecs, n_centroids=min(16, n_vectors), id_col="id", max_iter=2
             )
+            # fourth index family: IVF-PQ (FAISS IndexIVFPQ shape; the
+            # engine-side analogue of the reference engine's IVF-PQ index,
+            # epistemic_graph.py:5-9) — the SAME coarse quantizer as the
+            # graph family plus per-subspace codebooks; codes are persisted
+            # partitioned by cluster so a query's nprobe clusters prune
+            # partitions, and repair appends codes against the FROZEN
+            # centroids/codebooks (the streaming twin of this maintenance
+            # path lives at streaming/ingest.py ivfpq maintenance).
+            dim_row = vecs.select(F.size("embedding").alias("d")).first()
+            d = int(dim_row.d)
+            m = next(mm for mm in (4, 2, 1) if d % mm == 0)
+            n_codes = min(16, n_vectors)
+            encoded, codebooks = pq_build(
+                vecs, m=m, n_codes=n_codes, id_col="id", iters=1
+            )
+            codes = encoded.select("id", "codes").join(
+                assigned.select("id", "cluster"), "id"
+            )
+            codes.select("id", "cluster", "codes").write.mode("overwrite").partitionBy(
+                "cluster"
+            ).parquet(str(root / "ivfpq"))
+            ivfpq_meta = {
+                "m": m,
+                "n_codes": n_codes,
+                "centroids": cents,
+                "codebooks": codebooks,
+            }
             # size the hash-bucket family to the collection: a tiny corpus
             # spread over 16 buckets yields singleton blocks → no candidate
             # pairs → a disconnected graph the beam can't traverse; ~128
@@ -803,6 +832,7 @@ class CollectionEngine:
                     "n_terms": n_terms,
                     "n_vectors": n_vectors,
                     "graph": graph_meta,
+                    "ivfpq": ivfpq_meta,
                 }
             )
         )
@@ -821,10 +851,11 @@ class CollectionEngine:
         import json
 
         meta = json.loads(manifest.read_text())
-        if "graph" not in meta:
-            # a pre-graph-family index can't serve indexed_graph_search —
-            # report stale so status-polling automation rebuilds it (the
-            # graph family is written by every build_search_index since r9)
+        if "graph" not in meta or "ivfpq" not in meta:
+            # a pre-graph/pre-ivfpq-family index can't serve its whole
+            # search surface — report stale so status-polling automation
+            # rebuilds it (both families are written by every
+            # build_search_index since r9/r11)
             return "stale"
         fp = self._table_fingerprint(scoped)
         if meta["fingerprint"] == fp:
@@ -876,7 +907,7 @@ class CollectionEngine:
         if status in ("fresh", "repaired"):
             return {"repaired": 0, "n_vectors": manifest.get("n_vectors", 0)}
         graph_meta = manifest.get("graph") or {}
-        if "graph" not in manifest or not (root / "ids").exists():
+        if "graph" not in manifest or "ivfpq" not in manifest or not (root / "ids").exists():
             raise EngineError(
                 "index_repair_requires_rebuild",
                 detail="index predates incremental repair; rebuild",
@@ -930,6 +961,23 @@ class CollectionEngine:
             "append"
         ).parquet(str(root / "signs"))
         n_new_vecs = new_emb.count()
+        if n_new_vecs and manifest.get("ivfpq"):
+            # IVF-PQ family: encode the batch against the FROZEN coarse
+            # centroids + codebooks and append its (cluster-partitioned)
+            # codes — the batch-side twin of the streaming maintenance path
+            from vector_mcp_spark.operators.pq import pq_encode_with
+            from vector_mcp_spark.operators.similarity import assign_clusters
+
+            pq_meta = manifest["ivfpq"]
+            new_codes = pq_encode_with(
+                assign_clusters(
+                    new_emb.select("id", "embedding"), pq_meta["centroids"]
+                ),
+                pq_meta["codebooks"],
+            )
+            new_codes.select("id", "cluster", "codes").write.mode("append").partitionBy(
+                "cluster"
+            ).parquet(str(root / "ivfpq"))
         if n_new_vecs:
             old_vecs = (
                 df.join(indexed.select("id"), "id", "left_semi")
@@ -1088,6 +1136,78 @@ class CollectionEngine:
             # whose id happens to equal the synthetic query id must still
             # be returnable
         ).select(F.col("neighbor_id").alias("id"), "score")
+        return (
+            df.join(F.broadcast(hits), "id")
+            .select("id", "content", "score")
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+        )
+
+    def indexed_ivfpq_search(
+        self, name: str, question_vec, k: int = 5, nprobe: int = 4, shortlist: int = 50
+    ) -> DataFrame:
+        """Serve a vector query from the persisted IVF-PQ index (the FAISS
+        ``IndexIVFPQ`` serving path; engine-side analogue of the reference
+        engine's IVF-PQ index, ``epistemic_graph.py:5-9``): coarse probe
+        over the manifest's centroid table → ADC shortlist over the probed
+        clusters' code partitions (4 B/vector reads, partition-pruned) →
+        exact-cosine re-rank of ``shortlist`` rows. Refuses with
+        ``index_not_fresh`` when the index is absent, stale, or predates
+        the IVF-PQ family — same contract as the other three families.
+        Collections with < 2 vectors at build have no codes; the query
+        answers empty."""
+        import json
+
+        from vector_mcp_spark.operators.pq import ann_ivf_adc_rerank_topk
+
+        scoped = self._require(name)
+        question_vec = [float(x) for x in question_vec]
+        dim = self._locked_dimension(scoped)
+        if dim is not None and len(question_vec) != dim:
+            # same refusal as indexed_graph_search: a mis-sized query would
+            # silently mis-probe (short zip folds), not error
+            raise EngineError(
+                "collection_vector_schema_mismatch",
+                detail=f"query dimension {len(question_vec)} != locked {dim}",
+            )
+        if self.index_status(name) not in ("fresh", "repaired"):
+            raise EngineError("index_not_fresh")
+        manifest = json.loads((self._index_root(scoped) / "manifest.json").read_text())
+        if "ivfpq" not in manifest:
+            # guards the manifest-rewritten-between-reads race, like the
+            # graph-family re-check in indexed_graph_search
+            raise EngineError("index_not_fresh", detail="ivfpq family missing; rebuild")
+        pq_meta = manifest.get("ivfpq")
+        if pq_meta is None:
+            return self.spark.createDataFrame([], "id string, content string, score double")
+        # the index itself knows its dimension (m subspaces × sub-dim
+        # codebook centroids) — refuse mis-sized queries even when the
+        # collection never locked a dimension (content-only ingest embeds
+        # at serve time, so _locked_dimension can be None)
+        indexed_dim = pq_meta["m"] * len(pq_meta["codebooks"][0][0])
+        if len(question_vec) != indexed_dim:
+            raise EngineError(
+                "collection_vector_schema_mismatch",
+                detail=f"query dimension {len(question_vec)} != indexed {indexed_dim}",
+            )
+        codes = self.spark.read.parquet(str(self._index_root(scoped) / "ivfpq"))
+        df = self.read(name)
+        if self.needs_embed(name):
+            from vector_mcp_spark.functions.embedder import embed_documents
+
+            df = embed_documents(df, text_col="content", out_col="embedding")
+        corpus = df.where(F.col("embedding").isNotNull()).select("id", "embedding")
+        hits = ann_ivf_adc_rerank_topk(
+            codes.select("id", "cluster"),
+            codes.select("id", "codes"),
+            pq_meta["centroids"],
+            pq_meta["codebooks"],
+            corpus,
+            question_vec,
+            k,
+            shortlist=shortlist,
+            nprobe=nprobe,
+            id_col="id",
+        ).select("id", "score")
         return (
             df.join(F.broadcast(hits), "id")
             .select("id", "content", "score")
