@@ -340,3 +340,20 @@ def test_boolean_malformed_queries_raise(spark):
     for bad in ["a &", "& a", "(a", "a )", "a b", "", "a & ()"]:
         with pytest.raises(ValueError):
             boolean_topk(df, bad, 5, id_col="doc_id", content_col="text")
+
+
+def test_boolean_leaf_residue_rejected(spark):
+    """ADVICE r10: a leaf whose tokenization drops characters (don't ->
+    'don') must be refused — searching the residue answers a different
+    query."""
+    import pytest
+
+    from vector_mcp_spark.operators.lexical import parse_boolean_query
+
+    for bad in ["don't", "spark, & join", "foo.bar"]:
+        with pytest.raises(ValueError):
+            parse_boolean_query(bad)
+    # casefolding alone is NOT residue: SPARK tokenizes to 'spark'
+    assert parse_boolean_query("SPARK & Join") == (
+        "and", ("term", "spark"), ("term", "join")
+    )

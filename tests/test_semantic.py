@@ -289,3 +289,25 @@ def test_topk_dot_threshold_is_min_score(coll):
 def test_topk_unknown_metric_raises(coll):
     with pytest.raises(ValueError, match="metric"):
         semantic_topk(coll, hash_embed("x", 64), 5, id_col="doc_id", metric="manhattan")
+
+
+def test_payload_boost_null_payload_gets_zero_boost(spark):
+    """ADVICE r10: a NULL boost_col value must contribute 0 boost — not a
+    NULL score, whose DESC placement differs between Spark (last) and ANSI
+    engines (first)."""
+    from vector_mcp_spark.operators.semantic import payload_boost_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 300),    # at target -> +weight
+            (2, [1.0, 0.0], None),   # NULL payload -> plain cosine
+            (3, [0.9, 0.1], None),
+        ],
+        "id int, embedding array<float>, n_chars int",
+    )
+    out = payload_boost_topk(
+        df, [1.0, 0.0], 3, boost_col="n_chars", target=300.0, scale=150.0, weight=0.2
+    ).collect()
+    assert [r.id for r in out] == [1, 2, 3]
+    assert all(r.score is not None for r in out)
+    assert abs(out[1].score - 1.0) < 1e-6  # cosine only, no NULL propagation

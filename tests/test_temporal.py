@@ -526,3 +526,23 @@ def test_ewma_overflow_and_alpha_guards(spark):
     # ...but passes at a safe alpha and matches finite output
     out = ewma_daily(long_df, 0.3).collect()
     assert len(out) == 400 and all(r.ewma == 1.0 for r in out)
+
+
+def test_grouped_rank_all_null_group_raises(spark):
+    """ADVICE r10: an all-NULL value group must fail loud, not emit
+    phantom-bucket ranks."""
+    import pytest
+
+    from vector_mcp_spark.operators.rank import grouped_rank
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 2), ("b", None, 3), ("b", None, 4)],
+        "g string, v double, id int",
+    )
+    with pytest.raises(ValueError, match="all NULL"):
+        grouped_rank(df, "v", ["g"], tiebreak_cols=["id"], n_buckets=4).collect()
+    # groups with SOME nulls in other groups still rank after filtering
+    ok = grouped_rank(
+        df.where(F.col("v").isNotNull()), "v", ["g"], tiebreak_cols=["id"], n_buckets=4
+    )
+    assert [r.id for r in ok.orderBy("rank").collect()] == [1, 2]

@@ -707,9 +707,10 @@ def parse_boolean_query(query: str):
     (OR), ``!`` (NOT), parentheses, term leaves — into a nested AST of
     ``("and"|"or", left, right) | ("not", child) | ("term", t)`` tuples.
     Terms are casefolded through the standard tokenizer; a term that
-    tokenizes to nothing (or to several tokens) is rejected. Raises
-    ``ValueError`` on any malformed input — a governed query surface must
-    refuse, not guess."""
+    tokenizes to nothing, to several tokens, or to anything other than
+    its own casefold (e.g. ``don't`` → ``don``, residue dropped) is
+    rejected. Raises ``ValueError`` on any malformed input — a governed
+    query surface must refuse, not guess."""
     tokens_lex: list[str] = []
     i = 0
     while i < len(query):
@@ -752,9 +753,19 @@ def parse_boolean_query(query: str):
             return node
         if t is None or t in "&|)":
             raise ValueError(f"expected a term at position {pos} in {query!r}")
-        words = tokenize_py(take())
+        word = take()
+        words = tokenize_py(word)
         if len(words) != 1:
             raise ValueError(f"each leaf must be one term; got {t!r} in {query!r}")
+        if words[0] != word.casefold():
+            # the tokenizer dropped part of the leaf (e.g. don't -> 'don',
+            # spark, -> 'spark'): searching the residue would silently
+            # answer a DIFFERENT query — refuse, matching the multi-token
+            # strictness above
+            raise ValueError(
+                f"leaf {word!r} does not tokenize to itself "
+                f"(got {words[0]!r}) in {query!r}"
+            )
         return ("term", words[0])
 
     def and_expr():

@@ -117,10 +117,10 @@ def grouped_rank(
     (the suite's parquet snapshots) are unaffected.
 
     ``value_col`` must be non-null (callers filter first, as t-digest
-    does): an all-null group yields a NULL split-point array, which would
-    silently corrupt that group's buckets rather than raise. NULL group
-    KEYS are supported (null-safe joins throughout, matching groupBy/
-    window semantics).
+    does): an all-null group yields a NULL split-point array, which is
+    detected on the collected bounds and raises ValueError — never
+    silently corrupts that group's buckets. NULL group KEYS are supported
+    (null-safe joins throughout, matching groupBy/window semantics).
     """
     groups = list(group_cols)
     ties = list(tiebreak_cols)
@@ -149,6 +149,18 @@ def grouped_rank(
     bound_rows = bounds_agg.limit(group_cap + 1).collect()
     if len(bound_rows) > group_cap:
         return naive()
+    # enforce the documented value_col precondition on the already-collected
+    # bounds (zero extra cost): an all-NULL group yields a NULL split array,
+    # and size(filter(NULL)) = -1 would emit a phantom bucket with silently
+    # WRONG ranks — fail loud instead
+    null_groups = [r for r in bound_rows if r["_bs"] is None]
+    if null_groups:
+        key_repr = tuple(null_groups[0][g] for g in groups)
+        raise ValueError(
+            f"grouped_rank: {value_col!r} is all NULL for {len(null_groups)} "
+            f"group(s) (e.g. {key_repr}); filter NULLs first — ranks would "
+            "be silently corrupted"
+        )
 
     # null-safe equi-joins on the group keys: groupBy keeps NULL keys as a
     # group, and a plain inner join would silently drop that group's rows

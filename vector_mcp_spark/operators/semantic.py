@@ -302,7 +302,8 @@ def payload_boost_topk(
 
     gauss_decay(x) = exp(−(x − target)² / (2·scale²)) — 1 at the target,
     smoothly → 0 away from it; ``weight`` trades vector relevance against
-    payload affinity.
+    payload affinity. A NULL payload value gets 0 boost (score = plain
+    cosine) rather than a NULL score.
 
     Scale design: the decay term is one more codegen'd map-side expression
     on the row already being scored — the plan is identical to exact KNN
@@ -311,8 +312,13 @@ def payload_boost_topk(
     """
     dev = F.col(boost_col).cast("double") - F.lit(float(target))
     # dev*dev, not pow(dev, 2): POWER can differ from the product by an ulp
-    # between engines, and the oracle mirrors the product form exactly
-    gauss = F.exp(-(dev * dev) / F.lit(2.0 * float(scale) * float(scale)))
+    # between engines, and the oracle mirrors the product form exactly.
+    # NULL payload → 0 boost (coalesce), NOT a NULL score: Spark orders
+    # NULLs last under DESC while ANSI engines order them first, so a NULL
+    # score would rank differently in the operator and any oracle/backend.
+    gauss = F.coalesce(
+        F.exp(-(dev * dev) / F.lit(2.0 * float(scale) * float(scale))), F.lit(0.0)
+    )
     scored = with_similarity(docs, query_vec, emb_col, out_col="_sim").withColumn(
         "score", F.col("_sim") + F.lit(float(weight)) * gauss
     )

@@ -338,13 +338,20 @@ def ewma_daily(
 
         y_t = Σ_{s≤t} (1−α)^{t−s} x_s / Σ_{s≤t} (1−α)^{t−s}
 
-    Computed WITHOUT recursion: with r = 1−α and i the per-key day ordinal,
-    y_t = Σ x_s·r^{−s} / Σ r^{−s} — two cumulative sums over an ordered
-    window of per-row precomputable terms. r^{−i} grows exponentially
-    (doubles overflow where i·ln(1/r) ≈ 700 and the ratio would silently
-    turn NaN), so the span is CHECKED: series longer than the α-dependent
-    safe length raise rather than emit garbage — e.g. ~2 000 days at
-    α=0.3 but only ~300 at α=0.9; chunk the series or lower α past that.
+    Computed WITHOUT recursion: with r = 1−α, i the per-key day ordinal and
+    n the key's series length, y_t = Σ x_s·r^{(n−1)−s} / Σ r^{(n−1)−s} —
+    two cumulative sums over an ordered window of per-row precomputable
+    terms (the common factor r^{(n−1)−t} cancels in the ratio, so this
+    equals the r^{−s} form exactly). The per-key (n−1) rescale keeps every
+    weight in (0, 1]: pow stays in its well-conditioned range on both
+    engines — at r^{−i} magnitudes near e^700 a 1-ulp pow divergence
+    between Spark and an ANSI oracle can flip the 6-dp rounding. Weights
+    for the OLDEST rows of a long series shrink toward the subnormal
+    floor (r^{n−1} underflows where (n−1)·ln(1/r) ≈ 700 and early-row
+    ratios would turn 0/0 = NaN), so the span is CHECKED: series longer
+    than the α-dependent safe length raise rather than emit garbage —
+    e.g. ~2 000 days at α=0.3 but only ~300 at α=0.9; chunk the series or
+    lower α past that.
 
     Scale design: identical to :func:`autocorrelation` — the raw table
     collapses to the bounded (key, day) frame in one partial-aggregated
@@ -369,9 +376,14 @@ def ewma_daily(
         )
     w_ord = Window.partitionBy("key").orderBy(F.col("day").asc())
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_key = Window.partitionBy("key")
     r = 1.0 - float(alpha)
-    indexed = daily.withColumn("_i", F.row_number().over(w_ord) - F.lit(1))
-    terms = indexed.withColumn("_w", F.pow(F.lit(r), -F.col("_i")))
+    indexed = daily.withColumn("_i", F.row_number().over(w_ord) - F.lit(1)).withColumn(
+        "_n", F.count("*").over(w_key)
+    )
+    terms = indexed.withColumn(
+        "_w", F.pow(F.lit(r), F.col("_n") - F.lit(1) - F.col("_i"))
+    )
     return terms.select(
         "key",
         "day",

@@ -2533,15 +2533,16 @@ WITH daily AS (
 ),
 idx AS (
   SELECT key, day, x,
-         row_number() OVER (PARTITION BY key ORDER BY day) - 1 AS i
+         row_number() OVER (PARTITION BY key ORDER BY day) - 1 AS i,
+         count(*) OVER (PARTITION BY key) AS n
   FROM daily
 ),
 cum AS (
   SELECT key, day,
-         SUM(x * power({1.0 - _EWMA_ALPHA}, -i))
+         SUM(x * power({1.0 - _EWMA_ALPHA}, n - 1 - i))
            OVER (PARTITION BY key ORDER BY i
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num,
-         SUM(power({1.0 - _EWMA_ALPHA}, -i))
+         SUM(power({1.0 - _EWMA_ALPHA}, n - 1 - i))
            OVER (PARTITION BY key ORDER BY i
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS den
   FROM idx
