@@ -1446,3 +1446,86 @@ def test_compact_changelog_action(veneer):
     hist = veneer.vector_collection_management(
         "collection_history", collection_name="compact_kb")
     assert len(hist["history"]) == 2  # epoch batch + the kept add
+
+
+# ---------------------------------------------------------------------------
+# A2A agent serving loop (agent_server.py) — the vector-agent console script
+# equivalent (/root/reference/vector_mcp/agent_server.py:26-92) without the
+# external framework: card discovery + authenticated dispatch over real HTTP.
+# ---------------------------------------------------------------------------
+
+
+def test_agent_server_card_and_invoke_over_http(spark, tmp_path_factory):
+    import json as _json
+    import threading
+    import urllib.request
+
+    from vector_mcp_spark.agent_card import AgentCardVeneer
+    from vector_mcp_spark.agent_server import start_agent_http
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("a2a_root")))
+    agent = AgentCardVeneer(McpVeneer(eng, VectorSearchApi(eng)))
+    server = start_agent_http(agent, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        # A2A discovery: the well-known card route serves the same document
+        # as agent.card()
+        with urllib.request.urlopen(base + "/.well-known/agent-card.json", timeout=10) as r:
+            card = _json.loads(r.read())
+        assert card["name"] and card["version"]
+        assert {s["id"] for s in card["skills"]} == {
+            s["id"] for s in agent.card()["skills"]
+        }
+        with urllib.request.urlopen(base + "/health", timeout=10) as r:
+            assert _json.loads(r.read()) == {"status": "ok"}
+
+        def invoke(body, principal=None):
+            req = urllib.request.Request(
+                base + "/invoke",
+                data=_json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"}
+                | ({"Authorization": f"Bearer {principal}"} if principal else {}),
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=10) as r:
+                return _json.loads(r.read())
+
+        # one authenticated dispatch end-to-end: create + list a collection
+        out = invoke(
+            {"tool": "vector_collection_management", "action": "create_collection",
+             "args": {"collection_name": "a2a_demo"}},
+            principal="alice",
+        )
+        assert "error" not in out, out
+        out = invoke(
+            {"tool": "vector_collection_management", "action": "list_collections"},
+            principal="alice",
+        )
+        assert "a2a_demo" in out["collections"]
+
+        # governed refusal stays a stable snake_case dict over the wire
+        out = invoke({"tool": "nonsense_tool", "action": "x"})
+        assert out["error"] == "tool_invalid" and "did_you_mean" in out
+
+        # transport errors are 4xx JSON, not tracebacks
+        req = urllib.request.Request(
+            base + "/invoke", data=b"not json",
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert _json.loads(e.read())["error"] == "invalid JSON"
+        # unknown GET route lists the served routes
+        try:
+            urllib.request.urlopen(base + "/nope", timeout=10)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+        server.server_close()
