@@ -1822,3 +1822,49 @@ def test_ivfpq_empty_and_tiny_collections(spark, tmp_path_factory):
     from vector_mcp_spark.functions.embedder import hash_embed
 
     assert eng.indexed_ivfpq_search("tiny", hash_embed("x", 64), k=3).collect() == []
+
+
+def test_int8_quantization_config_lifecycle(spark, tmp_path_factory):
+    """Per-collection quantization config (qdrant quantization_config
+    analogue): int8 selected at build is recorded in the manifest, serves
+    the approximate-cosine shortlist path, and repair appends int8 codes —
+    never sign bits. With shortlist >= corpus the served result equals the
+    exact cosine top-k, same contract as the sign path."""
+    import json
+
+    import pytest
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions.embedder import embed_documents, hash_embed
+    from vector_mcp_spark.operators.semantic import semantic_topk
+    from vector_mcp_spark.validation import EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("int8_root")))
+    eng.create_collection("q8")
+    eng.add_documents("q8", [f"int8 doc {i} theme {i % 6}" for i in range(40)])
+
+    with pytest.raises(EngineError, match="quantization_invalid"):
+        eng.build_search_index("q8", quantization="float16")
+
+    eng.build_search_index("q8", quantization="int8")
+    assert eng.index_status("q8") == "fresh"
+    scoped = eng._require("q8")
+    root = eng._index_root(scoped)
+    manifest = json.loads((root / "manifest.json").read_text())
+    assert manifest["quantization"] == "int8"
+    assert (root / "int8q").exists() and not (root / "signs").exists()
+
+    qv = hash_embed("int8 doc 5 theme 5", 64)
+    served = eng.indexed_semantic_search("q8", qv, k=5, shortlist=40).collect()
+    docs = embed_documents(eng.read("q8"), text_col="content", out_col="embedding")
+    exact = semantic_topk(docs, qv, 5, id_col="id", emb_col="embedding").collect()
+    assert [r.id for r in served] == [r.id for r in exact]
+
+    # repair appends to the int8 family and the new doc serves
+    eng.add_documents("q8", ["fresh quantized arrival"])
+    eng.repair_search_index("q8")
+    assert eng.index_status("q8") == "repaired"
+    assert not (root / "signs").exists()  # config honored on repair
+    qv2 = hash_embed("fresh quantized arrival", 64)
+    top = eng.indexed_semantic_search("q8", qv2, k=3, shortlist=50).collect()
+    assert top and top[0].content == "fresh quantized arrival"

@@ -80,18 +80,18 @@ HEAVY = [
 ]
 
 
-def build_corpus(spark) -> str:
+def build_corpus(spark, factor: int = 10, probe_dir: str | None = None) -> str:
     from pyspark.sql import functions as F
 
     from vector_mcp_spark.suite import load
 
-    probe = os.path.abspath(PROBE_DIR)
+    probe = os.path.abspath(probe_dir or PROBE_DIR)
     out = os.path.join(probe, "documents.parquet")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         docs = load(spark, BASE_SF, "documents")
         n = docs.count()
         copies = []
-        for i in range(10):
+        for i in range(factor):
             c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
             if i % 2 == 1:  # odd copies: near-dup perturbation, breaks exactness
                 c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" zz{i}")))
@@ -105,7 +105,7 @@ def build_corpus(spark) -> str:
         embs = load(spark, BASE_SF, "embeddings")
         n = embs.count()
         copies = []
-        for i in range(10):
+        for i in range(factor):
             c = embs.withColumn("vec_id", F.col("vec_id") + F.lit(i * n))
             if i % 2 == 1:
                 # deterministic small perturbation: flip the sign of one
@@ -122,6 +122,10 @@ def build_corpus(spark) -> str:
         for c in copies[1:]:
             big = big.unionByName(c)
         big.write.mode("overwrite").parquet(eout)
+    if probe_dir is not None:
+        # deep-probe corpora carry only documents + embeddings; the three
+        # deep scenarios touch nothing else
+        return probe
     # events 10×: shift user/event ids so distinct-cardinality work scales
     # with the data (timestamps untouched — window/session shapes persist)
     evout = os.path.join(probe, "events.parquet")
@@ -205,9 +209,79 @@ def changelog_probe() -> int:
     return 0
 
 
+def deep_probe(factor: int) -> int:
+    """Deep-scale spot-probe (VERDICT r10 #6): re-run the three WORST 10×
+    ratios (MinHash-LSH banding, hard-negative mining, HNSW build) at
+    ``factor``× and decompose each wall-clock ratio into candidate/output
+    growth vs per-output cost. The claim under test: growth is OUTPUT-bound
+    (wall scales ~linearly with emitted rows — a duplicated corpus really
+    does contain quadratically more near-dup pairs), never STAGE-bound (a
+    quadratic stage whose cost grows even when output doesn't).
+
+    Run: ``python tools/scale_probe.py deep [factor]`` (default 40).
+    """
+    from vector_mcp_spark.session import get_spark
+    from vector_mcp_spark.suite import SUITE, load
+
+    spark = get_spark("deep_probe")
+    probe = build_corpus(
+        spark, factor=factor, probe_dir=os.path.join(os.path.dirname(PROBE_DIR), f"scale{factor}")
+    )
+
+    def timed(fn):
+        fn()  # warm plans + JVM + index caches
+        t0 = time.time()
+        out = fn()
+        return time.time() - t0, out
+
+    rows = []
+    for name in ("dedup_minhash_lsh", "embedding_hard_negatives"):
+        qfn = SUITE[name].spark_fn
+        t1, n1 = timed(lambda: qfn(spark, BASE_SF).count())
+        tN, nN = timed(lambda: qfn(spark, probe).count())
+        rows.append((name, t1, tN, n1, nN))
+
+    # HNSW build (not a suite entry — the offline index construction): time
+    # the build and count its output edge rows at both scales
+    from vector_mcp_spark.operators.graph_ann import hnsw_build
+    from vector_mcp_spark.operators.similarity import ivf_build
+
+    def build_at(sf: str) -> int:
+        embs = load(spark, sf, "embeddings")
+        assigned, _ = ivf_build(embs, n_centroids=16, id_col="vec_id", max_iter=2)
+        edges, _meta = hnsw_build(assigned, id_col="vec_id")
+        return edges.count()
+
+    t1, n1 = timed(lambda: build_at(BASE_SF))
+    tN, nN = timed(lambda: build_at(probe))
+    rows.append(("hnsw_build", t1, tN, n1, nN))
+
+    print(
+        f"{'scenario':26s} {'1x_s':>7s} {f'{factor}x_s':>8s} {'wall':>6s} "
+        f"{'out_1x':>9s} {f'out_{factor}x':>10s} {'out':>7s} {'wall/out':>8s}"
+    )
+    worst = 0.0
+    for name, t1, tN, n1, nN in rows:
+        wall = tN / t1
+        out = nN / max(n1, 1)
+        per_out = wall / out
+        worst = max(worst, per_out)
+        print(
+            f"{name:26s} {t1:7.2f} {tN:8.2f} {wall:5.1f}x "
+            f"{n1:9d} {nN:10d} {out:6.1f}x {per_out:8.2f}"
+        )
+    print(
+        f"wall/out <= 1 means output-bound; worst per-output ratio {worst:.2f} "
+        f"({'OUTPUT-bound' if worst <= 2.0 else 'STAGE-bound — investigate'})"
+    )
+    return 0
+
+
 def main() -> int:
     if sys.argv[1:] == ["changelog"]:
         return changelog_probe()
+    if sys.argv[1:2] == ["deep"]:
+        return deep_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 40)
     only = sys.argv[1:] or HEAVY
 
     from vector_mcp_spark.session import get_spark

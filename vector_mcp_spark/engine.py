@@ -736,12 +736,30 @@ class CollectionEngine:
 
         return hashlib.sha256("\n".join(stamps).encode()).hexdigest()
 
-    def build_search_index(self, name: str) -> dict:
-        """Materialize the lexical postings + packed sign bits for a
-        collection. Returns {"n_terms", "n_vectors", "fingerprint"}."""
-        from vector_mcp_spark.operators.lexical import build_postings, term_bucket
-        from vector_mcp_spark.operators.quantize import sign_pack
+    def build_search_index(self, name: str, quantization: str = "sign") -> dict:
+        """Materialize the search index families for a collection:
+        lexical postings, the quantized vector-shortlist table, the
+        HNSW-style graph, and IVF-PQ codes. Returns {"n_terms",
+        "n_vectors", "fingerprint"}.
 
+        ``quantization`` selects the vector-shortlist compression at build
+        (the per-collection ``quantization_config`` a qdrant user sets;
+        the reference's qdrant backend serves collections carrying it):
+        ``"sign"`` packs 64 dims into 16 bytes and shortlists by Hamming
+        (32×, two popcounts per candidate); ``"int8"`` stores per-vector
+        symmetric int8 codes + scale (4×, full-dimension approximate
+        cosine over dequantized codes — better shortlist fidelity and
+        exact dimension coverage at 8× the sign footprint). Exact re-rank
+        over the full vectors follows either way; the choice is recorded
+        in the manifest and honored by serve + repair."""
+        from vector_mcp_spark.operators.lexical import build_postings, term_bucket
+        from vector_mcp_spark.operators.quantize import quantize_int8, sign_pack
+
+        if quantization not in ("sign", "int8"):
+            raise EngineError(
+                "quantization_invalid",
+                detail=f"{quantization!r} not in ('sign', 'int8')",
+            )
         scoped = self._require(name)
         df = self.read(name)
         if self.needs_embed(name):
@@ -757,8 +775,17 @@ class CollectionEngine:
         postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
             str(root / "postings")
         )
-        signs = sign_pack(df.where(F.col("embedding").isNotNull()), "embedding", "id")
-        signs.select("id", "lo", "hi").write.mode("overwrite").parquet(str(root / "signs"))
+        vec_rows = df.where(F.col("embedding").isNotNull())
+        if quantization == "sign":
+            signs = sign_pack(vec_rows, "embedding", "id")
+            signs.select("id", "lo", "hi").write.mode("overwrite").parquet(
+                str(root / "signs")
+            )
+        else:
+            signs = quantize_int8(vec_rows, vec_col="embedding", id_col="id")
+            signs.select("id", "scale", "q").write.mode("overwrite").parquet(
+                str(root / "int8q")
+            )
         # membership + per-row change sidecar: lets repair_search_index
         # prove the growth was append-only (old rows present AND unchanged
         # in their SERVED representation) without any full re-index
@@ -833,6 +860,7 @@ class CollectionEngine:
                     "n_vectors": n_vectors,
                     "graph": graph_meta,
                     "ivfpq": ivfpq_meta,
+                    "quantization": quantization,
                 }
             )
         )
@@ -957,9 +985,16 @@ class CollectionEngine:
             str(root / "postings")
         )
         new_emb = new.where(F.col("embedding").isNotNull())
-        sign_pack(new_emb, "embedding", "id").select("id", "lo", "hi").write.mode(
-            "append"
-        ).parquet(str(root / "signs"))
+        if manifest.get("quantization", "sign") == "sign":
+            sign_pack(new_emb, "embedding", "id").select("id", "lo", "hi").write.mode(
+                "append"
+            ).parquet(str(root / "signs"))
+        else:
+            from vector_mcp_spark.operators.quantize import quantize_int8
+
+            quantize_int8(new_emb, vec_col="embedding", id_col="id").select(
+                "id", "scale", "q"
+            ).write.mode("append").parquet(str(root / "int8q"))
         n_new_vecs = new_emb.count()
         if n_new_vecs and manifest.get("ivfpq"):
             # IVF-PQ family: encode the batch against the FROZEN coarse
@@ -1041,31 +1076,50 @@ class CollectionEngine:
     def indexed_semantic_search(
         self, name: str, question_vec, k: int = 5, shortlist: int = 100
     ) -> DataFrame:
-        """Serve a vector query from the sign-bit index: Hamming shortlist
-        over the 16-byte-per-vector signs table (the full vector column is
-        read only for the shortlist re-rank). Refuses when not fresh.
+        """Serve a vector query from the quantized-shortlist index, honoring
+        the collection's build-time ``quantization`` config: ``"sign"`` →
+        Hamming shortlist over the 16-byte-per-vector signs table; ``"int8"``
+        → approximate-cosine shortlist over dequantized int8 codes (the
+        full-precision vector column is read only for the shortlist re-rank
+        either way). Refuses when not fresh.
 
         The sign packing covers the FIRST 64 dimensions on both the index
         and the query path (shorter vectors zero-pad, extra dims don't
-        contribute to the shortlist); the exact-cosine re-rank always uses
-        the full vectors, so recall degrades gracefully — it never errors —
-        for dimensions other than 64."""
-        from vector_mcp_spark.functions.vector import dot, l2_norm
-        from vector_mcp_spark.operators.quantize import sign_pack_py
+        contribute to the shortlist); the int8 codes cover the full
+        dimension. The exact-cosine re-rank always uses the full vectors,
+        so recall degrades gracefully — it never errors — for dimensions
+        other than 64 under sign quantization."""
+        import json
+
+        from vector_mcp_spark.functions.vector import cosine_similarity, dot, l2_norm
+        from vector_mcp_spark.operators.quantize import dequantize_expr, sign_pack_py
 
         scoped = self._require(name)
         if self.index_status(name) not in ("fresh", "repaired"):
             raise EngineError("index_not_fresh")
-        qlo, qhi = sign_pack_py(list(question_vec))
-        signs = self.spark.read.parquet(str(self._index_root(scoped) / "signs"))
-        ham = F.bit_count(F.col("lo").bitwiseXOR(F.lit(qlo))) + F.bit_count(
-            F.col("hi").bitwiseXOR(F.lit(qhi))
-        )
-        short = (
-            signs.select("id", ham.alias("hamming"))
-            .orderBy(F.col("hamming").asc(), F.col("id").asc())
-            .limit(shortlist)
-        )
+        manifest = json.loads((self._index_root(scoped) / "manifest.json").read_text())
+        if manifest.get("quantization", "sign") == "sign":
+            qlo, qhi = sign_pack_py(list(question_vec))
+            signs = self.spark.read.parquet(str(self._index_root(scoped) / "signs"))
+            ham = F.bit_count(F.col("lo").bitwiseXOR(F.lit(qlo))) + F.bit_count(
+                F.col("hi").bitwiseXOR(F.lit(qhi))
+            )
+            short = (
+                signs.select("id", ham.alias("hamming"))
+                .orderBy(F.col("hamming").asc(), F.col("id").asc())
+                .limit(shortlist)
+            )
+        else:
+            codes = self.spark.read.parquet(str(self._index_root(scoped) / "int8q"))
+            qarr = F.array(*[F.lit(float(x)) for x in question_vec])
+            approx = cosine_similarity(dequantize_expr("q", "scale"), qarr)
+            short = (
+                codes.select("id", approx.alias("_approx"))
+                .where(F.col("_approx").isNotNull())
+                .orderBy(F.col("_approx").desc(), F.col("id").asc())
+                .limit(shortlist)
+                .drop("_approx")
+            )
         df = self.read(name)
         if self.needs_embed(name):
             from vector_mcp_spark.functions.embedder import embed_documents
