@@ -478,3 +478,64 @@ def test_interval_join_how_validation(spark):
     df = spark.createDataFrame([], "event_id long, ts timestamp, user_id long")
     with pytest.raises(ValueError):
         interval_join_events(df, df, how="fullOuter")
+
+
+def test_stream_postings_maintenance_matches_rebuild(spark, tmp_path):
+    """Documents streamed through postings maintenance land in the same
+    term-bucket partitions a full rebuild would produce, the merged index
+    serves identically to a from-scratch batch scan, and a checkpointed
+    re-run appends nothing."""
+    import os
+
+    from vector_mcp_spark.operators.lexical import (
+        build_postings,
+        indexed_lexical_topk,
+        lexical_tf_topk,
+        term_bucket,
+    )
+    from vector_mcp_spark.streaming.ingest import stream_postings_maintenance
+
+    base = spark.createDataFrame(
+        [(str(i), f"spark data doc {i} pipeline") for i in range(30)],
+        "id string, content string",
+    )
+    grown = spark.createDataFrame(
+        [(str(i), f"vector spark arrival {i}") for i in range(30, 45)],
+        "id string, content string",
+    )
+    index_dir = str(tmp_path / "postings")
+    # offline build of the base corpus — the engine's build shape
+    build_postings(base, "id", "content").withColumn(
+        "term_bucket", term_bucket("term")
+    ).write.mode("overwrite").partitionBy("term_bucket").parquet(index_dir)
+
+    src = str(tmp_path / "src")
+    grown.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(grown.schema).parquet(src)
+    stream_postings_maintenance(stream, index_dir, str(tmp_path / "ckpt"))
+
+    # merged index == a rebuild over the full corpus, row for row
+    full = base.unionByName(grown)
+    want = {
+        (r.term, r.id, r.tf)
+        for r in build_postings(full, "id", "content").collect()
+    }
+    got = {
+        (r.term, r.id, r.tf)
+        for r in spark.read.parquet(index_dir).select("term", "id", "tf").collect()
+    }
+    assert got == want
+    assert any(p.startswith("term_bucket=") for p in os.listdir(index_dir))
+
+    # the maintained index SERVES the grown corpus identically to a scan
+    served = indexed_lexical_topk(spark, index_dir, "vector spark", 10)
+    scan = lexical_tf_topk(full, "vector spark", 10)
+    assert [(r.id, r.score) for r in served.collect()] == [
+        (r.id, r.score) for r in scan.collect()
+    ]
+
+    # exactly-once: the same checkpoint re-run appends nothing
+    n_before = spark.read.parquet(index_dir).count()
+    stream2 = spark.readStream.schema(grown.schema).parquet(src)
+    stream_postings_maintenance(stream2, index_dir, str(tmp_path / "ckpt"))
+    assert spark.read.parquet(index_dir).count() == n_before

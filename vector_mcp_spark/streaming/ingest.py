@@ -497,3 +497,46 @@ def streaming_distinct_sketch(
     return hashed.groupBy("g").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_postings_maintenance(
+    stream_docs: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    content_col: str = "content",
+):
+    """Lexical postings-index maintenance as a stream — the text-side twin
+    of :func:`stream_index_maintenance`: each micro-batch of NEW documents
+    tokenizes to its (term, id, tf) postings and appends to the postings
+    table partitioned by ``term_bucket``. The bucket family is the sha-hash
+    the offline build uses (``operators/lexical.term_bucket``) — a frozen
+    dictionary by construction: ``bucket(term)`` never changes across
+    builds or batches, so query-term lookups keep pruning partitions as
+    documents arrive and the appended rows land in exactly the files a
+    rebuild would put them in.
+
+    Per-batch tf aggregation runs inside ``foreachBatch`` (the groupBy is
+    bounded by the batch — no streaming state), mirroring the engine's
+    append-only postings repair (``engine.repair_search_index``).
+    Runs availableNow and blocks; re-running with the same checkpoint
+    appends nothing (checkpointed batch offsets).
+    """
+    from vector_mcp_spark.operators.lexical import build_postings, term_bucket
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        postings = build_postings(
+            batch_df.select(id_col, content_col), id_col, content_col
+        ).withColumn("term_bucket", term_bucket("term"))
+        postings.write.mode("append").partitionBy("term_bucket").parquet(index_dir)
+
+    q = (
+        stream_docs.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
