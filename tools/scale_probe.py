@@ -234,45 +234,76 @@ def deep_probe(factor: int) -> int:
         out = fn()
         return time.time() - t0, out
 
-    rows = []
-    for name in ("dedup_minhash_lsh", "embedding_hard_negatives"):
-        qfn = SUITE[name].spark_fn
-        t1, n1 = timed(lambda: qfn(spark, BASE_SF).count())
-        tN, nN = timed(lambda: qfn(spark, probe).count())
-        rows.append((name, t1, tN, n1, nN))
-
-    # HNSW build (not a suite entry — the offline index construction): time
-    # the build and count its output edge rows at both scales
+    # each scenario measures its REAL growth driver, not the (possibly
+    # capped) suite output: minhash → UNCAPPED emitted candidate pairs (the
+    # suite entry tops at 200 rows); hard negatives → scored pairs
+    # (anchors × corpus — the exact scorer's work; the suite docstring's
+    # 100 TB path puts an LSH/IVF shortlist in front); hnsw → edge rows.
+    from vector_mcp_spark.operators.dedup import minhash_lsh_pairs
     from vector_mcp_spark.operators.graph_ann import hnsw_build
-    from vector_mcp_spark.operators.similarity import ivf_build
+    from vector_mcp_spark.operators.similarity import hard_negative_mine, ivf_build
+    from vector_mcp_spark.suite_pipeline import _HARDNEG_K, _MH_BANDS, _MH_HASHES, _MH_T
 
-    def build_at(sf: str) -> int:
+    from pyspark.sql import functions as F
+
+    def minhash_at(sf: str) -> tuple[float, int]:
+        docs = load(spark, sf, "documents")
+        wall, pairs = timed(
+            lambda: minhash_lsh_pairs(
+                docs, _MH_T, id_col="doc_id", content_col="text",
+                num_hashes=_MH_HASHES, bands=_MH_BANDS,
+            ).count()
+        )
+        return wall, pairs
+
+    def hardneg_at(sf: str) -> tuple[float, int]:
         embs = load(spark, sf, "embeddings")
-        assigned, _ = ivf_build(embs, n_centroids=16, id_col="vec_id", max_iter=2)
-        edges, _meta = hnsw_build(assigned, id_col="vec_id")
-        return edges.count()
+        anchors = embs.where(F.col("vec_id") % 25 == 0)
+        wall, _ = timed(
+            lambda: hard_negative_mine(
+                anchors, embs, _HARDNEG_K, id_col="vec_id",
+                emb_col="embedding", label_col="label",
+            ).count()
+        )
+        return wall, anchors.count() * embs.count()  # scored-pair work
 
-    t1, n1 = timed(lambda: build_at(BASE_SF))
-    tN, nN = timed(lambda: build_at(probe))
-    rows.append(("hnsw_build", t1, tN, n1, nN))
+    def hnsw_at(sf: str) -> tuple[float, int]:
+        def build() -> int:
+            embs = load(spark, sf, "embeddings")
+            assigned, _ = ivf_build(embs, n_centroids=16, id_col="vec_id", max_iter=2)
+            edges, _meta = hnsw_build(assigned, id_col="vec_id")
+            return edges.count()
+
+        return timed(build)
+
+    rows = []
+    for name, fn in (
+        ("minhash_candidate_pairs", minhash_at),
+        ("hardneg_scored_pairs", hardneg_at),
+        ("hnsw_build_edges", hnsw_at),
+    ):
+        t1, n1 = fn(BASE_SF)
+        tN, nN = fn(probe)
+        rows.append((name, t1, tN, n1, nN))
 
     print(
         f"{'scenario':26s} {'1x_s':>7s} {f'{factor}x_s':>8s} {'wall':>6s} "
-        f"{'out_1x':>9s} {f'out_{factor}x':>10s} {'out':>7s} {'wall/out':>8s}"
+        f"{'work_1x':>10s} {f'work_{factor}x':>11s} {'work':>8s} {'wall/work':>9s}"
     )
     worst = 0.0
     for name, t1, tN, n1, nN in rows:
         wall = tN / t1
-        out = nN / max(n1, 1)
-        per_out = wall / out
-        worst = max(worst, per_out)
+        work = nN / max(n1, 1)
+        per_work = wall / work
+        worst = max(worst, per_work)
         print(
             f"{name:26s} {t1:7.2f} {tN:8.2f} {wall:5.1f}x "
-            f"{n1:9d} {nN:10d} {out:6.1f}x {per_out:8.2f}"
+            f"{n1:10d} {nN:11d} {work:7.1f}x {per_work:9.2f}"
         )
     print(
-        f"wall/out <= 1 means output-bound; worst per-output ratio {worst:.2f} "
-        f"({'OUTPUT-bound' if worst <= 2.0 else 'STAGE-bound — investigate'})"
+        f"wall/work <= 1 means the wall grew no faster than the real emitted/"
+        f"scored work; worst ratio {worst:.2f} "
+        f"({'work-bound' if worst <= 2.0 else 'STAGE-bound — investigate'})"
     )
     return 0
 
