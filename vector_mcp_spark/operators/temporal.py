@@ -376,10 +376,13 @@ def ewma_daily(
         )
     w_ord = Window.partitionBy("key").orderBy(F.col("day").asc())
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_key = Window.partitionBy("key")
+    # full-frame count over the SAME ordered spec (not a bare
+    # partitionBy(key) window) so all three window functions share one
+    # exchange + sort
+    w_all = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     r = 1.0 - float(alpha)
     indexed = daily.withColumn("_i", F.row_number().over(w_ord) - F.lit(1)).withColumn(
-        "_n", F.count("*").over(w_key)
+        "_n", F.count("*").over(w_all)
     )
     terms = indexed.withColumn(
         "_w", F.pow(F.lit(r), F.col("_n") - F.lit(1) - F.col("_i"))
