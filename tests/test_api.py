@@ -135,3 +135,30 @@ def test_federated_search_across_collections(spark, tmp_path_factory):
         api.federated_search(["kb_a", "nope"], "q")
     with _pytest.raises(EngineError, match="collection_not_found"):
         api.federated_search([], "q")
+
+
+def test_semantic_search_metric_variants(api):
+    """metric=dot/l2 serve through the facade: dot descends, l2 ascends
+    (lower distance = better rank), and each facade result equals the
+    single-query operator under the same metric."""
+    from vector_mcp_spark.functions.embedder import embed_documents, hash_embed
+    from vector_mcp_spark.operators.semantic import semantic_topk
+
+    q = "vector databases store embeddings"
+    docs = embed_documents(api.engine.read("kb"), text_col="content", out_col="embedding")
+    for metric in ("cosine", "dot", "l2"):
+        rows = api.semantic_search("kb", [q], number_results=3, metric=metric).collect()
+        assert len(rows) == 3
+        ranked = sorted(rows, key=lambda r: r.rank)
+        scores = [r.score for r in ranked]
+        assert scores == sorted(scores, reverse=(metric != "l2"))
+        single = semantic_topk(
+            docs, hash_embed(q, 64), 3, id_col="id", emb_col="embedding", metric=metric
+        ).collect()
+        assert [r.id for r in ranked] == [r.id for r in single]
+        assert [r.score for r in ranked] == [r.score for r in single]
+
+
+def test_semantic_search_metric_invalid_is_stable_code(api):
+    with pytest.raises(EngineError, match="metric_invalid"):
+        api.semantic_search("kb", ["anything"], metric="manhattan")

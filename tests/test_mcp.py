@@ -1529,3 +1529,25 @@ def test_agent_server_card_and_invoke_over_http(spark, tmp_path_factory):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_vector_search_semantic_metric_threading(veneer):
+    """The MCP veneer threads metric to the facade (pgvector <#>/<->
+    selection over the wire) and surfaces metric_invalid as a stable
+    error dict."""
+    veneer.vector_collection_management("create_collection", collection_name="mx")
+    veneer.vector_collection_management(
+        "add_documents", collection_name="mx",
+        document_contents=["alpha beta vector", "gamma delta text", "epsilon zeta data"],
+    )
+    for metric in ("dot", "l2"):
+        out = veneer.vector_search(
+            "semantic_search", collection_name="mx",
+            question="alpha beta vector", number_results=2, metric=metric,
+        )
+        assert "error" not in out, out
+        assert len(out["results"]) == 2
+    out = veneer.vector_search(
+        "semantic_search", collection_name="mx", question="x", metric="manhattan"
+    )
+    assert out["error"] == "metric_invalid"

@@ -29,6 +29,7 @@ from vector_mcp_spark.operators.semantic import semantic_topk, semantic_topk_mul
 from vector_mcp_spark.sanitize import sanitize_text_py
 from vector_mcp_spark.validation import (
     EngineError,
+    validate_metric,
     validate_number_results,
     validate_question,
     validate_rrf_k,
@@ -75,9 +76,15 @@ class VectorSearchApi:
         questions: Sequence[str],
         number_results: int = 5,
         distance_threshold: float | None = None,
+        metric: str = "cosine",
     ) -> DataFrame:
-        """Multi-query semantic search → (query_id, rank, id, content, score)."""
+        """Multi-query semantic search → (query_id, rank, id, content, score).
+
+        ``metric`` ∈ {cosine, dot, l2} — the pgvector ``<=>``/``<#>``/``<->``
+        conventions (l2 ranks ascending); refuses unknown values with the
+        stable ``metric_invalid`` code."""
         number_results = validate_number_results(number_results)
+        metric = validate_metric(metric)
         if not questions:
             raise EngineError("question_invalid")  # vector_api.py:548 rejects empty
         cleaned = [sanitize_text_py(validate_question(q)) for q in questions]
@@ -91,6 +98,7 @@ class VectorSearchApi:
             emb_col="embedding",
             payload_cols=("content",),
             distance_threshold=distance_threshold,
+            metric=metric,
         )
 
     def lexical_search(

@@ -323,6 +323,7 @@ class McpVeneer:
         rrf_k: int | None = None,
         db_type: str | None = None,
         collection_names: list[str] | None = None,
+        metric: str | None = None,
     ) -> dict[str, Any]:
         resolved = resolve_action(action, SEARCH_ACTIONS)
         if isinstance(resolved, dict):
@@ -334,7 +335,10 @@ class McpVeneer:
                 ensure_backend_available(db_type)
             k = number_results if number_results is not None else 5
             if resolved == "semantic_search":
-                df = self.api.semantic_search(collection_name, [question], number_results=k)
+                kwargs: dict[str, Any] = {"number_results": k}
+                if metric is not None:  # pgvector <=>/<#>/<-> selection
+                    kwargs["metric"] = metric
+                df = self.api.semantic_search(collection_name, [question], **kwargs)
                 rows = [
                     {"rank": r.rank, "id": r.id, "content": r.content, "score": r.score}
                     for r in df.collect()

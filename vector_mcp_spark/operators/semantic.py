@@ -127,12 +127,17 @@ def semantic_topk_multi(
     emb_col: str = "embedding",
     payload_cols: Sequence[str] = (),
     distance_threshold: float | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Batched multi-query KNN (Q7): one Spark job for N queries.
 
     ``queries`` is ``[(query_id, vector), ...]``. Output:
-    ``(query_id, rank, id, *payload, score)``.
+    ``(query_id, rank, id, *payload, score)``. ``metric`` follows
+    :func:`semantic_topk` (cosine/dot desc, l2 asc; per-metric threshold).
     """
+    if metric not in _METRICS:
+        raise ValueError(f"unknown metric {metric!r}; one of {sorted(_METRICS)}")
+    higher = _METRICS[metric]
     # Tiny query batches expand every cosine as a LITERAL element-term sum
     # (codegen'd, same fold order as the HOF form — identical scores) inside
     # one projection, skipping the query-side createDataFrame + broadcast
@@ -147,7 +152,7 @@ def semantic_topk_multi(
             *[
                 F.struct(
                     F.lit(int(qid)).alias("query_id"),
-                    cosine_similarity_lit(F.col(emb_col), vec).alias("score"),
+                    _score_lit(emb_col, vec, metric)[0].alias("score"),
                 )
                 for qid, vec in queries
             ]
@@ -156,20 +161,27 @@ def semantic_topk_multi(
             "*", F.col("_qs.query_id").alias("query_id"), F.col("_qs.score").alias("score")
         ).drop("_qs")
     else:
+        from vector_mcp_spark.functions.vector import dot as _dot
+        from vector_mcp_spark.functions.vector import l2_distance as _l2
+
         spark = docs.sparkSession
         qdf = spark.createDataFrame(
             [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
             "query_id int, qvec array<double>",
         )
-        scored = docs.join(F.broadcast(qdf)).withColumn(
-            "score", cosine_similarity(F.col(emb_col), F.col("qvec"))
-        )
-    if distance_threshold is not None and distance_threshold >= 0:
-        scored = scored.where(F.lit(1.0) - F.col("score") <= F.lit(float(distance_threshold)))
+        col_score = {
+            "cosine": lambda: cosine_similarity(F.col(emb_col), F.col("qvec")),
+            "dot": lambda: _dot(F.col(emb_col), F.col("qvec")),
+            "l2": lambda: _l2(F.col(emb_col), F.col("qvec")),
+        }[metric]()
+        scored = docs.join(F.broadcast(qdf)).withColumn("score", col_score)
+    if distance_threshold is not None and (metric == "dot" or distance_threshold >= 0):
+        scored = scored.where(_threshold_pred(metric, distance_threshold))
 
     # Shuffle only the narrow (query_id, id, score) projection for ranking.
     narrow = scored.select("query_id", id_col, "score")
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    order = F.col("score").desc() if higher else F.col("score").asc()
+    w = Window.partitionBy("query_id").orderBy(order, F.col(id_col).asc())
     topk = narrow.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
     if payload_cols:

@@ -72,6 +72,16 @@ def validate_rrf_k(rrf_k: object) -> int:
     return rrf_k
 
 
+SEARCH_METRICS = ("cosine", "dot", "l2")
+
+
+def validate_metric(metric: object) -> str:
+    """The three served distance conventions (pgvector <=> <#> <->)."""
+    if metric not in SEARCH_METRICS:
+        raise EngineError("metric_invalid", detail=f"one of {SEARCH_METRICS}")
+    return metric
+
+
 def validate_weights(weights: Sequence[object]) -> list[float]:
     out: list[float] = []
     for w in weights:
