@@ -492,3 +492,54 @@ def test_sse_verbose_mode(agent):
         server.shutdown()
         server.server_close()
         thread.join(timeout=5)
+
+
+def test_stdio_verbose_semantic_search_metric(agent):
+    """The verbose 1:1 semantic tool declares and threads the metric
+    selection (pgvector <=>/<#>/<-> over the wire)."""
+    from vector_mcp_spark import mcp_stdio as t
+
+    surf = ToolSurface.from_env({"MCP_TOOL_MODE": "verbose"})
+    spec = surf.get("vector_semantic_search")
+    assert "metric" in spec["schema"]["properties"]
+
+    _text(
+        t.handle_message(
+            agent,
+            _rpc("tools/call", 1, name="vector_create_collection",
+                 arguments={"collection_name": "mq"}),
+            None, surf,
+        )
+    )
+    _text(
+        t.handle_message(
+            agent,
+            _rpc("tools/call", 2, name="vector_add_documents",
+                 arguments={"collection_name": "mq",
+                            "document_contents": ["alpha beta", "gamma delta"]}),
+            None, surf,
+        )
+    )
+    out = _text(
+        t.handle_message(
+            agent,
+            _rpc("tools/call", 3, name="vector_semantic_search",
+                 arguments={"collection_name": "mq", "question": "alpha beta",
+                            "number_results": 2, "metric": "l2"}),
+            None, surf,
+        )
+    )
+    assert "error" not in out and len(out["results"]) == 2
+    # l2 scores ascend (lower distance = better)
+    scores = [r["score"] for r in out["results"]]
+    assert scores == sorted(scores)
+    out = _text(
+        t.handle_message(
+            agent,
+            _rpc("tools/call", 4, name="vector_semantic_search",
+                 arguments={"collection_name": "mq", "question": "x",
+                            "metric": "manhattan"}),
+            None, surf,
+        )
+    )
+    assert out["error"] == "metric_invalid"

@@ -146,6 +146,9 @@ VERBOSE_TOOLS: tuple[dict[str, Any], ...] = (
             "question": _STR,
             "number_results": _INT,
             "db_type": _STR,
+            # distance convention: cosine (default) | dot | l2 — the
+            # pgvector <=>/<#>/<-> selection, validated downstream
+            "metric": _STR,
         },
         "required": ["collection_name", "question"],
     },
