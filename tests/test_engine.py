@@ -1868,3 +1868,58 @@ def test_int8_quantization_config_lifecycle(spark, tmp_path_factory):
     qv2 = hash_embed("fresh quantized arrival", 64)
     top = eng.indexed_semantic_search("q8", qv2, k=3, shortlist=50).collect()
     assert top and top[0].content == "fresh quantized arrival"
+
+
+def test_indexed_filtered_search_both_regimes(spark, tmp_path_factory):
+    """Engine-level filter+vector search (the qdrant planner composition
+    over the persisted graph): a SELECTIVE payload filter routes to
+    pre-filter + exact rank — the true top-k of the allowed set always
+    comes back — while a BROAD filter beam-searches and post-filters.
+    Staleness and bad filters refuse with stable codes."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions.embedder import embed_documents, hash_embed
+    from vector_mcp_spark.operators.semantic import semantic_topk
+    from vector_mcp_spark.validation import EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("filt_root")))
+    eng.create_collection("fs")
+    # 10% 'rare' rows (selective), 60% 'common' rows (broad)
+    contents = [f"filtered doc {i} topic {i % 13}" for i in range(100)]
+    metas = [
+        {"tier": "rare" if i % 10 == 0 else ("common" if i % 10 < 7 else "other")}
+        for i in range(100)
+    ]
+    eng.add_documents("fs", contents, metadatas=metas)
+    qv = hash_embed("filtered doc 30 topic 4", 64)
+
+    with pytest.raises(EngineError, match="index_not_fresh"):
+        eng.indexed_filtered_search("fs", qv, {"tier": "rare"}, k=3)
+    eng.build_search_index("fs")
+
+    with pytest.raises(EngineError, match="payload_filter_invalid"):
+        eng.indexed_filtered_search("fs", qv, {}, k=3)
+
+    # SELECTIVE: results equal the exact top-k over the filtered subset
+    got = eng.indexed_filtered_search("fs", qv, {"tier": "rare"}, k=3).collect()
+    docs = embed_documents(eng.read("fs"), text_col="content", out_col="embedding")
+    rare = docs.where(F.col("metadata").getItem("tier") == "rare")
+    exact = semantic_topk(rare, qv, 3, id_col="id", emb_col="embedding").collect()
+    assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in exact]
+
+    # BROAD: served rows all satisfy the filter and rank by exact cosine
+    broad = eng.indexed_filtered_search("fs", qv, {"tier": "common"}, k=5).collect()
+    assert broad, "broad filter must return hits"
+    common_ids = {r.id for r in eng.read("fs").where(
+        F.col("metadata").getItem("tier") == "common").select("id").collect()}
+    assert all(r.id in common_ids for r in broad)
+    scores = [r.score for r in broad]
+    assert scores == sorted(scores, reverse=True)
+
+    # staleness refusal after a mutation, like every indexed search
+    eng.add_documents("fs", ["late arrival"], metadatas=[{"tier": "rare"}])
+    with pytest.raises(EngineError, match="index_not_fresh"):
+        eng.indexed_filtered_search("fs", qv, {"tier": "rare"}, k=3)

@@ -1268,6 +1268,79 @@ class CollectionEngine:
             .orderBy(F.col("score").desc(), F.col("id").asc())
         )
 
+    def indexed_filtered_search(
+        self,
+        name: str,
+        question_vec,
+        payload_filter: dict,
+        k: int = 5,
+        ef: int = 48,
+        selectivity_threshold: float = 0.25,
+    ) -> DataFrame:
+        """Filtered vector search over the persisted graph index — the
+        filter+vector query a qdrant user issues most (its planner picks
+        between a filtered exact scan and the HNSW traversal by estimated
+        cardinality; the engine routes the same way via
+        :func:`~vector_mcp_spark.operators.graph_ann.ann_filtered_topk_routed`).
+
+        ``payload_filter`` is the must-match map ``{metadata_key: value}``
+        (qdrant ``Filter(must=[FieldCondition(...)])`` shape): a row
+        qualifies when EVERY pair matches its metadata. Refuses empty or
+        non-mapping filters with ``payload_filter_invalid``, mis-sized
+        queries with ``collection_vector_schema_mismatch``, and absent/
+        stale indexes with ``index_not_fresh`` — the same staleness
+        contract as every indexed search. Returns (id, content, score)
+        best-first; < 2 indexed vectors answers empty."""
+        import json
+
+        from vector_mcp_spark.operators.graph_ann import ann_filtered_topk_routed
+
+        if not isinstance(payload_filter, dict) or not payload_filter:
+            raise EngineError(
+                "payload_filter_invalid", detail="need a non-empty {key: value} map"
+            )
+        for key in payload_filter:
+            self._validate_payload_key(key)
+        scoped = self._require(name)
+        question_vec = [float(x) for x in question_vec]
+        dim = self._locked_dimension(scoped)
+        if dim is not None and len(question_vec) != dim:
+            raise EngineError(
+                "collection_vector_schema_mismatch",
+                detail=f"query dimension {len(question_vec)} != locked {dim}",
+            )
+        if self.index_status(name) not in ("fresh", "repaired"):
+            raise EngineError("index_not_fresh")
+        manifest = json.loads((self._index_root(scoped) / "manifest.json").read_text())
+        meta = manifest.get("graph") or {}
+        df = self.read(name)
+        if self.needs_embed(name):
+            from vector_mcp_spark.functions.embedder import embed_documents
+
+            df = embed_documents(df, text_col="content", out_col="embedding")
+        if meta.get("entry") is None:
+            return self.spark.createDataFrame([], "id string, content string, score double")
+        cond = None
+        for key, value in payload_filter.items():
+            c = F.col("metadata").getItem(key) == F.lit(str(value))
+            cond = c if cond is None else (cond & c)
+        allowed = df.where(cond).select("id")
+        edges = self.spark.read.parquet(str(self._index_root(scoped) / "graph"))
+        corpus = df.where(F.col("embedding").isNotNull()).select("id", "embedding")
+        query = self.spark.createDataFrame(
+            [("__q__", question_vec)], "id string, embedding array<float>"
+        )
+        hits, _regime = ann_filtered_topk_routed(
+            query, corpus, edges, meta["entry"], allowed, k, ef=ef, id_col="id",
+            exclude_self=False,  # the query is synthetic, not a corpus row
+            selectivity_threshold=selectivity_threshold,
+        )
+        return (
+            df.join(F.broadcast(hits.select(F.col("neighbor_id").alias("id"), "score")), "id")
+            .select("id", "content", "score")
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+        )
+
     def profile_collection(self, name: str) -> DataFrame:
         """Data-quality profile of a collection: per-signal row/null counts,
         range, and totals over derived numeric signals (content length,
