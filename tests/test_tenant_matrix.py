@@ -28,6 +28,8 @@ NAME_GATED_SURFACES = [
     "indexed_lexical_search",
     "indexed_semantic_search",
     "indexed_graph_search",
+    "indexed_ivfpq_search",
+    "indexed_filtered_search",
     "count_documents",
     "get_documents_by_ids",
     "add_documents",
@@ -81,6 +83,10 @@ def test_cross_tenant_name_gated_surface_refuses(surface, two_tenants, spark):
             NAME, [0.1] * 64
         ),
         "indexed_graph_search": lambda e: e.indexed_graph_search(NAME, [0.1] * 64),
+        "indexed_ivfpq_search": lambda e: e.indexed_ivfpq_search(NAME, [0.1] * 64),
+        "indexed_filtered_search": lambda e: e.indexed_filtered_search(
+            NAME, [0.1] * 64, {"k": "v"}
+        ),
         "count_documents": lambda e: e.count_documents(NAME),
         "get_documents_by_ids": lambda e: e.get_documents_by_ids(NAME, ["x"]),
         "add_documents": lambda e: e.add_documents(NAME, ["intruder doc"]),

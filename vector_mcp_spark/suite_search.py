@@ -1285,3 +1285,31 @@ def q_semantic_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_topk(
         coll, SEM_QUERY_VEC, SEM_K, id_col="doc_id", emb_col="embedding", metric="l2"
     )
+
+
+# Q3 twin under L2 — the pgvector "WHERE embedding <-> q <= bound" query
+# (postgres.py:329-343 pushes the cosine form; <-> is the same pushdown
+# under the EUCLID opclass). Distance threshold applies DIRECTLY to the
+# metric (dist <= bound), rank order ascends.
+
+_L2_THRESHOLD = 4.35
+
+_L2_THRESH_ORACLE = f"""
+SELECT d.doc_id AS doc_id,
+       ROUND({_l2_sql('e.embedding', SEM_QUERY_VEC)}, 6) AS score
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE {_l2_sql('e.embedding', SEM_QUERY_VEC)} <= {_L2_THRESHOLD}
+ORDER BY {_l2_sql('e.embedding', SEM_QUERY_VEC)} ASC, d.doc_id ASC
+LIMIT 1000
+"""
+
+
+@register("semantic_threshold_l2", _L2_THRESH_ORACLE, "search", "parity")
+def q_semantic_threshold_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.semantic import semantic_topk
+
+    coll = docs_with_embeddings(spark, sf_dir)
+    return semantic_topk(
+        coll, SEM_QUERY_VEC, 1000, id_col="doc_id", emb_col="embedding",
+        metric="l2", distance_threshold=_L2_THRESHOLD,
+    )
