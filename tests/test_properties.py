@@ -532,3 +532,58 @@ def test_tdigest_quantile_accuracy_and_merge_weight(spark):
             est = r.mean_r
             break
     assert abs(est - allv[2000]) <= 0.08 * (allv[-1] - allv[0])
+
+
+@SLOW
+@given(st.lists(st.tuples(vectors, vectors), min_size=1, max_size=6))
+def test_l2_distance_column_matches_python(spark, pairs):
+    """HOF l2_distance == the pure-Python Euclidean distance (within fp
+    tolerance of the expansion form), and the expansion's guard never
+    yields NaN — identical vectors give exactly 0 via greatest(0, .)."""
+    from vector_mcp_spark.functions.vector import l2_distance
+
+    pairs = [(a, b[: len(a)] + [0.0] * (len(a) - len(b))) for a, b in pairs]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i int, a array<double>, b array<double>",
+    )
+    got = {r.i: r.d for r in df.select("i", l2_distance("a", "b").alias("d")).collect()}
+    for i, (a, b) in enumerate(pairs):
+        want = math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+        scale = max(want, math.sqrt(sum(x * x for x in a)), 1.0)
+        assert got[i] == pytest.approx(want, abs=1e-6 * scale)
+        assert not math.isnan(got[i])
+
+
+@SLOW
+@given(vectors)
+def test_l2_distance_lit_identity_is_zero(spark, vec):
+    """d(v, v) == 0.0 exactly under the guarded expansion (the raw
+    expansion can go epsilon-negative; greatest(0, .) pins it)."""
+    from vector_mcp_spark.functions.vector import l2_distance_lit
+
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    got = df.select(l2_distance_lit("v", vec).alias("d")).first().d
+    assert got == 0.0
+
+
+@SLOW
+@given(st.lists(vectors, min_size=3, max_size=8), st.integers(min_value=1, max_value=3))
+def test_semantic_topk_l2_matches_brute_force(spark, vecs, k):
+    """Operator-level L2 ranking equals the Python brute force for random
+    frames, ties broken by id ascending."""
+    from vector_mcp_spark.operators.semantic import semantic_topk
+
+    dim = len(vecs[0])
+    vecs = [v[:dim] + [0.0] * (dim - len(v)) for v in vecs]
+    q = vecs[0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id int, embedding array<float>"
+    )
+    got = semantic_topk(df, q, k, id_col="id", metric="l2").collect()
+    f32 = [[float(__import__("struct").unpack("f", __import__("struct").pack("f", x))[0]) for x in v] for v in vecs]
+    want = sorted(
+        ((math.sqrt(sum((x - y) ** 2 for x, y in zip(v, q))), i) for i, v in enumerate(f32)),
+        key=lambda t: (t[0], t[1]),
+    )[:k]
+    assert [r.id for r in got] == [i for _, i in want]
