@@ -218,6 +218,7 @@ _PROMOTED_R11: list[str] = [
     "semantic_topk_l2",
     "hybrid_sparse_dense",
     "semantic_threshold_l2",
+    "ann_ivf_l2_topk",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r7 = CORRECTNESS_r07

@@ -3074,3 +3074,129 @@ def q_ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _IVFPQ_K, shortlist=_IVFPQ_RR_SHORTLIST, nprobe=_IVFPQ_NPROBE,
         id_col="vec_id",
     )
+
+
+# -- IVF ANN under L2 (pgvector <-> / qdrant Distance.EUCLID route) -----------
+#
+# A SECOND deterministic k-means, assigned by argmin SQUARED distance
+# (mirroring assign_clusters(metric="l2")'s vsq - 2 v.c + csq kernel — no
+# sqrt inside the argmin, ties to the lowest centroid index), cached per sf
+# like ivf_16. The oracle rebuilds it end to end and replays probe +
+# re-rank; the candidate score mirrors ann_ivf_topk's exact expression
+# (sqrt(greatest(0, nnorm^2 + qnorm^2 - 2 dot)) with nnorm = sqrt(dd), the
+# sqrt-then-square order preserved) so both engines do identical
+# arithmetic.
+
+
+def _l2_d2_sql(a: str, b: str) -> str:
+    """Squared distance via the expansion — the argmin key (no sqrt)."""
+    return (
+        f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}))"
+    )
+
+
+def _kmeans_replay_ctes_l2() -> str:
+    def assign_cte(name: str, cent_cte: str) -> str:
+        return f"""
+{name}_s AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, s.idx,
+         {_l2_d2_sql("e.embedding::DOUBLE[]", "s.c")} AS d2
+  FROM embeddings e CROSS JOIN {cent_cte} s
+),
+{name} AS (
+  SELECT vec_id, v, idx AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, idx ASC) AS rn FROM {name}_s
+  ) WHERE rn = 1
+)"""
+
+    def update_cte(name: str, assign: str, prev: str) -> str:
+        return f"""
+{name}_m AS (
+  SELECT cluster, i, ROUND(avg(v[i + 1]), 8) AS val
+  FROM {assign} CROSS JOIN (SELECT unnest(range(64)) AS i)
+  GROUP BY cluster, i
+),
+{name}_l AS (SELECT cluster AS idx, list(val ORDER BY i) AS c FROM {name}_m GROUP BY cluster),
+{name} AS (SELECT p.idx, COALESCE(n.c, p.c) AS c FROM {prev} p LEFT JOIN {name}_l n ON n.idx = p.idx)"""
+
+    return f"""
+WITH seeds AS (
+  SELECT idx, c FROM (
+    SELECT row_number() OVER (ORDER BY sha256(CAST(vec_id AS VARCHAR))) - 1 AS idx,
+           embedding::DOUBLE[] AS c
+    FROM embeddings
+  ) WHERE idx < 16
+),{assign_cte("la1", "seeds")},{update_cte("lc1", "la1", "seeds")},{assign_cte("la2", "lc1")},{update_cte("lc2", "la2", "lc1")},{assign_cte("la3", "lc2")}"""
+
+
+def _ann_ivf_l2_oracle() -> str:
+    # the exact-mirror L2 distance: sqrt-then-square norms, (A + B) - 2dq
+    # inside greatest, matching operators/similarity.ann_ivf_topk(metric=l2)
+    def dist(a: str, b: str) -> str:
+        na = f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({a}, {a})))"
+        nb = f"(sqrt(list_dot_product({b}, {b})) * sqrt(list_dot_product({b}, {b})))"
+        return f"sqrt(greatest(0.0, ({na} + {nb}) - 2.0 * list_dot_product({a}, {b})))"
+
+    # centroid ranking mirrors l2_distance (sqrt of aa + bb - 2ab with
+    # SEQUENTIAL-fold sums); sqrt is monotone so ranking by the unsqrted
+    # expansion is order-identical, and ties pin to the lowest idx
+    return f"""{_kmeans_replay_ctes_l2()},
+q AS (SELECT vec_id, v FROM la3 WHERE vec_id < 20),
+qs AS (
+  SELECT q.vec_id AS query_id, q.v AS qe, s.idx,
+         greatest(0.0, {_l2_d2_sql("q.v", "s.c")}) AS d2
+  FROM q CROSS JOIN lc2 s
+),
+probe AS (
+  SELECT query_id, qe, idx AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, idx ASC) AS rn FROM qs
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {dist("a.v", "p.qe")} AS dst
+  FROM probe p JOIN la3 a ON a.cluster = p.cluster AND a.vec_id != p.query_id
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, ROUND(dst, 6) AS score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dst ASC NULLS LAST, neighbor_id ASC) AS rnk
+  FROM cand
+) WHERE rnk <= 5
+"""
+
+
+def _ivf_l2_cached(spark: SparkSession, sf_dir: str):
+    import json
+    import os
+
+    from vector_mcp_spark.operators.similarity import ivf_build
+
+    cache = _index_cache(sf_dir, "ivf16_l2")
+    cent_path = os.path.join(cache, "centroids.json")
+    assigned_path = os.path.join(cache, "assigned")
+    if not (os.path.exists(cent_path) and os.path.exists(os.path.join(assigned_path, "_SUCCESS"))):
+        embs = load(spark, sf_dir, "embeddings")
+        assigned, centroids = ivf_build(
+            embs, n_centroids=16, id_col="vec_id", max_iter=2, metric="l2"
+        )
+        assigned.write.mode("overwrite").parquet(assigned_path)
+        os.makedirs(cache, exist_ok=True)
+        with open(cent_path, "w") as f:
+            json.dump(centroids, f)
+    with open(cent_path) as f:
+        centroids = json.load(f)
+    return spark.read.parquet(assigned_path), centroids
+
+
+@register("ann_ivf_l2_topk", _ann_ivf_l2_oracle(), "similarity", "pipeline")
+def q_ann_ivf_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-metric IVF ANN: probe by Euclidean distance, re-rank ascending —
+    the pgvector <-> / qdrant EUCLID serving route, fully value-oracled
+    (the L2 k-means replays deterministically like the cosine one)."""
+    from vector_mcp_spark.operators.similarity import ann_ivf_topk
+
+    embs = load(spark, sf_dir, "embeddings")
+    assigned, centroids = _ivf_l2_cached(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 20)
+    return ann_ivf_topk(
+        queries, assigned, centroids, 5, nprobe=4, id_col="vec_id", metric="l2"
+    )
