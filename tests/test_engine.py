@@ -1923,3 +1923,47 @@ def test_indexed_filtered_search_both_regimes(spark, tmp_path_factory):
     eng.add_documents("fs", ["late arrival"], metadatas=[{"tier": "rare"}])
     with pytest.raises(EngineError, match="index_not_fresh"):
         eng.indexed_filtered_search("fs", qv, {"tier": "rare"}, k=3)
+
+
+def test_restored_snapshot_index_contract(spark, tmp_path_factory):
+    """Snapshots carry table + changelog but NOT the index sidecar (the
+    index is derived state — rebuild-on-restore is the honest contract):
+    the restored collection reports index_status 'absent', every indexed
+    search refuses with index_not_fresh, and one build serves all four
+    families again."""
+    import pytest
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions.embedder import hash_embed
+    from vector_mcp_spark.validation import EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("snapidx_root")))
+    eng.create_collection("src")
+    eng.add_documents(
+        "src",
+        [f"snapshot doc {i} topic {i % 5}" for i in range(30)],
+        metadatas=[{"topic": str(i % 5)} for i in range(30)],
+    )
+    eng.build_search_index("src")
+    assert eng.index_status("src") == "fresh"
+    snap = eng.create_snapshot("src")
+
+    eng.restore_snapshot(snap, "back")
+    assert eng.index_status("back") == "absent"
+    qv = hash_embed("snapshot doc 7 topic 2", 64)
+    for call in (
+        lambda: eng.indexed_lexical_search("back", "snapshot"),
+        lambda: eng.indexed_semantic_search("back", qv),
+        lambda: eng.indexed_graph_search("back", qv),
+        lambda: eng.indexed_ivfpq_search("back", qv),
+        lambda: eng.indexed_filtered_search("back", qv, {"topic": "2"}),
+    ):
+        with pytest.raises(EngineError, match="index_not_fresh"):
+            call()
+    eng.build_search_index("back")
+    assert eng.index_status("back") == "fresh"
+    assert eng.indexed_lexical_search("back", "snapshot", k=5).count() == 5
+    assert eng.indexed_graph_search("back", qv, k=3).count() == 3
+    assert eng.indexed_ivfpq_search("back", qv, k=3, nprobe=16, shortlist=50).count() == 3
+    got = eng.indexed_filtered_search("back", qv, {"topic": "2"}, k=3).collect()
+    assert got and all(r.id for r in got)
