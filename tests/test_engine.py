@@ -1860,6 +1860,12 @@ def test_int8_quantization_config_lifecycle(spark, tmp_path_factory):
     exact = semantic_topk(docs, qv, 5, id_col="id", emb_col="embedding").collect()
     assert [r.id for r in served] == [r.id for r in exact]
 
+    # switching back to sign on a rebuild removes the stale int8 family
+    eng.build_search_index("q8", quantization="sign")
+    assert (root / "signs").exists() and not (root / "int8q").exists()
+    eng.build_search_index("q8", quantization="int8")
+    assert (root / "int8q").exists() and not (root / "signs").exists()
+
     # repair appends to the int8 family and the new doc serves
     eng.add_documents("q8", ["fresh quantized arrival"])
     eng.repair_search_index("q8")

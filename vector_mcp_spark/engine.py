@@ -781,11 +781,16 @@ class CollectionEngine:
             signs.select("id", "lo", "hi").write.mode("overwrite").parquet(
                 str(root / "signs")
             )
+            shutil.rmtree(root / "int8q", ignore_errors=True)
         else:
             signs = quantize_int8(vec_rows, vec_col="embedding", id_col="id")
             signs.select("id", "scale", "q").write.mode("overwrite").parquet(
                 str(root / "int8q")
             )
+            shutil.rmtree(root / "signs", ignore_errors=True)
+        # a rebuild that switches quantization must not leave the previous
+        # family's table behind: it would never be read (the manifest pins
+        # the active family) but would silently bloat the sidecar
         # membership + per-row change sidecar: lets repair_search_index
         # prove the growth was append-only (old rows present AND unchanged
         # in their SERVED representation) without any full re-index
