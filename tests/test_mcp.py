@@ -1551,3 +1551,52 @@ def test_vector_search_semantic_metric_threading(veneer):
         "semantic_search", collection_name="mx", question="x", metric="manhattan"
     )
     assert out["error"] == "metric_invalid"
+
+
+def test_agent_server_invalid_args_stay_json(spark, tmp_path_factory):
+    """ADVICE r11: client-controlled args must never crash the request with
+    a bare TypeError (connection reset) — reserved keys are rejected up
+    front and unexpected kwargs come back as a stable arguments_invalid
+    dict, matching the stdio transport's never-leak-a-traceback contract."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from vector_mcp_spark.agent_card import AgentCardVeneer
+    from vector_mcp_spark.agent_server import start_agent_http
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("a2a_args_root")))
+    agent = AgentCardVeneer(McpVeneer(eng, VectorSearchApi(eng)))
+    server = start_agent_http(agent, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        def invoke(body):
+            req = urllib.request.Request(
+                base + "/invoke", data=_json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"}, method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=10) as r:
+                return _json.loads(r.read())
+
+        # duplicate-kwarg attack: args carrying 'principal' (or tool/action)
+        out = invoke({
+            "tool": "vector_collection_management", "action": "list_collections",
+            "args": {"principal": "mallory"},
+        })
+        assert out["error"] == "arguments_invalid"
+        assert out["reserved_keys"] == ["principal"]
+
+        # unexpected kwarg for the routed method -> stable dict, not a reset
+        out = invoke({
+            "tool": "vector_collection_management", "action": "create_collection",
+            "args": {"collection_name": "argsafe", "bogus_kwarg": 1},
+        })
+        assert out.get("error"), out
+        # and the connection is still serviceable afterwards
+        out = invoke({
+            "tool": "vector_collection_management", "action": "list_collections",
+        })
+        assert "collections" in out
+    finally:
+        server.shutdown()

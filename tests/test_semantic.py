@@ -311,3 +311,25 @@ def test_payload_boost_null_payload_gets_zero_boost(spark):
     assert [r.id for r in out] == [1, 2, 3]
     assert all(r.score is not None for r in out)
     assert abs(out[1].score - 1.0) < 1e-6  # cosine only, no NULL propagation
+
+
+def test_l2_null_embeddings_never_outrank_real_scores(spark):
+    """ADVICE r11: under metric='l2' the ascending sort must order NULL
+    scores LAST — Spark's asc() default (NULLS FIRST) would hand the top-k
+    ranks to rows with missing embeddings."""
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("b", [0.8, 0.2]),
+        ("c", None),  # missing embedding -> NULL l2 score
+        ("d", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<double>")
+    got = semantic_topk(df, [1.0, 0.0], 3, id_col="doc_id", metric="l2").collect()
+    assert [r.doc_id for r in got] == ["a", "b", "d"]
+    assert all(r.score is not None for r in got)
+
+    multi = semantic_topk_multi(
+        df, [(0, [1.0, 0.0])], 3, id_col="doc_id", metric="l2"
+    ).collect()
+    assert [r.doc_id for r in sorted(multi, key=lambda r: r.rank)] == ["a", "b", "d"]
+    assert all(r.score is not None for r in multi)

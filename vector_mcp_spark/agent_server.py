@@ -86,13 +86,30 @@ def _make_handler(agent: AgentCardVeneer):
             if not isinstance(args, dict):
                 self._send(400, {"error": "args must be an object"})
                 return
+            # dispatch positional/keyword names a client-supplied kwarg must
+            # never shadow (a duplicate would raise TypeError pre-call)
+            reserved = {"tool", "action", "principal"} & set(args)
+            if reserved:
+                self._send(
+                    200,
+                    {"error": "arguments_invalid", "reserved_keys": sorted(reserved)},
+                )
+                return
             principal = None
             auth = self.headers.get("Authorization") or ""
             if auth.startswith("Bearer "):
                 principal = auth[len("Bearer "):].strip() or None
-            out = agent.dispatch(
-                str(req["tool"]), str(req["action"]), principal=principal, **args
-            )
+            try:
+                out = agent.dispatch(
+                    str(req["tool"]), str(req["action"]), principal=principal, **args
+                )
+            except TypeError as e:
+                # unexpected kwarg for the routed veneer method — a client
+                # mistake, not a server fault; same never-leak-a-traceback
+                # contract as the stdio transport (mcp_stdio.py:79)
+                out = {"error": "arguments_invalid", "detail": str(e)[:200]}
+            except Exception as e:
+                out = {"error": "internal_error", "detail": f"{type(e).__name__}: {e}"[:200]}
             self._send(200, out)
 
     return Handler

@@ -137,19 +137,21 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
     bb = F.aggregate(
         F.transform(_as_double_array(b), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
     )
-    return F.sqrt(F.greatest(F.lit(0.0), aa + bb - F.lit(2.0) * dot(a, b)))
+    inner = aa + bb - F.lit(2.0) * dot(a, b)
+    # NOT F.greatest(0, inner): greatest IGNORES nulls, so a NULL embedding
+    # would score a perfect 0.0 distance instead of NULL (ADVICE r11)
+    return F.sqrt(F.when(inner < F.lit(0.0), F.lit(0.0)).otherwise(inner))
 
 
 def l2_distance_lit(col: Column | str, vec: Sequence[float]) -> Column:
     """Codegen'd Euclidean distance against a literal query vector;
     same expansion (and fold order) as ``l2_distance``."""
-    return F.sqrt(
-        F.greatest(
-            F.lit(0.0),
-            sq_norm_fixed(col, len(vec)) + F.lit(sq_norm_py(vec))
-            - F.lit(2.0) * dot_lit(col, vec),
-        )
+    inner = (
+        sq_norm_fixed(col, len(vec)) + F.lit(sq_norm_py(vec))
+        - F.lit(2.0) * dot_lit(col, vec)
     )
+    # same NULL-propagating clamp as l2_distance (greatest swallows NULLs)
+    return F.sqrt(F.when(inner < F.lit(0.0), F.lit(0.0)).otherwise(inner))
 
 
 def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:

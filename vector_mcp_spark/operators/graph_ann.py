@@ -67,6 +67,40 @@ def _guarded_norm(col: F.Column) -> F.Column:
     return F.when(n == F.lit(0.0), F.lit(1.0)).otherwise(n)
 
 
+#: metrics the graph family builds and serves under — pgvector's three
+#: operator classes / qdrant's Distance enum (``postgres.py:316-348``,
+#: ``qdrant.py:122-127``); True = higher score is better
+GRAPH_METRICS = {"cosine": True, "dot": True, "l2": False}
+
+
+def _node_norm(col: F.Column, metric: str) -> F.Column:
+    """The per-node norm each metric's pair score consumes: cosine keeps
+    the zero-guarded convention (sims never NULL); l2 uses the RAW norm so
+    ``n² + q² − 2·d·q`` reproduces ``similarity.ann_ivf_topk(metric='l2')``
+    bit-for-bit (sqrt-then-square order preserved); dot never reads it."""
+    if metric == "cosine":
+        return _guarded_norm(col)
+    return F.sqrt(dot(col, col))
+
+
+def _pair_score(metric: str, av: F.Column, an: F.Column, bv: F.Column, bn: F.Column) -> F.Column:
+    if metric == "cosine":
+        return dot(av, bv) / (an * bn)
+    if metric == "dot":
+        return dot(av, bv)
+    # l2: same expansion + clamp as similarity.ann_ivf_topk(metric='l2')
+    return F.sqrt(
+        F.greatest(F.lit(0.0), an * an + bn * bn - F.lit(2.0) * dot(av, bv))
+    )
+
+
+def _score_order(metric: str, score: F.Column, tie: F.Column) -> list:
+    # l2 NULLS LAST: matches DuckDB's ASC default, and a NULL score must
+    # never outrank a real one (ADVICE r11)
+    higher = GRAPH_METRICS[metric]
+    return [score.desc() if higher else score.asc_nulls_last(), tie.asc()]
+
+
 def hnsw_levels(df: DataFrame, id_col: str = "id") -> DataFrame:
     """Add ``hx`` (last-4-hex-chars of sha256(id) as int) and ``level``
     columns. Nested geometric levels: hx%8==0 → ≥1, hx%64==0 → ≥2."""
@@ -81,16 +115,20 @@ def hnsw_levels(df: DataFrame, id_col: str = "id") -> DataFrame:
     )
 
 
-def _top_m(cand: DataFrame, nodes: DataFrame, m: int) -> DataFrame:
-    """(src, dst) candidate pairs → each src's top-``m`` by cosine."""
+def _top_m(cand: DataFrame, nodes: DataFrame, m: int, metric: str = "cosine") -> DataFrame:
+    """(src, dst) candidate pairs → each src's top-``m`` nearest under
+    ``metric`` (best-first: cosine/dot desc, l2 asc)."""
     a = nodes.select(F.col("node").alias("src"), F.col("v").alias("_av"), F.col("n").alias("_an"))
     b = nodes.select(F.col("node").alias("dst"), F.col("v").alias("_bv"), F.col("n").alias("_bn"))
     scored = (
         cand.join(a, "src")
         .join(b, "dst")
-        .withColumn("_sm", dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")))
+        .withColumn(
+            "_sm",
+            _pair_score(metric, F.col("_av"), F.col("_an"), F.col("_bv"), F.col("_bn")),
+        )
     )
-    w = Window.partitionBy("src").orderBy(F.col("_sm").desc(), F.col("dst").asc())
+    w = Window.partitionBy("src").orderBy(*_score_order(metric, F.col("_sm"), F.col("dst")))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= m)
@@ -110,11 +148,15 @@ def hnsw_build(
     id_col: str = "id",
     emb_col: str = "embedding",
     cluster_col: str = "cluster",
+    metric: str = "cosine",
 ) -> tuple[DataFrame, dict]:
     """Build the layered neighbor graph over an IVF-assigned corpus
     (``similarity.ivf_build`` output — the two indexes share the coarse
-    quantizer). Returns (edges DataFrame (layer, src, dst), meta dict with
-    ``entry`` node id and ``top_layer``)."""
+    quantizer; build the assignment under the SAME ``metric`` passed here,
+    matching pgvector's per-opclass hnsw indexes). Returns (edges DataFrame
+    (layer, src, dst), meta dict with ``entry`` node id and ``top_layer``)."""
+    if metric not in GRAPH_METRICS:
+        raise ValueError(f"unknown metric {metric!r}; one of {sorted(GRAPH_METRICS)}")
     nodes = hnsw_levels(
         assigned.select(
             F.col(id_col).alias("node"),
@@ -122,7 +164,7 @@ def hnsw_build(
             F.col(cluster_col).alias("cluster"),
         ),
         id_col="node",
-    ).withColumn("n", _guarded_norm(F.col("v")))
+    ).withColumn("n", _node_norm(F.col("v"), metric))
     # feeds every pair-gen and scoring join below — truncate lineage once
     nodes = nodes.localCheckpoint(eager=True)
 
@@ -151,7 +193,7 @@ def hnsw_build(
     cand0 = pairs_on(nodes, F.col("cluster"), F.col("hx") % s).union(
         pairs_on(nodes, F.col("hx") % n_hash_buckets, (F.col("hx") / n_hash_buckets).cast("long") % s)
     ).distinct()
-    e0 = _top_m(cand0, nodes, m)
+    e0 = _top_m(cand0, nodes, m, metric)
     for _ in range(nn_descent_rounds):
         e0 = e0.localCheckpoint(eager=True)  # iterative — truncate per round
         fwd = e0
@@ -162,7 +204,7 @@ def hnsw_build(
             .where(F.col("_a") != F.col("_b"))
             .select(F.col("_a").alias("src"), F.col("_b").alias("dst"))
         )
-        e0 = _top_m(fwd.union(rev).union(two_hop).distinct(), nodes, m)
+        e0 = _top_m(fwd.union(rev).union(two_hop).distinct(), nodes, m, metric)
     layers = [(_symmetrize(e0), 0)]
 
     # upper layers: level-filtered nodes, coarser blocks each level up —
@@ -177,6 +219,7 @@ def hnsw_build(
                     pairs_on(up1, F.col("cluster") % HNSW_UPPER_COARSEN, F.col("hx") % s1),
                     nodes,
                     m,
+                    metric,
                 )
             ),
             1,
@@ -185,7 +228,7 @@ def hnsw_build(
     # ceil((n/64) / 128) = ceil(n / 8192)
     s2 = max(1, -(-n_rows // (HNSW_LEVEL_FANOUT**2 * HNSW_BLOCK_CAP)))
     up2 = nodes.where(F.col("level") >= 2)
-    layers.append((_symmetrize(_top_m(pairs_on(up2, F.col("hx") % s2), nodes, m)), 2))
+    layers.append((_symmetrize(_top_m(pairs_on(up2, F.col("hx") % s2), nodes, m, metric)), 2))
 
     edges = None
     for e, layer in layers:
@@ -211,6 +254,7 @@ def ann_hnsw_topk(
     emb_col: str = "embedding",
     exclude_self: bool = True,
     allowed: DataFrame | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Greedy beam search over the layered graph: start every query's beam
     at the shared entry node, descend the fixed ``hops`` schedule, keep the
@@ -227,17 +271,19 @@ def ann_hnsw_topk(
     layer's edge partition (≤ 2m rows/node) plus a per-query top-ef window —
     bounded work per query per hop, no full-corpus scan after the build.
     """
+    if metric not in GRAPH_METRICS:
+        raise ValueError(f"unknown metric {metric!r}; one of {sorted(GRAPH_METRICS)}")
     nodes = corpus.select(
         F.col(id_col).alias("node"),
         F.col(emb_col).alias("v"),
-        _guarded_norm(F.col(emb_col)).alias("n"),
+        _node_norm(F.col(emb_col), metric).alias("n"),
     ).localCheckpoint(eager=True)  # feeds one scoring join per hop
     edges = edges.localCheckpoint(eager=True)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("qv"),
-        _guarded_norm(F.col(emb_col)).alias("qn"),
+        _node_norm(F.col(emb_col), metric).alias("qn"),
     )
     beam = q.select("query_id").withColumn("node", F.lit(entry))
 
@@ -245,9 +291,14 @@ def ann_hnsw_topk(
         scored = (
             cand.join(q, "query_id")
             .join(nodes, "node")
-            .withColumn("_sm", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n")))
+            .withColumn(
+                "_sm",
+                _pair_score(metric, F.col("qv"), F.col("qn"), F.col("v"), F.col("n")),
+            )
         )
-        w = Window.partitionBy("query_id").orderBy(F.col("_sm").desc(), F.col("node").asc())
+        w = Window.partitionBy("query_id").orderBy(
+            *_score_order(metric, F.col("_sm"), F.col("node"))
+        )
         return scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= n_keep)
 
     first_hop = True
@@ -316,6 +367,7 @@ def hnsw_repair(
     ef: int = 48,
     id_col: str = "id",
     emb_col: str = "embedding",
+    metric: str = "cosine",
 ) -> tuple[DataFrame, dict]:
     """Incremental graph repair for an append-only grown corpus — the batch
     form of the HNSW insert (search phase + connect phase), so a mutated
@@ -344,20 +396,20 @@ def hnsw_repair(
             new_vecs.select(F.col(id_col).alias("node"), F.col(emb_col).alias("v")),
             id_col="node",
         )
-        .withColumn("n", _guarded_norm(F.col("v")))
+        .withColumn("n", _node_norm(F.col("v"), metric))
         .localCheckpoint(eager=True)
     )
     old_nodes = hnsw_levels(
         old_vecs.select(F.col(id_col).alias("node"), F.col(emb_col).alias("v")),
         id_col="node",
-    ).withColumn("n", _guarded_norm(F.col("v")))
+    ).withColumn("n", _node_norm(F.col("v"), metric))
     # feeds the connect-phase scoring joins (levels of OLD candidates are
     # re-derived from the same sha draw — no persisted level state needed)
     all_nodes = old_nodes.unionByName(new_nodes).localCheckpoint(eager=True)
 
     beam = ann_hnsw_topk(
         new_vecs, old_vecs, edges, entry, k=ef, ef=ef,
-        id_col=id_col, emb_col=emb_col, exclude_self=False,
+        id_col=id_col, emb_col=emb_col, exclude_self=False, metric=metric,
     ).select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
 
     n_new = new_nodes.count()
@@ -388,13 +440,16 @@ def hnsw_repair(
             ),
             "dst",
         )
-        .withColumn("_sm", dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")))
+        .withColumn(
+            "_sm",
+            _pair_score(metric, F.col("_av"), F.col("_an"), F.col("_bv"), F.col("_bn")),
+        )
         .localCheckpoint(eager=True)  # feeds the three per-layer windows
     )
     out = None
     for layer in range(3):
         el = scored.where((F.col("_sl") >= layer) & (F.col("_dl") >= layer))
-        w = Window.partitionBy("src").orderBy(F.col("_sm").desc(), F.col("dst").asc())
+        w = Window.partitionBy("src").orderBy(*_score_order(metric, F.col("_sm"), F.col("dst")))
         top = (
             el.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= m)
@@ -427,6 +482,8 @@ def ann_filtered_topk_routed(
     emb_col: str = "embedding",
     exclude_self: bool = True,
     selectivity_threshold: float = 0.25,
+    n_total: int | None = None,
+    metric: str = "cosine",
 ) -> tuple[DataFrame, str]:
     """Selectivity-routed filtered ANN — the composition qdrant's query
     planner actually performs for filter+vector queries (its cardinality
@@ -444,13 +501,17 @@ def ann_filtered_topk_routed(
     score), scores rounded to ``SCORE_DECIMALS``, self-matches excluded
     when ``exclude_self``.
 
-    Cost of the estimate: two driver-side counts (the ``allowed`` side is
-    a pushed-down metadata predicate — a row-group-pruned count at scale).
-    At 100 TB the exact branch is a broadcast of the bounded query batch
-    against the FILTERED corpus scan (predicate reaches parquet), and the
-    graph branch touches only beam-frontier edge partitions.
+    Cost of the estimate: one driver-side count of the ``allowed`` side (a
+    pushed-down metadata predicate — a row-group-pruned count at scale).
+    Callers that already know the corpus cardinality (the engine records
+    it in the index manifest at build time) pass ``n_total`` so a served
+    query never pays a corpus-wide count; without it the estimate falls
+    back to ``corpus.count()``. At 100 TB the exact branch is a broadcast
+    of the bounded query batch against the FILTERED corpus scan (predicate
+    reaches parquet), and the graph branch touches only beam-frontier edge
+    partitions.
     """
-    n_total = corpus.count()
+    n_total = corpus.count() if n_total is None else int(n_total)
     n_allowed = allowed.count()
     sel = (n_allowed / n_total) if n_total else 0.0
     if sel >= selectivity_threshold:
@@ -458,6 +519,7 @@ def ann_filtered_topk_routed(
             ann_hnsw_topk(
                 queries, corpus, edges, entry, k=k, ef=ef, id_col=id_col,
                 emb_col=emb_col, exclude_self=exclude_self, allowed=allowed,
+                metric=metric,
             ),
             "graph",
         )
@@ -469,23 +531,23 @@ def ann_filtered_topk_routed(
         corpus.select(
             F.col(id_col).alias("node"),
             F.col(emb_col).alias("v"),
-            _guarded_norm(F.col(emb_col)).alias("n"),
+            _node_norm(F.col(emb_col), metric).alias("n"),
         )
         .join(allowed_ids, "node", "left_semi")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("qv"),
-        _guarded_norm(F.col(emb_col)).alias("qn"),
+        _node_norm(F.col(emb_col), metric).alias("qn"),
     )
     # bounded broadcast cross join: |queries| ≤ the caller's batch, never
     # corpus-sized — the same shape as semantic_topk_multi's scorer
     scored = nodes.join(F.broadcast(q)).withColumn(
-        "_sm", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n"))
+        "_sm", _pair_score(metric, F.col("qv"), F.col("qn"), F.col("v"), F.col("n"))
     )
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("node"))
-    w = Window.partitionBy("query_id").orderBy(F.col("_sm").desc(), F.col("node").asc())
+    w = Window.partitionBy("query_id").orderBy(*_score_order(metric, F.col("_sm"), F.col("node")))
     out = (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)

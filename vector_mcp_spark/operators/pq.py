@@ -184,6 +184,7 @@ def ann_ivf_adc_topk(
     k: int,
     nprobe: int = 4,
     id_col: str = "id",
+    metric: str = "cosine",
 ) -> DataFrame:
     """IVF-ADC — the composition billion-vector serving actually runs
     (Jégou et al.'s IVFADC; FAISS ``IndexIVFPQ``): the coarse quantizer
@@ -194,12 +195,17 @@ def ann_ivf_adc_topk(
     code column of the probed clusters' partitions, and the distance is m
     table lookups per candidate.
 
-    Probe selection mirrors ``ann_ivf_topk``'s contract (cosine DESC, tie
-    to the lowest centroid index) with the same sequential float sums as
-    the SQL replay, so the whole composition stays oracle-checkable.
-    Returns (id, rank, adc_dist) like :func:`pq_adc_topk`."""
+    Probe selection mirrors ``ann_ivf_topk``'s contract per ``metric``
+    (cosine/dot best-first DESC, l2 ASC; ties to the lowest centroid
+    index) with the same sequential float sums as the SQL replay, so the
+    whole composition stays oracle-checkable. The ADC tables themselves
+    are always squared-L2 lookups — that IS asymmetric distance
+    computation; the metric steers the coarse probe and the caller's
+    exact re-rank. Returns (id, rank, adc_dist) like :func:`pq_adc_topk`."""
     import math
 
+    if metric not in ("cosine", "dot", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
     q = [float(x) for x in query_vec]
     qn = math.sqrt(sum(x * x for x in q)) or 1.0
 
@@ -211,7 +217,26 @@ def ann_ivf_adc_topk(
             nn += b * b
         return num / (qn * (math.sqrt(nn) or 1.0))
 
-    order = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))
+    def dotp(c: list[float]) -> float:
+        num = 0.0
+        for a, b in zip(q, c):
+            num += a * b
+        return num
+
+    def l2d2(c: list[float]) -> float:
+        # squared distance — sqrt is monotone, ranking-identical
+        d2 = 0.0
+        for a, b in zip(q, c):
+            d2 += (a - b) * (a - b)
+        return d2
+
+    if metric == "cosine":
+        key = lambda i: (-cos(centroids[i]), i)  # noqa: E731
+    elif metric == "dot":
+        key = lambda i: (-dotp(centroids[i]), i)  # noqa: E731
+    else:
+        key = lambda i: (l2d2(centroids[i]), i)  # noqa: E731
+    order = sorted(range(len(centroids)), key=key)
     probes = [int(i) for i in order[:nprobe]]
     shortlist = assigned.where(F.col("cluster").isin(probes)).select(id_col)
     cand = encoded.join(shortlist, id_col, "left_semi")
@@ -230,33 +255,42 @@ def ann_ivf_adc_rerank_topk(
     nprobe: int = 4,
     id_col: str = "id",
     emb_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """The COMPLETE IVF-PQ serving path: coarse probe → ADC shortlist →
-    exact re-rank. ADC distances are distorted by quantization (the raw
-    recall floor is low by design — see RECALL.md); production always
-    re-ranks the shortlist against the full-precision vectors, and only
-    those ``shortlist`` rows are ever read from the vector column. Returns
-    (id, rank, score) with exact cosine, like the exact ANN operators."""
-    from vector_mcp_spark.functions.vector import dot, l2_norm
+    exact re-rank under ``metric`` (cosine/dot best-first desc, l2 asc —
+    the pgvector opclass triple). ADC distances are distorted by
+    quantization (the raw recall floor is low by design — see RECALL.md);
+    production always re-ranks the shortlist against the full-precision
+    vectors, and only those ``shortlist`` rows are ever read from the
+    vector column. Returns (id, rank, score) like the exact ANN
+    operators."""
+    from vector_mcp_spark.functions.vector import dot, l2_distance_lit, l2_norm
 
     short = ann_ivf_adc_topk(
         assigned, encoded, centroids, codebooks, query_vec,
-        shortlist, nprobe=nprobe, id_col=id_col,
+        shortlist, nprobe=nprobe, id_col=id_col, metric=metric,
     ).select(id_col)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     emb = F.col(emb_col)
-    sim = dot(emb, qlit) / (l2_norm(emb) * l2_norm(qlit))
+    if metric == "cosine":
+        sim = dot(emb, qlit) / (l2_norm(emb) * l2_norm(qlit))
+    elif metric == "dot":
+        sim = dot(emb, qlit)
+    else:
+        sim = l2_distance_lit(emb, [float(x) for x in query_vec])
+    higher = metric != "l2"
+    order = (
+        [F.col("_sim").desc(), F.col(id_col).asc()]
+        if higher
+        else [F.col("_sim").asc_nulls_last(), F.col(id_col).asc()]
+    )
     cand = corpus.join(F.broadcast(short), id_col, "left_semi").select(
         F.col(id_col), sim.alias("_sim")
     )
     return (
-        cand.orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+        cand.orderBy(*order)
         .limit(k)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("_sim").desc(), F.col(id_col).asc())
-            ),
-        )
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
         .select(id_col, "rank", F.round("_sim", 6).alias("score"))
     )

@@ -110,7 +110,7 @@ def semantic_topk(
     # go negative), so dot applies any non-None bound.
     if distance_threshold is not None and (metric == "dot" or distance_threshold >= 0):
         scored = scored.where(_threshold_pred(metric, distance_threshold))
-    order = F.col("score").desc() if higher else F.col("score").asc()
+    order = F.col("score").desc() if higher else F.col("score").asc_nulls_last()
     return (
         scored.select(id_col, *payload_cols, "score")
         .orderBy(order, F.col(id_col).asc())
@@ -180,7 +180,7 @@ def semantic_topk_multi(
 
     # Shuffle only the narrow (query_id, id, score) projection for ranking.
     narrow = scored.select("query_id", id_col, "score")
-    order = F.col("score").desc() if higher else F.col("score").asc()
+    order = F.col("score").desc() if higher else F.col("score").asc_nulls_last()
     w = Window.partitionBy("query_id").orderBy(order, F.col(id_col).asc())
     topk = narrow.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 

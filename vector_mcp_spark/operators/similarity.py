@@ -573,7 +573,7 @@ def ann_ivf_topk(
                 )
             ),
         )
-        order = F.col("score").asc()
+        order = F.col("score").asc_nulls_last()
     w = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id").asc())
     return (
         scored.select("query_id", "neighbor_id", "score")

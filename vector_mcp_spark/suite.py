@@ -142,10 +142,13 @@ def _l2_sql(emb_expr: str, vec: list[float]) -> str:
 
     q = _vec_sql_literal(vec)
     qq = repr(sq_norm_py(vec))
-    return (
-        f"sqrt(greatest(0.0, list_dot_product({emb_expr}::DOUBLE[], {emb_expr}::DOUBLE[]) "
-        f"+ {qq} - 2.0 * list_dot_product({emb_expr}::DOUBLE[], {q})))"
+    inner = (
+        f"(list_dot_product({emb_expr}::DOUBLE[], {emb_expr}::DOUBLE[]) "
+        f"+ {qq} - 2.0 * list_dot_product({emb_expr}::DOUBLE[], {q}))"
     )
+    # CASE, not greatest(0.0, ·): DuckDB greatest ignores NULLs too, and the
+    # Spark side now propagates NULL for a NULL embedding (ADVICE r11)
+    return f"sqrt(CASE WHEN {inner} < 0.0 THEN 0.0 ELSE {inner} END)"
 
 
 # Query-suite modules register themselves on import (bottom import keeps the
@@ -161,11 +164,10 @@ def _l2_sql(emb_expr: str, vec: list[float]) -> str:
 # (_PROMOTED_R11, so they get a driver row the round they ship), then the
 # entries whose latest driver row is r7 (CORRECTNESS_r07 keys minus any
 # later-green, alphabetical) up to 50.
-# ROUND 12 TODO: lead with the _ROUND11_FILL entries displaced past slot 50
-# this round — recompute as (_ROUND11_LEAD + _PROMOTED_R11 +
-# _ROUND11_FILL)[50:] — then _PROMOTED_R12, then the remaining r7-latest
-# entries and (if slots remain) the stalest r8 greens, alphabetical, up
-# to 50.
+# ROUND 13 TODO: lead with the _ROUND12_FILL entries displaced past slot 50
+# this round — recompute as (_ROUND12_LEAD + _PROMOTED_R12 +
+# _ROUND12_FILL)[50:] — then _PROMOTED_R13, then the stalest remaining
+# greens (r8, then r9) alphabetical, up to 50.
 from vector_mcp_spark import suite_relational  # noqa: E402,F401
 from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401
@@ -277,7 +279,39 @@ _ROUND11_FILL = [
     "upsert_merge",
 ]
 
-_window = (_ROUND11_LEAD + _PROMOTED_R11 + _ROUND11_FILL)[:50]
+# --- Round-12 window -------------------------------------------------------
+# (a) The 37 _ROUND11_FILL entries displaced past slot 50 last round (latest
+# driver rows r7, the stalest in the registry — exactly
+# (_ROUND11_LEAD + _PROMOTED_R11 + _ROUND11_FILL)[50:] of the r11 lists
+# above, i.e. _ROUND11_FILL[13:]).
+_ROUND12_LEAD = _ROUND11_FILL[13:]
+
+# (b) New round-12 operators are appended here as they land so they get a
+# driver row the round they ship (each displaces one _ROUND12_FILL slot).
+_PROMOTED_R12: list[str] = [
+    "ann_hnsw_l2_topk",
+]
+
+# (c) Stalest remaining greens (latest driver rows r8 = CORRECTNESS_r08
+# keys minus any later-green, alphabetical). Entries displaced past slot 50
+# here head the ROUND-13 window.
+_ROUND12_FILL = [
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_projected_topk",
+    "collection_aliases",
+    "collection_snapshot",
+    "corpus_decontaminate",
+    "corpus_mixture_sample",
+    "corpus_pack_sequences",
+    "corpus_psi_drift",
+    "corpus_repetition_stats",
+    "corpus_token_fertility",
+    "corpus_weighted_sample",
+    "corpus_zipf_fit",
+]
+
+_window = (_ROUND12_LEAD + _PROMOTED_R12 + _ROUND12_FILL)[:50]
 _missing = [n for n in _window if n not in SUITE]
 if _missing:  # fail loudly at import so a typo can't silently shrink coverage
     raise RuntimeError(f"rotation names not in SUITE: {_missing}")

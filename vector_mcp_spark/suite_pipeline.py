@@ -2441,15 +2441,34 @@ assert (_HNSW_D0, _HNSW_D1, _HNSW_D2) == (2048, 4096, 8192), "hnsw slivers chang
 assert _HNSW_M == 12, "suite _HNSW_M must match the recall-gated build default"
 
 
-def _hnsw_oracle(final_filter_sql: str = "") -> str:
+def _hnsw_l2_dist_sql(a: str, b: str) -> str:
+    """Pair L2 via the raw-norm expansion — mirrors graph_ann._pair_score
+    (metric='l2'): sqrt(greatest(0, ‖a‖² + ‖b‖² − 2·a·b)) with each norm
+    computed sqrt-then-squared, the exact Spark fold order."""
+    na = f"sqrt(list_dot_product({a}, {a}))"
+    nb = f"sqrt(list_dot_product({b}, {b}))"
+    return (
+        f"sqrt(greatest(0.0, ({na} * {na} + {nb} * {nb})"
+        f" - 2.0 * list_dot_product({a}, {b})))"
+    )
+
+
+def _hnsw_oracle(final_filter_sql: str = "", metric: str = "cosine") -> str:
     """Full SQL replay of the layered graph-ANN index AND its beam search
     (operators/graph_ann.py — the reference's HNSW family,
     epistemic_graph.py:5-9 / postgres.py:182-188). Shares the ivf_16 k-means
     CTEs for the cluster blocking, then: sha-drawn levels, two blocking
     families → top-M, 2 NN-descent rounds, symmetrize, upper layers on
     coarser blocks, and the FIXED 7-stage beam descent (1 hop at layer 2,
-    2 at layer 1, 4 at layer 0, ef=48) — every stage a bounded CTE."""
-    sim = _ivf_sim_sql
+    2 at layer 1, 4 at layer 0, ef=48) — every stage a bounded CTE.
+
+    ``metric='l2'`` replays the l2-built graph (l2 k-means coarse
+    quantizer ``la3``, pair distances via the raw-norm expansion, every
+    ranking ASC) — the oracle twin of ``hnsw_build(metric='l2')``."""
+    if metric == "cosine":
+        sim, best, assign = _ivf_sim_sql, "DESC", "a3"
+    else:
+        sim, best, assign = _hnsw_l2_dist_sql, "ASC", "la3"
 
     def top_m(name: str, cand: str) -> str:
         return f""",
@@ -2459,7 +2478,7 @@ def _hnsw_oracle(final_filter_sql: str = "") -> str:
 ),
 {name} AS MATERIALIZED (
   SELECT src, dst FROM (
-    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sm DESC, dst ASC) AS rn
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sm {best}, dst ASC) AS rn
     FROM {name}_s
   ) WHERE rn <= {_HNSW_M}
 )"""
@@ -2489,17 +2508,17 @@ b{i} AS MATERIALIZED (
   SELECT query_id, node FROM (
     SELECT c.query_id, c.node,
            row_number() OVER (PARTITION BY c.query_id
-                              ORDER BY {sim("q.qv", "n.v")} DESC, c.node ASC) AS rn
+                              ORDER BY {sim("q.qv", "n.v")} {best}, c.node ASC) AS rn
     FROM bc{i} c JOIN q ON q.query_id = c.query_id JOIN lv n ON n.vec_id = c.node
   ) WHERE rn <= {_HNSW_EF}
 )"""
 
-    parts = [_kmeans_replay_ctes()]
+    parts = [_kmeans_replay_ctes() if metric == "cosine" else _kmeans_replay_ctes_l2()]
     parts.append(f""",
 lv0 AS (
   SELECT vec_id, v, cluster,
          CAST('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 61, 4) AS INTEGER) AS hx
-  FROM a3
+  FROM {assign}
 ),
 lv AS MATERIALIZED (
   SELECT vec_id, v, cluster, hx,
@@ -2560,7 +2579,7 @@ b0 AS (SELECT query_id, node FROM q, entry)""")
 SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, ROUND(sm, 6) AS score FROM (
   SELECT b.query_id, b.node AS neighbor_id, {sim("q.qv", "n.v")} AS sm,
          row_number() OVER (PARTITION BY b.query_id
-                            ORDER BY {sim("q.qv", "n.v")} DESC, b.node ASC) AS rn
+                            ORDER BY {sim("q.qv", "n.v")} {best}, b.node ASC) AS rn
   FROM b{n_final} b JOIN q ON q.query_id = b.query_id JOIN lv n ON n.vec_id = b.node
   WHERE b.node != b.query_id{final_filter_sql}
 ) WHERE rn <= {_HNSW_K}
@@ -3199,4 +3218,51 @@ def q_ann_ivf_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = embs.where(F.col("vec_id") < 20)
     return ann_ivf_topk(
         queries, assigned, centroids, 5, nprobe=4, id_col="vec_id", metric="l2"
+    )
+
+
+# -- l2-metric layered graph ANN (per-collection distance config, r12) --------
+
+
+def _hnsw_l2_index(spark: SparkSession, sf_dir: str):
+    """The l2-built layered graph over the l2 coarse quantizer — the
+    non-cosine twin of :func:`_hnsw_index`, cached per sf_dir. Shares
+    ``_ivf_l2_cached``'s assignment so the IVF-l2 and graph-l2 entries
+    build ONE l2 k-means between them."""
+    import json
+    import os
+
+    from vector_mcp_spark.operators.graph_ann import hnsw_build
+
+    assigned, _cents = _ivf_l2_cached(spark, sf_dir)
+    cache = _index_cache(sf_dir, f"hnsw_l2_m{_HNSW_M}")
+    edges_path = os.path.join(cache, "edges")
+    meta_path = os.path.join(cache, "meta.json")
+    if not (os.path.exists(meta_path) and os.path.exists(os.path.join(edges_path, "_SUCCESS"))):
+        edges, meta = hnsw_build(assigned, m=_HNSW_M, id_col="vec_id", metric="l2")
+        edges.write.mode("overwrite").parquet(edges_path)
+        os.makedirs(cache, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    return spark.read.parquet(edges_path), meta
+
+
+@register("ann_hnsw_l2_topk", _hnsw_oracle(metric="l2"), "similarity", "pipeline")
+def q_ann_hnsw_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-metric graph ANN: the layered neighbor graph is BUILT under
+    Euclidean distance (l2 k-means coarse quantizer, l2 top-M edges) and
+    the beam descends it ranking ascending — the pgvector
+    ``USING hnsw (embedding vector_l2_ops)`` serving route
+    (``postgres.py:182-188``), fully value-oracled like the cosine twin
+    (the whole build + search replays as bounded CTEs)."""
+    from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk
+
+    embs = load(spark, sf_dir, "embeddings")
+    edges, meta = _hnsw_l2_index(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < _HNSW_NQ)
+    return ann_hnsw_topk(
+        queries, embs, edges, meta["entry"], k=_HNSW_K, ef=_HNSW_EF,
+        id_col="vec_id", metric="l2",
     )
