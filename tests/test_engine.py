@@ -1973,3 +1973,292 @@ def test_restored_snapshot_index_contract(spark, tmp_path_factory):
     assert eng.indexed_ivfpq_search("back", qv, k=3, nprobe=16, shortlist=50).count() == 3
     got = eng.indexed_filtered_search("back", qv, {"topic": "2"}, k=3).collect()
     assert got and all(r.id for r in got)
+
+
+def test_int8_search_refuses_mis_sized_query(spark, tmp_path_factory):
+    """ADVICE r11: under quantization='int8' a mis-sized query must raise
+    collection_vector_schema_mismatch (like the graph / IVF-PQ families),
+    not silently answer empty after every approximate cosine goes NULL."""
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions.embedder import hash_embed
+    from vector_mcp_spark.validation import EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("int8dim_root")))
+    eng.create_collection("q8d")
+    eng.add_documents("q8d", [f"int8 dim doc {i}" for i in range(8)])
+    eng.build_search_index("q8d", quantization="int8")
+    bad = hash_embed("short query", 32)  # corpus embeds at 64
+    with _pytest.raises(EngineError, match="collection_vector_schema_mismatch"):
+        eng.indexed_semantic_search("q8d", bad, k=3)
+    # right-sized queries still serve
+    ok = eng.indexed_semantic_search("q8d", hash_embed("int8 dim doc 3", 64), k=3)
+    assert ok.count() == 3
+
+
+def test_filtered_search_refuses_when_graph_family_vanishes(spark, tmp_path_factory, monkeypatch):
+    """ADVICE r11: indexed_filtered_search must mirror indexed_graph_search
+    when the re-read manifest lost its 'graph' key (manifest rewritten
+    between the freshness check and the serve read): refuse with
+    index_not_fresh, never silently answer empty."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions.embedder import hash_embed
+    from vector_mcp_spark.validation import EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("filtrace_root")))
+    eng.create_collection("fr")
+    eng.add_documents("fr", [f"race doc {i}" for i in range(6)],
+                      metadatas=[{"tier": "a"}] * 6)
+    eng.build_search_index("fr")
+    scoped = eng._require("fr")
+    manifest_path = eng._index_root(scoped) / "manifest.json"
+    manifest = _json.loads(manifest_path.read_text())
+    del manifest["graph"]
+    manifest_path.write_text(_json.dumps(manifest))
+    # freeze the freshness check at 'fresh' to reproduce the between-reads
+    # race (index_status reads the same file and would otherwise report
+    # stale for a graph-less manifest)
+    monkeypatch.setattr(eng, "index_status", lambda name: "fresh")
+    with _pytest.raises(EngineError, match="index_not_fresh"):
+        eng.indexed_filtered_search(
+            "fr", hash_embed("race doc 1", 64), {"tier": "a"}, k=2
+        )
+
+
+def test_served_indexed_searches_never_reembed_content_only(spark, tmp_path_factory, monkeypatch):
+    """VERDICT r11 watch item 2: a content-only collection's built index
+    persists the derived vectors, so every indexed serve path reads them
+    back instead of re-deriving embeddings inside the query plan. Pinned by
+    poisoning the embed seam after build — serving must never touch it."""
+    import pytest as _pytest
+
+    from vector_mcp_spark import engine as engine_mod
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions import embedder as embedder_mod
+    from vector_mcp_spark.functions.embedder import embed_documents, hash_embed
+    from vector_mcp_spark.operators.semantic import semantic_topk
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("noembed_root")))
+    eng.create_collection("ne")
+    eng.add_documents(
+        "ne",
+        [f"no reembed doc {i} topic {i % 5}" for i in range(60)],
+        metadatas=[{"tier": "a" if i % 10 == 0 else "b"} for i in range(60)],
+    )
+    assert eng.needs_embed("ne")
+    eng.build_search_index("ne")
+    scoped = eng._require("ne")
+    assert (eng._index_root(scoped) / "vectors").exists()
+
+    # ground truth BEFORE poisoning the seam
+    qv = hash_embed("no reembed doc 30 topic 0", 64)
+    docs = embed_documents(eng.read("ne"), text_col="content", out_col="embedding")
+    exact = semantic_topk(docs, qv, 5, id_col="id", emb_col="embedding").collect()
+
+    def _poisoned(*a, **k):
+        raise AssertionError("serve path re-embedded the corpus")
+
+    monkeypatch.setattr(embedder_mod, "embed_documents", _poisoned)
+
+    got = eng.indexed_semantic_search("ne", qv, k=5, shortlist=60).collect()
+    assert [r.id for r in got] == [r.id for r in exact]
+    assert eng.indexed_graph_search("ne", qv, k=5).count() > 0
+    assert eng.indexed_ivfpq_search("ne", qv, k=5, shortlist=60).count() > 0
+    assert eng.indexed_filtered_search("ne", qv, {"tier": "a"}, k=3).count() > 0
+
+    # repair appends the batch's vectors, then serving still never embeds
+    monkeypatch.setattr(embedder_mod, "embed_documents", embed_documents)
+    eng.add_documents("ne", ["late arrival vector"], metadatas=[{"tier": "a"}])
+    eng.repair_search_index("ne")
+    monkeypatch.setattr(embedder_mod, "embed_documents", _poisoned)
+    top = eng.indexed_semantic_search(
+        "ne", hash_embed("late arrival vector", 64), k=3, shortlist=100
+    ).collect()
+    assert top and top[0].content == "late arrival vector"
+
+    # stored-vector collections keep reading the table (no family written)
+    eng2 = CollectionEngine(spark, str(tmp_path_factory.mktemp("noembed2_root")))
+    eng2.create_collection("sv")
+    eng2.add_documents(
+        "sv",
+        [f"stored vec doc {i}" for i in range(8)],
+        embeddings=[hash_embed(f"stored vec doc {i}", 64) for i in range(8)],
+    )
+    assert not eng2.needs_embed("sv")
+    eng2.build_search_index("sv")
+    assert not (eng2._index_root(eng2._require("sv")) / "vectors").exists()
+    assert eng2.indexed_semantic_search("sv", hash_embed("stored vec doc 3", 64), k=3).count() == 3
+
+
+def test_filtered_search_counts_only_the_filtered_side(spark, tmp_path_factory, monkeypatch):
+    """VERDICT r11 watch item 1: the routed filtered search takes the corpus
+    cardinality from the index manifest, so a served query triggers exactly
+    one driver-side count — the predicate-pruned allowed side — never a
+    corpus-wide count."""
+    # patch the CONCRETE class: pyspark 4's pyspark.sql.DataFrame is the
+    # abstract base and the classic session dispatches to its own override
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions.embedder import hash_embed
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("selcount_root")))
+    eng.create_collection("sc")
+    eng.add_documents(
+        "sc",
+        [f"count probe doc {i}" for i in range(40)],
+        metadatas=[{"tier": "rare" if i % 10 == 0 else "bulk"} for i in range(40)],
+    )
+    eng.build_search_index("sc")
+
+    counted = []
+    orig_count = DataFrame.count
+
+    def spy(df):
+        counted.append(df)
+        return orig_count(df)
+
+    monkeypatch.setattr(DataFrame, "count", spy)
+    out = eng.indexed_filtered_search(
+        "sc", hash_embed("count probe doc 10", 64), {"tier": "rare"}, k=3
+    )
+    monkeypatch.setattr(DataFrame, "count", orig_count)
+    assert out.count() > 0
+    assert len(counted) == 1, f"expected 1 count (allowed side), saw {len(counted)}"
+    plan = counted[0]._jdf.queryExecution().analyzed().toString()
+    assert "metadata" in plan, "the single count must be the filtered side"
+
+
+def test_collection_distance_config_lifecycle(spark, tmp_path_factory):
+    """Per-collection distance config (qdrant locks Distance at create,
+    qdrant.py:122-127): l2 locked at create builds every index family under
+    l2 (int8 shortlist — sign bits are cosine-only), every indexed serve
+    path ranks ascending-by-distance, and a metric switch stales the index
+    (repair refuses; rebuild re-derives families and cleans the ones the
+    new config obsoletes, like the quantization switch)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions.embedder import embed_documents, hash_embed
+    from vector_mcp_spark.operators.semantic import semantic_topk
+    from vector_mcp_spark.validation import EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("dist_root")))
+    with _pytest.raises(EngineError, match="metric_invalid"):
+        eng.create_collection("bad", distance="manhattan")
+
+    eng.create_collection("l2c", distance="l2")
+    assert eng.collection_distance("l2c") == "l2"
+    assert eng.describe_collection("l2c")["distance"] == "l2"
+    # get-or-create under another metric must not silently hand it back
+    with _pytest.raises(EngineError, match="collection_distance_mismatch"):
+        eng.create_collection("l2c", distance="cosine")
+    eng.create_collection("l2c", distance="l2")  # matching config is fine
+
+    eng.add_documents(
+        "l2c",
+        [f"euclid doc {i} theme {i % 7}" for i in range(50)],
+        metadatas=[{"tier": "a" if i % 10 == 0 else "b"} for i in range(50)],
+    )
+    eng.build_search_index("l2c")  # default 'sign' auto-upgrades to int8
+    scoped = eng._require("l2c")
+    root = eng._index_root(scoped)
+    manifest = _json.loads((root / "manifest.json").read_text())
+    assert manifest["distance"] == "l2"
+    assert manifest["quantization"] == "int8"
+    assert (root / "int8q").exists() and not (root / "signs").exists()
+
+    # quantized-shortlist serving with shortlist >= corpus == exact l2 top-k
+    qv = hash_embed("euclid doc 21 theme 0", 64)
+    served = eng.indexed_semantic_search("l2c", qv, k=5, shortlist=50).collect()
+    docs = embed_documents(eng.read("l2c"), text_col="content", out_col="embedding")
+    exact = semantic_topk(docs, qv, 5, id_col="id", metric="l2").collect()
+    assert [r.id for r in served] == [r.id for r in exact]
+    scores = [r.score for r in served]
+    assert scores == sorted(scores), "l2 serving must rank ascending"
+
+    # graph + ivfpq + filtered serve ascending under l2 and include the
+    # nearest document
+    best = exact[0].id
+    g = eng.indexed_graph_search("l2c", qv, k=5, ef=50).collect()
+    assert g and g[0].id == best
+    assert [r.score for r in g] == sorted(r.score for r in g)
+    p = eng.indexed_ivfpq_search("l2c", qv, k=5, nprobe=16, shortlist=50).collect()
+    assert p and p[0].id == best
+    f = eng.indexed_filtered_search("l2c", qv, {"tier": "b"}, k=3).collect()
+    assert f and [r.score for r in f] == sorted(r.score for r in f)
+
+    # metric switch: index stales, repair refuses, serve refuses
+    eng.set_collection_distance("l2c", "cosine")
+    assert eng.index_status("l2c") == "stale"
+    with _pytest.raises(EngineError, match="index_not_fresh"):
+        eng.indexed_semantic_search("l2c", qv, k=5)
+    with _pytest.raises(EngineError, match="index_repair_requires_rebuild"):
+        eng.repair_search_index("l2c")
+
+    # rebuild under the new config: sign family returns, int8 cleaned
+    eng.build_search_index("l2c")
+    manifest = _json.loads((root / "manifest.json").read_text())
+    assert manifest["distance"] == "cosine"
+    assert manifest["quantization"] == "sign"
+    assert (root / "signs").exists() and not (root / "int8q").exists()
+    cos = eng.indexed_semantic_search("l2c", qv, k=5, shortlist=50).collect()
+    assert [r.score for r in cos] == sorted((r.score for r in cos), reverse=True)
+
+
+def test_indexed_sparse_family_lifecycle(spark, tmp_path_factory):
+    """Named-sparse index family (r12): build persists (term,id,tf)
+    postings + (id,dlen) L1 norms; indexed_sparse_search serves the SPLADE
+    dot from them (scores equal the on-the-fly operator); the hybrid
+    method fuses the graph leg and the sparse leg end-to-end from the
+    engine index; staleness refuses; repair appends doclen rows."""
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions.embedder import hash_embed
+    from vector_mcp_spark.operators.vecapi import sparse_dot_topk
+    from vector_mcp_spark.validation import EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("sparse_root")))
+    eng.create_collection("sp")
+    eng.add_documents(
+        "sp",
+        [
+            f"spark vector stream doc {i}" if i % 3 == 0 else f"plain filler text {i}"
+            for i in range(45)
+        ],
+    )
+    qw = [("spark", 2.0), ("vector", 1.5), ("stream", 1.0)]
+
+    with _pytest.raises(EngineError, match="index_not_fresh"):
+        eng.indexed_sparse_search("sp", qw, k=5)
+    eng.build_search_index("sp")
+    root = eng._index_root(eng._require("sp"))
+    assert (root / "doclen").exists()
+
+    got = eng.indexed_sparse_search("sp", qw, k=5).collect()
+    exact = sparse_dot_topk(eng.read("sp"), qw, 5, id_col="id", content_col="content").collect()
+    assert {(r.id, r.score) for r in got} == {(r.id, r.score) for r in exact}
+
+    hybrid = eng.indexed_sparse_dense_search(
+        "sp", hash_embed("spark vector stream doc 3", 64), qw, k=5, leg_k=10
+    ).collect()
+    assert len(hybrid) == 5
+    assert [r.score for r in hybrid] == sorted((r.score for r in hybrid), reverse=True)
+
+    # staleness after a mutation, then repair appends the batch's doclen
+    eng.add_documents("sp", ["fresh spark vector stream arrival"])
+    with _pytest.raises(EngineError, match="index_not_fresh"):
+        eng.indexed_sparse_search("sp", qw, k=5)
+    eng.repair_search_index("sp")
+    dl = spark.read.parquet(str(root / "doclen"))
+    assert dl.count() == 46
+    served = eng.indexed_sparse_search("sp", qw, k=46).collect()
+    assert any(r.content == "fresh spark vector stream arrival" for r in served)

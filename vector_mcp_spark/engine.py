@@ -44,6 +44,7 @@ from vector_mcp_spark.validation import (
     validate_collection_name,
     validate_delete_confirm,
     validate_ingest_bounds,
+    validate_metric,
 )
 
 
@@ -182,6 +183,9 @@ class CollectionEngine:
                 # needed (conservative — costs one pass-through projection,
                 # never a wrong result)
                 bool(r.get("needs_embed", True)),
+                # legacy catalogs predate the per-collection distance
+                # config: every pre-r12 collection was served under cosine
+                (r.get("distance") or "cosine"),
             )
             for r in tbl.to_pylist()
         ]
@@ -199,11 +203,15 @@ class CollectionEngine:
                 ("dimension", pa.int32()),
                 ("created_at", pa.timestamp("us", tz="UTC")),
                 ("needs_embed", pa.bool_()),
+                ("distance", pa.string()),
             ]
         )
-        cols = ("collection_name", "table_name", "dimension", "created_at", "needs_embed")
+        cols = (
+            "collection_name", "table_name", "dimension", "created_at",
+            "needs_embed", "distance",
+        )
         tbl = pa.Table.from_pylist(
-            [dict(zip(cols, (*r, True)[: len(cols)])) for r in rows],
+            [dict(zip(cols, (*r, True, "cosine")[: len(cols)])) for r in rows],
             schema=schema,
         )
         # Catalog writes are read-modify-write over a shared file; serialize
@@ -321,8 +329,20 @@ class CollectionEngine:
     # -- S1-S4: collection DDL (base.py:88-137) -----------------------------
 
     def create_collection(
-        self, name: str, dimension: int | None = None, overwrite: bool = False, get_or_create: bool = True
+        self,
+        name: str,
+        dimension: int | None = None,
+        overwrite: bool = False,
+        get_or_create: bool = True,
+        distance: str = "cosine",
     ) -> str:
+        """S1 — ``distance`` is the per-collection scoring convention
+        (qdrant locks ``Distance`` in the collection config at create,
+        ``qdrant.py:122-127``; pgvector picks it per index opclass): every
+        search and index family on this collection builds and serves under
+        it. Switch later with :meth:`set_collection_distance` (the index
+        goes stale and a rebuild re-derives every family)."""
+        validate_metric(distance)
         scoped = self._scoped(name)
         # a live alias owns its name: a collection created over it would
         # shadow it (listings inconsistent) and dropping that collection
@@ -337,6 +357,13 @@ class CollectionEngine:
             # of an existing collection must request the locked dimension
             if dimension is not None and self._locked_dimension(scoped) != dimension:
                 raise EngineError("collection_vector_schema_mismatch")
+            # distance-drift rejection, same shape: get-or-create must not
+            # silently hand back a collection scored under another metric
+            if distance != self._locked_distance(scoped):
+                raise EngineError(
+                    "collection_distance_mismatch",
+                    detail=f"locked {self._locked_distance(scoped)!r}, requested {distance!r}",
+                )
             return scoped
         if exists and overwrite:
             # outside the catalog lock: delete takes the collection lock
@@ -360,7 +387,17 @@ class CollectionEngine:
             if any(a == scoped for a, _ in self._alias_rows()):
                 raise EngineError("collection_conflicts_with_alias", detail=name)
             self._write_catalog(
-                [*rows, (scoped, _physical_name(scoped), dimension, datetime.now(timezone.utc), False)]
+                [
+                    *rows,
+                    (
+                        scoped,
+                        _physical_name(scoped),
+                        dimension,
+                        datetime.now(timezone.utc),
+                        False,
+                        distance,
+                    ),
+                ]
             )
         # table dir materializes lazily on first write — an empty collection
         # is just a catalog row (no Spark job on create)
@@ -384,6 +421,32 @@ class CollectionEngine:
                 return r[2]
         return None
 
+    def _locked_distance(self, scoped: str) -> str:
+        for r in self._catalog_rows():
+            if r[0] == scoped:
+                return r[5] if len(r) > 5 else "cosine"
+        return "cosine"
+
+    def collection_distance(self, name: str) -> str:
+        """The distance convention the collection is scored under —
+        catalog-only, no Spark job (like :meth:`needs_embed`)."""
+        return self._locked_distance(self._resolve_scoped(name))
+
+    def set_collection_distance(self, name: str, distance: str) -> None:
+        """Switch the collection's distance config. The persisted index
+        was built under the OLD metric, so :meth:`index_status` reports
+        ``stale`` until a rebuild — exactly the quantization-switch
+        contract: serving refuses rather than answering under the wrong
+        geometry, and the rebuild cleans any family the new config
+        obsoletes."""
+        validate_metric(distance)
+        scoped = self._require(name)
+        with self._mutation_lock("__catalog__"):  # serialized RMW
+            rows = self._catalog_rows()
+            self._write_catalog(
+                [(r[:5] + (distance,)) if r[0] == scoped else r for r in rows]
+            )
+
     def needs_embed(self, name: str) -> bool:
         """True if the collection may hold rows with NULL embedding. Driver-
         side catalog lookup — never a Spark job, so the search hot path can
@@ -406,7 +469,7 @@ class CollectionEngine:
             rows = self._catalog_rows()
             if any(r[0] == scoped and not r[4] for r in rows):
                 self._write_catalog(
-                    [(r[:4] + (True,)) if r[0] == scoped else r for r in rows]
+                    [(r[:4] + (True,) + r[5:]) if r[0] == scoped else r for r in rows]
                 )
 
     def _check_dimension(self, scoped: str, df: DataFrame, emb_col: str = "embedding") -> None:
@@ -761,6 +824,16 @@ class CollectionEngine:
                 detail=f"{quantization!r} not in ('sign', 'int8')",
             )
         scoped = self._require(name)
+        distance = self._locked_distance(scoped)
+        if distance != "cosine" and quantization == "sign":
+            # sign bits keep direction only; dot and l2 need magnitudes —
+            # non-cosine collections shortlist from int8 codes (and the
+            # quantization-switch cleanup below removes a stale sign family)
+            quantization = "int8"
+        # the coarse quantizer under the collection metric: l2 collections
+        # cluster by Euclidean distance; dot shares the cosine clustering
+        # (the standard MIPS compromise — the exact re-rank restores order)
+        coarse_metric = "l2" if distance == "l2" else "cosine"
         df = self.read(name)
         if self.needs_embed(name):
             # index the SERVED representation: rows stored content-only get
@@ -775,7 +848,27 @@ class CollectionEngine:
         postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
             str(root / "postings")
         )
+        # named-sparse family: the (id, dlen) L1 norms that turn the tf
+        # postings into SPLADE-style sparse vectors (qdrant named sparse
+        # vectors served next to the dense families) — one tokenizer pass,
+        # serve time never re-tokenizes
+        from vector_mcp_spark.functions.text import tokens as _tokens
+
+        df.select("id", F.size(_tokens(F.col("content"))).alias("dlen")).write.mode(
+            "overwrite"
+        ).parquet(str(root / "doclen"))
         vec_rows = df.where(F.col("embedding").isNotNull())
+        if self.needs_embed(name):
+            # content-only collections: persist the derived vectors so the
+            # serve paths never re-embed the corpus inside a query plan
+            # (VERDICT r11 watch item 2) — the embed seam runs ONCE, here
+            vec_rows.select("id", "embedding").write.mode("overwrite").parquet(
+                str(root / "vectors")
+            )
+        else:
+            # stored-vector collections read embeddings from the table; a
+            # leftover family from a content-only past would shadow them
+            shutil.rmtree(root / "vectors", ignore_errors=True)
         if quantization == "sign":
             signs = sign_pack(vec_rows, "embedding", "id")
             signs.select("id", "lo", "hi").write.mode("overwrite").parquet(
@@ -815,7 +908,8 @@ class CollectionEngine:
 
             vecs = df.where(F.col("embedding").isNotNull()).select("id", "embedding")
             assigned, cents = ivf_build(
-                vecs, n_centroids=min(16, n_vectors), id_col="id", max_iter=2
+                vecs, n_centroids=min(16, n_vectors), id_col="id", max_iter=2,
+                metric=coarse_metric,
             )
             # fourth index family: IVF-PQ (FAISS IndexIVFPQ shape; the
             # engine-side analogue of the reference engine's IVF-PQ index,
@@ -854,6 +948,7 @@ class CollectionEngine:
                 assigned,
                 id_col="id",
                 n_hash_buckets=min(16, max(1, n_vectors // 128)),
+                metric=distance,
             )
             edges.write.mode("overwrite").parquet(str(root / "graph"))
         fp = self._table_fingerprint(scoped)
@@ -866,6 +961,7 @@ class CollectionEngine:
                     "graph": graph_meta,
                     "ivfpq": ivfpq_meta,
                     "quantization": quantization,
+                    "distance": distance,
                 }
             )
         )
@@ -889,6 +985,11 @@ class CollectionEngine:
             # search surface — report stale so status-polling automation
             # rebuilds it (both families are written by every
             # build_search_index since r9/r11)
+            return "stale"
+        if (meta.get("distance") or "cosine") != self._locked_distance(scoped):
+            # set_collection_distance switched the geometry out from under
+            # the built families — the data didn't change but every score
+            # did; refuse to serve until a rebuild re-derives the index
             return "stale"
         fp = self._table_fingerprint(scoped)
         if meta["fingerprint"] == fp:
@@ -945,6 +1046,14 @@ class CollectionEngine:
                 "index_repair_requires_rebuild",
                 detail="index predates incremental repair; rebuild",
             )
+        distance = manifest.get("distance") or "cosine"
+        if distance != self._locked_distance(scoped):
+            # repair extends families; it cannot re-derive them under a new
+            # geometry — that is exactly what a rebuild is for
+            raise EngineError(
+                "index_repair_requires_rebuild",
+                detail="collection distance switched since build; rebuild",
+            )
         if graph_meta.get("entry") is None:
             raise EngineError(
                 "index_repair_requires_rebuild",
@@ -989,6 +1098,15 @@ class CollectionEngine:
         new_postings.write.mode("append").partitionBy("term_bucket").parquet(
             str(root / "postings")
         )
+        if (root / "doclen").exists():
+            # sparse-family twin of the postings append; a pre-family index
+            # skips it (indexed_sparse_search refuses until a rebuild, so a
+            # partial doclen table can never serve)
+            from vector_mcp_spark.functions.text import tokens as _tokens
+
+            new.select("id", F.size(_tokens(F.col("content"))).alias("dlen")).write.mode(
+                "append"
+            ).parquet(str(root / "doclen"))
         new_emb = new.where(F.col("embedding").isNotNull())
         if manifest.get("quantization", "sign") == "sign":
             sign_pack(new_emb, "embedding", "id").select("id", "lo", "hi").write.mode(
@@ -1000,6 +1118,10 @@ class CollectionEngine:
             quantize_int8(new_emb, vec_col="embedding", id_col="id").select(
                 "id", "scale", "q"
             ).write.mode("append").parquet(str(root / "int8q"))
+        if self.needs_embed(name) and (root / "vectors").exists():
+            new_emb.select("id", "embedding").write.mode("append").parquet(
+                str(root / "vectors")
+            )
         n_new_vecs = new_emb.count()
         if n_new_vecs and manifest.get("ivfpq"):
             # IVF-PQ family: encode the batch against the FROZEN coarse
@@ -1011,7 +1133,8 @@ class CollectionEngine:
             pq_meta = manifest["ivfpq"]
             new_codes = pq_encode_with(
                 assign_clusters(
-                    new_emb.select("id", "embedding"), pq_meta["centroids"]
+                    new_emb.select("id", "embedding"), pq_meta["centroids"],
+                    metric="l2" if distance == "l2" else "cosine",
                 ),
                 pq_meta["codebooks"],
             )
@@ -1031,6 +1154,7 @@ class CollectionEngine:
                 graph_meta["entry"],
                 int(graph_meta.get("top_layer", 0)),
                 id_col="id",
+                metric=distance,
             )
             new_edges.write.mode("append").parquet(str(root / "graph"))
         fingerprinted.join(indexed.select("id"), "id", "left_anti").write.mode(
@@ -1064,6 +1188,35 @@ class CollectionEngine:
             "n_terms": n_terms,
         }
 
+    def _served_embeddings_df(self, name: str, scoped: str):
+        """The document frame with its SERVED embedding column — what every
+        indexed search ranks and re-ranks over. Stored-vector collections
+        read straight from the table; content-only collections read the
+        ``vectors`` family the index build persisted (build/repair keep it
+        covering, and every caller already refused on a stale index), so
+        serving never re-embeds the corpus inside a query plan. Indexes
+        built before the family existed fall back to the deterministic
+        embed seam."""
+        df = self.read(name)
+        if not self.needs_embed(name):
+            return df
+        vec_root = self._index_root(scoped) / "vectors"
+        if vec_root.exists():
+            vecs = self.spark.read.parquet(str(vec_root))
+            return df.drop("embedding").join(vecs, "id", "left")
+        from vector_mcp_spark.functions.embedder import embed_documents
+
+        return embed_documents(df, text_col="content", out_col="embedding")
+
+    @staticmethod
+    def _metric_order(metric: str, score, tie) -> list:
+        """Best-first ordering under the collection's distance config:
+        cosine/dot desc, l2 asc with NULLs last (a NULL score must never
+        outrank a real one — ADVICE r11)."""
+        if metric == "l2":
+            return [score.asc_nulls_last(), tie.asc()]
+        return [score.desc(), tie.asc()]
+
     def indexed_lexical_search(self, name: str, query: str, k: int = 5) -> DataFrame:
         """Serve a lexical query from the materialized index; refuses with
         ``index_not_fresh`` when the index is absent or stale (never serve
@@ -1076,6 +1229,89 @@ class CollectionEngine:
             raise EngineError("index_not_fresh")
         return indexed_lexical_topk(
             self.spark, str(self._index_root(scoped) / "postings"), query, k
+        )
+
+    def _indexed_sparse_hits(self, scoped: str, query_weights, k: int) -> DataFrame:
+        """(id, score) sparse leg from the persisted named-sparse family —
+        postings bucket-pruned to the query's terms (partition pruning at
+        the scan), L1 norms from the doclen table; nothing re-tokenizes."""
+        import hashlib as _hashlib
+
+        from vector_mcp_spark.operators.vecapi import indexed_sparse_dot_topk
+
+        root = self._index_root(scoped)
+        if not (root / "doclen").exists():
+            raise EngineError(
+                "index_not_fresh", detail="sparse family missing; rebuild"
+            )
+        buckets = sorted(
+            {
+                _hashlib.sha256(str(t).casefold().encode("utf-8")).hexdigest()[:2]
+                for t, _ in query_weights
+            }
+        )
+        postings = self.spark.read.parquet(str(root / "postings")).where(
+            F.col("term_bucket").isin(buckets)
+        )
+        doclens = self.spark.read.parquet(str(root / "doclen"))
+        return indexed_sparse_dot_topk(postings, doclens, query_weights, k, id_col="id")
+
+    def indexed_sparse_search(self, name: str, query_weights, k: int = 5) -> DataFrame:
+        """Serve a sparse-vector query (``[(term, weight), ...]``) from the
+        persisted named-sparse family — the qdrant named-sparse-vector
+        search next to the dense index families. Same staleness contract
+        as every indexed search. Returns (id, content, score) best-first."""
+        scoped = self._require(name)
+        if self.index_status(name) not in ("fresh", "repaired"):
+            raise EngineError("index_not_fresh")
+        hits = self._indexed_sparse_hits(scoped, query_weights, k)
+        return (
+            self.read(name)
+            .join(F.broadcast(hits), "id")
+            .select("id", "content", "score")
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+        )
+
+    def indexed_sparse_dense_search(
+        self,
+        name: str,
+        question_vec,
+        query_weights,
+        k: int = 10,
+        w_dense: float = 0.5,
+        w_sparse: float = 0.5,
+        rrf_k: int = 60,
+        ef: int = 48,
+        leg_k: int | None = None,
+    ) -> DataFrame:
+        """Sparse+dense hybrid served END TO END from the engine's
+        persisted index families: the dense leg beam-descends the graph
+        family under the collection's distance config, the sparse leg dots
+        the named-sparse postings, and weighted RRF fuses ≤ leg-k rows per
+        side (the qdrant named-vectors + ``Fusion.RRF`` composition the
+        suite's ``hybrid_sparse_dense`` entry oracles at corpus level)."""
+        from vector_mcp_spark.operators.hybrid import rrf_fuse
+
+        scoped = self._require(name)
+        if self.index_status(name) not in ("fresh", "repaired"):
+            raise EngineError("index_not_fresh")
+        leg = int(leg_k or k)
+        dense = self.indexed_graph_search(name, question_vec, k=leg, ef=ef).select(
+            "id", "score"
+        )
+        if self._locked_distance(scoped) == "l2":
+            # RRF is rank-based; rrf_fuse ranks legs score-DESC, so flip the
+            # ascending-better l2 distances into a descending-better key
+            dense = dense.withColumn("score", -F.col("score"))
+        sparse = self._indexed_sparse_hits(scoped, query_weights, leg)
+        fused = rrf_fuse(
+            [(dense, w_dense), (sparse, w_sparse)], k, rrf_k=rrf_k, id_col="id"
+        )
+        return (
+            self.read(name)
+            .join(F.broadcast(fused), "id")
+            .select("id", "content", "score")
+            .orderBy(F.col("score").desc(), F.col("id").asc())
         )
 
     def indexed_semantic_search(
@@ -1096,13 +1332,27 @@ class CollectionEngine:
         other than 64 under sign quantization."""
         import json
 
-        from vector_mcp_spark.functions.vector import cosine_similarity, dot, l2_norm
+        from vector_mcp_spark.functions.vector import (
+            cosine_similarity,
+            dot,
+            l2_distance,
+            l2_norm,
+        )
         from vector_mcp_spark.operators.quantize import dequantize_expr, sign_pack_py
 
         scoped = self._require(name)
         if self.index_status(name) not in ("fresh", "repaired"):
             raise EngineError("index_not_fresh")
         manifest = json.loads((self._index_root(scoped) / "manifest.json").read_text())
+        metric = manifest.get("distance") or "cosine"
+        if metric != "cosine" and manifest.get("quantization", "sign") == "sign":
+            # unreachable through build_search_index (non-cosine builds
+            # force int8 — sign bits drop the magnitudes dot/l2 need), but
+            # a hand-edited manifest must refuse, not serve wrong geometry
+            raise EngineError(
+                "index_not_fresh",
+                detail="sign shortlist is cosine-only; rebuild under int8",
+            )
         if manifest.get("quantization", "sign") == "sign":
             qlo, qhi = sign_pack_py(list(question_vec))
             signs = self.spark.read.parquet(str(self._index_root(scoped) / "signs"))
@@ -1116,26 +1366,47 @@ class CollectionEngine:
             )
         else:
             codes = self.spark.read.parquet(str(self._index_root(scoped) / "int8q"))
+            # int8 covers the FULL dimension, so a mis-sized query makes
+            # every approximate cosine NULL and the isNotNull filter would
+            # silently answer empty (ADVICE r11) — refuse like the graph /
+            # IVF-PQ families instead. Content-only collections never lock
+            # a dimension, so fall back to the stored code width.
+            dim = self._locked_dimension(scoped)
+            if dim is None:
+                row = codes.select(F.size("q").alias("d")).first()
+                dim = int(row.d) if row is not None else None
+            if dim is not None and len(question_vec) != dim:
+                raise EngineError(
+                    "collection_vector_schema_mismatch",
+                    detail=f"query dimension {len(question_vec)} != indexed {dim}",
+                )
             qarr = F.array(*[F.lit(float(x)) for x in question_vec])
-            approx = cosine_similarity(dequantize_expr("q", "scale"), qarr)
+            deq = dequantize_expr("q", "scale")
+            if metric == "cosine":
+                approx = cosine_similarity(deq, qarr)
+            elif metric == "dot":
+                approx = dot(deq, qarr)
+            else:
+                approx = l2_distance(deq, qarr)
             short = (
                 codes.select("id", approx.alias("_approx"))
                 .where(F.col("_approx").isNotNull())
-                .orderBy(F.col("_approx").desc(), F.col("id").asc())
+                .orderBy(*self._metric_order(metric, F.col("_approx"), F.col("id")))
                 .limit(shortlist)
                 .drop("_approx")
             )
-        df = self.read(name)
-        if self.needs_embed(name):
-            from vector_mcp_spark.functions.embedder import embed_documents
-
-            df = embed_documents(df, text_col="content", out_col="embedding")
+        df = self._served_embeddings_df(name, scoped)
         qv = F.array(*[F.lit(float(x)) for x in question_vec])
-        sim = dot(F.col("embedding"), qv) / (l2_norm(F.col("embedding")) * l2_norm(qv))
+        if metric == "cosine":
+            sim = dot(F.col("embedding"), qv) / (l2_norm(F.col("embedding")) * l2_norm(qv))
+        elif metric == "dot":
+            sim = dot(F.col("embedding"), qv)
+        else:
+            sim = l2_distance(F.col("embedding"), qv)
         return (
             df.join(F.broadcast(short), "id")
             .select("id", "content", F.round(sim, 6).alias("score"))
-            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .orderBy(*self._metric_order(metric, F.col("score"), F.col("id")))
             .limit(k)
         )
 
@@ -1176,11 +1447,7 @@ class CollectionEngine:
             # reads; refusing beats serving silently empty results
             raise EngineError("index_not_fresh", detail="graph family missing; rebuild")
         meta = manifest.get("graph") or {}
-        df = self.read(name)
-        if self.needs_embed(name):
-            from vector_mcp_spark.functions.embedder import embed_documents
-
-            df = embed_documents(df, text_col="content", out_col="embedding")
+        df = self._served_embeddings_df(name, scoped)
         if meta.get("entry") is None:
             return self.spark.createDataFrame([], "id string, content string, score double")
         edges = self.spark.read.parquet(str(self._index_root(scoped) / "graph"))
@@ -1189,16 +1456,18 @@ class CollectionEngine:
             [("__q__", [float(x) for x in question_vec])],
             "id string, embedding array<float>",
         )
+        metric = manifest.get("distance") or "cosine"
         hits = ann_hnsw_topk(
             query, corpus, edges, meta["entry"], k=k, ef=ef, id_col="id",
             exclude_self=False,  # the query is not a corpus row; a document
             # whose id happens to equal the synthetic query id must still
             # be returnable
+            metric=metric,
         ).select(F.col("neighbor_id").alias("id"), "score")
         return (
             df.join(F.broadcast(hits), "id")
             .select("id", "content", "score")
-            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .orderBy(*self._metric_order(metric, F.col("score"), F.col("id")))
         )
 
     def indexed_ivfpq_search(
@@ -1249,12 +1518,9 @@ class CollectionEngine:
                 detail=f"query dimension {len(question_vec)} != indexed {indexed_dim}",
             )
         codes = self.spark.read.parquet(str(self._index_root(scoped) / "ivfpq"))
-        df = self.read(name)
-        if self.needs_embed(name):
-            from vector_mcp_spark.functions.embedder import embed_documents
-
-            df = embed_documents(df, text_col="content", out_col="embedding")
+        df = self._served_embeddings_df(name, scoped)
         corpus = df.where(F.col("embedding").isNotNull()).select("id", "embedding")
+        metric = manifest.get("distance") or "cosine"
         hits = ann_ivf_adc_rerank_topk(
             codes.select("id", "cluster"),
             codes.select("id", "codes"),
@@ -1266,11 +1532,12 @@ class CollectionEngine:
             shortlist=shortlist,
             nprobe=nprobe,
             id_col="id",
+            metric=metric,
         ).select("id", "score")
         return (
             df.join(F.broadcast(hits), "id")
             .select("id", "content", "score")
-            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .orderBy(*self._metric_order(metric, F.col("score"), F.col("id")))
         )
 
     def indexed_filtered_search(
@@ -1317,12 +1584,13 @@ class CollectionEngine:
         if self.index_status(name) not in ("fresh", "repaired"):
             raise EngineError("index_not_fresh")
         manifest = json.loads((self._index_root(scoped) / "manifest.json").read_text())
+        if "graph" not in manifest:
+            # guards the manifest-rewritten-between-reads race exactly like
+            # indexed_graph_search: refusing beats silently answering empty
+            # for the same condition (ADVICE r11)
+            raise EngineError("index_not_fresh", detail="graph family missing; rebuild")
         meta = manifest.get("graph") or {}
-        df = self.read(name)
-        if self.needs_embed(name):
-            from vector_mcp_spark.functions.embedder import embed_documents
-
-            df = embed_documents(df, text_col="content", out_col="embedding")
+        df = self._served_embeddings_df(name, scoped)
         if meta.get("entry") is None:
             return self.spark.createDataFrame([], "id string, content string, score double")
         cond = None
@@ -1335,15 +1603,21 @@ class CollectionEngine:
         query = self.spark.createDataFrame(
             [("__q__", question_vec)], "id string, embedding array<float>"
         )
+        metric = manifest.get("distance") or "cosine"
         hits, _regime = ann_filtered_topk_routed(
             query, corpus, edges, meta["entry"], allowed, k, ef=ef, id_col="id",
             exclude_self=False,  # the query is synthetic, not a corpus row
             selectivity_threshold=selectivity_threshold,
+            # the manifest recorded the corpus cardinality at build time
+            # (repair keeps it current) — a served query must not pay a
+            # corpus-wide count for the selectivity estimate
+            n_total=int(manifest["n_vectors"]),
+            metric=metric,
         )
         return (
             df.join(F.broadcast(hits.select(F.col("neighbor_id").alias("id"), "score")), "id")
             .select("id", "content", "score")
-            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .orderBy(*self._metric_order(metric, F.col("score"), F.col("id")))
         )
 
     def profile_collection(self, name: str) -> DataFrame:
@@ -2158,6 +2432,7 @@ class CollectionEngine:
                 "needs_embed": any(
                     r[0] == scoped and bool(r[4]) for r in self._catalog_rows()
                 ),
+                "distance": self._locked_distance(scoped),
             }
             table = Path(self._table_path(scoped))
             log = self._changelog_root(scoped)
@@ -2287,6 +2562,7 @@ class CollectionEngine:
                                 manifest.get("dimension"),
                                 datetime.now(timezone.utc),
                                 bool(manifest.get("needs_embed", True)),
+                                manifest.get("distance") or "cosine",
                             ),
                         ]
                     )
@@ -2445,6 +2721,7 @@ class CollectionEngine:
         return {
             "collection_name": name,
             "dimension": self._locked_dimension(scoped),
+            "distance": self._locked_distance(scoped),
             "needs_embed": self.needs_embed(name),
             "points_count": self.count_documents(name),
             "aliases": [a for a, _ in self.list_aliases(name)],

@@ -338,6 +338,40 @@ def sparse_dot_topk(
     )
 
 
+def indexed_sparse_dot_topk(
+    postings: DataFrame,
+    doclens: DataFrame,
+    query_weights: Sequence[tuple[str, float]],
+    k: int,
+    id_col: str = "id",
+) -> DataFrame:
+    """Sparse-vector retrieval SERVED from a persisted named-sparse family
+    (qdrant named sparse vectors / pgvector ``sparsevec``, the SPLADE
+    serving shape): ``postings`` is the materialized (term, id, tf)
+    inverted index — bucket-prune it on the query's terms before passing —
+    and ``doclens`` the (id, dlen) L1 norms, both written once at index
+    build. Score = Σ_t q_t·tf_t / dlen — identical to
+    :func:`sparse_dot_topk`, but the only corpus work at serve time is the
+    query terms' postings rows; nothing re-tokenizes."""
+    spark = postings.sparkSession
+    qdf = spark.createDataFrame(
+        [(str(t).casefold(), float(w)) for t, w in query_weights],
+        "term string, qw double",
+    )
+    hits = (
+        postings.join(F.broadcast(qdf), "term")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("qw") * F.col("tf")).alias("_num"))
+    )
+    return (
+        hits.join(doclens.where(F.col("dlen") > 0), id_col)
+        .select(id_col, (F.col("_num") / F.col("dlen")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("score", F.round("score", SCORE_DECIMALS))
+    )
+
+
 def distance_matrix_topk(
     embs: DataFrame,
     sample_cond: Column,

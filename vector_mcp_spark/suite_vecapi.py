@@ -192,35 +192,85 @@ SPARSE_K = 15
 
 _SPARSE_VALUES = ", ".join(f"('{t}', {w!r}::DOUBLE)" for t, w in SPARSE_QUERY)
 
+# The oracle replays the INDEXED arithmetic (tf-aggregated postings, then
+# Σ q_t·tf_t / dlen) — the serve path reads the persisted named-sparse
+# family, so the replay mirrors its fold exactly (r12 re-point; the scores
+# equal the historical per-occurrence form).
 _SPARSE_ORACLE = f"""
 WITH q(term, qw) AS (VALUES {_SPARSE_VALUES}),
 toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]{{2,}}')) AS tok
   FROM documents
 ),
+post AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
 dlen AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
 hits AS (
-  SELECT t.doc_id, SUM(q.qw) AS num
-  FROM toks t JOIN q ON t.tok = q.term
+  SELECT t.doc_id, SUM(q.qw * t.tf) AS num
+  FROM post t JOIN q ON t.tok = q.term
   GROUP BY t.doc_id
 )
 SELECT h.doc_id, ROUND(h.num / l.n, 6) AS score
 FROM hits h JOIN dlen l USING (doc_id)
+WHERE l.n > 0
 ORDER BY h.num / l.n DESC, h.doc_id ASC
 LIMIT {SPARSE_K}
 """
 
 
+def _sparse_index(spark: SparkSession, sf_dir: str):
+    """The persisted named-sparse family over the suite corpus — (term,
+    doc_id, tf) postings partitioned by term bucket + (doc_id, dlen) L1
+    norms, built once per sf_dir and cached like the HNSW/IVF indexes
+    (the sf_dir analogue of the engine's build_search_index doclen +
+    postings families). Returns (postings, doclens) DataFrames."""
+    import os
+
+    from vector_mcp_spark.functions.text import tokens
+    from vector_mcp_spark.operators.lexical import build_postings, term_bucket
+    from vector_mcp_spark.suite_pipeline import _index_cache
+
+    cache = _index_cache(sf_dir, "sparse_postings")
+    post_path = os.path.join(cache, "postings")
+    dlen_path = os.path.join(cache, "doclen")
+    if not (
+        os.path.exists(os.path.join(post_path, "_SUCCESS"))
+        and os.path.exists(os.path.join(dlen_path, "_SUCCESS"))
+    ):
+        docs = load(spark, sf_dir, "documents")
+        build_postings(docs, "doc_id", "text").withColumn(
+            "term_bucket", term_bucket("term")
+        ).write.mode("overwrite").partitionBy("term_bucket").parquet(post_path)
+        docs.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("dlen")
+        ).write.mode("overwrite").parquet(dlen_path)
+    return spark.read.parquet(post_path), spark.read.parquet(dlen_path)
+
+
+def _sparse_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from vector_mcp_spark.operators.vecapi import indexed_sparse_dot_topk
+
+    postings, doclens = _sparse_index(spark, sf_dir)
+    buckets = sorted(
+        {hashlib.sha256(t.encode()).hexdigest()[:2] for t, _ in SPARSE_QUERY}
+    )
+    return indexed_sparse_dot_topk(
+        postings.where(F.col("term_bucket").isin(buckets)),
+        doclens,
+        SPARSE_QUERY,
+        SPARSE_K,
+        id_col="doc_id",
+    )
+
+
 @register("sparse_vector_topk", _SPARSE_ORACLE, "search", "vecapi")
 def q_sparse_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse dot-product retrieval: doc sparse vector = L1-normalized
-    token TF, query = {term: weight}. Posting-list plan — the broadcast
-    equi-join keeps only matching postings, so shuffle is O(postings of
-    the query terms)."""
-    from vector_mcp_spark.operators.vecapi import sparse_dot_topk
-
-    docs = load(spark, sf_dir, "documents")
-    return sparse_dot_topk(docs, SPARSE_QUERY, SPARSE_K, id_col="doc_id", content_col="text")
+    """Sparse dot-product retrieval SERVED from the persisted named-sparse
+    family (r12): postings bucket-pruned to the query's terms — partition
+    pruning at the scan — L1 norms from the doclen table; serve time never
+    re-tokenizes the corpus. Engine twin: indexed_sparse_search."""
+    return _sparse_leg(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -492,7 +542,6 @@ def q_hybrid_sparse_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ leg-k rows."""
     from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk
     from vector_mcp_spark.operators.hybrid import rrf_fuse
-    from vector_mcp_spark.operators.vecapi import sparse_dot_topk
     from vector_mcp_spark.suite import HYBRID_N, HYBRID_W_LEX, HYBRID_W_SEM, RRF_K
     from vector_mcp_spark.suite_pipeline import _HNSW_EF, _HNSW_K, _hnsw_index
 
@@ -502,8 +551,7 @@ def q_hybrid_sparse_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         embs.where(F.col("vec_id") == 0), embs, edges, meta["entry"],
         k=_HNSW_K, ef=_HNSW_EF, id_col="vec_id",
     ).select(F.col("neighbor_id").alias("doc_id"), "score")
-    docs = load(spark, sf_dir, "documents")
-    sparse = sparse_dot_topk(docs, SPARSE_QUERY, SPARSE_K, id_col="doc_id", content_col="text")
+    sparse = _sparse_leg(spark, sf_dir)
     return rrf_fuse(
         [(dense, HYBRID_W_SEM), (sparse, HYBRID_W_LEX)],
         HYBRID_N, rrf_k=RRF_K, id_col="doc_id",
