@@ -238,11 +238,24 @@ def deep_probe(factor: int) -> int:
     # capped) suite output: minhash → UNCAPPED emitted candidate pairs (the
     # suite entry tops at 200 rows); hard negatives → scored pairs
     # (anchors × corpus — the exact scorer's work; the suite docstring's
-    # 100 TB path puts an LSH/IVF shortlist in front); hnsw → edge rows.
-    from vector_mcp_spark.operators.dedup import minhash_lsh_pairs
+    # 100 TB path puts an LSH/IVF shortlist in front); hnsw → edge rows;
+    # CC fixpoint → verified set pairs (the edge input the label
+    # propagation shuffles every round) + the round count itself.
+    from vector_mcp_spark.operators.dedup import (
+        _gram_sets,
+        _ngram_set_graph,
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
     from vector_mcp_spark.operators.graph_ann import hnsw_build
     from vector_mcp_spark.operators.similarity import hard_negative_mine, ivf_build
-    from vector_mcp_spark.suite_pipeline import _HARDNEG_K, _MH_BANDS, _MH_HASHES, _MH_T
+    from vector_mcp_spark.suite_pipeline import (
+        _HARDNEG_K,
+        _JACCARD_T,
+        _MH_BANDS,
+        _MH_HASHES,
+        _MH_T,
+    )
 
     from pyspark.sql import functions as F
 
@@ -276,11 +289,39 @@ def deep_probe(factor: int) -> int:
 
         return timed(build)
 
+    cc_rounds: dict[str, dict] = {}
+
+    def cc_at(sf: str) -> tuple[float, int]:
+        """The CC-fixpoint family (dedup_clusters / dedup_canonicalize /
+        corpus_leakage_safe_split all run this set-level label propagation
+        over blocked-Jaccard verified pairs). Wall times the FIXPOINT; work
+        is the verified-pair edge input it shuffles per round; the executed
+        round counts land in cc_rounds — bounded rounds + wall tracking
+        pairs is the 100 TB claim under test."""
+        docs = load(spark, sf, "documents").withColumn(
+            "len_bucket", F.floor(F.col("n_chars") / 100)
+        )
+        groups, ver = _ngram_set_graph(
+            docs, _gram_sets("text", 1), _JACCARD_T, "doc_id", ("lang", "len_bucket")
+        )
+        ver = ver.select(
+            F.col("node_a").alias("id_a"), F.col("node_b").alias("id_b")
+        ).localCheckpoint(eager=True)  # materialize: time the CC, not the pair gen
+        nodes = groups.where(F.col("_n") > 0).select("_node").localCheckpoint(eager=True)
+        n_pairs = ver.count()
+        stats: dict = {}
+        wall, _ = timed(
+            lambda: near_dup_clusters(ver, nodes, id_col="_node", stats=stats).count()
+        )
+        cc_rounds[sf] = dict(stats)
+        return wall, n_pairs
+
     rows = []
     for name, fn in (
         ("minhash_candidate_pairs", minhash_at),
         ("hardneg_scored_pairs", hardneg_at),
         ("hnsw_build_edges", hnsw_at),
+        ("cc_fixpoint_pairs", cc_at),
     ):
         t1, n1 = fn(BASE_SF)
         tN, nN = fn(probe)
@@ -305,6 +346,13 @@ def deep_probe(factor: int) -> int:
         f"scored work; worst ratio {worst:.2f} "
         f"({'work-bound' if worst <= 2.0 else 'STAGE-bound — investigate'})"
     )
+    if cc_rounds:
+        for sf, st in cc_rounds.items():
+            tag = "1x" if sf == BASE_SF else f"{factor}x"
+            print(
+                f"cc_fixpoint rounds @{tag}: propagation={st.get('rounds')} "
+                f"compression={st.get('compress_rounds')} (bounded ≪ max_rounds=15)"
+            )
     return 0
 
 

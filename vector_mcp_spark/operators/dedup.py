@@ -584,6 +584,7 @@ def near_dup_clusters(
     nodes: DataFrame,
     id_col: str = "id",
     max_rounds: int = 15,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup ``pairs`` → (id, cluster_id,
     is_canonical). ``cluster_id`` is the minimum id in the component —
@@ -610,6 +611,7 @@ def near_dup_clusters(
     )
     edges = edges.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
+    rounds = 0
     for _ in range(max_rounds):
         # Propagation fixpoint = no inter-component edges left after
         # contraction: every remaining edge joins two distinct labels, so an
@@ -621,6 +623,7 @@ def near_dup_clusters(
         # finishes those off.
         if edges.limit(1).count() == 0:
             break
+        rounds += 1
         nbr_min = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
@@ -658,7 +661,9 @@ def near_dup_clusters(
     # component min; each jump halves chain depth → a couple of iterations).
     # The moved flag rides along in the same join, so the convergence check
     # is a trivial second job on the checkpointed frame, not an extra join.
+    compress_rounds = 0
     for _ in range(max_rounds):
+        compress_rounds += 1
         jumped = (
             labels.alias("a")
             .join(labels.alias("b"), F.col("a.label") == F.col("b.node"))
@@ -672,6 +677,11 @@ def near_dup_clusters(
         labels = jumped.select("node", "label")
         if jumped.where("__moved").limit(1).count() == 0:
             break
+    if stats is not None:
+        # driver-side probe counters (tools/scale_probe.py deep): how many
+        # propagation/compression rounds the fixpoint actually ran
+        stats["rounds"] = rounds
+        stats["compress_rounds"] = compress_rounds
     return labels.select(
         F.col("node").alias(id_col),
         F.col("label").alias("cluster_id"),
