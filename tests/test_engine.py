@@ -2262,3 +2262,92 @@ def test_indexed_sparse_family_lifecycle(spark, tmp_path_factory):
     assert dl.count() == 46
     served = eng.indexed_sparse_search("sp", qw, k=46).collect()
     assert any(r.content == "fresh spark vector stream arrival" for r in served)
+
+
+def test_named_multivector_lifecycle(spark, tmp_path_factory):
+    """Named multi-vector collections (qdrant vectors_config parity): two
+    named dense vectors per point with their own dimension + distance,
+    per-name sidecar storage, per-name graph index family, and
+    search(using=<name>) under the name's metric. Config locked at create;
+    puts validate membership and width; the per-name index serves the same
+    rows as the exact scan and stales on a re-put."""
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions.embedder import hash_embed
+    from vector_mcp_spark.validation import EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("mv_root")))
+    with _pytest.raises(EngineError, match="named_vectors_config_invalid"):
+        eng.create_collection("bad", vectors_config={"no spaces": {}})
+    with _pytest.raises(EngineError, match="metric_invalid"):
+        eng.create_collection("bad", vectors_config={"t": {"distance": "hamming"}})
+
+    cfg = {
+        "text": {"dimension": 64, "distance": "cosine"},
+        "summary": {"dimension": 16, "distance": "l2"},
+    }
+    eng.create_collection("mv", vectors_config=cfg)
+    assert set(eng.named_vectors_config("mv")) == {"text", "summary"}
+    # config locked: get-or-create with a different map refuses
+    with _pytest.raises(EngineError, match="named_vectors_config_mismatch"):
+        eng.create_collection("mv", vectors_config={"text": {"dimension": 64}})
+    eng.create_collection("mv", vectors_config=cfg)  # identical map is fine
+
+    contents = [f"mv point {i:02d}" for i in range(40)]
+    eng.add_documents("mv", contents)
+    ids = {
+        r.content: r.id for r in eng.read("mv").select("id", "content").collect()
+    }
+    text_vecs = {ids[c]: hash_embed(c, 64) for c in contents}
+    sum_vecs = {ids[c]: hash_embed("s:" + c, 16) for c in contents}
+
+    with _pytest.raises(EngineError, match="named_vector_unknown"):
+        eng.put_named_vectors("mv", "image", text_vecs)
+    with _pytest.raises(EngineError, match="collection_vector_schema_mismatch"):
+        eng.put_named_vectors("mv", "text", {next(iter(ids.values())): [1.0, 2.0]})
+    with _pytest.raises(EngineError, match="point_not_found"):
+        eng.put_named_vectors("mv", "text", {"ghost-id": hash_embed("x", 64)})
+
+    assert eng.put_named_vectors("mv", "text", text_vecs) == 40
+    assert eng.put_named_vectors("mv", "summary", sum_vecs) == 40
+
+    # exact named search under each name's metric
+    q_text = hash_embed("mv point 07", 64)
+    got = eng.named_vector_search("mv", "text", q_text, k=3, indexed=False).collect()
+    assert got[0].content == "mv point 07"
+    assert [r.score for r in got] == sorted((r.score for r in got), reverse=True)
+    q_sum = hash_embed("s:mv point 31", 16)
+    got = eng.named_vector_search("mv", "summary", q_sum, k=3, indexed=False).collect()
+    assert got[0].content == "mv point 31"
+    assert [r.score for r in got] == sorted(r.score for r in got)  # l2 asc
+
+    with _pytest.raises(EngineError, match="collection_vector_schema_mismatch"):
+        eng.named_vector_search("mv", "text", [1.0] * 16, k=3)
+
+    # per-name index family: indexed serve matches the exact scan
+    assert eng.named_vector_index_status("mv", "text") == "absent"
+    with _pytest.raises(EngineError, match="index_not_fresh"):
+        eng.named_vector_search("mv", "text", q_text, k=3, indexed=True)
+    eng.build_named_vector_index("mv", "text")
+    assert eng.named_vector_index_status("mv", "text") == "fresh"
+    exact = eng.named_vector_search("mv", "text", q_text, k=3, indexed=False).collect()
+    served = eng.named_vector_search("mv", "text", q_text, k=3, indexed=True).collect()
+    assert [r.id for r in served] == [r.id for r in exact]
+    # the summary name is independent: still unindexed, exact-auto routes
+    assert eng.named_vector_index_status("mv", "summary") == "absent"
+
+    # a re-put stales only that name's index; auto mode falls back to exact
+    some_id = ids["mv point 00"]
+    eng.put_named_vectors("mv", "text", {some_id: hash_embed("moved", 64)})
+    assert eng.named_vector_index_status("mv", "text") == "stale"
+    with _pytest.raises(EngineError, match="index_not_fresh"):
+        eng.named_vector_search("mv", "text", q_text, k=3, indexed=True)
+    auto = eng.named_vector_search("mv", "text", q_text, k=3).collect()
+    assert auto[0].content == "mv point 07"
+
+    # delete_collection removes the named sidecar tree
+    root = eng._named_root(eng._require("mv"))
+    assert root.exists()
+    eng.delete_collection("mv", confirm=True)
+    assert not root.exists()

@@ -335,14 +335,24 @@ class CollectionEngine:
         overwrite: bool = False,
         get_or_create: bool = True,
         distance: str = "cosine",
+        vectors_config: Mapping[str, Mapping] | None = None,
     ) -> str:
         """S1 — ``distance`` is the per-collection scoring convention
         (qdrant locks ``Distance`` in the collection config at create,
         ``qdrant.py:122-127``; pgvector picks it per index opclass): every
         search and index family on this collection builds and serves under
         it. Switch later with :meth:`set_collection_distance` (the index
-        goes stale and a rebuild re-derives every family)."""
+        goes stale and a rebuild re-derives every family).
+
+        ``vectors_config`` declares NAMED vectors next to the default one
+        (the qdrant named-vectors map ``{name: {dimension, distance}}``):
+        each name gets its own sidecar storage, its own metric, and its own
+        graph index family (:meth:`put_named_vectors`,
+        :meth:`build_named_vector_index`, :meth:`named_vector_search`).
+        Locked at create like the rest of the config — a get-or-create
+        that requests a different map refuses."""
         validate_metric(distance)
+        vectors_config = self._validate_vectors_config(vectors_config)
         scoped = self._scoped(name)
         # a live alias owns its name: a collection created over it would
         # shadow it (listings inconsistent) and dropping that collection
@@ -363,6 +373,11 @@ class CollectionEngine:
                 raise EngineError(
                     "collection_distance_mismatch",
                     detail=f"locked {self._locked_distance(scoped)!r}, requested {distance!r}",
+                )
+            if vectors_config is not None and vectors_config != self.named_vectors_config(name):
+                raise EngineError(
+                    "named_vectors_config_mismatch",
+                    detail=f"locked {sorted(self.named_vectors_config(name))}",
                 )
             return scoped
         if exists and overwrite:
@@ -398,6 +413,12 @@ class CollectionEngine:
                         distance,
                     ),
                 ]
+            )
+        if vectors_config:
+            root = self._named_root(scoped)
+            root.mkdir(parents=True, exist_ok=True)
+            (root / "config.json").write_text(
+                __import__("json").dumps(vectors_config, sort_keys=True)
             )
         # table dir materializes lazily on first write — an empty collection
         # is just a catalog row (no Spark job on create)
@@ -614,7 +635,7 @@ class CollectionEngine:
             raise EngineError("collection_not_found")
         with self._mutation_lock("__catalog__"):  # serialized RMW
             self._write_catalog([r for r in self._catalog_rows() if r[0] != scoped])
-        for suffix in ("", "_index", "_changelog"):  # table + sidecars
+        for suffix in ("", "_index", "_changelog", "_named"):  # table + sidecars
             path = Path(self._table_path(scoped) + suffix)
             if path.exists():
                 shutil.rmtree(path)
@@ -1229,6 +1250,256 @@ class CollectionEngine:
             raise EngineError("index_not_fresh")
         return indexed_lexical_topk(
             self.spark, str(self._index_root(scoped) / "postings"), query, k
+        )
+
+
+    # -- named multi-vector collections (qdrant named-vectors parity) -------
+    #
+    # A point can carry several NAMED dense vectors next to the default
+    # embedding column ("text" + "image" towers, a Matryoshka head, a
+    # reranker vector), each with its own dimension and distance and its
+    # own graph index family. qdrant declares these as the vectors_config
+    # map at create (qdrant.py:122-127 pins one; the client API takes the
+    # map) and searches with using=<name>. Storage here is one (id, vector)
+    # parquet sidecar per name under <table>_named/ — the document table
+    # never widens, and a name's index/search touch only its sidecar.
+
+    _NAMED_RE = __import__("re").compile(r"^[A-Za-z0-9_]{1,64}$")
+
+    def _named_root(self, scoped: str) -> Path:
+        return Path(self._table_path(scoped) + "_named")
+
+    @classmethod
+    def _validate_vectors_config(cls, vectors_config):
+        if vectors_config is None:
+            return None
+        if not isinstance(vectors_config, Mapping) or not vectors_config:
+            raise EngineError(
+                "named_vectors_config_invalid",
+                detail="need a non-empty {name: {dimension?, distance?}} map",
+            )
+        out = {}
+        for vname, cfg in vectors_config.items():
+            if not isinstance(vname, str) or not cls._NAMED_RE.match(vname):
+                raise EngineError(
+                    "named_vectors_config_invalid", detail=f"bad vector name {vname!r}"
+                )
+            cfg = dict(cfg or {})
+            dim = cfg.get("dimension")
+            if dim is not None and (not isinstance(dim, int) or dim <= 0):
+                raise EngineError(
+                    "named_vectors_config_invalid", detail=f"bad dimension for {vname!r}"
+                )
+            out[vname] = {
+                "dimension": dim,
+                "distance": validate_metric(cfg.get("distance", "cosine")),
+            }
+        return out
+
+    def named_vectors_config(self, name: str) -> dict:
+        """The locked named-vectors map (empty when none was declared)."""
+        scoped = self._require(name)
+        cfg_path = self._named_root(scoped) / "config.json"
+        if not cfg_path.exists():
+            return {}
+        import json
+
+        return json.loads(cfg_path.read_text())
+
+    def _named_cfg(self, scoped: str, vector_name: str) -> dict:
+        import json
+
+        cfg_path = self._named_root(scoped) / "config.json"
+        cfg = json.loads(cfg_path.read_text()) if cfg_path.exists() else {}
+        if vector_name not in cfg:
+            raise EngineError(
+                "named_vector_unknown",
+                detail=f"{vector_name!r} not declared; have {sorted(cfg)}",
+            )
+        return cfg[vector_name]
+
+    @_serialized_mutation
+    def put_named_vectors(self, name: str, vector_name: str, vectors: Mapping[str, Sequence[float]]) -> int:
+        """Upsert ``{point_id: vector}`` into the named sidecar (the qdrant
+        update_vectors shape). Every id must be an existing point —
+        refusing beats silently storing orphan vectors — and every vector
+        must match the name's locked dimension. Batch-bounded like
+        add_documents; the merge is an anti-join + union over the sidecar."""
+        scoped = self._require(name)
+        cfg = self._named_cfg(scoped, vector_name)
+        if not isinstance(vectors, Mapping) or not vectors:
+            raise EngineError("named_vectors_invalid", detail="need {id: vector}")
+        validate_ingest_bounds(list(vectors))
+        dim = cfg.get("dimension")
+        rows = []
+        for pid, vec in vectors.items():
+            vec = [float(x) for x in vec]
+            if dim is not None and len(vec) != dim:
+                raise EngineError(
+                    "collection_vector_schema_mismatch",
+                    detail=f"{vector_name!r} locked at {dim}, got {len(vec)}",
+                )
+            rows.append((str(pid), vec))
+        batch = self.spark.createDataFrame(rows, "id string, vector array<float>")
+        missing = batch.join(self.read(name).select("id"), "id", "left_anti").count()
+        if missing:
+            raise EngineError(
+                "point_not_found", detail=f"{missing} id(s) not in the collection"
+            )
+        data = self._named_root(scoped) / vector_name / "data"
+        if (data / "_SUCCESS").exists():
+            merged = (
+                self.spark.read.parquet(str(data))
+                .join(F.broadcast(batch), "id", "left_anti")
+                .unionByName(batch)
+                .localCheckpoint(eager=True)  # sever self-read before overwrite
+            )
+        else:
+            merged = batch
+        merged.write.mode("overwrite").parquet(str(data))
+        return len(rows)
+
+    def _named_fingerprint(self, scoped: str, vector_name: str) -> str:
+        data = self._named_root(scoped) / vector_name / "data"
+        if not data.exists():
+            return "empty"
+        stamps = sorted(
+            f"{p.relative_to(data)}:{p.stat().st_mtime_ns}" for p in data.rglob("*.parquet")
+        )
+        return hashlib.sha256("\n".join(stamps).encode()).hexdigest()
+
+    def build_named_vector_index(self, name: str, vector_name: str) -> dict:
+        """Materialize the name's graph index family under ITS distance
+        (the per-name analogue of the default embedding's graph family):
+        IVF coarse quantizer + layered graph over the sidecar vectors, a
+        per-name manifest stamped with the sidecar fingerprint. Collections
+        with < 2 vectors under the name record an entry-less graph (served
+        queries answer empty, same as the default family)."""
+        import json
+
+        from vector_mcp_spark.operators.graph_ann import hnsw_build
+        from vector_mcp_spark.operators.similarity import ivf_build
+
+        scoped = self._require(name)
+        cfg = self._named_cfg(scoped, vector_name)
+        root = self._named_root(scoped) / vector_name
+        data = root / "data"
+        n = (
+            self.spark.read.parquet(str(data)).count()
+            if (data / "_SUCCESS").exists()
+            else 0
+        )
+        graph_meta: dict = {"entry": None, "top_layer": 0}
+        if n >= 2:
+            vecs = self.spark.read.parquet(str(data)).select(
+                "id", F.col("vector").alias("embedding")
+            )
+            assigned, _cents = ivf_build(
+                vecs,
+                n_centroids=min(16, max(1, n // 4)),
+                id_col="id",
+                max_iter=2,
+                metric="l2" if cfg["distance"] == "l2" else "cosine",
+            )
+            edges, graph_meta = hnsw_build(
+                assigned,
+                id_col="id",
+                n_hash_buckets=min(16, max(1, n // 128)),
+                metric=cfg["distance"],
+            )
+            edges.write.mode("overwrite").parquet(str(root / "graph"))
+        (root / "manifest.json").write_text(
+            json.dumps(
+                {
+                    "fingerprint": self._named_fingerprint(scoped, vector_name),
+                    "n_vectors": n,
+                    "graph": graph_meta,
+                    "distance": cfg["distance"],
+                }
+            )
+        )
+        return {"n_vectors": n}
+
+    def named_vector_index_status(self, name: str, vector_name: str) -> str:
+        scoped = self._require(name)
+        self._named_cfg(scoped, vector_name)
+        import json
+
+        mpath = self._named_root(scoped) / vector_name / "manifest.json"
+        if not mpath.exists():
+            return "absent"
+        meta = json.loads(mpath.read_text())
+        return (
+            "fresh"
+            if meta.get("fingerprint") == self._named_fingerprint(scoped, vector_name)
+            else "stale"
+        )
+
+    def named_vector_search(
+        self,
+        name: str,
+        vector_name: str,
+        question_vec,
+        k: int = 5,
+        ef: int = 48,
+        indexed: bool | None = None,
+    ) -> DataFrame:
+        """Search one NAMED vector (qdrant ``query_points(using=<name>)``):
+        scores under the name's locked distance, returns (id, content,
+        score) best-first. ``indexed=None`` auto-routes — the name's graph
+        family serves when built and fresh, the exact scan otherwise;
+        ``indexed=True`` requires a fresh index (``index_not_fresh``);
+        ``indexed=False`` forces the exact scan."""
+        import json
+
+        from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk
+        from vector_mcp_spark.operators.semantic import semantic_topk
+
+        scoped = self._require(name)
+        cfg = self._named_cfg(scoped, vector_name)
+        question_vec = [float(x) for x in question_vec]
+        dim = cfg.get("dimension")
+        if dim is not None and len(question_vec) != dim:
+            raise EngineError(
+                "collection_vector_schema_mismatch",
+                detail=f"query dimension {len(question_vec)} != locked {dim}",
+            )
+        metric = cfg["distance"]
+        root = self._named_root(scoped) / vector_name
+        data = root / "data"
+        empty = self.spark.createDataFrame([], "id string, content string, score double")
+        if not (data / "_SUCCESS").exists():
+            return empty
+        status = self.named_vector_index_status(name, vector_name)
+        use_index = status == "fresh" if indexed is None else indexed
+        if indexed and status != "fresh":
+            raise EngineError("index_not_fresh")
+        vecs = self.spark.read.parquet(str(data))
+        if not use_index:
+            joined = self.read(name).select("id", "content").join(
+                vecs.select("id", F.col("vector").alias("_nv")), "id"
+            )
+            return semantic_topk(
+                joined, question_vec, k, id_col="id",
+                emb_col="_nv", payload_cols=("content",), metric=metric,
+            ).select("id", "content", "score")
+        meta = json.loads((root / "manifest.json").read_text())
+        if (meta.get("graph") or {}).get("entry") is None:
+            return empty
+        edges = self.spark.read.parquet(str(root / "graph"))
+        corpus = vecs.select("id", F.col("vector").alias("embedding"))
+        query = self.spark.createDataFrame(
+            [("__q__", question_vec)], "id string, embedding array<float>"
+        )
+        hits = ann_hnsw_topk(
+            query, corpus, edges, meta["graph"]["entry"], k=k, ef=ef,
+            id_col="id", exclude_self=False, metric=metric,
+        ).select(F.col("neighbor_id").alias("id"), "score")
+        return (
+            self.read(name)
+            .join(F.broadcast(hits), "id")
+            .select("id", "content", "score")
+            .orderBy(*self._metric_order(metric, F.col("score"), F.col("id")))
         )
 
     def _indexed_sparse_hits(self, scoped: str, query_weights, k: int) -> DataFrame:

@@ -290,6 +290,7 @@ _ROUND12_LEAD = _ROUND11_FILL[13:]
 # driver row the round they ship (each displaces one _ROUND12_FILL slot).
 _PROMOTED_R12: list[str] = [
     "ann_hnsw_l2_topk",
+    "multivector_named_topk",
 ]
 
 # (c) Stalest remaining greens (latest driver rows r8 = CORRECTNESS_r08

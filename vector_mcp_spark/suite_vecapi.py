@@ -556,3 +556,101 @@ def q_hybrid_sparse_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(dense, HYBRID_W_SEM), (sparse, HYBRID_W_LEX)],
         HYBRID_N, rrf_k=RRF_K, id_col="doc_id",
     )
+
+
+# -- named multi-vector search (qdrant vectors_config / using=<name>) ---------
+#
+# The engine-surface entry in the engine_lifecycle style: a scratch
+# CollectionEngine holds 12 points carrying TWO named dense vectors ("text"
+# dim-8 cosine, "summary" dim-4 l2) next to the default embedding; the
+# declared query searches each name under its own locked metric and returns
+# both top-3s. Vectors are small deterministic rationals, so the DuckDB
+# oracle replays both searches from a VALUES table with the same literal
+# arithmetic (cosine via _cosine_sql, l2 via the _l2_sql expansion).
+
+_MV_N = 12
+_MV_K = 3
+
+
+def _mv_vec_a(i: int) -> list[float]:
+    return [((i * 37 + j * 11) % 23 + 1) / 7.0 for j in range(8)]
+
+
+def _mv_vec_b(i: int) -> list[float]:
+    return [((i * 13 + j * 5) % 17 + 1) / 3.0 for j in range(4)]
+
+
+_MV_QA = _mv_vec_a(100)
+_MV_QB = _mv_vec_b(200)
+
+
+def _mv_oracle() -> str:
+    from vector_mcp_spark.suite import _cosine_sql, _l2_sql
+
+    def lit(v: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in v) + "]::DOUBLE[]"
+
+    values = ",\n  ".join(
+        f"('point {i:02d}', {lit(_mv_vec_a(i))}, {lit(_mv_vec_b(i))})"
+        for i in range(_MV_N)
+    )
+    return f"""
+WITH pts(content, va, vb) AS (VALUES
+  {values}
+),
+a AS (SELECT content, {_cosine_sql("va", _MV_QA)} AS s FROM pts),
+ar AS (
+  SELECT 'text' AS vector_name, CAST(rn AS INTEGER) AS rank, content,
+         ROUND(s, 6) AS score
+  FROM (SELECT content, s, row_number() OVER (ORDER BY s DESC, content ASC) AS rn FROM a)
+  WHERE rn <= {_MV_K}
+),
+b AS (SELECT content, {_l2_sql("vb", _MV_QB)} AS s FROM pts),
+br AS (
+  SELECT 'summary' AS vector_name, CAST(rn AS INTEGER) AS rank, content,
+         ROUND(s, 6) AS score
+  FROM (SELECT content, s, row_number() OVER (ORDER BY s ASC, content ASC) AS rn FROM b)
+  WHERE rn <= {_MV_K}
+)
+SELECT * FROM ar UNION ALL SELECT * FROM br
+"""
+
+
+@register("multivector_named_topk", _mv_oracle(), "engine", "vecapi")
+def q_multivector_named_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named multi-vector search through the real engine: create a
+    collection with a two-name vectors_config, put per-name vectors, and
+    query each name under its own distance (cosine desc / l2 asc) —
+    the qdrant named-vectors surface end to end."""
+    import shutil
+    import tempfile
+
+    from vector_mcp_spark.engine import CollectionEngine
+
+    root = tempfile.mkdtemp(prefix="vm_multivec_")
+    try:
+        eng = CollectionEngine(spark, root)
+        eng.create_collection(
+            "mv",
+            vectors_config={
+                "text": {"dimension": 8, "distance": "cosine"},
+                "summary": {"dimension": 4, "distance": "l2"},
+            },
+        )
+        contents = [f"point {i:02d}" for i in range(_MV_N)]
+        eng.add_documents("mv", contents)
+        ids = {r.content: r.id for r in eng.read("mv").select("id", "content").collect()}
+        eng.put_named_vectors(
+            "mv", "text", {ids[c]: _mv_vec_a(i) for i, c in enumerate(contents)}
+        )
+        eng.put_named_vectors(
+            "mv", "summary", {ids[c]: _mv_vec_b(i) for i, c in enumerate(contents)}
+        )
+        rows = []
+        for vname, qv in (("text", _MV_QA), ("summary", _MV_QB)):
+            got = eng.named_vector_search("mv", vname, qv, k=_MV_K, indexed=False).collect()
+            for rank, r in enumerate(got, start=1):
+                rows.append((vname, rank, r.content, float(r.score)))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "vector_name string, rank int, content string, score double")
