@@ -162,3 +162,28 @@ def test_semantic_search_metric_variants(api):
 def test_semantic_search_metric_invalid_is_stable_code(api):
     with pytest.raises(EngineError, match="metric_invalid"):
         api.semantic_search("kb", ["anything"], metric="manhattan")
+
+
+def test_semantic_search_defaults_to_collection_distance(spark, tmp_path):
+    """qdrant-style: a search without an explicit metric scores under the
+    collection's locked distance config; passing one overrides per query."""
+    from vector_mcp_spark.api import VectorSearchApi
+    from vector_mcp_spark.engine import CollectionEngine
+
+    eng = CollectionEngine(spark, str(tmp_path / "apidist_root"))
+    api = VectorSearchApi(eng)
+    eng.create_collection("l2api", distance="l2")
+    eng.add_documents("l2api", [f"api metric doc {i}" for i in range(10)])
+
+    got = api.semantic_search("l2api", ["api metric doc 4"], number_results=3).collect()
+    got = sorted(got, key=lambda r: r.rank)
+    assert got[0].content == "api metric doc 4"
+    scores = [r.score for r in got]
+    assert scores == sorted(scores), "default search on an l2 collection ranks ascending"
+
+    # explicit override still wins (pgvector per-operator choice)
+    cos = api.semantic_search(
+        "l2api", ["api metric doc 4"], number_results=3, metric="cosine"
+    ).collect()
+    cos = sorted(cos, key=lambda r: r.rank)
+    assert [r.score for r in cos] == sorted((r.score for r in cos), reverse=True)

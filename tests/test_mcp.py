@@ -1600,3 +1600,69 @@ def test_agent_server_invalid_args_stay_json(spark, tmp_path_factory):
         assert "collections" in out
     finally:
         server.shutdown()
+
+
+def test_veneer_distance_named_and_sparse_actions(spark, tmp_path_factory):
+    """r12 surfaces over the condensed veneer: create_collection takes the
+    distance + vectors_config, put_named_vectors/named_search round-trip a
+    named vector, sparse_search serves from the named-sparse family, and
+    set_distance stales the index — all stable dicts, no tracebacks."""
+    from vector_mcp_spark.functions.embedder import hash_embed
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("veneer12_root")))
+    ven = McpVeneer(eng, VectorSearchApi(eng))
+
+    out = ven.vector_collection_management(
+        "create_collection",
+        collection_name="v12",
+        distance="l2",
+        vectors_config={"tower": {"dimension": 8, "distance": "cosine"}},
+    )
+    assert out == {"collection_name": "v12", "documents_added": 0}
+    assert eng.collection_distance("v12") == "l2"
+
+    ven.vector_collection_management(
+        "add_documents", collection_name="v12",
+        document_contents=[f"veneer doc {i} spark vector" for i in range(12)],
+    )
+    ids = {r.content: r.id for r in eng.read("v12").select("id", "content").collect()}
+    out = ven.vector_collection_management(
+        "put_named_vectors", collection_name="v12", vector_name="tower",
+        named_vectors={ids[c]: hash_embed(c, 8) for c in ids},
+    )
+    assert out["vectors_put"] == 12
+
+    out = ven.vector_search(
+        "named_search", collection_name="v12", vector_name="tower",
+        query_vector=hash_embed("veneer doc 3 spark vector", 8), number_results=3,
+    )
+    assert out["results"][0]["content"] == "veneer doc 3 spark vector"
+
+    # sparse_search refuses pre-index with the stable code, then serves
+    out = ven.vector_search(
+        "sparse_search", collection_name="v12",
+        query_weights={"spark": 2.0, "vector": 1.0}, number_results=3,
+    )
+    assert out == {"error": "index_not_fresh"}
+    ven.vector_collection_management("build_search_index", collection_name="v12")
+    out = ven.vector_search(
+        "sparse_search", collection_name="v12",
+        query_weights={"spark": 2.0, "vector": 1.0}, number_results=3,
+    )
+    assert len(out["results"]) == 3 and all(r["score"] > 0 for r in out["results"])
+
+    # set_distance stales the built index; missing args stay stable dicts
+    out = ven.vector_collection_management(
+        "set_distance", collection_name="v12", distance="cosine"
+    )
+    assert out["distance"] == "cosine"
+    assert eng.index_status("v12") == "stale"
+    assert ven.vector_collection_management("set_distance", collection_name="v12") == {
+        "error": "distance_required"
+    }
+    assert ven.vector_search("named_search", collection_name="v12") == {
+        "error": "named_search_input_required"
+    }
+    assert ven.vector_search("sparse_search", collection_name="v12") == {
+        "error": "sparse_search_input_required"
+    }

@@ -76,14 +76,18 @@ class VectorSearchApi:
         questions: Sequence[str],
         number_results: int = 5,
         distance_threshold: float | None = None,
-        metric: str = "cosine",
+        metric: str | None = None,
     ) -> DataFrame:
         """Multi-query semantic search → (query_id, rank, id, content, score).
 
         ``metric`` ∈ {cosine, dot, l2} — the pgvector ``<=>``/``<#>``/``<->``
         conventions (l2 ranks ascending); refuses unknown values with the
-        stable ``metric_invalid`` code."""
+        stable ``metric_invalid`` code. ``None`` (the default) scores under
+        the collection's locked distance config, qdrant-style; passing a
+        metric overrides per query like pgvector's per-operator choice."""
         number_results = validate_number_results(number_results)
+        if metric is None:
+            metric = self.engine.collection_distance(collection)
         metric = validate_metric(metric)
         if not questions:
             raise EngineError("question_invalid")  # vector_api.py:548 rejects empty

@@ -55,9 +55,12 @@ COLLECTION_ACTIONS = (
     "list_snapshots",
     "delete_snapshot",
     "describe_collection",
+    "set_distance",
+    "put_named_vectors",
 )
 SEARCH_ACTIONS = (
     "semantic_search", "lexical_search", "search", "rerank_search", "federated_search",
+    "named_search", "sparse_search",
 )
 
 
@@ -132,6 +135,10 @@ class McpVeneer:
         document_paths: list[str] | None = None,
         include_configured_directory: bool = False,
         before_ts: str | None = None,
+        distance: str | None = None,
+        vectors_config: dict | None = None,
+        vector_name: str | None = None,
+        named_vectors: dict | None = None,
     ) -> dict[str, Any]:
         resolved = resolve_action(action, COLLECTION_ACTIONS)
         if isinstance(resolved, dict):
@@ -142,8 +149,13 @@ class McpVeneer:
                 # (reference backend_policy.py semantics)
                 ensure_backend_available(db_type)
             if resolved == "create_collection":
+                kwargs: dict[str, Any] = {}
+                if distance is not None:  # per-collection Distance config
+                    kwargs["distance"] = distance
+                if vectors_config is not None:  # qdrant named-vectors map
+                    kwargs["vectors_config"] = vectors_config
                 name = self.engine.create_collection(
-                    collection_name, dimension=dimension, overwrite=bool(overwrite)
+                    collection_name, dimension=dimension, overwrite=bool(overwrite), **kwargs
                 )
                 n = 0
                 if document_contents:
@@ -263,6 +275,20 @@ class McpVeneer:
                 }
             if resolved == "describe_collection":
                 return self.engine.describe_collection(collection_name)
+            if resolved == "set_distance":
+                if not distance:
+                    return {"error": "distance_required"}
+                self.engine.set_collection_distance(collection_name, distance)
+                return {"collection_name": collection_name, "distance": distance}
+            if resolved == "put_named_vectors":
+                if not vector_name or not isinstance(named_vectors, dict) or not named_vectors:
+                    return {"error": "named_vectors_input_required"}
+                n = self.engine.put_named_vectors(collection_name, vector_name, named_vectors)
+                return {
+                    "collection_name": collection_name,
+                    "vector_name": vector_name,
+                    "vectors_put": n,
+                }
             if resolved == "create_snapshot":
                 path = self.engine.create_snapshot(collection_name)
                 return {
@@ -324,6 +350,9 @@ class McpVeneer:
         db_type: str | None = None,
         collection_names: list[str] | None = None,
         metric: str | None = None,
+        vector_name: str | None = None,
+        query_vector: list[float] | None = None,
+        query_weights: dict | None = None,
     ) -> dict[str, Any]:
         resolved = resolve_action(action, SEARCH_ACTIONS)
         if isinstance(resolved, dict):
@@ -357,6 +386,24 @@ class McpVeneer:
                      "content": r.content, "score": r.score} for r in df.collect()
                 ]
                 return {"action": resolved, "collection_names": names, "results": rows}
+            elif resolved == "named_search":
+                if not vector_name or not query_vector:
+                    return {"error": "named_search_input_required"}
+                df = self.engine.named_vector_search(
+                    collection_name, vector_name, query_vector, k=k
+                )
+                rows = [
+                    {"id": r.id, "content": r.content, "score": r.score} for r in df.collect()
+                ]
+            elif resolved == "sparse_search":
+                if not isinstance(query_weights, dict) or not query_weights:
+                    return {"error": "sparse_search_input_required"}
+                df = self.engine.indexed_sparse_search(
+                    collection_name, sorted(query_weights.items()), k=k
+                )
+                rows = [
+                    {"id": r.id, "content": r.content, "score": r.score} for r in df.collect()
+                ]
             elif resolved == "rerank_search":
                 df = self.api.rerank_search(collection_name, question, number_results=k)
                 rows = [
