@@ -1666,3 +1666,30 @@ def test_veneer_distance_named_and_sparse_actions(spark, tmp_path_factory):
     assert ven.vector_search("sparse_search", collection_name="v12") == {
         "error": "sparse_search_input_required"
     }
+
+
+def test_veneer_indexed_search_with_num_candidates(spark, tmp_path_factory):
+    """The indexed_search action serves from the persisted graph family and
+    exposes the beam width (mongodb numCandidates, default max(k*10, 100))
+    as a first-class tunable; staleness refuses with the stable code."""
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("idxsearch_root")))
+    ven = McpVeneer(eng, VectorSearchApi(eng))
+    ven.vector_collection_management(
+        "create_collection", collection_name="ix",
+        document_contents=[f"indexed search doc {i} topic {i % 4}" for i in range(30)],
+    )
+    out = ven.vector_search("indexed_search", collection_name="ix",
+                            question="indexed search doc 7 topic 3")
+    assert out == {"error": "index_not_fresh"}
+    ven.vector_collection_management("build_search_index", collection_name="ix")
+    out = ven.vector_search(
+        "indexed_search", collection_name="ix",
+        question="indexed search doc 7 topic 3", number_results=3,
+    )
+    assert out["results"][0]["content"] == "indexed search doc 7 topic 3"
+    # an explicit tiny beam still answers (recall knob, not a correctness one)
+    out2 = ven.vector_search(
+        "indexed_search", collection_name="ix",
+        question="indexed search doc 7 topic 3", number_results=3, num_candidates=8,
+    )
+    assert len(out2["results"]) > 0

@@ -106,6 +106,24 @@ def main() -> int:
     )
     rows.append(("HNSW-style graph, M=12, ef=48, 7-hop beam", recall(got, exact)))
 
+    # beam-width (numCandidates) sweep — the recall-vs-latency knob the
+    # veneer's indexed_search exposes (mongodb defaults max(k*10, 100));
+    # each row times the full 20-query beam at that ef, warm
+    import time as _time
+
+    for ef in (8, 16, 48, 96):
+        fn = lambda: pairs(  # noqa: E731
+            ann_hnsw_topk(queries, embs, edges, meta["entry"], k=K, ef=ef, id_col="vec_id")
+        )
+        fn()  # warm plans
+        t0 = _time.time()
+        got = fn()
+        dt = _time.time() - t0
+        rows.append(
+            (f"HNSW beam sweep ef={ef} ({dt:.1f}s / {N_QUERIES} queries warm)",
+             recall(got, exact))
+        )
+
     mat = projection_matrix(64, 32)
     got = pairs(ann_projected_topk(queries, embs, k=K, matrix=mat, shortlist=100, id_col="vec_id"))
     rows.append(("projected 64->32, shortlist=100, exact re-rank", recall(got, exact)))

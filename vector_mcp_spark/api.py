@@ -68,6 +68,13 @@ class VectorSearchApi:
         else:
             self._embed_query = lambda q: hash_embed(q, dim)
 
+    def embed_query(self, question: str) -> list[float]:
+        """The one query-embedding seam (remote model when configured,
+        deterministic hash embed otherwise) — public so transports that
+        need a raw vector (the veneer's indexed_search) share the exact
+        representation every text search uses."""
+        return list(self._embed_query(question))
+
     # -- retrieval (base.py:189-231 protocol) -------------------------------
 
     def semantic_search(

@@ -60,7 +60,7 @@ COLLECTION_ACTIONS = (
 )
 SEARCH_ACTIONS = (
     "semantic_search", "lexical_search", "search", "rerank_search", "federated_search",
-    "named_search", "sparse_search",
+    "named_search", "sparse_search", "indexed_search",
 )
 
 
@@ -353,6 +353,7 @@ class McpVeneer:
         vector_name: str | None = None,
         query_vector: list[float] | None = None,
         query_weights: dict | None = None,
+        num_candidates: int | None = None,
     ) -> dict[str, Any]:
         resolved = resolve_action(action, SEARCH_ACTIONS)
         if isinstance(resolved, dict):
@@ -386,6 +387,21 @@ class McpVeneer:
                      "content": r.content, "score": r.score} for r in df.collect()
                 ]
                 return {"action": resolved, "collection_names": names, "results": rows}
+            elif resolved == "indexed_search":
+                # the persisted-graph serving route with the beam width as
+                # a first-class tunable — mongodb's $vectorSearch exposes
+                # the same knob and defaults numCandidates = max(k*10, 100)
+                # (reference vector_mcp/vectordb/mongodb.py:277)
+                from vector_mcp_spark.sanitize import sanitize_text_py
+                from vector_mcp_spark.validation import validate_question
+
+                cleaned = sanitize_text_py(validate_question(question))
+                qv = self.api.embed_query(cleaned)
+                ef = int(num_candidates) if num_candidates else max(k * 10, 100)
+                df = self.engine.indexed_graph_search(collection_name, qv, k=k, ef=ef)
+                rows = [
+                    {"id": r.id, "content": r.content, "score": r.score} for r in df.collect()
+                ]
             elif resolved == "named_search":
                 if not vector_name or not query_vector:
                     return {"error": "named_search_input_required"}
