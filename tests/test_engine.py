@@ -2351,3 +2351,87 @@ def test_named_multivector_lifecycle(spark, tmp_path_factory):
     assert root.exists()
     eng.delete_collection("mv", confirm=True)
     assert not root.exists()
+
+
+def test_content_only_l2_graph_refuses_mis_sized_query(spark, tmp_path_factory):
+    """Review r12: a content-only l2 collection locks no dimension, but the
+    index manifest records the indexed width — a mis-sized query must
+    refuse (previously greatest() coerced every NULL inner product to a
+    PERFECT 0.0 l2 distance and served k arbitrary rows as exact matches)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions.embedder import hash_embed
+    from vector_mcp_spark.validation import EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("l2dim_root")))
+    eng.create_collection("l2g", distance="l2")
+    eng.add_documents(
+        "l2g", [f"l2 guard doc {i}" for i in range(20)],
+        metadatas=[{"t": "a"}] * 20,
+    )
+    assert eng.needs_embed("l2g") and eng._locked_dimension(eng._require("l2g")) is None
+    eng.build_search_index("l2g")
+    manifest = _json.loads(
+        (eng._index_root(eng._require("l2g")) / "manifest.json").read_text()
+    )
+    assert manifest["dimension"] == 64
+    bad = hash_embed("short", 16)
+    with _pytest.raises(EngineError, match="collection_vector_schema_mismatch"):
+        eng.indexed_graph_search("l2g", bad, k=3)
+    with _pytest.raises(EngineError, match="collection_vector_schema_mismatch"):
+        eng.indexed_filtered_search("l2g", bad, {"t": "a"}, k=3)
+    good = eng.indexed_graph_search("l2g", hash_embed("l2 guard doc 7", 64), k=3).collect()
+    assert good and good[0].content == "l2 guard doc 7"
+    assert all(r.score is not None for r in good)
+
+
+def test_snapshot_round_trips_named_vectors(spark, tmp_path_factory):
+    """Review r12: snapshots must carry the _named sidecar — the config and
+    the user-supplied per-name vectors are primary data, not derivable."""
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions.embedder import hash_embed
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("snapmv_root")))
+    eng.create_collection("orig", vectors_config={"t": {"dimension": 8, "distance": "cosine"}})
+    eng.add_documents("orig", [f"snap mv doc {i}" for i in range(6)])
+    ids = {r.content: r.id for r in eng.read("orig").select("id", "content").collect()}
+    eng.put_named_vectors("orig", "t", {ids[c]: hash_embed(c, 8) for c in ids})
+    snap = eng.create_snapshot("orig")
+    eng.delete_collection("orig", confirm=True)
+    eng.restore_snapshot(snap, "back")
+    assert set(eng.named_vectors_config("back")) == {"t"}
+    got = eng.named_vector_search("back", "t", hash_embed("snap mv doc 3", 8), k=1).collect()
+    assert got and got[0].content == "snap mv doc 3"
+
+
+def test_get_or_create_without_distance_is_idempotent(spark, tmp_path_factory):
+    """Review r12: distance=None means UNSPECIFIED (the dimension sentinel
+    contract) — a plain get-or-create of an l2 collection returns it; only
+    an explicit conflicting distance drifts."""
+    from vector_mcp_spark.engine import CollectionEngine
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("goc_root")))
+    eng.create_collection("idem", distance="l2")
+    assert eng.create_collection("idem") == "idem"  # no kwargs, no drift
+    assert eng.collection_distance("idem") == "l2"
+
+
+def test_named_auto_route_entryless_index_falls_back_to_exact(spark, tmp_path_factory):
+    """Review r12: a fresh but entry-less per-name graph (built with < 2
+    vectors) must not make the auto router answer empty while the exact
+    scan has the point."""
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions.embedder import hash_embed
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("mv1_root")))
+    eng.create_collection("one", vectors_config={"t": {"dimension": 8, "distance": "cosine"}})
+    eng.add_documents("one", ["solitary point"])
+    pid = eng.read("one").select("id").first().id
+    eng.put_named_vectors("one", "t", {pid: hash_embed("solitary point", 8)})
+    eng.build_named_vector_index("one", "t")
+    assert eng.named_vector_index_status("one", "t") == "fresh"
+    got = eng.named_vector_search("one", "t", hash_embed("solitary point", 8), k=1).collect()
+    assert got and got[0].content == "solitary point"

@@ -95,6 +95,26 @@ def _make_handler(agent: AgentCardVeneer):
                     {"error": "arguments_invalid", "reserved_keys": sorted(reserved)},
                 )
                 return
+            # client-argument validation BEFORE dispatch: unknown kwargs
+            # for the routed veneer method are a caller mistake, reported
+            # as arguments_invalid — a TypeError that surfaces DURING
+            # execution is a server fault and must not be blamed on the
+            # client, so it falls through to internal_error below
+            import inspect
+
+            method = getattr(getattr(agent, "veneer", None), str(req["tool"]), None)
+            if callable(method):
+                params = inspect.signature(method).parameters
+                if not any(
+                    p.kind == inspect.Parameter.VAR_KEYWORD for p in params.values()
+                ):
+                    unknown = sorted(set(args) - set(params))
+                    if unknown:
+                        self._send(
+                            200,
+                            {"error": "arguments_invalid", "unknown_keys": unknown},
+                        )
+                        return
             principal = None
             auth = self.headers.get("Authorization") or ""
             if auth.startswith("Bearer "):
@@ -103,12 +123,8 @@ def _make_handler(agent: AgentCardVeneer):
                 out = agent.dispatch(
                     str(req["tool"]), str(req["action"]), principal=principal, **args
                 )
-            except TypeError as e:
-                # unexpected kwarg for the routed veneer method — a client
-                # mistake, not a server fault; same never-leak-a-traceback
-                # contract as the stdio transport (mcp_stdio.py:79)
-                out = {"error": "arguments_invalid", "detail": str(e)[:200]}
             except Exception as e:
+                # never leak a traceback onto the wire (mcp_stdio.py:79)
                 out = {"error": "internal_error", "detail": f"{type(e).__name__}: {e}"[:200]}
             self._send(200, out)
 

@@ -150,7 +150,16 @@ class VectorSearchApi:
         cleaned = sanitize_text_py(validate_question(question))
         docs = self._docs(collection)
         leg_k = max(number_results * 2, 20)
-        sem = semantic_topk(docs, self._embed_query(cleaned), leg_k, id_col="id", emb_col="embedding")
+        # the semantic leg ranks under the collection's locked distance
+        # (create_collection's contract); RRF is rank-based, so an
+        # ascending-better l2 leg just flips its ranking key before fusing
+        metric = self.engine.collection_distance(collection)
+        sem = semantic_topk(
+            docs, self._embed_query(cleaned), leg_k,
+            id_col="id", emb_col="embedding", metric=metric,
+        )
+        if metric == "l2":
+            sem = sem.withColumn("score", -F.col("score"))
         lex = lexical_tf_topk(docs, cleaned, leg_k, id_col="id", content_col="content")
         fused = rrf_fuse([(sem, w_sem), (lex, w_lex)], number_results, rrf_k=rrf_k, id_col="id")
         payload = docs.select("id", "content")
@@ -183,7 +192,11 @@ class VectorSearchApi:
         cleaned = sanitize_text_py(validate_question(question))
         docs = self._docs(collection)
         short = (
-            semantic_topk(docs, self._embed_query(cleaned), shortlist, id_col="id", emb_col="embedding")
+            semantic_topk(
+                docs, self._embed_query(cleaned), shortlist,
+                id_col="id", emb_col="embedding",
+                metric=self.engine.collection_distance(collection),
+            )
             .select("id")
             .join(docs.select("id", "content"), "id")
         )
@@ -213,7 +226,10 @@ class VectorSearchApi:
         plan (a Spark union moves no data) and runs the federated operator:
         per-collection quota via a collection-partitioned window, global fuse
         over |collections|·k rows. Scores are raw cosine against the same
-        query vector, so the cross-collection ranking is well-defined."""
+        query vector — DELIBERATELY ignoring per-collection distance
+        configs: a cross-collection ranking needs one comparable score
+        scale, and cosine-vs-l2 raw scores are not fusable (per-collection
+        metric search stays available via semantic_search on each)."""
         from vector_mcp_spark.operators.federated import federated_topk
 
         number_results = validate_number_results(number_results)

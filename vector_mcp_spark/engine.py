@@ -334,7 +334,7 @@ class CollectionEngine:
         dimension: int | None = None,
         overwrite: bool = False,
         get_or_create: bool = True,
-        distance: str = "cosine",
+        distance: str | None = None,
         vectors_config: Mapping[str, Mapping] | None = None,
     ) -> str:
         """S1 — ``distance`` is the per-collection scoring convention
@@ -342,7 +342,10 @@ class CollectionEngine:
         ``qdrant.py:122-127``; pgvector picks it per index opclass): every
         search and index family on this collection builds and serves under
         it. Switch later with :meth:`set_collection_distance` (the index
-        goes stale and a rebuild re-derives every family).
+        goes stale and a rebuild re-derives every family). ``None`` means
+        UNSPECIFIED — a new collection gets cosine, and get-or-create of an
+        existing one accepts whatever is locked (the same sentinel contract
+        as ``dimension``); only an EXPLICIT conflicting distance drifts.
 
         ``vectors_config`` declares NAMED vectors next to the default one
         (the qdrant named-vectors map ``{name: {dimension, distance}}``):
@@ -351,7 +354,8 @@ class CollectionEngine:
         :meth:`build_named_vector_index`, :meth:`named_vector_search`).
         Locked at create like the rest of the config — a get-or-create
         that requests a different map refuses."""
-        validate_metric(distance)
+        if distance is not None:
+            validate_metric(distance)
         vectors_config = self._validate_vectors_config(vectors_config)
         scoped = self._scoped(name)
         # a live alias owns its name: a collection created over it would
@@ -369,7 +373,7 @@ class CollectionEngine:
                 raise EngineError("collection_vector_schema_mismatch")
             # distance-drift rejection, same shape: get-or-create must not
             # silently hand back a collection scored under another metric
-            if distance != self._locked_distance(scoped):
+            if distance is not None and distance != self._locked_distance(scoped):
                 raise EngineError(
                     "collection_distance_mismatch",
                     detail=f"locked {self._locked_distance(scoped)!r}, requested {distance!r}",
@@ -410,7 +414,7 @@ class CollectionEngine:
                         dimension,
                         datetime.now(timezone.utc),
                         False,
-                        distance,
+                        distance or "cosine",
                     ),
                 ]
             )
@@ -922,6 +926,7 @@ class CollectionEngine:
         # served by indexed_graph_search below
         graph_meta: dict = {"entry": None, "top_layer": 0}
         ivfpq_meta: dict | None = None
+        dim_indexed: int | None = None
         if n_vectors >= 2:
             from vector_mcp_spark.operators.graph_ann import hnsw_build
             from vector_mcp_spark.operators.pq import pq_build
@@ -942,6 +947,7 @@ class CollectionEngine:
             # path lives at streaming/ingest.py ivfpq maintenance).
             dim_row = vecs.select(F.size("embedding").alias("d")).first()
             d = int(dim_row.d)
+            dim_indexed = d
             m = next(mm for mm in (4, 2, 1) if d % mm == 0)
             n_codes = min(16, n_vectors)
             encoded, codebooks = pq_build(
@@ -983,6 +989,10 @@ class CollectionEngine:
                     "ivfpq": ivfpq_meta,
                     "quantization": quantization,
                     "distance": distance,
+                    # content-only collections never lock a dimension in the
+                    # catalog; serve paths fall back to this for the
+                    # mis-sized-query refusal
+                    "dimension": dim_indexed,
                 }
             )
         )
@@ -1329,17 +1339,24 @@ class CollectionEngine:
         cfg = self._named_cfg(scoped, vector_name)
         if not isinstance(vectors, Mapping) or not vectors:
             raise EngineError("named_vectors_invalid", detail="need {id: vector}")
-        validate_ingest_bounds(list(vectors))
+        from vector_mcp_spark.validation import MAX_INGEST_DOCS
+
+        # the add_documents batch bound, applied to the COUNT (the byte
+        # caps there measure document text; ids/vectors have their own
+        # width gates below)
+        if len(vectors) > MAX_INGEST_DOCS:
+            raise EngineError("ingest_too_many_documents")
         dim = cfg.get("dimension")
         rows = []
         for pid, vec in vectors.items():
+            pid = str(pid)
             vec = [float(x) for x in vec]
             if dim is not None and len(vec) != dim:
                 raise EngineError(
                     "collection_vector_schema_mismatch",
                     detail=f"{vector_name!r} locked at {dim}, got {len(vec)}",
                 )
-            rows.append((str(pid), vec))
+            rows.append((pid, vec))
         batch = self.spark.createDataFrame(rows, "id string, vector array<float>")
         missing = batch.join(self.read(name).select("id"), "id", "left_anti").count()
         if missing:
@@ -1475,6 +1492,13 @@ class CollectionEngine:
         if indexed and status != "fresh":
             raise EngineError("index_not_fresh")
         vecs = self.spark.read.parquet(str(data))
+        if use_index and indexed is None:
+            meta_peek = json.loads((root / "manifest.json").read_text())
+            if (meta_peek.get("graph") or {}).get("entry") is None:
+                # <2 vectors at build recorded an entry-less graph; the
+                # auto router's job is the best serving route, and here
+                # the exact scan answers while the beam cannot
+                use_index = False
         if not use_index:
             joined = self.read(name).select("id", "content").join(
                 vecs.select("id", F.col("vector").alias("_nv")), "id"
@@ -1717,6 +1741,15 @@ class CollectionEngine:
             # so this guards the race where it is rewritten between the two
             # reads; refusing beats serving silently empty results
             raise EngineError("index_not_fresh", detail="graph family missing; rebuild")
+        if dim is None and manifest.get("dimension") is not None:
+            # content-only collections lock nothing in the catalog, but the
+            # index recorded its width at build — a mis-sized query would
+            # otherwise score every pair NULL and answer garbage/empty
+            if len(question_vec) != int(manifest["dimension"]):
+                raise EngineError(
+                    "collection_vector_schema_mismatch",
+                    detail=f"query dimension {len(question_vec)} != indexed {manifest['dimension']}",
+                )
         meta = manifest.get("graph") or {}
         df = self._served_embeddings_df(name, scoped)
         if meta.get("entry") is None:
@@ -1860,6 +1893,13 @@ class CollectionEngine:
             # indexed_graph_search: refusing beats silently answering empty
             # for the same condition (ADVICE r11)
             raise EngineError("index_not_fresh", detail="graph family missing; rebuild")
+        if dim is None and manifest.get("dimension") is not None:
+            # same manifest-width refusal as indexed_graph_search
+            if len(question_vec) != int(manifest["dimension"]):
+                raise EngineError(
+                    "collection_vector_schema_mismatch",
+                    detail=f"query dimension {len(question_vec)} != indexed {manifest['dimension']}",
+                )
         meta = manifest.get("graph") or {}
         df = self._served_embeddings_df(name, scoped)
         if meta.get("entry") is None:
@@ -2707,6 +2747,7 @@ class CollectionEngine:
             }
             table = Path(self._table_path(scoped))
             log = self._changelog_root(scoped)
+            named = self._named_root(scoped)
             # the in-process mutation lock excludes this process's writers;
             # a mutator in ANOTHER process (cross-process writes are
             # supported via O_EXCL seq claims + stage dirs) can still
@@ -2720,12 +2761,18 @@ class CollectionEngine:
                 for _ in range(5):
                     before = self._mutation_fingerprint(scoped)
                     try:
-                        for sub in ("table", "changelog"):
+                        for sub in ("table", "changelog", "named"):
                             shutil.rmtree(dest / sub, ignore_errors=True)
                         if table.exists():
                             shutil.copytree(table, dest / "table")
                         if log.exists():
                             shutil.copytree(log, dest / "changelog")
+                        if named.exists():
+                            # named-vector config + per-name sidecars are
+                            # PRIMARY data (user-supplied, not derivable) —
+                            # a snapshot without them restores a crippled
+                            # collection
+                            shutil.copytree(named, dest / "named")
                     except FileNotFoundError:
                         continue  # source file vanished mid-copy — recopy
                     except shutil.Error as e:
@@ -2804,10 +2851,11 @@ class CollectionEngine:
                 raise EngineError("collection_exists")
             table = Path(self._table_path(scoped))
             log = self._changelog_root(scoped)
+            named = self._named_root(scoped)
             # a crashed earlier restore (copied dirs, no catalog row) left
             # orphans under a name the catalog says is free — clear them so
             # the retry succeeds instead of FileExistsError forever
-            for orphan in (table, log):
+            for orphan in (table, log, named):
                 if orphan.exists():
                     shutil.rmtree(orphan)
             try:
@@ -2815,6 +2863,8 @@ class CollectionEngine:
                     shutil.copytree(src / "table", table)
                 if (src / "changelog").exists():
                     shutil.copytree(src / "changelog", log)
+                if (src / "named").exists():
+                    shutil.copytree(src / "named", named)
                 with self._mutation_lock("__catalog__"):  # serialized RMW
                     # alias conflict re-checked inside the lock, same as
                     # create_collection (the pre-lock check above is only a
@@ -2841,6 +2891,7 @@ class CollectionEngine:
                 # failed restore leaves no half-registered state behind
                 shutil.rmtree(table, ignore_errors=True)
                 shutil.rmtree(log, ignore_errors=True)
+                shutil.rmtree(named, ignore_errors=True)
                 raise
         return scoped
 

@@ -88,10 +88,14 @@ def _pair_score(metric: str, av: F.Column, an: F.Column, bv: F.Column, bn: F.Col
         return dot(av, bv) / (an * bn)
     if metric == "dot":
         return dot(av, bv)
-    # l2: same expansion + clamp as similarity.ann_ivf_topk(metric='l2')
-    return F.sqrt(
-        F.greatest(F.lit(0.0), an * an + bn * bn - F.lit(2.0) * dot(av, bv))
-    )
+    # l2: same expansion + clamp as similarity.ann_ivf_topk(metric='l2').
+    # NOT F.greatest(0, inner): greatest IGNORES nulls, so a NULL inner
+    # product (mis-sized or missing vector) would score a PERFECT 0.0
+    # distance instead of NULL — the same hole ADVICE r11 found in
+    # l2_distance; the when-clamp propagates NULL and the asc_nulls_last
+    # orderings then bury such rows
+    inner = an * an + bn * bn - F.lit(2.0) * dot(av, bv)
+    return F.sqrt(F.when(inner < F.lit(0.0), F.lit(0.0)).otherwise(inner))
 
 
 def _score_order(metric: str, score: F.Column, tie: F.Column) -> list:

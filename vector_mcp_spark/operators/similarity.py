@@ -562,16 +562,17 @@ def ann_ivf_topk(
         )
         order = F.col("score").desc()
     else:
-        # reuse the precomputed norms: dist = sqrt(max(0, ‖n‖²+‖q‖²−2·n·q))
+        # reuse the precomputed norms: dist = sqrt(max(0, ‖n‖²+‖q‖²−2·n·q)).
+        # when-clamp, not greatest (greatest swallows NULLs into a perfect
+        # 0.0 — the ADVICE r11 l2_distance hole); asc_nulls_last below then
+        # buries NULL-scored rows instead of crowning them
+        _inner = (
+            F.col("nnorm") * F.col("nnorm") + F.col("qnorm") * F.col("qnorm")
+            - F.lit(2.0) * dot(F.col("nvec"), F.col("qvec"))
+        )
         scored = joined.withColumn(
             "score",
-            F.sqrt(
-                F.greatest(
-                    F.lit(0.0),
-                    F.col("nnorm") * F.col("nnorm") + F.col("qnorm") * F.col("qnorm")
-                    - F.lit(2.0) * dot(F.col("nvec"), F.col("qvec")),
-                )
-            ),
+            F.sqrt(F.when(_inner < F.lit(0.0), F.lit(0.0)).otherwise(_inner)),
         )
         order = F.col("score").asc_nulls_last()
     w = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id").asc())

@@ -2447,10 +2447,10 @@ def _hnsw_l2_dist_sql(a: str, b: str) -> str:
     computed sqrt-then-squared, the exact Spark fold order."""
     na = f"sqrt(list_dot_product({a}, {a}))"
     nb = f"sqrt(list_dot_product({b}, {b}))"
-    return (
-        f"sqrt(greatest(0.0, ({na} * {na} + {nb} * {nb})"
-        f" - 2.0 * list_dot_product({a}, {b})))"
-    )
+    inner = f"(({na} * {na} + {nb} * {nb}) - 2.0 * list_dot_product({a}, {b}))"
+    # CASE, not greatest: DuckDB greatest also ignores NULLs, and the Spark
+    # side propagates NULL (graph_ann._pair_score)
+    return f"sqrt(CASE WHEN {inner} < 0.0 THEN 0.0 ELSE {inner} END)"
 
 
 def _hnsw_oracle(final_filter_sql: str = "", metric: str = "cosine") -> str:
@@ -3155,7 +3155,9 @@ def _ann_ivf_l2_oracle() -> str:
     def dist(a: str, b: str) -> str:
         na = f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({a}, {a})))"
         nb = f"(sqrt(list_dot_product({b}, {b})) * sqrt(list_dot_product({b}, {b})))"
-        return f"sqrt(greatest(0.0, ({na} + {nb}) - 2.0 * list_dot_product({a}, {b})))"
+        inner = f"(({na} + {nb}) - 2.0 * list_dot_product({a}, {b}))"
+        # CASE, not greatest: mirrors the when-clamp on the Spark side
+        return f"sqrt(CASE WHEN {inner} < 0.0 THEN 0.0 ELSE {inner} END)"
 
     # centroid ranking mirrors l2_distance (sqrt of aa + bb - 2ab with
     # SEQUENTIAL-fold sums); sqrt is monotone so ranking by the unsqrted
