@@ -2435,3 +2435,35 @@ def test_named_auto_route_entryless_index_falls_back_to_exact(spark, tmp_path_fa
     assert eng.named_vector_index_status("one", "t") == "fresh"
     got = eng.named_vector_search("one", "t", hash_embed("solitary point", 8), k=1).collect()
     assert got and got[0].content == "solitary point"
+
+
+def test_collection_distance_dot_serves_descending(spark, tmp_path_factory):
+    """Dot (inner-product) distance config: build auto-selects int8 (sign
+    bits drop magnitudes), every indexed serve path ranks descending by raw
+    dot, and the quantized shortlist path equals the exact dot top-k when
+    the shortlist covers the corpus."""
+    import json as _json
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions.embedder import embed_documents, hash_embed
+    from vector_mcp_spark.operators.semantic import semantic_topk
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("dot_root")))
+    eng.create_collection("dotc", distance="dot")
+    eng.add_documents("dotc", [f"inner product doc {i} theme {i % 5}" for i in range(30)])
+    eng.build_search_index("dotc")
+    manifest = _json.loads(
+        (eng._index_root(eng._require("dotc")) / "manifest.json").read_text()
+    )
+    assert manifest["distance"] == "dot" and manifest["quantization"] == "int8"
+
+    qv = hash_embed("inner product doc 11 theme 1", 64)
+    served = eng.indexed_semantic_search("dotc", qv, k=5, shortlist=30).collect()
+    docs = embed_documents(eng.read("dotc"), text_col="content", out_col="embedding")
+    exact = semantic_topk(docs, qv, 5, id_col="id", metric="dot").collect()
+    assert [r.id for r in served] == [r.id for r in exact]
+    assert [r.score for r in served] == sorted((r.score for r in served), reverse=True)
+    g = eng.indexed_graph_search("dotc", qv, k=5).collect()
+    assert g and [r.score for r in g] == sorted((r.score for r in g), reverse=True)
+    p = eng.indexed_ivfpq_search("dotc", qv, k=5, nprobe=16, shortlist=30).collect()
+    assert p and [r.score for r in p] == sorted((r.score for r in p), reverse=True)

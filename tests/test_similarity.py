@@ -332,3 +332,50 @@ def test_ivf_l2_recall_vs_exact(embs):
     for r in sorted(approx, key=lambda r: (r.query_id, r.rank)):
         by_q.setdefault(r.query_id, []).append(r.score)
     assert all(s == sorted(s) for s in by_q.values())
+
+
+def test_hnsw_l2_recall_threshold(embs):
+    """The l2-metric graph twin of test_hnsw_recall_threshold: build under
+    Euclidean distance (l2 coarse quantizer + l2 edges), beam ascending,
+    recall graded against the exact EUCLIDEAN top-k — the pgvector
+    vector_l2_ops hnsw contract."""
+    from vector_mcp_spark.functions.vector import l2_distance
+    from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk, hnsw_build
+    from vector_mcp_spark.operators.similarity import ivf_build
+
+    queries = embs.where(F.col("vec_id") < 20)
+    # exact euclidean ground truth via the same operator convention
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    scored = (
+        embs.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+        .join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("d", l2_distance(F.col("nv"), F.col("qv")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("neighbor_id").asc())
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .collect()
+    }
+    assigned, _ = ivf_build(embs, n_centroids=16, id_col="vec_id", max_iter=2, metric="l2")
+    edges, meta = hnsw_build(assigned, m=12, id_col="vec_id", metric="l2")
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_hnsw_topk(
+            queries, embs, edges, meta["entry"], k=5, ef=48, id_col="vec_id", metric="l2"
+        ).collect()
+    }
+    rec = len(exact & approx) / len(exact)
+    assert rec >= 0.85, f"HNSW-l2(M=12, ef=48) recall@5 {rec} < 0.85"
+    scores = [
+        r.score
+        for r in ann_hnsw_topk(
+            queries.where(F.col("vec_id") == 0), embs, edges, meta["entry"],
+            k=5, ef=48, id_col="vec_id", metric="l2",
+        ).collect()
+    ]
+    assert scores == sorted(scores), "l2 beam must rank ascending"
