@@ -401,6 +401,49 @@ def test_search_index_on_empty_collection(spark, tmp_path_factory):
     assert eng.indexed_lexical_search("empty", "anything").count() == 0
 
 
+def test_catalog_dataframe_contract(spark, tmp_path_factory):
+    """ADVICE r12 (medium): CATALOG_SCHEMA must match the 6-column arrow
+    catalog _write_catalog persists, so _read_catalog builds cleanly and
+    exposes the per-collection distance column."""
+    from vector_mcp_spark.engine import CollectionEngine
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("cat_df")))
+    eng.create_collection("cosdefault", dimension=4)
+    eng.create_collection("l2coll", dimension=4, distance="l2")
+    df = eng._read_catalog()
+    assert df.columns == [
+        "collection_name", "table_name", "dimension", "created_at",
+        "needs_embed", "distance",
+    ]
+    got = {r.collection_name: r.distance for r in df.collect()}
+    assert got == {"cosdefault": "cosine", "l2coll": "l2"}
+
+
+def test_catalog_legacy_row_padding(spark, tmp_path_factory):
+    """ADVICE r12 (low): _write_catalog pads legacy rows by MISSING FIELD —
+    a 5-tuple (pre-distance) gets distance='cosine', never a boolean; a
+    malformed row fails loudly instead of writing garbage."""
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine, EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("cat_legacy")))
+    now = _dt.datetime.now(_dt.timezone.utc)
+    eng._write_catalog([
+        ("four", "c_four", 4, now),                # pre-needs_embed era
+        ("five", "c_five", 8, now, False),         # pre-distance era
+        ("six", "c_six", 8, now, False, "dot"),    # current shape
+    ])
+    rows = {r[0]: r for r in eng._catalog_rows()}
+    assert rows["four"][4:] == (True, "cosine")
+    assert rows["five"][4:] == (False, "cosine")
+    assert rows["six"][4:] == (False, "dot")
+    with _pytest.raises(EngineError, match="catalog_row_malformed"):
+        eng._write_catalog([("bad", "c_bad", 4)])
+
+
 def test_catalog_concurrent_write_fails_loudly(spark, tmp_path_factory):
     """Two engine instances sharing a root: a write based on a stale catalog
     read raises EngineError('catalog_conflict') instead of silently dropping
@@ -1995,6 +2038,45 @@ def test_int8_search_refuses_mis_sized_query(spark, tmp_path_factory):
     # right-sized queries still serve
     ok = eng.indexed_semantic_search("q8d", hash_embed("int8 dim doc 3", 64), k=3)
     assert ok.count() == 3
+
+
+def test_int8_serve_reads_dimension_from_manifest(spark, tmp_path_factory, monkeypatch):
+    """VERDICT r12 item 2: build stamps the vector width into manifest.json,
+    so the int8 serve path (content-only collection, no catalog dimension
+    lock) launches NO extra job — zero DataFrame.first() calls — before the
+    shortlist scan, and the mis-sized-query refusal still fires."""
+    import json as _json
+
+    import pytest as _pytest
+
+    # patch the CONCRETE class: pyspark 4's pyspark.sql.DataFrame is the ABC
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions.embedder import hash_embed
+    from vector_mcp_spark.validation import EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("int8mani_root")))
+    eng.create_collection("q8m")  # content-only: _locked_dimension is None
+    eng.add_documents("q8m", [f"manifest dim doc {i}" for i in range(12)])
+    eng.build_search_index("q8m", quantization="int8")
+    root = eng._index_root(eng._scoped("q8m"))
+    assert _json.loads((root / "manifest.json").read_text())["dimension"] == 64
+
+    firsts = []
+    orig_first = DataFrame.first
+
+    def spy(df):
+        firsts.append(df)
+        return orig_first(df)
+
+    monkeypatch.setattr(DataFrame, "first", spy)
+    ok = eng.indexed_semantic_search("q8m", hash_embed("manifest dim doc 3", 64), k=3)
+    assert ok.count() == 3
+    assert firsts == []  # dimension came from the manifest, not a probe job
+    with _pytest.raises(EngineError, match="collection_vector_schema_mismatch"):
+        eng.indexed_semantic_search("q8m", hash_embed("short", 32), k=3)
+    assert firsts == []
 
 
 def test_filtered_search_refuses_when_graph_family_vanishes(spark, tmp_path_factory, monkeypatch):

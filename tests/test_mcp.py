@@ -1693,3 +1693,17 @@ def test_veneer_indexed_search_with_num_candidates(spark, tmp_path_factory):
         question="indexed search doc 7 topic 3", number_results=3, num_candidates=8,
     )
     assert len(out2["results"]) > 0
+    # ADVICE r12: indexed_search gets the same bounds as every other search
+    # action — k through validate_number_results, num_candidates a positive
+    # capped int, and a non-numeric value a stable dict, never a traceback
+    assert ven.vector_search(
+        "indexed_search", collection_name="ix", question="x", number_results=0,
+    ) == {"error": "number_results_invalid"}
+    assert ven.vector_search(
+        "indexed_search", collection_name="ix", question="x", number_results=5000,
+    ) == {"error": "number_results_invalid"}
+    for bad in (0, -3, 100_001, "many", True):
+        assert ven.vector_search(
+            "indexed_search", collection_name="ix", question="x",
+            number_results=3, num_candidates=bad,
+        ) == {"error": "num_candidates_invalid"}, bad

@@ -206,3 +206,45 @@ def test_dispatch_gates_and_traces(spark, tmp_path_factory, tmp_path):
     assert agent.dispatch("vector_collection_management", "list_collections")[
         "collections"
     ]
+
+
+def test_kwarg_validation_after_authz(spark, tmp_path_factory, tmp_path):
+    """ADVICE r12: the unknown-kwargs check must run AFTER the authz gate so
+    an unauthorized caller cannot probe valid parameter names per tool; and
+    backend-operation args are validated too, so a client typo reports
+    arguments_invalid instead of internal_error."""
+    from vector_mcp_spark.agent_card import AgentCardVeneer
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.mcp import McpVeneer
+
+    policy = tmp_path / "probe_policies.json"
+    policy.write_text(json.dumps({"default": "deny", "rules": []}))
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("probe_root")))
+    deny_all = AuthorizationPolicy.from_env(
+        {"EUNOMIA_TYPE": "embedded", "EUNOMIA_POLICY_FILE": str(policy)}
+    )
+    locked = AgentCardVeneer(McpVeneer(eng), authz=deny_all)
+    # probe with a bogus kwarg: the denial must win — the response must not
+    # reveal whether 'bogus_kwarg' (or any name) is a valid parameter
+    probed = locked.dispatch(
+        "vector_collection_management", "create_collection",
+        collection_name="x", bogus_kwarg=1,
+    )
+    assert probed["error"] == "authorization_denied"
+    assert "unknown_keys" not in probed
+
+    open_agent = AgentCardVeneer(McpVeneer(eng))
+    # authorized caller with a typo'd kwarg: arguments_invalid, named keys
+    out = open_agent.dispatch(
+        "vector_collection_management", "create_collection",
+        collection_name="x", bogus_kwarg=1,
+    )
+    assert out == {"error": "arguments_invalid", "unknown_keys": ["bogus_kwarg"]}
+    # backend operations now validate args too (no veneer method to inspect)
+    out = open_agent.dispatch("vector_backend_operations", "doctor", wrong_arg=1)
+    assert out == {"error": "arguments_invalid", "unknown_keys": ["wrong_arg"]}
+    out = open_agent.dispatch("vector_backend_operations", "backend_status", db_type="qdrant")
+    assert "error" not in out or out.get("error") != "arguments_invalid"
+    # unknown backend action still reports action_invalid with suggestions
+    out = open_agent.dispatch("vector_backend_operations", "doctorr")
+    assert out["error"] == "action_invalid"

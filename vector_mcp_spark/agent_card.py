@@ -169,11 +169,45 @@ class AgentCardVeneer:
                 return {"error": "entitlements_unavailable", "action": action}
             if action not in allowed:
                 return {"error": "action_forbidden", "action": action}
+        # Client-argument validation AFTER the authz/entitlement gates — an
+        # unauthenticated caller must not be able to probe valid parameter
+        # names per tool (ADVICE r12). Unknown kwargs are a caller mistake
+        # reported as arguments_invalid; a TypeError DURING execution stays
+        # an internal_error (server fault), never blamed on the client.
+        bad = self._unknown_kwargs(tool, action, kwargs)
+        if bad:
+            return {"error": "arguments_invalid", "unknown_keys": bad}
         if tool == "vector_collection_management":
             return self.veneer.vector_collection_management(action, **kwargs)
         if tool == "vector_search":
             return self.veneer.vector_search(action, **kwargs)
         return self._backend_operations(action, **kwargs)
+
+    # accepted kwargs per backend operation (no veneer method to inspect)
+    _BACKEND_OP_KEYS = {
+        "doctor": frozenset({"warehouse_root"}),
+        "backend_status": frozenset({"db_type"}),
+    }
+
+    def _unknown_kwargs(
+        self, tool: str, action: str, kwargs: dict[str, Any]
+    ) -> list[str]:
+        """Sorted client kwargs the routed handler does not accept
+        (empty = fine). Backend operations validate against the accepted-key
+        table; veneer tools against the method signature."""
+        if tool == "vector_backend_operations":
+            accepted = self._BACKEND_OP_KEYS.get(action)
+            # unknown action: let _backend_operations report action_invalid
+            return sorted(set(kwargs) - accepted) if accepted is not None else []
+        import inspect
+
+        method = getattr(self.veneer, tool, None)
+        if not callable(method):
+            return []
+        params = inspect.signature(method).parameters
+        if any(p.kind == inspect.Parameter.VAR_KEYWORD for p in params.values()):
+            return []
+        return sorted(set(kwargs) - set(params))
 
     def _backend_operations(self, action: str, **kwargs: Any) -> dict[str, Any]:
         from vector_mcp_spark.backend_policy import backend_status

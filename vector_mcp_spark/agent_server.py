@@ -95,26 +95,10 @@ def _make_handler(agent: AgentCardVeneer):
                     {"error": "arguments_invalid", "reserved_keys": sorted(reserved)},
                 )
                 return
-            # client-argument validation BEFORE dispatch: unknown kwargs
-            # for the routed veneer method are a caller mistake, reported
-            # as arguments_invalid — a TypeError that surfaces DURING
-            # execution is a server fault and must not be blamed on the
-            # client, so it falls through to internal_error below
-            import inspect
-
-            method = getattr(getattr(agent, "veneer", None), str(req["tool"]), None)
-            if callable(method):
-                params = inspect.signature(method).parameters
-                if not any(
-                    p.kind == inspect.Parameter.VAR_KEYWORD for p in params.values()
-                ):
-                    unknown = sorted(set(args) - set(params))
-                    if unknown:
-                        self._send(
-                            200,
-                            {"error": "arguments_invalid", "unknown_keys": unknown},
-                        )
-                        return
+            # client-argument validation (unknown kwargs → arguments_invalid)
+            # happens INSIDE dispatch, after the authz/entitlement gates, so
+            # an unauthenticated caller cannot probe valid parameter names
+            # per tool (AgentCardVeneer._unknown_kwargs)
             principal = None
             auth = self.headers.get("Authorization") or ""
             if auth.startswith("Bearer "):

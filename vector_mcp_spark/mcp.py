@@ -393,11 +393,26 @@ class McpVeneer:
                 # the same knob and defaults numCandidates = max(k*10, 100)
                 # (reference vector_mcp/vectordb/mongodb.py:277)
                 from vector_mcp_spark.sanitize import sanitize_text_py
-                from vector_mcp_spark.validation import validate_question
+                from vector_mcp_spark.validation import (
+                    validate_number_results,
+                    validate_question,
+                )
 
+                # k gets the same [1, MAX_RESULTS] bound every other search
+                # action enforces; num_candidates must be a positive int
+                # (<= 0 silently empties the beam, a huge value drives
+                # unbounded per-hop window work) — both as stable error
+                # dicts, never a traceback (ADVICE r12)
+                k = validate_number_results(k)
+                if num_candidates is not None and not (
+                    isinstance(num_candidates, int)
+                    and not isinstance(num_candidates, bool)
+                    and 1 <= num_candidates <= 100_000
+                ):
+                    raise EngineError("num_candidates_invalid")
                 cleaned = sanitize_text_py(validate_question(question))
                 qv = self.api.embed_query(cleaned)
-                ef = int(num_candidates) if num_candidates else max(k * 10, 100)
+                ef = num_candidates if num_candidates else max(k * 10, 100)
                 df = self.engine.indexed_graph_search(collection_name, qv, k=k, ef=ef)
                 rows = [
                     {"id": r.id, "content": r.content, "score": r.score} for r in df.collect()

@@ -49,5 +49,8 @@ CATALOG_SCHEMA = T.StructType(
         # search path decide whether to attach the embed projection without
         # probing the table (an extra scan per query at 100 TB otherwise)
         T.StructField("needs_embed", T.BooleanType(), nullable=False),
+        # Per-collection scoring convention ("cosine" | "dot" | "l2");
+        # NULL = created before the distance column existed → cosine.
+        T.StructField("distance", T.StringType(), nullable=True),
     ]
 )

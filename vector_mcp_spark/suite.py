@@ -164,10 +164,11 @@ def _l2_sql(emb_expr: str, vec: list[float]) -> str:
 # (_PROMOTED_R11, so they get a driver row the round they ship), then the
 # entries whose latest driver row is r7 (CORRECTNESS_r07 keys minus any
 # later-green, alphabetical) up to 50.
-# ROUND 13 TODO: lead with the _ROUND12_FILL entries displaced past slot 50
-# this round — recompute as (_ROUND12_LEAD + _PROMOTED_R12 +
-# _ROUND12_FILL)[50:] — then _PROMOTED_R13, then the stalest remaining
-# greens (r8, then r9) alphabetical, up to 50.
+# ROUND 14 TODO: lead with the _ROUND13_FILL entries displaced past slot 50
+# this round — recompute as (_ROUND13_LEAD + _PROMOTED_R13 +
+# _ROUND13_FILL)[50:] — then _PROMOTED_R14, then the stalest remaining
+# greens ("changed since last driver green" first, then r9/r10 stalest)
+# alphabetical, up to 50.
 from vector_mcp_spark import suite_relational  # noqa: E402,F401
 from vector_mcp_spark import suite_pipeline  # noqa: E402,F401
 from vector_mcp_spark import suite_search  # noqa: E402,F401
@@ -312,7 +313,79 @@ _ROUND12_FILL = [
     "corpus_zipf_fit",
 ]
 
-_window = (_ROUND12_LEAD + _PROMOTED_R12 + _ROUND12_FILL)[:50]
+# --- Round-13 window -------------------------------------------------------
+# (a) Changed-code-first (standing rule since r13): entries whose
+# implementation changed in r12 but whose latest driver green predates the
+# change (VERDICT r12 item 1) lead the window.
+_ROUND13_LEAD = [
+    "hybrid_sparse_dense",
+    "semantic_topk_l2",
+    "semantic_threshold_l2",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_rerank_topk",
+    "corpus_semdedup",
+    "ann_hnsw_topk",
+    "ann_hnsw_filtered_topk",
+    "ann_filtered_routed_topk",
+    "hybrid_indexed_rrf",
+]
+
+# (b) New round-13 operators are appended here as they land so they get a
+# driver row the round they ship (each displaces one _ROUND13_FILL slot).
+_PROMOTED_R13: list[str] = []
+
+# (c) Stalest remaining greens: the 39 entries whose latest driver row is r8
+# (CORRECTNESS_r08 keys minus any later-green, alphabetical), then r9
+# spillover (alphabetical) to 50. Entries displaced past slot 50 here head
+# the ROUND-14 window.
+_ROUND13_FILL = [
+    "corpus_weighted_sample",
+    "corpus_zipf_fit",
+    "customers_without_orders",
+    "dedup_winnow_fingerprints",
+    "embedding_centroid_outliers",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "events_cms_user_counts",
+    "events_cube",
+    "events_distinct_daily",
+    "events_funnel_stages",
+    "events_hll_distinct",
+    "events_hll_merge_rollup",
+    "events_interarrival",
+    "events_kmv_distinct",
+    "events_kmv_merge_rollup",
+    "events_kmv_set_ops",
+    "events_ks_two_sample",
+    "events_salted_distinct",
+    "events_sampled_quantiles",
+    "events_sessionization",
+    "events_trailing_1h_window",
+    "events_user_gap_days",
+    "events_zorder_keys",
+    "late_orders_by_priority",
+    "lineitem_column_profile",
+    "multimodal_features",
+    "parts_bfs_reach",
+    "parts_personalized_pagerank",
+    "payload_ordered_scroll",
+    "promo_revenue",
+    "range_join_event_counts",
+    "semantic_mmr_topk",
+    "streaming_click_purchase_join",
+    "streaming_cms_user_counts",
+    "streaming_enriched_events",
+    "streaming_hll_distinct",
+    "streaming_late_data_audit",
+    "streaming_user_running_stats",
+    # r9 spillover (alphabetical)
+    "corpus_bloom_decontaminate",
+    "corpus_ccnet_filter",
+    "corpus_dsir_weights",
+    "corpus_expectations",
+]
+
+_window = (_ROUND13_LEAD + _PROMOTED_R13 + _ROUND13_FILL)[:50]
 _missing = [n for n in _window if n not in SUITE]
 if _missing:  # fail loudly at import so a typo can't silently shrink coverage
     raise RuntimeError(f"rotation names not in SUITE: {_missing}")
