@@ -2549,3 +2549,138 @@ def test_collection_distance_dot_serves_descending(spark, tmp_path_factory):
     assert g and [r.score for r in g] == sorted((r.score for r in g), reverse=True)
     p = eng.indexed_ivfpq_search("dotc", qv, k=5, nprobe=16, shortlist=30).collect()
     assert p and [r.score for r in p] == sorted((r.score for r in p), reverse=True)
+
+
+def test_payload_range_index_lifecycle(spark, tmp_path_factory):
+    """Range payload index (qdrant Range filter accelerator, VERDICT r12
+    item 3): a fresh index serves [gte, lte] counts from its overlapping
+    band partitions; a mutation makes it stale and the count transparently
+    falls back to the table scan — never wrong, at worst unaccelerated.
+    Non-numeric values are excluded (a range can never match them), open
+    bounds work, and malformed bounds/keys refuse with stable codes."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.validation import EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("pridx_root")))
+    eng.create_collection("pr")
+    # prices 0.0, 2.5, ..., 72.5 plus one non-numeric and one missing key
+    metas = [{"price": str(i * 2.5)} for i in range(30)]
+    metas += [{"price": "not-a-number"}, {"other": "1"}]
+    eng.add_documents("pr", [f"doc {i}" for i in range(32)], metadatas=metas)
+
+    assert eng.payload_range_index_status("pr", "price") == "absent"
+    info = eng.create_payload_range_index("pr", "price", n_bands=8)
+    assert info["n_rows"] == 30  # numeric values only
+    assert (info["vmin"], info["vmax"]) == (0.0, 72.5)
+    assert eng.payload_range_index_status("pr", "price") == "fresh"
+
+    def scan_count(lo, hi):
+        return sum(
+            1 for m in metas
+            if "price" in m
+            and m["price"].replace(".", "").isdigit()
+            and (lo is None or float(m["price"]) >= lo)
+            and (hi is None or float(m["price"]) <= hi)
+        )
+
+    for lo, hi in [(10.0, 30.0), (None, 5.0), (50.0, None), (0.0, 72.5),
+                   (72.5, 72.5), (100.0, 200.0), (-10.0, -1.0)]:
+        assert eng.count_by_payload_range("pr", "price", lo, hi) == scan_count(lo, hi), (lo, hi)
+
+    # the served probe is PARTITION-pruned: the narrow range's plan keeps a
+    # band partition filter, so only overlapping band dirs are opened
+    allowed = eng._range_allowed_ids(eng._scoped("pr"), "price", 10.0, 30.0)
+    plan = allowed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "band" in plan
+
+    # mutation -> stale -> fallback scan stays CORRECT
+    eng.add_documents("pr", ["late doc"], metadatas=[{"price": "20"}])
+    assert eng.payload_range_index_status("pr", "price") == "stale"
+    assert eng.count_by_payload_range("pr", "price", 10.0, 30.0) == scan_count(10.0, 30.0) + 1
+    eng.create_payload_range_index("pr", "price", n_bands=8)
+    assert eng.count_by_payload_range("pr", "price", 10.0, 30.0) == scan_count(10.0, 30.0) + 1
+
+    # a key with no numeric values: empty-but-servable, count 0
+    eng.create_payload_range_index("pr", "other")  # "1" IS numeric -> 1 row
+    assert eng.count_by_payload_range("pr", "other", 0.0, 2.0) == 1
+    eng.create_payload_range_index("pr", "ghost")
+    assert eng.payload_range_index_status("pr", "ghost") == "fresh"
+    assert eng.count_by_payload_range("pr", "ghost", 0.0, 1.0) == 0
+
+    # refusals: bounds and keys
+    with _pytest.raises(EngineError, match="payload_range_invalid"):
+        eng.count_by_payload_range("pr", "price")  # both bounds absent
+    with _pytest.raises(EngineError, match="payload_range_invalid"):
+        eng.count_by_payload_range("pr", "price", 30.0, 10.0)  # inverted
+    with _pytest.raises(EngineError, match="payload_range_invalid"):
+        eng.count_by_payload_range("pr", "price", gte="cheap")
+    with _pytest.raises(EngineError, match="payload_key_invalid"):
+        eng.create_payload_range_index("pr", "a/../b")
+    with _pytest.raises(EngineError, match="payload_bands_invalid"):
+        eng.create_payload_range_index("pr", "price", n_bands=0)
+    # manifest records the geometry the probe relies on
+    root = eng._index_root(eng._scoped("pr")) / "payload_range_price"
+    meta = _json.loads((root / "manifest.json").read_text())
+    assert meta["n_bands"] == 8 and meta["vmin"] == 0.0
+
+
+def test_indexed_filtered_search_range_predicate(spark, tmp_path_factory, monkeypatch):
+    """Range predicates in indexed_filtered_search (qdrant Range grammar):
+    {key: {gte, lte}} filters numerically; with a FRESH range payload index
+    the allowed set is served from the band partitions (spied), and the
+    results hash-match the scan twin exactly; a stale index falls back to
+    the scan and stays correct."""
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions.embedder import hash_embed
+    from vector_mcp_spark.validation import EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("rfs_root")))
+    eng.create_collection("rf")
+    eng.add_documents(
+        "rf",
+        [f"range doc {i} topic {i % 4}" for i in range(40)],
+        metadatas=[{"price": str(i * 3), "tier": "a" if i % 2 else "b"} for i in range(40)],
+    )
+    eng.build_search_index("rf")
+    qv = hash_embed("range doc 7 topic 3", 64)
+
+    # scan twin first (no range index yet): correct by the metadata scan
+    scan = eng.indexed_filtered_search("rf", qv, {"price": {"gte": 30, "lte": 60}}, k=5)
+    scan_rows = [(r.id, r.content, round(r.score, 6)) for r in scan.collect()]
+    assert scan_rows and all("doc 1" in c or True for _, c, _ in scan_rows)
+
+    # build the range index; the allowed side must now come from it
+    eng.create_payload_range_index("rf", "price")
+    calls = []
+    orig = CollectionEngine._range_allowed_ids
+
+    def spy(self, scoped, key, gte, lte):
+        out = orig(self, scoped, key, gte, lte)
+        calls.append((key, gte, lte, out is not None))
+        return out
+
+    monkeypatch.setattr(CollectionEngine, "_range_allowed_ids", spy)
+    served = eng.indexed_filtered_search("rf", qv, {"price": {"gte": 30, "lte": 60}}, k=5)
+    served_rows = [(r.id, r.content, round(r.score, 6)) for r in served.collect()]
+    assert calls and calls[-1] == ("price", 30.0, 60.0, True)
+    assert served_rows == scan_rows  # index accelerates, never changes results
+
+    # mixed equality + range must intersect
+    mixed = eng.indexed_filtered_search(
+        "rf", qv, {"price": {"gte": 30, "lte": 60}, "tier": "a"}, k=10
+    )
+    for r in mixed.collect():
+        i = int(r.content.split()[2])
+        assert 30 <= i * 3 <= 60 and i % 2 == 1
+
+    # malformed range refuses with the stable code
+    with _pytest.raises(EngineError, match="payload_range_invalid"):
+        eng.indexed_filtered_search("rf", qv, {"price": {"between": [1, 2]}}, k=5)
+    with _pytest.raises(EngineError, match="payload_range_invalid"):
+        eng.indexed_filtered_search("rf", qv, {"price": {"gte": "cheap"}}, k=5)

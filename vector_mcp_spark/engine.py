@@ -1883,12 +1883,21 @@ class CollectionEngine:
 
         ``payload_filter`` is the must-match map ``{metadata_key: value}``
         (qdrant ``Filter(must=[FieldCondition(...)])`` shape): a row
-        qualifies when EVERY pair matches its metadata. Refuses empty or
-        non-mapping filters with ``payload_filter_invalid``, mis-sized
-        queries with ``collection_vector_schema_mismatch``, and absent/
-        stale indexes with ``index_not_fresh`` — the same staleness
-        contract as every indexed search. Returns (id, content, score)
-        best-first; < 2 indexed vectors answers empty."""
+        qualifies when EVERY pair matches its metadata. A value may also be
+        a qdrant ``Range`` dict ``{"gte": lo, "lte": hi}`` (either bound
+        optional): the key's NUMERIC metadata must fall in the interval.
+        When a FRESH range payload index exists for that key
+        (:meth:`create_payload_range_index`), the allowed set is served
+        from its band partitions — only the bands overlapping [lo, hi]
+        open — instead of scanning every row's metadata map; a stale or
+        absent index falls back to the scan (accelerator contract: never
+        wrong, at worst unaccelerated). Refuses empty or non-mapping
+        filters with ``payload_filter_invalid``, malformed ranges with
+        ``payload_range_invalid``, mis-sized queries with
+        ``collection_vector_schema_mismatch``, and absent/stale vector
+        indexes with ``index_not_fresh`` — the same staleness contract as
+        every indexed search. Returns (id, content, score) best-first;
+        < 2 indexed vectors answers empty."""
         import json
 
         from vector_mcp_spark.operators.graph_ann import ann_filtered_topk_routed
@@ -1897,8 +1906,18 @@ class CollectionEngine:
             raise EngineError(
                 "payload_filter_invalid", detail="need a non-empty {key: value} map"
             )
-        for key in payload_filter:
+        range_filters: dict[str, tuple[float | None, float | None]] = {}
+        for key, value in payload_filter.items():
             self._validate_payload_key(key)
+            if isinstance(value, dict):
+                if not set(value) <= {"gte", "lte"}:
+                    raise EngineError(
+                        "payload_range_invalid",
+                        detail=f"range keys must be gte/lte, got {sorted(value)}",
+                    )
+                range_filters[key] = self._validate_range_bounds(
+                    value.get("gte"), value.get("lte")
+                )
         scoped = self._require(name)
         question_vec = [float(x) for x in question_vec]
         dim = self._locked_dimension(scoped)
@@ -1927,10 +1946,34 @@ class CollectionEngine:
         if meta.get("entry") is None:
             return self.spark.createDataFrame([], "id string, content string, score double")
         cond = None
+        indexed_ids = None  # semi-join side from fresh range indexes
         for key, value in payload_filter.items():
-            c = F.col("metadata").getItem(key) == F.lit(str(value))
+            if key in range_filters:
+                gte, lte = range_filters[key]
+                served = self._range_allowed_ids(scoped, key, gte, lte)
+                if served is not None:
+                    # fresh range index: this predicate prunes into band
+                    # partitions instead of scanning metadata maps
+                    indexed_ids = (
+                        served if indexed_ids is None
+                        else indexed_ids.join(served, "id", "left_semi")
+                    )
+                    continue
+                val = F.col("metadata").getItem(key).try_cast("double")
+                c = val.isNotNull() & ~F.isnan(val)
+                if gte is not None:
+                    c = c & (val >= gte)
+                if lte is not None:
+                    c = c & (val <= lte)
+            else:
+                c = F.col("metadata").getItem(key) == F.lit(str(value))
             cond = c if cond is None else (cond & c)
-        allowed = df.where(cond).select("id")
+        allowed = df.where(cond).select("id") if cond is not None else None
+        if indexed_ids is not None:
+            allowed = (
+                indexed_ids if allowed is None
+                else allowed.join(indexed_ids, "id", "left_semi")
+            )
         edges = self.spark.read.parquet(str(self._index_root(scoped) / "graph"))
         corpus = df.where(F.col("embedding").isNotNull()).select("id", "embedding")
         query = self.spark.createDataFrame(
@@ -2220,6 +2263,181 @@ class CollectionEngine:
         return self.count_documents(
             name, where=F.col("metadata")[key] == str(value)
         )
+
+    # -- range payload index (qdrant Range filter accelerator) --------------
+    #
+    # The equality family above prunes one hex partition per value; range
+    # predicates (qdrant ``Range(gte=, lte=)`` — the reference's backends
+    # push these server-side, tests/test_secure_backends.py:98-116) need a
+    # different layout: (id, value) band-partitioned by VALUE BUCKET, so a
+    # [lo, hi] probe opens only the overlapping bands — at 100 TB a 10%
+    # range reads ~10% of the index files and none of the collection's
+    # metadata maps. Same accelerator contract as the equality family: a
+    # stale index is never served, callers fall back to the (always
+    # correct) table scan.
+
+    _PAYLOAD_RANGE_BANDS = 32
+
+    def create_payload_range_index(
+        self, name: str, key: str, n_bands: int | None = None
+    ) -> dict:
+        """Materialize the numeric (value, id) index for one metadata key,
+        hive-partitioned by equi-width value band over the [min, max] seen
+        at build. Non-numeric and NULL values are excluded (a range
+        predicate can never match them). Layout mirrors the equality
+        family: payload_range_<key>/data + manifest.json recording the
+        band geometry. Returns {"key", "n_rows", "vmin", "vmax",
+        "n_bands", "fingerprint"}."""
+        import json
+
+        scoped = self._require(name)
+        self._validate_payload_key(key)
+        n_bands = self._PAYLOAD_RANGE_BANDS if n_bands is None else int(n_bands)
+        if n_bands < 1:
+            raise EngineError("payload_bands_invalid", detail=repr(n_bands))
+        # fingerprint BEFORE reading (same mid-build-mutation reasoning as
+        # the equality family): a mutation landing after this read makes
+        # the manifest mismatch -> stale -> scan fallback, never a lie
+        fp = self._table_fingerprint(scoped)
+        vals = (
+            self.read(name)
+            .select("id", F.col("metadata")[key].try_cast("double").alias("value"))
+            .where(F.col("value").isNotNull() & ~F.isnan("value"))
+        )
+        bounds = vals.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).first()
+        root = self._index_root(scoped) / f"payload_range_{key}"
+        if bounds.lo is None:  # no numeric values: empty index, still fresh
+            import shutil
+
+            shutil.rmtree(root / "data", ignore_errors=True)
+            root.mkdir(parents=True, exist_ok=True)
+            (root / "manifest.json").write_text(json.dumps(
+                {"key": key, "fingerprint": fp, "n_rows": 0,
+                 "vmin": None, "vmax": None, "n_bands": n_bands}
+            ))
+            return {"key": key, "n_rows": 0, "vmin": None, "vmax": None,
+                    "n_bands": n_bands, "fingerprint": fp}
+        vmin, vmax = float(bounds.lo), float(bounds.hi)
+        banded = vals.withColumn("band", self._range_band_col(F.col("value"), vmin, vmax, n_bands))
+        banded.write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"  # same deleted-value hygiene
+        ).partitionBy("band").parquet(str(root / "data"))
+        n_rows = self.spark.read.schema("id string, value double, band int").parquet(
+            str(root / "data")
+        ).count()
+        root.mkdir(parents=True, exist_ok=True)
+        (root / "manifest.json").write_text(json.dumps(
+            {"key": key, "fingerprint": fp, "n_rows": int(n_rows),
+             "vmin": vmin, "vmax": vmax, "n_bands": n_bands}
+        ))
+        return {"key": key, "n_rows": int(n_rows), "vmin": vmin, "vmax": vmax,
+                "n_bands": n_bands, "fingerprint": fp}
+
+    @staticmethod
+    def _range_band_col(value: "F.Column", vmin: float, vmax: float, n_bands: int) -> "F.Column":
+        """Equi-width band id in [0, n_bands) — the Column twin of
+        :meth:`_range_band_py` (identical arithmetic so probe pruning can
+        never disagree with the written partitions)."""
+        if vmax <= vmin:  # single-value corpus: everything in band 0
+            return F.lit(0)
+        width = (vmax - vmin) / n_bands
+        raw = F.floor((value - F.lit(vmin)) / F.lit(width)).cast("int")
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bands - 1))
+
+    @staticmethod
+    def _range_band_py(value: float, vmin: float, vmax: float, n_bands: int) -> int:
+        import math
+
+        if vmax <= vmin:
+            return 0
+        width = (vmax - vmin) / n_bands
+        return min(max(int(math.floor((value - vmin) / width)), 0), n_bands - 1)
+
+    def payload_range_index_status(self, name: str, key: str) -> str:
+        """'absent' | 'fresh' | 'stale' for one key's range index."""
+        import json
+
+        scoped = self._require(name)
+        self._validate_payload_key(key)
+        manifest = self._index_root(scoped) / f"payload_range_{key}" / "manifest.json"
+        if not manifest.exists():
+            return "absent"
+        meta = json.loads(manifest.read_text())
+        return (
+            "fresh"
+            if meta.get("fingerprint") == self._table_fingerprint(scoped)
+            else "stale"
+        )
+
+    def _range_allowed_ids(
+        self, scoped: str, key: str, gte: float | None, lte: float | None
+    ) -> "DataFrame | None":
+        """The id set matching value∈[gte, lte] served from a FRESH range
+        index (band partition pruning + exact post-filter), or None when
+        the index is absent/stale/empty-geometry — the caller falls back
+        to the table scan."""
+        import json
+
+        root = self._index_root(scoped) / f"payload_range_{key}"
+        manifest = root / "manifest.json"
+        if not manifest.exists():
+            return None
+        meta = json.loads(manifest.read_text())
+        if meta.get("fingerprint") != self._table_fingerprint(scoped):
+            return None
+        if meta.get("vmin") is None:  # built over zero numeric values
+            return self.spark.createDataFrame([], "id string")
+        vmin, vmax, nb = float(meta["vmin"]), float(meta["vmax"]), int(meta["n_bands"])
+        idx = self.spark.read.schema("id string, value double, band int").parquet(
+            str(root / "data")
+        )
+        # band bounds from the same arithmetic the build wrote — these are
+        # PARTITION filters, so only overlapping band dirs are ever opened
+        lo_band = 0 if gte is None else self._range_band_py(float(gte), vmin, vmax, nb)
+        hi_band = nb - 1 if lte is None else self._range_band_py(float(lte), vmin, vmax, nb)
+        cond = (F.col("band") >= lo_band) & (F.col("band") <= hi_band)
+        if gte is not None:
+            cond = cond & (F.col("value") >= float(gte))
+        if lte is not None:
+            cond = cond & (F.col("value") <= float(lte))
+        return idx.where(cond).select("id")
+
+    def count_by_payload_range(
+        self, name: str, key: str, gte: float | None = None, lte: float | None = None
+    ) -> int:
+        """Range-filtered count (value∈[gte, lte], either bound optional
+        but not both absent) served from the range index when fresh, else
+        from the table scan — never wrong, at worst unaccelerated."""
+        scoped = self._require(name)
+        self._validate_payload_key(key)
+        gte, lte = self._validate_range_bounds(gte, lte)
+        allowed = self._range_allowed_ids(scoped, key, gte, lte)
+        if allowed is not None:
+            return allowed.count()
+        # try_cast: ANSI mode would otherwise throw on non-numeric values
+        val = F.col("metadata")[key].try_cast("double")
+        cond = val.isNotNull() & ~F.isnan(val)
+        if gte is not None:
+            cond = cond & (val >= float(gte))
+        if lte is not None:
+            cond = cond & (val <= float(lte))
+        return self.count_documents(name, where=cond)
+
+    @staticmethod
+    def _validate_range_bounds(gte, lte) -> tuple[float | None, float | None]:
+        def _num(x, label):
+            if x is None:
+                return None
+            if isinstance(x, bool) or not isinstance(x, (int, float)):
+                raise EngineError("payload_range_invalid", detail=f"{label}={x!r}")
+            return float(x)
+
+        gte, lte = _num(gte, "gte"), _num(lte, "lte")
+        if gte is None and lte is None:
+            raise EngineError("payload_range_invalid", detail="need gte and/or lte")
+        if gte is not None and lte is not None and gte > lte:
+            raise EngineError("payload_range_invalid", detail=f"gte {gte} > lte {lte}")
+        return gte, lte
 
     @staticmethod
     def _metadata_entries_without(keys_arr: "F.Column") -> "F.Column":

@@ -332,7 +332,9 @@ _ROUND13_LEAD = [
 
 # (b) New round-13 operators are appended here as they land so they get a
 # driver row the round they ship (each displaces one _ROUND13_FILL slot).
-_PROMOTED_R13: list[str] = []
+_PROMOTED_R13: list[str] = [
+    "ann_range_filtered_topk",
+]
 
 # (c) Stalest remaining greens: the 39 entries whose latest driver row is r8
 # (CORRECTNESS_r08 keys minus any later-green, alphabetical), then r9

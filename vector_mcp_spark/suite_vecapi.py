@@ -654,3 +654,90 @@ def q_multivector_named_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, "vector_name string, rank int, content string, score double")
+
+
+# -- range-filtered indexed search (qdrant Range filter + vector query) -------
+#
+# Engine-surface entry for the range payload-index family (VERDICT r12
+# item 3): a scratch CollectionEngine holds 24 points with float32-exact
+# rational vectors (n/8 — identical bits as float and double, so the DuckDB
+# replay shares the exact arithmetic) and a numeric "price" payload; the
+# declared query builds the vector index AND the band-partitioned range
+# index, then serves {"price": {"gte": 9, "lte": 21}} + vector through
+# indexed_filtered_search. The 5-of-24 allowed set routes to the exact
+# regime (selectivity 0.21 < 0.25), so the result is the TRUE top-k of the
+# allowed set — the oracle is the scan twin: exact filtered KNN over the
+# same VALUES.
+
+_RFS_N, _RFS_K, _RFS_DIM = 24, 4, 8
+
+
+def _rfs_vec(i: int) -> list[float]:
+    # n/8 with n in [1, 23]: exactly representable in float32 AND float64,
+    # so array<float> storage round-trips bit-identically into the DOUBLE[]
+    # oracle literals
+    return [((i * 37 + j * 11) % 23 + 1) / 8.0 for j in range(_RFS_DIM)]
+
+
+_RFS_QV = _rfs_vec(100)
+
+
+def _rfs_oracle() -> str:
+    from vector_mcp_spark.suite import _cosine_sql, _vec_sql_literal
+
+    values = ",\n  ".join(
+        f"('point {i:02d}', {i * 3}, {_vec_sql_literal(_rfs_vec(i))})"
+        for i in range(_RFS_N)
+    )
+    return f"""
+WITH pts(content, price, v) AS (VALUES
+  {values}
+),
+s AS (
+  SELECT content, {_cosine_sql("v", _RFS_QV)} AS sc
+  FROM pts WHERE price >= 9 AND price <= 21
+)
+SELECT CAST(rn AS INTEGER) AS rank, content, ROUND(sc, 6) AS score
+FROM (SELECT content, sc,
+             row_number() OVER (ORDER BY sc DESC, content ASC) AS rn
+      FROM s)
+WHERE rn <= {_RFS_K}
+"""
+
+
+@register("ann_range_filtered_topk", _rfs_oracle(), "engine", "vecapi")
+def q_ann_range_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-filtered indexed vector search through the real engine: build
+    the persisted vector index and the band-partitioned range payload
+    index, then serve a qdrant Range predicate ({gte, lte}) + query vector
+    via indexed_filtered_search — the selective range routes to the exact
+    regime, whose answer hash-matches the scan twin by construction."""
+    import shutil
+    import tempfile
+
+    from vector_mcp_spark.engine import CollectionEngine
+
+    root = tempfile.mkdtemp(prefix="vm_rangefs_")
+    try:
+        eng = CollectionEngine(spark, root)
+        eng.create_collection("rc", dimension=_RFS_DIM)
+        contents = [f"point {i:02d}" for i in range(_RFS_N)]
+        eng.add_documents(
+            "rc",
+            contents,
+            metadatas=[{"price": str(i * 3)} for i in range(_RFS_N)],
+            embeddings=[_rfs_vec(i) for i in range(_RFS_N)],
+        )
+        eng.build_search_index("rc")
+        eng.create_payload_range_index("rc", "price", n_bands=8)
+        if eng.payload_range_index_status("rc", "price") != "fresh":
+            raise AssertionError("range index must serve fresh here")
+        got = eng.indexed_filtered_search(
+            "rc", _RFS_QV, {"price": {"gte": 9, "lte": 21}}, k=_RFS_K
+        ).collect()
+        rows = [
+            (rank, r.content, float(r.score)) for rank, r in enumerate(got, start=1)
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "rank int, content string, score double")
