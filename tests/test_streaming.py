@@ -539,3 +539,73 @@ def test_stream_postings_maintenance_matches_rebuild(spark, tmp_path):
     stream2 = spark.readStream.schema(grown.schema).parquet(src)
     stream_postings_maintenance(stream2, index_dir, str(tmp_path / "ckpt"))
     assert spark.read.parquet(index_dir).count() == n_before
+
+
+def test_stream_sparse_maintenance_matches_rebuild(spark, tmp_path):
+    """VERDICT r12 item 4: the named-sparse family's streaming twin must
+    maintain BOTH tables the scorer serves from — postings AND the (id,
+    dlen) L1 norms — so a stream-grown index scores identically to a
+    from-scratch batch rebuild; a checkpointed re-run appends nothing."""
+    from vector_mcp_spark.functions.text import tokens as _tokens
+    from vector_mcp_spark.operators.lexical import build_postings, term_bucket
+    from vector_mcp_spark.operators.vecapi import indexed_sparse_dot_topk
+    from vector_mcp_spark.streaming.ingest import stream_sparse_index_maintenance
+
+    base = spark.createDataFrame(
+        [(str(i), f"spark sparse doc {i} pipeline tokens") for i in range(30)],
+        "id string, content string",
+    )
+    grown = spark.createDataFrame(
+        [(str(i), f"vector sparse arrival {i}") for i in range(30, 45)],
+        "id string, content string",
+    )
+    postings_dir = str(tmp_path / "postings")
+    doclen_dir = str(tmp_path / "doclen")
+    # offline build of the base corpus — the engine's build shape
+    build_postings(base, "id", "content").withColumn(
+        "term_bucket", term_bucket("term")
+    ).write.mode("overwrite").partitionBy("term_bucket").parquet(postings_dir)
+    base.select("id", F.size(_tokens(F.col("content"))).alias("dlen")).write.mode(
+        "overwrite"
+    ).parquet(doclen_dir)
+
+    src = str(tmp_path / "src")
+    grown.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(grown.schema).parquet(src)
+    stream_sparse_index_maintenance(
+        stream, postings_dir, doclen_dir, str(tmp_path / "ckpt")
+    )
+
+    # the stream-maintained family serves EXACTLY like a full rebuild
+    full = base.unionByName(grown)
+    qw = [("sparse", 1.0), ("vector", 0.5), ("arrival", 0.25)]
+    rebuilt_postings = build_postings(full, "id", "content")
+    rebuilt_doclen = full.select(
+        "id", F.size(_tokens(F.col("content"))).alias("dlen")
+    )
+    want = [
+        (r.id, r.score)
+        for r in indexed_sparse_dot_topk(rebuilt_postings, rebuilt_doclen, qw, 10).collect()
+    ]
+    got = [
+        (r.id, r.score)
+        for r in indexed_sparse_dot_topk(
+            spark.read.parquet(postings_dir),
+            spark.read.parquet(doclen_dir).select("id", "dlen"),
+            qw,
+            10,
+        ).collect()
+    ]
+    assert got == want
+    # streamed docs actually rank (the norms table grew with them)
+    assert any(int(i) >= 30 for i, _ in got)
+
+    # exactly-once: the same checkpoint re-run appends to NEITHER table
+    n_post = spark.read.parquet(postings_dir).count()
+    n_len = spark.read.parquet(doclen_dir).count()
+    stream2 = spark.readStream.schema(grown.schema).parquet(src)
+    stream_sparse_index_maintenance(
+        stream2, postings_dir, doclen_dir, str(tmp_path / "ckpt")
+    )
+    assert spark.read.parquet(postings_dir).count() == n_post
+    assert spark.read.parquet(doclen_dir).count() == n_len
