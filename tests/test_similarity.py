@@ -379,3 +379,50 @@ def test_hnsw_l2_recall_threshold(embs):
         ).collect()
     ]
     assert scores == sorted(scores), "l2 beam must rank ascending"
+
+
+def test_hnsw_dot_recall_threshold(embs):
+    """The dot-metric (MIPS) graph twin of test_hnsw_recall_threshold:
+    edges ranked by raw inner product over the SHARED cosine coarse
+    quantizer (the standard MIPS compromise — the engine's dot collections
+    cluster under cosine too), beam descending, recall graded against the
+    exact INNER-PRODUCT top-k — the pgvector vector_ip_ops hnsw contract."""
+    from pyspark.sql import Window
+
+    from vector_mcp_spark.functions.vector import dot
+    from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk, hnsw_build
+    from vector_mcp_spark.operators.similarity import ivf_build
+
+    queries = embs.where(F.col("vec_id") < 20)
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    scored = (
+        embs.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+        .join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("s", dot(F.col("nv"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("neighbor_id").asc())
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .collect()
+    }
+    assigned, _ = ivf_build(embs, n_centroids=16, id_col="vec_id", max_iter=2)
+    edges, meta = hnsw_build(assigned, m=12, id_col="vec_id", metric="dot")
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_hnsw_topk(
+            queries, embs, edges, meta["entry"], k=5, ef=48, id_col="vec_id", metric="dot"
+        ).collect()
+    }
+    rec = len(exact & approx) / len(exact)
+    assert rec >= 0.85, f"HNSW-dot(M=12, ef=48) recall@5 {rec} < 0.85"
+    scores = [
+        r.score
+        for r in ann_hnsw_topk(
+            queries.where(F.col("vec_id") == 0), embs, edges, meta["entry"],
+            k=5, ef=48, id_col="vec_id", metric="dot",
+        ).collect()
+    ]
+    assert scores == sorted(scores, reverse=True), "dot beam must rank descending"

@@ -334,6 +334,7 @@ _ROUND13_LEAD = [
 # driver row the round they ship (each displaces one _ROUND13_FILL slot).
 _PROMOTED_R13: list[str] = [
     "ann_range_filtered_topk",
+    "ann_hnsw_dot_topk",
 ]
 
 # (c) Stalest remaining greens: the 39 entries whose latest driver row is r8

@@ -2453,6 +2453,12 @@ def _hnsw_l2_dist_sql(a: str, b: str) -> str:
     return f"sqrt(CASE WHEN {inner} < 0.0 THEN 0.0 ELSE {inner} END)"
 
 
+def _hnsw_dot_sim_sql(a: str, b: str) -> str:
+    """Raw inner product — mirrors graph_ann._pair_score (metric='dot'),
+    the same sequential fold as suite._dot_sql."""
+    return f"list_dot_product({a}, {b})"
+
+
 def _hnsw_oracle(final_filter_sql: str = "", metric: str = "cosine") -> str:
     """Full SQL replay of the layered graph-ANN index AND its beam search
     (operators/graph_ann.py — the reference's HNSW family,
@@ -2464,9 +2470,16 @@ def _hnsw_oracle(final_filter_sql: str = "", metric: str = "cosine") -> str:
 
     ``metric='l2'`` replays the l2-built graph (l2 k-means coarse
     quantizer ``la3``, pair distances via the raw-norm expansion, every
-    ranking ASC) — the oracle twin of ``hnsw_build(metric='l2')``."""
+    ranking ASC) — the oracle twin of ``hnsw_build(metric='l2')``.
+    ``metric='dot'`` replays the MIPS graph: it SHARES the cosine k-means
+    coarse quantizer (the standard MIPS compromise — the engine's
+    build_search_index clusters dot collections under cosine too) but
+    ranks every edge and beam stage by raw inner product DESC — the
+    oracle twin of ``hnsw_build(metric='dot')``."""
     if metric == "cosine":
         sim, best, assign = _ivf_sim_sql, "DESC", "a3"
+    elif metric == "dot":
+        sim, best, assign = _hnsw_dot_sim_sql, "DESC", "a3"
     else:
         sim, best, assign = _hnsw_l2_dist_sql, "ASC", "la3"
 
@@ -2513,7 +2526,9 @@ b{i} AS MATERIALIZED (
   ) WHERE rn <= {_HNSW_EF}
 )"""
 
-    parts = [_kmeans_replay_ctes() if metric == "cosine" else _kmeans_replay_ctes_l2()]
+    parts = [
+        _kmeans_replay_ctes() if metric in ("cosine", "dot") else _kmeans_replay_ctes_l2()
+    ]
     parts.append(f""",
 lv0 AS (
   SELECT vec_id, v, cluster,
@@ -3249,6 +3264,53 @@ def _hnsw_l2_index(spark: SparkSession, sf_dir: str):
     with open(meta_path) as f:
         meta = json.load(f)
     return spark.read.parquet(edges_path), meta
+
+
+def _hnsw_dot_index(spark: SparkSession, sf_dir: str):
+    """The dot-built layered graph (MIPS) — SHARES the cached cosine
+    ivf_16 assignment (the standard MIPS compromise, exactly what the
+    engine's build_search_index does for dot collections) but ranks its
+    edges by raw inner product; cached per sf_dir like the other twins."""
+    import json
+    import os
+
+    from vector_mcp_spark.operators.graph_ann import hnsw_build
+
+    # reuse (or build) the shared cosine coarse quantizer via _hnsw_index's
+    # cache — dot never builds a second k-means
+    _hnsw_index(spark, sf_dir)
+    assigned = spark.read.parquet(os.path.join(_index_cache(sf_dir, "ivf_16"), "assigned"))
+    cache = _index_cache(sf_dir, f"hnsw_dot_m{_HNSW_M}")
+    edges_path = os.path.join(cache, "edges")
+    meta_path = os.path.join(cache, "meta.json")
+    if not (os.path.exists(meta_path) and os.path.exists(os.path.join(edges_path, "_SUCCESS"))):
+        edges, meta = hnsw_build(assigned, m=_HNSW_M, id_col="vec_id", metric="dot")
+        edges.write.mode("overwrite").parquet(edges_path)
+        os.makedirs(cache, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    return spark.read.parquet(edges_path), meta
+
+
+@register("ann_hnsw_dot_topk", _hnsw_oracle(metric="dot"), "similarity", "pipeline")
+def q_ann_hnsw_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dot-metric (MIPS) graph ANN: the layered neighbor graph is built
+    ranking raw inner products over the shared cosine coarse quantizer and
+    the beam descends it DESC — the pgvector ``USING hnsw (embedding
+    vector_ip_ops)`` serving route, completing the qdrant Distance enum
+    (reference vector_mcp/vectordb/qdrant.py:122-127) across the persisted
+    graph families; fully value-oracled like the cosine and l2 twins."""
+    from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk
+
+    embs = load(spark, sf_dir, "embeddings")
+    edges, meta = _hnsw_dot_index(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < _HNSW_NQ)
+    return ann_hnsw_topk(
+        queries, embs, edges, meta["entry"], k=_HNSW_K, ef=_HNSW_EF,
+        id_col="vec_id", metric="dot",
+    )
 
 
 @register("ann_hnsw_l2_topk", _hnsw_oracle(metric="l2"), "similarity", "pipeline")
