@@ -1707,3 +1707,85 @@ def test_veneer_indexed_search_with_num_candidates(spark, tmp_path_factory):
             "indexed_search", collection_name="ix", question="x",
             number_results=3, num_candidates=bad,
         ) == {"error": "num_candidates_invalid"}, bad
+
+
+def test_read_asof_over_both_transports(transport_agent, http_mcp_server):
+    """VERDICT r12 item 7: the engine's time travel is reachable from every
+    transport — a read_asof action with asof_ts, bounded documents in the
+    response, stable asof_ts_required/asof_ts_invalid refusals, and the
+    engine's time_travel_unavailable passing through as an error dict on
+    BOTH stdio and HTTP (never a traceback)."""
+    import json
+    import time
+    from datetime import datetime, timezone
+
+    from vector_mcp_spark import mcp_stdio as t
+
+    # stdio: build history — v1 docs, then a later batch
+    out = _tool_text(t.handle_message(transport_agent, _rpc(
+        "tools/call", 1, name="vector_collection_management",
+        arguments={"action": "create_collection", "collection_name": "tt_kb",
+                   "document_contents": ["first era doc"]},
+    )))
+    assert out["documents_added"] == 1
+    time.sleep(0.05)
+    t1 = datetime.now(timezone.utc).isoformat()
+    time.sleep(0.05)
+    _tool_text(t.handle_message(transport_agent, _rpc(
+        "tools/call", 2, name="vector_collection_management",
+        arguments={"action": "add_documents", "collection_name": "tt_kb",
+                   "document_contents": ["second era doc"]},
+    )))
+    # as-of t1 sees only the first era
+    out = _tool_text(t.handle_message(transport_agent, _rpc(
+        "tools/call", 3, name="vector_collection_management",
+        arguments={"action": "read_asof", "collection_name": "tt_kb",
+                   "asof_ts": t1},
+    )))
+    assert out["n_documents"] == 1
+    assert [d["content"] for d in out["documents"]] == ["first era doc"]
+    # refusals are stable dicts
+    out = _tool_text(t.handle_message(transport_agent, _rpc(
+        "tools/call", 4, name="vector_collection_management",
+        arguments={"action": "read_asof", "collection_name": "tt_kb"},
+    )))
+    assert out == {"error": "asof_ts_required"}
+    out = _tool_text(t.handle_message(transport_agent, _rpc(
+        "tools/call", 5, name="vector_collection_management",
+        arguments={"action": "read_asof", "collection_name": "tt_kb",
+                   "asof_ts": "not-a-timestamp"},
+    )))
+    assert out == {"error": "asof_ts_invalid"}
+    # compaction makes pre-epoch instants unavailable — stable pass-through
+    now_ts = datetime.now(timezone.utc).isoformat()
+    _tool_text(t.handle_message(transport_agent, _rpc(
+        "tools/call", 6, name="vector_collection_management",
+        arguments={"action": "compact_changelog", "collection_name": "tt_kb",
+                   "before_ts": now_ts},
+    )))
+    out = _tool_text(t.handle_message(transport_agent, _rpc(
+        "tools/call", 7, name="vector_collection_management",
+        arguments={"action": "read_asof", "collection_name": "tt_kb",
+                   "asof_ts": t1},
+    )))
+    assert out["error"] == "time_travel_unavailable"
+
+    # HTTP: same veneer, same rows over the wire (shares transport_agent)
+    url = http_mcp_server
+    status, body = _http_post(url, json.dumps(_rpc(
+        "tools/call", 8, name="vector_collection_management",
+        arguments={"action": "read_asof", "collection_name": "tt_kb",
+                   "asof_ts": datetime.now(timezone.utc).isoformat()},
+    )).encode())
+    assert status == 200
+    out = _tool_text(json.loads(body))
+    assert out["n_documents"] == 2
+    assert {d["content"] for d in out["documents"]} == {"first era doc",
+                                                        "second era doc"}
+    status, body = _http_post(url, json.dumps(_rpc(
+        "tools/call", 9, name="vector_collection_management",
+        arguments={"action": "read_asof", "collection_name": "tt_kb",
+                   "asof_ts": t1},
+    )).encode())
+    assert status == 200
+    assert _tool_text(json.loads(body))["error"] == "time_travel_unavailable"

@@ -43,6 +43,7 @@ COLLECTION_ACTIONS = (
     "index_status",
     "create_payload_index",
     "collection_history",
+    "read_asof",
     "compact_changelog",
     "count_documents",
     "set_payload",
@@ -135,6 +136,7 @@ class McpVeneer:
         document_paths: list[str] | None = None,
         include_configured_directory: bool = False,
         before_ts: str | None = None,
+        asof_ts: str | None = None,
         distance: str | None = None,
         vectors_config: dict | None = None,
         vector_name: str | None = None,
@@ -312,6 +314,33 @@ class McpVeneer:
                     return {"error": "snapshot_input_required"}
                 self.engine.delete_snapshot(snapshot_id)
                 return {"deleted_snapshot": snapshot_id}
+            if resolved == "read_asof":
+                # time travel over the veneer (VERDICT r12 item 7): the
+                # engine's read_asof reachable from every transport, with
+                # time_travel_unavailable passing through as the stable
+                # error dict (never a traceback). The response is bounded
+                # like every wire surface: id-ordered first 100 documents
+                # plus the full as-of cardinality.
+                if not asof_ts:
+                    return {"error": "asof_ts_required"}
+                from datetime import datetime as _dt
+
+                try:
+                    cut = _dt.fromisoformat(asof_ts)
+                except ValueError:
+                    return {"error": "asof_ts_invalid"}
+                snap = self.engine.read_asof(collection_name, cut)
+                docs = [
+                    {"id": r.id, "content": r.content,
+                     "metadata": dict(r.metadata) if r.metadata else None}
+                    for r in snap.orderBy("id").limit(100).collect()
+                ]
+                return {
+                    "collection_name": collection_name,
+                    "asof": asof_ts,
+                    "n_documents": snap.count(),
+                    "documents": docs,
+                }
             if resolved == "compact_changelog":
                 if not before_ts:
                     return {"error": "before_ts_required"}
