@@ -356,9 +356,196 @@ def deep_probe(factor: int) -> int:
     return 0
 
 
+def serve_probe(factor: int) -> int:
+    """Warm serve-path probe for the engine-served index families
+    (VERDICT r12 item 6): named-sparse postings serving, sparse+dense
+    fusion, the l2 graph beam, and a named multi-vector family, each timed
+    WARM at 1× and ``factor``× with the wall decomposed against the
+    family's index-bounded work metric — postings rows actually touched
+    for the query's terms (partition-pruned), or beam candidate rows
+    scored (≤ stages × ef × (2m+1), corpus-size-independent). The claim
+    under test: serve cost tracks the index-bounded work, never corpus
+    bytes. Builds are one-time and cached under .tmp/serve_families.
+    Run: ``python tools/scale_probe.py serve [factor]`` (default 40).
+    """
+    import hashlib
+    import json
+
+    from pyspark.sql import functions as F
+
+    from vector_mcp_spark.functions.text import tokens as _tokens
+    from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk, hnsw_build
+    from vector_mcp_spark.operators.hybrid import rrf_fuse
+    from vector_mcp_spark.operators.lexical import build_postings, term_bucket
+    from vector_mcp_spark.operators.similarity import ivf_build
+    from vector_mcp_spark.operators.vecapi import indexed_sparse_dot_topk
+    from vector_mcp_spark.session import get_spark
+    from vector_mcp_spark.suite import load
+
+    spark = get_spark("serve_probe")
+    big = build_corpus(
+        spark, factor=factor, probe_dir=os.path.join(os.path.dirname(PROBE_DIR), f"scale{factor}")
+    )
+    fam_root = os.path.abspath(os.path.join(os.path.dirname(PROBE_DIR), "serve_families"))
+
+    def cache_dir(tag: str, name: str) -> str:
+        d = os.path.join(fam_root, tag, name)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def built(path: str) -> bool:
+        return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+    def sparse_family(tag: str, sf: str) -> tuple[str, str]:
+        """postings + doclen exactly as engine.build_search_index writes
+        them (engine.py named-sparse family)."""
+        pdir = cache_dir(tag, "postings")
+        ldir = cache_dir(tag, "doclen")
+        if not built(pdir):
+            docs = load(spark, sf, "documents").select(
+                F.col("doc_id").cast("string").alias("id"), F.col("text").alias("content")
+            )
+            build_postings(docs, "id", "content").withColumn(
+                "term_bucket", term_bucket("term")
+            ).write.mode("overwrite").partitionBy("term_bucket").parquet(pdir)
+            docs.select("id", F.size(_tokens(F.col("content"))).alias("dlen")).write.mode(
+                "overwrite"
+            ).parquet(ldir)
+        return pdir, ldir
+
+    def graph_family(tag: str, sf: str, metric: str, transform=None) -> tuple[str, str]:
+        """ivf assignment + hnsw edges under ``metric`` (optionally over a
+        transformed copy of the vectors — the named multi-vector case)."""
+        gdir = cache_dir(tag, f"graph_{metric}{'_named' if transform else ''}")
+        edges_path = os.path.join(gdir, "edges")
+        meta_path = os.path.join(gdir, "meta.json")
+        if not (os.path.exists(meta_path) and built(edges_path)):
+            embs = load(spark, sf, "embeddings")
+            if transform is not None:
+                embs = embs.withColumn("embedding", transform(F.col("embedding")))
+            coarse = "l2" if metric == "l2" else "cosine"
+            assigned, _ = ivf_build(
+                embs, n_centroids=16, id_col="vec_id", max_iter=2, metric=coarse
+            )
+            edges, meta = hnsw_build(assigned, m=12, id_col="vec_id", metric=metric)
+            edges.write.mode("overwrite").parquet(edges_path)
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
+        with open(meta_path) as f:
+            meta = json.load(f)
+        return edges_path, meta
+
+    def timed_warm(fn):
+        fn()  # warm: plans, JVM, parquet footers, index cache
+        t0 = time.time()
+        fn()
+        return time.time() - t0
+
+    QW = [("spark", 1.0), ("data", 0.5), ("pipeline", 0.25)]
+
+    def scenario_sparse(tag: str, sf: str) -> tuple[float, int]:
+        pdir, ldir = sparse_family(tag, sf)
+        buckets = sorted(
+            {hashlib.sha256(t.encode()).hexdigest()[:2] for t, _ in QW}
+        )
+        postings = spark.read.parquet(pdir).where(F.col("term_bucket").isin(buckets))
+        doclens = spark.read.parquet(ldir)
+        wall = timed_warm(
+            lambda: indexed_sparse_dot_topk(postings, doclens, QW, 10, id_col="id").count()
+        )
+        # index-bounded work: the postings rows actually touched = the
+        # query terms' rows inside the pruned buckets
+        touched = postings.where(
+            F.col("term").isin([t for t, _ in QW])
+        ).count()
+        return wall, touched
+
+    def scenario_graph(tag: str, sf: str, metric: str, transform=None) -> tuple[float, int]:
+        edges_path, meta = graph_family(tag, sf, metric, transform)
+        embs = load(spark, sf, "embeddings")
+        if transform is not None:
+            embs = embs.withColumn("embedding", transform(F.col("embedding")))
+        edges = spark.read.parquet(edges_path)
+        q = embs.where(F.col("vec_id") == 0)
+
+        def serve(stats=None):
+            return ann_hnsw_topk(
+                q, embs, edges, meta["entry"], k=10, ef=48, id_col="vec_id",
+                metric=metric, stats=stats,
+            ).count()
+
+        wall = timed_warm(serve)
+        st: dict = {}
+        serve(stats=st)  # measured separately: counting adds jobs
+        return wall, int(st.get("candidate_rows", 0))
+
+    def scenario_sparse_dense(tag: str, sf: str) -> tuple[float, int]:
+        pdir, ldir = sparse_family(tag, sf)
+        edges_path, meta = graph_family(tag, sf, "cosine")
+        buckets = sorted(
+            {hashlib.sha256(t.encode()).hexdigest()[:2] for t, _ in QW}
+        )
+        postings = spark.read.parquet(pdir).where(F.col("term_bucket").isin(buckets))
+        doclens = spark.read.parquet(ldir)
+        embs = load(spark, sf, "embeddings")
+        edges = spark.read.parquet(edges_path)
+        q = embs.where(F.col("vec_id") == 0)
+
+        def serve():
+            sparse = indexed_sparse_dot_topk(postings, doclens, QW, 20, id_col="id")
+            dense = ann_hnsw_topk(
+                q, embs, edges, meta["entry"], k=20, ef=48, id_col="vec_id"
+            ).select(F.col("neighbor_id").alias("id"), "score")
+            return rrf_fuse([(dense, 0.5), (sparse, 0.5)], 10, rrf_k=60, id_col="id").count()
+
+        wall = timed_warm(serve)
+        touched = postings.where(F.col("term").isin([t for t, _ in QW])).count()
+        st: dict = {}
+        ann_hnsw_topk(
+            q, embs, edges, meta["entry"], k=20, ef=48, id_col="vec_id", stats=st
+        ).count()
+        return wall, touched + int(st.get("candidate_rows", 0))
+
+    # named multi-vector family: a second dense space per point — the
+    # deterministic transform (reversed vector) stands in for a real second
+    # encoder; serving descends the per-name graph exactly like
+    # engine.named_vector_search(indexed=True)
+    rev = lambda c: F.reverse(c)  # noqa: E731
+
+    scenarios = [
+        ("sparse_postings_serve", scenario_sparse, {}),
+        ("sparse_dense_rrf_serve", scenario_sparse_dense, {}),
+        ("graph_l2_beam_serve", lambda t, s: scenario_graph(t, s, "l2"), {}),
+        ("named_mv_beam_serve", lambda t, s: scenario_graph(t, s, "cosine", rev), {}),
+    ]
+    print(
+        f"{'scenario':26s} {'1x_s':>7s} {f'{factor}x_s':>8s} {'wall':>6s} "
+        f"{'work_1x':>9s} {f'work_{factor}x':>10s} {'work':>7s} {'wall/work':>9s}"
+    )
+    worst = 0.0
+    for name, fn, _ in scenarios:
+        t1, n1 = fn("1x", BASE_SF)
+        tN, nN = fn(f"{factor}x", big)
+        wall = tN / t1
+        work = nN / max(n1, 1)
+        ratio = wall / max(work, 1e-9)
+        worst = max(worst, wall if work < 1e-9 else ratio)
+        print(
+            f"{name:26s} {t1:7.2f} {tN:8.2f} {wall:5.1f}x "
+            f"{n1:9d} {nN:10d} {work:6.1f}x {ratio:9.2f}"
+        )
+    print(
+        f"serve walls must track index-bounded work (postings rows touched / "
+        f"beam candidates), not corpus bytes; worst wall-vs-work {worst:.2f}"
+    )
+    return 0
+
+
 def main() -> int:
     if sys.argv[1:] == ["changelog"]:
         return changelog_probe()
+    if sys.argv[1:2] == ["serve"]:
+        return serve_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 40)
     if sys.argv[1:2] == ["deep"]:
         return deep_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 40)
     only = sys.argv[1:] or HEAVY

@@ -259,11 +259,18 @@ def ann_hnsw_topk(
     exclude_self: bool = True,
     allowed: DataFrame | None = None,
     metric: str = "cosine",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Greedy beam search over the layered graph: start every query's beam
     at the shared entry node, descend the fixed ``hops`` schedule, keep the
     top-``ef`` per query each hop, answer with the final beam's top-``k``.
     Returns (query_id, rank, neighbor_id, score) like every ANN operator.
+
+    ``stats`` (probe-only — serving callers leave it None) accumulates
+    ``candidate_rows``: the total candidate rows scored across all hops,
+    the beam's REAL index-bounded work metric (≤ stages × ef × (2m+1) per
+    query, independent of corpus size). Counting forces one extra action
+    per hop, so it is strictly a measurement hook.
 
     ``allowed`` (a one-column id DataFrame) post-filters the final beam
     before the top-k — the qdrant filtered-search composition in its
@@ -326,6 +333,8 @@ def ann_hnsw_topk(
                 # distinct matches the replaced path's cand.distinct(): a duplicated
                 # query id must not burn beam slots on duplicate candidate rows
                 cand = q.select("query_id").distinct().join(F.broadcast(seed))
+                if stats is not None:
+                    stats["candidate_rows"] = stats.get("candidate_rows", 0) + cand.count()
                 beam = rescore_topn(cand, ef).select("query_id", "node")
                 first_hop = False
                 continue
@@ -338,6 +347,9 @@ def ann_hnsw_topk(
                 "query_id", F.col("dst").alias("node")
             )
             cand = beam.select("query_id", "node").union(expanded).distinct()
+            if stats is not None:
+                cand = cand.localCheckpoint(eager=True)  # count once, score same rows
+                stats["candidate_rows"] = stats.get("candidate_rows", 0) + cand.count()
             beam = rescore_topn(cand, ef).select("query_id", "node")
 
     # exclude_self drops a query's own corpus row (queries drawn FROM the
