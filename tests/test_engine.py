@@ -2591,9 +2591,21 @@ def test_payload_range_index_lifecycle(spark, tmp_path_factory):
                    (72.5, 72.5), (100.0, 200.0), (-10.0, -1.0)]:
         assert eng.count_by_payload_range("pr", "price", lo, hi) == scan_count(lo, hi), (lo, hi)
 
+    # strict bounds: the full qdrant Range grammar — endpoints excluded
+    assert eng.count_by_payload_range("pr", "price", gt=10.0, lt=30.0) == sum(
+        1 for i in range(30) if 10.0 < i * 2.5 < 30.0
+    )
+    assert eng.count_by_payload_range("pr", "price", gt=72.5) == 0
+    assert (
+        eng.count_by_payload_range("pr", "price", gte=10.0, lt=12.5)
+        == 1  # exactly 10.0; 12.5 excluded by the strict upper bound
+    )
+
     # the served probe is PARTITION-pruned: the narrow range's plan keeps a
     # band partition filter, so only overlapping band dirs are opened
-    allowed = eng._range_allowed_ids(eng._scoped("pr"), "price", 10.0, 30.0)
+    allowed = eng._range_allowed_ids(
+        eng._scoped("pr"), "price", {"gte": 10.0, "lte": 30.0}
+    )
     plan = allowed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "band" in plan
 
@@ -2660,16 +2672,24 @@ def test_indexed_filtered_search_range_predicate(spark, tmp_path_factory, monkey
     calls = []
     orig = CollectionEngine._range_allowed_ids
 
-    def spy(self, scoped, key, gte, lte):
-        out = orig(self, scoped, key, gte, lte)
-        calls.append((key, gte, lte, out is not None))
+    def spy(self, scoped, key, bounds):
+        out = orig(self, scoped, key, bounds)
+        calls.append((key, bounds, out is not None))
         return out
 
     monkeypatch.setattr(CollectionEngine, "_range_allowed_ids", spy)
     served = eng.indexed_filtered_search("rf", qv, {"price": {"gte": 30, "lte": 60}}, k=5)
     served_rows = [(r.id, r.content, round(r.score, 6)) for r in served.collect()]
-    assert calls and calls[-1] == ("price", 30.0, 60.0, True)
+    assert calls and calls[-1] == ("price", {"gte": 30.0, "lte": 60.0}, True)
     assert served_rows == scan_rows  # index accelerates, never changes results
+
+    # strict bounds (full qdrant Range grammar): gt/lt exclude the endpoints
+    strict = eng.indexed_filtered_search(
+        "rf", qv, {"price": {"gt": 30, "lt": 60}}, k=10
+    )
+    for r in strict.collect():
+        i = int(r.content.split()[2])
+        assert 30 < i * 3 < 60
 
     # mixed equality + range must intersect
     mixed = eng.indexed_filtered_search(

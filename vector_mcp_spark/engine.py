@@ -1884,8 +1884,9 @@ class CollectionEngine:
         ``payload_filter`` is the must-match map ``{metadata_key: value}``
         (qdrant ``Filter(must=[FieldCondition(...)])`` shape): a row
         qualifies when EVERY pair matches its metadata. A value may also be
-        a qdrant ``Range`` dict ``{"gte": lo, "lte": hi}`` (either bound
-        optional): the key's NUMERIC metadata must fall in the interval.
+        a qdrant ``Range`` dict over ``gt``/``gte``/``lt``/``lte`` (any
+        subset, at least one): the key's NUMERIC metadata must fall in the
+        interval, strict bounds excluded.
         When a FRESH range payload index exists for that key
         (:meth:`create_payload_range_index`), the allowed set is served
         from its band partitions — only the bands overlapping [lo, hi]
@@ -1906,18 +1907,16 @@ class CollectionEngine:
             raise EngineError(
                 "payload_filter_invalid", detail="need a non-empty {key: value} map"
             )
-        range_filters: dict[str, tuple[float | None, float | None]] = {}
+        range_filters: dict[str, dict[str, float]] = {}
         for key, value in payload_filter.items():
             self._validate_payload_key(key)
             if isinstance(value, dict):
-                if not set(value) <= {"gte", "lte"}:
+                if not set(value) <= set(self._RANGE_BOUND_KEYS):
                     raise EngineError(
                         "payload_range_invalid",
-                        detail=f"range keys must be gte/lte, got {sorted(value)}",
+                        detail=f"range keys must be gt/gte/lt/lte, got {sorted(value)}",
                     )
-                range_filters[key] = self._validate_range_bounds(
-                    value.get("gte"), value.get("lte")
-                )
+                range_filters[key] = self._validate_range_bounds(**value)
         scoped = self._require(name)
         question_vec = [float(x) for x in question_vec]
         dim = self._locked_dimension(scoped)
@@ -1949,8 +1948,8 @@ class CollectionEngine:
         indexed_ids = None  # semi-join side from fresh range indexes
         for key, value in payload_filter.items():
             if key in range_filters:
-                gte, lte = range_filters[key]
-                served = self._range_allowed_ids(scoped, key, gte, lte)
+                bounds = range_filters[key]
+                served = self._range_allowed_ids(scoped, key, bounds)
                 if served is not None:
                     # fresh range index: this predicate prunes into band
                     # partitions instead of scanning metadata maps
@@ -1959,12 +1958,9 @@ class CollectionEngine:
                         else indexed_ids.join(served, "id", "left_semi")
                     )
                     continue
-                val = F.col("metadata").getItem(key).try_cast("double")
-                c = val.isNotNull() & ~F.isnan(val)
-                if gte is not None:
-                    c = c & (val >= gte)
-                if lte is not None:
-                    c = c & (val <= lte)
+                c = self._range_scan_cond(
+                    F.col("metadata").getItem(key).try_cast("double"), bounds
+                )
             else:
                 c = F.col("metadata").getItem(key) == F.lit(str(value))
             cond = c if cond is None else (cond & c)
@@ -2370,12 +2366,12 @@ class CollectionEngine:
         )
 
     def _range_allowed_ids(
-        self, scoped: str, key: str, gte: float | None, lte: float | None
+        self, scoped: str, key: str, bounds: dict[str, float]
     ) -> "DataFrame | None":
-        """The id set matching value∈[gte, lte] served from a FRESH range
-        index (band partition pruning + exact post-filter), or None when
-        the index is absent/stale/empty-geometry — the caller falls back
-        to the table scan."""
+        """The id set matching the validated Range ``bounds`` served from a
+        FRESH range index (band partition pruning + exact post-filter), or
+        None when the index is absent/stale/empty-geometry — the caller
+        falls back to the table scan."""
         import json
 
         root = self._index_root(scoped) / f"payload_range_{key}"
@@ -2392,52 +2388,87 @@ class CollectionEngine:
             str(root / "data")
         )
         # band bounds from the same arithmetic the build wrote — these are
-        # PARTITION filters, so only overlapping band dirs are ever opened
-        lo_band = 0 if gte is None else self._range_band_py(float(gte), vmin, vmax, nb)
-        hi_band = nb - 1 if lte is None else self._range_band_py(float(lte), vmin, vmax, nb)
+        # PARTITION filters, so only overlapping band dirs are ever opened.
+        # Strict bounds (gt/lt) share their band with the inclusive twin:
+        # strictness is exactness work for the post-filter, not pruning.
+        lo = max((bounds[k] for k in ("gt", "gte") if k in bounds), default=None)
+        hi = min((bounds[k] for k in ("lt", "lte") if k in bounds), default=None)
+        lo_band = 0 if lo is None else self._range_band_py(lo, vmin, vmax, nb)
+        hi_band = nb - 1 if hi is None else self._range_band_py(hi, vmin, vmax, nb)
         cond = (F.col("band") >= lo_band) & (F.col("band") <= hi_band)
-        if gte is not None:
-            cond = cond & (F.col("value") >= float(gte))
-        if lte is not None:
-            cond = cond & (F.col("value") <= float(lte))
+        cond = cond & self._range_scan_cond(F.col("value"), bounds)
         return idx.where(cond).select("id")
 
     def count_by_payload_range(
-        self, name: str, key: str, gte: float | None = None, lte: float | None = None
+        self,
+        name: str,
+        key: str,
+        gte: float | None = None,
+        lte: float | None = None,
+        gt: float | None = None,
+        lt: float | None = None,
     ) -> int:
-        """Range-filtered count (value∈[gte, lte], either bound optional
-        but not both absent) served from the range index when fresh, else
-        from the table scan — never wrong, at worst unaccelerated."""
+        """Range-filtered count under the full qdrant ``Range`` bound set
+        (gt/gte/lt/lte, at least one) served from the range index when
+        fresh, else from the table scan — never wrong, at worst
+        unaccelerated."""
         scoped = self._require(name)
         self._validate_payload_key(key)
-        gte, lte = self._validate_range_bounds(gte, lte)
-        allowed = self._range_allowed_ids(scoped, key, gte, lte)
+        bounds = self._validate_range_bounds(gte=gte, lte=lte, gt=gt, lt=lt)
+        allowed = self._range_allowed_ids(scoped, key, bounds)
         if allowed is not None:
             return allowed.count()
         # try_cast: ANSI mode would otherwise throw on non-numeric values
         val = F.col("metadata")[key].try_cast("double")
-        cond = val.isNotNull() & ~F.isnan(val)
-        if gte is not None:
-            cond = cond & (val >= float(gte))
-        if lte is not None:
-            cond = cond & (val <= float(lte))
-        return self.count_documents(name, where=cond)
+        return self.count_documents(name, where=self._range_scan_cond(val, bounds))
+
+    #: the full qdrant ``Range`` bound set (qdrant.py filter grammar)
+    _RANGE_BOUND_KEYS = ("gt", "gte", "lt", "lte")
+
+    @classmethod
+    def _validate_range_bounds(
+        cls, gte=None, lte=None, gt=None, lt=None
+    ) -> dict[str, float]:
+        """Validate the qdrant Range bounds into a {bound: float} dict —
+        at least one bound, every value numeric (bool excluded), and a
+        non-empty interval (lower bound above upper is a caller mistake,
+        not an empty result)."""
+        raw = {"gt": gt, "gte": gte, "lt": lt, "lte": lte}
+        out: dict[str, float] = {}
+        for k in cls._RANGE_BOUND_KEYS:
+            v = raw[k]
+            if v is None:
+                continue
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise EngineError("payload_range_invalid", detail=f"{k}={v!r}")
+            out[k] = float(v)
+        if not out:
+            raise EngineError(
+                "payload_range_invalid", detail="need at least one of gt/gte/lt/lte"
+            )
+        lo = max((out[k] for k in ("gt", "gte") if k in out), default=None)
+        hi = min((out[k] for k in ("lt", "lte") if k in out), default=None)
+        if lo is not None and hi is not None and lo > hi:
+            raise EngineError(
+                "payload_range_invalid", detail=f"lower bound {lo} > upper {hi}"
+            )
+        return out
 
     @staticmethod
-    def _validate_range_bounds(gte, lte) -> tuple[float | None, float | None]:
-        def _num(x, label):
-            if x is None:
-                return None
-            if isinstance(x, bool) or not isinstance(x, (int, float)):
-                raise EngineError("payload_range_invalid", detail=f"{label}={x!r}")
-            return float(x)
-
-        gte, lte = _num(gte, "gte"), _num(lte, "lte")
-        if gte is None and lte is None:
-            raise EngineError("payload_range_invalid", detail="need gte and/or lte")
-        if gte is not None and lte is not None and gte > lte:
-            raise EngineError("payload_range_invalid", detail=f"gte {gte} > lte {lte}")
-        return gte, lte
+    def _range_scan_cond(val: "F.Column", bounds: dict[str, float]) -> "F.Column":
+        """The exact predicate a Range dict means, over a (try_cast double)
+        value column — shared by the index post-filter and the scan
+        fallback so the two paths can never disagree."""
+        cond = val.isNotNull() & ~F.isnan(val)
+        if "gt" in bounds:
+            cond = cond & (val > bounds["gt"])
+        if "gte" in bounds:
+            cond = cond & (val >= bounds["gte"])
+        if "lt" in bounds:
+            cond = cond & (val < bounds["lt"])
+        if "lte" in bounds:
+            cond = cond & (val <= bounds["lte"])
+        return cond
 
     @staticmethod
     def _metadata_entries_without(keys_arr: "F.Column") -> "F.Column":
