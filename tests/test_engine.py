@@ -2704,3 +2704,71 @@ def test_indexed_filtered_search_range_predicate(spark, tmp_path_factory, monkey
         eng.indexed_filtered_search("rf", qv, {"price": {"between": [1, 2]}}, k=5)
     with _pytest.raises(EngineError, match="payload_range_invalid"):
         eng.indexed_filtered_search("rf", qv, {"price": {"gte": "cheap"}}, k=5)
+
+
+def test_indexed_filtered_search_equality_and_matchany_use_payload_index(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Equality (qdrant MatchValue) and MatchAny ({'any': [...]}) filter
+    conditions route through a FRESH equality payload index — one hex-value
+    partition per value — with results identical to the metadata scan; a
+    stale/absent index falls back; malformed 'any' refuses."""
+    import pytest as _pytest
+
+    from vector_mcp_spark.engine import CollectionEngine
+    from vector_mcp_spark.functions.embedder import hash_embed
+    from vector_mcp_spark.validation import EngineError
+
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("eqidx_root")))
+    eng.create_collection("eq")
+    eng.add_documents(
+        "eq",
+        [f"match doc {i} subject {i % 5}" for i in range(40)],
+        metadatas=[{"team": f"t{i % 4}"} for i in range(40)],
+    )
+    eng.build_search_index("eq")
+    qv = hash_embed("match doc 7 subject 2", 64)
+
+    # scan twins first (no payload index yet)
+    scan_eq = [(r.id, round(r.score, 6)) for r in
+               eng.indexed_filtered_search("eq", qv, {"team": "t1"}, k=5).collect()]
+    scan_any = [(r.id, round(r.score, 6)) for r in
+                eng.indexed_filtered_search(
+                    "eq", qv, {"team": {"any": ["t1", "t3"]}}, k=5).collect()]
+    # MatchAny semantics: the allowed set really is the union
+    for r in eng.indexed_filtered_search(
+            "eq", qv, {"team": {"any": ["t1", "t3"]}}, k=20).collect():
+        assert int(r.content.split()[2]) % 4 in (1, 3)
+
+    eng.create_payload_index("eq", "team")
+    calls = []
+    orig = CollectionEngine._equality_allowed_ids
+
+    def spy(self, scoped, key, values):
+        out = orig(self, scoped, key, values)
+        calls.append((key, tuple(values), out is not None))
+        return out
+
+    monkeypatch.setattr(CollectionEngine, "_equality_allowed_ids", spy)
+    got_eq = [(r.id, round(r.score, 6)) for r in
+              eng.indexed_filtered_search("eq", qv, {"team": "t1"}, k=5).collect()]
+    got_any = [(r.id, round(r.score, 6)) for r in
+               eng.indexed_filtered_search(
+                   "eq", qv, {"team": {"any": ["t1", "t3"]}}, k=5).collect()]
+    assert ("team", ("t1",), True) in calls
+    assert ("team", ("t1", "t3"), True) in calls
+    assert got_eq == scan_eq and got_any == scan_any
+
+    # stale index -> served is None -> scan fallback, still correct
+    eng.add_documents("eq", ["late doc"], metadatas=[{"team": "t1"}])
+    eng.build_search_index("eq")  # vector index fresh, payload index stale
+    calls.clear()
+    out = eng.indexed_filtered_search("eq", qv, {"team": "t1"}, k=5)
+    assert out.count() == 5
+    assert calls and calls[-1][2] is False  # fell back to the scan
+
+    # malformed MatchAny refuses with the stable code
+    for bad in ({"any": []}, {"any": "t1"}, {"any": [True]},
+                {"any": ["t1"], "gte": 1}):
+        with _pytest.raises(EngineError, match="payload_filter_invalid|payload_range_invalid"):
+            eng.indexed_filtered_search("eq", qv, {"team": bad}, k=5)

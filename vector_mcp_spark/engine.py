@@ -1885,8 +1885,14 @@ class CollectionEngine:
         (qdrant ``Filter(must=[FieldCondition(...)])`` shape): a row
         qualifies when EVERY pair matches its metadata. A value may also be
         a qdrant ``Range`` dict over ``gt``/``gte``/``lt``/``lte`` (any
-        subset, at least one): the key's NUMERIC metadata must fall in the
-        interval, strict bounds excluded.
+        subset, at least one — the key's NUMERIC metadata must fall in the
+        interval, strict bounds excluded) or a qdrant ``MatchAny`` dict
+        ``{"any": [v1, v2, ...]}`` (the key equals any listed value).
+        Every condition kind is served from its FRESH payload index when
+        one exists — equality/MatchAny from the hex-value partitions of
+        :meth:`create_payload_index`, ranges from the band partitions of
+        :meth:`create_payload_range_index` — and falls back to the
+        (always correct) metadata scan otherwise.
         When a FRESH range payload index exists for that key
         (:meth:`create_payload_range_index`), the allowed set is served
         from its band partitions — only the bands overlapping [lo, hi]
@@ -1908,15 +1914,31 @@ class CollectionEngine:
                 "payload_filter_invalid", detail="need a non-empty {key: value} map"
             )
         range_filters: dict[str, dict[str, float]] = {}
+        any_filters: dict[str, list[str]] = {}
         for key, value in payload_filter.items():
             self._validate_payload_key(key)
             if isinstance(value, dict):
-                if not set(value) <= set(self._RANGE_BOUND_KEYS):
+                if set(value) == {"any"}:
+                    vals = value["any"]
+                    if (
+                        not isinstance(vals, (list, tuple))
+                        or not vals
+                        or not all(isinstance(v, (str, int, float))
+                                   and not isinstance(v, bool) for v in vals)
+                    ):
+                        raise EngineError(
+                            "payload_filter_invalid",
+                            detail="'any' needs a non-empty list of scalars",
+                        )
+                    any_filters[key] = [str(v) for v in vals]
+                elif set(value) <= set(self._RANGE_BOUND_KEYS):
+                    range_filters[key] = self._validate_range_bounds(**value)
+                else:
                     raise EngineError(
                         "payload_range_invalid",
-                        detail=f"range keys must be gt/gte/lt/lte, got {sorted(value)}",
+                        detail="condition keys must be gt/gte/lt/lte or 'any', "
+                        f"got {sorted(value)}",
                     )
-                range_filters[key] = self._validate_range_bounds(**value)
         scoped = self._require(name)
         question_vec = [float(x) for x in question_vec]
         dim = self._locked_dimension(scoped)
@@ -1945,23 +1967,39 @@ class CollectionEngine:
         if meta.get("entry") is None:
             return self.spark.createDataFrame([], "id string, content string, score double")
         cond = None
-        indexed_ids = None  # semi-join side from fresh range indexes
+        indexed_ids = None  # semi-join side from fresh payload indexes
+
+        def _use_index(served: "DataFrame | None") -> bool:
+            nonlocal indexed_ids
+            if served is None:
+                return False
+            indexed_ids = (
+                served if indexed_ids is None
+                else indexed_ids.join(served, "id", "left_semi")
+            )
+            return True
+
         for key, value in payload_filter.items():
             if key in range_filters:
+                # fresh range index: the predicate prunes into band
+                # partitions instead of scanning metadata maps
                 bounds = range_filters[key]
-                served = self._range_allowed_ids(scoped, key, bounds)
-                if served is not None:
-                    # fresh range index: this predicate prunes into band
-                    # partitions instead of scanning metadata maps
-                    indexed_ids = (
-                        served if indexed_ids is None
-                        else indexed_ids.join(served, "id", "left_semi")
-                    )
+                if _use_index(self._range_allowed_ids(scoped, key, bounds)):
                     continue
                 c = self._range_scan_cond(
                     F.col("metadata").getItem(key).try_cast("double"), bounds
                 )
+            elif key in any_filters:
+                # MatchAny: fresh equality index opens one hex-value
+                # partition per listed value
+                vals = any_filters[key]
+                if _use_index(self._equality_allowed_ids(scoped, key, vals)):
+                    continue
+                c = F.col("metadata").getItem(key).isin(vals)
             else:
+                # plain equality (qdrant MatchValue): same index, one value
+                if _use_index(self._equality_allowed_ids(scoped, key, [str(value)])):
+                    continue
                 c = F.col("metadata").getItem(key) == F.lit(str(value))
             cond = c if cond is None else (cond & c)
         allowed = df.where(cond).select("id") if cond is not None else None
@@ -2364,6 +2402,33 @@ class CollectionEngine:
             if meta.get("fingerprint") == self._table_fingerprint(scoped)
             else "stale"
         )
+
+    def _equality_allowed_ids(
+        self, scoped: str, key: str, values: list[str]
+    ) -> "DataFrame | None":
+        """The id set whose ``key`` payload equals ANY of ``values``,
+        served from a FRESH equality payload index (one hex-value
+        partition per value opens — the qdrant ``MatchValue``/``MatchAny``
+        acceleration), or None when the index is absent/stale — the
+        caller falls back to the metadata scan."""
+        import json
+
+        root = self._index_root(scoped) / f"payload_{key}"
+        manifest = root / "manifest.json"
+        if not manifest.exists():
+            return None
+        meta = json.loads(manifest.read_text())
+        if meta.get("fingerprint") != self._table_fingerprint(scoped):
+            return None
+        idx = self.spark.read.schema("id string, value string, vkey string").parquet(
+            str(root / "data")
+        )
+        vkeys = sorted({self._payload_vkey_py(v) for v in values})
+        # vkey is the partition column — only the values' partitions open;
+        # the raw-value post-filter keeps sha-bucketed (long) values exact
+        return idx.where(
+            F.col("vkey").isin(vkeys) & F.col("value").isin(list(values))
+        ).select("id")
 
     def _range_allowed_ids(
         self, scoped: str, key: str, bounds: dict[str, float]

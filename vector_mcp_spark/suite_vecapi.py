@@ -741,3 +741,77 @@ def q_ann_range_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, "rank int, content string, score double")
+
+
+# -- MatchAny-filtered indexed search (qdrant MatchAny + vector query) --------
+#
+# Same engine-surface pattern as ann_range_filtered_topk: the 24-point
+# scratch collection additionally carries a "team" payload (t0..t11, two
+# points each); the declared query builds the vector index AND the equality
+# payload index, then serves {"team": {"any": ["t1", "t4"]}} + vector
+# through indexed_filtered_search. The 4-of-24 allowed set routes to the
+# exact regime (selectivity 0.17 < 0.25), so the oracle is the scan twin:
+# exact filtered KNN over the same VALUES with an IN list.
+
+
+def _may_oracle() -> str:
+    from vector_mcp_spark.suite import _cosine_sql, _vec_sql_literal
+
+    values = ",\n  ".join(
+        f"('point {i:02d}', 't{i % 12}', {_vec_sql_literal(_rfs_vec(i))})"
+        for i in range(_RFS_N)
+    )
+    return f"""
+WITH pts(content, team, v) AS (VALUES
+  {values}
+),
+s AS (
+  SELECT content, {_cosine_sql("v", _RFS_QV)} AS sc
+  FROM pts WHERE team IN ('t1', 't4')
+)
+SELECT CAST(rn AS INTEGER) AS rank, content, ROUND(sc, 6) AS score
+FROM (SELECT content, sc,
+             row_number() OVER (ORDER BY sc DESC, content ASC) AS rn
+      FROM s)
+WHERE rn <= {_RFS_K}
+"""
+
+
+@register("ann_matchany_filtered_topk", _may_oracle(), "engine", "vecapi")
+def q_ann_matchany_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchAny-filtered indexed vector search through the real engine:
+    build the persisted vector index and the equality payload index, then
+    serve a qdrant MatchAny predicate ({"any": [...]}) + query vector via
+    indexed_filtered_search — the allowed set opens one hex-value
+    partition per listed value, and the selective filter routes to the
+    exact regime, whose answer hash-matches the scan twin by
+    construction."""
+    import shutil
+    import tempfile
+
+    from vector_mcp_spark.engine import CollectionEngine
+
+    root = tempfile.mkdtemp(prefix="vm_matchany_")
+    try:
+        eng = CollectionEngine(spark, root)
+        eng.create_collection("mc", dimension=_RFS_DIM)
+        contents = [f"point {i:02d}" for i in range(_RFS_N)]
+        eng.add_documents(
+            "mc",
+            contents,
+            metadatas=[{"team": f"t{i % 12}"} for i in range(_RFS_N)],
+            embeddings=[_rfs_vec(i) for i in range(_RFS_N)],
+        )
+        eng.build_search_index("mc")
+        eng.create_payload_index("mc", "team")
+        if eng.payload_index_status("mc", "team") != "fresh":
+            raise AssertionError("equality index must serve fresh here")
+        got = eng.indexed_filtered_search(
+            "mc", _RFS_QV, {"team": {"any": ["t1", "t4"]}}, k=_RFS_K
+        ).collect()
+        rows = [
+            (rank, r.content, float(r.score)) for rank, r in enumerate(got, start=1)
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "rank int, content string, score double")
