@@ -1789,3 +1789,61 @@ def test_read_asof_over_both_transports(transport_agent, http_mcp_server):
     )).encode())
     assert status == 200
     assert _tool_text(json.loads(body))["error"] == "time_travel_unavailable"
+
+
+def test_veneer_filtered_indexed_search_and_range_index(spark, tmp_path_factory):
+    """The filter+vector composition is reachable from the veneer:
+    indexed_search takes a qdrant-shaped payload_filter (equality /
+    MatchAny / Range), create_payload_index takes field_type (keyword →
+    equality family, float/integer → band-partitioned range family), and
+    malformed filters come back as stable error dicts."""
+    eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("filtsearch_root")))
+    ven = McpVeneer(eng, VectorSearchApi(eng))
+    ven.vector_collection_management(
+        "create_collection", collection_name="fx",
+        document_contents=[f"filter doc {i} topic {i % 4}" for i in range(24)],
+    )
+    # payloads land via set_payload after ingest
+    ids = [r.id for r in eng.read("fx").orderBy("content").collect()]
+    for i, doc_id in enumerate(ids):
+        eng.set_payload("fx", [doc_id], {"price": str(i * 5), "tier": f"t{i % 3}"})
+    ven.vector_collection_management("build_search_index", collection_name="fx")
+
+    # field_type routes to the right family
+    out = ven.vector_collection_management(
+        "create_payload_index", collection_name="fx",
+        payload={"price": "1"}, field_type="float",
+    )
+    assert out["n_rows"] == 24 and "vmin" in out
+    assert eng.payload_range_index_status("fx", "price") == "fresh"
+    out = ven.vector_collection_management(
+        "create_payload_index", collection_name="fx", payload={"tier": "1"},
+    )
+    assert out["n_values"] == 3
+    assert ven.vector_collection_management(
+        "create_payload_index", collection_name="fx",
+        payload={"tier": "1"}, field_type="geo",
+    ) == {"error": "field_type_invalid", "allowed": ["keyword", "float", "integer"]}
+
+    # filtered indexed search over the veneer: range + equality intersect
+    out = ven.vector_search(
+        "indexed_search", collection_name="fx",
+        question="filter doc 7 topic 3", number_results=10,
+        payload_filter={"price": {"gte": 20, "lt": 60}, "tier": {"any": ["t0", "t1"]}},
+    )
+    assert "error" not in out, out
+    assert out["results"], out
+    by_id = {r.id: i for i, r in zip(range(24), eng.read("fx").orderBy("content").collect())}
+    for row in out["results"]:
+        i = by_id[row["id"]]
+        assert 20 <= i * 5 < 60 and i % 3 in (0, 1)
+
+    # malformed filter -> stable dict, never a traceback
+    assert ven.vector_search(
+        "indexed_search", collection_name="fx", question="x",
+        payload_filter={"price": {"between": [1, 2]}},
+    ) == {"error": "payload_range_invalid"}
+    assert ven.vector_search(
+        "indexed_search", collection_name="fx", question="x",
+        payload_filter={},
+    ) == {"error": "payload_filter_invalid"}

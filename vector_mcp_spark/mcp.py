@@ -137,6 +137,7 @@ class McpVeneer:
         include_configured_directory: bool = False,
         before_ts: str | None = None,
         asof_ts: str | None = None,
+        field_type: str | None = None,
         distance: str | None = None,
         vectors_config: dict | None = None,
         vector_name: str | None = None,
@@ -202,9 +203,22 @@ class McpVeneer:
                         "error": "payload_key_invalid",
                         "detail": "pass exactly one key via payload",
                     }
-                info = self.engine.create_payload_index(
-                    collection_name, sorted(payload)[0]
-                )
+                # field_type mirrors qdrant's field_schema: keyword values
+                # get the hex-value equality family, numeric ones the
+                # band-partitioned range family
+                if field_type in (None, "keyword"):
+                    info = self.engine.create_payload_index(
+                        collection_name, sorted(payload)[0]
+                    )
+                elif field_type in ("float", "integer"):
+                    info = self.engine.create_payload_range_index(
+                        collection_name, sorted(payload)[0]
+                    )
+                else:
+                    return {
+                        "error": "field_type_invalid",
+                        "allowed": ["keyword", "float", "integer"],
+                    }
                 return {"collection_name": collection_name, **info}
             if resolved == "index_status":
                 return {
@@ -383,6 +397,7 @@ class McpVeneer:
         query_vector: list[float] | None = None,
         query_weights: dict | None = None,
         num_candidates: int | None = None,
+        payload_filter: dict | None = None,
     ) -> dict[str, Any]:
         resolved = resolve_action(action, SEARCH_ACTIONS)
         if isinstance(resolved, dict):
@@ -442,7 +457,16 @@ class McpVeneer:
                 cleaned = sanitize_text_py(validate_question(question))
                 qv = self.api.embed_query(cleaned)
                 ef = num_candidates if num_candidates else max(k * 10, 100)
-                df = self.engine.indexed_graph_search(collection_name, qv, k=k, ef=ef)
+                if payload_filter is not None:
+                    # the qdrant filter+vector composition: equality /
+                    # MatchAny / Range conditions, each served from its
+                    # fresh payload index (engine routes + validates;
+                    # malformed filters come back as stable error dicts)
+                    df = self.engine.indexed_filtered_search(
+                        collection_name, qv, payload_filter, k=k, ef=ef
+                    )
+                else:
+                    df = self.engine.indexed_graph_search(collection_name, qv, k=k, ef=ef)
                 rows = [
                     {"id": r.id, "content": r.content, "score": r.score} for r in df.collect()
                 ]
