@@ -705,41 +705,54 @@ WHERE rn <= {_RFS_K}
 """
 
 
-@register("ann_range_filtered_topk", _rfs_oracle(), "engine", "vecapi")
-def q_ann_range_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range-filtered indexed vector search through the real engine: build
-    the persisted vector index and the band-partitioned range payload
-    index, then serve a qdrant Range predicate ({gte, lte}) + query vector
-    via indexed_filtered_search — the selective range routes to the exact
-    regime, whose answer hash-matches the scan twin by construction."""
-    import shutil
-    import tempfile
+def _rfs_engine(spark: SparkSession):
+    """The shared filtered-search fixture engine: ONE cached 24-point
+    collection (under .tmp, like the suite's index caches) carrying both
+    the numeric "price" and the categorical "team" payloads, with the
+    vector index plus BOTH payload-index families built once — the bench's
+    warm pass (and the first pytest touch) pays the build, every later run
+    serves only. Contents are fixed, so the table fingerprint is stable
+    and the freshness checks skip all rebuild work."""
+    import os
 
     from vector_mcp_spark.engine import CollectionEngine
 
-    root = tempfile.mkdtemp(prefix="vm_rangefs_")
-    try:
-        eng = CollectionEngine(spark, root)
-        eng.create_collection("rc", dimension=_RFS_DIM)
-        contents = [f"point {i:02d}" for i in range(_RFS_N)]
+    root = os.path.abspath(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp", "rfs_fixture")
+    )
+    eng = CollectionEngine(spark, root)
+    if "pts" not in eng.get_collections():
+        eng.create_collection("pts", dimension=_RFS_DIM)
         eng.add_documents(
-            "rc",
-            contents,
-            metadatas=[{"price": str(i * 3)} for i in range(_RFS_N)],
+            "pts",
+            [f"point {i:02d}" for i in range(_RFS_N)],
+            metadatas=[
+                {"price": str(i * 3), "team": f"t{i % 12}"} for i in range(_RFS_N)
+            ],
             embeddings=[_rfs_vec(i) for i in range(_RFS_N)],
         )
-        eng.build_search_index("rc")
-        eng.create_payload_range_index("rc", "price", n_bands=8)
-        if eng.payload_range_index_status("rc", "price") != "fresh":
-            raise AssertionError("range index must serve fresh here")
-        got = eng.indexed_filtered_search(
-            "rc", _RFS_QV, {"price": {"gte": 9, "lte": 21}}, k=_RFS_K
-        ).collect()
-        rows = [
-            (rank, r.content, float(r.score)) for rank, r in enumerate(got, start=1)
-        ]
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    if eng.index_status("pts") not in ("fresh", "repaired"):
+        eng.build_search_index("pts")
+    if eng.payload_range_index_status("pts", "price") != "fresh":
+        eng.create_payload_range_index("pts", "price", n_bands=8)
+    if eng.payload_index_status("pts", "team") != "fresh":
+        eng.create_payload_index("pts", "team")
+    return eng
+
+
+@register("ann_range_filtered_topk", _rfs_oracle(), "engine", "vecapi")
+def q_ann_range_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-filtered indexed vector search through the real engine: the
+    shared fixture holds the persisted vector index and the
+    band-partitioned range payload index; the query serves a qdrant Range
+    predicate ({gte, lte}) + query vector via indexed_filtered_search —
+    the selective range routes to the exact regime, whose answer
+    hash-matches the scan twin by construction."""
+    eng = _rfs_engine(spark)
+    got = eng.indexed_filtered_search(
+        "pts", _RFS_QV, {"price": {"gte": 9, "lte": 21}}, k=_RFS_K
+    ).collect()
+    rows = [(rank, r.content, float(r.score)) for rank, r in enumerate(got, start=1)]
     return spark.createDataFrame(rows, "rank int, content string, score double")
 
 
@@ -780,38 +793,15 @@ WHERE rn <= {_RFS_K}
 @register("ann_matchany_filtered_topk", _may_oracle(), "engine", "vecapi")
 def q_ann_matchany_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MatchAny-filtered indexed vector search through the real engine:
-    build the persisted vector index and the equality payload index, then
-    serve a qdrant MatchAny predicate ({"any": [...]}) + query vector via
-    indexed_filtered_search — the allowed set opens one hex-value
-    partition per listed value, and the selective filter routes to the
-    exact regime, whose answer hash-matches the scan twin by
-    construction."""
-    import shutil
-    import tempfile
-
-    from vector_mcp_spark.engine import CollectionEngine
-
-    root = tempfile.mkdtemp(prefix="vm_matchany_")
-    try:
-        eng = CollectionEngine(spark, root)
-        eng.create_collection("mc", dimension=_RFS_DIM)
-        contents = [f"point {i:02d}" for i in range(_RFS_N)]
-        eng.add_documents(
-            "mc",
-            contents,
-            metadatas=[{"team": f"t{i % 12}"} for i in range(_RFS_N)],
-            embeddings=[_rfs_vec(i) for i in range(_RFS_N)],
-        )
-        eng.build_search_index("mc")
-        eng.create_payload_index("mc", "team")
-        if eng.payload_index_status("mc", "team") != "fresh":
-            raise AssertionError("equality index must serve fresh here")
-        got = eng.indexed_filtered_search(
-            "mc", _RFS_QV, {"team": {"any": ["t1", "t4"]}}, k=_RFS_K
-        ).collect()
-        rows = [
-            (rank, r.content, float(r.score)) for rank, r in enumerate(got, start=1)
-        ]
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    the shared fixture holds the persisted vector index and the equality
+    payload index; the query serves a qdrant MatchAny predicate
+    ({"any": [...]}) + query vector via indexed_filtered_search — the
+    allowed set opens one hex-value partition per listed value, and the
+    selective filter routes to the exact regime, whose answer
+    hash-matches the scan twin by construction."""
+    eng = _rfs_engine(spark)
+    got = eng.indexed_filtered_search(
+        "pts", _RFS_QV, {"team": {"any": ["t1", "t4"]}}, k=_RFS_K
+    ).collect()
+    rows = [(rank, r.content, float(r.score)) for rank, r in enumerate(got, start=1)]
     return spark.createDataFrame(rows, "rank int, content string, score double")
