@@ -2767,8 +2767,9 @@ def test_indexed_filtered_search_equality_and_matchany_use_payload_index(
     assert out.count() == 5
     assert calls and calls[-1][2] is False  # fell back to the scan
 
-    # malformed MatchAny refuses with the stable code
+    # malformed MatchAny refuses with the stable code (incl. the 256-value
+    # wire bound)
     for bad in ({"any": []}, {"any": "t1"}, {"any": [True]},
-                {"any": ["t1"], "gte": 1}):
+                {"any": ["t1"], "gte": 1}, {"any": [str(i) for i in range(257)]}):
         with _pytest.raises(EngineError, match="payload_filter_invalid|payload_range_invalid"):
             eng.indexed_filtered_search("eq", qv, {"team": bad}, k=5)

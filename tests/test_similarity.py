@@ -426,3 +426,45 @@ def test_hnsw_dot_recall_threshold(embs):
         ).collect()
     ]
     assert scores == sorted(scores, reverse=True), "dot beam must rank descending"
+
+
+def test_ivf_dot_recall_vs_exact(embs):
+    """Dot-metric IVF: probes ranked and clusters re-ranked by raw inner
+    product over the cosine-built assignment (the MIPS compromise);
+    recall gate vs the exact inner-product top-5, mirroring the l2 twin."""
+    from pyspark.sql import Window
+
+    from vector_mcp_spark.functions.vector import dot
+    from vector_mcp_spark.operators.similarity import ann_ivf_topk, ivf_build
+
+    queries = embs.where(F.col("vec_id") < 20)
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    scored = (
+        embs.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+        .join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("s", dot(F.col("nv"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("neighbor_id").asc())
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .collect()
+    }
+    assigned, cents = ivf_build(embs, n_centroids=16, id_col="vec_id", max_iter=2)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(
+            queries, assigned, cents, 5, nprobe=12, id_col="vec_id", metric="dot"
+        ).collect()
+    }
+    rec = len(exact & approx) / len(exact)
+    assert rec >= 0.8, f"IVF-dot(16 centroids, nprobe=12) recall@5 {rec} < 0.8"
+    # scores descend per query (higher inner product = better rank)
+    got = ann_ivf_topk(
+        queries.where(F.col("vec_id") == 0), assigned, cents, 5,
+        nprobe=12, id_col="vec_id", metric="dot",
+    ).collect()
+    scores = [r.score for r in sorted(got, key=lambda r: r.rank)]
+    assert scores == sorted(scores, reverse=True)

@@ -1923,12 +1923,13 @@ class CollectionEngine:
                     if (
                         not isinstance(vals, (list, tuple))
                         or not vals
+                        or len(vals) > 256  # wire-bounded like every input
                         or not all(isinstance(v, (str, int, float))
                                    and not isinstance(v, bool) for v in vals)
                     ):
                         raise EngineError(
                             "payload_filter_invalid",
-                            detail="'any' needs a non-empty list of scalars",
+                            detail="'any' needs a non-empty list of <=256 scalars",
                         )
                     any_filters[key] = [str(v) for v in vals]
                 elif set(value) <= set(self._RANGE_BOUND_KEYS):

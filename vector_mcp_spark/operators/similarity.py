@@ -523,11 +523,13 @@ def ann_ivf_topk(
 ) -> DataFrame:
     """IVF query: per query, rank centroids by ``metric``, probe the top
     ``nprobe`` clusters, exact re-rank inside them under the same metric
-    ("cosine" desc or "l2" asc — pgvector <-> / qdrant Distance.EUCLID).
+    ("cosine"/"dot" desc or "l2" asc — the pgvector <=>/<#>/<-> opclasses /
+    qdrant Distance enum; dot probes over the cosine-built assignment, the
+    standard MIPS compromise the engine's build path shares).
     Returns (query_id, rank, neighbor_id, score). Recall is tuned by
     nprobe — the beam-width analogue of the reference's Mongo
     ``numCandidates`` (``mongodb.py:277``)."""
-    if metric not in ("cosine", "l2"):
+    if metric not in ("cosine", "dot", "l2"):
         raise ValueError(f"unknown metric {metric!r}")
     cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     q = queries.select(
@@ -537,6 +539,9 @@ def ann_ivf_topk(
     if metric == "cosine":
         cscores = F.transform(cent_lit, lambda c: cosine_similarity(F.col("qvec"), c))
         # best centroid first = largest similarity → sort by negated score
+        rank_key = "-s AS s"
+    elif metric == "dot":
+        cscores = F.transform(cent_lit, lambda c: dot(F.col("qvec"), c))
         rank_key = "-s AS s"
     else:
         cscores = F.transform(cent_lit, lambda c: l2_distance(F.col("qvec"), c))
@@ -560,6 +565,9 @@ def ann_ivf_topk(
             "score",
             F.try_divide(dot(F.col("nvec"), F.col("qvec")), F.col("nnorm") * F.col("qnorm")),
         )
+        order = F.col("score").desc()
+    elif metric == "dot":
+        scored = joined.withColumn("score", dot(F.col("nvec"), F.col("qvec")))
         order = F.col("score").desc()
     else:
         # reuse the precomputed norms: dist = sqrt(max(0, ‖n‖²+‖q‖²−2·n·q)).

@@ -336,6 +336,7 @@ _PROMOTED_R13: list[str] = [
     "ann_range_filtered_topk",
     "ann_hnsw_dot_topk",
     "ann_matchany_filtered_topk",
+    "ann_ivf_dot_topk",
 ]
 
 # (c) Stalest remaining greens: the 39 entries whose latest driver row is r8

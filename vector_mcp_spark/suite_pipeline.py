@@ -1504,6 +1504,38 @@ SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, ROUND(sm, 6) AS scor
 """
 
 
+def _ann_ivf_dot_oracle() -> str:
+    """The MIPS twin of :func:`_ann_ivf_oracle`: the SAME cosine-built
+    k-means CTEs (the assignment is shared — the engine's dot collections
+    cluster under cosine too), with centroid ranking and the final re-rank
+    both by raw inner product DESC (same fold as suite._dot_sql; the
+    shared helper _hnsw_dot_sim_sql is defined later in this module, so
+    inline the expression here — this builder runs at import time)."""
+    def sim(a: str, b: str) -> str:
+        return f"list_dot_product({a}, {b})"
+
+    return f"""{_kmeans_replay_ctes()},
+q AS (SELECT vec_id, v FROM a3 WHERE vec_id < 20),
+qs AS (
+  SELECT q.vec_id AS query_id, q.v AS qe, s.idx, {sim("q.v", "s.c")} AS sm
+  FROM q CROSS JOIN c2 s
+),
+probe AS (
+  SELECT query_id, qe, idx AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sm DESC, idx ASC) AS rn FROM qs
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {sim("p.qe", "a.v")} AS sm
+  FROM probe p JOIN a3 a ON a.cluster = p.cluster AND a.vec_id != p.query_id
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, ROUND(sm, 6) AS score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sm DESC NULLS LAST, neighbor_id ASC) AS rnk
+  FROM cand
+) WHERE rnk <= 5
+"""
+
+
 def _ivf_cached(spark: SparkSession, sf_dir: str):
     """The One IVF index the suite caches per sf (assigned parquet +
     centroids JSON) — shared by the IVF-ANN, IVF-PQ, and graph entries."""
@@ -1536,6 +1568,24 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, centroids = _ivf_cached(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 20)
     return ann_ivf_topk(queries, assigned, centroids, 5, nprobe=4, id_col="vec_id")
+
+
+@register("ann_ivf_dot_topk", _ann_ivf_dot_oracle(), "similarity", "pipeline")
+def q_ann_ivf_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dot-metric (MIPS) IVF ANN over the SAME cached cosine coarse
+    quantizer (the engine's MIPS compromise): centroids ranked and probed
+    clusters re-ranked by raw inner product — the pgvector
+    ``ivfflat (embedding vector_ip_ops)`` serving route, completing the
+    qdrant Distance enum across the IVF family like ann_hnsw_dot_topk did
+    for the graph family; fully value-oracled."""
+    from vector_mcp_spark.operators.similarity import ann_ivf_topk
+
+    embs = load(spark, sf_dir, "embeddings")
+    assigned, centroids = _ivf_cached(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 20)
+    return ann_ivf_topk(
+        queries, assigned, centroids, 5, nprobe=4, id_col="vec_id", metric="dot"
+    )
 
 
 # The fake decoder derives features from sha256(base64(bytes) + "|" + block)
