@@ -587,3 +587,107 @@ def test_semantic_topk_l2_matches_brute_force(spark, vecs, k):
         key=lambda t: (t[0], t[1]),
     )[:k]
     assert [r.id for r in got] == [i for _, i in want]
+
+
+# ---------------------------------------------------------------------------
+# r13 optimization: the SQL-string fast path of the _lit/_fixed expression
+# builders must produce the EXACT tree the py4j loop builders produce —
+# analyzed plans equal modulo expression ids, so results are bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def _loop_dot_lit(col, vec):
+    acc = None
+    for i, x in enumerate(vec):
+        t = col[i].cast("double") * float(x)
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _loop_sq(col, dim):
+    acc = None
+    for i in range(dim):
+        x = col[i].cast("double")
+        t = x * x
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _loop_dot_fixed(a, b, dim):
+    acc = None
+    for i in range(dim):
+        t = a[i].cast("double") * b[i].cast("double")
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def test_sql_fast_builders_match_loop_trees(spark):
+    import re
+
+    from vector_mcp_spark.functions.vector import (
+        cosine_similarity_fixed,
+        dot_fixed,
+        l2_distance_lit,
+        l2_norm_fixed,
+        sq_norm_fixed,
+        sq_norm_py,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.25, 3.0, 1e-05], [2.0, 0.1, -0.0, 7.5])],
+        "id long, embedding array<float>, qv array<float>",
+    )
+    vec = [0.1, -2.5, 1e-05, 3.0]
+    c = F.col("embedding")
+    inner_old = (
+        _loop_sq(c, 4) + F.lit(sq_norm_py(vec)) - F.lit(2.0) * _loop_dot_lit(c, vec)
+    )
+    pairs = {
+        "dot_lit": (_loop_dot_lit(c, vec), dot_lit("embedding", vec)),
+        "sq_norm_fixed": (_loop_sq(c, 4), sq_norm_fixed("embedding", 4)),
+        "l2_norm_fixed": (F.sqrt(_loop_sq(c, 4)), l2_norm_fixed("embedding", 4)),
+        "cosine_lit": (
+            F.try_divide(
+                _loop_dot_lit(c, vec),
+                F.sqrt(_loop_sq(c, 4)) * F.lit(math.sqrt(sq_norm_py(vec))),
+            ),
+            cosine_similarity_lit("embedding", vec),
+        ),
+        "dot_fixed": (
+            _loop_dot_fixed(F.col("embedding"), F.col("qv"), 4),
+            dot_fixed("embedding", "qv", 4),
+        ),
+        "cosine_fixed": (
+            F.try_divide(
+                _loop_dot_fixed(F.col("embedding"), F.col("qv"), 4),
+                F.sqrt(_loop_sq(F.col("embedding"), 4))
+                * F.sqrt(_loop_sq(F.col("qv"), 4)),
+            ),
+            cosine_similarity_fixed("embedding", "qv", 4),
+        ),
+        "l2_distance_lit": (
+            F.sqrt(F.when(inner_old < F.lit(0.0), F.lit(0.0)).otherwise(inner_old)),
+            l2_distance_lit("embedding", vec),
+        ),
+    }
+    strip = lambda s: re.sub(r"#\d+", "#", s)  # noqa: E731
+    for name, (old, new) in pairs.items():
+        oa = strip(df.select(old.alias("s"))._jdf.queryExecution().analyzed().toString())
+        na = strip(df.select(new.alias("s"))._jdf.queryExecution().analyzed().toString())
+        assert oa == na, f"{name}: fast-path tree diverged from the loop tree"
+
+
+def test_sql_fast_builders_column_input_and_fallback(spark):
+    from vector_mcp_spark.functions.vector import _ref_sql
+
+    # plain Column references take the fast path; derived expressions fall back
+    assert _ref_sql(F.col("embedding")) == "embedding"
+    assert _ref_sql("qv") == "qv"
+    assert _ref_sql(F.col("embedding")[0]) is None
+    assert _ref_sql(F.lit(1.0)) is None
+    # fallback still computes: a derived column operand
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, v array<float>")
+    got = df.select(
+        dot_lit(F.transform("v", lambda x: x * 2), [1.0, 1.0]).alias("s")
+    ).first()
+    assert got.s == pytest.approx(6.0)
