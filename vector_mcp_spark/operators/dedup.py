@@ -194,7 +194,9 @@ def _ngram_set_graph(
       (the oracle's 0/0 division is NULL and drops them).
     """
     hashed = F.transform(F.array_sort(toks), _hash64)
-    base = df.select(
+    # _spread: the gram/tokenize/hash map stage must not be pinned to one
+    # scan partition (single parquet file locally)
+    base = _spread(df).select(
         F.col(id_col).alias("_id"), *block_cols, hashed.alias("_toks"), F.size(hashed).alias("_n")
     )
     # the grouping key spans block AND set: the same token set in two blocks
@@ -215,6 +217,10 @@ def _ngram_set_graph(
         .groupBy(*block_cols, "_key")
         .agg(F.collect_list("_id").alias("_ids"), F.first("_toks").alias("_toks"), F.first("_n").alias("_n"))
         .withColumn("_node", F.array_min("_ids"))
+        # referenced by BOTH self-join sides plus the membership expansion —
+        # broadcast builds re-ran the whole tokenize+groupBy per reference
+        # without a leaf here (r13; see minhash_lsh_pairs)
+        .localCheckpoint(eager=True)
     )
     a = groups.select(
         F.col("_node").alias("node_a"), F.col("_ids").alias("id_a"),
@@ -366,18 +372,23 @@ def minhash_lsh_pairs(
     oracle computes.
     """
     rows_per_band = num_hashes // bands
-    # group by canonical token set (sorted, \x1f-joined, hashed)
-    base = df.select(
-        F.col(id_col).alias("_id"), F.array_sort(_distinct_tokens(content_col)).alias("_toks")
+    # group by canonical token set (sorted, \x1f-joined, hashed); _spread so
+    # the tokenize+sort+sha map stage isn't pinned to one scan partition
+    base = _spread(df.select(F.col(id_col).alias("_id"), F.col(content_col))).select(
+        "_id", F.array_sort(_distinct_tokens(content_col)).alias("_toks")
     ).where(F.size("_toks") > 0)
     groups = (
         base.withColumn("_key", F.sha2(F.concat_ws("\x1f", F.col("_toks")), 256))
         .groupBy("_key")
         .agg(F.collect_list("_id").alias("_ids"), F.first("_toks").alias("_toks"))
+        # six downstream branches re-derive this chain; ReuseExchange does
+        # NOT cover them because the small self-join sides plan as BROADCAST
+        # builds (no shuffle exchange node to reuse) — without a leaf here
+        # the tokenize+groupBy ran once per branch (r13: measured 2× on the
+        # band self-join alone; the checkpoint is the standard working-set
+        # materialization the CC/graph operators already use)
+        .localCheckpoint(eager=True)
     )
-    # six downstream branches re-derive this chain, but they all share the
-    # same groupBy exchange — ReuseExchange deduplicates it within the
-    # action (a localCheckpoint here measured no better)
     # signatures over unique sets (chunked wide digests, same family as
     # minhash_signature_array — the oracle replays this per doc)
     n_digests = -(-num_hashes // 8)
@@ -396,7 +407,7 @@ def minhash_lsh_pairs(
     )
     banded = sigs.select(
         "_key", F.posexplode(_band_sigs(F.col("sigs"), bands, rows_per_band)).alias("band", "sig")
-    )
+    ).localCheckpoint(eager=True)  # both self-join sides read it (see groups)
     cands = (
         banded.select(F.col("_key").alias("ka"), "band", "sig")
         .join(banded.select(F.col("_key").alias("kb"), "band", "sig"), ["band", "sig"])
@@ -479,14 +490,17 @@ def incremental_near_dup(
     n_digests = -(-num_hashes // 8)
 
     def _set_groups(df: DataFrame) -> DataFrame:
-        base = df.select(
-            F.col(id_col).alias("_id"),
-            F.array_sort(_distinct_tokens(content_col)).alias("_toks"),
+        base = _spread(df.select(F.col(id_col).alias("_id"), F.col(content_col))).select(
+            "_id", F.array_sort(_distinct_tokens(content_col)).alias("_toks")
         ).where(F.size("_toks") > 0)
         return (
             base.withColumn("_key", F.sha2(F.concat_ws("\x1f", F.col("_toks")), 256))
             .groupBy("_key")
             .agg(F.collect_list("_id").alias("_ids"), F.first("_toks").alias("_toks"))
+            # three references each (banding, verify toks, expansion) —
+            # broadcast builds re-ran the chain per reference (r13; see
+            # minhash_lsh_pairs)
+            .localCheckpoint(eager=True)
         )
 
     def _set_banded(groups: DataFrame) -> DataFrame:
@@ -646,13 +660,17 @@ def near_dup_clusters(
         # contract: re-express edges over the labels found so far — the next
         # round propagates between components, not individual nodes
         lbl = new_labels
+        # no .distinct() on the contracted edges (r13): min-aggregation is
+        # duplicate-tolerant, the multiset never GROWS (each edge maps 1:1,
+        # self-loops drop), and the set-level collapse upstream already
+        # bounds parallel-edge multiplicity — dropping the dedup removes a
+        # full exchange per round for identical labels
         edges = (
             edges.join(lbl.withColumnRenamed("node", "src"), "src")
             .select(F.col("label").alias("src"), "dst")
             .join(lbl.withColumnRenamed("node", "dst"), "dst")
             .select("src", F.col("label").alias("dst"))
             .where(F.col("src") != F.col("dst"))
-            .distinct()
             .localCheckpoint(eager=True)
         )
         labels = new_labels

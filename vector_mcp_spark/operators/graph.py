@@ -65,6 +65,14 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     pr = nodes.join(F.broadcast(n_total)).select("node", (F.lit(1.0) / F.col("n")).alias("pr"))
+    # With the iteration-invariant tables (nodes, frac, n_total) checkpointed
+    # as leaves above, each iteration references the previous rank vector
+    # exactly ONCE — the lineage is a linear chain, so no per-iteration
+    # checkpoint is needed: the whole power iteration plans as one action and
+    # the nodes/frac/n_total exchanges are REUSED across iterations instead
+    # of being re-executed by a checkpoint job per round (r13 optimization;
+    # the O(iters²) rescan the old per-round checkpoint guarded against only
+    # occurs when the INVARIANTS are un-checkpointed lineage).
     for _ in range(iters):
         contrib = (
             frac.join(pr, frac.src == pr.node)
@@ -81,7 +89,6 @@ def pagerank(
                     + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
     return pr
 
@@ -215,6 +222,17 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     if not 1 <= iters <= 16:
         raise ValueError(f"label_propagation: iters must be in [1, 16], got {iters}")
     e = edges.select("a", "b").localCheckpoint(eager=True)
+    # Symmetrized ONCE up front so each round joins the label vector a single
+    # time: the old per-direction double join referenced `labels` twice per
+    # round, which is what forced a per-round localCheckpoint (subplan
+    # doubling). With one reference per round the lineage is a linear chain —
+    # the whole propagation plans as one action and the edge exchange is
+    # reused across rounds (r13 optimization). nb multiset is identical:
+    # e⋈labels(b)→(a,l) ∪ e⋈labels(a)→(b,l) ≡ (e ∪ swap(e))⋈labels(b)→(a,l).
+    e_sym = (
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=True)
+    )
     labels = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -223,13 +241,8 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
-        nb = (
-            e.join(labels.withColumnRenamed("node", "b"), "b")
-            .select(F.col("a").alias("node"), "label")
-            .unionAll(
-                e.join(labels.withColumnRenamed("node", "a"), "a")
-                .select(F.col("b").alias("node"), "label")
-            )
+        nb = e_sym.join(labels.withColumnRenamed("node", "b"), "b").select(
+            F.col("a").alias("node"), "label"
         )
         cnt = nb.groupBy("node", "label").agg(F.count("*").alias("c"))
         w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
@@ -237,7 +250,6 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
             cnt.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .select("node", "label")
-            .localCheckpoint(eager=True)
         )
     return labels
 
@@ -326,6 +338,8 @@ def personalized_pagerank(
     )
     seed_mass = F.when(F.col("node").isin(seeds), F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
     pr = nodes.select("node", seed_mass.alias("pr"))
+    # linear lineage (pr referenced once per round) — no per-iteration
+    # checkpoint; see pagerank above (r13 optimization)
     for _ in range(iters):
         contrib = (
             frac.join(pr, frac.src == pr.node)
@@ -341,6 +355,5 @@ def personalized_pagerank(
                     + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
     return pr
