@@ -783,14 +783,24 @@ class CollectionEngine:
             [(i, c, m, e) for i, (c, m, e) in prepped.items()], DOCUMENT_SCHEMA
         )
         prefixes = sorted({i[:_PART_LEN] for i in ids})
-        touched = self._read_partitions(scoped, prefixes)
-        if not upsert:
-            # T8 duplicate guard (qdrant.py:176-189) — only touched
-            # partitions can hold a colliding content-hash id
-            if touched.join(F.broadcast(new), "id", "left_semi").count() > 0:
-                raise EngineError("document_exists")
-        merged = touched.join(F.broadcast(new), "id", "left_anti").unionByName(new)
-        self._rewrite_partitions(scoped, prefixes, merged)
+        # First-write fast path (r13): when none of the touched partition
+        # dirs exist yet there is nothing to merge against — planning the
+        # anti-join + dup-guard against a provably-empty frame cost ~0.5 s
+        # of pure overhead per fresh-collection ingest. Existence is the
+        # same driver-side check _read_partitions performs.
+        table = Path(self._table_path(scoped))
+        existing = [p for p in prefixes if (table / f"{_PART_COL}={p}").exists()]
+        if not existing:
+            self._rewrite_partitions(scoped, prefixes, new)
+        else:
+            touched = self._read_partitions(scoped, existing)
+            if not upsert:
+                # T8 duplicate guard (qdrant.py:176-189) — only touched
+                # partitions can hold a colliding content-hash id
+                if touched.join(F.broadcast(new), "id", "left_semi").count() > 0:
+                    raise EngineError("document_exists")
+            merged = touched.join(F.broadcast(new), "id", "left_anti").unionByName(new)
+            self._rewrite_partitions(scoped, prefixes, merged)
         self._log_mutation_rows(
             scoped, "upsert", [(i, c, m, e) for i, (c, m, e) in prepped.items()]
         )

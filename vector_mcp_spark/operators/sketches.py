@@ -524,6 +524,11 @@ def tdigest_merge(
     # The cap is a loud contract, not a silent truncation: dropping
     # centroids would return a digest whose weights no longer sum to n
     # (every upper quantile silently wrong) — merge hierarchically instead
+    # NOTE (r13): callers whose input is an expensive build lineage should
+    # checkpoint it themselves (events_tdigest_quantiles does) — the
+    # cap-check count() below otherwise re-executes that lineage. An
+    # unconditional checkpoint HERE measured a net loss for the store-read
+    # callers whose input is already a cheap parquet scan.
     n_in = centroids.count()
     if n_in > TDIGEST_MERGE_CAP:
         raise ValueError(

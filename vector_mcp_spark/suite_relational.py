@@ -2362,7 +2362,13 @@ def q_events_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_mcp_spark.operators.sketches import tdigest_build, tdigest_merge
 
     ev = load(spark, sf_dir, "events")
-    per = tdigest_build(ev, "value", ["event_type"], delta=_TDIGEST_DELTA)
+    # digest-sized (≤ delta+1 rows per event type): checkpoint so the
+    # per-scope output branch, the merge input, and the merge cap-check
+    # don't each re-run the grouped-rank build (r13 — the build executed
+    # 3× per run)
+    per = tdigest_build(ev, "value", ["event_type"], delta=_TDIGEST_DELTA).localCheckpoint(
+        eager=True
+    )
     merged = tdigest_merge(
         per.select("centroid", "cnt", "mean_r"), delta=_TDIGEST_DELTA
     )
