@@ -20,6 +20,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vector_mcp_spark.operators.partition import spread
+
 # cumulative P(X <= k) for X ~ Poisson(1), k = 0..5; u beyond the last
 # threshold draws multiplicity 6 (P ≈ 6e-5 — negligible truncation)
 POISSON1_CDF = [
@@ -64,6 +66,9 @@ def bootstrap_mean_ci(
         raise ValueError(f"bootstrap_mean_ci: replicates must be in [2, 512], got {replicates}")
     if "_row_id" not in df.columns:
         raise ValueError("bootstrap_mean_ci: df must carry a unique _row_id column")
+    # spread: the ×B explode + sha-per-8-draws map stage must not be pinned to
+    # a single-partition scan (guide §2.5); no-op at real scale
+    df = spread(df)
     v = F.col(value_col).cast("double")
     # the resample explode is ×B, and sha256 per DRAW would dominate it at
     # corpus scale — slice 8 draws of 32 bits each from one shared digest

@@ -96,16 +96,9 @@ def _jaccard_verify(pairs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure a CPU-heavy map stage isn't starved of partitions (a small
-    collection read from one parquet file = one scan partition = one core).
-    No-op whenever the scan already has ≥ defaultParallelism partitions —
-    i.e. always at real scale, where a blind repartition would be a huge
-    unneeded shuffle."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# canonical definition in operators.partition; re-exported here because the
+# dedup family established the pattern and callers/tests import it from here
+from vector_mcp_spark.operators.partition import spread as _spread  # noqa: E402
 
 
 def ngram_jaccard_pairs(
@@ -599,6 +592,7 @@ def near_dup_clusters(
     id_col: str = "id",
     max_rounds: int = 15,
     stats: dict | None = None,
+    pairs_unique: bool = False,
 ) -> DataFrame:
     """Connected components over near-dup ``pairs`` → (id, cluster_id,
     is_canonical). ``cluster_id`` is the minimum id in the component —
@@ -619,7 +613,13 @@ def near_dup_clusters(
     early.
     """
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # min-propagation is duplicate-tolerant; the dedup exchange only pays for
+    # itself when the caller's pair source can emit repeats. pairs_unique=True
+    # (the blocked set-graph: one row per unique node pair by construction)
+    # skips it (r13).
+    if not pairs_unique:
+        edges = edges.distinct()
     labels = (
         nodes.select(F.col(id_col).alias("node")).distinct().withColumn("label", F.col("node"))
     )
@@ -771,7 +771,13 @@ def winnow_near_dup_pairs(
     exploding on corpus-wide templates. Both the cut and the join are
     equi-operations on the fp hash — never a cross join.
     """
-    fps = winnow_fingerprints(df, id_col=id_col, content_col=content_col, k=k, w=w)
+    # _spread: the md5-per-gram + per-window-min map stage must not be pinned
+    # to one scan partition; localCheckpoint: fps feeds THREE plan references
+    # (the max_df cut and both self-join sides) and the fingerprint chain is
+    # the expensive part — materialize it once (the standing multi-branch rule)
+    fps = winnow_fingerprints(
+        _spread(df), id_col=id_col, content_col=content_col, k=k, w=w
+    ).localCheckpoint(eager=True)
     if max_df is not None:
         keep = fps.groupBy("fp").count().where(F.col("count") <= max_df).select("fp")
         fps = fps.join(keep, "fp")
@@ -816,6 +822,9 @@ def near_dup_clusters_blocked(
         nonempty.select("_node"),
         id_col="_node",
         max_rounds=max_rounds,
+        # ver joins two unique-_node frames under node_a < node_b — each
+        # unordered pair appears exactly once, so the CC entry dedup is waste
+        pairs_unique=True,
     )
     clustered = (
         set_labels.select("_node", "cluster_id")

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vector_mcp_spark.functions.text import tokens
+from vector_mcp_spark.operators.partition import spread
 
 
 def _bucket(tok: Column, n_buckets: int) -> Column:
@@ -44,14 +45,19 @@ def importance_weights(
     with add-``alpha`` smoothing over ``n_buckets`` hashed unigram buckets;
     ``is_target`` marks the rows defining the target distribution (the raw
     distribution is the whole input). Positive = target-like."""
-    ex = docs.select(
+    # spread: the tokenize + explode + sha-bucket map stage must not be pinned
+    # to a single-partition scan (guide §2.5); no-op at real scale
+    ex = spread(docs).select(
         F.col(id_col).alias("id"),
         is_target.cast("long").alias("t"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).withColumn("bucket", _bucket(F.col("tok"), n_buckets))
+    # bounded (≤ n_buckets rows) but referenced by BOTH the totals aggregate
+    # and the ratios join — checkpoint so the tokenize chain behind it runs
+    # once, not once per reference (the standing multi-branch rule)
     counts = ex.groupBy("bucket").agg(
         F.count("*").alias("c_raw"), F.sum("t").alias("c_tgt")
-    )
+    ).localCheckpoint(eager=True)
     totals = counts.agg(
         F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
     )

@@ -126,9 +126,16 @@ def _corpus_stats(
     if postings is None:
         postings = build_postings(docs, id_col, content_col)
     lengths = docs.select(id_col, F.size(tokens(F.col(content_col))).alias("doc_len"))
-    stats = docs.agg(
+    # stats derives FROM lengths (same rows, same values: count(*) and avg of
+    # the identical size(tokens) expression) — one tokenizer pass, not two.
+    # NOTE r13: checkpointing postings/lengths for the multi-stage callers
+    # (RM3, MLT) was tried and measured a NET LOSS at sf0.1 (rm3 2.06→2.85 s):
+    # materializing the full exploded postings costs more than the lazy
+    # per-stage recompute of a tokenize map — the bounded collects already
+    # keep the plan small.
+    stats = lengths.agg(
         F.count("*").alias("n_docs"),
-        F.avg(F.size(tokens(F.col(content_col)))).alias("avg_len"),
+        F.avg("doc_len").alias("avg_len"),
     )
     return postings, lengths, stats
 

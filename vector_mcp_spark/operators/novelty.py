@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from vector_mcp_spark.functions.expr import bind_once
 from vector_mcp_spark.functions.text import tokens
+from vector_mcp_spark.operators.partition import spread
 
 
 def _gram_hashes(toks, n: int):
@@ -63,7 +64,9 @@ def span_novelty(
     document (global min-id ownership, ties to the earliest id — so the
     first copy of any duplicated span is never penalized for it);
     ``novelty`` = 1 − n_repeated / n_spans, rounded to 6 dp."""
-    spans = docs.select(
+    # spread: the tokenize + per-span sha map stage must not be pinned to the
+    # single scan partition a small parquet input plans as (guide §2.5)
+    spans = spread(docs).select(
         F.col(id_col).alias("id"), F.explode(_span_hashes(text_col, n)).alias("span_h")
     )
     first_seen = spans.groupBy("span_h").agg(F.min("id").alias("first_id"))
@@ -112,7 +115,10 @@ def strip_repeated_spans(
     # standing multi-branch-input rule). Zero-token docs are excluded up
     # front — there is nothing to strip and the suite oracle's UNNEST-based
     # replay has no row for them either.
-    base = docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+    # spread BEFORE the checkpoint: localCheckpoint preserves partitioning, so
+    # a single-partition scan would pin the tokenize AND every later map stage
+    # reading the checkpoint to one core (guide §2.5)
+    base = spread(docs).select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
     base = base.where(F.size("_toks") > 0).localCheckpoint(eager=True)
     # positional span hashes — unlike span_novelty's distinct set, coverage
     # needs offsets (positions come from posexplode)

@@ -115,7 +115,11 @@ def ann_projected_topk(
     proj_q = project_embeddings(queries, matrix, emb_col=emb_col, out_col="_pq").select(
         F.col(id_col).alias("query_id"), "_pq", l2_norm(F.col("_pq")).alias("_pqn")
     )
-    proj_c = project_embeddings(corpus, matrix, emb_col=emb_col, out_col="_pc").select(
+    from vector_mcp_spark.operators.partition import spread
+
+    # spread: the projection + per-pair coarse-cosine map stage runs on the
+    # corpus scan's partitioning — one core on a single-file local read
+    proj_c = project_embeddings(spread(corpus), matrix, emb_col=emb_col, out_col="_pc").select(
         F.col(id_col).alias("neighbor_id"), "_pc", l2_norm(F.col("_pc")).alias("_pcn")
     )
     coarse = (

@@ -144,8 +144,11 @@ def binary_hamming_topk(
     from pyspark.sql import Window
 
     from vector_mcp_spark.functions.vector import dot, l2_norm
+    from vector_mcp_spark.operators.partition import spread
 
-    c = sign_pack(corpus, vec_col=emb_col, id_col=id_col)
+    # spread the corpus side: the 64-term sign pack + per-pair hamming map
+    # stage must not be pinned to a single-partition scan (guide §2.5)
+    c = sign_pack(spread(corpus), vec_col=emb_col, id_col=id_col)
     q = sign_pack(queries, vec_col=emb_col, id_col=id_col).select(
         F.col(id_col).alias("query_id"),
         F.col("lo").alias("qlo"),

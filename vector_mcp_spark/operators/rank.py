@@ -33,6 +33,7 @@ def global_rank(
     n_buckets: int = 64,
     out_col: str = "rank",
     materialize: bool = True,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = exact row_number over (value_col, *tiebreak_cols)
     ascending, computed without a single-partition window.
@@ -40,7 +41,12 @@ def global_rank(
     The input feeds three jobs (split-point estimate, bucket counts, the
     ranked output), so ``materialize=True`` localCheckpoints it first —
     rank inputs are narrow (id, value) projections by construction, and
-    without this an expensive upstream (e.g. DSIR weights) runs 3×."""
+    without this an expensive upstream (e.g. DSIR weights) runs 3×.
+
+    ``total_col`` attaches the exact total row count as a literal column —
+    it is already known driver-side from the bucket-count prefix sum, so
+    callers that need n (equi-depth tiering) avoid a separate ``count()``
+    action that would re-execute the ranked plan."""
     ties = list(tiebreak_cols)
     if materialize:
         df = df.localCheckpoint(eager=True)
@@ -69,11 +75,14 @@ def global_rank(
     w = Window.partitionBy("_gb").orderBy(
         F.col(value_col).asc(), *[F.col(c).asc() for c in ties]
     )
-    return (
+    out = (
         bucketed.withColumn("_lr", F.row_number().over(w))
         .withColumn(out_col, (off_map[F.col("_gb")] + F.col("_lr")).cast("long"))
         .drop("_gb", "_lr")
     )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(acc).cast("long"))
+    return out
 
 
 def grouped_rank(

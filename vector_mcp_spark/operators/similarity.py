@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_mcp_spark.functions.vector import cosine_similarity, dot, l2_distance, l2_norm
+from vector_mcp_spark.operators.partition import spread
 
 # Pairwise scoring below precomputes each vector's norm ONCE before the
 # join (norms ride along as a narrow double column) and divides the per-pair
@@ -59,7 +60,9 @@ def cosine_self_join_topk(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("qvec"),
         l2_norm(F.col(emb_col)).alias("qnorm"),
     )
-    c = corpus.select(
+    # spread: the per-pair HOF-dot map stage runs on the corpus scan's
+    # partitioning — one core on a single-file local read (guide §2.5)
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("nvec"),
         l2_norm(F.col(emb_col)).alias("nnorm"),
     )
@@ -104,7 +107,8 @@ def hard_negative_mine(
         F.col(label_col).alias("alabel"),
         l2_norm(F.col(emb_col)).alias("anorm"),
     )
-    c = corpus.select(
+    # spread: same single-partition-scan guard as cosine_self_join_topk
+    c = spread(corpus).select(
         F.col(id_col).alias("negative_id"),
         F.col(emb_col).alias("nvec"),
         F.col(label_col).alias("nlabel"),
@@ -329,10 +333,15 @@ def embedding_near_dup_blocked(
     verify stage: probe-measured 16.6× wall at a 10× half-duplicated
     corpus, 7.5× after the collapse (the residual is real near-dup OUTPUT
     growth from the perturbed copies, not wasted verify work)."""
+    # checkpoint: g feeds both self-join sides; without it the collapse
+    # groupBy (and the scan under it) executes once per side — the broadcast
+    # build of the small side is not a reusable exchange (the standing
+    # multi-branch rule)
     g = (
         corpus.groupBy(F.col(block_col).alias("_blk"), F.col(emb_col).alias("_v"))
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
         .withColumn("_n", l2_norm(F.col("_v")))
+        .localCheckpoint(eager=True)
     )
     a = g.select(
         "_blk", F.col("_v").alias("va"), F.col("_n").alias("_na"),

@@ -112,12 +112,16 @@ def repetition_stats(
     token/line arrays are materialized once as projection columns before
     the nested lambdas touch them (an inline expression inside a lambda is
     re-evaluated per element — the ``bind_once`` hazard)."""
+    from vector_mcp_spark.operators.partition import spread
+
     c = F.col(content_col)
     lines_e = F.filter(
         F.transform(F.split(c, line_delim), lambda l: F.trim(l)),
         lambda l: F.length(l) > 0,
     )
-    base = df.select(F.col(id_col), tokens(c).alias("_toks"), lines_e.alias("_lines"))
+    # spread: the O(L² per doc) nested-HOF stage is pure map work — pinned to
+    # one core on a single-partition scan without it (guide §2.5)
+    base = spread(df).select(F.col(id_col), tokens(c).alias("_toks"), lines_e.alias("_lines"))
     base = base.withColumn(
         "_bigrams",
         F.when(

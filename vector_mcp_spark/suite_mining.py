@@ -610,13 +610,14 @@ def q_events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_mcp_spark.operators.rank import global_rank
 
     ev = load(spark, sf_dir, "events")
-    ranked = global_rank(ev.select("value", "event_id"), "value", ["event_id"])
-    n_total = ranked.count()
+    # total_col: n is known driver-side inside global_rank (bucket-count
+    # prefix sum) — a separate count() would re-execute the ranked plan
+    ranked = global_rank(ev.select("value", "event_id"), "value", ["event_id"], total_col="_n")
     return (
         ranked.withColumn(
             "bucket",
             # integer floor-div: no float boundary can misplace a row
-            (F.expr(f"CAST((rank - 1) * 8 DIV {n_total} AS INT) + 1")),
+            (F.expr("CAST((rank - 1) * 8 DIV _n AS INT) + 1")),
         )
         .groupBy("bucket")
         .agg(
@@ -846,8 +847,9 @@ def q_corpus_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, is_target=F.col("source") == "src0",
         n_buckets=_DSIR_BUCKETS, id_col="doc_id", text_col="text",
     ).select("id", "weight")
-    ranked = global_rank(weights, "weight", ["id"])
-    n_total = ranked.count()
+    # total_col: n is known driver-side inside global_rank — avoids a count()
+    # action that would re-run the DSIR + rank chain
+    ranked = global_rank(weights, "weight", ["id"], total_col="_n")
     draw = F.pmod(
         F.conv(
             F.substring(F.sha2(F.concat(F.col("id").cast("string"), F.lit("|cur")), 256), 1, 15),
@@ -859,7 +861,7 @@ def q_corpus_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[x for t, r in _CURR_RATES.items() for x in (F.lit(t), F.lit(r))]
     )
     return (
-        ranked.withColumn("tier", F.expr(f"CAST((rank - 1) * 4 DIV {n_total} AS INT) + 1"))
+        ranked.withColumn("tier", F.expr("CAST((rank - 1) * 4 DIV _n AS INT) + 1"))
         .withColumn("kept", (draw < rate[F.col("tier")]).cast("long"))
         .groupBy("tier")
         .agg(

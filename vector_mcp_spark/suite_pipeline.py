@@ -223,12 +223,20 @@ def q_corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from vector_mcp_spark.operators.contamination import ngram_set
 
-    docs = load(spark, sf_dir, "documents").select(
+    from vector_mcp_spark.operators.partition import spread
+
+    # spread: the tokenize + gram + 3×sha-probe map stage must not be pinned
+    # to the single scan partition (guide §2.5)
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text")).select(
         "doc_id", ngram_set(F.col("text"), _CONTAM_N).alias("s")
     )
+    # the bench gram set feeds TWO plan references (the bloom build's collect
+    # and the exact-check broadcast join) — checkpoint so its tokenize chain
+    # runs once; it is the eval-set distinct-gram frame, already assumed
+    # broadcastable by the exact check below
     bench = docs.where(F.col("doc_id") % 50 == 0).select(
         F.explode("s").alias("gram")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     words = bloom_words(
         bloom_build(bench, "gram", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES),
         n_bits=_BLOOM_BITS,
@@ -2196,17 +2204,24 @@ def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_mcp_spark.operators.contamination import ngram_set
     from vector_mcp_spark.operators.sketches import kmv_set_estimates, kmv_sketch
 
+    from vector_mcp_spark.operators.partition import spread
+
     docs = load(spark, sf_dir, "documents")
     # ngram_set binds the tokenizer ONCE before the gram lambda (an inline
     # tokens() inside the HOF re-runs the regexp per element — measured
-    # ~2.5× on this query) and already dedups per doc
-    ex = docs.select(
+    # ~2.5× on this query) and already dedups per doc; spread keeps the
+    # tokenize off the single scan partition (guide §2.5)
+    ex = spread(docs.select("source", "text")).select(
         "source", F.explode(ngram_set(F.col("text"), 3)).alias("shingle")
     )
     # presalt: a source's distinct-shingle universe is corpus-sized — the
     # two-phase sketch keeps every reducer bounded at k rows per salt and
     # is bit-identical to the single-phase result (lossless merge)
-    sk = kmv_sketch(ex, ["source"], "shingle", k=_OVERLAP_K, presalt=16)
+    # bounded (one k-row sketch per source) but referenced by BOTH self-join
+    # sides — checkpoint so the corpus-wide shingle chain runs once
+    sk = kmv_sketch(ex, ["source"], "shingle", k=_OVERLAP_K, presalt=16).localCheckpoint(
+        eager=True
+    )
     a = sk.select(F.col("source").alias("source_a"), F.col("ks").alias("ks_a"))
     b = sk.select(F.col("source").alias("source_b"), F.col("ks").alias("ks_b"))
     pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
