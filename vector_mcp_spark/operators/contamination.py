@@ -78,7 +78,11 @@ def contamination_report(
     # one pass over the training grams: broadcast-mark shared grams, then a
     # single aggregation yields both the total and the shared count (the
     # gram sets are per-doc distinct, so count(*) IS n_grams)
-    ex = train.select(F.col(id_col), tokens(content_col).alias("_toks")).select(
+    from vector_mcp_spark.operators.partition import spread
+
+    # spread: the train-side tokenize+gram map must not be pinned to one
+    # scan partition (guide §2.5)
+    ex = spread(train).select(F.col(id_col), tokens(content_col).alias("_toks")).select(
         id_col, F.explode(ngrams_of("_toks", n)).alias("gram")
     )
     marked = ex.join(broadcast(bench_grams), "gram", "left")

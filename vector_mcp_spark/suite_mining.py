@@ -702,12 +702,15 @@ FROM pred GROUP BY declared, detected
 def q_corpus_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_mcp_spark.operators.textstats import lang_id
 
+    from vector_mcp_spark.operators.partition import spread
+
     docs = load(spark, sf_dir, "documents")
     # docs with zero tokens are absent from the oracle's explode; mirror
     # that by filtering to non-empty token lists (the corpus has none, but
-    # semantics should not depend on it)
+    # semantics should not depend on it). spread: the per-row lang-score
+    # regexp counting is pure map work (guide §2.5).
     return (
-        docs.where(F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9_]{2,}', 0)")) > 0)
+        spread(docs).where(F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9_]{2,}', 0)")) > 0)
         .select(F.col("lang").alias("declared"), lang_id(F.col("text")).alias("detected"))
         .groupBy("declared", "detected")
         .agg(F.count("*").alias("n_docs"))

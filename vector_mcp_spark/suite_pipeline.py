@@ -1298,9 +1298,16 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 
 @register("text_stats", _TEXT_STATS_ORACLE, "textstats", "pipeline")
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_mcp_spark.operators.partition import spread
     from vector_mcp_spark.operators.textstats import text_stats
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    # spread at the ENTRY, not inside text_stats: this entry materializes all
+    # seven per-row signals (heavy map work, wins from fan-out), while the
+    # quality-filter callers prune to 2-3 signals where the extra shuffle
+    # costs more than the map stage saves (measured r13, guide §2.5)
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    )
     return text_stats(docs, id_col="doc_id", content_col="content")
 
 

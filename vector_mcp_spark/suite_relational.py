@@ -650,7 +650,11 @@ def q_udtf_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"parse_props_{next(_UDTF_SEQ)}"
     spark.udtf.register(name, ParseProps)
-    ev = load(spark, sf_dir, "events")
+    from vector_mcp_spark.operators.partition import spread
+
+    # spread: a single-partition scan feeds ONE Python UDTF worker; the
+    # repartition fans the lateral call out to the whole worker pool
+    ev = spread(load(spark, sf_dir, "events"))
     view = f"events_udtf_{name}"
     ev.createOrReplaceTempView(view)
     return spark.sql(
