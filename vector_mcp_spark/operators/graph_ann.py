@@ -246,6 +246,28 @@ def hnsw_build(
     return edges, {"entry": entry, "top_layer": int(top)}
 
 
+def hnsw_serve_set(
+    corpus: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+    metric: str = "cosine",
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the query-INDEPENDENT beam-serve working set once:
+    ``(nodes, edges)`` with nodes = (node, v, n) carrying the metric's
+    per-node norm, both localCheckpointed. A vector DB holds exactly this
+    in RAM next to the graph; callers that serve many queries against one
+    index build it once and pass it as ``serve_set`` so each serve skips
+    two eager checkpoint jobs (guide §1.2). The frames are bound to the
+    building SparkSession — key any cache by applicationId."""
+    nodes = corpus.select(
+        F.col(id_col).alias("node"),
+        F.col(emb_col).alias("v"),
+        _node_norm(F.col(emb_col), metric).alias("n"),
+    ).localCheckpoint(eager=True)
+    return nodes, edges.localCheckpoint(eager=True)
+
+
 def ann_hnsw_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -260,6 +282,7 @@ def ann_hnsw_topk(
     allowed: DataFrame | None = None,
     metric: str = "cosine",
     stats: dict | None = None,
+    serve_set: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Greedy beam search over the layered graph: start every query's beam
     at the shared entry node, descend the fixed ``hops`` schedule, keep the
@@ -284,12 +307,20 @@ def ann_hnsw_topk(
     """
     if metric not in GRAPH_METRICS:
         raise ValueError(f"unknown metric {metric!r}; one of {sorted(GRAPH_METRICS)}")
-    nodes = corpus.select(
-        F.col(id_col).alias("node"),
-        F.col(emb_col).alias("v"),
-        _node_norm(F.col(emb_col), metric).alias("n"),
-    ).localCheckpoint(eager=True)  # feeds one scoring join per hop
-    edges = edges.localCheckpoint(eager=True)
+    if serve_set is not None:
+        # query-independent working set prepared ONCE by the caller
+        # (hnsw_serve_set) and reused across serves: skips two eager
+        # checkpoint jobs + their plan analyses per query (measured ~1 s
+        # of pure driver latency per serve at sf0.1 — guide §1.2, don't
+        # recompute what the index already holds)
+        nodes, edges = serve_set
+    else:
+        nodes = corpus.select(
+            F.col(id_col).alias("node"),
+            F.col(emb_col).alias("v"),
+            _node_norm(F.col(emb_col), metric).alias("n"),
+        ).localCheckpoint(eager=True)  # feeds one scoring join per hop
+        edges = edges.localCheckpoint(eager=True)
 
     # checkpointed too: every hop's rescore joins q, and without a leaf here
     # each hop would re-scan the query frame's lineage (r13 optimization —
@@ -511,6 +542,7 @@ def ann_filtered_topk_routed(
     selectivity_threshold: float = 0.25,
     n_total: int | None = None,
     metric: str = "cosine",
+    serve_set: tuple[DataFrame, DataFrame] | None = None,
 ) -> tuple[DataFrame, str]:
     """Selectivity-routed filtered ANN — the composition qdrant's query
     planner actually performs for filter+vector queries (its cardinality
@@ -546,7 +578,7 @@ def ann_filtered_topk_routed(
             ann_hnsw_topk(
                 queries, corpus, edges, entry, k=k, ef=ef, id_col=id_col,
                 emb_col=emb_col, exclude_self=exclude_self, allowed=allowed,
-                metric=metric,
+                metric=metric, serve_set=serve_set,
             ),
             "graph",
         )
@@ -554,14 +586,19 @@ def ann_filtered_topk_routed(
     # selective regime's allowed set scales with the corpus, only its
     # FRACTION is bounded; AQE broadcasts it when it is actually small
     allowed_ids = allowed.select(F.col(allowed.columns[0]).alias("node")).distinct()
-    nodes = (
-        corpus.select(
+    # the serve set's nodes frame carries exactly the (node, v, n) this
+    # branch would project — reuse it so the exact regime also skips the
+    # corpus re-projection (identical values by construction)
+    base_nodes = (
+        serve_set[0]
+        if serve_set is not None
+        else corpus.select(
             F.col(id_col).alias("node"),
             F.col(emb_col).alias("v"),
             _node_norm(F.col(emb_col), metric).alias("n"),
         )
-        .join(allowed_ids, "node", "left_semi")
     )
+    nodes = base_nodes.join(allowed_ids, "node", "left_semi")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("qv"),

@@ -895,13 +895,13 @@ def q_hybrid_indexed_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk
     from vector_mcp_spark.operators.hybrid import rrf_fuse
     from vector_mcp_spark.operators.lexical import bm25_topk
-    from vector_mcp_spark.suite_pipeline import _HNSW_EF, _HNSW_K, _hnsw_index
+    from vector_mcp_spark.suite_pipeline import _HNSW_EF, _HNSW_K, _hnsw_serve
 
     embs = load(spark, sf_dir, "embeddings")
-    edges, meta = _hnsw_index(spark, sf_dir)
+    serve_set, meta = _hnsw_serve(spark, sf_dir)
     ann = ann_hnsw_topk(
-        embs.where(F.col("vec_id") == 0), embs, edges, meta["entry"],
-        k=_HNSW_K, ef=_HNSW_EF, id_col="vec_id",
+        embs.where(F.col("vec_id") == 0), embs, None, meta["entry"],
+        k=_HNSW_K, ef=_HNSW_EF, id_col="vec_id", serve_set=serve_set,
     ).select(F.col("neighbor_id").alias("doc_id"), "score")
     docs = load(spark, sf_dir, "documents")
     lex = bm25_topk(docs, LEX_QUERY, LEX_K, id_col="doc_id", content_col="text")
