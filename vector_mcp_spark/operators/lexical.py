@@ -122,17 +122,19 @@ def _corpus_stats(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The shared BM25 prologue: (postings, lengths, stats) — one tokenizer
     pass declared three ways. Used by bm25_topk, rm3_topk and
-    more_like_this_topk so the corpus statistics are defined once."""
+    more_like_this_topk so the corpus statistics are defined once.
+
+    NOTE r13: localCheckpointing postings AND (separately) lengths for the
+    multi-stage callers (RM3, MLT) were both tried and both measured NET
+    LOSSES at sf0.1 (postings: rm3 2.06→2.85 s; lengths: rm3 2.42→2.90 s)
+    — the eager materialization job costs more than the lazy re-tokenize
+    of each branch. The wins that stuck are per-doc rewrites (tokenize
+    only the feedback/seed docs), not materialization."""
     if postings is None:
         postings = build_postings(docs, id_col, content_col)
     lengths = docs.select(id_col, F.size(tokens(F.col(content_col))).alias("doc_len"))
     # stats derives FROM lengths (same rows, same values: count(*) and avg of
     # the identical size(tokens) expression) — one tokenizer pass, not two.
-    # NOTE r13: checkpointing postings/lengths for the multi-stage callers
-    # (RM3, MLT) was tried and measured a NET LOSS at sf0.1 (rm3 2.06→2.85 s):
-    # materializing the full exploded postings costs more than the lazy
-    # per-stage recompute of a tokenize map — the bounded collects already
-    # keep the plan small.
     stats = lengths.agg(
         F.count("*").alias("n_docs"),
         F.avg("doc_len").alias("avg_len"),
@@ -560,10 +562,19 @@ def rm3_topk(
     )
 
     # --- stage 2 (bounded collect #2): RM1 expansion weights ---------------
+    # tf and doc_len are PER-DOC quantities, and this stage only reads the
+    # ≤ fb_docs feedback docs — tokenize exactly those (the id predicate
+    # reaches the scan) instead of re-deriving the corpus-wide postings and
+    # inner-joining them down to 10 rows. Same tokenizer, same (id, term,
+    # tf) and doc_len values for those ids — bit-identical weights.
+    fb_ids = [r[0] for r in fb_rows]
+    fb_only = docs.where(F.col(id_col).isin(fb_ids))
+    fb_post = build_postings(fb_only, id_col, content_col)
+    fb_len = fb_only.select(id_col, F.size(tokens(F.col(content_col))).alias("doc_len"))
     exp_rows = (
-        postings.join(fb_norm, id_col)
+        fb_post.join(fb_norm, id_col)
         .where(~F.array_contains(terms_lit, F.col("term")))
-        .join(lengths, id_col)
+        .join(fb_len, id_col)
         .groupBy("term")
         .agg(F.round(F.sum(F.col("tf") / F.col("doc_len") * F.col("nscore")), SCORE_DECIMALS).alias("rel"))
         .orderBy(F.col("rel").desc(), F.col("term").asc())
@@ -616,7 +627,12 @@ def more_like_this_topk(
     spark = docs.sparkSession
 
     # --- stage 1 (bounded collect): the seed's top tf·idf terms -----------
-    seed_post = postings.where(F.col(id_col) == F.lit(seed_id)).select("term", "tf")
+    # tf is per-doc: tokenize ONLY the seed row (id predicate reaches the
+    # scan) instead of building corpus-wide postings and filtering to one
+    # doc — identical (term, tf) rows for the seed by construction (r13)
+    seed_post = build_postings(
+        docs.where(F.col(id_col) == F.lit(seed_id)), id_col, content_col
+    ).select("term", "tf")
     seed_df = (
         postings.join(F.broadcast(seed_post.select("term")), "term", "leftsemi")
         .groupBy("term")
