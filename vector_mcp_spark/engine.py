@@ -148,7 +148,32 @@ class CollectionEngine:
         # through transactional MERGE/DELETE (operators/transactional.py);
         # unset keeps the partition-pruned parquet rewrite path
         self._table_format = transactional_format()
+        # Beam-serve working sets per graph index build: (index root,
+        # manifest mtime_ns, metric) → materialized (nodes, edges). The
+        # mtime key makes any rebuild a miss, and staleness REFUSAL
+        # (index_not_fresh) runs before this cache is consulted, so a
+        # stale index can never be served from here (r13, guide §1.2).
+        self._graph_serve_sets: dict[tuple, tuple] = {}
         (self.root / "collections").mkdir(parents=True, exist_ok=True)
+
+    def _graph_serve_set(self, index_root: Path, corpus, metric: str):
+        """Materialized (nodes, edges) for one graph index build — the
+        in-RAM working set a vector DB keeps open next to its persisted
+        graph. Built once per (build, metric); evicts prior builds of the
+        same root so a rebuild does not pin dead checkpoint blocks."""
+        from vector_mcp_spark.operators.graph_ann import hnsw_serve_set
+
+        st = (index_root / "manifest.json").stat()
+        key = (str(index_root), st.st_mtime_ns, metric)
+        hit = self._graph_serve_sets.get(key)
+        if hit is not None:
+            return hit
+        for old in [k for k in self._graph_serve_sets if k[0] == key[0]]:
+            del self._graph_serve_sets[old]
+        edges = self.spark.read.parquet(str(index_root / "graph"))
+        ss = hnsw_serve_set(corpus, edges, id_col="id", emb_col="embedding", metric=metric)
+        self._graph_serve_sets[key] = ss
+        return ss
 
     # -- catalog ------------------------------------------------------------
     #
@@ -1541,14 +1566,14 @@ class CollectionEngine:
         meta = json.loads((root / "manifest.json").read_text())
         if (meta.get("graph") or {}).get("entry") is None:
             return empty
-        edges = self.spark.read.parquet(str(root / "graph"))
         corpus = vecs.select("id", F.col("vector").alias("embedding"))
         query = self.spark.createDataFrame(
             [("__q__", question_vec)], "id string, embedding array<float>"
         )
+        serve_set = self._graph_serve_set(root, corpus, metric)
         hits = ann_hnsw_topk(
-            query, corpus, edges, meta["graph"]["entry"], k=k, ef=ef,
-            id_col="id", exclude_self=False, metric=metric,
+            query, corpus, None, meta["graph"]["entry"], k=k, ef=ef,
+            id_col="id", exclude_self=False, metric=metric, serve_set=serve_set,
         ).select(F.col("neighbor_id").alias("id"), "score")
         return (
             self.read(name)
@@ -1786,19 +1811,19 @@ class CollectionEngine:
         df = self._served_embeddings_df(name, scoped)
         if meta.get("entry") is None:
             return self.spark.createDataFrame([], "id string, content string, score double")
-        edges = self.spark.read.parquet(str(self._index_root(scoped) / "graph"))
         corpus = df.where(F.col("embedding").isNotNull()).select("id", "embedding")
         query = self.spark.createDataFrame(
             [("__q__", [float(x) for x in question_vec])],
             "id string, embedding array<float>",
         )
         metric = manifest.get("distance") or "cosine"
+        serve_set = self._graph_serve_set(self._index_root(scoped), corpus, metric)
         hits = ann_hnsw_topk(
-            query, corpus, edges, meta["entry"], k=k, ef=ef, id_col="id",
+            query, corpus, None, meta["entry"], k=k, ef=ef, id_col="id",
             exclude_self=False,  # the query is not a corpus row; a document
             # whose id happens to equal the synthetic query id must still
             # be returnable
-            metric=metric,
+            metric=metric, serve_set=serve_set,
         ).select(F.col("neighbor_id").alias("id"), "score")
         return (
             df.join(F.broadcast(hits), "id")
