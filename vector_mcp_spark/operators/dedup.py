@@ -483,12 +483,18 @@ def incremental_near_dup(
     n_digests = -(-num_hashes // 8)
 
     def _set_groups(df: DataFrame) -> DataFrame:
-        base = _spread(df.select(F.col(id_col).alias("_id"), F.col(content_col))).select(
-            "_id", F.array_sort(_distinct_tokens(content_col)).alias("_toks")
+        base = _spread(df.select("_side", F.col(id_col).alias("_id"), F.col(content_col))).select(
+            "_side", "_id", F.array_sort(_distinct_tokens(content_col)).alias("_toks")
         ).where(F.size("_toks") > 0)
         return (
             base.withColumn("_key", F.sha2(F.concat_ws("\x1f", F.col("_toks")), 256))
-            .groupBy("_key")
+            # side rides in the group key, so each side's collapse is
+            # exactly what two separate passes produced — but tokenize/
+            # shuffle/checkpoint run ONCE over the union instead of once
+            # per side (r13: one spread + one eager materialization job
+            # instead of two; the sides are disjoint filters of one scan
+            # in the steady-state caller)
+            .groupBy("_side", "_key")
             .agg(F.collect_list("_id").alias("_ids"), F.first("_toks").alias("_toks"))
             # three references each (banding, verify toks, expansion) —
             # broadcast builds re-ran the chain per reference (r13; see
@@ -518,8 +524,14 @@ def incremental_near_dup(
             ),
         )
 
-    ga = _set_groups(incoming)
-    gb = _set_groups(corpus)
+    tagged = incoming.select(
+        F.lit("a").alias("_side"), F.col(id_col), F.col(content_col)
+    ).unionByName(
+        corpus.select(F.lit("b").alias("_side"), F.col(id_col), F.col(content_col))
+    )
+    groups = _set_groups(tagged)
+    ga = groups.where(F.col("_side") == "a").drop("_side")
+    gb = groups.where(F.col("_side") == "b").drop("_side")
     cands = (
         _set_banded(ga).select(F.col("_key").alias("id_a"), "band", "sig")
         .join(_set_banded(gb).select(F.col("_key").alias("id_b"), "band", "sig"), ["band", "sig"])

@@ -135,6 +135,12 @@ def matryoshka_recall(
             sliced_q, sliced_c, k=k, id_col=id_col, emb_col=emb_col
         ).select(F.lit(d).alias("dim"), "query_id", "neighbor_id")
         rankings = r if rankings is None else rankings.unionByName(r)
+    # Referenced twice below (as itself and as the gold slice): without a
+    # leaf here the gold branch re-runs the full-dim scoring pass — one
+    # whole extra corpus scan per call. The frame is metric-sized
+    # (≤ |dims|·|queries|·k rows), so the materialization is bounded at
+    # any corpus scale (r13, guide §2.4 multi-branch rule).
+    rankings = rankings.localCheckpoint(eager=True)
     gold = rankings.where(F.col("dim") == full_dim).select(
         F.col("query_id").alias("_gq"), F.col("neighbor_id").alias("_gn")
     )
