@@ -605,6 +605,7 @@ def near_dup_clusters(
     max_rounds: int = 15,
     stats: dict | None = None,
     pairs_unique: bool = False,
+    nodes_unique: bool = False,
 ) -> DataFrame:
     """Connected components over near-dup ``pairs`` → (id, cluster_id,
     is_canonical). ``cluster_id`` is the minimum id in the component —
@@ -618,12 +619,41 @@ def near_dup_clusters(
     adopts the min label among itself and its neighbors, then edges are
     re-expressed over current labels (path compression), so chains collapse
     in O(log diameter) rounds, not O(diameter). Each round is two
-    pairs-sized shuffles; frames are localCheckpoint()ed to keep lineage
-    (and therefore planning time) flat. At 100 TB the pair graph is the
-    small output of blocked/banded candidate generation — components are
-    tiny (dup groups), so rounds stay low and the fixpoint check exits
-    early.
+    pairs-sized shuffles; round frames are pinned (persist + materialize)
+    so planning stays flat and join strategies come from REAL sizes. At
+    100 TB the pair graph is the small output of blocked/banded candidate
+    generation — components are tiny (dup groups), so rounds stay low and
+    the fixpoint check exits early.
     """
+
+    # A checkpoint leaf (LogicalRDD) advertises NO size statistics, so
+    # every per-round join planned sort-merge first and AQE materialized
+    # shuffle stages for BOTH sides before flipping to broadcast at
+    # runtime — ~8 sunk stage-jobs per round shuffling frames the final
+    # plan never reshuffles. _pin() therefore counts each checkpointed
+    # frame (one trivial job over the already-cached partitions; for edges
+    # it doubles as the fixpoint probe) and the round hints broadcast ONLY
+    # when the MEASURED size fits the session's own
+    # autoBroadcastJoinThreshold — at real scale, where labels/edges
+    # outgrow it, no hint fires and the sort-merge shuffles are real work,
+    # not waste. (A persist()-based variant that exposes stats to the
+    # planner directly was measured 6x WORSE here: unpersisting a round's
+    # parents invalidates and recomputes dependent cache entries.)
+    try:
+        _bcast_limit = int(
+            pairs.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except (TypeError, ValueError):
+        _bcast_limit = 10 * 1024 * 1024
+    _ROW_BYTES = 64  # two longs per row, serialized + object overhead
+
+    def _pin(df: DataFrame) -> tuple[DataFrame, int]:
+        df = df.localCheckpoint(eager=True)
+        return df, df.count()
+
+    def _maybe_bcast(df: DataFrame, n: int) -> DataFrame:
+        return F.broadcast(df) if 0 <= n * _ROW_BYTES <= _bcast_limit else df
+
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # min-propagation is duplicate-tolerant; the dedup exchange only pays for
@@ -632,31 +662,43 @@ def near_dup_clusters(
     # skips it (r13).
     if not pairs_unique:
         edges = edges.distinct()
-    labels = (
-        nodes.select(F.col(id_col).alias("node")).distinct().withColumn("label", F.col("node"))
-    )
-    edges = edges.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
+    labels = nodes.select(F.col(id_col).alias("node"))
+    # nodes_unique=True (the blocked set-graph: one group node per doc) skips
+    # a full exchange+agg the caller proved redundant (r14)
+    if not nodes_unique:
+        labels = labels.distinct()
+    labels = labels.withColumn("label", F.col("node"))
+    edges, n_edges = _pin(edges)
+    labels, n_labels = _pin(labels)
     rounds = 0
     for _ in range(max_rounds):
         # Propagation fixpoint = no inter-component edges left after
         # contraction: every remaining edge joins two distinct labels, so an
-        # empty edge frame means no label can decrease further. Checking the
-        # (small, shrinking, already-checkpointed) edge frame is one trivial
-        # job per round — NOT an N-sized join of old vs new labels. Label
-        # CHAINS may still be un-compressed at that point (a node can point
-        # at a now-relabeled intermediate); the compression loop below
-        # finishes those off.
-        if edges.limit(1).count() == 0:
+        # empty edge frame means no label can decrease further. The count
+        # _pin() already took doubles as the probe — no extra job, and NOT
+        # an N-sized join of old vs new labels. Label CHAINS may still be
+        # un-compressed at that point (a node can point at a now-relabeled
+        # intermediate); the compression loop below finishes those off.
+        if n_edges == 0:
             break
         rounds += 1
+        # Joins below are rename-free condition joins (r14): a
+        # withColumnRenamed on a join input puts an aliasing Project above
+        # the build side, so every reference broadcast the SAME frame under
+        # a DIFFERENT canonical plan and the exchange-reuse cache never hit
+        # — each tiny CC round paid 4-5 separate broadcast-build jobs.
+        # Joining on qualified columns keeps every reference's plan
+        # byte-canonical-equal, so one broadcast build serves them all
+        # (and identical shuffle subtrees reuse likewise at cluster scale).
+        lbl_b = _maybe_bcast(labels, n_labels)
         nbr_min = (
-            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            edges.join(lbl_b, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
-            .withColumnRenamed("src", "node")
         )
-        new_labels = labels.join(nbr_min, "node", "left").select(
+        new_labels = labels.join(
+            _maybe_bcast(nbr_min, n_labels), labels["node"] == nbr_min["src"], "left"
+        ).select(
             "node", F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label")
         )
         # pointer jump (label ← label(label)): after contraction only
@@ -665,47 +707,59 @@ def near_dup_clusters(
         m = new_labels
         new_labels = (
             m.alias("a")
-            .join(m.alias("b"), F.col("a.label") == F.col("b.node"))
+            .join(_maybe_bcast(m.alias("b"), n_labels), F.col("a.label") == F.col("b.node"))
             .select(F.col("a.node").alias("node"), F.col("b.label").alias("label"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels, n_labels = _pin(new_labels)
         # contract: re-express edges over the labels found so far — the next
-        # round propagates between components, not individual nodes
-        lbl = new_labels
+        # round propagates between components, not individual nodes.
         # no .distinct() on the contracted edges (r13): min-aggregation is
         # duplicate-tolerant, the multiset never GROWS (each edge maps 1:1,
         # self-loops drop), and the set-level collapse upstream already
         # bounds parallel-edge multiplicity — dropping the dedup removes a
         # full exchange per round for identical labels
-        edges = (
-            edges.join(lbl.withColumnRenamed("node", "src"), "src")
-            .select(F.col("label").alias("src"), "dst")
-            .join(lbl.withColumnRenamed("node", "dst"), "dst")
-            .select("src", F.col("label").alias("dst"))
+        # (dataset aliases disambiguate the two references; SubqueryAlias
+        # is stripped before plan canonicalization, so both references
+        # still hash to ONE reusable broadcast build)
+        relabeled = (
+            edges.join(
+                _maybe_bcast(new_labels.alias("_l1"), n_labels),
+                edges["src"] == F.col("_l1.node"),
+            )
+            .select(F.col("_l1.label").alias("src"), edges["dst"])
+        )
+        edges, n_edges = _pin(
+            relabeled.join(
+                _maybe_bcast(new_labels.alias("_l2"), n_labels),
+                relabeled["dst"] == F.col("_l2.node"),
+            )
+            .select(relabeled["src"], F.col("_l2.label").alias("dst"))
             .where(F.col("src") != F.col("dst"))
-            .localCheckpoint(eager=True)
         )
         labels = new_labels
     # Final path compression: chase remaining label chains to their roots
     # (label values only ever decrease, so every chain ends at a self-labeled
     # component min; each jump halves chain depth → a couple of iterations).
     # The moved flag rides along in the same join, so the convergence check
-    # is a trivial second job on the checkpointed frame, not an extra join.
+    # is a trivial exchange-free take(1) over the pinned frame, not an
+    # extra join.
     compress_rounds = 0
     for _ in range(max_rounds):
         compress_rounds += 1
-        jumped = (
+        jumped, _n = _pin(
             labels.alias("a")
-            .join(labels.alias("b"), F.col("a.label") == F.col("b.node"))
+            .join(
+                _maybe_bcast(labels.alias("b"), n_labels),
+                F.col("a.label") == F.col("b.node"),
+            )
             .select(
                 F.col("a.node").alias("node"),
                 F.col("b.label").alias("label"),
                 (F.col("a.label") != F.col("b.label")).alias("__moved"),
             )
-            .localCheckpoint(eager=True)
         )
         labels = jumped.select("node", "label")
-        if jumped.where("__moved").limit(1).count() == 0:
+        if jumped.where("__moved").isEmpty():
             break
     if stats is not None:
         # driver-side probe counters (tools/scale_probe.py deep): how many
@@ -837,6 +891,9 @@ def near_dup_clusters_blocked(
         # ver joins two unique-_node frames under node_a < node_b — each
         # unordered pair appears exactly once, so the CC entry dedup is waste
         pairs_unique=True,
+        # _node = array_min over a partition of doc ids: one node per group
+        # row, already unique — the CC-side distinct is a wasted exchange
+        nodes_unique=True,
     )
     clustered = (
         set_labels.select("_node", "cluster_id")

@@ -26,7 +26,11 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_mcp_spark.functions.vector import cosine_similarity_lit
+from vector_mcp_spark.functions.vector import (
+    cosine_similarity,
+    cosine_similarity_lit,
+    query_vector_lit,
+)
 
 SCORE_DECIMALS = 6
 
@@ -46,14 +50,23 @@ def federated_topk(
     global ranking plus each hit's rank within its own collection, ties
     pinned by (collection, id) so results are deterministic.
     """
-    scored = docs.select(
+    # The guard must run BEFORE ranking (NaN orders ABOVE every double in
+    # desc() windows, so an unfiltered NaN row would consume quota and
+    # top-n slots), and Catalyst pushes it below the score projection by
+    # re-inlining the scoring expression into the Filter — with the
+    # unrolled codegen'd cosine that meant THREE textual copies of the
+    # 64-dim tree in one whole-stage region, overflowing janino's 64 KB
+    # method limit and dropping the stage to interpreted (r14). The guard
+    # therefore tests the HOF-fold cosine: bit-identical value (same
+    # left-associative fold over the same widened floats), constant-size
+    # expression, so the pushed predicate stays small and the projected
+    # unrolled score is the region's only big tree — whole-stage codegen
+    # compiles again.
+    guard = cosine_similarity(F.col(emb_col), query_vector_lit(query_vec))
+    scored = docs.where(guard.isNotNull() & ~F.isnan(guard)).select(
         F.col(collection_col).alias("collection"),
         F.col(id_col),
         cosine_similarity_lit(F.col(emb_col), query_vec).alias("_score"),
-    ).where(
-        # before ranking: NaN orders ABOVE every double in desc() windows,
-        # so an unfiltered NaN row would consume quota and top-n slots
-        F.col("_score").isNotNull() & ~F.isnan("_score")
     )
     w_local = Window.partitionBy("collection").orderBy(
         F.col("_score").desc(), F.col(id_col).asc()

@@ -108,15 +108,34 @@ def semantic_topk(
     # "no threshold" for the DISTANCE metrics (cosine distance ∈ [0,2],
     # l2 ≥ 0), but is a legitimate minimum score for dot (inner products
     # go negative), so dot applies any non-None bound.
-    if distance_threshold is not None and (metric == "dot" or distance_threshold >= 0):
+    apply_threshold = distance_threshold is not None and (
+        metric == "dot" or distance_threshold >= 0
+    )
+    # For l2 the threshold moves ABOVE the top-k (r14): pre-limit, Catalyst
+    # pushes the predicate below the score projection and re-inlines the
+    # unrolled distance tree into the Filter — the l2 tree is big enough
+    # that the duplicated copies overflow janino's 64 KB method limit and
+    # the whole stage falls back to interpreted. Post-limit the predicate
+    # tests the already-computed k-row column: one codegen'd evaluation per
+    # scanned row, and strictly fewer predicate evaluations at any scale.
+    # Equivalent because the filter keeps exactly the GOOD end of the sort
+    # order (dist <= t under asc): filtering a sorted prefix == prefix of
+    # the filtered sort, incl. NaN (sorts above every double, below NULLs
+    # under asc_nulls_last — both orders drop it) and NULL (dropped) rows.
+    # cosine/dot order desc, where NaN sorts FIRST and would eat limit
+    # slots, so those metrics keep the pre-limit filter (their single-copy
+    # predicates codegen fine).
+    if apply_threshold and metric != "l2":
         scored = scored.where(_threshold_pred(metric, distance_threshold))
     order = F.col("score").desc() if higher else F.col("score").asc_nulls_last()
-    return (
+    out = (
         scored.select(id_col, *payload_cols, "score")
         .orderBy(order, F.col(id_col).asc())
         .limit(k)
-        .withColumn("score", F.round("score", SCORE_DECIMALS))
     )
+    if apply_threshold and metric == "l2":
+        out = out.where(_threshold_pred(metric, distance_threshold))
+    return out.withColumn("score", F.round("score", SCORE_DECIMALS))
 
 
 def semantic_topk_multi(
