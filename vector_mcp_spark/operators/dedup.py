@@ -630,29 +630,19 @@ def near_dup_clusters(
     # every per-round join planned sort-merge first and AQE materialized
     # shuffle stages for BOTH sides before flipping to broadcast at
     # runtime — ~8 sunk stage-jobs per round shuffling frames the final
-    # plan never reshuffles. _pin() therefore counts each checkpointed
-    # frame (one trivial job over the already-cached partitions; for edges
-    # it doubles as the fixpoint probe) and the round hints broadcast ONLY
-    # when the MEASURED size fits the session's own
-    # autoBroadcastJoinThreshold — at real scale, where labels/edges
+    # plan never reshuffles. pin_counted() therefore counts each
+    # checkpointed frame (one trivial job over the already-cached
+    # partitions; for edges it doubles as the fixpoint probe) and the
+    # round hints broadcast ONLY when the MEASURED size fits the session's
+    # own autoBroadcastJoinThreshold — at real scale, where labels/edges
     # outgrow it, no hint fires and the sort-merge shuffles are real work,
     # not waste. (A persist()-based variant that exposes stats to the
     # planner directly was measured 6x WORSE here: unpersisting a round's
     # parents invalidates and recomputes dependent cache entries.)
-    try:
-        _bcast_limit = int(
-            pairs.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        )
-    except (TypeError, ValueError):
-        _bcast_limit = 10 * 1024 * 1024
-    _ROW_BYTES = 64  # two longs per row, serialized + object overhead
+    from vector_mcp_spark.operators.partition import bcast_if_fits, pin_counted
 
-    def _pin(df: DataFrame) -> tuple[DataFrame, int]:
-        df = df.localCheckpoint(eager=True)
-        return df, df.count()
-
-    def _maybe_bcast(df: DataFrame, n: int) -> DataFrame:
-        return F.broadcast(df) if 0 <= n * _ROW_BYTES <= _bcast_limit else df
+    _pin = pin_counted
+    _maybe_bcast = bcast_if_fits
 
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

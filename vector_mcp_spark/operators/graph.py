@@ -24,6 +24,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_mcp_spark.operators.partition import bcast_if_fits, pin_counted
+
 
 def pagerank(
     edges: DataFrame,
@@ -170,16 +172,29 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     near-linear. The degree table is |V|-sized (AQE broadcasts it while it
     fits)."""
     e = edges.select("a", "b")
+    n_e = -1
     if materialize:
-        e = e.localCheckpoint(eager=True)
+        # pin_counted + measured broadcast gates (r14): the checkpoint leaf
+        # has no stats, so the four e references planned sort-merge joins
+        # and AQE sank both-side shuffles; with the measured count the
+        # degree attachments and the wedge-closing probe hint broadcast
+        # only while they fit the session threshold (measured A/B: 0.94 to
+        # 0.85 s, 17 to 16 jobs; the same treatment on the single-action
+        # pagerank/LPA/BFS iteratives measured WORSE and was reverted —
+        # there AQE already reuses the materialized shuffles across rounds)
+        e, n_e = pin_counted(e)
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
     )
+    # |deg| <= 2|e| distinct endpoints bounds the derived frames
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    if n_e >= 0:
+        da = bcast_if_fits(da, 2 * n_e)
+        db = bcast_if_fits(db, 2 * n_e)
     # orient lower (deg, id) -> higher (deg, id); ties by id are strict
     fwd_ab = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
@@ -204,7 +219,7 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     # inner join, not semi: distinct wedges may share (a, b) — each is a
     # different apex, hence a different triangle; e is distinct so at most
     # one match per wedge row
-    tri = wedges.join(e, ["a", "b"])
+    tri = wedges.join(bcast_if_fits(e, n_e) if n_e >= 0 else e, ["a", "b"])
     return e.agg(F.count("*").alias("n_edges")).crossJoin(
         tri.agg(F.count("*").alias("n_triangles"))
     )

@@ -129,9 +129,41 @@ def _corpus_stats(
     LOSSES at sf0.1 (postings: rm3 2.06→2.85 s; lengths: rm3 2.42→2.90 s)
     — the eager materialization job costs more than the lazy re-tokenize
     of each branch. The wins that stuck are per-doc rewrites (tokenize
-    only the feedback/seed docs), not materialization."""
+    only the feedback/seed docs), not materialization.
+
+    r14 parameterizes exactly that trade for cluster scale: when the docs
+    relation's Catalyst size estimate exceeds
+    ``spark.vector_mcp_spark.lexical.materializeStatsMinBytes`` (default
+    256 MiB; driver-side stat read, no job), postings and lengths ARE
+    eagerly materialized — the multi-stage callers reference each 2-3
+    times, and at real corpus sizes one checkpointed tokenizer pass beats
+    re-scanning and re-tokenizing the corpus per reference. Below the
+    threshold (every local SF) the lazy r13 shape is byte-identical."""
     if postings is None:
         postings = build_postings(docs, id_col, content_col)
+        from vector_mcp_spark.operators.partition import _plan_size_bytes
+
+        spark = docs.sparkSession
+        try:
+            min_bytes = int(
+                spark.conf.get(
+                    "spark.vector_mcp_spark.lexical.materializeStatsMinBytes",
+                    str(256 * 1024 * 1024),
+                )
+            )
+        except (TypeError, ValueError):
+            min_bytes = 256 * 1024 * 1024
+        size = _plan_size_bytes(docs)
+        if size is not None and size >= min_bytes:
+            postings = postings.localCheckpoint(eager=True)
+            lengths = docs.select(
+                id_col, F.size(tokens(F.col(content_col))).alias("doc_len")
+            ).localCheckpoint(eager=True)
+            stats = lengths.agg(
+                F.count("*").alias("n_docs"),
+                F.avg("doc_len").alias("avg_len"),
+            )
+            return postings, lengths, stats
     lengths = docs.select(id_col, F.size(tokens(F.col(content_col))).alias("doc_len"))
     # stats derives FROM lengths (same rows, same values: count(*) and avg of
     # the identical size(tokens) expression) — one tokenizer pass, not two.
