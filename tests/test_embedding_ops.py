@@ -183,6 +183,7 @@ def test_pq_adc_ranks_by_reconstruction_distance(spark, sf_dir):
         assert math.isclose(r.adc_dist, exact, rel_tol=0, abs_tol=5e-7)
 
 
+@pytest.mark.slow
 def test_ivf_pq_adc_composed_pipeline_recall(spark):
     """The classic IVF-PQ serving composition, end to end: probe nprobe
     clusters (IVF), score ONLY those candidates from PQ codes (ADC),

@@ -324,6 +324,7 @@ def test_engine_flag_routes_to_merge_and_fails_closed(spark, tmp_path_factory, m
     assert eng2.read("plain").count() == 1
 
 
+@pytest.mark.slow
 def test_search_index_build_serve_staleness(spark, tmp_path_factory):
     """Build → fresh; indexed search result-identical to the scan operator
     with partition pruning on term buckets; any mutation → stale and the
@@ -367,6 +368,7 @@ def test_search_index_build_serve_staleness(spark, tmp_path_factory):
     assert eng.indexed_lexical_search("idx", "fresh").count() == 1
 
 
+@pytest.mark.slow
 def test_indexed_semantic_search_matches_exact(spark, tmp_path_factory):
     """With shortlist = corpus size the Hamming-served search must equal the
     exact cosine top-k over the same served representation."""
@@ -1493,6 +1495,7 @@ def test_next_seq_swap_lock_protocol(spark, tmp_path_factory):
     assert eng.count_documents("log") >= 1  # log still consistent
 
 
+@pytest.mark.slow
 def test_indexed_graph_search_dimension_mismatch(spark, tmp_path_factory):
     """ADVICE r9 (low): a query vector that disagrees with the collection's
     locked dimension would NULL-pad through zip_with and return k arbitrary
@@ -1517,6 +1520,7 @@ def test_indexed_graph_search_dimension_mismatch(spark, tmp_path_factory):
     assert len(got) == 2 and all(r.score is not None for r in got)
 
 
+@pytest.mark.slow
 def test_indexed_graph_search(spark, tmp_path_factory):
     """The third engine-side index family (HNSW-style layered graph — the
     pgvector `USING hnsw` analogue): build persists the edge table + entry,
@@ -1557,6 +1561,7 @@ def test_indexed_graph_search(spark, tmp_path_factory):
     assert eng.indexed_graph_search("tiny", qvec, k=3).collect() == []
 
 
+@pytest.mark.slow
 def test_pre_graph_manifest_reports_stale(spark, tmp_path_factory):
     """Review r9: a fingerprint-fresh index whose manifest predates the
     graph family must report 'stale' from index_status (so status-polling
@@ -1587,6 +1592,7 @@ def test_pre_graph_manifest_reports_stale(spark, tmp_path_factory):
     assert len(eng.indexed_graph_search("kb", [0.1] * 64, k=2).collect()) == 2
 
 
+@pytest.mark.slow
 def test_repair_search_index_grows_and_serves(spark, tmp_path_factory):
     """Incremental index repair (VERDICT r9 #4): after an append-only grow,
     repair_search_index extends all three families without a rebuild —
@@ -1659,6 +1665,7 @@ def test_repair_search_index_grows_and_serves(spark, tmp_path_factory):
     assert eng.index_status("g") == "fresh"
 
 
+@pytest.mark.slow
 def test_repair_search_index_refuses_non_append(spark, tmp_path_factory):
     """Repair is append-only by contract: a deleted or in-place-changed
     indexed row refuses with index_repair_requires_rebuild (stable code) —
@@ -1776,6 +1783,7 @@ def test_payload_field_index_accelerates_and_never_lies(spark, tmp_path_factory)
         eng.create_payload_index("nope", "team")
 
 
+@pytest.mark.slow
 def test_ivfpq_index_lifecycle(spark, tmp_path_factory):
     """IVF-PQ as a first-class engine index family (VERDICT r10 #5):
     build persists cluster-partitioned codes + frozen centroids/codebooks
@@ -1867,6 +1875,7 @@ def test_ivfpq_empty_and_tiny_collections(spark, tmp_path_factory):
     assert eng.indexed_ivfpq_search("tiny", hash_embed("x", 64), k=3).collect() == []
 
 
+@pytest.mark.slow
 def test_int8_quantization_config_lifecycle(spark, tmp_path_factory):
     """Per-collection quantization config (qdrant quantization_config
     analogue): int8 selected at build is recorded in the manifest, serves
@@ -1919,6 +1928,7 @@ def test_int8_quantization_config_lifecycle(spark, tmp_path_factory):
     assert top and top[0].content == "fresh quantized arrival"
 
 
+@pytest.mark.slow
 def test_indexed_filtered_search_both_regimes(spark, tmp_path_factory):
     """Engine-level filter+vector search (the qdrant planner composition
     over the persisted graph): a SELECTIVE payload filter routes to
@@ -1974,6 +1984,7 @@ def test_indexed_filtered_search_both_regimes(spark, tmp_path_factory):
         eng.indexed_filtered_search("fs", qv, {"tier": "rare"}, k=3)
 
 
+@pytest.mark.slow
 def test_restored_snapshot_index_contract(spark, tmp_path_factory):
     """Snapshots carry table + changelog but NOT the index sidecar (the
     index is derived state — rebuild-on-restore is the honest contract):
@@ -2018,6 +2029,7 @@ def test_restored_snapshot_index_contract(spark, tmp_path_factory):
     assert got and all(r.id for r in got)
 
 
+@pytest.mark.slow
 def test_int8_search_refuses_mis_sized_query(spark, tmp_path_factory):
     """ADVICE r11: under quantization='int8' a mis-sized query must raise
     collection_vector_schema_mismatch (like the graph / IVF-PQ families),
@@ -2040,6 +2052,7 @@ def test_int8_search_refuses_mis_sized_query(spark, tmp_path_factory):
     assert ok.count() == 3
 
 
+@pytest.mark.slow
 def test_int8_serve_reads_dimension_from_manifest(spark, tmp_path_factory, monkeypatch):
     """VERDICT r12 item 2: build stamps the vector width into manifest.json,
     so the int8 serve path (content-only collection, no catalog dimension
@@ -2079,6 +2092,7 @@ def test_int8_serve_reads_dimension_from_manifest(spark, tmp_path_factory, monke
     assert firsts == []
 
 
+@pytest.mark.slow
 def test_filtered_search_refuses_when_graph_family_vanishes(spark, tmp_path_factory, monkeypatch):
     """ADVICE r11: indexed_filtered_search must mirror indexed_graph_search
     when the re-read manifest lost its 'graph' key (manifest rewritten
@@ -2112,6 +2126,7 @@ def test_filtered_search_refuses_when_graph_family_vanishes(spark, tmp_path_fact
         )
 
 
+@pytest.mark.slow
 def test_served_indexed_searches_never_reembed_content_only(spark, tmp_path_factory, monkeypatch):
     """VERDICT r11 watch item 2: a content-only collection's built index
     persists the derived vectors, so every indexed serve path reads them
@@ -2177,6 +2192,7 @@ def test_served_indexed_searches_never_reembed_content_only(spark, tmp_path_fact
     assert eng2.indexed_semantic_search("sv", hash_embed("stored vec doc 3", 64), k=3).count() == 3
 
 
+@pytest.mark.slow
 def test_filtered_search_counts_only_the_filtered_side(spark, tmp_path_factory, monkeypatch):
     """VERDICT r11 watch item 1: the routed filtered search takes the corpus
     cardinality from the index manifest, so a served query triggers exactly
@@ -2216,6 +2232,7 @@ def test_filtered_search_counts_only_the_filtered_side(spark, tmp_path_factory, 
     assert "metadata" in plan, "the single count must be the filtered side"
 
 
+@pytest.mark.slow
 def test_collection_distance_config_lifecycle(spark, tmp_path_factory):
     """Per-collection distance config (qdrant locks Distance at create,
     qdrant.py:122-127): l2 locked at create builds every index family under
@@ -2295,6 +2312,7 @@ def test_collection_distance_config_lifecycle(spark, tmp_path_factory):
     assert [r.score for r in cos] == sorted((r.score for r in cos), reverse=True)
 
 
+@pytest.mark.slow
 def test_indexed_sparse_family_lifecycle(spark, tmp_path_factory):
     """Named-sparse index family (r12): build persists (term,id,tf)
     postings + (id,dlen) L1 norms; indexed_sparse_search serves the SPLADE
@@ -2346,6 +2364,7 @@ def test_indexed_sparse_family_lifecycle(spark, tmp_path_factory):
     assert any(r.content == "fresh spark vector stream arrival" for r in served)
 
 
+@pytest.mark.slow
 def test_named_multivector_lifecycle(spark, tmp_path_factory):
     """Named multi-vector collections (qdrant vectors_config parity): two
     named dense vectors per point with their own dimension + distance,
@@ -2435,6 +2454,7 @@ def test_named_multivector_lifecycle(spark, tmp_path_factory):
     assert not root.exists()
 
 
+@pytest.mark.slow
 def test_content_only_l2_graph_refuses_mis_sized_query(spark, tmp_path_factory):
     """Review r12: a content-only l2 collection locks no dimension, but the
     index manifest records the indexed width — a mis-sized query must
@@ -2519,6 +2539,7 @@ def test_named_auto_route_entryless_index_falls_back_to_exact(spark, tmp_path_fa
     assert got and got[0].content == "solitary point"
 
 
+@pytest.mark.slow
 def test_collection_distance_dot_serves_descending(spark, tmp_path_factory):
     """Dot (inner-product) distance config: build auto-selects int8 (sign
     bits drop magnitudes), every indexed serve path ranks descending by raw
@@ -2640,6 +2661,7 @@ def test_payload_range_index_lifecycle(spark, tmp_path_factory):
     assert meta["n_bands"] == 8 and meta["vmin"] == 0.0
 
 
+@pytest.mark.slow
 def test_indexed_filtered_search_range_predicate(spark, tmp_path_factory, monkeypatch):
     """Range predicates in indexed_filtered_search (qdrant Range grammar):
     {key: {gte, lte}} filters numerically; with a FRESH range payload index
@@ -2706,6 +2728,7 @@ def test_indexed_filtered_search_range_predicate(spark, tmp_path_factory, monkey
         eng.indexed_filtered_search("rf", qv, {"price": {"gte": "cheap"}}, k=5)
 
 
+@pytest.mark.slow
 def test_indexed_filtered_search_equality_and_matchany_use_payload_index(
     spark, tmp_path_factory, monkeypatch
 ):
@@ -2773,3 +2796,52 @@ def test_indexed_filtered_search_equality_and_matchany_use_payload_index(
                 {"any": ["t1"], "gte": 1}, {"any": [str(i) for i in range(257)]}):
         with _pytest.raises(EngineError, match="payload_filter_invalid|payload_range_invalid"):
             eng.indexed_filtered_search("eq", qv, {"team": bad}, k=5)
+
+
+@pytest.mark.slow
+def test_prepared_descent_matches_dataframe_path(spark):
+    """The engine's prepared single-query descent SQL (r14) must be
+    row-for-row, bit-for-bit identical to ann_hnsw_topk's DataFrame path
+    under every metric — same candidates, same HOF fold scores, same
+    tie-breaks (zero-norm vector included to exercise the guard)."""
+    import random
+
+    from vector_mcp_spark.operators.graph_ann import (
+        ann_hnsw_prepared_sql,
+        ann_hnsw_topk,
+        hnsw_build,
+        hnsw_serve_set,
+    )
+    from vector_mcp_spark.operators.similarity import ivf_build
+
+    rng = random.Random(11)
+    dim, n = 8, 24
+    rows = [
+        (f"id{i:04d}", [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    rows[3] = (rows[3][0], [0.0] * dim)  # zero-norm guard
+    corpus = spark.createDataFrame(rows, "id string, embedding array<float>")
+    for metric in ("cosine", "dot", "l2"):
+        coarse = "l2" if metric == "l2" else "cosine"
+        assigned, _ = ivf_build(
+            corpus, n_centroids=4, id_col="id", emb_col="embedding", metric=coarse
+        )
+        edges, meta = hnsw_build(assigned, id_col="id", emb_col="embedding", metric=metric)
+        nodes_ck, edges_ck = hnsw_serve_set(corpus, edges, metric=metric)
+        nodes_ck.createOrReplaceTempView("t_prep_nodes")
+        edges_ck.createOrReplaceTempView("t_prep_edges")
+        qv = [rng.uniform(-1, 1) for _ in range(dim)]
+        q = spark.createDataFrame([("__q__", qv)], "id string, embedding array<float>")
+        df_rows = ann_hnsw_topk(
+            q, corpus, None, meta["entry"], k=5, ef=48, id_col="id",
+            exclude_self=False, metric=metric, serve_set=(nodes_ck, edges_ck),
+        ).collect()
+        sql_rows = spark.sql(
+            ann_hnsw_prepared_sql(
+                "t_prep_nodes", "t_prep_edges", meta["entry"], qv, k=5, ef=48,
+                metric=metric,
+            )
+        ).collect()
+        a = [(r.query_id, r.rank, r.neighbor_id, r.score) for r in df_rows]
+        b = [(r.query_id, r.rank, r.neighbor_id, r.score) for r in sql_rows]
+        assert a == b, f"prepared descent diverged under {metric}: {a} vs {b}"

@@ -10,6 +10,8 @@ at driver scale.
 
 from __future__ import annotations
 
+import pytest
+
 import sys
 from pathlib import Path
 
@@ -39,6 +41,7 @@ def test_oracle_output_types_are_canonicalizer_safe(sf_dir):
     assert lint_oracle_types(con, "SELECT CAST(1 AS DECIMAL(10,2)) AS d") == [("d", "DECIMAL(10,2)")]
 
 
+@pytest.mark.slow
 def test_every_suite_entry_matches_its_oracle(spark, sf_dir):
     from vector_mcp_spark.suite import SUITE
 

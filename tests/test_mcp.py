@@ -737,6 +737,7 @@ def test_veneer_rerank_action_and_doctor_gate(spark, tmp_path_factory, monkeypat
     assert d2["remote_rerank_config_valid"] is False and d2["ok"] is False
 
 
+@pytest.mark.slow
 def test_veneer_index_actions(spark, tmp_path_factory):
     eng = CollectionEngine(spark, str(tmp_path_factory.mktemp("vidx_root")))
     v = McpVeneer(eng)
@@ -1602,6 +1603,7 @@ def test_agent_server_invalid_args_stay_json(spark, tmp_path_factory):
         server.shutdown()
 
 
+@pytest.mark.slow
 def test_veneer_distance_named_and_sparse_actions(spark, tmp_path_factory):
     """r12 surfaces over the condensed veneer: create_collection takes the
     distance + vectors_config, put_named_vectors/named_search round-trip a
@@ -1668,6 +1670,7 @@ def test_veneer_distance_named_and_sparse_actions(spark, tmp_path_factory):
     }
 
 
+@pytest.mark.slow
 def test_veneer_indexed_search_with_num_candidates(spark, tmp_path_factory):
     """The indexed_search action serves from the persisted graph family and
     exposes the beam width (mongodb numCandidates, default max(k*10, 100))
@@ -1791,6 +1794,7 @@ def test_read_asof_over_both_transports(transport_agent, http_mcp_server):
     assert _tool_text(json.loads(body))["error"] == "time_travel_unavailable"
 
 
+@pytest.mark.slow
 def test_veneer_filtered_indexed_search_and_range_index(spark, tmp_path_factory):
     """The filter+vector composition is reachable from the veneer:
     indexed_search takes a qdrant-shaped payload_filter (equality /

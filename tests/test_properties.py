@@ -371,6 +371,7 @@ def test_kmv_estimate_error_tolerance(spark):
     )
 )
 @settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_sign_pack_column_matches_python(spark, vec):
     """The packed sign bits computed by the Column expression equal the
     driver-side twin for arbitrary vectors (zeros pack as 0-bits on both)."""
@@ -407,6 +408,7 @@ def test_sign_pack_py_matches_column_for_any_dimension(spark, dim):
     )
 )
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_scd2_intervals_tile_and_cover(spark, obs):
     """For any observation set: per key, intervals are disjoint, ordered,
     tile exactly (each valid_to = next valid_from), exactly one open
@@ -446,6 +448,7 @@ def test_scd2_intervals_tile_and_cover(spark, obs):
     )
 )
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_twap_bounded_by_value_range(spark, vals):
     """TWAP of any series lies within [min(value), max(value)] of the
     observations that carry nonzero duration, and the span equals

@@ -187,6 +187,7 @@ def test_semantic_dedup_keep_first_within_cluster(spark):
     assert got == {1: True, 2: False, 3: True, 4: True, 5: True}
 
 
+@pytest.mark.slow
 def test_hnsw_recall_threshold(embs):
     """The HNSW-style graph-ANN recall contract (the last reference index
     family, epistemic_graph.py:5-9 / postgres.py:182-188). Measured on this
@@ -245,6 +246,7 @@ def test_training_triplets_label_contract(embs):
         assert hn[r.anchor_id] == (r.negative_id, r.neg_score)
 
 
+@pytest.mark.slow
 def test_filtered_ann_selectivity_routing(embs):
     """The routed filtered-ANN composition (qdrant's planner behavior):
     a selective payload predicate (label=3 AND even id, ~3%) MUST route to
@@ -334,6 +336,7 @@ def test_ivf_l2_recall_vs_exact(embs):
     assert all(s == sorted(s) for s in by_q.values())
 
 
+@pytest.mark.slow
 def test_hnsw_l2_recall_threshold(embs):
     """The l2-metric graph twin of test_hnsw_recall_threshold: build under
     Euclidean distance (l2 coarse quantizer + l2 edges), beam ascending,
@@ -381,6 +384,7 @@ def test_hnsw_l2_recall_threshold(embs):
     assert scores == sorted(scores), "l2 beam must rank ascending"
 
 
+@pytest.mark.slow
 def test_hnsw_dot_recall_threshold(embs):
     """The dot-metric (MIPS) graph twin of test_hnsw_recall_threshold:
     edges ranked by raw inner product over the SHARED cosine coarse

@@ -154,6 +154,7 @@ def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
     assert final == batch
 
 
+@pytest.mark.slow
 def test_streaming_interval_join_equals_batch(spark, tmp_path):
     """availableNow stream-stream interval join returns exactly the batch
     join (inner join: watermark bounds state, never on-time results)."""
@@ -217,6 +218,7 @@ def test_stream_static_enrichment_broadcasts_and_keeps_unmatched(spark, tmp_path
     assert got[2].c_name is None  # left join: facts never dropped
 
 
+@pytest.mark.slow
 def test_stream_ingest_into_collection_effectively_once(spark, tmp_path):
     """Streamed docs land in the collection through the engine's upsert;
     re-running the same stream with a FRESH checkpoint (a full replay, the
@@ -260,6 +262,7 @@ def test_stream_ingest_into_collection_effectively_once(spark, tmp_path):
     assert second == first  # idempotent sink: full replay changes nothing
 
 
+@pytest.mark.slow
 def test_stream_index_maintenance_matches_batch_assignment(spark, tmp_path):
     """New vectors streamed through index maintenance get exactly the
     cluster and PQ codes the batch kernels produce, land partitioned by
@@ -419,6 +422,7 @@ def test_streaming_distinct_sketch_equals_batch_kmv(spark, tmp_path):
     assert final == expected
 
 
+@pytest.mark.slow
 def test_interval_join_left_outer_sentinel_flush(spark, tmp_path):
     """Left-outer stream-stream interval join: unmatched left rows emit
     once sentinel batches push the watermark past the real data."""

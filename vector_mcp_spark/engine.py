@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import itertools
 import os
 import shutil
 import threading
@@ -46,6 +47,11 @@ from vector_mcp_spark.validation import (
     validate_ingest_bounds,
     validate_metric,
 )
+
+
+#: unique temp-view names for beam-serve working sets (one pair per
+#: serve-set build; session-scoped, so a plain process-wide counter is safe)
+_SERVE_VIEW_SEQ = itertools.count()
 
 
 def _physical_name(logical: str) -> str:
@@ -157,10 +163,14 @@ class CollectionEngine:
         (self.root / "collections").mkdir(parents=True, exist_ok=True)
 
     def _graph_serve_set(self, index_root: Path, corpus, metric: str):
-        """Materialized (nodes, edges) for one graph index build — the
-        in-RAM working set a vector DB keeps open next to its persisted
-        graph. Built once per (build, metric); evicts prior builds of the
-        same root so a rebuild does not pin dead checkpoint blocks."""
+        """Materialized (nodes, edges, nodes_view, edges_view) for one
+        graph index build — the in-RAM working set a vector DB keeps open
+        next to its persisted graph, plus the temp-view names the prepared
+        single-query descent SQL references (r14, guide §1/§4: one
+        spark.sql parse per serve instead of ~60 eagerly-analyzed
+        DataFrame transformations). Built once per (build, metric); evicts
+        prior builds of the same root (and drops their views) so a rebuild
+        does not pin dead checkpoint blocks."""
         from vector_mcp_spark.operators.graph_ann import hnsw_serve_set
 
         st = (index_root / "manifest.json").stat()
@@ -169,9 +179,29 @@ class CollectionEngine:
         if hit is not None:
             return hit
         for old in [k for k in self._graph_serve_sets if k[0] == key[0]]:
+            for view in self._graph_serve_sets[old][2:4]:
+                self.spark.catalog.dropTempView(view)
             del self._graph_serve_sets[old]
         edges = self.spark.read.parquet(str(index_root / "graph"))
-        ss = hnsw_serve_set(corpus, edges, id_col="id", emb_col="embedding", metric=metric)
+        nodes, edges = hnsw_serve_set(
+            corpus, edges, id_col="id", emb_col="embedding", metric=metric
+        )
+        seq = next(_SERVE_VIEW_SEQ)
+        nodes_view, edges_view = f"_hnsw_serve_nodes_{seq}", f"_hnsw_serve_edges_{seq}"
+        nodes.createOrReplaceTempView(nodes_view)
+        edges.createOrReplaceTempView(edges_view)
+        # measured broadcast gate for the descent's per-hop edge-union
+        # side (two id columns — the vectors never enter that relation):
+        # counted ONCE per build over the cached partitions, so the
+        # decision is scale-adaptive — a serve set that outgrows the
+        # session's own threshold never hints and the planner keeps
+        # building the ef-bounded beam side instead
+        try:
+            limit = int(self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        except (TypeError, ValueError):
+            limit = 10 * 1024 * 1024
+        bcast_edges = 0 <= (nodes.count() + edges.count()) * 64 <= limit
+        ss = (nodes, edges, nodes_view, edges_view, bcast_edges)
         self._graph_serve_sets[key] = ss
         return ss
 
@@ -1525,7 +1555,7 @@ class CollectionEngine:
         ``indexed=False`` forces the exact scan."""
         import json
 
-        from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk
+        from vector_mcp_spark.operators.graph_ann import ann_hnsw_prepared_sql
         from vector_mcp_spark.operators.semantic import semantic_topk
 
         scoped = self._require(name)
@@ -1567,13 +1597,17 @@ class CollectionEngine:
         if (meta.get("graph") or {}).get("entry") is None:
             return empty
         corpus = vecs.select("id", F.col("vector").alias("embedding"))
-        query = self.spark.createDataFrame(
-            [("__q__", question_vec)], "id string, embedding array<float>"
+        # prepared single-query descent over the cached serve-set views —
+        # bit-identical to the ann_hnsw_topk(exclude_self=False) path
+        # without the per-serve DataFrame analysis cost (r14, guide §1/§4)
+        _, _, nodes_view, edges_view, bcast_edges = self._graph_serve_set(
+            root, corpus, metric
         )
-        serve_set = self._graph_serve_set(root, corpus, metric)
-        hits = ann_hnsw_topk(
-            query, corpus, None, meta["graph"]["entry"], k=k, ef=ef,
-            id_col="id", exclude_self=False, metric=metric, serve_set=serve_set,
+        hits = self.spark.sql(
+            ann_hnsw_prepared_sql(
+                nodes_view, edges_view, meta["graph"]["entry"], question_vec,
+                k=k, ef=ef, metric=metric, broadcast_edges=bcast_edges,
+            )
         ).select(F.col("neighbor_id").alias("id"), "score")
         return (
             self.read(name)
@@ -1773,7 +1807,7 @@ class CollectionEngine:
         no graph; the query answers empty (nothing to traverse)."""
         import json
 
-        from vector_mcp_spark.operators.graph_ann import ann_hnsw_topk
+        from vector_mcp_spark.operators.graph_ann import ann_hnsw_prepared_sql
 
         scoped = self._require(name)
         question_vec = [float(x) for x in question_vec]
@@ -1812,18 +1846,21 @@ class CollectionEngine:
         if meta.get("entry") is None:
             return self.spark.createDataFrame([], "id string, content string, score double")
         corpus = df.where(F.col("embedding").isNotNull()).select("id", "embedding")
-        query = self.spark.createDataFrame(
-            [("__q__", [float(x) for x in question_vec])],
-            "id string, embedding array<float>",
-        )
         metric = manifest.get("distance") or "cosine"
-        serve_set = self._graph_serve_set(self._index_root(scoped), corpus, metric)
-        hits = ann_hnsw_topk(
-            query, corpus, None, meta["entry"], k=k, ef=ef, id_col="id",
-            exclude_self=False,  # the query is not a corpus row; a document
-            # whose id happens to equal the synthetic query id must still
-            # be returnable
-            metric=metric, serve_set=serve_set,
+        # prepared single-query descent: one spark.sql text over the cached
+        # serve-set views — identical joins/folds/ordering to ann_hnsw_topk
+        # with exclude_self=False (the query is not a corpus row; a document
+        # whose id happens to equal the synthetic query id must still be
+        # returnable), without the ~60 eagerly-analyzed DataFrame steps or
+        # the per-serve query-checkpoint job (r14, guide §1/§4)
+        _, _, nodes_view, edges_view, bcast_edges = self._graph_serve_set(
+            self._index_root(scoped), corpus, metric
+        )
+        hits = self.spark.sql(
+            ann_hnsw_prepared_sql(
+                nodes_view, edges_view, meta["entry"], question_vec, k=k,
+                ef=ef, metric=metric, broadcast_edges=bcast_edges,
+            )
         ).select(F.col("neighbor_id").alias("id"), "score")
         return (
             df.join(F.broadcast(hits), "id")

@@ -37,6 +37,8 @@ controlled by the blocking keys exactly like dedup.py's banded LSH join.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -412,6 +414,171 @@ def ann_hnsw_topk(
         F.col("_rn").cast("int").alias("rank"),
         F.col("node").alias("neighbor_id"),
         F.round("_sm", SCORE_DECIMALS).alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prepared single-query descent (engine serve path, optimization guide §1/§4)
+#
+# ann_hnsw_topk builds the 7-hop descent through ~60 DataFrame
+# transformations, and PySpark analyzes each intermediate Dataset EAGERLY —
+# the analyzer re-walks a growing tree every step, measured ~1.5 s of pure
+# DRIVER time per engine serve (r13 §15: plan-build 1.9 s before serve-set
+# caching; zero active Spark jobs throughout). For the engine's
+# one-literal-vector serves the identical descent renders as ONE SQL text
+# over the serve set registered as temp views: one parse + one analysis of
+# the final tree. Same joins, same HOF dot folds (sequential left fold over
+# double-widened floats), same window order with the same NULL placement,
+# same ROUND — results are bit-identical (pinned by
+# tests/test_engine.py::test_prepared_descent_matches_dataframe_path across
+# metrics/dims/k/ef). The DataFrame path stays for multi-query/DataFrame-
+# query callers (suite entries), whose plans and hashes are untouched.
+# ---------------------------------------------------------------------------
+
+
+def _sql_str_lit(value: object) -> str:
+    """SQL literal for an entry/query id (string ids get escaped+quoted)."""
+    if isinstance(value, bool) or not isinstance(value, (int, float)):
+        s = str(value).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+    return repr(value)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of functions.vector.dot: zip_with + aggregate sequential
+    fold over double-widened elements — the exact expression the DataFrame
+    path evaluates, so the fold order (and hence every float result) is
+    identical."""
+    da = f"transform({a}, x -> CAST(x AS DOUBLE))"
+    db = f"transform({b}, x -> CAST(x AS DOUBLE))"
+    return f"aggregate(zip_with({da}, {db}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+def _norm_sql(col: str, metric: str) -> str:
+    n = f"sqrt({_dot_sql(col, col)})"
+    if metric == "cosine":
+        # _guarded_norm: zero-norm -> 1 so pair sims never go NULL
+        return f"(CASE WHEN {n} = 0.0D THEN 1.0D ELSE {n} END)"
+    return n
+
+
+def _pair_score_sql(metric: str, qv: str, qn: str, v: str, n: str) -> str:
+    d = _dot_sql(qv, v)
+    if metric == "cosine":
+        return f"({d} / ({qn} * {n}))"
+    if metric == "dot":
+        return d
+    inner = f"(({qn} * {qn}) + ({n} * {n})) - (2.0D * {d})"
+    # when-clamp, not greatest: NULL inner must stay NULL (ADVICE r11)
+    return f"sqrt(CASE WHEN ({inner}) < 0.0D THEN 0.0D ELSE ({inner}) END)"
+
+
+def _order_sql(metric: str) -> str:
+    # l2 ASC NULLS LAST matches asc_nulls_last; DESC defaults to NULLS LAST
+    # in Spark exactly like Column.desc()
+    return "_sm DESC, node ASC" if GRAPH_METRICS[metric] else "_sm ASC NULLS LAST, node ASC"
+
+
+def ann_hnsw_prepared_sql(
+    nodes_view: str,
+    edges_view: str,
+    entry: object,
+    question_vec: Sequence[float],
+    k: int,
+    ef: int = 48,
+    hops: tuple[tuple[int, int], ...] = HNSW_HOPS,
+    metric: str = "cosine",
+    query_id: str = "__q__",
+    broadcast_edges: bool = False,
+) -> str:
+    """Render the full fixed-schedule beam descent for ONE literal query
+    vector as a single SQL text over the registered serve-set views
+    (``nodes_view``: (node, v, n); ``edges_view``: (layer, src, dst), both
+    localCheckpointed by :func:`hnsw_serve_set`). ``spark.sql(text)`` is
+    the whole per-serve driver cost — no per-transform analysis, no q
+    checkpoint job (the query row is a one-row inline relation whose
+    re-evaluation per hop is free). Output schema and values match
+    ``ann_hnsw_topk(..., exclude_self=False)`` exactly."""
+    if metric not in GRAPH_METRICS:
+        raise ValueError(f"unknown metric {metric!r}; one of {sorted(GRAPH_METRICS)}")
+    # the query vector/norm are LITERAL expressions, not a relation: the
+    # per-hop "join q" of the DataFrame path (which exists because there
+    # the queries are a DataFrame) disappears entirely — one join per hop
+    # (beam x self-looped edges) plus one scoring join against nodes. The
+    # norm is the same expression over the same literal array, so qn (and
+    # every score derived from it) is bit-equal to the DataFrame path's.
+    qv = "CAST(array({}) AS ARRAY<FLOAT>)".format(
+        ", ".join(f"{float(x)!r}D" for x in question_vec)
+    )
+    qn = _norm_sql(qv, metric)
+    qid, ent = _sql_str_lit(query_id), _sql_str_lit(entry)
+    score = _pair_score_sql(metric, qv, qn, "nd.v", "nd.n")
+    order = _order_sql(metric)
+
+    def rescore(cand: str, out: str) -> str:
+        # single query => the DataFrame path's PARTITION BY query_id window
+        # is one partition; rows are beam-bounded (<= ef * (2m+1)), so the
+        # single-partition sort is tiny at any corpus scale
+        return (
+            f"{out} AS (\n"
+            f"  SELECT node, _sm, row_number() OVER (ORDER BY {order}) AS _rn\n"
+            f"  FROM (SELECT nd.node, {score} AS _sm\n"
+            f"        FROM {cand} c JOIN {nodes_view} nd ON c.node = nd.node)\n"
+            f")"
+        )
+
+    ctes = [
+        # hop 1 is query-independent: entry's neighbor list on the top
+        # schedule layer plus the entry itself (same rows as the DataFrame
+        # path's broadcast seed)
+        (
+            "cand_1 AS (\n"
+            "  SELECT DISTINCT node FROM (\n"
+            f"    SELECT dst AS node FROM {edges_view}"
+            f" WHERE layer = {int(hops[0][0])} AND src = {ent}\n"
+            f"    UNION ALL SELECT {ent} AS node\n"
+            "  )\n"
+            ")"
+        ),
+        rescore("cand_1", "sc_1"),
+        f"beam_1 AS (SELECT node FROM sc_1 WHERE _rn <= {int(ef)})",
+    ]
+    i = 1
+    first_hop = True
+    for layer, n_hops in hops:
+        for _ in range(n_hops):
+            if first_hop:
+                first_hop = False
+                continue  # the seed hop above
+            i += 1
+            # self-looped edge partition: beam ∪ neighbors(beam) as one
+            # equi-join, exactly like the DataFrame path. With unknown
+            # leaf stats the planner builds the beam side — correct at
+            # scale (ef rows vs a huge edge table) but a fresh
+            # non-reusable broadcast stage per hop locally; when the
+            # caller MEASURED the serve set small enough to fit the
+            # session broadcast threshold (the bcast_if_fits gate),
+            # hinting the edge-union side instead lets every hop of a
+            # layer REUSE one broadcast build.
+            hint = "/*+ BROADCAST(e) */ " if broadcast_edges else ""
+            ctes.append(
+                f"cand_{i} AS (\n"
+                f"  SELECT {hint}DISTINCT e.dst AS node\n"
+                f"  FROM beam_{i - 1} b JOIN (\n"
+                f"    SELECT src, dst FROM {edges_view} WHERE layer = {int(layer)}\n"
+                f"    UNION ALL SELECT node AS src, node AS dst FROM {nodes_view}\n"
+                "  ) e ON b.node = e.src\n"
+                ")"
+            )
+            ctes.append(rescore(f"cand_{i}", f"sc_{i}"))
+            ctes.append(f"beam_{i} AS (SELECT node FROM sc_{i} WHERE _rn <= {int(ef)})")
+    ctes.append(rescore(f"beam_{i}", "final"))
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT {qid} AS query_id, CAST(_rn AS INT) AS rank, node AS neighbor_id,\n"
+        f"       ROUND(_sm, {SCORE_DECIMALS}) AS score\n"
+        f"FROM final WHERE _rn <= {int(k)}"
     )
 
 
