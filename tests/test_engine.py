@@ -2807,6 +2807,7 @@ def test_prepared_descent_matches_dataframe_path(spark):
     import random
 
     from vector_mcp_spark.operators.graph_ann import (
+        ann_hnsw_multi_prepared_sql,
         ann_hnsw_prepared_sql,
         ann_hnsw_topk,
         hnsw_build,
@@ -2845,3 +2846,24 @@ def test_prepared_descent_matches_dataframe_path(spark):
         a = [(r.query_id, r.rank, r.neighbor_id, r.score) for r in df_rows]
         b = [(r.query_id, r.rank, r.neighbor_id, r.score) for r in sql_rows]
         assert a == b, f"prepared descent diverged under {metric}: {a} vs {b}"
+
+        # multi-query VALUES variant (the suite entries' shape): corpus-drawn
+        # queries, exclude_self=True, broadcast hint on — still bit-equal
+        mq = [(rid, list(vec)) for rid, vec in rows[:3]]
+        mdf = spark.createDataFrame(
+            [(rid, vec) for rid, vec in mq], "id string, embedding array<float>"
+        )
+        df_rows = ann_hnsw_topk(
+            mdf, corpus, None, meta["entry"], k=5, ef=48, id_col="id",
+            exclude_self=True, metric=metric, serve_set=(nodes_ck, edges_ck),
+        ).collect()
+        sql_rows = spark.sql(
+            ann_hnsw_multi_prepared_sql(
+                "t_prep_nodes", "t_prep_edges", meta["entry"], mq, k=5, ef=48,
+                metric=metric, exclude_self=True, broadcast_edges=True,
+            )
+        ).collect()
+        srt = lambda rs: sorted(  # noqa: E731
+            [(r.query_id, r.rank, r.neighbor_id, r.score) for r in rs]
+        )
+        assert srt(df_rows) == srt(sql_rows), f"multi prepared diverged under {metric}"

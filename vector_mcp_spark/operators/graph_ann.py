@@ -488,8 +488,9 @@ def ann_hnsw_prepared_sql(
     ef: int = 48,
     hops: tuple[tuple[int, int], ...] = HNSW_HOPS,
     metric: str = "cosine",
-    query_id: str = "__q__",
+    query_id: object = "__q__",
     broadcast_edges: bool = False,
+    exclude_self: bool = False,
 ) -> str:
     """Render the full fixed-schedule beam descent for ONE literal query
     vector as a single SQL text over the registered serve-set views
@@ -572,11 +573,131 @@ def ann_hnsw_prepared_sql(
             )
             ctes.append(rescore(f"cand_{i}", f"sc_{i}"))
             ctes.append(f"beam_{i} AS (SELECT node FROM sc_{i} WHERE _rn <= {int(ef)})")
-    ctes.append(rescore(f"beam_{i}", "final"))
+    last = f"beam_{i}"
+    if exclude_self:
+        # queries drawn FROM the corpus: drop the query's own row, exactly
+        # like the DataFrame path's query_id != node filter
+        ctes.append(f"beam_f AS (SELECT node FROM {last} WHERE node != {qid})")
+        last = "beam_f"
+    ctes.append(rescore(last, "final"))
     body = ",\n".join(ctes)
     return (
         f"WITH {body}\n"
         f"SELECT {qid} AS query_id, CAST(_rn AS INT) AS rank, node AS neighbor_id,\n"
+        f"       ROUND(_sm, {SCORE_DECIMALS}) AS score\n"
+        f"FROM final WHERE _rn <= {int(k)}"
+    )
+
+
+def ann_hnsw_multi_prepared_sql(
+    nodes_view: str,
+    edges_view: str,
+    entry: object,
+    queries: Sequence[tuple[object, Sequence[float]]],
+    k: int,
+    ef: int = 48,
+    hops: tuple[tuple[int, int], ...] = HNSW_HOPS,
+    metric: str = "cosine",
+    exclude_self: bool = True,
+    broadcast_edges: bool = False,
+    id_sql_type: str = "BIGINT",
+) -> str:
+    """Multi-query form of :func:`ann_hnsw_prepared_sql` for callers whose
+    query set is a known literal batch (the suite's fixed vec_id < NQ
+    slice): the queries become an inline VALUES relation with the norm
+    computed by the same expression the DataFrame path evaluates, and the
+    descent renders as one SQL text — one parse + one analysis instead of
+    ~60 eagerly-analyzed DataFrame steps and a per-call query checkpoint.
+    Windows keep their real ``PARTITION BY query_id``; the seed cross-join
+    broadcasts the ≤ 2m+1-row entry neighborhood exactly like the
+    DataFrame path's ``F.broadcast(seed)``. Output schema and values match
+    ``ann_hnsw_topk`` (``exclude_self`` honored) bit-for-bit — pinned by
+    tests/test_engine.py::test_prepared_descent_matches_dataframe_path and
+    the full oracle replay of every converted suite entry."""
+    if metric not in GRAPH_METRICS:
+        raise ValueError(f"unknown metric {metric!r}; one of {sorted(GRAPH_METRICS)}")
+
+    def id_lit(v: object) -> str:
+        s = _sql_str_lit(v)
+        return s if isinstance(v, str) else f"CAST({s} AS {id_sql_type})"
+
+    def vec_lit(vec: Sequence[float]) -> str:
+        return "CAST(array({}) AS ARRAY<FLOAT>)".format(
+            ", ".join(f"{float(x)!r}D" for x in vec)
+        )
+
+    values = ",\n    ".join(f"({id_lit(qid)}, {vec_lit(v)})" for qid, v in queries)
+    ent = id_lit(entry)
+    score = _pair_score_sql(metric, "q.qv", "q.qn", "nd.v", "nd.n")
+    order = _order_sql(metric)
+    ehint = "/*+ BROADCAST(e) */ " if broadcast_edges else ""
+
+    def rescore(cand: str, out: str) -> str:
+        return (
+            f"{out} AS (\n"
+            f"  SELECT query_id, node, _sm,\n"
+            f"         row_number() OVER (PARTITION BY query_id ORDER BY {order}) AS _rn\n"
+            f"  FROM (SELECT c.query_id, c.node, {score} AS _sm\n"
+            f"        FROM {cand} c JOIN q ON c.query_id = q.query_id\n"
+            f"        JOIN {nodes_view} nd ON c.node = nd.node)\n"
+            f")"
+        )
+
+    ctes = [
+        (
+            "q AS (\n"
+            f"  SELECT query_id, qv, {_norm_sql('qv', metric)} AS qn\n"
+            f"  FROM (VALUES\n    {values}) AS t(query_id, qv)\n"
+            ")"
+        ),
+        (
+            "seed AS (\n"
+            "  SELECT DISTINCT node FROM (\n"
+            f"    SELECT dst AS node FROM {edges_view}"
+            f" WHERE layer = {int(hops[0][0])} AND src = {ent}\n"
+            f"    UNION ALL SELECT {ent} AS node\n"
+            "  )\n"
+            ")"
+        ),
+        (
+            "cand_1 AS (SELECT /*+ BROADCAST(s) */ b.query_id, s.node\n"
+            "           FROM (SELECT DISTINCT query_id FROM q) b CROSS JOIN seed s)"
+        ),
+        rescore("cand_1", "sc_1"),
+        f"beam_1 AS (SELECT query_id, node FROM sc_1 WHERE _rn <= {int(ef)})",
+    ]
+    i = 1
+    first_hop = True
+    for layer, n_hops in hops:
+        for _ in range(n_hops):
+            if first_hop:
+                first_hop = False
+                continue  # the seed hop above
+            i += 1
+            ctes.append(
+                f"cand_{i} AS (\n"
+                f"  SELECT {ehint}DISTINCT b.query_id, e.dst AS node\n"
+                f"  FROM beam_{i - 1} b JOIN (\n"
+                f"    SELECT src, dst FROM {edges_view} WHERE layer = {int(layer)}\n"
+                f"    UNION ALL SELECT node AS src, node AS dst FROM {nodes_view}\n"
+                "  ) e ON b.node = e.src\n"
+                ")"
+            )
+            ctes.append(rescore(f"cand_{i}", f"sc_{i}"))
+            ctes.append(
+                f"beam_{i} AS (SELECT query_id, node FROM sc_{i} WHERE _rn <= {int(ef)})"
+            )
+    last = f"beam_{i}"
+    if exclude_self:
+        ctes.append(
+            f"beam_f AS (SELECT query_id, node FROM {last} WHERE query_id != node)"
+        )
+        last = "beam_f"
+    ctes.append(rescore(last, "final"))
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT query_id, CAST(_rn AS INT) AS rank, node AS neighbor_id,\n"
         f"       ROUND(_sm, {SCORE_DECIMALS}) AS score\n"
         f"FROM final WHERE _rn <= {int(k)}"
     )
